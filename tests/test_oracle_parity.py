@@ -1,0 +1,49 @@
+"""Mirror of the driver's t2 gate: every declared query with an oracle is
+run on Spark AND DuckDB at the test scale factor; row counts, sorted
+column names, and normalized values must match exactly.
+
+Queries without an oracle (sketch/LSH family) get a rows-and-schema smoke
+check here plus their own semantic tests in dedicated files.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_DIR, duck_canonical, spark_canonical
+
+from toymapreduce_go_spark.plans.queries import ORACLES, QUERIES
+
+ORACLED = sorted(ORACLES)
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_parity(name, spark, duck):
+    sdf = QUERIES[name](spark, SF_DIR)
+    s_cols, s_rows = spark_canonical(sdf)
+    d_cols, d_rows = duck_canonical(duck, ORACLES[name])
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(d_rows)}")
+    if s_rows != d_rows:
+        diffs = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, spark):
+    sdf = QUERIES[name](spark, SF_DIR)
+    rows = sdf.collect()
+    assert len(sdf.columns) > 0
+    assert rows is not None
+
+
+def test_entry_smoke(spark):
+    import importlib
+    import sys
+    sys.path.insert(0, "/root/repo")
+    mod = importlib.import_module("__spark_entry__")
+    df = mod.entry(spark)
+    assert len(df.collect()) > 0
+    assert set(mod.oracle_sql()) <= set(mod.queries())

@@ -1,0 +1,90 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas via
+``mapInPandas``.
+
+The container has no image/audio libraries, so the *decode* step is a
+deterministic fake (and the real-library hook raises NotImplementedError,
+clearly marked). Everything around it — schema, Arrow batch shape, UDF
+signature, partitioning — is real and tested: swap ``_fake_dims`` for a
+PIL/libvips call and the pipeline is production-shaped.
+
+Scale: mapInPandas streams Arrow batches, so a partition of binary blobs
+never materializes as Python objects row-by-row; at 100 TB the binary
+column lives in its own parquet column chunk and is only read by stages
+that need it (column pruning keeps metadata-only queries cheap).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = ("doc_id long, source string, byte_len long, "
+                  "width long, height long, channels long, n_pixels long")
+
+
+def real_decode_image(payload: bytes) -> tuple[int, int, int]:
+    """Hook for a real decoder (PIL/libvips). Not available in this
+    container — STUB, clearly marked."""
+    raise NotImplementedError(
+        "image decoding requires PIL/libvips; not installed in this "
+        "environment — use fake_decode_image for plumbing tests")
+
+
+def _fake_dims(byte_len: "pd.Series") -> "pd.DataFrame":
+    """Deterministic fake decode: dimensions derived from payload length
+    (stands in for parsing a real image header)."""
+    width = 64 + byte_len % 512
+    height = 64 + (byte_len * 7) % 512
+    return pd.DataFrame({
+        "width": width, "height": height,
+        "channels": 3, "n_pixels": width * height * 3,
+    })
+
+
+def fake_decode_image(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (doc_id, source, payload binary) batches →
+    decoded-metadata batches. Vectorized over each Arrow batch — no
+    per-row Python."""
+    for pdf in batches:
+        byte_len = pdf["payload"].map(len).astype("int64")
+        dims = _fake_dims(byte_len)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "source": pdf["source"],
+            "byte_len": byte_len,
+            "width": dims["width"],
+            "height": dims["height"],
+            "channels": dims["channels"],
+            "n_pixels": dims["n_pixels"],
+        })
+
+
+def with_binary_payload(documents: DataFrame) -> DataFrame:
+    """Manufacture the opaque binary column from text (the testdata has no
+    real image bytes); a real pipeline reads this column from parquet."""
+    return documents.select(
+        "doc_id", "source", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+
+def decode_meta_query(documents: DataFrame) -> DataFrame:
+    """Declared query: binary → mapInPandas fake-decode → per-source
+    rollup of byte/pixel accounting. Oracle-checkable because the fake
+    decode is pure arithmetic on octet length."""
+    decoded = with_binary_payload(documents).mapInPandas(
+        fake_decode_image, schema=DECODED_SCHEMA)
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("byte_len").alias("total_bytes"),
+            F.sum("width").alias("sum_width"),
+            F.sum("height").alias("sum_height"),
+            F.sum("n_pixels").alias("total_pixels"),
+        )
+        .orderBy("source")
+    )

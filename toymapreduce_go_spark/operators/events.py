@@ -1,0 +1,76 @@
+"""Event-time operators over the ``events`` table, batch-first (SURVEY.md
+§2d #11-12). The Structured Streaming variants live in
+``toymapreduce_go_spark.streaming``; these batch forms carry the
+correctness weight because DuckDB can oracle them.
+
+Scale: both operators shuffle once on (window/user) keys. At 100 TB the
+events table would be date-partitioned Parquet, so the time filter prunes
+partitions before any read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SESSION_GAP_MINUTES = 30
+
+
+def events_tumbling(events: DataFrame) -> DataFrame:
+    """1-hour tumbling window aggregation: event count, distinct users,
+    summed value per (hour, event_type).
+
+    Uses Spark's ``window()`` (epoch-aligned, so ``window.start`` equals
+    ``date_trunc('hour', ts)`` — the DuckDB oracle's form).
+    """
+    return (
+        events
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "n_users", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+def events_sessionize(events: DataFrame,
+                      gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes``. Classic lag → boundary flag →
+    cumulative-sum session id; one shuffle on user_id, all computation
+    within the per-user window (no second shuffle — both window specs and
+    the final groupBy share the user_id partitioning).
+
+    Output: one row per session with bounds and event count.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = gap_minutes * 60
+    sessions = (
+        events.select("user_id", "ts", "event_id", "value")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > gap_sec),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("session_id", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )

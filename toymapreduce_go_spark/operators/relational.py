@@ -1,0 +1,131 @@
+"""Relational operator surface (SURVEY.md §2c — categories the reference
+lacks entirely; Spark supplies them built-in, we declare them as queries).
+
+Scale posture per operator is documented inline; the common rules:
+- filters FIRST so Parquet gets them pushed down (`PushedFilters` in the
+  scan node), and explicit column selects so `ReadSchema` is minimal;
+- dimension tables joined with an explicit ``broadcast()`` hint — at 100 TB
+  the fact side never shuffles for a dim join;
+- float aggregates rounded at the *presentation* edge only (determinism for
+  the DuckDB value-hash, FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: filter by ship date, group by the two flag columns,
+    sum/avg/count. Exercises scan→filter→partial agg→final agg: one shuffle
+    over a 6-value grouping key; Parquet prunes to 8 of 11 columns and the
+    shipdate predicate reaches the scan."""
+    return (
+        lineitem
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                          * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_unshipped_orders(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, segment: str = "BUILDING",
+                         cutoff: str = "1998-01-01", k: int = 10) -> DataFrame:
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, revenue agg, top-k.
+
+    Join strategy for 100 TB: customer (filtered to one segment) is a dim →
+    broadcast into orders, so the only shuffle is lineitem⋈orders on
+    orderkey — and both sides could be bucketed on orderkey to remove even
+    that. Filters are applied before every join so the Parquet scans prune.
+    """
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")) \
+                 .select("o_orderkey", "o_custkey", "o_orderdate")
+    items = lineitem.filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")) \
+                    .select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        items
+        .join(broadcast(ords.join(broadcast(cust),
+                                  ords.o_custkey == cust.c_custkey, "inner")),
+              items.l_orderkey == F.col("o_orderkey"), "inner")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+              .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
+def region_nation_rollup(region: DataFrame, nation: DataFrame,
+                         customer: DataFrame) -> DataFrame:
+    """Hierarchical rollup: customer counts + acctbal sum at
+    (region, nation), (region), and grand-total levels.
+
+    Both dims broadcast; the rollup's partial aggregation happens map-side
+    on the fact (customer) partitions before one shuffle.
+    """
+    joined = (
+        customer.select("c_custkey", "c_nationkey", "c_acctbal")
+        .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"), "inner")
+        .join(broadcast(region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"), "inner")
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+def order_priority_window(orders: DataFrame, top_n: int = 3) -> DataFrame:
+    """Window functions: per customer, the first ``top_n`` orders by date
+    with their running spend. row_number + rank + cumulative sum over one
+    window partitioned by o_custkey — a single hash-partition shuffle on
+    custkey; no skew (custkeys are uniform)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(),
+                                                F.col("o_orderkey").asc())
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cum_spend", F.round(F.sum("o_totalprice").over(w), 2))
+        .filter(F.col("rn") <= top_n)
+        .select("o_custkey", "o_orderkey", "rn",
+                F.round("o_totalprice", 2).alias("price"), "cum_spend")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def customer_set_ops(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Set operations: customers WITH orders vs an arithmetic sample
+    (custkey % 3 == 0), tagged and unioned:
+
+    - 'both'        = INTERSECT
+    - 'only_orders' = EXCEPT (has orders, not in sample)
+    """
+    with_orders = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    sampled = customer.filter(F.col("c_custkey") % 3 == 0) \
+                      .select(F.col("c_custkey").alias("custkey"))
+    both = with_orders.intersect(sampled).select(
+        "custkey", F.lit("both").alias("tag"))
+    only_orders = with_orders.exceptAll(sampled).select(
+        "custkey", F.lit("only_orders").alias("tag"))
+    return both.unionByName(only_orders).orderBy("tag", "custkey")

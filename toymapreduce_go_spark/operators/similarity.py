@@ -1,0 +1,114 @@
+"""Similarity search over the ``embeddings`` table (north star;
+SURVEY.md §2d #15).
+
+Two tiers:
+- ``knn_bruteforce`` — exact top-k for a fixed probe set; the *correctness*
+  baseline and the right tool whenever |probes| is small (probes broadcast;
+  the corpus is scanned once, never shuffled).
+- ``ann_lsh`` — random-hyperplane LSH bucketing; the 100 TB path when the
+  probe set is itself huge: both sides hash to sign-sketch buckets and only
+  bucket-mates meet (multi-probe over Hamming-1 neighbors recovers recall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine_sim
+
+DEFAULT_K = 5
+
+
+def knn_bruteforce(embeddings: DataFrame, n_probes: int = 5,
+                   k: int = DEFAULT_K) -> DataFrame:
+    """Exact cosine top-k: probes = the ``n_probes`` lowest vec_ids
+    (deterministic fixture of the declared query); corpus = all vectors.
+
+    Plan: broadcast(probes) ⋈ corpus (no shuffle of the corpus, no
+    crossJoin of the full table) → cosine via JVM higher-order functions →
+    per-probe top-k via window. Tie-break on vec_id (FIXTURES.md).
+    At 1000 executors this reads the corpus once, computes k·|probes|
+    locally per partition, and shuffles only |probes|·k candidate rows.
+    """
+    probes = (
+        embeddings.orderBy("vec_id").limit(n_probes)
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb"))
+    )
+    scored = (
+        embeddings.alias("c")
+        .join(broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos", cosine_sim(F.col("probe_emb"), F.col("embedding")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), "rank",
+                F.round("cos", 4).alias("cos_sim"))
+        .orderBy("probe_id", "rank")
+    )
+
+
+N_PLANES = 12
+
+
+def _sign_sketch(emb_col, n_planes: int = N_PLANES):
+    """Deterministic random-hyperplane sign sketch → int bucket id.
+
+    Plane p's component for dimension d is a pseudo-random ±1/±2/... value
+    derived from xxhash64(p, d) — fixed across runs and cluster layouts.
+    sketch bit p = sign(Σ_d w_pd · emb[d]).
+    """
+    dims = F.size(emb_col)
+    def plane_dot(p):
+        return F.aggregate(
+            F.zip_with(
+                emb_col,
+                F.sequence(F.lit(0), dims - 1),
+                # weight in {-3..3}\{0} region: derived from hash, centered
+                lambda x, d: x.cast("double")
+                * ((F.pmod(F.xxhash64(F.lit(p), d), F.lit(7)) - F.lit(3)).cast("double")),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    return F.aggregate(
+        F.array(*[
+            F.when(plane_dot(p) > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
+            for p in range(n_planes)
+        ]),
+        F.lit(0), lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def ann_lsh(embeddings: DataFrame, n_probes: int = 5, k: int = DEFAULT_K,
+            n_planes: int = N_PLANES) -> DataFrame:
+    """Approximate top-k: bucket corpus and probes by sign sketch; rank
+    only within the probe's bucket. Recall < 1 by design (declared as a
+    rows-only check); the win is that the per-probe candidate set is
+    |corpus| / 2^n_planes in expectation — at 100 TB with n_planes≈20 the
+    bucket join touches thousands, not billions, of rows per probe.
+    """
+    sketched = embeddings.withColumn("bucket", _sign_sketch(F.col("embedding"), n_planes))
+    probes = (
+        sketched.orderBy("vec_id").limit(n_probes)
+        .select(F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("probe_emb"),
+                F.col("bucket").alias("probe_bucket"))
+    )
+    cand = (
+        sketched.join(broadcast(probes),
+                      (F.col("bucket") == F.col("probe_bucket"))
+                      & (F.col("vec_id") != F.col("probe_id")))
+        .withColumn("cos", cosine_sim(F.col("probe_emb"), F.col("embedding")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), "rank",
+                F.round("cos", 4).alias("cos_sim"))
+        .orderBy("probe_id", "rank")
+    )

@@ -1,0 +1,162 @@
+"""Text-analysis operators for training-data curation (north star):
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure column expressions (whole-stage codegen; no Python, no shuffle
+except the final per-group aggregations) — at 100 TB these run at scan
+speed, which is the point: curation filters are applied to every document
+exactly once, before any expensive dedup/embedding stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (bpe_ish_token_count, tokens,
+                              whitespace_token_count)
+
+# Tiny per-language marker vocabularies for the n-gram/stopword heuristic.
+# Real pipelines use fastText lang-id; the declared query pins a
+# deterministic, oracle-expressible heuristic with the same *shape*
+# (score = marker-token hit count, argmax with fixed precedence).
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "que"),
+}
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID: count marker-token hits per language; argmax
+    with deterministic precedence (en > de > fr > es > unknown). Emits the
+    per-(actual, predicted) confusion counts."""
+    toks = documents.select("doc_id", "lang", F.explode(tokens("text")).alias("t"))
+    scores = toks.groupBy("doc_id", "lang").agg(*[
+        F.sum(F.when(F.lower("t").isin(*m), 1).otherwise(0)).alias(f"s_{l}")
+        for l, m in LANG_MARKERS.items()
+    ])
+    best = F.greatest(*[F.col(f"s_{l}") for l in LANG_MARKERS])
+    pred = F.when(best == 0, "unknown")
+    for l in LANG_MARKERS:  # insertion order = precedence on ties
+        pred = pred.when(F.col(f"s_{l}") == best, l)
+    return (
+        scores.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def text_quality(documents: DataFrame) -> DataFrame:
+    """Per-doc quality features + a composite score, aggregated per source:
+    length, alpha ratio, punctuation ratio, stopword ratio, mean word
+    length. The score is a fixed linear blend — the exact weights matter
+    less than determinism (a real pipeline tunes them)."""
+    t = F.col("text")
+    n_chars = F.length(t).cast("double")
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(t, "[^.,;:!?]", "")).cast("double")
+    n_tok = whitespace_token_count(t).cast("double")
+    stop = F.size(F.filter(
+        tokens("text"),
+        lambda x: F.lower(x).isin("the", "a", "and", "of", "to", "in"),
+    )).cast("double")
+    feats = documents.select(
+        "doc_id", "source",
+        n_chars.alias("n_chars_d"),
+        F.round(alpha / F.greatest(n_chars, F.lit(1.0)), 4).alias("alpha_ratio"),
+        F.round(punct / F.greatest(n_chars, F.lit(1.0)), 4).alias("punct_ratio"),
+        F.round(stop / F.greatest(n_tok, F.lit(1.0)), 4).alias("stopword_ratio"),
+        F.round(alpha / F.greatest(n_tok, F.lit(1.0)), 4).alias("mean_word_len"),
+    ).withColumn(
+        "quality",
+        F.round(
+            F.least(F.col("n_chars_d") / 400.0, F.lit(1.0)) * 0.4
+            + F.col("alpha_ratio") * 0.4
+            + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.2,
+            4,
+        ),
+    )
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(F.avg("alpha_ratio"), 4).alias("avg_alpha_ratio"),
+            F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+            F.round(F.avg("mean_word_len"), 4).alias("avg_word_len"),
+        )
+        .orderBy("source")
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Corpus token accounting per (source, lang): whitespace tokens and
+    BPE-ish tokens (letters-run | digits-run | symbol) — the number a
+    training-data budget is written in."""
+    per_doc = documents.select(
+        "source", "lang",
+        whitespace_token_count(F.col("text")).alias("ws"),
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+    )
+    return (
+        per_doc.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.round(F.avg("bpe"), 2).alias("avg_bpe_per_doc"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """Normalization fingerprint: md5 of the lowercased, whitespace/
+    punctuation-collapsed text — catches trivially-reformatted duplicates
+    that byte-exact sha2 misses. Emits fingerprints shared by >1 doc with
+    the sorted doc list (md5 chosen because the DuckDB oracle has the
+    identical function)."""
+    norm = F.md5(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z]+", " ")))
+    return (
+        documents.select("doc_id", norm.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.concat_ws(",", F.transform(F.sort_array(F.collect_set("doc_id")),
+                                         lambda d: d.cast("string"))).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fp")
+    )
+
+
+def rolling_fingerprint(documents: DataFrame, k: int = 8,
+                        window: int = 4) -> DataFrame:
+    """Winnowing-style rolling fingerprint (Schleimer et al., SIGMOD'03
+    shape): hash every k-gram of chars, keep the min hash of each
+    window-sized run of k-gram hashes, emit the distinct selected hashes
+    per doc. Used for robust partial-overlap detection (plagiarism-style)
+    where whole-doc hashes fail. Declared rows-only (xxhash64 has no DuckDB
+    twin)."""
+    grams = documents.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, greatest(length(text) - {k - 1}, 0)), "
+            f"i -> xxhash64(substring(text, i, {k})))"
+        ).alias("gh"),
+    )
+    return (
+        grams.filter(F.size("gh") >= window)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("gh") - (window - 1)),
+                    lambda i: F.array_min(F.slice("gh", i, window)),
+                )
+            ).alias("fps"),
+        )
+        .select("doc_id", F.size("fps").alias("n_fingerprints"))
+        .orderBy("doc_id")
+    )

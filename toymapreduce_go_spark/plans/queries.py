@@ -1,0 +1,429 @@
+"""The declared query surface (SURVEY.md §2d + north-star extensions).
+
+``QUERIES``: name → callable(spark, sf_dir) → DataFrame.
+``ORACLES``: name → equivalent DuckDB SQL over the same parquet tables
+(views pre-registered by the driver). Names absent from ``ORACLES`` are
+non-SQL-expressible (MinHash/SimHash/LSH/winnowing — hash functions with
+no DuckDB twin) and get the driver's rows-only check.
+
+Determinism rules applied throughout (FIXTURES.md §3): explicit ORDER BY
+on a unique key, every computed column aliased identically in Spark and
+SQL, float aggregates rounded at the presentation edge, sets serialized
+as sorted CSVs, µs-precision integer arithmetic for time gaps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..mr.api import run_map_reduce, wc_map, wc_reduce
+from ..operators import dedup, events, relational, similarity, text_mr, textstats
+from ..sources.registry import load_table
+
+
+def _q(fn):
+    """Adapt an operator over named tables to (spark, sf_dir)."""
+    import inspect
+    params = [p for p in inspect.signature(fn).parameters
+              if p not in ("k", "n", "threshold", "top_n", "segment", "cutoff",
+                           "n_probes", "n_hashes", "n_bands", "bits", "gap_minutes",
+                           "n_planes", "window")]
+
+    def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(*[load_table(spark, sf_dir, t) for t in params])
+
+    return runner
+
+
+# ---------------------------------------------------------------------------
+# Python-UDF-path queries (compat API, multimodal) need explicit wiring.
+
+def _mr_compat_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2d #16 — wordcount through the map/reduce compat API (F15 parity):
+    same result as the declarative `wordcount`, same oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = run_map_reduce(spark, wc_map, wc_reduce, docs, n_reduce=8)
+    return (
+        out.select(F.col("key").alias("word"),
+                   F.col("value").cast("long").alias("cnt"))
+        .orderBy("word")
+    )
+
+
+def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary import decode_meta_query
+    return decode_meta_query(load_table(spark, sf_dir, "documents"))
+
+
+def _approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL count-distinct, t-digest quantiles) —
+    sketch-based, rows-only check (non-deterministic vs an exact oracle by
+    design; at 100 TB these replace exact distincts wherever ±2% is fine).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.round(F.percentile_approx("value", 0.5), 2).alias("approx_median_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- reference text/MR surface (SURVEY.md §2b/§2d #1-5 + A6) ---------
+    "wordcount": _q(text_mr.wordcount),
+    "inverted_index": _q(text_mr.inverted_index),
+    "distinct_words_per_doc": _q(text_mr.distinct_words_per_doc),
+    "per_source_doc_count": _q(text_mr.per_source_doc_count),
+    "sorted_concat": _q(text_mr.sorted_concat_sources_per_lang),
+    "constant_key_metadata": _q(text_mr.constant_key_metadata),
+    "mr_compat_wordcount": _mr_compat_wordcount,
+    # -- relational spread (§2d #6-10) -----------------------------------
+    "pricing_summary": _q(relational.pricing_summary),
+    "top_unshipped_orders": _q(relational.top_unshipped_orders),
+    "region_nation_rollup": _q(relational.region_nation_rollup),
+    "order_priority_window": _q(relational.order_priority_window),
+    "set_ops": _q(relational.customer_set_ops),
+    # -- event time (§2d #11-12) -----------------------------------------
+    "events_tumbling": _q(events.events_tumbling),
+    "events_sessionize": _q(events.events_sessionize),
+    "approx_stats": _approx_stats,
+    # -- dedup family (§2d #13-14 + north star) --------------------------
+    "exact_dedup": _q(dedup.exact_dedup_survivors),
+    "ngram_jaccard_pairs": _q(dedup.ngram_jaccard_pairs),
+    "near_dedup_minhash": _q(dedup.near_dedup_minhash),
+    "simhash_buckets": _q(dedup.simhash_buckets),
+    "embedding_near_dup": _q(dedup.embedding_near_dup),
+    # -- similarity search (§2d #15 + north star) ------------------------
+    "knn_bruteforce": _q(similarity.knn_bruteforce),
+    "ann_lsh": _q(similarity.ann_lsh),
+    # -- text analysis (north star) --------------------------------------
+    "lang_id": _q(textstats.lang_id),
+    "text_quality": _q(textstats.text_quality),
+    "token_counts": _q(textstats.token_counts),
+    "doc_fingerprint": _q(textstats.doc_fingerprint),
+    "rolling_fingerprint": _q(textstats.rolling_fingerprint),
+    # -- multimodal plumbing (north star) --------------------------------
+    "multimodal_decode": _multimodal_decode,
+}
+
+
+def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: pricing_summary (§2d #6)."""
+    return QUERIES["pricing_summary"](spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles. Shared fragments first.
+
+_TOKS = ("SELECT doc_id, list_filter(string_split_regex(text, '[^a-zA-Z]+'), "
+         "t -> length(t) > 0) AS toks FROM documents")
+
+_WORDS = (f"SELECT doc_id, unnest(toks) AS word FROM ({_TOKS})")
+
+_SHINGLES3 = f"""
+    SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+    FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+          FROM ({_TOKS}) WHERE len(toks) >= 3)
+"""
+
+_COS = """
+    CASE WHEN sqrt(list_sum(list_transform(range(1, len({a}) + 1),
+                   i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE))) > 0
+          AND sqrt(list_sum(list_transform(range(1, len({b}) + 1),
+                   i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))) > 0
+    THEN list_sum(list_transform(range(1, len({a}) + 1),
+                  i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),
+                  i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, len({b}) + 1),
+                  i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))
+    ELSE 0.0 END
+"""
+
+_WORDCOUNT_SQL = f"""
+    SELECT word, count(*) AS cnt FROM ({_WORDS})
+    GROUP BY word ORDER BY word
+"""
+
+_QUALITY_FEATS = """
+    SELECT doc_id, source,
+           length(text)::DOUBLE AS n_chars_d,
+           round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                 / greatest(length(text)::DOUBLE, 1.0), 4) AS alpha_ratio,
+           round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                 / greatest(length(text)::DOUBLE, 1.0), 4) AS punct_ratio,
+           round(len(list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+                     t -> length(t) > 0 AND lower(t) IN
+                          ('the','a','and','of','to','in')))::DOUBLE
+                 / greatest(len(list_filter(string_split_regex(text, '\\s+'),
+                            t -> length(t) > 0))::DOUBLE, 1.0), 4) AS stopword_ratio,
+           round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                 / greatest(len(list_filter(string_split_regex(text, '\\s+'),
+                            t -> length(t) > 0))::DOUBLE, 1.0), 4) AS mean_word_len
+    FROM documents
+"""
+
+ORACLES: dict[str, str] = {
+    "wordcount": _WORDCOUNT_SQL,
+    "mr_compat_wordcount": _WORDCOUNT_SQL,
+    "inverted_index": f"""
+        SELECT word, count(*) AS n_docs,
+               string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+        FROM (SELECT DISTINCT word, doc_id FROM ({_WORDS}))
+        GROUP BY word ORDER BY word
+    """,
+    "distinct_words_per_doc": f"""
+        SELECT doc_id, count(DISTINCT word) AS n_words
+        FROM ({_WORDS}) GROUP BY doc_id ORDER BY doc_id
+    """,
+    "per_source_doc_count": """
+        SELECT source, count(*) AS n_docs FROM documents
+        GROUP BY source ORDER BY source
+    """,
+    "sorted_concat": """
+        SELECT lang,
+               string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+               count(DISTINCT source) AS n_sources
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "constant_key_metadata": """
+        SELECT doc_id, unnest(['a','b','c','d']) AS k,
+               unnest([id_str, length(id_str)::VARCHAR, text_len::VARCHAR,
+                       'xyzzy']) AS v
+        FROM (SELECT doc_id, doc_id::VARCHAR AS id_str,
+                     length(text) AS text_len FROM documents)
+        ORDER BY doc_id, k
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS sum_charge,
+               round(avg(l_quantity), 2) AS avg_qty,
+               round(avg(l_extendedprice), 2) AS avg_price,
+               round(avg(l_discount), 2) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "top_unshipped_orders": """
+        SELECT o_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "region_nation_rollup": """
+        SELECT r_name, n_name, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    "order_priority_window": """
+        SELECT o_custkey, o_orderkey, rn, round(o_totalprice, 2) AS price,
+               cum_spend
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER w AS rn,
+                     round(sum(o_totalprice) OVER (
+                         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                         AS cum_spend
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey))
+        WHERE rn <= 3 ORDER BY o_custkey, rn
+    """,
+    "set_ops": """
+        WITH with_orders AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+             sampled AS (SELECT c_custkey AS custkey FROM customer
+                         WHERE c_custkey % 3 = 0)
+        SELECT custkey, 'both' AS tag
+        FROM (SELECT custkey FROM with_orders
+              INTERSECT SELECT custkey FROM sampled)
+        UNION ALL
+        SELECT custkey, 'only_orders' AS tag
+        FROM (SELECT custkey FROM with_orders
+              EXCEPT SELECT custkey FROM sampled)
+        ORDER BY tag, custkey
+    """,
+    "events_tumbling": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+        ORDER BY window_start, event_type
+    """,
+    "events_sessionize": """
+        WITH lagged AS (
+            SELECT user_id, ts, event_id, value,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_ts
+            FROM events),
+        flagged AS (
+            SELECT *, CASE WHEN prev_ts IS NULL
+                            OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                           THEN 1 ELSE 0 END AS new_session
+            FROM lagged),
+        sess AS (
+            SELECT *, sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM flagged)
+        SELECT user_id, session_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+    "exact_dedup": """
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_survivors,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_duplicates
+        FROM (SELECT source,
+                     row_number() OVER (PARTITION BY sha256(text)
+                                        ORDER BY doc_id) AS rn
+              FROM documents)
+        GROUP BY source ORDER BY source
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH sh AS ({_SHINGLES3}),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT doc_a, doc_b,
+                   round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b)
+        WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
+    """,
+    "embedding_near_dup": f"""
+        SELECT id_a, id_b, round(cos, 4) AS cos_sim FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_COS.format(a='a.embedding', b='b.embedding')} AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        WHERE cos >= 0.95 ORDER BY id_a, id_b
+    """,
+    "knn_bruteforce": f"""
+        WITH probes AS (SELECT vec_id AS probe_id, embedding AS probe_emb
+                        FROM embeddings ORDER BY vec_id LIMIT 5),
+        scored AS (
+            SELECT p.probe_id, e.vec_id AS neighbor_id,
+                   {_COS.format(a='p.probe_emb', b='e.embedding')} AS cos
+            FROM probes p JOIN embeddings e ON e.vec_id <> p.probe_id),
+        ranked AS (
+            SELECT probe_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+        SELECT probe_id, neighbor_id, rank, round(cos, 4) AS cos_sim
+        FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank
+    """,
+    "lang_id": f"""
+        WITH scores AS (
+            SELECT d.doc_id, d.lang,
+                   sum(CASE WHEN lower(w.word) IN ('the','and','of')
+                            THEN 1 ELSE 0 END) AS s_en,
+                   sum(CASE WHEN lower(w.word) IN ('der','und','die')
+                            THEN 1 ELSE 0 END) AS s_de,
+                   sum(CASE WHEN lower(w.word) IN ('le','la','et')
+                            THEN 1 ELSE 0 END) AS s_fr,
+                   sum(CASE WHEN lower(w.word) IN ('el','los','que')
+                            THEN 1 ELSE 0 END) AS s_es
+            FROM ({_WORDS}) w JOIN documents d ON w.doc_id = d.doc_id
+            GROUP BY d.doc_id, d.lang),
+        pred AS (
+            SELECT lang,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                        ELSE 'es' END AS pred_lang
+            FROM scores)
+        SELECT lang, pred_lang, count(*) AS n_docs
+        FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """,
+    "text_quality": f"""
+        WITH feats AS (
+            SELECT *, round(least(n_chars_d / 400.0, 1.0) * 0.4
+                            + alpha_ratio * 0.4
+                            + least(stopword_ratio * 4.0, 1.0) * 0.2, 4)
+                       AS quality
+            FROM ({_QUALITY_FEATS}))
+        SELECT source, count(*) AS n_docs,
+               round(avg(quality), 4) AS avg_quality,
+               round(avg(alpha_ratio), 4) AS avg_alpha_ratio,
+               round(avg(stopword_ratio), 4) AS avg_stopword_ratio,
+               round(avg(mean_word_len), 4) AS avg_word_len
+        FROM feats GROUP BY source ORDER BY source
+    """,
+    "token_counts": r"""
+        WITH per_doc AS (
+            SELECT source, lang,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                       t -> length(t) > 0)) AS ws,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe
+            FROM documents)
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(ws) AS BIGINT) AS ws_tokens,
+               CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+               round(avg(bpe), 2) AS avg_bpe_per_doc
+        FROM per_doc GROUP BY source, lang ORDER BY source, lang
+    """,
+    "doc_fingerprint": """
+        SELECT fp, count(*) AS n_docs,
+               string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+        FROM (SELECT doc_id,
+                     md5(lower(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g')))
+                         AS fp
+              FROM documents)
+        GROUP BY fp HAVING count(*) > 1 ORDER BY fp
+    """,
+    "multimodal_decode": """
+        SELECT source, count(*) AS n_items,
+               CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+               CAST(sum(width) AS BIGINT) AS sum_width,
+               CAST(sum(height) AS BIGINT) AS sum_height,
+               CAST(sum(n_pixels) AS BIGINT) AS total_pixels
+        FROM (SELECT source, octet_length(encode(text)) AS byte_len,
+                     64 + octet_length(encode(text)) % 512 AS width,
+                     64 + (octet_length(encode(text)) * 7) % 512 AS height,
+                     (64 + octet_length(encode(text)) % 512)
+                     * (64 + (octet_length(encode(text)) * 7) % 512) * 3
+                         AS n_pixels
+              FROM documents)
+        GROUP BY source ORDER BY source
+    """,
+    # near_dedup_minhash, simhash_buckets, ann_lsh, rolling_fingerprint,
+    # approx_stats: intentionally no oracle (xxhash64/sketches have no
+    # DuckDB twin) → rows-only check, as SURVEY.md §2d notes.
+}

@@ -1,0 +1,61 @@
+"""SparkSession construction with scale-aware defaults.
+
+The reference has no tunables beyond ``-nreduce`` (cmd/main.go:22). Here the
+session is where 100 TB posture is set: AQE for runtime re-planning (skew
+joins, partition coalescing), broadcast threshold for star-schema dims,
+Arrow for any Python/pandas exchange, UTC session timezone for oracle
+determinism (FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def build_session(app_name: str = "toymapreduce-go-spark",
+                  shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's default config.
+
+    On a real cluster the master/parallelism come from the environment; the
+    configs below are the ones that matter at any scale:
+
+    - AQE on: runtime shuffle-partition coalescing + skew-join splitting.
+      The reference has no skew handling at all (SURVEY.md §4), so one hot
+      key serializes a reduce; AQE is our answer.
+    - broadcast threshold 64 MB: region/nation/supplier/part/customer are
+      dimension tables; at 100 TB the fact table is lineitem/events/
+      documents — dims stay broadcastable far past sf1000.
+    - Arrow enabled: any pandas_udf / applyInPandas exchange is
+      Arrow-batched, never per-row pickling.
+    """
+    cpus = default_parallelism()
+    if shuffle_partitions is None:
+        # local mode: ~1 partition per core; a cluster would size this to
+        # target ~128MB post-shuffle partitions (or let AQE coalesce).
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
+        # timestamp type — read as long and convert in sources.registry.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if not os.environ.get("SPARK_MASTER") and "local" not in os.environ.get("MASTER", ""):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()

@@ -1,0 +1,78 @@
+"""Table sources.
+
+The reference supports exactly one source: whole local text files behind a
+scheme→client registry (`pkg/fsutil/fsclient.go:14-45`, only ``file://`` is
+implemented at :47-76). Spark's Hadoop FileSystem layer supersedes the
+registry (file://, hdfs://, s3a:// for free); this module is the typed-table
+layer on top: every engine table is columnar Parquet, read lazily so
+Catalyst prunes columns and pushes filters into the scan.
+
+At 100 TB the fact tables (lineitem, events, documents, embeddings) are
+assumed to be partitioned Parquet/Delta directories; ``load_table`` takes a
+directory so the same call reads one file locally or 10k files on a
+cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Every table in the engine's catalog (TESTDATA.md).
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Dimension tables: small, slowly-growing — always broadcastable in joins
+# against the fact tables, at every scale factor we target.
+DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazily read one catalog table from ``sf_dir``.
+
+    Accepts ``<dir>/<name>.parquet`` (a file or a directory of part files —
+    Spark treats both identically).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # Runtime-set (not only in our session builder) because callers — the
+    # driver included — may hand us a session built elsewhere; without it
+    # Spark refuses parquet TIMESTAMP(NANOS) columns outright.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(path)
+    # Parquet TIMESTAMP(NANOS) columns surface as long (ns since epoch)
+    # under spark.sql.legacy.parquet.nanosAsLong; convert to Spark's µs
+    # timestamp with integer division (no double round-trip — ns epochs
+    # exceed double's 53-bit mantissa). DuckDB's epoch_us() truncates the
+    # same way, so oracle comparisons agree.
+    from pyspark.sql.types import LongType
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def read_text_corpus(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Scale-path replacement for the reference's whole-file text scan
+    (`pkg/fsutil/util.go:7-21` + `internal/worker/worker.go:199`).
+
+    Returns (filename string, line string) without ever materializing a
+    whole file in one task: ``spark.read.text`` splits large files by byte
+    range, and ``input_file_name()`` recovers the filename grouping key.
+    Whole-file semantics, when a compat UDF truly needs them, are
+    ``group_by(filename).agg(concat_ws('\\n', collect_list(line)))`` — or
+    the mr compat layer's ``wholeTextFiles`` for small corpora.
+    """
+    df = spark.read.text(path_glob)
+    return df.select(
+        F.input_file_name().alias("filename"),
+        F.col("value").alias("line"),
+    )
