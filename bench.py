@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the declared query surface at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of all benched queries (lower is
+better); per-query seconds are in ``queries``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from toymapreduce_go_spark.plans.queries import QUERIES  # noqa: E402
+from toymapreduce_go_spark.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Every declared query runs in the bench. The O(n^2)-pair queries
+# (embedding_near_dup) are capped by their operator design to the probe/
+# bucket pattern at scale; they run as declared here.
+BENCH_QUERIES = list(QUERIES)
+
+
+def main() -> None:
+    spark = build_session("toymapreduce-go-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers with a trivial action so per-query
+    # timings measure the queries, not session startup.
+    from toymapreduce_go_spark.sources.registry import TABLES, load_table
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
+        n = df.count() if name != "__never__" else 0
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "total_declared_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

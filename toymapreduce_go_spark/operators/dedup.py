@@ -126,23 +126,16 @@ def minhash_signatures(documents: DataFrame, n: int = 3,
     deterministic — no RNG, unlike spark.ml's MinHashLSH whose coefficients
     depend on a random seed).
 
-    Plan shape: explode shingles → per (doc, i) min — but expressed without
-    exploding n_hashes×: an array-of-mins aggregated with zip_with, so the
-    shuffle carries one row per (doc, shingle) and the signature fold is
-    map-side."""
+    Plan shape: one row per (doc, shingle) into ``n_hashes`` plain ``min``
+    aggregate columns — whole-stage-codegen'd, with map-side partial mins
+    before the single shuffle on doc_id (no arrays, no collect_list)."""
     sh = _shingles(documents, n)
-    hashed = sh.select(
-        "doc_id",
-        F.array(*[F.xxhash64(F.lit(i), F.col("shingle"))
-                  for i in range(n_hashes)]).alias("hs"),
-    )
-    zero = F.array(*[F.lit(2**63 - 1).cast("long") for _ in range(n_hashes)])
-    return hashed.groupBy("doc_id").agg(
-        F.aggregate(
-            F.collect_list("hs"), zero,
-            lambda acc, hs: F.zip_with(acc, hs, lambda x, y: F.least(x, y)),
-        ).alias("sig")
-    )
+    mins = sh.groupBy("doc_id").agg(*[
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"m{i}")
+        for i in range(n_hashes)
+    ])
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig"))
 
 
 def near_dedup_minhash(documents: DataFrame, n: int = 3,
@@ -213,34 +206,29 @@ def simhash_buckets(documents: DataFrame, bits: int = 64) -> DataFrame:
     vote aggregation expressed as an array fold. Docs sharing a simhash are
     near-identical; Hamming-≤k search would join on rotated prefixes.
     """
-    tok = documents.select(
-        "doc_id", F.explode(tokens("text")).alias("token"))
-    votes = tok.select(
-        "doc_id",
-        F.array(*[
-            F.when(F.shiftright(F.xxhash64("token"), j).bitwiseAND(F.lit(1)) == 1,
-                   F.lit(1)).otherwise(F.lit(-1)).alias(f"b{j}")
-            for j in range(bits)
-        ]).alias("v"),
-    )
-    zero = F.array(*[F.lit(0) for _ in range(bits)])
-    # bit j's mask as a Python literal (shiftleft needs a literal shift
-    # amount); bit 63 is the two's-complement sign bit.
     import functools
 
+    tok = documents.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).select("doc_id", F.xxhash64("token").alias("th"))
+    # bit j's vote as its own ±1 sum aggregate — 64 codegen'd columns with
+    # map-side partial sums, no arrays/collect_list on the shuffle.
+    votes = tok.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright("th", j).bitwiseAND(F.lit(1)) == 1, 1)
+               .otherwise(-1)).alias(f"v{j}")
+        for j in range(bits)
+    ])
+
     def mask(j: int):
+        # bit 63 is the two's-complement sign bit
         return F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
 
     simhash_col = functools.reduce(
         lambda a, b: a.bitwiseOR(b),
-        [F.when(F.col("votes")[j] > 0, mask(j)).otherwise(F.lit(0).cast("long"))
+        [F.when(F.col(f"v{j}") > 0, mask(j)).otherwise(F.lit(0).cast("long"))
          for j in range(bits)],
     )
-    sigs = votes.groupBy("doc_id").agg(
-        F.aggregate(F.collect_list("v"), zero,
-                    lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y))
-        .alias("votes")
-    ).select("doc_id", simhash_col.alias("simhash"))
+    sigs = votes.select("doc_id", simhash_col.alias("simhash"))
     return (
         sigs.groupBy("simhash").agg(
             F.count("*").alias("n_docs"),
@@ -255,24 +243,66 @@ def simhash_buckets(documents: DataFrame, bits: int = 64) -> DataFrame:
 # 5. Embedding cosine near-dup
 
 
-def embedding_near_dup(embeddings: DataFrame,
-                       threshold: float = 0.95) -> DataFrame:
-    """Semantic near-duplicate pairs: cosine ≥ threshold over the
-    embedding column.
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
+                       n_blocks: int = 8) -> DataFrame:
+    """Semantic near-duplicate pairs: exact cosine ≥ threshold over every
+    vector pair, computed as a *blocked* all-pairs (blocked GEMM):
 
-    At this sf: block self-join on a random-hyperplane LSH bucket (8-bit
-    sign sketch with deterministic pseudo-hyperplanes) + exact cosine
-    within bucket. High-cosine pairs agree on most sign bits, so an 8-bit
-    exact-match bucket keeps ~all ≥0.95 pairs while cutting the join
-    quadratically. The declared-query form (small sf) skips the bucket cut
-    and is exact; see ``similarity.ann_lsh`` for the bucketed scale path.
+    - each vector lands in block ``vec_id % n_blocks``;
+    - the (bi ≤ bj) block-pair grid is joined so every unordered vector
+      pair meets in exactly one group;
+    - per group, an Arrow-batched ``applyInPandas`` does one numpy
+      matmul over the (block × block) tile and emits only pairs above
+      threshold.
+
+    Scale: shuffle volume is n_blocks × corpus (each vector replicated to
+    its row+column of the grid) and each tile is |corpus|/n_blocks wide —
+    pick n_blocks so a tile's matrix fits executor memory; the quadratic
+    work happens inside BLAS, never as a row-per-pair shuffle. This stays
+    exact; for approximate-but-linear near-dup see ``ann_lsh``.
     """
-    a = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
-    b = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    import numpy as np
+    import pandas as pd
+
+    e = embeddings.select(
+        "vec_id", "embedding",
+        (F.col("vec_id") % n_blocks).cast("int").alias("blk"))
+    bi = e.select(F.col("blk").alias("bi")).distinct()
+    bj = e.select(F.col("blk").alias("bj")).distinct()
+    grid = bi.crossJoin(bj).filter(F.col("bi") <= F.col("bj"))
+    rep_a = e.join(F.broadcast(grid), F.col("blk") == F.col("bi")) \
+             .select("bi", "bj", F.lit("a").alias("side"), "vec_id", "embedding")
+    rep_b = e.join(F.broadcast(grid), F.col("blk") == F.col("bj")) \
+             .select("bi", "bj", F.lit("b").alias("side"), "vec_id", "embedding")
+
+    def tile(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bi_v, bj_v = key
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        A = np.vstack(a["embedding"].to_numpy()).astype(np.float64)
+        B = np.vstack(b["embedding"].to_numpy()).astype(np.float64)
+        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+        C = An @ Bn.T
+        ia, jb = np.nonzero(C >= threshold)
+        ids_a = a["vec_id"].to_numpy()[ia]
+        ids_b = b["vec_id"].to_numpy()[jb]
+        cos = C[ia, jb]
+        if bi_v == bj_v:
+            keep = ids_a < ids_b  # triu: each within-block pair once
+        else:
+            keep = np.ones(len(ids_a), dtype=bool)  # cross-block: all distinct
+        lo = np.minimum(ids_a[keep], ids_b[keep])
+        hi = np.maximum(ids_a[keep], ids_b[keep])
+        # HALF_UP rounding (matches Spark/DuckDB round for positives)
+        cs = np.floor(cos[keep] * 1e4 + 0.5) / 1e4
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": cs})
+
     return (
-        pairs.withColumn("cos", cosine_sim(F.col("e_a"), F.col("e_b")))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
+        rep_a.unionByName(rep_b)
+        .groupBy("bi", "bj")
+        .applyInPandas(tile, schema="id_a long, id_b long, cos_sim double")
         .orderBy("id_a", "id_b")
     )

@@ -31,11 +31,18 @@ def lang_id(documents: DataFrame) -> DataFrame:
     """Heuristic language ID: count marker-token hits per language; argmax
     with deterministic precedence (en > de > fr > es > unknown). Emits the
     per-(actual, predicted) confusion counts."""
-    toks = documents.select("doc_id", "lang", F.explode(tokens("text")).alias("t"))
-    scores = toks.groupBy("doc_id", "lang").agg(*[
-        F.sum(F.when(F.lower("t").isin(*m), 1).otherwise(0)).alias(f"s_{l}")
-        for l, m in LANG_MARKERS.items()
-    ])
+    # marker hits per doc are per-row array ops (no explode, no shuffle);
+    # the only shuffle is the final small confusion-matrix groupBy
+    def marker_hits(markers):
+        return F.size(F.filter(F.col("toks"),
+                               lambda t: F.lower(t).isin(*markers)))
+
+    # tokenize once per row; reuse the array for all marker filters
+    toks = documents.select("doc_id", "lang", tokens("text").alias("toks"))
+    scores = toks.filter(F.size("toks") > 0).select(
+        "doc_id", "lang",
+        *[marker_hits(m).alias(f"s_{l}") for l, m in LANG_MARKERS.items()],
+    )
     best = F.greatest(*[F.col(f"s_{l}") for l in LANG_MARKERS])
     pred = F.when(best == 0, "unknown")
     for l in LANG_MARKERS:  # insertion order = precedence on ties

@@ -27,10 +27,8 @@ from ..sources.registry import load_table
 def _q(fn):
     """Adapt an operator over named tables to (spark, sf_dir)."""
     import inspect
-    params = [p for p in inspect.signature(fn).parameters
-              if p not in ("k", "n", "threshold", "top_n", "segment", "cutoff",
-                           "n_probes", "n_hashes", "n_bands", "bits", "gap_minutes",
-                           "n_planes", "window")]
+    from ..sources.registry import TABLES
+    params = [p for p in inspect.signature(fn).parameters if p in TABLES]
 
     def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(*[load_table(spark, sf_dir, t) for t in params])
