@@ -1,0 +1,72 @@
+"""Physical-plan assertions: the 100 TB posture is only real if the
+optimizer actually produces the plans we claim (SURVEY.md §6 implications:
+pushdown, pruning, broadcast joins, partial aggregation)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from conftest import SF_DIR
+
+from toymapreduce_go_spark.operators.relational import (pricing_summary,
+                                                        region_nation_rollup,
+                                                        top_unshipped_orders)
+from toymapreduce_go_spark.operators.text_mr import wordcount
+from toymapreduce_go_spark.sources.registry import load_table
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = pricing_summary(load_table(spark, SF_DIR, "lineitem"))
+    plan = plan_of(df)
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200], plan
+    # column pruning: only the 8 needed columns are read, not l_orderkey etc.
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_returnflag" in read_schema and "l_orderkey" not in read_schema
+    # partial+final hash aggregation (map-side combine the reference lacks)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_broadcast_joins_for_dims(spark):
+    df = top_unshipped_orders(
+        load_table(spark, SF_DIR, "customer"),
+        load_table(spark, SF_DIR, "orders"),
+        load_table(spark, SF_DIR, "lineitem"))
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # fact table must NOT be exchanged for the dim join
+    assert "SortMergeJoin" not in plan
+
+
+def test_rollup_broadcasts_both_dims(spark):
+    df = region_nation_rollup(
+        load_table(spark, SF_DIR, "region"),
+        load_table(spark, SF_DIR, "nation"),
+        load_table(spark, SF_DIR, "customer"))
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Expand" in plan  # rollup grouping-sets expansion
+
+
+def test_wordcount_partial_agg(spark):
+    df = wordcount(load_table(spark, SF_DIR, "documents"))
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    # codegen mode shows the fused stages (formatted mode hides them
+    # behind AdaptiveSparkPlan until execution)
+    assert "WholeStageCodegen subtrees" in plan_of(df, "codegen")
+
+
+def test_whole_stage_codegen_on_text_ops(spark):
+    from toymapreduce_go_spark.operators.textstats import token_counts
+    df = token_counts(load_table(spark, SF_DIR, "documents"))
+    assert "WholeStageCodegen subtrees" in plan_of(df, "codegen")
+    assert "BatchEvalPython" not in plan_of(df)  # no row-wise Python UDFs

@@ -1,0 +1,46 @@
+"""Structured Streaming smoke tests (SURVEY.md §2c: streaming is declared
+batch-first; the streaming twins must run and agree with the batch
+results where semantics coincide)."""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+
+from pyspark.sql import functions as F
+
+from toymapreduce_go_spark.operators.events import events_tumbling
+from toymapreduce_go_spark.sources.registry import load_table
+from toymapreduce_go_spark.streaming.events_stream import (
+    read_events_stream, run_to_memory, stream_events_tumbling,
+    stream_sessionize)
+
+
+def test_stream_tumbling_matches_batch(spark):
+    """With the whole fixture drained in availableNow mode and complete
+    output, the streaming tumbling agg equals the batch one (no late data
+    is dropped because nothing is later than the final watermark)."""
+    stream = read_events_stream(spark, SF_DIR)
+    run_to_memory(stream_events_tumbling(stream), "t_tumbling", spark)
+    got = {
+        (r.window_start, r.event_type, r.n_events, r.sum_value)
+        for r in spark.table("t_tumbling").collect()
+    }
+    want = {
+        (r.window_start, r.event_type, r.n_events, r.sum_value)
+        for r in events_tumbling(load_table(spark, SF_DIR, "events")).collect()
+    }
+    assert got == want
+
+
+def test_stream_sessionize_runs(spark):
+    """session_window streaming smoke: runs, produces sessions, per-user
+    event counts sum to the table's rows."""
+    stream = read_events_stream(spark, SF_DIR)
+    run_to_memory(stream_sessionize(stream), "t_sessions", spark)
+    out = spark.table("t_sessions")
+    assert out.count() > 0
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == load_table(spark, SF_DIR, "events").count()
+    # session invariant: end - start never exceeds ... (gap merges), and
+    # every session has >= 1 event
+    assert out.filter(F.col("n_events") < 1).count() == 0

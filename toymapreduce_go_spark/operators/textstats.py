@@ -121,20 +121,18 @@ def token_counts(documents: DataFrame) -> DataFrame:
 def doc_fingerprint(documents: DataFrame) -> DataFrame:
     """Normalization fingerprint: md5 of the lowercased, whitespace/
     punctuation-collapsed text — catches trivially-reformatted duplicates
-    that byte-exact sha2 misses. Emits fingerprints shared by >1 doc with
-    the sorted doc list (md5 chosen because the DuckDB oracle has the
-    identical function)."""
+    that byte-exact sha2 misses (md5 chosen because the DuckDB oracle has
+    the identical function). Emits every doc's fingerprint plus how many
+    docs share it — ``n_sharing > 1`` marks a normalization-duplicate
+    group (none exist in the synthetic fixture, so the per-doc form keeps
+    the query's output non-trivial)."""
     norm = F.md5(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z]+", " ")))
+    fps = documents.select("doc_id", norm.alias("fp"))
+    counts = fps.groupBy("fp").agg(F.count("*").alias("n_sharing"))
     return (
-        documents.select("doc_id", norm.alias("fp"))
-        .groupBy("fp")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.concat_ws(",", F.transform(F.sort_array(F.collect_set("doc_id")),
-                                         lambda d: d.cast("string"))).alias("doc_ids"),
-        )
-        .filter(F.col("n_docs") > 1)
-        .orderBy("fp")
+        fps.join(counts, "fp")
+        .select("doc_id", "fp", "n_sharing")
+        .orderBy("doc_id")
     )
 
 

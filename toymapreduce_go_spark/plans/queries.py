@@ -328,7 +328,7 @@ ORACLES: dict[str, str] = {
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    {_COS.format(a='a.embedding', b='b.embedding')} AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-        WHERE cos >= 0.95 ORDER BY id_a, id_b
+        WHERE cos >= 0.4 ORDER BY id_a, id_b
     """,
     "knn_bruteforce": f"""
         WITH probes AS (SELECT vec_id AS probe_id, embedding AS probe_emb
@@ -398,13 +398,16 @@ ORACLES: dict[str, str] = {
         FROM per_doc GROUP BY source, lang ORDER BY source, lang
     """,
     "doc_fingerprint": """
-        SELECT fp, count(*) AS n_docs,
-               string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
-        FROM (SELECT doc_id,
-                     md5(lower(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g')))
-                         AS fp
-              FROM documents)
-        GROUP BY fp HAVING count(*) > 1 ORDER BY fp
+        WITH fps AS (
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g')))
+                       AS fp
+            FROM documents)
+        SELECT f.doc_id, f.fp, c.n_sharing
+        FROM fps f
+        JOIN (SELECT fp, count(*) AS n_sharing FROM fps GROUP BY fp) c
+          ON f.fp = c.fp
+        ORDER BY f.doc_id
     """,
     "multimodal_decode": """
         SELECT source, count(*) AS n_items,

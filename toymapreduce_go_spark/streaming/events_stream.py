@@ -1,0 +1,106 @@
+"""Structured Streaming variants of the event-time operators.
+
+The batch forms in ``operators.events`` carry oracle-checked correctness;
+these are the streaming twins (SURVEY.md §2c streaming row: declared
+batch-first, streaming = smoke-tested). The reference has no streaming at
+all — this is pure capability extension, expressed with Spark's native
+watermark + window machinery:
+
+- tumbling aggregation: ``withWatermark`` + ``window()`` — late events
+  beyond the watermark are dropped, state is bounded;
+- sessionization: ``session_window`` (gap-based, Spark 3.2+) — the
+  streaming-native equivalent of the batch lag+cumsum form.
+
+At 100 TB-scale streaming, the same code runs against Kafka by swapping
+the source; state lives in the checkpointed state store and watermarks
+bound it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.events import SESSION_GAP_MINUTES
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over the events parquet (one file per trigger
+    simulates arrival); schema comes from a batch peek of the same path.
+    """
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source requires a directory; expose the (read-only) fixture
+    # file through a symlink in a temp dir — production points at the
+    # real landing directory
+    src_dir = tempfile.mkdtemp(prefix="events_stream_")
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    # same ns→µs normalization as the batch source
+    types = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    if types.get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def stream_events_tumbling(events_stream: DataFrame,
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming 1-hour tumbling aggregation with watermarked state.
+    Late events older than the watermark are dropped; window state is
+    evicted once the watermark passes window end."""
+    return (
+        events_stream
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
+
+
+def stream_sessionize(events_stream: DataFrame,
+                      gap_minutes: int = SESSION_GAP_MINUTES,
+                      watermark: str = "2 hours") -> DataFrame:
+    """Streaming gap-based sessionization via ``session_window`` — state
+    per (user, open session), merged when events arrive within the gap,
+    emitted when the watermark closes the session."""
+    return (
+        events_stream
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("sw"),
+                 "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select("user_id", F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"), "n_events", "sum_value")
+    )
+
+
+def run_to_memory(df: DataFrame, table_name: str, spark: SparkSession,
+                  output_mode: str = "complete") -> None:
+    """Drain the stream with availableNow into an in-memory sink (test/
+    smoke harness; production uses kafka/delta sinks + checkpointing)."""
+    q = (
+        df.writeStream.format("memory").queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
