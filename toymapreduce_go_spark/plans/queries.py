@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..mr.api import run_map_reduce, wc_map, wc_reduce
-from ..operators import dedup, events, relational, similarity, text_mr, textstats
+from ..operators import (dedup, events, joins, relational, similarity,
+                         text_mr, textstats)
 from ..sources.registry import load_table
 
 
@@ -91,6 +92,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- event time (§2d #11-12) -----------------------------------------
     "events_tumbling": _q(events.events_tumbling),
     "events_sessionize": _q(events.events_sessionize),
+    "events_asof_join": _q(joins.events_asof_join),
     "approx_stats": _approx_stats,
     # -- dedup family (§2d #13-14 + north star) --------------------------
     "exact_dedup": _q(dedup.exact_dedup_survivors),
@@ -294,6 +296,14 @@ ORACLES: dict[str, str] = {
                min(ts) AS session_start, max(ts) AS session_end,
                count(*) AS n_events, round(sum(value), 2) AS sum_value
         FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+    "events_asof_join": """
+        SELECT e.event_id, e.user_id, round(e.value, 2) AS err_value,
+               c.ts AS prev_click_ts, round(c.value, 2) AS prev_click_value
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
+        ORDER BY e.event_id
     """,
     "exact_dedup": """
         SELECT source, count(*) AS n_docs,
