@@ -114,6 +114,82 @@ def order_priority_window(orders: DataFrame, top_n: int = 3) -> DataFrame:
     )
 
 
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-anti join (the §2c semi/anti row): customers with no orders,
+    with their nation key for grouping. Anti joins at scale follow the
+    same broadcast rule — orders' distinct custkeys are the big side here,
+    so this shuffles both sides on custkey (or bucket-joins if both are
+    bucketed); the dim-sized output makes it cheap."""
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey,
+                      "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def events_cube(events: DataFrame) -> DataFrame:
+    """CUBE over (event_type, weekday): all four grouping combinations in
+    one pass (Expand + single shuffle). Complements rollup's hierarchy."""
+    base = events.select(
+        "event_type",
+        F.dayofweek("ts").alias("weekday"),
+        "value",
+    )
+    return (
+        base.cube("event_type", "weekday")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_first(),
+                 F.col("weekday").asc_nulls_first())
+    )
+
+
+def events_json_extract(events: DataFrame) -> DataFrame:
+    """Scalar-function coverage over the JSON-ish ``props`` column:
+    extract $.k, bucket it, aggregate. get_json_object stays JVM-side
+    (Jackson), no UDF."""
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+ORDER_STATUSES = ("F", "O", "P")
+
+
+def orders_pivot(orders: DataFrame) -> DataFrame:
+    """Pivot: order counts and total price per priority × status, statuses
+    as columns. Explicit pivot values (the fixed status domain) keep the
+    plan single-pass — without them Spark first runs a distinct scan."""
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(ORDER_STATUSES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}")
+              for s in ORDER_STATUSES],
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def customer_set_ops(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Set operations: customers WITH orders vs an arithmetic sample
     (custkey % 3 == 0), tagged and unioned:

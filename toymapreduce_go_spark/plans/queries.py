@@ -89,6 +89,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_nation_rollup": _q(relational.region_nation_rollup),
     "order_priority_window": _q(relational.order_priority_window),
     "set_ops": _q(relational.customer_set_ops),
+    "customers_without_orders": _q(relational.customers_without_orders),
+    "events_cube": _q(relational.events_cube),
+    "events_json_extract": _q(relational.events_json_extract),
+    "orders_pivot": _q(relational.orders_pivot),
     # -- event time (§2d #11-12) -----------------------------------------
     "events_tumbling": _q(events.events_tumbling),
     "events_sessionize": _q(events.events_sessionize),
@@ -265,6 +269,38 @@ ORACLES: dict[str, str] = {
         FROM (SELECT custkey FROM with_orders
               EXCEPT SELECT custkey FROM sampled)
         ORDER BY tag, custkey
+    """,
+    "customers_without_orders": """
+        SELECT c_nationkey, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS sum_acctbal
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "events_cube": """
+        SELECT event_type, weekday, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM (SELECT event_type, dayofweek(ts) + 1 AS weekday, value
+              FROM events)
+        GROUP BY CUBE(event_type, weekday)
+        ORDER BY event_type NULLS FIRST, weekday NULLS FIRST
+    """,
+    "events_json_extract": """
+        SELECT event_type, k % 10 AS k_bucket, count(*) AS n_events,
+               CAST(sum(k) AS BIGINT) AS sum_k
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+        WHERE k IS NOT NULL
+        GROUP BY event_type, k % 10
+        ORDER BY event_type, k_bucket
+    """,
+    "orders_pivot": """
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS n_P
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "events_tumbling": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
