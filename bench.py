@@ -29,6 +29,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_QUERIES = list(QUERIES)
 
 
+def materialize(df) -> None:
+    """Full-fidelity action: the noop sink executes the complete plan
+    (every column, every operator) without driver-side collect; count()
+    would let Catalyst prune projections and sorts and under-report."""
+    try:
+        df.write.format("noop").mode("overwrite").save()
+    except Exception:
+        df.count()
+
+
 def main() -> None:
     spark = build_session("toymapreduce-go-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -42,10 +52,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, SF_DIR)
-        n = df.count() if name != "__never__" else 0
+        materialize(QUERIES[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
-        _ = n
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

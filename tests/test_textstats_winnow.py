@@ -1,0 +1,43 @@
+"""Semantic pin for the winnowing rolling fingerprint: the sparse-table
+doubling rewrite (O(n log w) zip_with passes) must equal the naive
+per-position windowed min (O(n·w) array_min(slice)) for power-of-2 and
+non-power-of-2 windows alike."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from toymapreduce_go_spark.operators.textstats import rolling_fingerprint
+from toymapreduce_go_spark.sources.registry import load_table
+
+
+@pytest.mark.parametrize("window", [4, 5])
+def test_rolling_fingerprint_matches_naive(spark, window):
+    k = 8
+    docs = load_table(spark, SF_DIR, "documents")
+    grams = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("tb")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, greatest(octet_length(tb) - {k - 1}, 0)),"
+            f" i -> xxhash64(substring(tb, i, {k})))"
+        ).alias("gh"),
+    )
+    naive = (
+        grams.filter(F.size("gh") >= window)
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(F.transform(
+                F.sequence(F.lit(1), F.size("gh") - (window - 1)),
+                lambda i: F.array_min(F.slice("gh", i, window)),
+            ))).alias("n"),
+        )
+    )
+    expected = {r.doc_id: r.n for r in naive.collect()}
+    got = {r.doc_id: r.n_fingerprints
+           for r in rolling_fingerprint(docs, k=k, window=window).collect()}
+    assert got == expected

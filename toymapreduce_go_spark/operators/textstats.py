@@ -144,24 +144,54 @@ def rolling_fingerprint(documents: DataFrame, k: int = 8,
     per doc. Used for robust partial-overlap detection (plagiarism-style)
     where whole-doc hashes fail. Declared rows-only (xxhash64 has no DuckDB
     twin)."""
+    # k-grams over the UTF-8 *bytes*: substring on a string is an O(i)
+    # UTF-8 scan (O(L²) per doc across positions); slicing the encoded
+    # binary is O(1) per position. Identical output for ASCII text; for
+    # multi-byte text the unit is byte-grams, which winnowing is equally
+    # happy with.
+    # Sliding-window min via sparse-table doubling: M_1 = gh;
+    # M_2p[i] = least(M_p[i], M_p[i+p]) covers a 2p-wide window, so
+    # log2(window) zip_with passes replace the naive per-position
+    # array_min(slice(...)) — O(n log w) vs O(n·w) with an array
+    # allocation per position. The final non-power-of-2 adjustment
+    # overlays two power-of-2 tables (standard RMQ trick). Each pass is
+    # its own projection so ``m`` is an attribute, not a subtree —
+    # zip_with references its input twice, and inlining would recompute
+    # every lower level 2× per pass.
+    def shifted(name, off):
+        c = F.col(name)
+        return F.slice(c, off + 1, F.greatest(F.size(c) - off, F.lit(0)))
+
+    # Filter on raw byte length (≡ size(gh) >= window) *before* building
+    # grams: a filter on size(gh) would be pushed below the projection and
+    # duplicate the whole transform; this predicate is scan-cheap.
     grams = documents.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(1, greatest(length(text) - {k - 1}, 0)), "
-            f"i -> xxhash64(substring(text, i, {k})))"
-        ).alias("gh"),
+        "doc_id", F.encode("text", "UTF-8").alias("tb")
+    ).filter(F.octet_length("tb") >= k + window - 1).select(
+        "doc_id", F.expr(
+            f"transform(sequence(1, octet_length(tb) - {k - 1}),"
+            f" i -> xxhash64(substring(tb, i, {k})))").alias("gh"),
     )
+    out = grams.select("doc_id", F.size("gh").alias("n_gh"),
+                       F.col("gh").alias("m"))
+    span = 1
+    while span * 2 <= window:
+        out = out.select(
+            "doc_id", "n_gh",
+            F.zip_with("m", shifted("m", span),
+                       lambda x, y: F.least(x, y)).alias("m"))
+        span *= 2
+    if span < window:  # window not a power of 2: overlay offset table
+        out = out.select(
+            "doc_id", "n_gh",
+            F.zip_with("m", shifted("m", window - span),
+                       lambda x, y: F.least(x, y)).alias("m"))
+    # zip_with pads the shorter side with nulls (least then passes the
+    # lone value through), so trailing entries are partial-window mins —
+    # keep only the n_gh - window + 1 full windows.
+    full = F.slice("m", 1, F.col("n_gh") - (window - 1))
     return (
-        grams.filter(F.size("gh") >= window)
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("gh") - (window - 1)),
-                    lambda i: F.array_min(F.slice("gh", i, window)),
-                )
-            ).alias("fps"),
-        )
-        .select("doc_id", F.size("fps").alias("n_fingerprints"))
+        out.select("doc_id",
+                   F.size(F.array_distinct(full)).alias("n_fingerprints"))
         .orderBy("doc_id")
     )
