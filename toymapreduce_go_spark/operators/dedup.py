@@ -55,11 +55,14 @@ def exact_dedup_survivors(documents: DataFrame) -> DataFrame:
 # 2. N-gram Jaccard (exact pairwise over shingle join — oracle-checkable)
 
 
-def _shingles(df: DataFrame, n: int) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams per doc, JVM-side: slide an
-    n-window over the token array with transform + slice."""
+def _shingles(df: DataFrame, n: int, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) word n-grams per doc, JVM-side: slide an n-window
+    over the token array with transform + slice. ``distinct=True`` gives
+    set semantics (needed for Jaccard sizes; costs a shuffle);
+    min-aggregating consumers (MinHash) pass False — min over the
+    multiset equals min over the set, so they skip that shuffle."""
     toks = df.select("doc_id", tokens("text").alias("toks"))
-    return (
+    out = (
         toks.filter(F.size("toks") >= n)
         .select(
             "doc_id",
@@ -70,8 +73,8 @@ def _shingles(df: DataFrame, n: int) -> DataFrame:
                 )
             ).alias("shingle"),
         )
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
@@ -128,10 +131,14 @@ def minhash_signatures(documents: DataFrame, n: int = 3,
 
     Plan shape: one row per (doc, shingle) into ``n_hashes`` plain ``min``
     aggregate columns — whole-stage-codegen'd, with map-side partial mins
-    before the single shuffle on doc_id (no arrays, no collect_list)."""
-    sh = _shingles(documents, n)
-    mins = sh.groupBy("doc_id").agg(*[
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"m{i}")
+    before the single shuffle on doc_id (no arrays, no collect_list).
+    The shingle string is hashed ONCE (``h0``); permutation i re-hashes
+    the resulting 64-bit value with seed i — a constant-cost permutation
+    family, instead of re-scanning the string n_hashes times."""
+    sh = _shingles(documents, n, distinct=False)
+    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h0"))
+    mins = hashed.groupBy("doc_id").agg(*[
+        F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"m{i}")
         for i in range(n_hashes)
     ])
     return mins.select(
