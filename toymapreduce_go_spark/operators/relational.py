@@ -205,3 +205,189 @@ def customer_set_ops(customer: DataFrame, orders: DataFrame) -> DataFrame:
     only_orders = with_orders.exceptAll(sampled).select(
         "custkey", F.lit("only_orders").alias("tag"))
     return both.unionByName(only_orders).orderBy("tag", "custkey")
+
+
+# ---------------------------------------------------------------------------
+# Wider §2c coverage: multiway broadcast joins, semi joins, grouping sets,
+# range joins, exact percentiles, date/string scalar spreads.
+
+
+def regional_revenue(customer: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame, supplier: DataFrame,
+                     nation: DataFrame, region: DataFrame,
+                     region_name: str = "ASIA") -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where the customer and the
+    line's supplier share a nation, restricted to one region.
+
+    Scale plan: lineitem⋈orders is the only big shuffle (orderkey);
+    customer joins orders on custkey (second shuffle — bucketing both on
+    custkey removes it); supplier/nation/region are dims → broadcast, so
+    the region filter prunes nations on the *build* side before any fact
+    rows flow. The c_nationkey = s_nationkey condition rides along the
+    supplier broadcast join instead of a separate shuffle."""
+    rn = (
+        F.broadcast(nation)
+        .join(F.broadcast(region.filter(F.col("r_name") == region_name)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(rn), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"),
+             F.count("*").alias("n_lineitems"))
+        .orderBy("n_name")
+    )
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from PROMO parts, per ship year.
+    part is a dim → broadcast; one shuffle on the year grouping key."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                          .otherwise(F.lit(0.0))) * 100.0 / F.sum(rev), 2)
+             .alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+def parts_grouping_sets(part: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS ((p_brand), (p_type), ()): three rollup
+    views in one Expand + single shuffle — the §2c grouping-sets row
+    (rollup and cube are its specializations, declared separately)."""
+    return (
+        part.groupingSets([["p_brand"], ["p_type"], []], "p_brand", "p_type")
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
+        .orderBy(F.col("p_brand").asc_nulls_first(),
+                 F.col("p_type").asc_nulls_first())
+    )
+
+
+def suppliers_with_shipments(supplier: DataFrame, lineitem: DataFrame,
+                             nation: DataFrame) -> DataFrame:
+    """Left-semi join (§2c semi row): suppliers that shipped at least one
+    line, counted per nation. At 100 TB the semi build side is the fact's
+    distinct suppkeys — Spark's AQE turns this into a broadcast semi once
+    the distinct collapses below the threshold; nation always broadcasts."""
+    shipped = supplier.join(lineitem.select("l_suppkey"),
+                            F.col("s_suppkey") == F.col("l_suppkey"),
+                            "left_semi")
+    return (
+        shipped.join(F.broadcast(nation),
+                     F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"),
+             F.round(F.sum("s_acctbal"), 2).alias("sum_acctbal"))
+        .orderBy("n_name")
+    )
+
+
+PRICE_BANDS = [
+    ("p0_under_50k", 0.0, 50_000.0),
+    ("p1_50k_150k", 50_000.0, 150_000.0),
+    ("p2_150k_300k", 150_000.0, 300_000.0),
+    ("p3_over_300k", 300_000.0, 1.0e18),
+]
+
+
+def price_band_totals(spark, orders: DataFrame) -> DataFrame:
+    """Range join (§2c range row): orders banded by total price against a
+    tiny inline band dimension via an inequality-only join. Spark executes
+    this as a BroadcastNestedLoopJoin — correct choice when the build side
+    is a handful of bands; each fact row tests 4 predicates, no shuffle."""
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        orders.select("o_totalprice")
+        .join(F.broadcast(bands),
+              (F.col("o_totalprice") >= F.col("lo"))
+              & (F.col("o_totalprice") < F.col("hi")))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .orderBy("band")
+    )
+
+
+def order_seasonality(orders: DataFrame) -> DataFrame:
+    """Date-function spread: per (year, quarter) order counts, distinct
+    customers, average price. One shuffle; year/quarter are scan-side
+    scalar exprs inside whole-stage codegen."""
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("yr"),
+                       F.quarter("o_orderdate").alias("qtr"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.countDistinct("o_custkey").alias("n_customers"),
+             F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .orderBy("yr", "qtr")
+    )
+
+
+def lineitem_price_quartiles(lineitem: DataFrame) -> DataFrame:
+    """Exact *discrete* quartiles (type-1: the element at position
+    ceil(q*n)) per return flag, via row_number + count windows.
+    Interpolated percentiles differ between engines in the last ulp
+    (a+(b-a)*d vs (1-d)*a+d*b), which flips 2-decimal rounding; picking
+    an actual data value is engine-exact. Exact quantiles need the full
+    value multiset per group; at 100 TB swap in percentile_approx
+    (t-digest, mergeable partials) — declared under approx_stats."""
+    wv = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = (
+        lineitem.select("l_returnflag", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(wv))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+
+    def pct(q: float):
+        return F.round(F.max(F.when(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("n")),
+            F.col("l_extendedprice"))), 2)
+
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             pct(0.25).alias("p25"), pct(0.5).alias("p50"),
+             pct(0.75).alias("p75"))
+        .orderBy("l_returnflag")
+    )
+
+
+def customer_name_parse(customer: DataFrame) -> DataFrame:
+    """String-function spread: split/cast/length/substring over c_name
+    ('Customer#000000042'), checked against the key, aggregated per
+    segment. All scan-side codegen'd scalar exprs."""
+    name_num = F.split(F.col("c_name"), "#").getItem(1).cast("long")
+    return (
+        customer.select(
+            "c_mktsegment",
+            name_num.alias("name_num"),
+            F.col("c_custkey"),
+            F.length("c_name").alias("name_len"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.when(F.col("name_num") == F.col("c_custkey"), 1)
+                  .otherwise(0)).alias("n_key_matches"),
+            F.round(F.avg("name_len"), 2).alias("avg_name_len"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -112,3 +112,33 @@ def ann_lsh(embeddings: DataFrame, n_probes: int = 5, k: int = DEFAULT_K,
                 F.round("cos", 4).alias("cos_sim"))
         .orderBy("probe_id", "rank")
     )
+
+
+def embedding_stats(embeddings: DataFrame) -> DataFrame:
+    """Array/higher-order-function coverage over the vector column: per
+    label, average L2 norm and average element mean, computed with
+    transform + aggregate entirely JVM-side (the float elements are cast
+    to double *before* summing so Spark and DuckDB accumulate
+    identically). One shuffle on the small label key."""
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    el_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    per_vec = embeddings.select(
+        "label",
+        F.sqrt(sq_sum).alias("norm"),
+        (el_sum / F.size("embedding")).alias("mean_elem"),
+        F.size("embedding").alias("dim"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("dim").alias("dim"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.avg("mean_elem"), 4).alias("avg_mean_elem"),
+        )
+        .orderBy("label")
+    )

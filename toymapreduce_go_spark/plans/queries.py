@@ -93,6 +93,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cube": _q(relational.events_cube),
     "events_json_extract": _q(relational.events_json_extract),
     "orders_pivot": _q(relational.orders_pivot),
+    "regional_revenue": _q(relational.regional_revenue),
+    "promo_revenue_share": _q(relational.promo_revenue_share),
+    "parts_grouping_sets": _q(relational.parts_grouping_sets),
+    "suppliers_with_shipments": _q(relational.suppliers_with_shipments),
+    "price_band_totals": lambda spark, sf_dir: relational.price_band_totals(
+        spark, load_table(spark, sf_dir, "orders")),
+    "order_seasonality": _q(relational.order_seasonality),
+    "lineitem_price_quartiles": _q(relational.lineitem_price_quartiles),
+    "customer_name_parse": _q(relational.customer_name_parse),
+    "embedding_stats": _q(similarity.embedding_stats),
     # -- event time (§2d #11-12) -----------------------------------------
     "events_tumbling": _q(events.events_tumbling),
     "events_sessionize": _q(events.events_sessionize),
@@ -301,6 +311,98 @@ ORACLES: dict[str, str] = {
                count(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
                count(*) FILTER (WHERE o_orderstatus = 'P') AS n_P
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "regional_revenue": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "promo_revenue_share": """
+        SELECT year(l_shipdate) AS ship_year,
+               round(sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END) * 100.0
+                     / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY year(l_shipdate) ORDER BY ship_year
+    """,
+    "parts_grouping_sets": """
+        SELECT p_brand, p_type, count(*) AS n_parts,
+               round(avg(p_retailprice), 2) AS avg_price
+        FROM part
+        GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+        ORDER BY p_brand NULLS FIRST, p_type NULLS FIRST
+    """,
+    "suppliers_with_shipments": """
+        SELECT n_name, count(*) AS n_suppliers,
+               round(sum(s_acctbal), 2) AS sum_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "price_band_totals": """
+        SELECT band, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        JOIN (VALUES ('p0_under_50k', 0.0, 50000.0),
+                     ('p1_50k_150k', 50000.0, 150000.0),
+                     ('p2_150k_300k', 150000.0, 300000.0),
+                     ('p3_over_300k', 300000.0, 1e18)) b(band, lo, hi)
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band ORDER BY band
+    """,
+    "order_seasonality": """
+        SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+               count(*) AS n_orders,
+               count(DISTINCT o_custkey) AS n_customers,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM orders GROUP BY 1, 2 ORDER BY yr, qtr
+    """,
+    "lineitem_price_quartiles": """
+        WITH ranked AS (
+            SELECT l_returnflag, l_extendedprice,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_extendedprice) AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem)
+        SELECT l_returnflag, count(*) AS n_items,
+               round(max(CASE WHEN rn = ceil(0.25 * n)
+                              THEN l_extendedprice END), 2) AS p25,
+               round(max(CASE WHEN rn = ceil(0.5 * n)
+                              THEN l_extendedprice END), 2) AS p50,
+               round(max(CASE WHEN rn = ceil(0.75 * n)
+                              THEN l_extendedprice END), 2) AS p75
+        FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "customer_name_parse": """
+        SELECT c_mktsegment, count(*) AS n_customers,
+               CAST(sum(CASE WHEN CAST(split_part(c_name, '#', 2) AS BIGINT)
+                                  = c_custkey THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_key_matches,
+               round(avg(length(c_name)), 2) AS avg_name_len
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "embedding_stats": """
+        SELECT label, count(*) AS n_vecs, min(dim) AS dim,
+               round(avg(norm), 4) AS avg_norm,
+               round(avg(mean_elem), 4) AS avg_mean_elem
+        FROM (SELECT label, len(embedding) AS dim,
+                     sqrt(list_sum(list_transform(embedding,
+                          x -> x::DOUBLE * x::DOUBLE))) AS norm,
+                     list_sum(list_transform(embedding, x -> x::DOUBLE))
+                         / len(embedding) AS mean_elem
+              FROM embeddings)
+        GROUP BY label ORDER BY label
     """,
     "events_tumbling": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
