@@ -44,3 +44,23 @@ def test_stream_sessionize_runs(spark):
     # session invariant: end - start never exceeds ... (gap merges), and
     # every session has >= 1 event
     assert out.filter(F.col("n_events") < 1).count() == 0
+
+
+def test_stream_sliding_matches_batch(spark):
+    """Streaming sliding-window twin equals the batch form when the whole
+    fixture is drained (complete mode, nothing beyond the watermark)."""
+    from toymapreduce_go_spark.operators.events import events_sliding
+    from toymapreduce_go_spark.streaming.events_stream import (
+        stream_events_sliding)
+
+    stream = read_events_stream(spark, SF_DIR)
+    run_to_memory(stream_events_sliding(stream), "t_sliding", spark)
+    got = {
+        (r.window_start, r.event_type, r.n_events, r.sum_value)
+        for r in spark.table("t_sliding").collect()
+    }
+    want = {
+        (r.window_start, r.event_type, r.n_events, r.sum_value)
+        for r in events_sliding(load_table(spark, SF_DIR, "events")).collect()
+    }
+    assert got == want

@@ -74,3 +74,23 @@ def events_sessionize(events: DataFrame,
         )
         .orderBy("user_id", "session_id")
     )
+
+
+def events_sliding(events: DataFrame) -> DataFrame:
+    """1-hour window sliding every 30 minutes: each event lands in exactly
+    two windows (Spark's ``window(ts, '1 hour', '30 minutes')`` expands
+    rows before the agg — same Expand-then-shuffle shape as rollup).
+    Epoch-aligned starts, so the DuckDB oracle can reconstruct the two
+    containing windows arithmetically."""
+    return (
+        events
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                 "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+        .orderBy("window_start", "event_type")
+    )

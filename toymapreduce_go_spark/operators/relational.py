@@ -391,3 +391,27 @@ def customer_name_parse(customer: DataFrame) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def customer_set_ops_all(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Bag-semantics set ops (§2c set row, ALL variants): order priorities
+    per high-balance customers INTERSECT ALL / EXCEPT ALL the priorities
+    of low-balance customers, keeping multiplicity. Spark's
+    intersectAll/exceptAll hash on the full row — same shuffle shape as
+    distinct, but multiplicity-aware."""
+    hi = (orders.join(customer.filter(F.col("c_acctbal") > 5000)
+                      .select("c_custkey"),
+                      F.col("o_custkey") == F.col("c_custkey"))
+          .select("o_orderpriority"))
+    lo = (orders.join(customer.filter(F.col("c_acctbal") <= 5000)
+                      .select("c_custkey"),
+                      F.col("o_custkey") == F.col("c_custkey"))
+          .select("o_orderpriority"))
+    both = hi.intersectAll(lo).withColumn("tag", F.lit("common"))
+    only_hi = hi.exceptAll(lo).withColumn("tag", F.lit("hi_surplus"))
+    return (
+        both.unionByName(only_hi)
+        .groupBy("tag", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("tag", "o_orderpriority")
+    )

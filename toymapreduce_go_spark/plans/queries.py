@@ -105,7 +105,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_stats": _q(similarity.embedding_stats),
     # -- event time (§2d #11-12) -----------------------------------------
     "events_tumbling": _q(events.events_tumbling),
+    "events_sliding": _q(events.events_sliding),
     "events_sessionize": _q(events.events_sessionize),
+    "set_ops_all": _q(relational.customer_set_ops_all),
     "events_asof_join": _q(joins.events_asof_join),
     "approx_stats": _approx_stats,
     # -- dedup family (§2d #13-14 + north star) --------------------------
@@ -412,6 +414,40 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY date_trunc('hour', ts), event_type
         ORDER BY window_start, event_type
+    """,
+    "events_sliding": """
+        WITH base AS (
+            SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800)
+                        AS TIMESTAMP) AS w0,
+                   event_type, value
+            FROM events),
+        wins AS (
+            SELECT w0 AS window_start, event_type, value FROM base
+            UNION ALL
+            SELECT w0 - INTERVAL 30 MINUTE, event_type, value FROM base)
+        SELECT window_start, event_type, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM wins GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """,
+    "set_ops_all": """
+        WITH hi AS (SELECT o_orderpriority FROM orders
+                    JOIN customer ON o_custkey = c_custkey
+                    WHERE c_acctbal > 5000),
+             lo AS (SELECT o_orderpriority FROM orders
+                    JOIN customer ON o_custkey = c_custkey
+                    WHERE c_acctbal <= 5000),
+        tagged AS (
+            SELECT 'common' AS tag, o_orderpriority
+            FROM (SELECT o_orderpriority FROM hi
+                  INTERSECT ALL SELECT o_orderpriority FROM lo)
+            UNION ALL
+            SELECT 'hi_surplus' AS tag, o_orderpriority
+            FROM (SELECT o_orderpriority FROM hi
+                  EXCEPT ALL SELECT o_orderpriority FROM lo))
+        SELECT tag, o_orderpriority, count(*) AS n_rows
+        FROM tagged GROUP BY tag, o_orderpriority
+        ORDER BY tag, o_orderpriority
     """,
     "events_sessionize": """
         WITH lagged AS (

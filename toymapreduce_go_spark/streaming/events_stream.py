@@ -104,3 +104,22 @@ def run_to_memory(df: DataFrame, table_name: str, spark: SparkSession,
     q.awaitTermination(120)
     if q.isActive:
         q.stop()
+
+
+def stream_events_sliding(events_stream: DataFrame,
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch sliding-window agg: 1-hour windows
+    every 30 minutes. Each event updates two window states; the
+    watermark evicts a window once it passes window end + slide."""
+    return (
+        events_stream
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                 "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
