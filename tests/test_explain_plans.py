@@ -70,3 +70,48 @@ def test_whole_stage_codegen_on_text_ops(spark):
     df = token_counts(load_table(spark, SF_DIR, "documents"))
     assert "WholeStageCodegen subtrees" in plan_of(df, "codegen")
     assert "BatchEvalPython" not in plan_of(df)  # no row-wise Python UDFs
+
+
+def test_regional_revenue_broadcasts_dims(spark):
+    from toymapreduce_go_spark.operators.relational import regional_revenue
+    df = regional_revenue(*[load_table(spark, SF_DIR, t) for t in
+                            ("customer", "orders", "lineitem", "supplier",
+                             "nation", "region")])
+    plan = plan_of(df)
+    # supplier and the nation⋈region build side must broadcast; the only
+    # non-broadcast joins may be the two fact-side equi joins
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_promo_revenue_broadcasts_part(spark):
+    from toymapreduce_go_spark.operators.relational import promo_revenue_share
+    df = promo_revenue_share(load_table(spark, SF_DIR, "lineitem"),
+                             load_table(spark, SF_DIR, "part"))
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_price_band_is_nested_loop_broadcast(spark):
+    from toymapreduce_go_spark.operators.relational import price_band_totals
+    df = price_band_totals(spark, load_table(spark, SF_DIR, "orders"))
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan  # inequality-only join, tiny build
+
+
+def test_suppliers_semi_join(spark):
+    from toymapreduce_go_spark.operators.relational import (
+        suppliers_with_shipments)
+    df = suppliers_with_shipments(load_table(spark, SF_DIR, "supplier"),
+                                  load_table(spark, SF_DIR, "lineitem"),
+                                  load_table(spark, SF_DIR, "nation"))
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+
+
+def test_array_and_stats_queries_stay_jvm_side(spark):
+    from toymapreduce_go_spark.operators.similarity import embedding_stats
+    from toymapreduce_go_spark.operators.textstats import lang_id
+    for df in (embedding_stats(load_table(spark, SF_DIR, "embeddings")),
+               lang_id(load_table(spark, SF_DIR, "documents"))):
+        assert "BatchEvalPython" not in plan_of(df)
