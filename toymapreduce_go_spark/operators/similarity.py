@@ -142,3 +142,66 @@ def embedding_stats(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def ann_ivf(embeddings: DataFrame, n_cells: int = 16,
+            n_probe_cells: int = 2, n_probes: int = 5,
+            k: int = DEFAULT_K) -> DataFrame:
+    """IVF-style ANN (the scale path next to ``ann_lsh``): a coarse
+    quantizer assigns every vector to its nearest of ``n_cells``
+    deterministic centroids (the lowest vec_ids — a real pipeline trains
+    k-means; the *plumbing* is identical); probes search only their
+    ``n_probe_cells`` nearest cells.
+
+    Scale: centroids broadcast, so assignment is one map-side pass over
+    the corpus + a groupBy(vec_id) argmax (at 100 TB: a pandas-UDF
+    matmul per partition, no per-centroid row blowup); the probe join
+    then touches |corpus| * n_probe_cells / n_cells candidates instead
+    of the full corpus. Declared rows-only (centroid choice is an
+    engine detail with no DuckDB twin).
+    """
+    cents = (
+        embeddings.orderBy("vec_id").limit(n_cells)
+        .select(F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cent_emb"))
+    )
+    # nearest-centroid assignment: argmax over the broadcast centroid set
+    # via max(struct(cos, cent_id)) — ties break to the larger cent_id
+    scored = (
+        embeddings.join(broadcast(cents))
+        .withColumn("cos_c", cosine_sim(F.col("cent_emb"), F.col("embedding")))
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("cos_c"), F.col("cent_id"))).alias("best"),
+             F.first("embedding").alias("embedding"))
+        .select("vec_id", "embedding", F.col("best.cent_id").alias("cell"))
+    )
+    probes = (
+        embeddings.orderBy("vec_id").limit(n_probes)
+        .select(F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("probe_emb"))
+    )
+    wp = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_p").desc(), F.col("cent_id").asc())
+    probe_cells = (
+        probes.join(broadcast(cents))
+        .withColumn("cos_p", cosine_sim(F.col("cent_emb"), F.col("probe_emb")))
+        .withColumn("cell_rank", F.row_number().over(wp))
+        .filter(F.col("cell_rank") <= n_probe_cells)
+        .select("probe_id", "probe_emb", F.col("cent_id").alias("cell"))
+    )
+    cand = (
+        assigned.join(broadcast(probe_cells), "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos", cosine_sim(F.col("probe_emb"), F.col("embedding")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), "rank",
+                F.round("cos", 4).alias("cos_sim"))
+        .orderBy("probe_id", "rank")
+    )

@@ -195,3 +195,54 @@ def rolling_fingerprint(documents: DataFrame, k: int = 8,
                    F.size(F.array_distinct(full)).alias("n_fingerprints"))
         .orderBy("doc_id")
     )
+
+
+# Curation thresholds for the end-to-end pipeline query: deliberately
+# simple, deterministic, and oracle-expressible.
+MIN_CHARS = 100
+MIN_ALPHA_RATIO = 0.6
+
+
+def curation_pipeline(documents: DataFrame) -> DataFrame:
+    """End-to-end curation composition — the query a training-data run
+    actually issues: exact-dedup survivorship (sha2 + min-doc_id window)
+    AND quality gates (length, alpha ratio) in one pass, reported per
+    (source, lang) with retention. One window shuffle on the text hash +
+    one agg shuffle; all features scan-side codegen."""
+    from pyspark.sql.window import Window
+
+    t = F.col("text")
+    n_chars = F.length(t)
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+    w = Window.partitionBy(F.sha2(t, 256)).orderBy("doc_id")
+    per_doc = documents.select(
+        "doc_id", "source", "lang", "text",
+        n_chars.alias("n_chars_i"),
+        F.round(alpha / F.greatest(n_chars.cast("double"), F.lit(1.0)), 4)
+         .alias("alpha_ratio"),
+    ).withColumn("rn", F.row_number().over(w))
+    kept = (
+        (F.col("rn") == 1)
+        & (F.col("n_chars_i") >= MIN_CHARS)
+        & (F.col("alpha_ratio") >= MIN_ALPHA_RATIO)
+    )
+    return (
+        per_doc.withColumn("keep", kept.cast("int"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_kept"),
+            F.round(F.sum("keep") * 100.0 / F.count(F.lit(1)), 2)
+             .alias("pct_kept"),
+            # average of integer-scaled ratios: the 4-decimal ratios sum
+            # exactly as bigints, so both engines divide the same exact
+            # rational — a plain double avg lands on .5-ulp round
+            # boundaries depending on summation order
+            F.round(
+                F.sum(F.when(kept, F.round(F.col("alpha_ratio") * 10000)
+                             .cast("long")))
+                / (F.sum("keep") * 10000.0), 4)
+             .alias("avg_kept_alpha"),
+        )
+        .orderBy("source", "lang")
+    )

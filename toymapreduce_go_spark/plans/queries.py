@@ -119,12 +119,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- similarity search (§2d #15 + north star) ------------------------
     "knn_bruteforce": _q(similarity.knn_bruteforce),
     "ann_lsh": _q(similarity.ann_lsh),
+    "ann_ivf": _q(similarity.ann_ivf),
     # -- text analysis (north star) --------------------------------------
     "lang_id": _q(textstats.lang_id),
     "text_quality": _q(textstats.text_quality),
     "token_counts": _q(textstats.token_counts),
     "doc_fingerprint": _q(textstats.doc_fingerprint),
     "rolling_fingerprint": _q(textstats.rolling_fingerprint),
+    "curation_pipeline": _q(textstats.curation_pipeline),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
 }
@@ -592,6 +594,27 @@ ORACLES: dict[str, str] = {
         JOIN (SELECT fp, count(*) AS n_sharing FROM fps GROUP BY fp) c
           ON f.fp = c.fp
         ORDER BY f.doc_id
+    """,
+    "curation_pipeline": """
+        WITH per_doc AS (
+            SELECT source, lang,
+                   length(text) AS n_chars_i,
+                   round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                         / greatest(length(text)::DOUBLE, 1.0), 4) AS alpha_ratio,
+                   row_number() OVER (PARTITION BY sha256(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents),
+        flagged AS (
+            SELECT *, CASE WHEN rn = 1 AND n_chars_i >= 100
+                            AND alpha_ratio >= 0.6 THEN 1 ELSE 0 END AS keep
+            FROM per_doc)
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(keep) AS BIGINT) AS n_kept,
+               round(sum(keep) * 100.0 / count(*), 2) AS pct_kept,
+               round(sum(CASE WHEN keep = 1 THEN
+                              CAST(round(alpha_ratio * 10000) AS BIGINT)
+                         END) / (sum(keep) * 10000.0), 4) AS avg_kept_alpha
+        FROM flagged GROUP BY source, lang ORDER BY source, lang
     """,
     "multimodal_decode": """
         SELECT source, count(*) AS n_items,
