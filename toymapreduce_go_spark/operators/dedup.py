@@ -161,8 +161,12 @@ def near_dedup_minhash(documents: DataFrame, n: int = 3,
     """
     rows_per_band = n_hashes // n_bands
     sig = minhash_signatures(documents, n, n_hashes)
+    # Band rows carry ONLY (doc_id, band_id, band_hash): the 64-long
+    # signature array never rides the self-join / pair-dedup shuffles
+    # (that tripled shuffle bytes); signatures re-attach afterwards from
+    # the per-doc sig table, which is corpus-sized, not pair-sized.
     banded = sig.select(
-        "doc_id", "sig",
+        "doc_id",
         F.explode(
             F.array(*[
                 F.struct(
@@ -173,15 +177,21 @@ def near_dedup_minhash(documents: DataFrame, n: int = 3,
                 for b in range(n_bands)
             ])
         ).alias("band"),
-    ).select("doc_id", "sig", "band.band_id", "band.band_hash")
+    ).select("doc_id", "band.band_id", "band.band_hash")
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    pairs = (
         a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                & (F.col("a.band_hash") == F.col("b.band_hash"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = (
+        pairs
+        .join(sig.select(F.col("doc_id").alias("doc_a"),
+                         F.col("sig").alias("sig_a")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"),
+                         F.col("sig").alias("sig_b")), "doc_b")
     )
     est = cand.withColumn(
         "est_jaccard",
