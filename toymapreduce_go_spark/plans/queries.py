@@ -52,6 +52,35 @@ def _mr_compat_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _udaf_geomean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas grouped-agg UDAF (Arrow path) — geometric mean of order
+    totals per priority; oracle is exp(avg(ln(x)))."""
+    from ..functions.python_udx import geomean
+    orders = load_table(spark, sf_dir, "orders")
+    # a grouped-agg pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — counts come from a second agg over
+    # the same shuffle key, joined on the 5-row result
+    gm = (orders.groupBy("o_orderpriority")
+          .agg(F.round(geomean("o_totalprice"), 2).alias("geo_mean_price")))
+    counts = (orders.groupBy("o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("n_orders")))
+    return gm.join(counts, "o_orderpriority").orderBy("o_orderpriority")
+
+
+def _udtf_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF tokenizer (Spark 3.5+ table function) feeding the
+    declarative count — same result and oracle as `wordcount`, proving
+    the UDTF surface against the same contract as the mr-compat API."""
+    from ..functions.python_udx import SplitWords
+    spark.udtf.register("split_words", SplitWords)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql("""
+        SELECT s.word, count(*) AS cnt
+        FROM _docs_udtf d, LATERAL split_words(d.text) s
+        GROUP BY s.word ORDER BY s.word
+    """)
+
+
 def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.binary import decode_meta_query
     return decode_meta_query(load_table(spark, sf_dir, "documents"))
@@ -83,6 +112,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sorted_concat": _q(text_mr.sorted_concat_sources_per_lang),
     "constant_key_metadata": _q(text_mr.constant_key_metadata),
     "mr_compat_wordcount": _mr_compat_wordcount,
+    "udtf_wordcount": _udtf_wordcount,
+    "udaf_geomean_prices": _udaf_geomean_prices,
     # -- relational spread (§2d #6-10) -----------------------------------
     "pricing_summary": _q(relational.pricing_summary),
     "top_unshipped_orders": _q(relational.top_unshipped_orders),
@@ -191,6 +222,13 @@ _QUALITY_FEATS = """
 ORACLES: dict[str, str] = {
     "wordcount": _WORDCOUNT_SQL,
     "mr_compat_wordcount": _WORDCOUNT_SQL,
+    "udtf_wordcount": _WORDCOUNT_SQL,
+    "udaf_geomean_prices": """
+        SELECT o_orderpriority,
+               round(exp(avg(ln(o_totalprice))), 2) AS geo_mean_price,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
     "inverted_index": f"""
         SELECT word, count(*) AS n_docs,
                string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
