@@ -88,3 +88,80 @@ def decode_meta_query(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chained transform plumbing: decode → resize → frame-sample. Each stage
+# is its own mapInPandas with a real Arrow batch contract; the kernels
+# are deterministic fakes (no media libs in this container) — swap the
+# arithmetic for PIL/ffmpeg calls and the stages are production-shaped.
+
+DECODE_KEEP_SCHEMA = ("doc_id long, source string, payload binary, "
+                      "byte_len long, width long, height long")
+RESIZED_SCHEMA = ("doc_id long, source string, byte_len long, "
+                  "width long, height long, resized_bytes long")
+SAMPLED_SCHEMA = RESIZED_SCHEMA + ", n_frames long, n_sampled long"
+
+TARGET_W, TARGET_H = 64, 64
+FRAME_BYTES = 1024          # fake: one "frame" per KiB of payload
+SAMPLE_EVERY = 4
+
+
+def decode_keep_payload(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Stage 1 — decode: parse dimensions (fake: from octet length),
+    keep the payload for downstream pixel-level stages."""
+    for pdf in batches:
+        byte_len = pdf["payload"].map(len).astype("int64")
+        dims = _fake_dims(byte_len)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"], "source": pdf["source"],
+            "payload": pdf["payload"], "byte_len": byte_len,
+            "width": dims["width"], "height": dims["height"],
+        })
+
+
+def resize_to_thumbnail(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Stage 2 — resize: produce thumbnail byte counts (fake: capped at
+    TARGET_W*TARGET_H*3); drops the payload so later shuffles move
+    metadata only — the real pipeline writes thumbnails to a sink here."""
+    cap = TARGET_W * TARGET_H * 3
+    for pdf in batches:
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"], "source": pdf["source"],
+            "byte_len": pdf["byte_len"],
+            "width": pdf["width"], "height": pdf["height"],
+            "resized_bytes": pdf["byte_len"].clip(upper=cap),
+        })
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Stage 3 — frame-sample: every SAMPLE_EVERY-th frame of the fake
+    FRAME_BYTES-per-frame stream."""
+    for pdf in batches:
+        n_frames = 1 + pdf["byte_len"] // FRAME_BYTES
+        yield pdf.assign(
+            n_frames=n_frames,
+            n_sampled=(n_frames + SAMPLE_EVERY - 1) // SAMPLE_EVERY,
+        )
+
+
+def multimodal_pipeline_query(documents: DataFrame) -> DataFrame:
+    """Declared query: the full decode → resize → frame-sample chain,
+    rolled up per source. Oracle-checkable because every fake kernel is
+    pure arithmetic on octet length."""
+    staged = (
+        with_binary_payload(documents)
+        .mapInPandas(decode_keep_payload, schema=DECODE_KEEP_SCHEMA)
+        .mapInPandas(resize_to_thumbnail, schema=RESIZED_SCHEMA)
+        .mapInPandas(sample_frames, schema=SAMPLED_SCHEMA)
+    )
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("resized_bytes").alias("total_resized_bytes"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum("n_sampled").alias("total_sampled"),
+        )
+        .orderBy("source")
+    )

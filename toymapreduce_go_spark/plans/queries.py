@@ -86,6 +86,11 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_meta_query(load_table(spark, sf_dir, "documents"))
 
 
+def _multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary import multimodal_pipeline_query
+    return multimodal_pipeline_query(load_table(spark, sf_dir, "documents"))
+
+
 def _approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL count-distinct, t-digest quantiles) —
     sketch-based, rows-only check (non-deterministic vs an exact oracle by
@@ -160,6 +165,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": _q(textstats.curation_pipeline),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
+    "multimodal_pipeline": _multimodal_pipeline,
 }
 
 
@@ -669,7 +675,19 @@ ORACLES: dict[str, str] = {
               FROM documents)
         GROUP BY source ORDER BY source
     """,
-    # near_dedup_minhash, simhash_buckets, ann_lsh, rolling_fingerprint,
-    # approx_stats: intentionally no oracle (xxhash64/sketches have no
-    # DuckDB twin) → rows-only check, as SURVEY.md §2d notes.
+    "multimodal_pipeline": """
+        SELECT source, count(*) AS n_items,
+               CAST(sum(least(byte_len, 64 * 64 * 3)) AS BIGINT)
+                   AS total_resized_bytes,
+               CAST(sum(1 + byte_len // 1024) AS BIGINT) AS total_frames,
+               CAST(sum((1 + byte_len // 1024 + 3) // 4) AS BIGINT)
+                   AS total_sampled
+        FROM (SELECT source, octet_length(encode(text)) AS byte_len
+              FROM documents)
+        GROUP BY source ORDER BY source
+    """,
+    # near_dedup_minhash, simhash_buckets, ann_lsh, ann_ivf,
+    # rolling_fingerprint, approx_stats: intentionally no oracle
+    # (xxhash64/sketches have no DuckDB twin) → rows-only check, as
+    # SURVEY.md §2d notes.
 }
