@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis): randomized inputs against naive
+reference implementations — coverage the reference's harness never had
+(SURVEY.md §5: no property tests exist there).
+
+Examples are capped small: each case builds tiny DataFrames on the shared
+session; the value is input diversity, not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from toymapreduce_go_spark.mr.api import run_map_reduce, simple_reduce
+from toymapreduce_go_spark.operators.joins import asof_join
+
+_SETTINGS = dict(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.sampled_from(["a", "b", "c", "hot"])
+
+
+@given(rows=st.lists(st.tuples(keys, st.integers(0, 99)),
+                     min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_mr_compat_count_matches_groupby(spark, rows):
+    """Identity-map + counting-reduce through the compat API equals the
+    declarative groupBy().count() for arbitrary key multisets."""
+    df = spark.createDataFrame(rows, "k string, v long")
+
+    def map_f(key, value):
+        return [(key, "1")]
+
+    def reduce_f(key, values):
+        return str(sum(1 for _ in values))
+
+    out = run_map_reduce(spark, map_f, simple_reduce(reduce_f), df, n_reduce=3)
+    got = {(r.key, int(r.value)) for r in out.collect()}
+    want = {(r.k, r.cnt) for r in
+            df.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
+    assert got == want
+
+
+@given(
+    left=st.lists(st.tuples(keys, st.integers(0, 50)), min_size=1, max_size=25),
+    right=st.lists(st.tuples(keys, st.integers(0, 50)), min_size=1, max_size=25),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_naive(spark, left, right):
+    """Union+window as-of join equals the naive per-row 'latest right at
+    or before left.ts' scan, for arbitrary key/ts multisets (inner
+    semantics: unmatched left rows drop)."""
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k string, ts long, lid long")
+    rdf = spark.createDataFrame(
+        [(k, t, t * 10 + 1) for k, t in right], "k string, ts long, rv long")
+    got = {(r.lid, r.rv, r.ts_asof) for r in
+           asof_join(ldf, rdf, on="k", ts="ts", value_cols=["rv"])
+           .select("lid", F.col("rv_asof").alias("rv"), "ts_asof").collect()}
+
+    want = set()
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, rv) for (rk, rt, rv) in
+                 ((rk, rt, rt * 10 + 1) for rk, rt in right)
+                 if rk == k and rt <= t]
+        if cands:
+            # latest ts wins; among equal ts the max rv is what the
+            # window's last() sees after the (ts, side) sort with input
+            # order ties broken arbitrarily — pin by max (rt, rv)
+            rt, rv = max(cands)
+            want.add((i, rv, rt))
+    assert got == want
