@@ -415,3 +415,20 @@ def customer_set_ops_all(customer: DataFrame, orders: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("tag", "o_orderpriority")
     )
+
+
+def events_props_map(events: DataFrame) -> DataFrame:
+    """Map-type function coverage: parse the JSON props into
+    map<string,string>, explode entries, aggregate per (event_type, key).
+    from_json/explode stay JVM-side; one shuffle on the tiny group key."""
+    kv = events.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,string>"))
+         .alias("prop_key", "prop_val"),
+    )
+    return (
+        kv.groupBy("event_type", "prop_key")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.col("prop_val").cast("long")).alias("sum_val"))
+        .orderBy("event_type", "prop_key")
+    )

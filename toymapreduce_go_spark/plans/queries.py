@@ -128,6 +128,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_without_orders": _q(relational.customers_without_orders),
     "events_cube": _q(relational.events_cube),
     "events_json_extract": _q(relational.events_json_extract),
+    "events_props_map": _q(relational.events_props_map),
     "orders_pivot": _q(relational.orders_pivot),
     "regional_revenue": _q(relational.regional_revenue),
     "promo_revenue_share": _q(relational.promo_revenue_share),
@@ -352,6 +353,14 @@ ORACLES: dict[str, str] = {
         WHERE k IS NOT NULL
         GROUP BY event_type, k % 10
         ORDER BY event_type, k_bucket
+    """,
+    "events_props_map": """
+        SELECT event_type, k AS prop_key, count(*) AS n_rows,
+               CAST(sum(CAST(json_extract_string(props, '$.' || k)
+                             AS BIGINT)) AS BIGINT) AS sum_val
+        FROM (SELECT event_type, props, unnest(json_keys(props)) AS k
+              FROM events)
+        GROUP BY event_type, k ORDER BY event_type, prop_key
     """,
     "orders_pivot": """
         SELECT o_orderpriority,
