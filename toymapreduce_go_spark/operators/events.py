@@ -49,7 +49,10 @@ def events_sessionize(events: DataFrame,
     Output: one row per session with bounds and event count.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_sec = gap_minutes * 60
+    # integer µs math, matching the oracle's epoch_us exactly —
+    # unix_timestamp truncates to seconds, which flips sessions whose
+    # gap straddles the boundary by <1s
+    gap_us = gap_minutes * 60 * 1_000_000
     sessions = (
         events.select("user_id", "ts", "event_id", "value")
         .withColumn("prev_ts", F.lag("ts").over(w))
@@ -57,7 +60,7 @@ def events_sessionize(events: DataFrame,
             "new_session",
             F.when(
                 F.col("prev_ts").isNull()
-                | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > gap_sec),
+                | ((F.unix_micros("ts") - F.unix_micros("prev_ts")) > gap_us),
                 F.lit(1),
             ).otherwise(F.lit(0)),
         )

@@ -166,17 +166,21 @@ def ann_ivf(embeddings: DataFrame, n_cells: int = 16,
                 F.col("embedding").alias("cent_emb"))
     )
     # nearest-centroid assignment: argmax over the broadcast centroid set
-    # via max(struct(cos, cent_id)) — ties break to the larger cent_id
+    # via max(struct(cos, cent_id)) — ties break to the larger cent_id.
+    # The argmax groupBy shuffles only (vec_id, cos, cent_id); embeddings
+    # re-attach afterwards so the 64-float arrays never ride the
+    # 16x-expanded exchange.
     scored = (
         embeddings.join(broadcast(cents))
         .withColumn("cos_c", cosine_sim(F.col("cent_emb"), F.col("embedding")))
+        .select("vec_id", "cos_c", "cent_id")
     )
-    assigned = (
+    cells = (
         scored.groupBy("vec_id")
-        .agg(F.max(F.struct(F.col("cos_c"), F.col("cent_id"))).alias("best"),
-             F.first("embedding").alias("embedding"))
-        .select("vec_id", "embedding", F.col("best.cent_id").alias("cell"))
+        .agg(F.max(F.struct(F.col("cos_c"), F.col("cent_id"))).alias("best"))
+        .select("vec_id", F.col("best.cent_id").alias("cell"))
     )
+    assigned = cells.join(embeddings.select("vec_id", "embedding"), "vec_id")
     probes = (
         embeddings.orderBy("vec_id").limit(n_probes)
         .select(F.col("vec_id").alias("probe_id"),
