@@ -64,3 +64,27 @@ def test_stream_sliding_matches_batch(spark):
         for r in events_sliding(load_table(spark, SF_DIR, "events")).collect()
     }
     assert got == want
+
+
+def test_stream_stateful_user_stats_matches_batch(spark):
+    """applyInPandasWithState smoke: drain the fixture, keep each user's
+    LAST emitted row (update mode re-emits on every touching batch) —
+    must equal the batch groupBy aggregate."""
+    from toymapreduce_go_spark.streaming.events_stream import (
+        stream_user_running_stats)
+
+    stream = read_events_stream(spark, SF_DIR)
+    run_to_memory(stream_user_running_stats(stream), "t_user_stats", spark,
+                  output_mode="update")
+    emitted = spark.table("t_user_stats").toPandas()
+    # update mode appends one row per (batch, user); the final state is
+    # the max-n_events row per user
+    last = emitted.sort_values("n_events").groupby("user_id").tail(1)
+    got = {(int(r.user_id), int(r.n_events), round(float(r.sum_value), 2))
+           for r in last.itertuples()}
+    ev = load_table(spark, SF_DIR, "events")
+    want = {(r.user_id, r.n, round(r.s, 2)) for r in
+            ev.groupBy("user_id")
+              .agg(F.count("*").alias("n"),
+                   F.round(F.sum("value"), 2).alias("s")).collect()}
+    assert got == want

@@ -123,3 +123,54 @@ def stream_events_sliding(events_stream: DataFrame,
         .select(F.col("w.start").alias("window_start"), "event_type",
                 "n_events", "sum_value")
     )
+
+
+USER_STATS_OUTPUT = ("user_id long, n_events long, sum_value double, "
+                     "max_value double")
+USER_STATS_STATE = "n long, s double, mx double"
+
+
+def _user_stats_fn(key, pdf_iter, state):
+    """applyInPandasWithState body: fold this batch's rows for one user
+    into (count, sum, max) state; emit the updated running totals.
+    Lives at module level so cloudpickle ships it by value."""
+    import pandas as pd
+
+    (user_id,) = key
+    n, s, mx = state.get() if state.exists else (0, 0.0, float("-inf"))
+    for pdf in pdf_iter:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+    state.update((n, s, mx))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
+                        "sum_value": [round(s, 2)], "max_value": [mx]})
+
+
+def stream_user_running_stats(events_stream: DataFrame,
+                              watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (the
+    escape hatch when built-in windows can't express the state machine):
+    per-user running (count, sum, max) maintained in the state store,
+    re-emitted on every batch that touches the user.
+
+    Scale: state is one tiny tuple per user partitioned by the shuffle
+    key; Arrow batches flow per (partition, key-group). Real pipelines
+    add a timeout (GroupStateTimeout) to expire idle users — omitted
+    here so the smoke test's final emission equals the batch aggregate.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events_stream
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType=USER_STATS_OUTPUT,
+            stateStructType=USER_STATS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
