@@ -115,3 +115,12 @@ def test_array_and_stats_queries_stay_jvm_side(spark):
     for df in (embedding_stats(load_table(spark, SF_DIR, "embeddings")),
                lang_id(load_table(spark, SF_DIR, "documents"))):
         assert "BatchEvalPython" not in plan_of(df)
+
+
+def test_correlated_subquery_decorrelates(spark):
+    from toymapreduce_go_spark.plans.queries import QUERIES
+    df = QUERIES["big_spender_orders"](spark, SF_DIR)
+    plan = plan_of(df)
+    # Catalyst rewrites the correlated scalar subquery into agg + join;
+    # a per-row subquery would appear as a Subquery/ScalarSubquery node
+    assert "Join" in plan and "Subquery" not in plan, plan

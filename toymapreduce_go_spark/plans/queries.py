@@ -81,6 +81,23 @@ def _udtf_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _big_spender_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL entry point (§2c
+    subqueries): orders 30% above their customer's own average.
+    Catalyst de-correlates this into an aggregate + join — asserted in
+    the plan tests — so it's one extra shuffle, never a per-row probe."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_cs")
+    return spark.sql("""
+        SELECT o_custkey, count(*) AS n_big_orders,
+               round(sum(o_totalprice), 2) AS sum_big
+        FROM _orders_cs o
+        WHERE o_totalprice > (SELECT 1.3 * avg(o2.o_totalprice)
+                              FROM _orders_cs o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_custkey ORDER BY o_custkey
+    """)
+
+
 def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.binary import decode_meta_query
     return decode_meta_query(load_table(spark, sf_dir, "documents"))
@@ -126,6 +143,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority_window": _q(relational.order_priority_window),
     "set_ops": _q(relational.customer_set_ops),
     "customers_without_orders": _q(relational.customers_without_orders),
+    "big_spender_orders": _big_spender_orders,
     "events_cube": _q(relational.events_cube),
     "events_json_extract": _q(relational.events_json_extract),
     "events_props_map": _q(relational.events_props_map),
@@ -335,6 +353,15 @@ ORACLES: dict[str, str] = {
         FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "big_spender_orders": """
+        SELECT o_custkey, count(*) AS n_big_orders,
+               round(sum(o_totalprice), 2) AS sum_big
+        FROM orders o
+        WHERE o_totalprice > (SELECT 1.3 * avg(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_custkey ORDER BY o_custkey
     """,
     "events_cube": """
         SELECT event_type, weekday, count(*) AS n_events,
