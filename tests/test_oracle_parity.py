@@ -47,3 +47,23 @@ def test_entry_smoke(spark):
     df = mod.entry(spark)
     assert len(df.collect()) > 0
     assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+def test_sql_front_door_matches_dataframe(spark):
+    """The SQL entry point answers the same question as the DataFrame
+    surface, with the same Catalyst plan benefits."""
+    from conftest import spark_canonical
+    from toymapreduce_go_spark.plans.sql_api import sql
+
+    got = sql(spark, SF_DIR, """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """)
+    want = QUERIES["pricing_summary"](spark, SF_DIR) \
+        .select("l_returnflag", "l_linestatus", "sum_qty", "count_order")
+    assert spark_canonical(got) == spark_canonical(want)
