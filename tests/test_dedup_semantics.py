@@ -38,3 +38,24 @@ def test_ann_variants_recall_vs_bruteforce(spark):
         got = {(r.probe_id, r.neighbor_id) for r in rows}
         recall = len(got & exact) / len(exact)
         assert recall >= floor, (name, recall)
+
+
+def test_jaccard_doc_freq_guard(spark):
+    """The skew guard prunes ultra-common shingles: with a huge cap the
+    result is identical to exact; with a tiny cap it still runs and
+    reports a subset of the exact pairs (pruning only removes evidence,
+    and near-dup pairs share mostly rare shingles)."""
+    from toymapreduce_go_spark.operators.dedup import ngram_jaccard_pairs
+    from toymapreduce_go_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {(r.doc_a, r.doc_b)
+             for r in ngram_jaccard_pairs(docs).collect()}
+    capped_loose = {(r.doc_a, r.doc_b)
+                    for r in ngram_jaccard_pairs(docs, max_doc_freq=10**9)
+                    .collect()}
+    assert capped_loose == exact
+    capped_tight = {(r.doc_a, r.doc_b)
+                    for r in ngram_jaccard_pairs(docs, max_doc_freq=2)
+                    .collect()}
+    assert capped_tight <= exact

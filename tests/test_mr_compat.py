@@ -3,7 +3,6 @@ contract (pkg/mr/mr.go) and with the declarative operators."""
 
 from __future__ import annotations
 
-import os
 
 from conftest import SF_DIR
 

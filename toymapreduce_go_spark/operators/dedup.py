@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import tokens
-from ..functions.vectors import cosine_sim
 
 # ---------------------------------------------------------------------------
 # 1. Exact dedup
@@ -78,18 +77,31 @@ def _shingles(df: DataFrame, n: int, distinct: bool = True) -> DataFrame:
 
 
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """Exact Jaccard similarity over word n-gram shingle sets for every
     doc pair sharing ≥1 shingle; emit pairs ≥ threshold.
 
     This is the *correctness* dedup: candidate generation is the shingle
     self-join (only docs sharing a shingle ever meet — never a crossJoin),
     then |A∩B| / (|A|+|B|−|A∩B|). At 100 TB you run MinHash-LSH (below)
-    instead and use this formula only to verify candidates; the shingle
-    join degrades if one shingle is extremely common, so the scale path
-    also drops top-frequency shingles (stopword shingles) first.
+    instead and use this formula only to verify candidates.
+
+    ``max_doc_freq`` is the skew guard for the candidate join: a shingle
+    appearing in f docs contributes f² join rows, so one stopword shingle
+    in 1% of a billion docs is 10¹⁴ pairs. Dropping shingles with
+    document frequency above the cap bounds every join key's fan-out;
+    Jaccard then runs over the *pruned* shingle sets (standard
+    winnowing-style approximation — pairs sharing only ultra-common
+    shingles were below any useful threshold anyway). The declared query
+    passes None: exact semantics, matched by the DuckDB oracle.
     """
     sh = _shingles(documents, n)
+    if max_doc_freq is not None:
+        df_counts = sh.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("_df"))
+        sh = (sh.join(df_counts.filter(F.col("_df") <= max_doc_freq)
+                      .select("shingle"), "shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
