@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import words_exploded
+from ..functions.text import tokens, words_exploded
 
 
 def wordcount(documents: DataFrame) -> DataFrame:
@@ -36,12 +36,14 @@ def inverted_index(documents: DataFrame) -> DataFrame:
     The reference sorts doc names lexicographically (indexer.go:38-41);
     here doc_id is numeric so we sort numerically then stringify —
     deterministic either way, pinned in the oracle identically.
+
+    The per-doc word *set* (indexer.go:23-31) is array_distinct on the
+    token array — map-side, inside the scan stage — NOT a (word, doc_id)
+    distinct, which would cost a second full shuffle before the groupBy.
     """
-    pairs = (
-        words_exploded(documents.select("doc_id", "text"))
-        .select("word", "doc_id")
-        .distinct()  # per-doc word *set*, indexer.go:23-31
-    )
+    pairs = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens("text"))).alias("word"))
     return (
         pairs.groupBy("word")
         .agg(
@@ -56,11 +58,15 @@ def inverted_index(documents: DataFrame) -> DataFrame:
 
 
 def distinct_words_per_doc(documents: DataFrame) -> DataFrame:
-    """A3 map half: doc_id → count(distinct word)."""
+    """A3 map half: doc_id → count(distinct word). Zero shuffles: the
+    per-doc distinct count is size(array_distinct(tokens)) computed in
+    the scan stage — no explode, no groupBy (the reference pays a full
+    shuffle for this; so would a countDistinct formulation)."""
     return (
-        words_exploded(documents.select("doc_id", "text"))
-        .groupBy("doc_id")
-        .agg(F.countDistinct("word").alias("n_words"))
+        documents.select(
+            "doc_id",
+            F.size(F.array_distinct(tokens("text"))).alias("n_words"))
+        .filter(F.col("n_words") > 0)
         .orderBy("doc_id")
     )
 
