@@ -126,11 +126,15 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
     docs share it — ``n_sharing > 1`` marks a normalization-duplicate
     group (none exist in the synthetic fixture, so the per-doc form keeps
     the query's output non-trivial)."""
+    from pyspark.sql.window import Window
+
     norm = F.md5(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z]+", " ")))
     fps = documents.select("doc_id", norm.alias("fp"))
-    counts = fps.groupBy("fp").agg(F.count("*").alias("n_sharing"))
+    # count-over-window: one shuffle on fp, and the md5 projection is
+    # computed once (a groupBy+self-join recomputes it on both sides)
     return (
-        fps.join(counts, "fp")
+        fps.withColumn("n_sharing",
+                       F.count(F.lit(1)).over(Window.partitionBy("fp")))
         .select("doc_id", "fp", "n_sharing")
         .orderBy("doc_id")
     )
