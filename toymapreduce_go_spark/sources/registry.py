@@ -30,6 +30,33 @@ TABLES = (
 # against the fact tables, at every scale factor we target.
 DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
 
+# Small-unsplittable-input fan-out (fact tables only). A Parquet file is
+# splittable at row-group granularity; a single-row-group file — the shape
+# of the local fixtures — yields exactly ONE scan task no matter how many
+# cores the cluster has, serializing every downstream map-side operator
+# (tokenize, hash, vector math) onto one thread. Fan the scan out with a
+# bounded round-robin exchange when the input is small enough that the
+# shuffle is provably cheap (< FANOUT_MAX_BYTES moves < 64 MB — noise on
+# any cluster) yet big enough to carry real map work (> FANOUT_MIN_BYTES).
+# At production scale the window never triggers: a 100 TB table is
+# thousands of files / row groups and the scan parallelizes naturally, so
+# this is a no-op exactly where a repartition would be catastrophic.
+# Dimension tables are exempt — they exist to be broadcast, not mapped.
+FANOUT_MIN_BYTES = 256 * 1024
+FANOUT_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _input_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path) for f in files
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return FANOUT_MAX_BYTES  # non-local URI: assume big, never fan out
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazily read one catalog table from ``sf_dir``.
@@ -53,6 +80,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name not in DIM_TABLES:
+        if FANOUT_MIN_BYTES < _input_bytes(path) < FANOUT_MAX_BYTES:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
