@@ -137,24 +137,40 @@ N_BANDS = 16  # 16 bands × 4 rows → s-curve threshold ≈ (1/16)^(1/4) ≈ 0.
 def minhash_signatures(documents: DataFrame, n: int = 3,
                        n_hashes: int = N_HASHES) -> DataFrame:
     """(doc_id, sig array<bigint>) MinHash signatures over word n-gram
-    shingles. Permutation i is simulated by xxhash64(i, shingle) (seeded,
-    deterministic — no RNG, unlike spark.ml's MinHashLSH whose coefficients
-    depend on a random seed).
+    shingles. Permutation i is simulated by xxhash64(i, shingle_hash)
+    (seeded, deterministic — no RNG, unlike spark.ml's MinHashLSH whose
+    coefficients depend on a random seed).
 
-    Plan shape: one row per (doc, shingle) into ``n_hashes`` plain ``min``
-    aggregate columns — whole-stage-codegen'd, with map-side partial mins
-    before the single shuffle on doc_id (no arrays, no collect_list).
-    The shingle string is hashed ONCE (``h0``); permutation i re-hashes
-    the resulting 64-bit value with seed i — a constant-cost permutation
-    family, instead of re-scanning the string n_hashes times."""
-    sh = _shingles(documents, n, distinct=False)
-    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h0"))
-    mins = hashed.groupBy("doc_id").agg(*[
-        F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"m{i}")
-        for i in range(n_hashes)
-    ])
-    return mins.select(
-        "doc_id", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig"))
+    Plan shape: SHUFFLE-FREE — the whole signature is a per-row projection
+    over the scan. Each token is hashed once; shingle hash ``h0`` combines
+    the n token hashes (never materializing shingle strings); permutation
+    i re-hashes the 64-bit value with seed i and ``array_min`` folds each
+    permutation map-side. min over the position multiset equals min over
+    the shingle set, so no distinct is needed either. At 100 TB this is
+    exactly the shape you want: signatures stream out of the scan stage
+    and the only shuffle in the whole near-dup pipeline is the LSH bucket
+    join. (Each intermediate array is projected in its own select so
+    Catalyst never duplicates the token-hash pass per permutation.)"""
+    toks = (documents.select("doc_id", tokens("text").alias("toks"))
+            .filter(F.size("toks") >= n))
+    th = toks.select(
+        "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("th"))
+    h0 = th.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("th") - (n - 1)),
+            lambda i: F.xxhash64(*[F.element_at("th", i + j)
+                                   for j in range(n)]),
+        ).alias("h0s"))
+    def perm_min(i: int):
+        # NB: must stay a ONE-arg lambda — F.transform treats a two-arg
+        # lambda as (element, index), so an `i=i` default would be
+        # silently shadowed by the array index.
+        return F.array_min(F.transform("h0s", lambda h: F.xxhash64(F.lit(i), h)))
+
+    return h0.select(
+        "doc_id",
+        F.array(*[perm_min(i) for i in range(n_hashes)]).alias("sig"))
 
 
 def near_dedup_minhash(documents: DataFrame, n: int = 3,
