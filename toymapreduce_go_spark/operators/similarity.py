@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine_sim
+from ..functions.vectors import cosine_sim, dot, l2_norm
 
 DEFAULT_K = 5
 
@@ -153,47 +153,81 @@ def ann_ivf(embeddings: DataFrame, n_cells: int = 16,
     k-means; the *plumbing* is identical); probes search only their
     ``n_probe_cells`` nearest cells.
 
-    Scale: centroids broadcast, so assignment is one map-side pass over
-    the corpus + a groupBy(vec_id) argmax (at 100 TB: a pandas-UDF
-    matmul per partition, no per-centroid row blowup); the probe join
-    then touches |corpus| * n_probe_cells / n_cells candidates instead
-    of the full corpus. Declared rows-only (centroid choice is an
-    engine detail with no DuckDB twin).
+    Scale: the centroid set IS the model — a handful of vectors that
+    live on the driver and are inlined into the plan as literals
+    (spark.ml broadcasts k-means model params the same way). Assignment
+    is then a pure scalar projection over the scan: no per-centroid row
+    blowup, no argmax shuffle, no re-attach join. The probe join touches
+    |corpus| * n_probe_cells / n_cells candidates instead of the full
+    corpus. Declared rows-only (centroid choice is an engine detail with
+    no DuckDB twin).
     """
-    cents = (
+    import math
+
+    cent_rows = (
         embeddings.orderBy("vec_id").limit(n_cells)
-        .select(F.col("vec_id").alias("cent_id"),
-                F.col("embedding").alias("cent_emb"))
+        .select("vec_id", "embedding").collect()
     )
-    # nearest-centroid assignment: argmax over the broadcast centroid set
-    # via max(struct(cos, cent_id)) — ties break to the larger cent_id.
-    # The argmax groupBy shuffles only (vec_id, cos, cent_id); embeddings
-    # re-attach afterwards so the 64-float arrays never ride the
-    # 16x-expanded exchange.
-    scored = (
-        embeddings.join(broadcast(cents))
-        .withColumn("cos_c", cosine_sim(F.col("cent_emb"), F.col("embedding")))
-        .select("vec_id", "cos_c", "cent_id")
-    )
-    cells = (
-        scored.groupBy("vec_id")
-        .agg(F.max(F.struct(F.col("cos_c"), F.col("cent_id"))).alias("best"))
-        .select("vec_id", F.col("best.cent_id").alias("cell"))
-    )
-    assigned = cells.join(embeddings.select("vec_id", "embedding"), "vec_id")
-    probes = (
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in cent_rows]
+    cent_norms = {cid: math.sqrt(sum(x * x for x in emb))
+                  for cid, emb in cents}
+
+    # One projected corpus-vector norm, reused by every centroid score —
+    # inlining cosine_sim n_cells times would recompute it n_cells times
+    # per row.
+    emb_n = embeddings.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+
+    # The whole argmax is assembled as ONE SQL string and parsed JVM-side
+    # in a single F.expr call: building ~n_cells*dim literal Column nodes
+    # through the Python API costs thousands of Py4J round trips (~1.5 s
+    # of driver time for 16x64), while parsing the equivalent text is
+    # milliseconds.
+    def cent_score_sql(cid: int, emb: list) -> str:
+        cn = cent_norms[cid]
+        if cn == 0:
+            return "0D"
+        arr = "array(" + ",".join(f"{x!r}D" for x in emb) + ")"
+        d = (f"aggregate(zip_with({arr}, embedding,"
+             " (x, y) -> x * double(y)), 0D, (a, x) -> a + x)")
+        return f"(case when nrm > 0D then {d} / ({cn!r}D * nrm) else 0D end)"
+
+    # nearest-centroid argmax over the literal set via
+    # greatest(struct(cos, cent_id)) — ties break to the larger cent_id,
+    # matching the previous max(struct(...)) semantics.
+    best_sql = "greatest(" + ",".join(
+        f"struct({cent_score_sql(cid, emb)} as cos_c, {cid}L as cent_id)"
+        for cid, emb in cents
+    ) + ").cent_id"
+    assigned = emb_n.select(
+        "vec_id", "embedding", F.expr(best_sql).alias("cell"))
+
+    # Probe→cell routing is model-sized work (|probes| × n_cells scores):
+    # computed driver-side, shipped as a literal broadcast frame. The
+    # probe set (lowest n_probes vec_ids) is a prefix of the centroid
+    # collect whenever n_probes <= n_cells — no second job.
+    probe_rows = (
+        cent_rows[:n_probes] if n_probes <= n_cells else
         embeddings.orderBy("vec_id").limit(n_probes)
-        .select(F.col("vec_id").alias("probe_id"),
-                F.col("embedding").alias("probe_emb"))
+        .select("vec_id", "embedding").collect()
     )
-    wp = Window.partitionBy("probe_id").orderBy(
-        F.col("cos_p").desc(), F.col("cent_id").asc())
-    probe_cells = (
-        probes.join(broadcast(cents))
-        .withColumn("cos_p", cosine_sim(F.col("cent_emb"), F.col("probe_emb")))
-        .withColumn("cell_rank", F.row_number().over(wp))
-        .filter(F.col("cell_rank") <= n_probe_cells)
-        .select("probe_id", "probe_emb", F.col("cent_id").alias("cell"))
+
+    def top_cells(emb):
+        pn = math.sqrt(sum(x * x for x in emb))
+        scored = []
+        for cid, cemb in cents:
+            cn = cent_norms[cid]
+            cos = (sum(a * b for a, b in zip(cemb, emb)) / (cn * pn)
+                   if cn > 0 and pn > 0 else 0.0)
+            scored.append((-cos, cid))
+        return [cid for _, cid in sorted(scored)[:n_probe_cells]]
+
+    probe_cells = embeddings.sparkSession.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]], cell)
+         for r in probe_rows
+         for cell in top_cells([float(x) for x in r["embedding"]])],
+        "probe_id long, probe_emb array<double>, cell long",
     )
     cand = (
         assigned.join(broadcast(probe_cells), "cell")
