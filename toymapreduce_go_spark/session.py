@@ -54,7 +54,17 @@ def build_session(app_name: str = "toymapreduce-go-spark",
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM hosts all executor threads, so the
+        # heap must be sized for cores × per-task memory, not a remote
+        # driver's footprint — 8g across 32 concurrent tasks GC-thrashes.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # Whole-stage codegen emits one compiled class per stage; a session
+        # running the full 51-query surface overflows the JVM's default
+        # 240 MB code cache, after which the JIT flushes hot methods /
+        # stops compiling and every later query runs 2-4x slower. Only
+        # effective at JVM launch (harmless no-op on an existing session).
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=1g")
     )
     if not os.environ.get("SPARK_MASTER") and "local" not in os.environ.get("MASTER", ""):
         builder = builder.master(f"local[{cpus}]")
