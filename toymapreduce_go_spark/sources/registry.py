@@ -41,7 +41,16 @@ DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
 # At production scale the window never triggers: a 100 TB table is
 # thousands of files / row groups and the scan parallelizes naturally, so
 # this is a no-op exactly where a repartition would be catastrophic.
-# Dimension tables are exempt — they exist to be broadcast, not mapped.
+#
+# Only the compute-heavy tables qualify: documents (tokenize / shingle /
+# hash entire texts) and embeddings (64-dim vector math) do real per-row
+# work BEFORE their first shuffle, so a serial scan starves every core.
+# Relational tables (lineitem/orders/events) hit a groupBy/join exchange
+# immediately — the shuffle already parallelizes the pipeline, and a
+# fan-out would just prepend a redundant exchange (measured +0.5-0.7 s
+# per query at sf0.1). Dimension tables exist to be broadcast, not
+# mapped.
+FANOUT_TABLES = frozenset({"documents", "embeddings"})
 FANOUT_MIN_BYTES = 256 * 1024
 FANOUT_MAX_BYTES = 64 * 1024 * 1024
 
@@ -80,7 +89,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    if name not in DIM_TABLES:
+    if name in FANOUT_TABLES:
         if FANOUT_MIN_BYTES < _input_bytes(path) < FANOUT_MAX_BYTES:
             df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
