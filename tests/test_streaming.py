@@ -88,3 +88,20 @@ def test_stream_stateful_user_stats_matches_batch(spark):
               .agg(F.count("*").alias("n"),
                    F.round(F.sum("value"), 2).alias("s")).collect()}
     assert got == want
+
+
+def test_stream_exact_dedup_matches_batch_survivor_count(spark):
+    """Streaming dropDuplicatesWithinWatermark on sha2(text) must keep
+    exactly one row per distinct content hash — the batch distinct count
+    is the oracle (all fixture rows arrive within one watermark)."""
+    from toymapreduce_go_spark.streaming.events_stream import (
+        read_documents_stream, run_to_memory, stream_exact_dedup)
+    from toymapreduce_go_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    deduped = stream_exact_dedup(read_documents_stream(spark, SF_DIR))
+    run_to_memory(deduped, "stream_dedup", spark, output_mode="append")
+    got = spark.table("stream_dedup").count()
+    expected = (load_table(spark, SF_DIR, "documents")
+                .select(F.sha2("text", 256)).distinct().count())
+    assert got == expected and got > 0

@@ -174,3 +174,47 @@ def stream_user_running_stats(events_stream: DataFrame,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str,
+                          max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over the documents parquet — the streaming face
+    of the curation pipeline's input (one file per trigger simulates
+    arrival; production points at the landing directory)."""
+    import os
+    import tempfile
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="documents_stream_")
+    link = os.path.join(src_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"), link)
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
+def stream_exact_dedup(documents_stream: DataFrame,
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup — the streaming twin of
+    ``operators.dedup.exact_dedup_survivors`` (reference has no streaming
+    at all; batch form carries the oracle-checked correctness).
+
+    ``dropDuplicatesWithinWatermark`` on the content fingerprint keeps
+    one state-store entry per distinct sha256 *within the watermark
+    horizon* — the state bound that makes streaming dedup viable at
+    100 TB/day ingest (an unbounded ``dropDuplicates`` would grow state
+    forever). Arrival time is stamped at ingest: content dedup has no
+    event time of its own, and the horizon is an ops choice ("suppress
+    re-crawls seen within N").
+    """
+    return (
+        documents_stream
+        .withColumn("fp", F.sha2(F.col("text"), 256))
+        .withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("doc_id", "source", "fp")
+    )
