@@ -76,6 +76,27 @@ def _shingles(df: DataFrame, n: int, distinct: bool = True) -> DataFrame:
     return out.distinct() if distinct else out
 
 
+def _shingle_hashes(df: DataFrame, n: int) -> DataFrame:
+    """(doc_id, h0s array<bigint>) — 64-bit shingle fingerprints per doc,
+    one array entry per shingle position, all map-side: each token is
+    hashed once, a shingle's fingerprint combines its n token hashes (no
+    shingle strings are ever materialized). Shared by MinHash (folds mins
+    over the multiset) and exact Jaccard (array_distinct for set
+    semantics). Each pass is projected in its own select so Catalyst
+    never duplicates the previous one."""
+    toks = (df.select("doc_id", tokens("text").alias("toks"))
+            .filter(F.size("toks") >= n))
+    th = toks.select(
+        "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("th"))
+    return th.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("th") - (n - 1)),
+            lambda i: F.xxhash64(*[F.element_at("th", i + j)
+                                   for j in range(n)]),
+        ).alias("h0s"))
+
+
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
                         threshold: float = 0.5,
                         max_doc_freq: int | None = None) -> DataFrame:
@@ -95,18 +116,38 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     winnowing-style approximation — pairs sharing only ultra-common
     shingles were below any useful threshold anyway). The declared query
     passes None: exact semantics, matched by the DuckDB oracle.
+
+    Shingles are represented by 64-bit fingerprints (`_shingle_hashes`):
+    the per-doc set is `array_distinct` map-side — (doc_id, fp) is then
+    globally distinct by construction, so set semantics cost NO shuffle —
+    and the self-join shuffles 8-byte keys instead of n-word strings.
+    Jaccard over fingerprints equals Jaccard over shingles absent a
+    64-bit collision inside a candidate pair (odds ~s²/2⁶⁴ for s shared
+    shingles; the fixed fixtures are verified collision-free by the
+    DuckDB string-shingle oracle).
     """
-    sh = _shingles(documents, n)
+    fpsets = _shingle_hashes(documents, n).select(
+        "doc_id", F.array_distinct("h0s").alias("fps"))
+    # explode_outer, NOT explode: plain explode plants an implicit
+    # `size(fps) > 0` filter that predicate-pushdown inlines below the
+    # projections — the whole tokenize/hash/distinct pipeline gets
+    # re-evaluated inside the filter with the token-hash array expanded
+    # per element (measured 10s vs 0.6s at sf0.1). The outer variant
+    # generates no filter; empty docs are already gone (size >= n guard).
+    sh = fpsets.select("doc_id", F.explode_outer("fps").alias("fp")) \
+               .filter(F.col("fp").isNotNull())
     if max_doc_freq is not None:
-        df_counts = sh.groupBy("shingle").agg(
+        df_counts = sh.groupBy("fp").agg(
             F.count(F.lit(1)).alias("_df"))
         sh = (sh.join(df_counts.filter(F.col("_df") <= max_doc_freq)
-                      .select("shingle"), "shingle"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+                      .select("fp"), "fp"))
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    else:
+        sizes = fpsets.select("doc_id", F.size("fps").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
@@ -151,17 +192,8 @@ def minhash_signatures(documents: DataFrame, n: int = 3,
     and the only shuffle in the whole near-dup pipeline is the LSH bucket
     join. (Each intermediate array is projected in its own select so
     Catalyst never duplicates the token-hash pass per permutation.)"""
-    toks = (documents.select("doc_id", tokens("text").alias("toks"))
-            .filter(F.size("toks") >= n))
-    th = toks.select(
-        "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("th"))
-    h0 = th.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), F.size("th") - (n - 1)),
-            lambda i: F.xxhash64(*[F.element_at("th", i + j)
-                                   for j in range(n)]),
-        ).alias("h0s"))
+    h0 = _shingle_hashes(documents, n)
+
     def perm_min(i: int):
         # NB: must stay a ONE-arg lambda — F.transform treats a two-arg
         # lambda as (element, index), so an `i=i` default would be
