@@ -54,28 +54,6 @@ def exact_dedup_survivors(documents: DataFrame) -> DataFrame:
 # 2. N-gram Jaccard (exact pairwise over shingle join — oracle-checkable)
 
 
-def _shingles(df: DataFrame, n: int, distinct: bool = True) -> DataFrame:
-    """(doc_id, shingle) word n-grams per doc, JVM-side: slide an n-window
-    over the token array with transform + slice. ``distinct=True`` gives
-    set semantics (needed for Jaccard sizes; costs a shuffle);
-    min-aggregating consumers (MinHash) pass False — min over the
-    multiset equals min over the set, so they skip that shuffle."""
-    toks = df.select("doc_id", tokens("text").alias("toks"))
-    out = (
-        toks.filter(F.size("toks") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
-                )
-            ).alias("shingle"),
-        )
-    )
-    return out.distinct() if distinct else out
-
-
 def _shingle_hashes(df: DataFrame, n: int) -> DataFrame:
     """(doc_id, h0s array<bigint>) — 64-bit shingle fingerprints per doc,
     one array entry per shingle position, all map-side: each token is
