@@ -1,0 +1,86 @@
+"""asof_join semantics beyond the declared query's single-value-col shape:
+multiple value columns, NULLs in the matched right row, empty value_cols,
+and inner (no-prior-match drop) behavior — the regressions VERDICT r01 #3
+called out (leaked loop variable / per-column last(ignorenulls) drift).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from toymapreduce_go_spark.operators.joins import asof_join
+
+
+def _ts(m):
+    return datetime.datetime(2024, 1, 1, 0, m)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "l-a"), (1, _ts(30), "l-b"), (2, _ts(5), "l-c")],
+        "k int, ts timestamp, lval string")
+    # user 1: match at ts=9 has (v1=10, v2=NULL); an OLDER row at ts=1 has
+    # non-null v2=99 — per-column last(ignorenulls) would wrongly splice
+    # 99 into the ts=9 match. Second left row matches ts=25 (both set).
+    right = spark.createDataFrame(
+        [(1, _ts(1), 7, 99), (1, _ts(9), 10, None), (1, _ts(25), 20, 5)],
+        "k int, ts timestamp, v1 int, v2 int")
+    return left, right
+
+
+def test_asof_multi_value_cols_all_from_matched_row(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="k", ts="ts",
+                    value_cols=["v1", "v2"]).orderBy("ts")
+    rows = out.collect()
+    # left row at ts=5 (k=2) has no right side at all → dropped (inner)
+    assert [r["lval"] for r in rows] == ["l-a", "l-b"]
+    a, b = rows
+    assert a["ts_asof"] == _ts(9)
+    assert (a["v1_asof"], a["v2_asof"]) == (10, None)  # NULL survives
+    assert b["ts_asof"] == _ts(25)
+    assert (b["v1_asof"], b["v2_asof"]) == (20, 5)
+
+
+def test_asof_empty_value_cols(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="k", ts="ts", value_cols=[])
+    rows = out.orderBy("ts").collect()
+    assert [r["ts_asof"] for r in rows] == [_ts(9), _ts(25)]
+    assert set(out.columns) == {"k", "ts", "lval", "ts_asof"}
+
+
+def test_asof_equal_ts_is_inclusive(spark):
+    left = spark.createDataFrame([(1, _ts(9), "x")],
+                                 "k int, ts timestamp, lval string")
+    right = spark.createDataFrame([(1, _ts(9), 42, 1)],
+                                  "k int, ts timestamp, v1 int, v2 int")
+    rows = asof_join(left, right, on="k", ts="ts",
+                     value_cols=["v1", "v2"]).collect()
+    assert len(rows) == 1 and rows[0]["v1_asof"] == 42
+
+
+def test_asof_duckdb_parity_with_nulls(spark, duck):
+    """Differential check against DuckDB's native ASOF JOIN on a fixture
+    with NULL value columns (the declared events_asof_join fixture has
+    none, which is exactly how the r01 bug survived)."""
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="k", ts="ts",
+                    value_cols=["v1", "v2"]).orderBy("ts")
+    got = [(r["k"], r["ts"], r["lval"], r["ts_asof"], r["v1_asof"],
+            r["v2_asof"]) for r in out.collect()]
+    duck.execute("CREATE OR REPLACE TABLE _asof_l (k int, ts timestamp, lval varchar)")
+    duck.execute("CREATE OR REPLACE TABLE _asof_r (k int, ts timestamp, v1 int, v2 int)")
+    duck.executemany("INSERT INTO _asof_l VALUES (?, ?, ?)",
+                     [tuple(r) for r in left.collect()])
+    duck.executemany("INSERT INTO _asof_r VALUES (?, ?, ?, ?)",
+                     [tuple(r) for r in right.collect()])
+    want = duck.execute("""
+        SELECT l.k, l.ts, l.lval, r.ts AS ts_asof, r.v1, r.v2
+        FROM _asof_l l ASOF JOIN _asof_r r
+          ON l.k = r.k AND l.ts >= r.ts
+        ORDER BY l.ts
+    """).fetchall()
+    assert got == [tuple(w) for w in want]

@@ -33,34 +33,35 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     ``value_cols``: right columns carried over (suffixed). Right rows sort
     before left rows at equal ts, making the match inclusive (>=).
     """
-    lt = left.withColumn("__side", F.lit(1))
+    # All right-side payload travels in ONE struct (matched ts + every
+    # value column), so a single last(ignorenulls) picks the whole matched
+    # row atomically: value columns that are NULL *in the matched row*
+    # stay NULL instead of falling back to an older right row, and match
+    # detection is the struct's own nullity, independent of value_cols.
     rt = right.select(
-        on, ts, *value_cols
-    ).withColumn("__side", F.lit(0))
-    for c in value_cols:
-        rt = rt.withColumnRenamed(c, c + suffix)
-    rt = rt.withColumn("__rts", F.col(ts))
-
-    missing_in_rt = [c for c in lt.columns if c not in rt.columns]
-    missing_in_lt = [c for c in rt.columns if c not in lt.columns]
-    for c in missing_in_rt:
-        rt = rt.withColumn(c, F.lit(None))
-    for c in missing_in_lt:
-        lt = lt.withColumn(c, F.lit(None))
+        F.col(on), F.col(ts),
+        F.lit(0).alias("__side"),
+        F.struct(F.col(ts).alias("__rts"),
+                 *[F.col(c) for c in value_cols]).alias("__rrow"),
+    )
+    lt = left.withColumn("__side", F.lit(1)).withColumn(
+        "__rrow", F.lit(None).cast(rt.schema["__rrow"].dataType))
+    ltypes = {f.name: f.dataType for f in lt.schema.fields}
+    for c in lt.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(ltypes[c]))
 
     w = (Window.partitionBy(on).orderBy(F.col(ts).asc(), F.col("__side").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    filled = lt.unionByName(rt.select(*lt.columns))
-    for c in value_cols:
-        filled = filled.withColumn(
-            c + suffix, F.last(c + suffix, ignorenulls=True).over(w))
-    filled = filled.withColumn(
-        "__matched_ts", F.last("__rts", ignorenulls=True).over(w))
+    matched = lt.unionByName(rt.select(*lt.columns)).withColumn(
+        "__match", F.last("__rrow", ignorenulls=True).over(w))
     return (
-        filled.filter((F.col("__side") == 1)
-                      & F.col(c + suffix).isNotNull())
-        .withColumnRenamed("__matched_ts", ts + suffix)
-        .drop("__side", "__rts")
+        matched.filter((F.col("__side") == 1) & F.col("__match").isNotNull())
+        .select(
+            *left.columns,
+            F.col("__match.__rts").alias(ts + suffix),
+            *[F.col(f"__match.{c}").alias(c + suffix) for c in value_cols],
+        )
     )
 
 

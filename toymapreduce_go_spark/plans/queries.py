@@ -543,10 +543,13 @@ ORACLES: dict[str, str] = {
                            THEN 1 ELSE 0 END AS new_session
             FROM lagged),
         sess AS (
-            SELECT *, sum(new_session) OVER (
+            -- CAST: DuckDB's window sum() yields HUGEINT; Spark emits
+            -- BIGINT, and the driver's value-hash serializes them
+            -- differently even when every value matches.
+            SELECT *, CAST(sum(new_session) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS session_id
+                       AS BIGINT) AS session_id
             FROM flagged)
         SELECT user_id, session_id,
                min(ts) AS session_start, max(ts) AS session_end,
