@@ -58,19 +58,22 @@ N_PLANES = 12
 def _sign_sketch(emb_col, n_planes: int = N_PLANES):
     """Deterministic random-hyperplane sign sketch → int bucket id.
 
-    Plane p's component for dimension d is a pseudo-random ±1/±2/... value
-    derived from xxhash64(p, d) — fixed across runs and cluster layouts.
-    sketch bit p = sign(Σ_d w_pd · emb[d]).
+    Plane p's component for dimension d is a pseudo-random weight in
+    {-3,-2,-1,1,2,3} derived from xxhash64(p, d) — fixed across runs and
+    cluster layouts, and zero-free so every dimension contributes to every
+    plane. sketch bit p = sign(Σ_d w_pd · emb[d]).
     """
     dims = F.size(emb_col)
     def plane_dot(p):
+        def weight(d):
+            # residue in {-3..2}, then skip 0 by shifting non-negatives up
+            r = F.pmod(F.xxhash64(F.lit(p), d), F.lit(6)) - F.lit(3)
+            return F.when(r >= 0, r + 1).otherwise(r).cast("double")
         return F.aggregate(
             F.zip_with(
                 emb_col,
                 F.sequence(F.lit(0), dims - 1),
-                # weight in {-3..3}\{0} region: derived from hash, centered
-                lambda x, d: x.cast("double")
-                * ((F.pmod(F.xxhash64(F.lit(p), d), F.lit(7)) - F.lit(3)).cast("double")),
+                lambda x, d: x.cast("double") * weight(d),
             ),
             F.lit(0.0), lambda acc, x: acc + x,
         )

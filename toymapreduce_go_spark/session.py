@@ -66,6 +66,17 @@ def build_session(app_name: str = "toymapreduce-go-spark",
         .config("spark.driver.extraJavaOptions",
                 "-XX:ReservedCodeCacheSize=1g")
     )
-    if not os.environ.get("SPARK_MASTER") and "local" not in os.environ.get("MASTER", ""):
+    # Only default to local[N] when nothing else manages the master:
+    # under spark-submit the driver JVM already carries spark.master (and
+    # PythonRunner exports PYSPARK_GATEWAY_PORT before python starts), and
+    # the pyspark shell passes --master via PYSPARK_SUBMIT_ARGS — forcing
+    # local[N] there would silently override the cluster master.
+    externally_managed = (
+        os.environ.get("SPARK_MASTER")
+        or os.environ.get("MASTER")
+        or os.environ.get("PYSPARK_GATEWAY_PORT")
+        or "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    )
+    if not externally_managed:
         builder = builder.master(f"local[{cpus}]")
     return builder.getOrCreate()

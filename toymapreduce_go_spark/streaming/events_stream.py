@@ -24,23 +24,49 @@ from pyspark.sql import functions as F
 from ..operators.events import SESSION_GAP_MINUTES
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str,
-                       max_files_per_trigger: int = 1) -> DataFrame:
-    """File-source stream over the events parquet (one file per trigger
-    simulates arrival); schema comes from a batch peek of the same path.
+def _stream_src_dir(spark: SparkSession, sf_dir: str, table: str,
+                    n_splits: int = 1) -> str:
+    """Deterministic per-(fixture, table, n_splits) staging directory for
+    the file stream source (which requires a directory, while the fixture
+    is a single read-only file). Reused across calls — no temp-dir leak.
+
+    ``n_splits == 1``: symlink the fixture file in.
+    ``n_splits > 1``: materialize the fixture as n parquet files so
+    ``maxFilesPerTrigger=1`` genuinely exercises multi-batch arrival
+    (a single symlinked file is always exactly one trigger).
+    Production points at the real landing directory instead.
     """
+    import hashlib
     import os
     import tempfile
 
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{table}|{n_splits}".encode()
+    ).hexdigest()[:12]
+    src_dir = os.path.join(tempfile.gettempdir(), f"tmrs_stream_{key}")
+    fixture = os.path.abspath(f"{sf_dir}/{table}.parquet")
+    if n_splits == 1:
+        os.makedirs(src_dir, exist_ok=True)
+        link = os.path.join(src_dir, f"{table}.parquet")
+        if not os.path.exists(link):
+            os.symlink(fixture, link)
+    elif not os.path.isdir(src_dir) or not any(
+            f.endswith(".parquet") for f in os.listdir(src_dir)):
+        (spark.read.parquet(fixture).repartition(n_splits)
+         .write.mode("overwrite").parquet(src_dir))
+    return src_dir
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int = 1,
+                       n_splits: int = 1) -> DataFrame:
+    """File-source stream over the events parquet (one file per trigger
+    simulates arrival; pass ``n_splits > 1`` for true multi-batch
+    arrival); schema comes from a batch peek of the same path.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file source requires a directory; expose the (read-only) fixture
-    # file through a symlink in a temp dir — production points at the
-    # real landing directory
-    src_dir = tempfile.mkdtemp(prefix="events_stream_")
-    link = os.path.join(src_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    src_dir = _stream_src_dir(spark, sf_dir, "events", n_splits)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -177,18 +203,14 @@ def stream_user_running_stats(events_stream: DataFrame,
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str,
-                          max_files_per_trigger: int = 1) -> DataFrame:
+                          max_files_per_trigger: int = 1,
+                          n_splits: int = 1) -> DataFrame:
     """File-source stream over the documents parquet — the streaming face
     of the curation pipeline's input (one file per trigger simulates
-    arrival; production points at the landing directory)."""
-    import os
-    import tempfile
-
+    arrival, ``n_splits > 1`` for true multi-batch arrival; production
+    points at the landing directory)."""
     raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    src_dir = tempfile.mkdtemp(prefix="documents_stream_")
-    link = os.path.join(src_dir, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"), link)
+    src_dir = _stream_src_dir(spark, sf_dir, "documents", n_splits)
     return (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
