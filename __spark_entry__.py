@@ -16,7 +16,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from toymapreduce_go_spark.plans.queries import ORACLES, QUERIES, entry_query
+from toymapreduce_go_spark.plans.queries import (DECLARED, ORACLES, QUERIES,
+                                                 entry_query)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,8 +26,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    # Exactly 50 entries: the driver records at most 50 correctness rows
+    # per round (see plans/queries.py DECLARED); the full QUERIES surface
+    # is oracle-checked in tests/test_oracle_parity.py.
+    return {name: QUERIES[name] for name in DECLARED}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return {name: ORACLES[name] for name in DECLARED if name in ORACLES}

@@ -18,7 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from toymapreduce_go_spark.plans.queries import QUERIES  # noqa: E402
+from toymapreduce_go_spark.plans.queries import DECLARED, QUERIES  # noqa: E402
 from toymapreduce_go_spark.session import build_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,7 +26,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Every declared query runs in the bench. The O(n^2)-pair queries
 # (embedding_near_dup) are capped by their operator design to the probe/
 # bucket pattern at scale; they run as declared here.
-BENCH_QUERIES = list(QUERIES)
+BENCH_QUERIES = list(DECLARED)
 
 
 def materialize(df) -> None:

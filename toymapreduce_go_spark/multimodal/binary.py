@@ -148,7 +148,11 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def multimodal_pipeline_query(documents: DataFrame) -> DataFrame:
     """Declared query: the full decode → resize → frame-sample chain,
     rolled up per source. Oracle-checkable because every fake kernel is
-    pure arithmetic on octet length."""
+    pure arithmetic on octet length.
+
+    The rollup also carries the decode-stage accounting (bytes, dims,
+    pixels) so this one declared query certifies every stage end-to-end;
+    the standalone ``decode_meta_query`` stays pytest-oracled."""
     staged = (
         with_binary_payload(documents)
         .mapInPandas(decode_keep_payload, schema=DECODE_KEEP_SCHEMA)
@@ -159,6 +163,10 @@ def multimodal_pipeline_query(documents: DataFrame) -> DataFrame:
         staged.groupBy("source")
         .agg(
             F.count("*").alias("n_items"),
+            F.sum("byte_len").alias("total_bytes"),
+            F.sum("width").alias("sum_width"),
+            F.sum("height").alias("sum_height"),
+            F.sum(F.col("width") * F.col("height") * 3).alias("total_pixels"),
             F.sum("resized_bytes").alias("total_resized_bytes"),
             F.sum("n_frames").alias("total_frames"),
             F.sum("n_sampled").alias("total_sampled"),
