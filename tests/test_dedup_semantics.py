@@ -40,6 +40,35 @@ def test_ann_variants_recall_vs_bruteforce(spark):
         assert recall >= floor, (name, recall)
 
 
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """1k identical documents put every doc in the same bucket of every
+    band — uncapped, the bucket join is C(1000,2) ≈ 500k pairs per band.
+    With max_bucket_size=8 each band contributes at most C(8,2)=28 pairs,
+    and because identical docs share ALL band hashes, the capped run must
+    still report each kept pair at est_jaccard 1.0, always including the
+    min-doc_id survivor."""
+    from toymapreduce_go_spark.operators.dedup import near_dedup_minhash
+
+    text = ("the quick brown fox jumps over the lazy dog again and again "
+            "for this degenerate duplicate cluster fixture") * 3
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(1000)], "doc_id long, text string")
+    capped = near_dedup_minhash(docs, max_bucket_size=8).collect()
+    assert 0 < len(capped) <= 8 * 7 // 2
+    assert all(r.est_jaccard == 1.0 for r in capped)
+    # survivor (min doc_id) is kept in every bucket → present in pairs
+    assert min(r.doc_a for r in capped) == 0
+    # and the uncapped semantics are unchanged on the real fixture
+    from toymapreduce_go_spark.sources.registry import load_table
+    fixture = load_table(spark, SF_DIR, "documents")
+    uncapped = {(r.doc_a, r.doc_b)
+                for r in near_dedup_minhash(fixture).collect()}
+    loose_cap = {(r.doc_a, r.doc_b)
+                 for r in near_dedup_minhash(fixture, max_bucket_size=10**6)
+                 .collect()}
+    assert loose_cap == uncapped
+
+
 def test_jaccard_doc_freq_guard(spark):
     """The skew guard prunes ultra-common shingles: with a huge cap the
     result is identical to exact; with a tiny cap it still runs and

@@ -186,16 +186,30 @@ def minhash_signatures(documents: DataFrame, n: int = 3,
 def near_dedup_minhash(documents: DataFrame, n: int = 3,
                        threshold: float = 0.5,
                        n_hashes: int = N_HASHES,
-                       n_bands: int = N_BANDS) -> DataFrame:
+                       n_bands: int = N_BANDS,
+                       max_bucket_size: int | None = None) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: band the signature, bucket-join on
     (band_id, band_hash), then estimate Jaccard as fraction of agreeing
     minhashes; keep pairs ≥ threshold.
 
     This is the 100 TB path: cost is O(docs × bands) rows into one
     bucket-join shuffle — never pairwise. Bucket sizes are bounded in
-    practice (identical band-hash = near-identical docs); a production run
-    would also cap giant buckets (cap omitted here to keep the
-    estimate exact for the declared query).
+    practice (identical band-hash = near-identical docs), EXCEPT for
+    degenerate corpora: a giant cluster of identical/boilerplate documents
+    puts all its members in the same bucket of every band, and the bucket
+    join goes quadratic on that one key — SURVEY.md §4's "one hot key =
+    one slow reduce group" in LSH clothing.
+
+    ``max_bucket_size`` is the skew guard: each (band_id, band_hash)
+    bucket keeps only its ``max_bucket_size`` lowest doc_ids
+    (deterministic), bounding every join key's fan-out at cap² pairs.
+    Recall within a giant cluster is unharmed in the dedup use case: the
+    survivor is the min doc_id, which the cap always keeps, so every
+    capped-away member still pairs with a kept representative in SOME
+    band (identical docs share ALL band hashes). The cap itself is one
+    row_number window over the band rows — O(bucket log bucket) on the
+    hot key instead of O(bucket²). Off (None) for the declared query so
+    the estimate stays exact.
     """
     rows_per_band = n_hashes // n_bands
     sig = minhash_signatures(documents, n, n_hashes)
@@ -216,6 +230,10 @@ def near_dedup_minhash(documents: DataFrame, n: int = 3,
             ])
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
+        banded = (banded.withColumn("_bn", F.row_number().over(wb))
+                  .filter(F.col("_bn") <= max_bucket_size).drop("_bn"))
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
