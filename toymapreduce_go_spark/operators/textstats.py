@@ -141,18 +141,27 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
 
 
 def rolling_fingerprint(documents: DataFrame, k: int = 8,
-                        window: int = 4) -> DataFrame:
+                        window: int = 4,
+                        portable: bool = False) -> DataFrame:
     """Winnowing-style rolling fingerprint (Schleimer et al., SIGMOD'03
-    shape): hash every k-gram of chars, keep the min hash of each
-    window-sized run of k-gram hashes, emit the distinct selected hashes
-    per doc. Used for robust partial-overlap detection (plagiarism-style)
-    where whole-doc hashes fail. Declared rows-only (xxhash64 has no DuckDB
-    twin)."""
-    # k-grams over the UTF-8 *bytes*: substring on a string is an O(i)
-    # UTF-8 scan (O(L²) per doc across positions); slicing the encoded
-    # binary is O(1) per position. Identical output for ASCII text; for
-    # multi-byte text the unit is byte-grams, which winnowing is equally
-    # happy with.
+    shape): hash every k-gram, keep the min hash of each window-sized run
+    of k-gram hashes, emit the count of distinct selected hashes per doc.
+    Used for robust partial-overlap detection (plagiarism-style) where
+    whole-doc hashes fail.
+
+    Two gram-hash modes, identical winnowing machinery:
+    - default (production): xxhash64 over UTF-8 *byte* k-grams — fastest,
+      but xxhash64 has no DuckDB twin, so it can only be rows-checked.
+    - ``portable=True`` (declared): 60-bit md5-derived hashes over
+      *character* k-grams — both engines compute
+      int(hex(md5(gram))[0:15]) identically, so the declared query gets a
+      real value-hash oracle. For ASCII text the two modes select the
+      same windows; non-ASCII shifts gram boundaries (bytes vs chars),
+      which winnowing is equally happy with either way.
+    """
+    # k-grams over the UTF-8 *bytes* (default mode): substring on a
+    # string is an O(i) UTF-8 scan (O(L²) per doc across positions);
+    # slicing the encoded binary is O(1) per position.
     # Sliding-window min via sparse-table doubling: M_1 = gh;
     # M_2p[i] = least(M_p[i], M_p[i+p]) covers a 2p-wide window, so
     # log2(window) zip_with passes replace the naive per-position
@@ -166,16 +175,26 @@ def rolling_fingerprint(documents: DataFrame, k: int = 8,
         c = F.col(name)
         return F.slice(c, off + 1, F.greatest(F.size(c) - off, F.lit(0)))
 
-    # Filter on raw byte length (≡ size(gh) >= window) *before* building
+    # Filter on raw length (≡ size(gh) >= window) *before* building
     # grams: a filter on size(gh) would be pushed below the projection and
     # duplicate the whole transform; this predicate is scan-cheap.
-    grams = documents.select(
-        "doc_id", F.encode("text", "UTF-8").alias("tb")
-    ).filter(F.octet_length("tb") >= k + window - 1).select(
-        "doc_id", F.expr(
-            f"transform(sequence(1, octet_length(tb) - {k - 1}),"
-            f" i -> xxhash64(substring(tb, i, {k})))").alias("gh"),
-    )
+    if portable:
+        grams = documents.select("doc_id", "text").filter(
+            F.length("text") >= k + window - 1
+        ).select(
+            "doc_id", F.expr(
+                f"transform(sequence(1, length(text) - {k - 1}),"
+                f" i -> cast(conv(substring(md5(substring(text, i, {k})),"
+                f" 1, 15), 16, 10) as bigint))").alias("gh"),
+        )
+    else:
+        grams = documents.select(
+            "doc_id", F.encode("text", "UTF-8").alias("tb")
+        ).filter(F.octet_length("tb") >= k + window - 1).select(
+            "doc_id", F.expr(
+                f"transform(sequence(1, octet_length(tb) - {k - 1}),"
+                f" i -> xxhash64(substring(tb, i, {k})))").alias("gh"),
+        )
     out = grams.select("doc_id", F.size("gh").alias("n_gh"),
                        F.col("gh").alias("m"))
     span = 1
@@ -199,6 +218,12 @@ def rolling_fingerprint(documents: DataFrame, k: int = 8,
                    F.size(F.array_distinct(full)).alias("n_fingerprints"))
         .orderBy("doc_id")
     )
+
+
+def rolling_fingerprint_portable(documents: DataFrame) -> DataFrame:
+    """The declared, oracle-checked winnowing variant (md5-derived
+    character-gram hashes — see ``rolling_fingerprint``)."""
+    return rolling_fingerprint(documents, portable=True)
 
 
 # Curation thresholds for the end-to-end pipeline query: deliberately

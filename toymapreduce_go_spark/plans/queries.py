@@ -180,7 +180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": _q(textstats.text_quality),
     "token_counts": _q(textstats.token_counts),
     "doc_fingerprint": _q(textstats.doc_fingerprint),
-    "rolling_fingerprint": _q(textstats.rolling_fingerprint),
+    "rolling_fingerprint": _q(textstats.rolling_fingerprint_portable),
     "curation_pipeline": _q(textstats.curation_pipeline),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
@@ -752,8 +752,26 @@ ORACLES: dict[str, str] = {
               FROM documents)
         GROUP BY source ORDER BY source
     """,
+    # Winnowing with portable 60-bit md5 gram hashes: both engines
+    # compute int(hex(md5(gram))[0:15]) identically (Spark conv ==
+    # DuckDB '0x' cast), so the declared variant is fully value-checked;
+    # the xxhash64 byte-gram production path stays rows-only in pytest.
+    "rolling_fingerprint": """
+        WITH grams AS (
+            SELECT doc_id,
+                   list_transform(range(1, length(text) - 6),
+                       i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))
+                            ::BIGINT) AS gh
+            FROM documents WHERE length(text) >= 11),
+        sel AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(gh) - 2),
+                       j -> list_min(gh[j:j+3])) AS mins
+            FROM grams)
+        SELECT doc_id, len(list_distinct(mins)) AS n_fingerprints
+        FROM sel ORDER BY doc_id
+    """,
     # near_dedup_minhash, simhash_buckets, ann_lsh, ann_ivf,
-    # rolling_fingerprint, approx_stats: intentionally no oracle
-    # (xxhash64/sketches have no DuckDB twin) → rows-only check, as
-    # SURVEY.md §2d notes.
+    # approx_stats: intentionally no oracle (xxhash64/sketches have no
+    # DuckDB twin) → rows-only check, as SURVEY.md §2d notes.
 }
