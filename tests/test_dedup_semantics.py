@@ -69,6 +69,26 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
     assert loose_cap == uncapped
 
 
+def test_simhash_hamming_planted_pair(spark):
+    """A/B are at exactly Hamming distance 2 under the portable 60-bit
+    simhash (verified offline against a pure-Python replica — they share
+    only the top 20-bit block, so the pigeonhole join must surface them
+    through that single block); C is ~30 bits from both and shares no
+    block, so it must not pair. A duplicate of A pins distance 0."""
+    from toymapreduce_go_spark.operators.dedup import simhash_hamming_pairs
+
+    a = ("the quick brown fox jumps over the lazy dog while rain falls "
+         "on green hills near quiet rivers")
+    b = a + " fish"
+    c = ("completely different subject matter about spacecraft propulsion "
+         "systems and orbital mechanics calculations")
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, c), (3, a)], "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b, r.hamming)
+           for r in simhash_hamming_pairs(docs).collect()}
+    assert got == {(0, 1, 2), (0, 3, 0), (1, 3, 2)}
+
+
 def test_jaccard_doc_freq_guard(spark):
     """The skew guard prunes ultra-common shingles: with a huge cap the
     result is identical to exact; with a tiny cap it still runs and

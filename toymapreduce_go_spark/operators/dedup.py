@@ -271,21 +271,34 @@ def near_dedup_minhash(documents: DataFrame, n: int = 3,
 # 4. SimHash
 
 
-def simhash_buckets(documents: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc over its token multiset, plus bucket sizes.
+PORTABLE_SIMHASH_BITS = 60
 
-    simhash bit j = sign of Σ_tokens (±1 depending on bit j of
-    xxhash64(token)). Entirely JVM-side: per-doc token explode → per-bit
-    vote aggregation expressed as an array fold. Docs sharing a simhash are
-    near-identical; Hamming-≤k search would join on rotated prefixes.
+
+def simhash_signatures(documents: DataFrame, bits: int = 64,
+                       portable: bool = False) -> DataFrame:
+    """(doc_id, simhash) SimHash per doc over its token multiset.
+
+    simhash bit j = sign of Σ_tokens (±1 depending on bit j of the token
+    hash). Entirely JVM-side: per-doc token explode → 'bits' codegen'd
+    ±1-vote sum aggregates with map-side partials — no arrays or
+    collect_list on the shuffle.
+
+    Hash modes (same pattern as ``rolling_fingerprint``):
+    - default (production): xxhash64(token), 64 bits.
+    - ``portable=True`` (declared): 60-bit md5-derived token hashes that
+      DuckDB computes identically (('0x'||substr(md5,1,15))::BIGINT), so
+      simhash queries get real value-hash oracles.
     """
     import functools
 
+    if portable:
+        bits = min(bits, PORTABLE_SIMHASH_BITS)
+        th = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    else:
+        th = F.xxhash64("token")
     tok = documents.select(
         "doc_id", F.explode(tokens("text")).alias("token")
-    ).select("doc_id", F.xxhash64("token").alias("th"))
-    # bit j's vote as its own ±1 sum aggregate — 64 codegen'd columns with
-    # map-side partial sums, no arrays/collect_list on the shuffle.
+    ).select("doc_id", th.alias("th"))
     votes = tok.groupBy("doc_id").agg(*[
         F.sum(F.when(F.shiftright("th", j).bitwiseAND(F.lit(1)) == 1, 1)
                .otherwise(-1)).alias(f"v{j}")
@@ -301,7 +314,15 @@ def simhash_buckets(documents: DataFrame, bits: int = 64) -> DataFrame:
         [F.when(F.col(f"v{j}") > 0, mask(j)).otherwise(F.lit(0).cast("long"))
          for j in range(bits)],
     )
-    sigs = votes.select("doc_id", simhash_col.alias("simhash"))
+    return votes.select("doc_id", simhash_col.alias("simhash"))
+
+
+def simhash_buckets(documents: DataFrame, bits: int = 64,
+                    portable: bool = False) -> DataFrame:
+    """SimHash bucket sizes: docs sharing a simhash are near-identical.
+    The declared query runs the portable 60-bit variant (full DuckDB
+    oracle); Hamming-≤k neighbor search is ``simhash_hamming_pairs``."""
+    sigs = simhash_signatures(documents, bits, portable)
     return (
         sigs.groupBy("simhash").agg(
             F.count("*").alias("n_docs"),
@@ -309,6 +330,64 @@ def simhash_buckets(documents: DataFrame, bits: int = 64) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
         .orderBy("simhash")
+    )
+
+
+def simhash_buckets_portable(documents: DataFrame) -> DataFrame:
+    return simhash_buckets(documents, portable=True)
+
+
+def simhash_hamming_pairs(documents: DataFrame, max_hamming: int = 2,
+                          bits: int = PORTABLE_SIMHASH_BITS,
+                          portable: bool = True) -> DataFrame:
+    """All doc pairs with SimHash Hamming distance ≤ max_hamming, via the
+    pigeonhole block join: split the signature into max_hamming+1 equal
+    bit-blocks — any pair within distance k differs in at most k blocks,
+    so at least one block matches exactly. Join on (block_id, block_val),
+    then verify with bit_count(xor).
+
+    Scale: candidate generation is an equi-join on block values — docs
+    meet only when a 20-bit block collides (corpus/2^20 expected bucket
+    size per block), never all-pairs; the verify step is one codegen'd
+    bit_count per candidate. This is the standard Hamming-neighbor
+    decomposition (pigeonhole over signature blocks, as in
+    Manku et al.'s simhash dedup, WWW'07).
+    """
+    n_blocks = max_hamming + 1
+    if bits % n_blocks:
+        raise ValueError(f"bits={bits} must divide into {n_blocks} blocks")
+    width = bits // n_blocks
+    block_mask = (1 << width) - 1
+    sigs = simhash_signatures(documents, bits, portable)
+    blocks = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("block_id"),
+                F.shiftright("simhash", b * width)
+                 .bitwiseAND(F.lit(block_mask)).alias("block_val"),
+            )
+            for b in range(n_blocks)
+        ])).alias("blk"),
+    ).select("doc_id", "simhash", "blk.block_id", "blk.block_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.block_id") == F.col("b.block_id"))
+               & (F.col("a.block_val") == F.col("b.block_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     )
 
 

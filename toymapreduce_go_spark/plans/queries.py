@@ -169,7 +169,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": _q(dedup.exact_dedup_survivors),
     "ngram_jaccard_pairs": _q(dedup.ngram_jaccard_pairs),
     "near_dedup_minhash": _q(dedup.near_dedup_minhash),
-    "simhash_buckets": _q(dedup.simhash_buckets),
+    "simhash_buckets": _q(dedup.simhash_buckets_portable),
+    "simhash_hamming": _q(dedup.simhash_hamming_pairs),
     "embedding_near_dup": _q(dedup.embedding_near_dup),
     # -- similarity search (§2d #15 + north star) ------------------------
     "knn_bruteforce": _q(similarity.knn_bruteforce),
@@ -264,6 +265,25 @@ _QUALITY_FEATS = """
                             t -> length(t) > 0))::DOUBLE, 1.0), 4) AS mean_word_len
     FROM documents
 """
+
+def _simhash_sigs_sql(bits: int = 60) -> str:
+    """Generated DuckDB twin of ``dedup.simhash_signatures(portable=True)``:
+    per-bit ±1 vote sums over 60-bit md5-derived token hashes (identical
+    to Spark's conv(substring(md5,1,15),16,10))."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits))
+    sh = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+        SELECT doc_id, CAST({sh} AS BIGINT) AS simhash
+        FROM (SELECT doc_id, {votes}
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5(word), 1, 15))::BIGINT AS th
+                    FROM ({_WORDS}))
+              GROUP BY doc_id)
+    """
+
 
 ORACLES: dict[str, str] = {
     "wordcount": _WORDCOUNT_SQL,
@@ -771,7 +791,32 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, len(list_distinct(mins)) AS n_fingerprints
         FROM sel ORDER BY doc_id
     """,
-    # near_dedup_minhash, simhash_buckets, ann_lsh, ann_ivf,
-    # approx_stats: intentionally no oracle (xxhash64/sketches have no
-    # DuckDB twin) → rows-only check, as SURVEY.md §2d notes.
+    # Portable 60-bit simhash (md5 token hashes): both engines compute
+    # the same signatures, so bucket and Hamming-pair queries are fully
+    # value-checked; the xxhash64 64-bit production path stays in pytest.
+    "simhash_buckets": f"""
+        SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+        FROM ({_simhash_sigs_sql()})
+        GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash
+    """,
+    "simhash_hamming": f"""
+        WITH sigs AS ({_simhash_sigs_sql()}),
+        blocks AS (
+            SELECT doc_id, simhash, b AS block_id,
+                   (simhash >> (b * 20)) & 1048575 AS block_val
+            FROM sigs, (SELECT unnest([0, 1, 2]) AS b) bs),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.simhash AS sh_a, b.simhash AS sh_b
+            FROM blocks a JOIN blocks b
+              ON a.block_id = b.block_id AND a.block_val = b.block_val
+             AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+        FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 2
+        ORDER BY doc_a, doc_b
+    """,
+    # near_dedup_minhash, ann_lsh, ann_ivf, approx_stats: intentionally
+    # no oracle (xxhash64/sketches have no DuckDB twin) → rows-only
+    # check, as SURVEY.md §2d notes.
 }
