@@ -183,11 +183,57 @@ def minhash_signatures(documents: DataFrame, n: int = 3,
         F.array(*[perm_min(i) for i in range(n_hashes)]).alias("sig"))
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1, the classic universal-hash modulus
+
+
+def minhash_perm_params(n_hashes: int = N_HASHES) -> list[tuple[int, int]]:
+    """Seeded (a, b) coefficients for the portable linear permutations
+    h_i(x) = (a_i·x + b_i) mod p. Deterministic: the same literals are
+    inlined into the Spark plan and the generated DuckDB oracle SQL."""
+    import random
+
+    rng = random.Random(0x5EED)
+    return [(rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+            for _ in range(n_hashes)]
+
+
+def minhash_signatures_portable(documents: DataFrame, n: int = 3,
+                                n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig) MinHash signatures both engines can compute bit-for-
+    bit: shingle → 32-bit md5-derived hash, reduced mod p = 2³¹−1, then
+    permutation i = (a_i·x + b_i) mod p with seeded literal coefficients
+    (``minhash_perm_params``). Still a shuffle-free scan projection like
+    the xxhash64 production variant — and the per-permutation work is a
+    multiply-add-mod instead of a re-hash. Bounds: x, a < 2³¹ so a·x+b
+    < 2⁶² never overflows a long; min over the position multiset equals
+    min over the shingle set because the permutation is per-element."""
+    toks = (documents.select("doc_id", tokens("text").alias("toks"))
+            .filter(F.size("toks") >= n))
+    shingle = "concat_ws(' ', " + ", ".join(
+        f"element_at(toks, i + {j})" for j in range(n)) + ")"
+    xs = toks.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(toks) - {n - 1}), i -> "
+            f"cast(conv(substring(md5({shingle}), 1, 8), 16, 10) as bigint)"
+            f" % {MINHASH_PRIME}L)").alias("xs"))
+
+    def perm_min(a: int, b: int):
+        return F.array_min(F.transform(
+            "xs", lambda x: (x * a + b) % MINHASH_PRIME))
+
+    return xs.select(
+        "doc_id",
+        F.array(*[perm_min(a, b)
+                  for a, b in minhash_perm_params(n_hashes)]).alias("sig"))
+
+
 def near_dedup_minhash(documents: DataFrame, n: int = 3,
                        threshold: float = 0.5,
                        n_hashes: int = N_HASHES,
                        n_bands: int = N_BANDS,
-                       max_bucket_size: int | None = None) -> DataFrame:
+                       max_bucket_size: int | None = None,
+                       portable: bool = False) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: band the signature, bucket-join on
     (band_id, band_hash), then estimate Jaccard as fraction of agreeing
     minhashes; keep pairs ≥ threshold.
@@ -212,7 +258,23 @@ def near_dedup_minhash(documents: DataFrame, n: int = 3,
     the estimate stays exact.
     """
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signatures(documents, n, n_hashes)
+    if portable:
+        sig = minhash_signatures_portable(documents, n, n_hashes)
+
+        def band_key(b: int):
+            # exact 4-tuple equality as a CSV string — portable to the
+            # DuckDB oracle (array_to_string), collision-free by
+            # construction; the production variant hashes to 8 bytes
+            # instead to keep the bucket-join shuffle narrow
+            return F.concat_ws(",", *[
+                F.col("sig")[b * rows_per_band + r].cast("string")
+                for r in range(rows_per_band)])
+    else:
+        sig = minhash_signatures(documents, n, n_hashes)
+
+        def band_key(b: int):
+            return F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)])
     # Band rows carry ONLY (doc_id, band_id, band_hash): the 64-long
     # signature array never rides the self-join / pair-dedup shuffles
     # (that tripled shuffle bytes); signatures re-attach afterwards from
@@ -221,11 +283,8 @@ def near_dedup_minhash(documents: DataFrame, n: int = 3,
         "doc_id",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
-                                 for r in range(rows_per_band)]).alias("band_hash"),
-                )
+                F.struct(F.lit(b).alias("band_id"),
+                         band_key(b).alias("band_hash"))
                 for b in range(n_bands)
             ])
         ).alias("band"),
