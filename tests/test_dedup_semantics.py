@@ -43,10 +43,10 @@ def test_ann_variants_recall_vs_bruteforce(spark):
 def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
     """1k identical documents put every doc in the same bucket of every
     band — uncapped, the bucket join is C(1000,2) ≈ 500k pairs per band.
-    With max_bucket_size=8 each band contributes at most C(8,2)=28 pairs,
-    and because identical docs share ALL band hashes, the capped run must
-    still report each kept pair at est_jaccard 1.0, always including the
-    min-doc_id survivor."""
+    With max_bucket_size=8 the self-join contributes C(8,2)=28 pairs and
+    every capped-away member (992 of them) is joined back to the rank-1
+    survivor, so dedup recall is total: all 999 non-survivors pair with
+    doc 0 and no member could survive dedup as 'unique'."""
     from toymapreduce_go_spark.operators.dedup import near_dedup_minhash
 
     text = ("the quick brown fox jumps over the lazy dog again and again "
@@ -54,10 +54,13 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
     docs = spark.createDataFrame(
         [(i, text) for i in range(1000)], "doc_id long, text string")
     capped = near_dedup_minhash(docs, max_bucket_size=8).collect()
-    assert 0 < len(capped) <= 8 * 7 // 2
+    # pair count is LINEAR in the cluster (kept C(8,2) + 992 rep pairs),
+    # never the quadratic C(1000,2)
+    assert len(capped) == 8 * 7 // 2 + (1000 - 8)
     assert all(r.est_jaccard == 1.0 for r in capped)
-    # survivor (min doc_id) is kept in every bucket → present in pairs
-    assert min(r.doc_a for r in capped) == 0
+    # every member pairs with the min-doc_id survivor → zero recall loss
+    paired_with_survivor = {r.doc_b for r in capped if r.doc_a == 0}
+    assert paired_with_survivor == set(range(1, 1000))
     # and the uncapped semantics are unchanged on the real fixture
     from toymapreduce_go_spark.sources.registry import load_table
     fixture = load_table(spark, SF_DIR, "documents")

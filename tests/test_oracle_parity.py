@@ -59,7 +59,7 @@ def test_declared_surface_is_exactly_fifty():
     sys.path.insert(0, "/root/repo")
     from toymapreduce_go_spark.plans.queries import DECLARED, PYTEST_ONLY
     mod = importlib.import_module("__spark_entry__")
-    assert len(mod.queries()) == len(DECLARED) <= 50
+    assert len(mod.queries()) == len(DECLARED) == 50
     assert set(DECLARED) | set(PYTEST_ONLY) == set(QUERIES)
     for name in PYTEST_ONLY:  # nothing pytest-only may lose its oracle
         assert name in ORACLES

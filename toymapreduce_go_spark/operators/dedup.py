@@ -247,15 +247,16 @@ def near_dedup_minhash(documents: DataFrame, n: int = 3,
     one slow reduce group" in LSH clothing.
 
     ``max_bucket_size`` is the skew guard: each (band_id, band_hash)
-    bucket keeps only its ``max_bucket_size`` lowest doc_ids
-    (deterministic), bounding every join key's fan-out at cap² pairs.
-    Recall within a giant cluster is unharmed in the dedup use case: the
-    survivor is the min doc_id, which the cap always keeps, so every
-    capped-away member still pairs with a kept representative in SOME
-    band (identical docs share ALL band hashes). The cap itself is one
-    row_number window over the band rows — O(bucket log bucket) on the
-    hot key instead of O(bucket²). Off (None) for the declared query so
-    the estimate stays exact.
+    bucket keeps only its ``max_bucket_size`` lowest doc_ids for the
+    self-join, bounding every join key's fan-out at cap² pairs. Recall
+    is preserved explicitly, not by luck: capped-away rows (row_number
+    > cap) are joined back to their bucket's rank-1 representative (the
+    min doc_id — the dedup survivor), so EVERY member of a giant
+    identical cluster still emits a pair with the survivor. That extra
+    join is linear in the bucket (each dropped row meets exactly one
+    representative row per band), so the hot key costs O(bucket log
+    bucket) for the window + O(bucket) pairs instead of O(bucket²).
+    Off (None) for the declared query so the estimate stays exact.
     """
     rows_per_band = n_hashes // n_bands
     if portable:
@@ -289,18 +290,30 @@ def near_dedup_minhash(documents: DataFrame, n: int = 3,
             ])
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
+    dropped_pairs = None
     if max_bucket_size is not None:
         wb = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
-        banded = (banded.withColumn("_bn", F.row_number().over(wb))
-                  .filter(F.col("_bn") <= max_bucket_size).drop("_bn"))
+        ranked = banded.withColumn("_bn", F.row_number().over(wb))
+        rep = (ranked.filter(F.col("_bn") == 1)
+               .select("band_id", "band_hash",
+                       F.col("doc_id").alias("rep_id")))
+        # rep_id < doc_id by construction (rep is rank 1, dropped rn > 1)
+        dropped_pairs = (
+            ranked.filter(F.col("_bn") > max_bucket_size)
+            .join(rep, ["band_id", "band_hash"])
+            .select(F.col("rep_id").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b")))
+        banded = ranked.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                & (F.col("a.band_hash") == F.col("b.band_hash"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
     )
+    if dropped_pairs is not None:
+        pairs = pairs.unionByName(dropped_pairs)
+    pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
     cand = (
         pairs
         .join(sig.select(F.col("doc_id").alias("doc_a"),
@@ -308,22 +321,29 @@ def near_dedup_minhash(documents: DataFrame, n: int = 3,
         .join(sig.select(F.col("doc_id").alias("doc_b"),
                          F.col("sig").alias("sig_b")), "doc_b")
     )
+    raw = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda x, y: F.when(x == y, 1.0).otherwise(0.0)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ) / F.lit(float(n_hashes))
+    # k/n_hashes with n_hashes a power of two is an exact dyadic double —
+    # both engines produce bit-identical values, so the portable declared
+    # query needs (and must have) NO rounding for its value-hash oracle.
     est = cand.withColumn(
-        "est_jaccard",
-        F.round(
-            F.aggregate(
-                F.zip_with("sig_a", "sig_b",
-                           lambda x, y: F.when(x == y, 1.0).otherwise(0.0)),
-                F.lit(0.0), lambda acc, x: acc + x,
-            ) / F.lit(float(n_hashes)),
-            4,
-        ),
-    )
+        "est_jaccard", raw if portable else F.round(raw, 4))
     return (
         est.filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def near_dedup_minhash_portable(documents: DataFrame) -> DataFrame:
+    """Declared variant: portable md5-mod-p signatures with literal (a,b)
+    permutation coefficients, so the generated DuckDB oracle
+    (``plans.queries._minhash_oracle_sql``) computes bit-identical
+    signatures, pairs, and agreement fractions."""
+    return near_dedup_minhash(documents, portable=True)
 
 
 # ---------------------------------------------------------------------------

@@ -168,7 +168,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- dedup family (§2d #13-14 + north star) --------------------------
     "exact_dedup": _q(dedup.exact_dedup_survivors),
     "ngram_jaccard_pairs": _q(dedup.ngram_jaccard_pairs),
-    "near_dedup_minhash": _q(dedup.near_dedup_minhash),
+    "near_dedup_minhash": _q(dedup.near_dedup_minhash_portable),
     "simhash_buckets": _q(dedup.simhash_buckets_portable),
     "simhash_hamming": _q(dedup.simhash_hamming_pairs),
     "embedding_near_dup": _q(dedup.embedding_near_dup),
@@ -282,6 +282,55 @@ def _simhash_sigs_sql(bits: int = 60) -> str:
                            ('0x' || substr(md5(word), 1, 15))::BIGINT AS th
                     FROM ({_WORDS}))
               GROUP BY doc_id)
+    """
+
+
+def _minhash_oracle_sql(n: int = 3, n_hashes: int = 64, n_bands: int = 16,
+                        threshold: float = 0.5) -> str:
+    """Generated DuckDB twin of ``dedup.near_dedup_minhash(portable=True)``:
+    shingle → 32-bit md5 prefix mod p = 2³¹−1, permutation i =
+    (a_i·x + b_i) mod p with the SAME literal coefficients
+    (``dedup.minhash_perm_params``), 4-row band keys as CSV strings,
+    bucket self-join, then agreement fraction k/n_hashes — an exact
+    dyadic double in both engines, so no rounding is needed (or wanted:
+    the value-hash compares raw doubles)."""
+    from ..operators.dedup import MINHASH_PRIME, minhash_perm_params
+
+    p = MINHASH_PRIME
+    rows = n_hashes // n_bands
+    sig_exprs = ",\n               ".join(
+        f"list_min(list_transform(xs, x -> (x * {a} + {b}) % {p}))"
+        for a, b in minhash_perm_params(n_hashes))
+    shingle = f"array_to_string(toks[i:i+{n - 1}], ' ')"
+    return f"""
+        WITH xs AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(toks) - {n} + 2),
+                       i -> ('0x' || substr(md5({shingle}), 1, 8))::BIGINT
+                            % {p}) AS xs
+            FROM ({_TOKS}) WHERE len(toks) >= {n}),
+        sigs AS (
+            SELECT doc_id, [{sig_exprs}] AS sig FROM xs),
+        bands AS (
+            SELECT doc_id, b AS band_id,
+                   array_to_string(sig[b*{rows}+1 : b*{rows}+{rows}], ',')
+                       AS band_hash
+            FROM sigs, (SELECT unnest(range(0, {n_bands})) AS b) bs),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id),
+        est AS (
+            SELECT doc_a, doc_b,
+                   list_sum(list_transform(range(1, {n_hashes + 1}),
+                       i -> CASE WHEN sa.sig[i] = sb.sig[i]
+                                 THEN 1 ELSE 0 END))::DOUBLE
+                   / {float(n_hashes)} AS est_jaccard
+            FROM pairs JOIN sigs sa ON sa.doc_id = doc_a
+                       JOIN sigs sb ON sb.doc_id = doc_b)
+        SELECT doc_a, doc_b, est_jaccard FROM est
+        WHERE est_jaccard >= {threshold} ORDER BY doc_a, doc_b
     """
 
 
@@ -816,7 +865,11 @@ ORACLES: dict[str, str] = {
         FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 2
         ORDER BY doc_a, doc_b
     """,
-    # near_dedup_minhash, ann_lsh, ann_ivf, approx_stats: intentionally
-    # no oracle (xxhash64/sketches have no DuckDB twin) → rows-only
+    # MinHash-LSH with the portable md5-mod-p signatures: fully
+    # value-checked — same literal permutation coefficients inlined in
+    # both plans.
+    "near_dedup_minhash": _minhash_oracle_sql(),
+    # ann_lsh, ann_ivf, approx_stats: intentionally no oracle
+    # (xxhash64 buckets / sketches have no DuckDB twin) → rows-only
     # check, as SURVEY.md §2d notes.
 }
