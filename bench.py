@@ -39,6 +39,38 @@ def materialize(df) -> None:
         df.count()
 
 
+def load_prior_bench(repo_dir: str) -> dict[str, float]:
+    """Per-query seconds from the most recent driver-recorded BENCH_r*.json
+    (empty if none exists / parses)."""
+    import glob
+    import re
+
+    best: tuple[int, str] | None = None
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), path)
+    if best is None:
+        return {}
+    try:
+        with open(best[1]) as f:
+            return dict(json.load(f)["parsed"]["queries"])
+    except Exception:
+        return {}
+
+
+def find_regressions(current: dict[str, float],
+                     prior: dict[str, float],
+                     ratio: float = 1.5,
+                     min_abs_sec: float = 1.0) -> list[str]:
+    """Queries slower than ``ratio``x the prior round AND by more than
+    ``min_abs_sec`` absolute (sub-second timings are noise-dominated on a
+    32-thread local JVM even with best-of-2)."""
+    return sorted(
+        q for q, sec in current.items()
+        if q in prior and sec > ratio * prior[q] and sec - prior[q] > min_abs_sec)
+
+
 def main() -> None:
     spark = build_session("toymapreduce-go-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -72,6 +104,20 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
+
+    # Regression guard: any query >1.5x slower than the prior recorded
+    # round (and by >1s absolute) fails the bench loudly — a correct-but-
+    # regressed operator is not done. rc=2 AFTER the JSON line so the
+    # metrics are still recorded. SPARK_GRAFT_BENCH_NO_GUARD=1 disables
+    # (for A/B experiments against deliberately changed baselines).
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_GUARD"):
+        prior = load_prior_bench(os.path.dirname(os.path.abspath(__file__)))
+        regressed = find_regressions(timings, prior)
+        if regressed:
+            for q in regressed:
+                print(f"BENCH REGRESSION {q}: {timings[q]}s vs prior "
+                      f"{prior[q]}s (>1.5x)", file=sys.stderr)
+            sys.exit(2)
 
 
 if __name__ == "__main__":

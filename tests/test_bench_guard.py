@@ -1,0 +1,40 @@
+"""The bench regression guard (round-1 advice #10): bench.py must flag any
+query that regresses >1.5x (and >1s absolute) vs the most recent
+driver-recorded BENCH_r*.json, without ever suppressing the metrics line."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import find_regressions, load_prior_bench  # noqa: E402
+
+
+def test_find_regressions_flags_only_real_slowdowns():
+    prior = {"a": 2.0, "b": 0.4, "c": 3.0, "gone": 1.0}
+    current = {"a": 3.5,   # 1.75x and +1.5s -> flagged
+               "b": 0.9,   # 2.25x but only +0.5s -> noise, not flagged
+               "c": 4.2,   # 1.4x -> under ratio, not flagged
+               "new": 9.9}  # no prior -> not flagged
+    assert find_regressions(current, prior) == ["a"]
+
+
+def test_find_regressions_empty_prior():
+    assert find_regressions({"a": 9.0}, {}) == []
+
+
+def test_load_prior_bench_picks_latest_round(tmp_path):
+    for n, val in ((1, 1.0), (3, 3.0), (2, 2.0)):
+        (tmp_path / f"BENCH_r{n:02d}.json").write_text(
+            json.dumps({"parsed": {"queries": {"q": val}}}))
+    assert load_prior_bench(str(tmp_path)) == {"q": 3.0}
+
+
+def test_load_prior_bench_no_files(tmp_path):
+    assert load_prior_bench(str(tmp_path)) == {}
+
+
+def test_repo_has_prior_bench_for_guard():
+    assert "wordcount" in load_prior_bench("/root/repo")
