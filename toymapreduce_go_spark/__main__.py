@@ -1,0 +1,126 @@
+"""CLI entry point — operational parity with the reference binary
+(cmd/main.go:20-44).
+
+The reference runs as two cooperating processes: ``mapreduce coord
+-input f1,f2 -nreduce 4`` and ``mapreduce worker -mrpath plugin.so``
+(flag surface cmd/main.go:22-29; input normalization to URIs
+cmd/coord/coordinator.go:37-43). Spark collapses coordinator and worker
+into one driver + managed executors, so this CLI takes the union of
+their flags in a single invocation:
+
+    python -m toymapreduce_go_spark --app wc \
+        --input 'data/a.txt,data/b.txt' --nreduce 4 --out out/
+
+    python -m toymapreduce_go_spark --plugin my_mr.py \
+        --input 'corpus/*.txt' --out out/ --single-file
+
+``--app`` picks a built-in compat app (the reference's example/mrapps
+set); ``--plugin`` loads a Python file the way the reference worker
+dlopens a .so (worker.go plugin load): the module must export ``Map``
+and ``Reduce`` (the Go symbol contract, with Reduce in the sequential
+(key, values) -> value form, mrsequential.go:110) or the grouped-form
+``map_f`` / ``reduce_f``. Output is the reference's "key value" text
+format, one directory of part files per run (F9) — ``--single-file``
+gives the sequential oracle's one sorted file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import sys
+
+
+def load_plugin(path: str):
+    """Load (map_f, grouped_reduce_f) from a user Python file — the
+    pluggable-UDF contract (F15)."""
+    from .mr.api import simple_reduce
+
+    spec = importlib.util.spec_from_file_location("mr_plugin", path)
+    if spec is None or spec.loader is None:
+        raise SystemExit(f"cannot load plugin: {path}")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["mr_plugin"] = mod  # registrable for pickle-by-value
+    spec.loader.exec_module(mod)
+    try:
+        from pyspark import cloudpickle
+        cloudpickle.register_pickle_by_value(mod)
+    except Exception:
+        pass
+    if hasattr(mod, "map_f") and hasattr(mod, "reduce_f"):
+        return mod.map_f, mod.reduce_f
+    if hasattr(mod, "Map") and hasattr(mod, "Reduce"):
+        return mod.Map, simple_reduce(mod.Reduce)
+    raise SystemExit(
+        f"plugin {path} must export Map/Reduce or map_f/reduce_f")
+
+
+def main(argv: list[str] | None = None) -> None:
+    from .mr.apps import APPS
+
+    p = argparse.ArgumentParser(
+        prog="python -m toymapreduce_go_spark",
+        description="Run a map/reduce compat app on Spark "
+                    "(reference: cmd/main.go).")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--app", choices=sorted(APPS),
+                     help="built-in compat app (example/mrapps twin)")
+    src.add_argument("--plugin", metavar="FILE.py",
+                     help="Python plugin exporting Map/Reduce "
+                          "(worker -mrpath analog)")
+    p.add_argument("--input", required=True,
+                   help="comma-separated input files/globs "
+                        "(coord -input analog; Hadoop FS URIs OK)")
+    p.add_argument("--nreduce", type=int, default=4,
+                   help="number of reduce partitions/output files "
+                        "(coord -nreduce analog, same default)")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--single-file", action="store_true",
+                   help="one sorted output file (sequential-oracle "
+                        "layout, mrsequential.go:62-84)")
+    p.add_argument("--max-failures", type=int, default=4,
+                   help="task retry budget (coordinator reschedule "
+                        "analog; >1 required for the crash app)")
+    args = p.parse_args(argv)
+
+    if args.plugin:
+        map_f, reduce_f = load_plugin(args.plugin)
+        app_name = args.plugin
+    else:
+        map_f, reduce_f = APPS[args.app]
+        app_name = args.app
+
+    # Master: on a cluster, spark-submit owns it (build_session's
+    # externally-managed check); standalone we run local[N, maxFailures]
+    # — the retry budget (F12) the reference gets from coordinator
+    # rescheduling (coordinator.go:176-199), required for the crash app.
+    import os
+
+    from .mr.api import run_map_reduce_files
+    from .session import default_parallelism
+    from .sources.sinks import write_text_kv
+    from pyspark.sql import SparkSession
+
+    externally_managed = (
+        os.environ.get("SPARK_MASTER") or os.environ.get("MASTER")
+        or os.environ.get("PYSPARK_GATEWAY_PORT")
+        or "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", ""))
+    builder = (SparkSession.builder.appName(f"mr-{app_name}")
+               .config("spark.sql.shuffle.partitions", str(args.nreduce))
+               .config("spark.ui.enabled", "false"))
+    if not externally_managed:
+        builder = builder.master(
+            f"local[{default_parallelism()}, {args.max_failures}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    result = run_map_reduce_files(spark, map_f, reduce_f,
+                                  args.input, n_reduce=args.nreduce)
+    write_text_kv(result, args.out, single_file=args.single_file)
+    n = result.count()
+    print(f"{app_name}: {n} output rows -> {args.out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
