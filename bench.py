@@ -110,13 +110,27 @@ def main() -> None:
     # regressed operator is not done. rc=2 AFTER the JSON line so the
     # metrics are still recorded. SPARK_GRAFT_BENCH_NO_GUARD=1 disables
     # (for A/B experiments against deliberately changed baselines).
+    #
+    # Flagged queries get ONE confirmation re-run first: early-position
+    # queries see ±2x first-query JIT variance even with best-of-2
+    # (observed: wordcount 0.68/2.05/1.26 across identical-code runs), and
+    # transient noise vanishes on a now-fully-warm JVM while a real
+    # regression persists. The reported JSON above stays the comparable
+    # best-of-2 numbers; the re-run only arbitrates the guard verdict.
     if not os.environ.get("SPARK_GRAFT_BENCH_NO_GUARD"):
         prior = load_prior_bench(os.path.dirname(os.path.abspath(__file__)))
-        regressed = find_regressions(timings, prior)
-        if regressed:
-            for q in regressed:
-                print(f"BENCH REGRESSION {q}: {timings[q]}s vs prior "
-                      f"{prior[q]}s (>1.5x)", file=sys.stderr)
+        confirmed = {}
+        for q in find_regressions(timings, prior):
+            t0 = time.perf_counter()
+            materialize(QUERIES[q](spark, SF_DIR))
+            best = min(timings[q], round(time.perf_counter() - t0, 3))
+            if find_regressions({q: best}, prior):
+                confirmed[q] = best
+        if confirmed:
+            for q, sec in confirmed.items():
+                print(f"BENCH REGRESSION {q}: {sec}s vs prior "
+                      f"{prior[q]}s (>1.5x, confirmed on re-run)",
+                      file=sys.stderr)
             sys.exit(2)
 
 
