@@ -12,6 +12,8 @@ Two tiers:
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -86,15 +88,58 @@ def _sign_sketch(emb_col, n_planes: int = N_PLANES):
     )
 
 
-def ann_lsh(embeddings: DataFrame, n_probes: int = 5, k: int = DEFAULT_K,
-            n_planes: int = N_PLANES) -> DataFrame:
-    """Approximate top-k: bucket corpus and probes by sign sketch; rank
-    only within the probe's bucket. Recall < 1 by design (declared as a
-    rows-only check); the win is that the per-probe candidate set is
-    |corpus| / 2^n_planes in expectation — at 100 TB with n_planes≈20 the
-    bucket join touches thousands, not billions, of rows per probe.
-    """
-    sketched = embeddings.withColumn("bucket", _sign_sketch(F.col("embedding"), n_planes))
+LSH_SEED = 0x51DE
+LSH_DIM = 64  # the embeddings table's fixed dimension (TESTDATA.md)
+# The declared portable query uses 6 planes (64 buckets): coarse enough
+# that the 500-2000-vector test corpora yield full top-k candidate sets
+# (12 planes = 4096 buckets leaves every probe alone in its bucket —
+# an empty result proves nothing). Production sizes n_planes ~
+# log2(|corpus| / target_bucket_size); the plan shape is identical.
+PORTABLE_LSH_PLANES = 6
+
+
+def lsh_plane_weights(n_planes: int = N_PLANES,
+                      dim: int = LSH_DIM) -> list[list[int]]:
+    """Seeded literal hyperplanes: weights in {-3,-2,-1,1,2,3} (zero-free
+    — every dimension votes on every plane). Like the IVF centroids and
+    the MinHash (a,b) coefficients, the planes ARE the model: a few
+    hundred ints inlined into the plan as literals, identically into the
+    generated DuckDB oracle. Zero per-row hashing — cheaper than the
+    xxhash64 sketch, at the cost of fixing ``dim`` at plan-build time."""
+    rng = random.Random(LSH_SEED)
+    return [[rng.choice([-3, -2, -1, 1, 2, 3]) for _ in range(dim)]
+            for _ in range(n_planes)]
+
+
+def _sign_sketch_literal(emb: str, planes: list[list[int]]):
+    """Bucket id from literal planes, as ONE parsed SQL expression (the
+    Py4J round-trip lesson from ``ann_ivf``: thousands of literal Column
+    nodes cost seconds of driver time; text parses in milliseconds).
+    Each plane's dot is an explicit left-to-right term chain so the
+    DuckDB twin (``plans.queries._ann_lsh_oracle_sql``) adds in exactly
+    the same order — bit-identical doubles, bit-identical signs."""
+    def plane_dot(w: list[int]) -> str:
+        return " + ".join(f"double({emb}[{d}]) * {float(x)!r}D"
+                          for d, x in enumerate(w))
+    return F.expr("(" + " + ".join(
+        f"(case when ({plane_dot(w)}) > 0D then {1 << p} else 0 end)"
+        for p, w in enumerate(planes)) + ")")
+
+
+def ann_lsh_portable(embeddings: DataFrame, n_probes: int = 5,
+                     k: int = DEFAULT_K,
+                     n_planes: int = PORTABLE_LSH_PLANES) -> DataFrame:
+    """Declared variant of ``ann_lsh``: identical bucket-then-rank plan,
+    but the sign sketch uses the seeded literal planes so the DuckDB
+    oracle reproduces buckets, candidates, and ranks exactly."""
+    sketched = embeddings.withColumn(
+        "bucket", _sign_sketch_literal("embedding",
+                                       lsh_plane_weights(n_planes)))
+    return _rank_bucket_candidates(sketched, n_probes, k)
+
+
+def _rank_bucket_candidates(sketched: DataFrame, n_probes: int,
+                            k: int) -> DataFrame:
     probes = (
         sketched.orderBy("vec_id").limit(n_probes)
         .select(F.col("vec_id").alias("probe_id"),
@@ -107,7 +152,8 @@ def ann_lsh(embeddings: DataFrame, n_probes: int = 5, k: int = DEFAULT_K,
                       & (F.col("vec_id") != F.col("probe_id")))
         .withColumn("cos", cosine_sim(F.col("probe_emb"), F.col("embedding")))
     )
-    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(),
+                                               F.col("vec_id").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -115,6 +161,18 @@ def ann_lsh(embeddings: DataFrame, n_probes: int = 5, k: int = DEFAULT_K,
                 F.round("cos", 4).alias("cos_sim"))
         .orderBy("probe_id", "rank")
     )
+
+
+def ann_lsh(embeddings: DataFrame, n_probes: int = 5, k: int = DEFAULT_K,
+            n_planes: int = N_PLANES) -> DataFrame:
+    """Approximate top-k: bucket corpus and probes by sign sketch; rank
+    only within the probe's bucket. Recall < 1 by design (recall-tested
+    against bruteforce in pytest); the win is that the per-probe candidate set is
+    |corpus| / 2^n_planes in expectation — at 100 TB with n_planes≈20 the
+    bucket join touches thousands, not billions, of rows per probe.
+    """
+    sketched = embeddings.withColumn("bucket", _sign_sketch(F.col("embedding"), n_planes))
+    return _rank_bucket_candidates(sketched, n_probes, k)
 
 
 def embedding_stats(embeddings: DataFrame) -> DataFrame:
@@ -162,8 +220,9 @@ def ann_ivf(embeddings: DataFrame, n_cells: int = 16,
     is then a pure scalar projection over the scan: no per-centroid row
     blowup, no argmax shuffle, no re-attach join. The probe join touches
     |corpus| * n_probe_cells / n_cells candidates instead of the full
-    corpus. Declared rows-only (centroid choice is an engine detail with
-    no DuckDB twin).
+    corpus. Deterministic given the centroid rule, so fully
+    value-checked against the generated DuckDB twin
+    (``plans.queries._ann_ivf_oracle_sql``).
     """
     import math
 

@@ -174,7 +174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": _q(dedup.embedding_near_dup),
     # -- similarity search (§2d #15 + north star) ------------------------
     "knn_bruteforce": _q(similarity.knn_bruteforce),
-    "ann_lsh": _q(similarity.ann_lsh),
+    "ann_lsh": _q(similarity.ann_lsh_portable),
     "ann_ivf": _q(similarity.ann_ivf),
     # -- text analysis (north star) --------------------------------------
     "lang_id": _q(textstats.lang_id),
@@ -331,6 +331,110 @@ def _minhash_oracle_sql(n: int = 3, n_hashes: int = 64, n_bands: int = 16,
                        JOIN sigs sb ON sb.doc_id = doc_b)
         SELECT doc_a, doc_b, est_jaccard FROM est
         WHERE est_jaccard >= {threshold} ORDER BY doc_a, doc_b
+    """
+
+
+def _ann_lsh_oracle_sql(n_probes: int = 5, k: int = 5) -> str:
+    """Generated DuckDB twin of ``similarity.ann_lsh_portable``: the SAME
+    seeded literal hyperplanes (``similarity.lsh_plane_weights``), each
+    plane's dot product written as the SAME explicit left-to-right term
+    chain (bit-identical doubles → bit-identical signs → identical
+    buckets), then the bucket join + cosine rank copied from the proven
+    knn_bruteforce oracle."""
+    from ..operators.similarity import PORTABLE_LSH_PLANES, lsh_plane_weights
+
+    planes = lsh_plane_weights(PORTABLE_LSH_PLANES)
+
+    def plane_dot(w: list[int]) -> str:
+        # DuckDB arrays are 1-based; Spark's are 0-based — d+1 here
+        # pairs with double(embedding[d]) on the Spark side.
+        return " + ".join(f"embedding[{d + 1}]::DOUBLE * {float(x)!r}"
+                          for d, x in enumerate(w))
+
+    bucket = " + ".join(
+        f"(CASE WHEN ({plane_dot(w)}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p, w in enumerate(planes))
+    return f"""
+        WITH sk AS (
+            SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+        probes AS (
+            SELECT vec_id AS probe_id, embedding AS probe_emb,
+                   bucket AS probe_bucket
+            FROM sk ORDER BY vec_id LIMIT {n_probes}),
+        cand AS (
+            SELECT p.probe_id, s.vec_id AS neighbor_id,
+                   {_COS.format(a='p.probe_emb', b='s.embedding')} AS cos
+            FROM sk s JOIN probes p
+              ON s.bucket = p.probe_bucket AND s.vec_id <> p.probe_id),
+        ranked AS (
+            SELECT probe_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM cand)
+        SELECT probe_id, neighbor_id, rank, round(cos, 4) AS cos_sim
+        FROM ranked WHERE rank <= {k} ORDER BY probe_id, rank
+    """
+
+
+def _ann_ivf_oracle_sql(n_cells: int = 16, n_probe_cells: int = 2,
+                        n_probes: int = 5, k: int = 5) -> str:
+    """Generated DuckDB twin of ``similarity.ann_ivf``. The 'model' —
+    centroids = embeddings of the ``n_cells`` lowest vec_ids — is
+    recomputed from the table rather than inlined: Spark inlines the
+    repr of the collected float32 values, and DuckDB's FLOAT→DOUBLE cast
+    yields the same doubles, so both engines score against identical
+    centroid vectors. Tie-breaks mirror the Spark plan exactly:
+    assignment takes the LARGER cent_id on a cosine tie
+    (greatest(struct(cos, cent_id))), probe routing takes the SMALLER
+    (python sorted((-cos, cid)))."""
+    norm = ("sqrt(list_sum(list_transform(range(1, len({e}) + 1),"
+            " i -> {e}[i]::DOUBLE * {e}[i]::DOUBLE)))")
+    dotp = ("list_sum(list_transform(range(1, len({a}) + 1),"
+            " i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))")
+    cos_cn = (f"CASE WHEN c.cn > 0 AND {{n}} > 0 THEN "
+              f"{dotp.format(a='c.cent_emb', b='{e}')} / (c.cn * {{n}}) "
+              f"ELSE 0.0 END")
+    return f"""
+        WITH cents AS (
+            SELECT vec_id AS cent_id, embedding AS cent_emb,
+                   {norm.format(e='embedding')} AS cn
+            FROM embeddings ORDER BY vec_id LIMIT {n_cells}),
+        corpus AS (
+            SELECT vec_id, embedding, {norm.format(e='embedding')} AS nrm
+            FROM embeddings),
+        assigned AS (
+            SELECT vec_id, embedding, cent_id AS cell FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {cos_cn.format(e='e.embedding', n='e.nrm')}
+                                    DESC, c.cent_id DESC) AS ra
+                FROM corpus e CROSS JOIN cents c)
+            WHERE ra = 1),
+        probe_cells AS (
+            SELECT probe_id, probe_emb, cent_id AS cell FROM (
+                SELECT p.vec_id AS probe_id, p.embedding AS probe_emb,
+                       c.cent_id,
+                       row_number() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY {cos_cn.format(e='p.embedding', n='p.nrm')}
+                                    DESC, c.cent_id ASC) AS rc
+                FROM (SELECT * FROM corpus ORDER BY vec_id
+                      LIMIT {n_probes}) p
+                CROSS JOIN cents c)
+            WHERE rc <= {n_probe_cells}),
+        cand AS (
+            SELECT pc.probe_id, a.vec_id AS neighbor_id,
+                   {_COS.format(a='pc.probe_emb', b='a.embedding')} AS cos
+            FROM assigned a JOIN probe_cells pc
+              ON a.cell = pc.cell AND a.vec_id <> pc.probe_id),
+        ranked AS (
+            SELECT probe_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM cand)
+        SELECT probe_id, neighbor_id, rank, round(cos, 4) AS cos_sim
+        FROM ranked WHERE rank <= {k} ORDER BY probe_id, rank
     """
 
 
@@ -869,7 +973,12 @@ ORACLES: dict[str, str] = {
     # value-checked — same literal permutation coefficients inlined in
     # both plans.
     "near_dedup_minhash": _minhash_oracle_sql(),
-    # ann_lsh, ann_ivf, approx_stats: intentionally no oracle
-    # (xxhash64 buckets / sketches have no DuckDB twin) → rows-only
-    # check, as SURVEY.md §2d notes.
+    # ANN with literal models (seeded hyperplanes / lowest-vec_id
+    # centroids): deterministic, so fully value-checked — buckets, cell
+    # assignment, candidate sets, and ranks all reproduced in SQL.
+    "ann_lsh": _ann_lsh_oracle_sql(),
+    "ann_ivf": _ann_ivf_oracle_sql(),
+    # approx_stats: intentionally no oracle (HLL/t-digest sketch
+    # internals are engine-specific) → rows-only check, as SURVEY.md
+    # §2d notes.
 }
