@@ -6,8 +6,9 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 All implementations live in ``toymapreduce_go_spark`` (see SURVEY.md §2d
-for the declared-query inventory; queries without an oracle entry are the
-non-SQL-expressible sketch/LSH ops and get the rows-only check).
+for the declared-query inventory). 49 of the 50 declared queries carry a
+DuckDB oracle; the one exception is ``approx_stats`` (HLL/t-digest
+sketch internals are engine-specific) which gets the rows-only check.
 """
 
 from __future__ import annotations

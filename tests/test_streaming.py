@@ -105,3 +105,37 @@ def test_stream_exact_dedup_matches_batch_survivor_count(spark):
     expected = (load_table(spark, SF_DIR, "documents")
                 .select(F.sha2("text", 256)).distinct().count())
     assert got == expected and got > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """The watermarked stream-stream interval join (click → purchase
+    within 1h per user) must equal the identical batch join once the
+    whole fixture is drained: availableNow + append emits every pair
+    whose match window the final watermark has closed, and nothing in a
+    single-batch drain is late enough to be dropped."""
+    from toymapreduce_go_spark.streaming.events_stream import (
+        read_events_stream, run_to_memory, stream_click_purchase_join)
+
+    stream = read_events_stream(spark, SF_DIR)
+    run_to_memory(stream_click_purchase_join(stream), "t_funnel", spark,
+                  output_mode="append")
+    got = {(r.user_id, r.click_id, r.purchase_id)
+           for r in spark.table("t_funnel").collect()}
+
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("cu"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("cts")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("pu"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("pts")))
+    want = {(r.cu, r.click_id, r.purchase_id)
+            for r in clicks.join(
+                purchases,
+                (F.col("cu") == F.col("pu"))
+                & (F.col("pts") >= F.col("cts"))
+                & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 hour"))
+            ).collect()}
+    assert got == want and len(got) > 0

@@ -202,6 +202,49 @@ def stream_user_running_stats(events_stream: DataFrame,
     )
 
 
+def stream_click_purchase_join(events_stream: DataFrame,
+                               horizon: str = "1 hour",
+                               watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join — the funnel query: each click joined
+    to the same user's purchases within ``horizon`` after it.
+
+    This is the one streaming join shape that is safe unbounded: BOTH
+    sides carry a watermark and the join condition brackets the right
+    side's event time into [click_ts, click_ts + horizon], so Spark can
+    prove when a buffered row can never match again and evict it — state
+    is O(events within horizon + watermark), not O(stream). A
+    stream-stream equi-join without the time bracket would buffer both
+    streams forever; Spark rejects it in append mode for exactly that
+    reason.
+
+    At scale both sides shuffle on user_id once; the state store holds
+    the in-horizon window per key. Same code against Kafka sources.
+    """
+    clicks = (events_stream
+              .filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    purchases = (events_stream
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("value").alias("purchase_value"))
+                 .withWatermark("purchase_ts", watermark))
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")))
+        .select(F.col("c_user").alias("user_id"), "click_id", "click_ts",
+                "purchase_id", "purchase_ts", "purchase_value")
+    )
+
+
 def read_documents_stream(spark: SparkSession, sf_dir: str,
                           max_files_per_trigger: int = 1,
                           n_splits: int = 1) -> DataFrame:
