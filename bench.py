@@ -39,9 +39,12 @@ def materialize(df) -> None:
         df.count()
 
 
-def load_prior_bench(repo_dir: str) -> dict[str, float]:
+def load_prior_bench(repo_dir: str, sf=None) -> dict[str, float]:
     """Per-query seconds from the most recent driver-recorded BENCH_r*.json
-    (empty if none exists / parses)."""
+    (empty if none exists / parses). When ``sf`` is given, a prior round
+    recorded at a DIFFERENT scale factor is ignored — comparing an sf1
+    run against an sf0.1 baseline would flag every query (or mask every
+    real regression in the other direction)."""
     import glob
     import re
 
@@ -54,7 +57,10 @@ def load_prior_bench(repo_dir: str) -> dict[str, float]:
         return {}
     try:
         with open(best[1]) as f:
-            return dict(json.load(f)["parsed"]["queries"])
+            parsed = json.load(f)["parsed"]
+        if sf is not None and parsed.get("sf") != sf:
+            return {}
+        return dict(parsed["queries"])
     except Exception:
         return {}
 
@@ -97,12 +103,13 @@ def main() -> None:
                 timings[name] = el
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(json.dumps({
         "metric": "total_declared_query_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }))
 
     # Regression guard: any query >1.5x slower than the prior recorded
@@ -118,7 +125,8 @@ def main() -> None:
     # regression persists. The reported JSON above stays the comparable
     # best-of-2 numbers; the re-run only arbitrates the guard verdict.
     if not os.environ.get("SPARK_GRAFT_BENCH_NO_GUARD"):
-        prior = load_prior_bench(os.path.dirname(os.path.abspath(__file__)))
+        prior = load_prior_bench(os.path.dirname(os.path.abspath(__file__)),
+                                 sf=sf_val)
         confirmed = {}
         for q in find_regressions(timings, prior):
             t0 = time.perf_counter()

@@ -38,3 +38,10 @@ def test_load_prior_bench_no_files(tmp_path):
 
 def test_repo_has_prior_bench_for_guard():
     assert "wordcount" in load_prior_bench("/root/repo")
+
+
+def test_load_prior_bench_ignores_other_scale_factor(tmp_path):
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"parsed": {"queries": {"q": 1.0}, "sf": 0.1}}))
+    assert load_prior_bench(str(tmp_path), sf=1.0) == {}
+    assert load_prior_bench(str(tmp_path), sf=0.1) == {"q": 1.0}

@@ -40,6 +40,29 @@ def test_ann_variants_recall_vs_bruteforce(spark):
         assert recall >= floor, (name, recall)
 
 
+def test_ann_lsh_production_xxhash_variant(spark):
+    """The declared query routes to ann_lsh_portable; this pins the
+    production xxhash-sketch variant (any-dim, no literal planes)
+    directly: same contract — non-empty at a bucket width matched to the
+    corpus, contiguous ranks, real neighbors, deterministic across
+    invocations."""
+    from toymapreduce_go_spark.operators.similarity import ann_lsh
+    from toymapreduce_go_spark.sources.registry import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = ann_lsh(emb, n_planes=6).collect()
+    assert rows
+    vec_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    by_probe = {}
+    for r in rows:
+        assert r.neighbor_id in vec_ids and r.neighbor_id != r.probe_id
+        by_probe.setdefault(r.probe_id, []).append(r.rank)
+    for probe, ranks in by_probe.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), probe
+    again = ann_lsh(emb, n_planes=6).collect()
+    assert {tuple(r) for r in rows} == {tuple(r) for r in again}
+
+
 def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
     """1k identical documents put every doc in the same bucket of every
     band — uncapped, the bucket join is C(1000,2) ≈ 500k pairs per band.

@@ -83,11 +83,12 @@ def test_exactly_once_absent_failures(spark):
 
 def _assert_overlap(intervals: list[tuple[float, float]], need: int = 2):
     """play.sh's parallelism PASS: at least `need` recorded [start, end]
-    windows were simultaneously open."""
-    events = sorted((t, +1) for t, _ in [(a, b) for a, b in intervals]) \
-        + sorted((t, -1) for _, t in intervals)
+    windows were simultaneously open. Sweep line; on a tie the -1 (end)
+    event sorts first, so touching intervals don't count as overlap."""
+    events = sorted([(a, +1) for a, _ in intervals]
+                    + [(b, -1) for _, b in intervals])
     live = peak = 0
-    for _, d in sorted(events):
+    for _, d in events:
         live += d
         peak = max(peak, live)
     assert peak >= need, f"peak parallelism {peak} < {need}: {intervals}"

@@ -91,31 +91,25 @@ def main(argv: list[str] | None = None) -> None:
         app_name = args.app
 
     # Master: on a cluster, spark-submit owns it (build_session's
-    # externally-managed check); standalone we run local[N, maxFailures]
-    # — the retry budget (F12) the reference gets from coordinator
-    # rescheduling (coordinator.go:176-199), required for the crash app.
-    import os
-
+    # externally-managed check); standalone build_session runs
+    # local[N, maxFailures] — the retry budget (F12) the reference gets
+    # from coordinator rescheduling (coordinator.go:176-199), required
+    # for the crash app.
     from .mr.api import run_map_reduce_files
-    from .session import default_parallelism
+    from .session import build_session
     from .sources.sinks import write_text_kv
-    from pyspark.sql import SparkSession
 
-    externally_managed = (
-        os.environ.get("SPARK_MASTER") or os.environ.get("MASTER")
-        or os.environ.get("PYSPARK_GATEWAY_PORT")
-        or "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", ""))
-    builder = (SparkSession.builder.appName(f"mr-{app_name}")
-               .config("spark.sql.shuffle.partitions", str(args.nreduce))
-               .config("spark.ui.enabled", "false"))
-    if not externally_managed:
-        builder = builder.master(
-            f"local[{default_parallelism()}, {args.max_failures}]")
-    spark = builder.getOrCreate()
+    spark = build_session(f"mr-{app_name}",
+                          shuffle_partitions=args.nreduce,
+                          local_max_failures=args.max_failures)
     spark.sparkContext.setLogLevel("ERROR")
 
     result = run_map_reduce_files(spark, map_f, reduce_f,
                                   args.input, n_reduce=args.nreduce)
+    # persist before the two actions (write, count) — without it the
+    # whole MR lineage (and the crash app's injected failures + retries)
+    # would execute twice
+    result.persist()
     write_text_kv(result, args.out, single_file=args.single_file)
     n = result.count()
     print(f"{app_name}: {n} output rows -> {args.out}")

@@ -26,7 +26,7 @@ Semantics vs mechanism, per app:
   probes. The reference detects concurrent workers by liveness-checking
   PIDs behind marker files; the portable observable is the task's own
   [start, end] wall-clock interval — overlapping intervals == parallel
-  execution (asserted in tests/test_mr_probes.py, honoring
+  execution (asserted in tests/test_mr_apps.py, honoring
   play.sh:131-208's map/reduce parallelism PASS conditions).
 """
 

@@ -50,10 +50,16 @@ def persist_shared(df: DataFrame) -> DataFrame:
     """Return a session-scoped persisted handle for ``df``, reusing one
     materialization across every plan (and repeated query invocation)
     with a semantically identical subtree."""
+    import hashlib
+
     from pyspark import StorageLevel
 
+    # Key on the full canonicalized plan text, not the 32-bit
+    # semanticHash alone: a hash collision here would silently hand one
+    # query another corpus's persisted frame — wrong answers, no error.
+    canon = df._jdf.queryExecution().analyzed().canonicalized().toString()
     key = (df.sparkSession.sparkContext.applicationId,
-           df._jdf.queryExecution().analyzed().semanticHash())
+           hashlib.sha256(canon.encode()).hexdigest())
     hit = _PERSIST_CACHE.get(key)
     if hit is not None:
         _PERSIST_CACHE.move_to_end(key)

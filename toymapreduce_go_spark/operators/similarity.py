@@ -166,8 +166,10 @@ def _rank_bucket_candidates(sketched: DataFrame, n_probes: int,
 def ann_lsh(embeddings: DataFrame, n_probes: int = 5, k: int = DEFAULT_K,
             n_planes: int = N_PLANES) -> DataFrame:
     """Approximate top-k: bucket corpus and probes by sign sketch; rank
-    only within the probe's bucket. Recall < 1 by design (recall-tested
-    against bruteforce in pytest); the win is that the per-probe candidate set is
+    only within the probe's bucket. Recall < 1 by design (the declared
+    ``ann_lsh_portable`` twin is recall-tested against bruteforce; this
+    any-dim production variant is pinned directly in
+    tests/test_dedup_semantics.py); the win is that the per-probe candidate set is
     |corpus| / 2^n_planes in expectation — at 100 TB with n_planes≈20 the
     bucket join touches thousands, not billions, of rows per probe.
     """

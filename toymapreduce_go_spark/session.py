@@ -19,7 +19,8 @@ def default_parallelism() -> int:
 
 
 def build_session(app_name: str = "toymapreduce-go-spark",
-                  shuffle_partitions: int | None = None) -> SparkSession:
+                  shuffle_partitions: int | None = None,
+                  local_max_failures: int | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's default config.
 
     On a real cluster the master/parallelism come from the environment; the
@@ -78,5 +79,10 @@ def build_session(app_name: str = "toymapreduce-go-spark",
         or "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
     )
     if not externally_managed:
-        builder = builder.master(f"local[{cpus}]")
+        # local[N, M] enables M task attempts (F12 retry budget) — used
+        # by the CLI so the crash compat app's injected failures retry;
+        # on a cluster spark.task.maxFailures comes from spark-submit.
+        builder = builder.master(
+            f"local[{cpus}, {local_max_failures}]" if local_max_failures
+            else f"local[{cpus}]")
     return builder.getOrCreate()
