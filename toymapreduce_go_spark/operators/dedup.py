@@ -163,16 +163,21 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     # re-evaluated inside the filter with the token-hash array expanded
     # per element (measured 10s vs 0.6s at sf0.1). The outer variant
     # generates no filter; empty docs are already gone (size >= n guard).
-    sh = fpsets.select("doc_id", F.explode_outer("fps").alias("fp")) \
-               .filter(F.col("fp").isNotNull())
+    # persist the slim (doc_id, fp) frame: it feeds BOTH sides of the
+    # self-join AND the per-doc set sizes — unpersisted, Spark would
+    # re-run the tokenize/hash/distinct pipeline three times.
+    sh = persist_shared(
+        fpsets.select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull()))
     if max_doc_freq is not None:
         df_counts = sh.groupBy("fp").agg(
             F.count(F.lit(1)).alias("_df"))
         sh = (sh.join(df_counts.filter(F.col("_df") <= max_doc_freq)
                       .select("fp"), "fp"))
-        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    else:
-        sizes = fpsets.select("doc_id", F.size("fps").alias("sz"))
+    # fps is distinct per doc, so the row count per doc IS the set size
+    # (post-cap in the guarded branch, where pruned sets are the
+    # semantics) — derived from the persisted frame, not a re-tokenize.
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
