@@ -71,3 +71,17 @@ def test_filter_and_agg_compose_over_source(spark, tmp_path):
            .groupBy("key").agg(F.count("*").alias("n"))
            .orderBy("key").collect())
     assert [(r.key, r.n) for r in got] == [("k0", 10), ("k1", 10)]
+
+
+def test_unrepresentable_rows_fail_loudly(spark, tmp_path):
+    """The line format can't encode spaces-in-key or newlines; the
+    writer must error instead of writing a file that reads back
+    differently."""
+    import pytest
+
+    register(spark)
+    for rows in ([("bad key", "v")], [("k", "line1\nline2")]):
+        out = str(tmp_path / f"kv_bad_{abs(hash(str(rows)))}")
+        df = spark.createDataFrame(rows, "key string, value string")
+        with pytest.raises(Exception, match="kvtext"):
+            df.write.format("kvtext").mode("append").save(out)

@@ -78,3 +78,33 @@ def test_text_kv_sink_single_file(spark, tmp_path):
     parts = sorted(out_dir.glob("part-*"))
     assert len(parts) == 1
     assert parts[0].read_text().splitlines() == ["a 1", "b 2", "c 3"]
+
+
+def test_approx_stats_error_bounds(spark):
+    """approx_stats is the one declared query without a DuckDB oracle
+    (sketch internals are engine-specific); pin its semantics instead:
+    HLL count-distinct within its documented ~2-5% relative error of the
+    exact distinct count, approximate median within the value span of
+    the exact median's neighborhood. Deterministic for a fixed fixture."""
+    from toymapreduce_go_spark.plans.queries import QUERIES
+    from toymapreduce_go_spark.sources.registry import load_table
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    got = {r.event_type: r for r in
+           QUERIES["approx_stats"](spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {r.event_type: r for r in
+             ev.groupBy("event_type").agg(
+                 F.countDistinct("user_id").alias("users"),
+                 F.expr("percentile(value, 0.5)").alias("median"),
+                 F.count("*").alias("n")).collect()}
+    assert set(got) == set(exact)
+    for et, e in exact.items():
+        g = got[et]
+        assert g.n_events == e.n  # count is exact
+        assert abs(g.approx_users - e.users) <= max(0.05 * e.users, 2), (
+            et, g.approx_users, e.users)
+        # percentile_approx returns a real value element; 10% span slack
+        assert abs(g.approx_median_value - e.median) <= 0.1 * abs(e.median) + 1, (
+            et, g.approx_median_value, e.median)

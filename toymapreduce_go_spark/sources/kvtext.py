@@ -103,7 +103,16 @@ class KVTextWriter(DataSourceWriter):
         n = 0
         with open(tmp, "w", encoding="utf-8") as f:
             for row in rows:
-                f.write(f"{row[0]} {row[1]}\n")
+                key, value = row[0], row[1]
+                # the line format cannot represent these; fail loudly
+                # instead of writing a file that reads back differently
+                if key is None or " " in key or "\n" in key:
+                    raise ValueError(f"kvtext: unrepresentable key {key!r} "
+                                     "(None, space, or newline)")
+                if value is not None and "\n" in value:
+                    raise ValueError("kvtext: newline in value for key "
+                                     f"{key!r}")
+                f.write(f"{key} {'' if value is None else value}\n")
                 n += 1
         return _WroteFile(tmp, n)
 
