@@ -85,3 +85,68 @@ def test_unrepresentable_rows_fail_loudly(spark, tmp_path):
         df = spark.createDataFrame(rows, "key string, value string")
         with pytest.raises(Exception, match="kvtext"):
             df.write.format("kvtext").mode("append").save(out)
+
+
+def test_second_append_does_not_clobber_first(spark, tmp_path):
+    register(spark)
+    out = str(tmp_path / "kv_app2")
+    mk = lambda rows: spark.createDataFrame(rows, "key string, value string")
+    mk(ROWS).write.format("kvtext").mode("append").save(out)
+    mk([("extra", "9")]).write.format("kvtext").mode("append").save(out)
+    back = spark.read.format("kvtext").load(out)
+    assert {tuple(r) for r in back.collect()} == set(ROWS) | {("extra", "9")}
+
+
+def test_overwrite_clears_foreign_layout_files(spark, tmp_path):
+    """overwrite must remove data written by write_text_kv (part-*) too,
+    not only its own mr-out-* files — otherwise the next read unions old
+    and new data."""
+    register(spark)
+    out = str(tmp_path / "kv_ow2")
+    df = spark.createDataFrame(ROWS, "key string, value string")
+    write_text_kv(df, out)
+    spark.createDataFrame([("only", "1")], "key string, value string") \
+        .write.format("kvtext").mode("overwrite").save(out)
+    back = spark.read.format("kvtext").load(out)
+    assert {tuple(r) for r in back.collect()} == {("only", "1")}
+
+
+def test_null_value_roundtrips(spark, tmp_path):
+    """(k, None) -> bare 'k' line -> (k, None): read-write-read is
+    lossless, matching the reader's no-space semantics."""
+    register(spark)
+    out = str(tmp_path / "kv_null")
+    spark.createDataFrame([("k", None), ("j", "v")],
+                          "key string, value string") \
+        .write.format("kvtext").mode("append").save(out)
+    got = {(r.key, r.value)
+           for r in spark.read.format("kvtext").load(out).collect()}
+    assert got == {("k", None), ("j", "v")}
+
+
+def test_extra_columns_rejected(spark, tmp_path):
+    """Columns beyond (key, value) would be silently dropped by the line
+    format — refuse instead."""
+    import pytest
+
+    register(spark)
+    df = spark.createDataFrame([("k", "v", 1)],
+                               "key string, value string, n int")
+    with pytest.raises(Exception, match="kvtext"):
+        df.write.format("kvtext").mode("append") \
+          .save(str(tmp_path / "kv_extra"))
+
+
+def test_failed_write_leaves_no_temp_files(spark, tmp_path):
+    """A task that raises mid-write must unlink its partial temp file
+    (abort() never hears about files from failed tasks)."""
+    import pytest
+
+    register(spark)
+    out = tmp_path / "kv_fail"
+    df = spark.createDataFrame([("ok", "1"), ("bad key", "2")],
+                               "key string, value string").coalesce(1)
+    with pytest.raises(Exception, match="kvtext"):
+        df.write.format("kvtext").mode("append").save(str(out))
+    leftovers = [p.name for p in out.iterdir()] if out.exists() else []
+    assert leftovers == [], leftovers

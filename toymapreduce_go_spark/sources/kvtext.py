@@ -101,30 +101,58 @@ class KVTextWriter(DataSourceWriter):
         tmp = os.path.join(self.path,
                            f"._tmp-{pid}-{uuid.uuid4().hex[:12]}")
         n = 0
-        with open(tmp, "w", encoding="utf-8") as f:
-            for row in rows:
-                key, value = row[0], row[1]
-                # the line format cannot represent these; fail loudly
-                # instead of writing a file that reads back differently
-                if key is None or " " in key or "\n" in key:
-                    raise ValueError(f"kvtext: unrepresentable key {key!r} "
-                                     "(None, space, or newline)")
-                if value is not None and "\n" in value:
-                    raise ValueError("kvtext: newline in value for key "
-                                     f"{key!r}")
-                f.write(f"{key} {'' if value is None else value}\n")
-                n += 1
+        try:
+            with open(tmp, "w", encoding="utf-8") as f:
+                for row in rows:
+                    key, value = row[0], row[1]
+                    # the line format cannot represent these; fail loudly
+                    # instead of writing a file that reads back differently
+                    if key is None or " " in key or "\n" in key:
+                        raise ValueError(
+                            f"kvtext: unrepresentable key {key!r} "
+                            "(None, space, or newline)")
+                    if value is not None and "\n" in value:
+                        raise ValueError("kvtext: newline in value for key "
+                                         f"{key!r}")
+                    # None value -> bare "key" line, which the reader
+                    # returns as (key, None): lossless round-trip (and
+                    # byte-identical to concat_ws's null-dropping sink)
+                    f.write(f"{key}\n" if value is None
+                            else f"{key} {value}\n")
+                    n += 1
+        except BaseException:
+            # a failing task gets no abort() callback for its own file —
+            # clean up here or the partial temp leaks forever
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
         return _WroteFile(tmp, n)
 
     def commit(self, messages) -> None:
         import os
 
+        start = 0
         if self.overwrite:
+            # clear every file a reader would see (mr-out-*, part-*,
+            # _SUCCESS...), not just our own layout — "overwrite" must
+            # not leave prior data to be unioned into the next read
             for f in os.listdir(self.path):
-                if f.startswith("mr-out-"):
-                    os.remove(os.path.join(self.path, f))
+                p = os.path.join(self.path, f)
+                if not f.startswith("._tmp") and os.path.isfile(p):
+                    os.remove(p)
+        else:
+            # append: continue numbering AFTER existing part files so a
+            # second append never clobbers the first (mr-out-0 from run
+            # 1 silently replaced by run 2's would lose data)
+            taken = [int(f[len("mr-out-"):]) for f in os.listdir(self.path)
+                     if f.startswith("mr-out-")
+                     and f[len("mr-out-"):].isdigit()]
+            start = max(taken) + 1 if taken else 0
         for i, m in enumerate(messages):
-            os.replace(m.path, os.path.join(self.path, f"mr-out-{i}"))
+            os.replace(m.path, os.path.join(self.path,
+                                            f"mr-out-{start + i}"))
 
     def abort(self, messages) -> None:
         import os
@@ -150,15 +178,17 @@ class KVTextDataSource(DataSource):
         return KVTextReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
-        if [f.name for f in schema.fields][:2] != ["key", "value"]:
+        # exact (key, value) only: extra columns would be silently
+        # dropped by the line format, which is data loss, not coercion
+        if [f.name for f in schema.fields] != ["key", "value"]:
             raise ValueError(
                 f"kvtext writes (key, value) frames, got {schema.simpleString()}")
         return KVTextWriter(self.options, overwrite)
 
 
 def register(spark) -> None:
-    """Idempotent registration (re-register is a no-op error in Spark)."""
-    try:
-        spark.dataSource.register(KVTextDataSource)
-    except Exception:
-        pass
+    """Register the source (idempotent: Spark 4 replaces an existing
+    Python data-source registration under the same name, so real
+    failures — missing API, serialization errors — surface here rather
+    than as a confusing DATA_SOURCE_NOT_FOUND at first use)."""
+    spark.dataSource.register(KVTextDataSource)
