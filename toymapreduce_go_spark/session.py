@@ -85,4 +85,8 @@ def build_session(app_name: str = "toymapreduce-go-spark",
         builder = builder.master(
             f"local[{cpus}, {local_max_failures}]" if local_max_failures
             else f"local[{cpus}]")
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if hasattr(spark, "dataSource"):  # Spark 4 Python DataSource API
+        from .sources.kvtext import register
+        register(spark)
+    return spark
