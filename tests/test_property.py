@@ -74,3 +74,29 @@ def test_asof_join_matches_naive(spark, left, right):
             rt, rv = max(cands)
             want.add((i, rv, rt))
     assert got == want
+
+
+# keys: no space/newline; values: no newline (the kvtext line format's
+# representable domain — the writer rejects the rest by contract)
+_kv_key = st.text(
+    st.characters(blacklist_characters=" \n\r",
+                  blacklist_categories=("Cs",)),
+    min_size=1, max_size=12)
+_kv_val = st.text(
+    st.characters(blacklist_characters="\n\r",
+                  blacklist_categories=("Cs",)),
+    max_size=20)
+
+
+@given(rows=st.lists(st.tuples(_kv_key, _kv_val), min_size=1, max_size=15))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kvtext_roundtrip_property(spark, rows, tmp_path_factory):
+    """Any representable (key, value) multiset — including unicode —
+    survives a kvtext write+read bit-for-bit, duplicates preserved."""
+    out = str(tmp_path_factory.mktemp("kvprop"))
+    df = spark.createDataFrame(rows, "key string, value string")
+    df.write.format("kvtext").mode("overwrite").save(out)
+    back = sorted((r.key, r.value) for r in
+                  spark.read.format("kvtext").load(out).collect())
+    assert back == sorted(rows)

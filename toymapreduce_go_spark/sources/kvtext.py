@@ -107,11 +107,16 @@ class KVTextWriter(DataSourceWriter):
                     key, value = row[0], row[1]
                     # the line format cannot represent these; fail loudly
                     # instead of writing a file that reads back differently
-                    if key is None or " " in key or "\n" in key:
+                    # \r is unrepresentable too: text-mode universal
+                    # newlines would translate a trailing "\r\n" to
+                    # "\n" on read, silently mutating the value
+                    if key is None or " " in key or "\n" in key \
+                            or "\r" in key:
                         raise ValueError(
                             f"kvtext: unrepresentable key {key!r} "
                             "(None, space, or newline)")
-                    if value is not None and "\n" in value:
+                    if value is not None and ("\n" in value
+                                              or "\r" in value):
                         raise ValueError("kvtext: newline in value for key "
                                          f"{key!r}")
                     # None value -> bare "key" line, which the reader
