@@ -181,3 +181,37 @@ def test_cli_plugin_wordcount(tmp_path):
            for pf in parts for ln in pf.read_text().splitlines()}
     golden = sequential_golden(apps.wc_map, apps.wc_reduce, CORPUS)
     assert got == golden
+
+
+def test_mr_job_chaining_via_kvtext(spark, tmp_path):
+    """The reference chains jobs by pointing the next coord at the
+    previous run's mr-out files; here job 1's kvtext output feeds job 2
+    as its (filename, content) inputs — the interop path a reference
+    user's multi-stage pipelines rely on."""
+    from toymapreduce_go_spark.sources.kvtext import register
+
+    register(spark)
+    out1 = str(tmp_path / "stage1")
+    stage1 = run_map_reduce(spark, *[apps.APPS["wc"][0], apps.APPS["wc"][1]],
+                            _inputs(spark), n_reduce=2)
+    stage1.write.format("kvtext").mode("append").save(out1)
+
+    # job 2: re-count over stage-1 records — each (word, count) row
+    # becomes one input; the identity-ish map keys on the count value,
+    # giving "how many words occurred N times" (a classic second stage)
+    def freq_map(word, count):
+        return [apps.KeyValue(count, "1")]
+
+    def freq_reduce(key, values):
+        yield str(sum(1 for _ in values))
+
+    stage2_in = spark.read.format("kvtext").load(out1)
+    got = {(r.key, r.value)
+           for r in run_map_reduce(spark, freq_map, freq_reduce,
+                                   stage2_in, n_reduce=2).collect()}
+
+    golden1 = sequential_golden(apps.APPS["wc"][0], apps.APPS["wc"][1],
+                                CORPUS)
+    want = sequential_golden(freq_map, freq_reduce,
+                             {k: v for k, v in golden1})
+    assert got == want and got
