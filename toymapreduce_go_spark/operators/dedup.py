@@ -54,12 +54,15 @@ def persist_shared(df: DataFrame) -> DataFrame:
 
     from pyspark import StorageLevel
 
-    # Key on the full canonicalized plan text, not the 32-bit
-    # semanticHash alone: a hash collision here would silently hand one
-    # query another corpus's persisted frame — wrong answers, no error.
-    canon = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    # Key on the canonicalized plan's JSON (toString() truncates wide node
+    # arg lists at spark.sql.debug.maxToStringFields — e.g. a 60-expression
+    # SimHash vote Aggregate — so two different plans could share one
+    # string), belt-and-braced with the 32-bit semanticHash: a silent
+    # wrong-corpus cache hit now requires BOTH to collide.
+    canon = df._jdf.queryExecution().analyzed().canonicalized()
     key = (df.sparkSession.sparkContext.applicationId,
-           hashlib.sha256(canon.encode()).hexdigest())
+           hashlib.sha256(canon.toJSON().encode()).hexdigest(),
+           df.semanticHash())
     hit = _PERSIST_CACHE.get(key)
     if hit is not None:
         _PERSIST_CACHE.move_to_end(key)
