@@ -48,21 +48,23 @@ def load_prior_bench(repo_dir: str, sf=None) -> dict[str, float]:
     import glob
     import re
 
-    best: tuple[int, str] | None = None
+    rounds: list[tuple[int, str]] = []
     for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), path)
-    if best is None:
-        return {}
-    try:
-        with open(best[1]) as f:
-            parsed = json.load(f)["parsed"]
-        if sf is not None and parsed.get("sf") != sf:
-            return {}
-        return dict(parsed["queries"])
-    except Exception:
-        return {}
+        if m:
+            rounds.append((int(m.group(1)), path))
+    # Most recent round with usable numbers wins — a crashed round records
+    # parsed:null (r5 did) and must not mask the last good baseline.
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as f:
+                parsed = json.load(f)["parsed"]
+            if sf is not None and parsed.get("sf") != sf:
+                continue
+            return dict(parsed["queries"])
+        except Exception:
+            continue
+    return {}
 
 
 def find_regressions(current: dict[str, float],
@@ -93,24 +95,40 @@ def main() -> None:
     # on identical code). Two full passes, min per query: pass 1 pays
     # compile/fork costs, pass 2 measures the steady state a long-running
     # cluster job actually sees.
+    # A raising query must not abort the harness (round 5 lost ALL perf
+    # data to one AnalysisException): record the error, keep benching,
+    # always emit the metrics line. Errored queries are excluded from the
+    # total and the regression guard but listed under "errors".
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _pass in range(2):
         for name in BENCH_QUERIES:
-            t0 = time.perf_counter()
-            materialize(QUERIES[name](spark, SF_DIR))
-            el = round(time.perf_counter() - t0, 3)
+            if name in errors:
+                continue
+            try:
+                t0 = time.perf_counter()
+                materialize(QUERIES[name](spark, SF_DIR))
+                el = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — harness boundary
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                timings.pop(name, None)
+                print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+                continue
             if name not in timings or el < timings[name]:
                 timings[name] = el
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    print(json.dumps({
+    line = {
         "metric": "total_declared_query_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    }
+    if errors:
+        line["errors"] = errors
+    print(json.dumps(line))
 
     # Regression guard: any query >1.5x slower than the prior recorded
     # round (and by >1s absolute) fails the bench loudly — a correct-but-
@@ -140,6 +158,10 @@ def main() -> None:
                       f"{prior[q]}s (>1.5x, confirmed on re-run)",
                       file=sys.stderr)
             sys.exit(2)
+    # An erroring query is worse than a regression — fail loudly, but only
+    # AFTER the metrics line so the round still records all other numbers.
+    if errors:
+        sys.exit(2)
 
 
 if __name__ == "__main__":

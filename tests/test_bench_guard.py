@@ -45,3 +45,13 @@ def test_load_prior_bench_ignores_other_scale_factor(tmp_path):
         json.dumps({"parsed": {"queries": {"q": 1.0}, "sf": 0.1}}))
     assert load_prior_bench(str(tmp_path), sf=1.0) == {}
     assert load_prior_bench(str(tmp_path), sf=0.1) == {"q": 1.0}
+
+
+def test_load_prior_bench_falls_back_past_crashed_round(tmp_path):
+    # A crashed round records parsed:null (round 5 did); the guard must
+    # fall back to the most recent round with usable numbers.
+    (tmp_path / "BENCH_r04.json").write_text(
+        json.dumps({"parsed": {"queries": {"q": 4.0}}}))
+    (tmp_path / "BENCH_r05.json").write_text(
+        json.dumps({"parsed": None, "rc": 1}))
+    assert load_prior_bench(str(tmp_path)) == {"q": 4.0}

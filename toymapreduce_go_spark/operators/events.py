@@ -60,7 +60,10 @@ def events_sessionize(events: DataFrame,
             "new_session",
             F.when(
                 F.col("prev_ts").isNull()
-                | ((F.unix_micros("ts") - F.unix_micros("prev_ts")) > gap_us),
+                # cast defends against an un-normalized TIMESTAMP_NTZ input
+                # (no-op on TIMESTAMP; session tz is pinned UTC)
+                | ((F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("prev_ts").cast("timestamp"))) > gap_us),
                 F.lit(1),
             ).otherwise(F.lit(0)),
         )

@@ -67,6 +67,36 @@ def _input_bytes(path: str) -> int:
         return FANOUT_MAX_BYTES  # non-local URI: assume big, never fan out
 
 
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to Spark's session-tz TIMESTAMP.
+
+    Physical parquet encodings seen from upstream producers (the driver's
+    testdata generator has shipped all three across rounds):
+
+    - ``TIMESTAMP(NANOS)`` — surfaces as long (ns since epoch) under
+      ``spark.sql.legacy.parquet.nanosAsLong``; convert with integer
+      division (no double round-trip — ns epochs exceed double's 53-bit
+      mantissa). DuckDB's ``epoch_us()`` truncates the same way, so oracle
+      comparisons agree.
+    - ``timestamp[us]`` with isAdjustedToUTC=false — Spark 4 infers
+      TIMESTAMP_NTZ, which ``unix_micros``/``window``/``withWatermark``
+      all reject. The session tz is pinned UTC (session.py), so casting to
+      TIMESTAMP preserves the wall-clock value and matches DuckDB, which
+      reads the same bytes as a plain TIMESTAMP.
+    - ``timestamp[us, tz=UTC]`` — already Spark TIMESTAMP; no-op.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    for field in df.schema.fields:
+        if field.name != col:
+            continue
+        if isinstance(field.dataType, LongType):
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazily read one catalog table from ``sf_dir``.
 
@@ -80,15 +110,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
-    # Parquet TIMESTAMP(NANOS) columns surface as long (ns since epoch)
-    # under spark.sql.legacy.parquet.nanosAsLong; convert to Spark's µs
-    # timestamp with integer division (no double round-trip — ns epochs
-    # exceed double's 53-bit mantissa). DuckDB's epoch_us() truncates the
-    # same way, so oracle comparisons agree.
-    from pyspark.sql.types import LongType
-    for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    df = normalize_event_time(df)
     if name in FANOUT_TABLES:
         if FANOUT_MIN_BYTES < _input_bytes(path) < FANOUT_MAX_BYTES:
             df = df.repartition(spark.sparkContext.defaultParallelism)

@@ -72,11 +72,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(src_dir)
     )
-    # same ns→µs normalization as the batch source
-    types = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
-    if types.get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return stream
+    # same event-time normalization as the batch source (ns-as-long and
+    # TIMESTAMP_NTZ encodings both reject withWatermark otherwise)
+    from ..sources.registry import normalize_event_time
+    return normalize_event_time(stream)
 
 
 def stream_events_tumbling(events_stream: DataFrame,
