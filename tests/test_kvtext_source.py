@@ -80,11 +80,31 @@ def test_unrepresentable_rows_fail_loudly(spark, tmp_path):
     import pytest
 
     register(spark)
-    for rows in ([("bad key", "v")], [("k", "line1\nline2")]):
+    # "" key: with a None value it would write a bare newline the reader
+    # skips as a blank line — a silently lost row
+    for rows in ([("bad key", "v")], [("k", "line1\nline2")],
+                 [("", "v")], [("", None)]):
         out = str(tmp_path / f"kv_bad_{abs(hash(str(rows)))}")
         df = spark.createDataFrame(rows, "key string, value string")
         with pytest.raises(Exception, match="kvtext"):
             df.write.format("kvtext").mode("append").save(out)
+
+
+def test_zero_partition_write_commits_empty_dir(spark, tmp_path):
+    """A write over an empty 0-partition frame runs no tasks, so only
+    commit() touches the filesystem — it must still produce a valid
+    (empty) output dir, and a subsequent read must see zero rows."""
+    register(spark)
+    out = str(tmp_path / "kv_empty")
+    from pyspark.sql.types import StringType, StructField, StructType
+    schema = StructType([StructField("key", StringType()),
+                         StructField("value", StringType())])
+    empty = spark.createDataFrame(spark.sparkContext.emptyRDD(), schema)
+    assert empty.rdd.getNumPartitions() == 0
+    empty.write.format("kvtext").mode("overwrite").save(out)
+    import os
+    assert os.path.isdir(out)
+    assert spark.read.format("kvtext").load(out).count() == 0
 
 
 def test_second_append_does_not_clobber_first(spark, tmp_path):

@@ -74,10 +74,11 @@ def crash_map(filename: str, content: str) -> list[KeyValue]:
 
 
 def crash_reduce(key: str, values: Iterator[str]) -> Iterable[str]:
-    """crash.go:48-58 — nocrash reduce + injected failure. Values must be
-    drained BEFORE the crash point decides: the reference crashes before
-    touching values too, so a retried reduce re-reads its whole group —
-    Spark re-runs the task against shuffle data identically."""
+    """crash.go:48-58 — nocrash reduce + injected failure. The crash
+    point fires BEFORE any value is drained, matching the reference
+    (which crashes before touching values): a retried reduce re-reads
+    its whole group from shuffle data, so no partial consumption can
+    leak into the retry's output."""
     _maybe_crash()
     yield from nocrash_reduce(key, values)
 

@@ -110,11 +110,14 @@ class KVTextWriter(DataSourceWriter):
                     # \r is unrepresentable too: text-mode universal
                     # newlines would translate a trailing "\r\n" to
                     # "\n" on read, silently mutating the value
-                    if key is None or " " in key or "\n" in key \
+                    # "" is unrepresentable too: with a None value it
+                    # writes a bare newline the reader skips as a blank
+                    # line — a silently lost row
+                    if not key or " " in key or "\n" in key \
                             or "\r" in key:
                         raise ValueError(
                             f"kvtext: unrepresentable key {key!r} "
-                            "(None, space, or newline)")
+                            "(None, empty, space, or newline)")
                     if value is not None and ("\n" in value
                                               or "\r" in value):
                         raise ValueError("kvtext: newline in value for key "
@@ -138,6 +141,10 @@ class KVTextWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import os
 
+        # write() creates the dir per task, but a zero-partition write
+        # (empty RDD) runs no tasks — commit() must still produce a valid
+        # (empty) output dir instead of FileNotFoundError
+        os.makedirs(self.path, exist_ok=True)
         start = 0
         if self.overwrite:
             # clear every file a reader would see (mr-out-*, part-*,
