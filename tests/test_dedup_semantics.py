@@ -134,3 +134,30 @@ def test_jaccard_doc_freq_guard(spark):
                     for r in ngram_jaccard_pairs(docs, max_doc_freq=2)
                     .collect()}
     assert capped_tight <= exact
+
+
+def test_persist_shared_distinguishes_same_shape_different_paths(spark, tmp_path):
+    """ADVICE r5: canonicalized().toJSON() nulls the HadoopFsRelation
+    field, so two same-schema corpora at different parquet paths yield
+    byte-identical plan JSON — the cache key's input-file component must
+    keep them apart (a hit would silently serve the wrong corpus)."""
+    from toymapreduce_go_spark.operators.dedup import persist_shared
+
+    a, b = str(tmp_path / "corpus_a"), str(tmp_path / "corpus_b")
+    spark.createDataFrame([(1, "alpha")], "doc_id long, text string") \
+        .write.parquet(a)
+    spark.createDataFrame([(1, "bravo")], "doc_id long, text string") \
+        .write.parquet(b)
+    pa_ = persist_shared(spark.read.parquet(a))
+    pb_ = persist_shared(spark.read.parquet(b))
+    try:
+        # a wrong-corpus hit would hand corpus B the SAME handle (and
+        # therefore the same rows) as corpus A
+        assert pb_ is not pa_
+        assert [r.text for r in pa_.collect()] == ["alpha"]
+        assert [r.text for r in pb_.collect()] == ["bravo"]
+        # and a genuine re-read of corpus A must still hit
+        assert persist_shared(spark.read.parquet(a)) is pa_
+    finally:
+        for df in (pa_, pb_):
+            df.unpersist()

@@ -54,14 +54,36 @@ def persist_shared(df: DataFrame) -> DataFrame:
 
     from pyspark import StorageLevel
 
-    # Key on the canonicalized plan's JSON (toString() truncates wide node
-    # arg lists at spark.sql.debug.maxToStringFields — e.g. a 60-expression
-    # SimHash vote Aggregate — so two different plans could share one
-    # string), belt-and-braced with the 32-bit semanticHash: a silent
-    # wrong-corpus cache hit now requires BOTH to collide.
-    canon = df._jdf.queryExecution().analyzed().canonicalized()
+    # Three key components, each covering a distinct collision class:
+    # - sha256 of the canonicalized plan's JSON separates different plan
+    #   SHAPES exactly (toString() truncates wide node arg lists at
+    #   spark.sql.debug.maxToStringFields — e.g. a 60-expression SimHash
+    #   vote Aggregate — so it can't). It does NOT separate same-shape
+    #   plans over different parquet paths: canonicalized().toJSON()
+    #   serializes the HadoopFsRelation field as null (observed on
+    #   PySpark 4.1.2), so two corpora with identical schemas yield
+    #   byte-identical JSON.
+    # - sha256 of the sorted input file list covers exactly that
+    #   path-only difference (and a corpus whose files changed between
+    #   calls within one session). Collected from the ANALYZED plan's
+    #   leaf FileIndexes, NOT df.inputFiles(): inputFiles() reads the
+    #   optimized plan, where the cache manager substitutes
+    #   InMemoryRelation once a matching frame is persisted — every
+    #   re-read after the first would key on an empty file list and
+    #   miss (or worse, all corpora would collide on "no files").
+    # - the 32-bit semanticHash is belt-and-braces over both.
+    analyzed = df._jdf.queryExecution().analyzed()
+    leaves = analyzed.collectLeaves()
+    files: list[str] = []
+    for i in range(leaves.size()):
+        try:  # non-file leaves (local relations, views) carry no paths
+            files.extend(leaves.apply(i).relation().location().inputFiles())
+        except Exception:
+            pass
     key = (df.sparkSession.sparkContext.applicationId,
-           hashlib.sha256(canon.toJSON().encode()).hexdigest(),
+           hashlib.sha256(analyzed.canonicalized().toJSON().encode())
+           .hexdigest(),
+           hashlib.sha256("\0".join(sorted(files)).encode()).hexdigest(),
            df.semanticHash())
     hit = _PERSIST_CACHE.get(key)
     if hit is not None:
