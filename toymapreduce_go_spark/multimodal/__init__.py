@@ -1,3 +1,4 @@
-from .binary import decode_meta_query, fake_decode_image, with_binary_payload
+from .binary import (decode_meta_query, parse_image_header,
+                     with_binary_payload)
 
-__all__ = ["decode_meta_query", "fake_decode_image", "with_binary_payload"]
+__all__ = ["decode_meta_query", "parse_image_header", "with_binary_payload"]

@@ -2,20 +2,33 @@
 columns with typed metadata, processed by Arrow-batched pandas via
 ``mapInPandas``.
 
-The container has no image/audio libraries, so the *decode* step is a
-deterministic fake (and the real-library hook raises NotImplementedError,
-clearly marked). Everything around it — schema, Arrow batch shape, UDF
-signature, partitioning — is real and tested: swap ``_fake_dims`` for a
-PIL/libvips call and the pipeline is production-shaped.
+The container has no image libraries, so the testdata's binary column is
+*synthesized* — but the bytes are REAL image containers: even doc_ids get
+a structurally valid PNG (magic, IHDR with correct CRC, IDAT carrying the
+document text, IEND), odd doc_ids a JPEG (SOI, JFIF APP0, SOF0, payload,
+EOI). The decode stage is a genuine pure-Python header parser
+(``parse_image_header``) that reads width/height/channels out of the
+IHDR / SOF0 the same way PIL's PngImagePlugin/JpegImagePlugin do — point
+it at any real .png/.jpg and it returns the true dimensions. Only
+pixel-level work (inflate + unfilter for PNG, DCT for JPEG) still needs a
+real codec; that hook is ``real_decode_pixels``.
+
+The IDAT body is the raw text rather than a zlib stream so the payload
+length stays arithmetic on ``octet_length(text)`` — which is what lets
+DuckDB oracle the whole pipeline end-to-end (PNG framing adds 57 bytes,
+JPEG framing 41).
 
 Scale: mapInPandas streams Arrow batches, so a partition of binary blobs
 never materializes as Python objects row-by-row; at 100 TB the binary
 column lives in its own parquet column chunk and is only read by stages
-that need it (column pruning keeps metadata-only queries cheap).
+that need it (column pruning keeps metadata-only queries cheap). The
+header parse touches ~60 bytes per blob regardless of payload size.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -23,64 +36,168 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DECODED_SCHEMA = ("doc_id long, source string, byte_len long, "
-                  "width long, height long, channels long, n_pixels long")
+DECODED_SCHEMA = ("doc_id long, source string, format string, "
+                  "byte_len long, width long, height long, "
+                  "channels long, n_pixels long")
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# bytes of container framing around the payload (see synthesize_*):
+# PNG: 8 magic + 25 IHDR + 12 IDAT framing + 12 IEND; JPEG: 2 SOI +
+# 18 APP0 + 19 SOF0 + 2 EOI. The oracle SQL reuses these constants.
+PNG_OVERHEAD = 57
+JPEG_OVERHEAD = 41
+
+# PNG color type -> sample count per pixel (PNG spec 11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def real_decode_image(payload: bytes) -> tuple[int, int, int]:
-    """Hook for a real decoder (PIL/libvips). Not available in this
-    container — STUB, clearly marked."""
-    raise NotImplementedError(
-        "image decoding requires PIL/libvips; not installed in this "
-        "environment — use fake_decode_image for plumbing tests")
+# ---------------------------------------------------------------------------
+# Synthesis: real image containers around the document text
 
 
-def _fake_dims(byte_len: "pd.Series") -> "pd.DataFrame":
-    """Deterministic fake decode: dimensions derived from payload length
-    (stands in for parsing a real image header)."""
-    width = 64 + byte_len % 512
-    height = 64 + (byte_len * 7) % 512
-    return pd.DataFrame({
-        "width": width, "height": height,
-        "channels": 3, "n_pixels": width * height * 3,
-    })
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
 
-def fake_decode_image(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: (doc_id, source, payload binary) batches →
-    decoded-metadata batches. Vectorized over each Arrow batch — no
-    per-row Python."""
+def synthesize_png(payload: bytes, width: int, height: int) -> bytes:
+    """Valid PNG container: magic, IHDR (8-bit truecolor, CRC-correct),
+    one IDAT whose data is ``payload`` verbatim (not a zlib stream — a
+    pixel decoder would reject it; every header parser accepts it), IEND.
+    """
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", payload) + _png_chunk(b"IEND", b""))
+
+
+def synthesize_jpeg(payload: bytes, width: int, height: int) -> bytes:
+    """JPEG container: SOI, JFIF APP0, baseline SOF0 carrying the real
+    dimensions (u16, 3 components), ``payload`` as the entropy stream,
+    EOI. Header-parseable by anything that scans markers to SOF."""
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes((1, 1, 0)) + struct.pack(">HH", 72, 72) + b"\x00\x00")
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", height, width) + b"\x03"
+            + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+    return b"\xff\xd8" + app0 + sof0 + payload + b"\xff\xd9"
+
+
+def synthesize_image(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (doc_id, source, text) -> (doc_id, source,
+    payload binary). Dimensions derive from the text's octet length (so
+    the DuckDB oracle can recompute them); format alternates by doc_id
+    parity so both parsers stay exercised."""
     for pdf in batches:
-        byte_len = pdf["payload"].map(len).astype("int64")
-        dims = _fake_dims(byte_len)
-        yield pd.DataFrame({
-            "doc_id": pdf["doc_id"],
-            "source": pdf["source"],
-            "byte_len": byte_len,
-            "width": dims["width"],
-            "height": dims["height"],
-            "channels": dims["channels"],
-            "n_pixels": dims["n_pixels"],
-        })
+        payloads = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            body = text.encode("utf-8")
+            n = len(body)
+            w, h = 64 + n % 512, 64 + (n * 7) % 512
+            payloads.append(synthesize_png(body, w, h) if doc_id % 2 == 0
+                            else synthesize_jpeg(body, w, h))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                            "source": pdf["source"],
+                            "payload": payloads})
 
 
 def with_binary_payload(documents: DataFrame) -> DataFrame:
-    """Manufacture the opaque binary column from text (the testdata has no
-    real image bytes); a real pipeline reads this column from parquet."""
-    return documents.select(
-        "doc_id", "source", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    """Manufacture the opaque binary column (real PNG/JPEG containers)
+    from text; a real pipeline reads this column straight from parquet."""
+    return documents.select("doc_id", "source", "text").mapInPandas(
+        synthesize_image, schema="doc_id long, source string, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# Decode: genuine header parsing
+
+
+def parse_image_header(payload: bytes) -> tuple[str, int, int, int]:
+    """(format, width, height, channels) from real PNG/JPEG header bytes.
+
+    PNG: IHDR is required to be the first chunk (PNG spec 5.6), so
+    width/height sit at fixed offsets 16/20 and color type at 25.
+    JPEG: scan marker segments from SOI until a start-of-frame
+    (SOF0-SOF3: baseline/extended/progressive/lossless) and read the
+    u16 dimensions + component count. Raises ValueError on anything
+    else — unknown bytes must fail loudly, not decode as garbage."""
+    if payload[:8] == PNG_MAGIC:
+        if payload[12:16] != b"IHDR" or len(payload) < 26:
+            raise ValueError("PNG missing leading IHDR chunk")
+        width = int.from_bytes(payload[16:20], "big")
+        height = int.from_bytes(payload[20:24], "big")
+        channels = _PNG_CHANNELS.get(payload[25])
+        if channels is None:
+            raise ValueError(f"PNG invalid color type {payload[25]}")
+        return "png", width, height, channels
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(payload) and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone
+                i += 2
+                continue
+            seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                height = int.from_bytes(payload[i + 5:i + 7], "big")
+                width = int.from_bytes(payload[i + 7:i + 9], "big")
+                return "jpeg", width, height, payload[i + 9]
+            i += 2 + seg_len
+        raise ValueError("JPEG has no SOF marker before entropy data")
+    raise ValueError(f"not a PNG or JPEG (leading bytes {payload[:4]!r})")
+
+
+def real_decode_pixels(payload: bytes):
+    """Hook for pixel-level decode (inflate+unfilter / DCT). Requires
+    PIL/libvips — not installed in this container; header-level decode
+    (dimensions, channels, format) is fully implemented above."""
+    raise NotImplementedError(
+        "pixel decode requires PIL/libvips; parse_image_header covers "
+        "header-level decode without them")
+
+
+def _parse_headers(pdf: pd.DataFrame) -> pd.DataFrame:
+    parsed = [parse_image_header(bytes(p)) for p in pdf["payload"]]
+    fmt, width, height, channels = (list(t) for t in zip(*parsed)) \
+        if parsed else ([], [], [], [])
+    return pd.DataFrame({
+        "format": pd.Series(fmt, dtype="object"),
+        "width": pd.Series(width, dtype="int64"),
+        "height": pd.Series(height, dtype="int64"),
+        "channels": pd.Series(channels, dtype="int64"),
+    }, index=pdf.index)
+
+
+def decode_image_headers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (doc_id, source, payload binary) batches →
+    decoded-metadata batches via the real header parser."""
+    for pdf in batches:
+        dims = _parse_headers(pdf)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "source": pdf["source"],
+            "format": dims["format"],
+            "byte_len": pdf["payload"].map(len).astype("int64"),
+            "width": dims["width"],
+            "height": dims["height"],
+            "channels": dims["channels"],
+            "n_pixels": dims["width"] * dims["height"] * dims["channels"],
+        })
 
 
 def decode_meta_query(documents: DataFrame) -> DataFrame:
-    """Declared query: binary → mapInPandas fake-decode → per-source
-    rollup of byte/pixel accounting. Oracle-checkable because the fake
-    decode is pure arithmetic on octet length."""
+    """Declared query: binary → mapInPandas header-decode → per-source
+    rollup of byte/pixel accounting plus a per-format count proving the
+    parser actually branched on the container bytes."""
     decoded = with_binary_payload(documents).mapInPandas(
-        fake_decode_image, schema=DECODED_SCHEMA)
+        decode_image_headers, schema=DECODED_SCHEMA)
     return (
         decoded.groupBy("source")
         .agg(
             F.count("*").alias("n_items"),
+            F.sum(F.when(F.col("format") == "png", 1).otherwise(0))
+            .alias("n_png"),
+            F.sum(F.when(F.col("format") == "jpeg", 1).otherwise(0))
+            .alias("n_jpeg"),
             F.sum("byte_len").alias("total_bytes"),
             F.sum("width").alias("sum_width"),
             F.sum("height").alias("sum_height"),
@@ -92,8 +209,9 @@ def decode_meta_query(documents: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Chained transform plumbing: decode → resize → frame-sample. Each stage
-# is its own mapInPandas with a real Arrow batch contract; the kernels
-# are deterministic fakes (no media libs in this container) — swap the
+# is its own mapInPandas with a real Arrow batch contract; decode is the
+# real header parser, resize/frame-sample remain deterministic byte
+# arithmetic (pixel work needs the real_decode_pixels hook) — swap the
 # arithmetic for PIL/ffmpeg calls and the stages are production-shaped.
 
 DECODE_KEEP_SCHEMA = ("doc_id long, source string, payload binary, "
@@ -108,14 +226,14 @@ SAMPLE_EVERY = 4
 
 
 def decode_keep_payload(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Stage 1 — decode: parse dimensions (fake: from octet length),
-    keep the payload for downstream pixel-level stages."""
+    """Stage 1 — decode: parse real dimensions out of the container
+    headers, keep the payload for downstream pixel-level stages."""
     for pdf in batches:
-        byte_len = pdf["payload"].map(len).astype("int64")
-        dims = _fake_dims(byte_len)
+        dims = _parse_headers(pdf)
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"], "source": pdf["source"],
-            "payload": pdf["payload"], "byte_len": byte_len,
+            "payload": pdf["payload"],
+            "byte_len": pdf["payload"].map(len).astype("int64"),
             "width": dims["width"], "height": dims["height"],
         })
 
@@ -147,8 +265,10 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def multimodal_pipeline_query(documents: DataFrame) -> DataFrame:
     """Declared query: the full decode → resize → frame-sample chain,
-    rolled up per source. Oracle-checkable because every fake kernel is
-    pure arithmetic on octet length.
+    rolled up per source. Oracle-checkable because the synthesized
+    containers put deterministic framing (PNG_OVERHEAD/JPEG_OVERHEAD
+    bytes) around the text and the parsed dimensions equal the
+    arithmetic the synthesizer embedded in the headers.
 
     The rollup also carries the decode-stage accounting (bytes, dims,
     pixels) so this one declared query certifies every stage end-to-end;

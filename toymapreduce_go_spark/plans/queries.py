@@ -893,13 +893,25 @@ ORACLES: dict[str, str] = {
                          END) / (sum(keep) * 10000.0), 4) AS avg_kept_alpha
         FROM flagged GROUP BY source, lang ORDER BY source, lang
     """,
+    # The oracle re-derives what the synthesizer embedded in the REAL
+    # container headers the Spark side then parses back out
+    # (multimodal/binary.py): even doc_ids are PNG (57 framing bytes
+    # around the text), odd are JPEG (41); dims are arithmetic on the
+    # text's octet length. A parser bug on either side breaks the match.
     "multimodal_decode": """
         SELECT source, count(*) AS n_items,
+               CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_png,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_jpeg,
                CAST(sum(byte_len) AS BIGINT) AS total_bytes,
                CAST(sum(width) AS BIGINT) AS sum_width,
                CAST(sum(height) AS BIGINT) AS sum_height,
                CAST(sum(n_pixels) AS BIGINT) AS total_pixels
-        FROM (SELECT source, octet_length(encode(text)) AS byte_len,
+        FROM (SELECT source, doc_id,
+                     octet_length(encode(text))
+                     + CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 41 END
+                         AS byte_len,
                      64 + octet_length(encode(text)) % 512 AS width,
                      64 + (octet_length(encode(text)) * 7) % 512 AS height,
                      (64 + octet_length(encode(text)) % 512)
@@ -919,7 +931,10 @@ ORACLES: dict[str, str] = {
                CAST(sum(1 + byte_len // 1024) AS BIGINT) AS total_frames,
                CAST(sum((1 + byte_len // 1024 + 3) // 4) AS BIGINT)
                    AS total_sampled
-        FROM (SELECT source, octet_length(encode(text)) AS byte_len,
+        FROM (SELECT source,
+                     octet_length(encode(text))
+                     + CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 41 END
+                         AS byte_len,
                      64 + octet_length(encode(text)) % 512 AS width,
                      64 + (octet_length(encode(text)) * 7) % 512 AS height
               FROM documents)
