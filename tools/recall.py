@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Measure recall@k of the approximate similarity operators against the
+exact bruteforce baseline, per scale factor. Writes the table RECALL.md
+records (run manually; the numbers are committed, not regenerated per
+round, because training/probing parameters are fixed).
+
+    python tools/recall.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from toymapreduce_go_spark.operators import similarity  # noqa: E402
+from toymapreduce_go_spark.session import build_session  # noqa: E402
+from toymapreduce_go_spark.sources.registry import load_table  # noqa: E402
+
+K = 5
+
+APPROX = {
+    "ann_lsh (portable, 6 planes)":
+        lambda emb: similarity.ann_lsh_portable(emb, k=K),
+    "ann_lsh (prod sketch, 12 planes)":
+        lambda emb: similarity.ann_lsh(emb, k=K),
+    "ann_ivf (seed centroids, 16 cells, probe 2)":
+        lambda emb: similarity.ann_ivf(emb, k=K),
+    "ann_ivf_trained (Lloyd's x3, 8 cells, probe 2)":
+        lambda emb: similarity.ann_ivf_trained(emb, k=K),
+}
+
+
+def topk_sets(df) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    return out
+
+
+def main() -> None:
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    spark = build_session("recall-measure")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"| operator | {' | '.join(d.rstrip('/').rsplit('/', 1)[-1] for d in sf_dirs)} |")
+    print(f"|---|{'---|' * len(sf_dirs)}")
+    rows = {name: [] for name in APPROX}
+    for sf_dir in sf_dirs:
+        emb = load_table(spark, sf_dir, "embeddings")
+        exact = topk_sets(similarity.knn_bruteforce(emb, k=K))
+        for name, fn in APPROX.items():
+            approx = topk_sets(fn(emb))
+            hits = sum(len(exact[p] & approx.get(p, set())) for p in exact)
+            total = sum(len(v) for v in exact.values())
+            rows[name].append(f"{hits / total:.2f}")
+    for name, vals in rows.items():
+        print(f"| {name} | {' | '.join(vals)} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -131,21 +131,38 @@ def ann_lsh_portable(embeddings: DataFrame, n_probes: int = 5,
                      n_planes: int = PORTABLE_LSH_PLANES) -> DataFrame:
     """Declared variant of ``ann_lsh``: identical bucket-then-rank plan,
     but the sign sketch uses the seeded literal planes so the DuckDB
-    oracle reproduces buckets, candidates, and ranks exactly."""
+    oracle reproduces buckets, candidates, and ranks exactly (including
+    the Hamming-1 multi-probe expansion)."""
     sketched = embeddings.withColumn(
         "bucket", _sign_sketch_literal("embedding",
                                        lsh_plane_weights(n_planes)))
-    return _rank_bucket_candidates(sketched, n_probes, k)
+    return _rank_bucket_candidates(sketched, n_probes, k,
+                                   n_planes=n_planes)
 
 
 def _rank_bucket_candidates(sketched: DataFrame, n_probes: int,
-                            k: int) -> DataFrame:
+                            k: int, n_planes: int = N_PLANES) -> DataFrame:
     probes = (
         sketched.orderBy("vec_id").limit(n_probes)
         .select(F.col("vec_id").alias("probe_id"),
                 F.col("embedding").alias("probe_emb"),
                 F.col("bucket").alias("probe_bucket"))
     )
+    # Hamming-1 multi-probe: a sign sketch splits near-ties across
+    # adjacent buckets (a vector on the far side of ONE hyperplane lands
+    # one bit away), so each probe searches its own bucket plus the
+    # n_planes buckets at Hamming distance 1. Candidates stay
+    # |corpus| * (n_planes + 1) / 2^n_planes per probe — still a
+    # vanishing corpus fraction at production plane counts — and no
+    # candidate duplicates: each corpus vector has ONE bucket and the
+    # probed values are distinct. Measured recall@5 (RECALL.md):
+    # 0.12 -> ~0.5 portable, 0.04 -> ~0.3 prod, at sf0.01.
+    probes = probes.select(
+        "probe_id", "probe_emb",
+        F.explode(F.array(*(
+            [F.col("probe_bucket")]
+            + [F.col("probe_bucket").bitwiseXOR(F.lit(1 << p))
+               for p in range(n_planes)]))).alias("probe_bucket"))
     cand = (
         sketched.join(broadcast(probes),
                       (F.col("bucket") == F.col("probe_bucket"))
@@ -174,7 +191,7 @@ def ann_lsh(embeddings: DataFrame, n_probes: int = 5, k: int = DEFAULT_K,
     bucket join touches thousands, not billions, of rows per probe.
     """
     sketched = embeddings.withColumn("bucket", _sign_sketch(F.col("embedding"), n_planes))
-    return _rank_bucket_candidates(sketched, n_probes, k)
+    return _rank_bucket_candidates(sketched, n_probes, k, n_planes=n_planes)
 
 
 def embedding_stats(embeddings: DataFrame) -> DataFrame:
@@ -207,13 +224,72 @@ def embedding_stats(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def _py_dot(a: list, b: list) -> float:
+    """Strict left-to-right fold over dimensions — the SAME accumulation
+    order as Spark's ``aggregate(zip_with(...))`` and DuckDB's
+    ``list_sum(list_transform(...))``, so all three engines produce
+    bit-identical doubles (validated by ann_ivf staying hash-green)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _py_norm(a: list) -> float:
+    import math
+    return math.sqrt(_py_dot(a, a))
+
+
+def _py_cos(a: list, b: list, na: float, nb: float) -> float:
+    return _py_dot(a, b) / (na * nb) if na > 0 and nb > 0 else 0.0
+
+
+IVF_SAMPLE_SIZE = 64
+IVF_TRAIN_ITERS = 3
+
+
+def train_ivf_centroids(sample: list[tuple[int, list[float]]],
+                        n_cells: int,
+                        n_iters: int = IVF_TRAIN_ITERS) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over a fixed sample (ascending
+    vec_id), cosine metric, ``n_iters`` iterations. Init = the sample's
+    first ``n_cells`` vectors; assignment ties break to the LARGER
+    centroid index (mirroring the engine's greatest(struct(cos, cid)));
+    an empty cluster keeps its previous centroid. Every accumulation is
+    an explicit left-to-right fold in vec_id/dimension order so the
+    generated DuckDB twin (unrolled CTE iterations with
+    list(... ORDER BY vec_id)) trains bit-identical centroids.
+
+    Scale: training cost is |sample| x n_cells x dim per iteration,
+    driver-side — the sample is model-sized by declaration (same budget
+    class as collecting the centroid seeds was before)."""
+    dim = len(sample[0][1])
+    cents = [list(emb) for _, emb in sample[:n_cells]]
+    for _ in range(n_iters):
+        sums = [[0.0] * dim for _ in range(n_cells)]
+        cnts = [0] * n_cells
+        norms = [_py_norm(c) for c in cents]
+        for _vid, v in sample:  # ascending vec_id
+            nv = _py_norm(v)
+            _, best = max((_py_cos(c, v, norms[j], nv), j)
+                          for j, c in enumerate(cents))
+            cnts[best] += 1
+            s = sums[best]
+            for d in range(dim):
+                s[d] = s[d] + v[d]
+        cents = [[s[d] / cnts[j] for d in range(dim)] if cnts[j] > 0
+                 else cents[j]
+                 for j, s in enumerate(sums)]
+    return cents
+
+
 def ann_ivf(embeddings: DataFrame, n_cells: int = 16,
             n_probe_cells: int = 2, n_probes: int = 5,
             k: int = DEFAULT_K) -> DataFrame:
     """IVF-style ANN (the scale path next to ``ann_lsh``): a coarse
     quantizer assigns every vector to its nearest of ``n_cells``
-    deterministic centroids (the lowest vec_ids — a real pipeline trains
-    k-means; the *plumbing* is identical); probes search only their
+    deterministic centroids (the lowest vec_ids; ``ann_ivf_trained`` is
+    the k-means-trained tier); probes search only their
     ``n_probe_cells`` nearest cells.
 
     Scale: the centroid set IS the model — a handful of vectors that
@@ -226,16 +302,48 @@ def ann_ivf(embeddings: DataFrame, n_cells: int = 16,
     value-checked against the generated DuckDB twin
     (``plans.queries._ann_ivf_oracle_sql``).
     """
-    import math
-
     cent_rows = (
         embeddings.orderBy("vec_id").limit(n_cells)
         .select("vec_id", "embedding").collect()
     )
     cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
              for r in cent_rows]
-    cent_norms = {cid: math.sqrt(sum(x * x for x in emb))
-                  for cid, emb in cents}
+    probes = [(cid, emb) for cid, emb in cents[:n_probes]] \
+        if n_probes <= n_cells else [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in embeddings.orderBy("vec_id").limit(n_probes)
+            .select("vec_id", "embedding").collect()]
+    return _ivf_rank(embeddings, cents, probes, n_probe_cells, k)
+
+
+def ann_ivf_trained(embeddings: DataFrame, n_cells: int = 8,
+                    n_iters: int = IVF_TRAIN_ITERS,
+                    sample_size: int = IVF_SAMPLE_SIZE,
+                    n_probe_cells: int = 2, n_probes: int = 5,
+                    k: int = DEFAULT_K) -> DataFrame:
+    """``ann_ivf`` with Lloyd's-trained centroids instead of raw seed
+    vectors: same plan shape (literal-centroid scan projection + bucket
+    join), better cell balance → better recall at the same probe budget
+    (measured in RECALL.md). The sample is the ``sample_size`` lowest
+    vec_ids, so both engines can reproduce training exactly."""
+    sample_rows = (
+        embeddings.orderBy("vec_id").limit(sample_size)
+        .select("vec_id", "embedding").collect()
+    )
+    sample = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+              for r in sample_rows]
+    cents = list(enumerate(train_ivf_centroids(sample, n_cells, n_iters)))
+    probes = sample[:n_probes]
+    return _ivf_rank(embeddings, cents, probes, n_probe_cells, k)
+
+
+def _ivf_rank(embeddings: DataFrame,
+              cents: list[tuple[int, list[float]]],
+              probes: list[tuple[int, list[float]]],
+              n_probe_cells: int, k: int) -> DataFrame:
+    """Shared IVF execution: literal-centroid assignment projection,
+    driver-side probe→cell routing, bucket join, per-probe top-k."""
+    cent_norms = {cid: _py_norm(emb) for cid, emb in cents}
 
     # One projected corpus-vector norm, reused by every centroid score —
     # inlining cosine_sim n_cells times would recompute it n_cells times
@@ -268,29 +376,17 @@ def ann_ivf(embeddings: DataFrame, n_cells: int = 16,
         "vec_id", "embedding", F.expr(best_sql).alias("cell"))
 
     # Probe→cell routing is model-sized work (|probes| × n_cells scores):
-    # computed driver-side, shipped as a literal broadcast frame. The
-    # probe set (lowest n_probes vec_ids) is a prefix of the centroid
-    # collect whenever n_probes <= n_cells — no second job.
-    probe_rows = (
-        cent_rows[:n_probes] if n_probes <= n_cells else
-        embeddings.orderBy("vec_id").limit(n_probes)
-        .select("vec_id", "embedding").collect()
-    )
-
+    # computed driver-side, shipped as a literal broadcast frame.
     def top_cells(emb):
-        pn = math.sqrt(sum(x * x for x in emb))
-        scored = []
-        for cid, cemb in cents:
-            cn = cent_norms[cid]
-            cos = (sum(a * b for a, b in zip(cemb, emb)) / (cn * pn)
-                   if cn > 0 and pn > 0 else 0.0)
-            scored.append((-cos, cid))
+        pn = _py_norm(emb)
+        scored = [(-_py_cos(cemb, emb, cent_norms[cid], pn), cid)
+                  for cid, cemb in cents]
         return [cid for _, cid in sorted(scored)[:n_probe_cells]]
 
     probe_cells = embeddings.sparkSession.createDataFrame(
-        [(int(r["vec_id"]), [float(x) for x in r["embedding"]], cell)
-         for r in probe_rows
-         for cell in top_cells([float(x) for x in r["embedding"]])],
+        [(pid, emb, cell)
+         for pid, emb in probes
+         for cell in top_cells(emb)],
         "probe_id long, probe_emb array<double>, cell long",
     )
     cand = (

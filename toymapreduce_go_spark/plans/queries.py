@@ -176,6 +176,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce": _q(similarity.knn_bruteforce),
     "ann_lsh": _q(similarity.ann_lsh_portable),
     "ann_ivf": _q(similarity.ann_ivf),
+    "ann_ivf_trained": _q(similarity.ann_ivf_trained),
     # -- text analysis (north star) --------------------------------------
     "lang_id": _q(textstats.lang_id),
     "text_quality": _q(textstats.text_quality),
@@ -209,8 +210,11 @@ def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   certifies decode + resize + frame-sample end-to-end.
 # - udtf_wordcount: proves the UDTF surface against the same oracle as
 #   wordcount/mr_compat_wordcount; it stays pytest-oracled.
+# - ann_ivf_trained: same plan shape as the declared ann_ivf with a
+#   trained centroid model; its full value-hash parity (including the
+#   unrolled Lloyd's training twin) runs in pytest.
 
-PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount")
+PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained")
 
 DECLARED: list[str] = [q for q in QUERIES if q not in PYTEST_ONLY]
 
@@ -354,13 +358,17 @@ def _ann_lsh_oracle_sql(n_probes: int = 5, k: int = 5) -> str:
     bucket = " + ".join(
         f"(CASE WHEN ({plane_dot(w)}) > 0 THEN {1 << p} ELSE 0 END)"
         for p, w in enumerate(planes))
+    # Hamming-1 multi-probe twin: own bucket + one-bit flips
+    masks = ", ".join(["p0.bucket"] + [f"xor(p0.bucket, {1 << p})"
+                                       for p in range(len(planes))])
     return f"""
         WITH sk AS (
             SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
         probes AS (
-            SELECT vec_id AS probe_id, embedding AS probe_emb,
-                   bucket AS probe_bucket
-            FROM sk ORDER BY vec_id LIMIT {n_probes}),
+            SELECT p0.probe_id, p0.probe_emb, t.pb AS probe_bucket
+            FROM (SELECT vec_id AS probe_id, embedding AS probe_emb, bucket
+                  FROM sk ORDER BY vec_id LIMIT {n_probes}) p0,
+                 UNNEST([{masks}]) AS t(pb)),
         cand AS (
             SELECT p.probe_id, s.vec_id AS neighbor_id,
                    {_COS.format(a='p.probe_emb', b='s.embedding')} AS cos
@@ -436,6 +444,108 @@ def _ann_ivf_oracle_sql(n_cells: int = 16, n_probe_cells: int = 2,
         SELECT probe_id, neighbor_id, rank, round(cos, 4) AS cos_sim
         FROM ranked WHERE rank <= {k} ORDER BY probe_id, rank
     """
+
+
+def _ann_ivf_trained_oracle_sql(n_cells: int = 8, n_iters: int = 3,
+                                sample_size: int = 64,
+                                n_probe_cells: int = 2, n_probes: int = 5,
+                                k: int = 5, dim: int = 64) -> str:
+    """Generated DuckDB twin of ``similarity.ann_ivf_trained``: Lloyd's
+    training unrolled as ``n_iters`` CTE pairs (assign → re-center). The
+    Spark side trains driver-side in pure Python and inlines the final
+    centroids as plan literals; parity holds because every accumulation
+    on both sides is the same left-to-right fold — dots/norms over
+    dimension order, cluster means over ``list(... ORDER BY vec_id)`` —
+    and the tie-breaks mirror the engine exactly (assignment → larger
+    cent_id, probe routing → smaller)."""
+    nrm = ("sqrt(list_sum(list_transform(range(1, {d}), "
+           "i -> {e}[i] * {e}[i])))").format(d=dim + 1, e="{e}")
+    dot = ("list_sum(list_transform(range(1, {d}), "
+           "i -> {a}[i] * {b}[i]))").format(d=dim + 1, a="{a}", b="{b}")
+    cos = (f"CASE WHEN {{cn}} > 0 AND {{n}} > 0 THEN "
+           f"{dot} / ({{cn}} * {{n}}) ELSE 0.0 END")
+    parts = [f"""
+        samp AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+            FROM embeddings ORDER BY vec_id LIMIT {sample_size}),
+        samp_n AS (
+            SELECT vec_id, emb, {nrm.format(e='emb')} AS nrm FROM samp),
+        cents0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id,
+                   emb AS cent_emb
+            FROM (SELECT * FROM samp ORDER BY vec_id LIMIT {n_cells}))"""]
+    for t in range(1, n_iters + 1):
+        parts.append(f"""
+        ass{t} AS (
+            SELECT vec_id, emb, cent_id AS cell FROM (
+                SELECT s.vec_id, s.emb, c.cent_id,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id
+                           ORDER BY {cos.format(a='c.cent_emb', b='s.emb',
+                                                cn='c.cn', n='s.nrm')}
+                                    DESC, c.cent_id DESC) AS ra
+                FROM samp_n s CROSS JOIN (
+                    SELECT cent_id, cent_emb,
+                           {nrm.format(e='cent_emb')} AS cn
+                    FROM cents{t - 1}) c)
+            WHERE ra = 1),
+        cents{t} AS (
+            SELECT c.cent_id, COALESCE(m.memb, c.cent_emb) AS cent_emb
+            FROM cents{t - 1} c LEFT JOIN (
+                SELECT cell,
+                       list_transform(range(1, {dim + 1}),
+                           d -> list_sum(list_transform(vl, v -> v[d]))
+                                / cnt) AS memb
+                FROM (SELECT cell, list(emb ORDER BY vec_id) AS vl,
+                             count(*) AS cnt
+                      FROM ass{t} GROUP BY cell) g) m
+              ON m.cell = c.cent_id)""")
+    final = f"""
+        cents AS (
+            SELECT cent_id, cent_emb, {nrm.format(e='cent_emb')} AS cn
+            FROM cents{n_iters}),
+        corpus AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+            FROM embeddings),
+        corpus_n AS (
+            SELECT vec_id, emb, {nrm.format(e='emb')} AS nrm FROM corpus),
+        assigned AS (
+            SELECT vec_id, emb, cent_id AS cell FROM (
+                SELECT e.vec_id, e.emb, c.cent_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {cos.format(a='c.cent_emb', b='e.emb',
+                                                cn='c.cn', n='e.nrm')}
+                                    DESC, c.cent_id DESC) AS ra
+                FROM corpus_n e CROSS JOIN cents c)
+            WHERE ra = 1),
+        probe_cells AS (
+            SELECT probe_id, probe_emb, cent_id AS cell FROM (
+                SELECT p.vec_id AS probe_id, p.emb AS probe_emb, c.cent_id,
+                       row_number() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY {cos.format(a='c.cent_emb', b='p.emb',
+                                                cn='c.cn', n='p.nrm')}
+                                    DESC, c.cent_id ASC) AS rc
+                FROM (SELECT * FROM samp_n ORDER BY vec_id
+                      LIMIT {n_probes}) p
+                CROSS JOIN cents c)
+            WHERE rc <= {n_probe_cells}),
+        cand AS (
+            SELECT pc.probe_id, a.vec_id AS neighbor_id,
+                   {cos.format(a='pc.probe_emb', b='a.emb',
+                               cn=nrm.format(e='pc.probe_emb'),
+                               n=nrm.format(e='a.emb'))} AS cos
+            FROM assigned a JOIN probe_cells pc
+              ON a.cell = pc.cell AND a.vec_id <> pc.probe_id),
+        ranked AS (
+            SELECT probe_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM cand)
+        SELECT probe_id, neighbor_id, rank, round(cos, 4) AS cos_sim
+        FROM ranked WHERE rank <= {k} ORDER BY probe_id, rank"""
+    return "WITH " + ",".join(parts) + "," + final
 
 
 ORACLES: dict[str, str] = {
@@ -993,6 +1103,7 @@ ORACLES: dict[str, str] = {
     # assignment, candidate sets, and ranks all reproduced in SQL.
     "ann_lsh": _ann_lsh_oracle_sql(),
     "ann_ivf": _ann_ivf_oracle_sql(),
+    "ann_ivf_trained": _ann_ivf_trained_oracle_sql(),
     # approx_stats: intentionally no oracle (HLL/t-digest sketch
     # internals are engine-specific) → rows-only check, as SURVEY.md
     # §2d notes.
