@@ -78,3 +78,20 @@ def test_decode_query_counts_both_formats(spark):
     assert sum(r.n_png for r in out) > 0
     assert sum(r.n_jpeg for r in out) > 0
     assert all(r.n_png + r.n_jpeg == r.n_items for r in out)
+
+
+def test_staged_pipeline_equals_fused(spark):
+    """The declared query runs the fused single-stage plan; the staged
+    4-stage form is built from the same functions and must agree row for
+    row."""
+    from conftest import SF_DIR
+
+    from toymapreduce_go_spark.multimodal.binary import (
+        multimodal_pipeline_query)
+    from toymapreduce_go_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    fused = [tuple(r) for r in multimodal_pipeline_query(docs).collect()]
+    staged = [tuple(r) for r in
+              multimodal_pipeline_query(docs, staged=True).collect()]
+    assert fused == staged

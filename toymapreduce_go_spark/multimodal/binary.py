@@ -188,8 +188,9 @@ def decode_meta_query(documents: DataFrame) -> DataFrame:
     """Declared query: binary → mapInPandas header-decode → per-source
     rollup of byte/pixel accounting plus a per-format count proving the
     parser actually branched on the container bytes."""
-    decoded = with_binary_payload(documents).mapInPandas(
-        decode_image_headers, schema=DECODED_SCHEMA)
+    decoded = documents.select("doc_id", "source", "text").mapInPandas(
+        lambda batches: decode_image_headers(synthesize_image(batches)),
+        schema=DECODED_SCHEMA)
     return (
         decoded.groupBy("source")
         .agg(
@@ -263,24 +264,49 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def multimodal_pipeline_query(documents: DataFrame) -> DataFrame:
+def fused_pipeline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The whole synthesize → decode → resize → frame-sample chain as ONE
+    mapInPandas body, composed from the stage functions above (so the
+    staged and fused forms cannot drift). One Python stage instead of
+    four: a chained-stage plan pays per-stage Arrow serialization of the
+    payload column AND per-stage Python-worker pressure — measured
+    55 s worst-case first-run vs ~1 s fused at sf0.1, because each
+    boundary can re-spawn 32 workers (~1 s of imports each) after the
+    pool is reaped. Production pipelines fuse for the same reason: one
+    pass over the binary column, metadata-only output."""
+    for out in sample_frames(resize_to_thumbnail(decode_keep_payload(
+            synthesize_image(batches)))):
+        yield out
+
+
+def multimodal_pipeline_query(documents: DataFrame,
+                              staged: bool = False) -> DataFrame:
     """Declared query: the full decode → resize → frame-sample chain,
     rolled up per source. Oracle-checkable because the synthesized
     containers put deterministic framing (PNG_OVERHEAD/JPEG_OVERHEAD
     bytes) around the text and the parsed dimensions equal the
     arithmetic the synthesizer embedded in the headers.
 
+    Default is the fused single-Python-stage plan; ``staged=True`` runs
+    the same functions as four separate mapInPandas stages (the
+    demonstration form — each stage has a real Arrow batch contract; a
+    pytest pins staged == fused).
+
     The rollup also carries the decode-stage accounting (bytes, dims,
     pixels) so this one declared query certifies every stage end-to-end;
     the standalone ``decode_meta_query`` stays pytest-oracled."""
-    staged = (
-        with_binary_payload(documents)
-        .mapInPandas(decode_keep_payload, schema=DECODE_KEEP_SCHEMA)
-        .mapInPandas(resize_to_thumbnail, schema=RESIZED_SCHEMA)
-        .mapInPandas(sample_frames, schema=SAMPLED_SCHEMA)
-    )
+    if staged:
+        transformed = (
+            with_binary_payload(documents)
+            .mapInPandas(decode_keep_payload, schema=DECODE_KEEP_SCHEMA)
+            .mapInPandas(resize_to_thumbnail, schema=RESIZED_SCHEMA)
+            .mapInPandas(sample_frames, schema=SAMPLED_SCHEMA)
+        )
+    else:
+        transformed = documents.select("doc_id", "source", "text") \
+            .mapInPandas(fused_pipeline, schema=SAMPLED_SCHEMA)
     return (
-        staged.groupBy("source")
+        transformed.groupBy("source")
         .agg(
             F.count("*").alias("n_items"),
             F.sum("byte_len").alias("total_bytes"),
