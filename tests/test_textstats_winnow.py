@@ -41,3 +41,28 @@ def test_rolling_fingerprint_matches_naive(spark, window):
     got = {r.doc_id: r.n_fingerprints
            for r in rolling_fingerprint(docs, k=k, window=window).collect()}
     assert got == expected
+
+
+def test_unicode_tokenizer_matches_go_fieldsfunc_semantics(spark):
+    """tokens_unicode == the reference's FieldsFunc(!unicode.IsLetter)
+    (wc.go:26-29): letters of ANY script survive as runs; digits,
+    punctuation, and whitespace all split. Expectations below are the
+    hand-computed Go behavior for each string."""
+    from pyspark.sql import functions as F
+
+    from toymapreduce_go_spark.functions.text import tokens_unicode
+
+    cases = [
+        ("héllo wörld", ["héllo", "wörld"]),
+        ("日本語のテキスト123と漢字", ["日本語のテキスト", "と漢字"]),
+        ("Ça c'est l'été!", ["Ça", "c", "est", "l", "été"]),
+        ("русский текст, и ещё", ["русский", "текст", "и", "ещё"]),
+        ("mixedASCIIand中文words", ["mixedASCIIand中文words"]),
+        ("42 is 42", ["is"]),
+        ("", []),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = {r.s: r.toks for r in
+           df.select("s", tokens_unicode("s").alias("toks")).collect()}
+    for s, want in cases:
+        assert got[s] == want, (s, got[s], want)

@@ -44,3 +44,21 @@ def whitespace_token_count(text: Column) -> Column:
 def bpe_ish_token_count(text: Column) -> Column:
     """Count of BPE-ish tokens (letters-run | digits-run | symbol)."""
     return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+# Full-Unicode letter-run tokenizer: the reference's actual contract
+# (`unicode.IsLetter`, wc.go:26-29). Java regex \p{L} matches the same
+# Unicode Letter category Go's unicode.IsLetter tests, so this closes
+# the documented ASCII divergence for non-ASCII corpora. Kept out of the
+# DECLARED oracle surface only because DuckDB's regexp engine (RE2) and
+# Java's differ on some category edge cases; pytest pins it against a
+# known multilingual fixture instead.
+UNICODE_TOKEN_PATTERN = "[^\\p{L}]+"
+
+
+def tokens_unicode(text: Column | str) -> Column:
+    """array<string> of non-empty Unicode-letter-run tokens — the exact
+    FieldsFunc(!unicode.IsLetter) semantics of the reference."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(col, UNICODE_TOKEN_PATTERN),
+                    lambda t: F.length(t) > 0)
