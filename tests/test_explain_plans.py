@@ -124,3 +124,17 @@ def test_correlated_subquery_decorrelates(spark):
     # Catalyst rewrites the correlated scalar subquery into agg + join;
     # a per-row subquery would appear as a Subquery/ScalarSubquery node
     assert "Join" in plan and "Subquery" not in plan, plan
+
+
+def test_fingerprint_queries_have_no_global_output_sort(spark):
+    """r5 verdict nit: doc_fingerprint / rolling_fingerprint emit
+    corpus-sized output, so a trailing orderBy is a whole-corpus sort
+    reducer at scale. The driver's value-hash is order-insensitive;
+    these plans must not pay for an ordering nobody consumes. (The
+    window-function Sort inside doc_fingerprint is partition-local —
+    global ordering shows up as a Sort with an Exchange rangepartitioning
+    above the final project, which is what we reject.)"""
+    from toymapreduce_go_spark.plans.queries import QUERIES
+    for name in ("doc_fingerprint", "rolling_fingerprint"):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "rangepartitioning" not in plan.lower(), (name, plan[:1500])

@@ -136,7 +136,9 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
         fps.withColumn("n_sharing",
                        F.count(F.lit(1)).over(Window.partitionBy("fp")))
         .select("doc_id", "fp", "n_sharing")
-        .orderBy("doc_id")
+        # no output orderBy: the driver's value-hash is order-insensitive
+        # and a corpus-sized global sort is exactly the reducer a 100 TB
+        # run cannot afford (r5 verdict nit)
     )
 
 
@@ -216,7 +218,7 @@ def rolling_fingerprint(documents: DataFrame, k: int = 8,
     return (
         out.select("doc_id",
                    F.size(F.array_distinct(full)).alias("n_fingerprints"))
-        .orderBy("doc_id")
+        # no output orderBy — see doc_fingerprint
     )
 
 
