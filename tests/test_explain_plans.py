@@ -138,3 +138,49 @@ def test_fingerprint_queries_have_no_global_output_sort(spark):
     for name in ("doc_fingerprint", "rolling_fingerprint"):
         plan = plan_of(QUERIES[name](spark, SF_DIR))
         assert "rangepartitioning" not in plan.lower(), (name, plan[:1500])
+
+
+def test_quartiles_band_plan_no_whole_table_sort_and_exact(spark):
+    """The r6 quartiles plan (approx band + exact refine) must (a) agree
+    with the brute-force type-1 quartile on adversarial shapes — tiny
+    groups, heavy duplicates, all-equal values — and (b) never run
+    row_number over the whole table (the refine window only sees band
+    rows, so the pre-window exchange carries a band filter)."""
+    import math
+    import random
+
+    from toymapreduce_go_spark.operators.relational import (
+        lineitem_price_quartiles)
+
+    rng = random.Random(11)
+    rows = []
+    groups = {
+        "A": [100.0],                       # n=1: every quartile = the row
+        "B": [5.0, 7.0],                    # n=2
+        "C": [3.0] * 500,                   # all-equal
+        "D": [float(rng.randint(1, 20)) for _ in range(997)],  # dup-heavy
+    }
+    for flag, vals in groups.items():
+        rows += [(flag, v) for v in vals]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double")
+    for threshold in (10**9, 0):  # windowed path, then banded path
+        got = {r.l_returnflag: (r.n_items, r.p25, r.p50, r.p75)
+               for r in lineitem_price_quartiles(
+                   df, band_threshold=threshold).collect()}
+        for flag, vals in groups.items():
+            s = sorted(vals)
+            want = tuple(round(s[math.ceil(q * len(s)) - 1], 2)
+                         for q in (0.25, 0.5, 0.75))
+            assert got[flag] == (len(vals), *want), (
+                threshold, flag, got[flag], want)
+    # banded plan shape: the only row_number window partitions by
+    # (flag, qi) and its input is band-filtered — the sort covers band
+    # rows, not the table; the band predicate is a literal price range
+    # eligible for parquet min/max pruning
+    plan = plan_of(lineitem_price_quartiles(
+        load_table(spark, SF_DIR, "lineitem"), band_threshold=0))
+    assert "windowspecdefinition(l_returnflag" in plan and "qi" in plan
+    assert "isnotnull(qi" in plan
+    assert "l_extendedprice), GreaterThanOrEqual" in plan.replace("#", ")#") \
+        or "GreaterThanOrEqual(l_extendedprice" in plan, plan[:2000]
