@@ -67,16 +67,34 @@ def load_prior_bench(repo_dir: str, sf=None) -> dict[str, float]:
     return {}
 
 
+def machine_speed_ratio(current: dict[str, float],
+                        prior: dict[str, float]) -> float:
+    """Median per-query current/prior ratio — the machine-speed factor
+    between the two runs. A code regression is query-specific; host
+    noise (shared-host neighbors, decaying load) lifts the WHOLE
+    distribution, and observed medians swing 0.9-1.8x across
+    identical-code runs. Clamped to >= 1 so a faster machine tightens
+    the guard instead of hiding regressions."""
+    ratios = sorted(sec / prior[q] for q, sec in current.items()
+                    if q in prior and prior[q] > 0)
+    if not ratios:
+        return 1.0
+    return max(1.0, ratios[len(ratios) // 2])
+
+
 def find_regressions(current: dict[str, float],
                      prior: dict[str, float],
                      ratio: float = 1.5,
-                     min_abs_sec: float = 1.0) -> list[str]:
-    """Queries slower than ``ratio``x the prior round AND by more than
-    ``min_abs_sec`` absolute (sub-second timings are noise-dominated on a
-    32-thread local JVM even with best-of-2)."""
+                     min_abs_sec: float = 1.0,
+                     speed: float = 1.0) -> list[str]:
+    """Queries slower than ``ratio``x the (machine-speed-normalized)
+    prior round AND by more than ``min_abs_sec`` absolute (sub-second
+    timings are noise-dominated on a 32-thread local JVM even with
+    best-of-2)."""
     return sorted(
         q for q, sec in current.items()
-        if q in prior and sec > ratio * prior[q] and sec - prior[q] > min_abs_sec)
+        if q in prior and sec > ratio * speed * prior[q]
+        and sec - speed * prior[q] > min_abs_sec)
 
 
 def main() -> None:
@@ -145,18 +163,23 @@ def main() -> None:
     if not os.environ.get("SPARK_GRAFT_BENCH_NO_GUARD"):
         prior = load_prior_bench(os.path.dirname(os.path.abspath(__file__)),
                                  sf=sf_val)
+        speed = machine_speed_ratio(timings, prior)
+        if speed > 1.05:
+            print(f"BENCH NOTE machine-speed ratio {speed:.2f}x vs prior "
+                  "round (median per-query) — guard thresholds scaled",
+                  file=sys.stderr)
         confirmed = {}
-        for q in find_regressions(timings, prior):
+        for q in find_regressions(timings, prior, speed=speed):
             t0 = time.perf_counter()
             materialize(QUERIES[q](spark, SF_DIR))
             best = min(timings[q], round(time.perf_counter() - t0, 3))
-            if find_regressions({q: best}, prior):
+            if find_regressions({q: best}, prior, speed=speed):
                 confirmed[q] = best
         if confirmed:
             for q, sec in confirmed.items():
                 print(f"BENCH REGRESSION {q}: {sec}s vs prior "
-                      f"{prior[q]}s (>1.5x, confirmed on re-run)",
-                      file=sys.stderr)
+                      f"{prior[q]}s (>1.5x at speed {speed:.2f}x, "
+                      "confirmed on re-run)", file=sys.stderr)
             sys.exit(2)
     # An erroring query is worse than a regression — fail loudly, but only
     # AFTER the metrics line so the round still records all other numbers.

@@ -55,3 +55,26 @@ def test_load_prior_bench_falls_back_past_crashed_round(tmp_path):
     (tmp_path / "BENCH_r05.json").write_text(
         json.dumps({"parsed": None, "rc": 1}))
     assert load_prior_bench(str(tmp_path)) == {"q": 4.0}
+
+
+def test_machine_speed_ratio_normalizes_uniform_drift():
+    from bench import find_regressions, machine_speed_ratio
+
+    prior = {"a": 1.0, "b": 2.0, "c": 3.0, "d": 4.0, "e": 2.0}
+    # whole distribution 1.7x slower (host noise), nothing query-specific
+    uniform = {q: round(v * 1.7, 3) for q, v in prior.items()}
+    speed = machine_speed_ratio(uniform, prior)
+    assert 1.6 < speed < 1.8
+    assert find_regressions(uniform, prior, speed=speed) == []
+    # a real regression still stands out after normalization
+    real = dict(uniform, b=2.0 * 1.7 * 2.5)
+    speed = machine_speed_ratio(real, prior)
+    assert find_regressions(real, prior, speed=speed) == ["b"]
+
+
+def test_machine_speed_ratio_clamps_on_faster_machine():
+    from bench import machine_speed_ratio
+
+    prior = {"a": 2.0, "b": 4.0, "c": 6.0}
+    faster = {q: v / 2 for q, v in prior.items()}
+    assert machine_speed_ratio(faster, prior) == 1.0
