@@ -464,6 +464,16 @@ def lineitem_price_quartiles(lineitem: DataFrame,
     qs = _QUARTILE_QS
     margin = 2.0 / QUARTILE_ACC
     base = lineitem.select("l_returnflag", "l_extendedprice")
+    # Free pre-check: Catalyst's column-pruned sizeInBytes estimate (no
+    # job; ~6 B/row for this 2-column projection of snappy parquet). A
+    # clearly-small input skips even the sketch pass. Being wrong either
+    # way is harmless — both paths are exact; under-estimation just pays
+    # the sketch pass, over-estimation runs windowed slightly past the
+    # crossover.
+    approx_bytes = int(base._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes())
+    if band_threshold > 0 and approx_bytes < 6 * band_threshold:
+        return _quartiles_windowed(base)
     probes = []
     for q in qs:
         probes += [max(0.0, q - margin), min(1.0, q + margin)]
