@@ -117,3 +117,34 @@ def test_streaming_watermark_accepts_every_encoding(spark, events_dir):
         ("2024-03-01T11:00:00", "click", 2, 11.0),
         ("2024-03-01T11:00:00", "error", 1, 3.0),
     ], encoding
+
+
+@pytest.fixture(scope="module")
+def reference_results(spark, tmp_path_factory):
+    """us_utc results for the wider events family — the fixed point the
+    other encodings must reproduce byte-for-byte."""
+    d = _write_events(str(tmp_path_factory.mktemp("events_ref")), "us_utc")
+    return {name: _family_result(spark, d, name) for name in _FAMILY}
+
+
+def _family_result(spark, d, name):
+    from toymapreduce_go_spark.operators.events import events_sliding
+    from toymapreduce_go_spark.operators.joins import events_asof_join
+    from toymapreduce_go_spark.operators.relational import events_cube
+
+    fns = {"sliding": events_sliding, "asof": events_asof_join,
+           "cube": events_cube}
+    df = fns[name](load_table(spark, d, "events"))
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+_FAMILY = ("sliding", "asof", "cube")
+
+
+@pytest.mark.parametrize("name", _FAMILY)
+def test_events_family_identical_across_encodings(spark, events_dir,
+                                                  reference_results, name):
+    encoding, d = events_dir
+    assert _family_result(spark, d, name) == reference_results[name], (
+        encoding, name)
