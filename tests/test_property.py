@@ -100,3 +100,36 @@ def test_kvtext_roundtrip_property(spark, rows, tmp_path_factory):
     back = sorted((r.key, r.value) for r in
                   spark.read.format("kvtext").load(out).collect())
     assert back == sorted(rows)
+
+
+@given(vals=st.lists(
+    st.tuples(st.sampled_from("AB"),
+              st.floats(min_value=0.01, max_value=1e6,
+                        allow_nan=False, allow_infinity=False)),
+    min_size=1, max_size=60))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_quartiles_property_both_paths(spark, vals):
+    """Both quartile plans (windowed and banded) must return the type-1
+    quartile — the element at sorted position ceil(q*n) — for any
+    multiset, including duplicates and single-element groups."""
+    import math
+
+    from toymapreduce_go_spark.operators.relational import (
+        lineitem_price_quartiles)
+
+    df = spark.createDataFrame(
+        [(f, round(v, 2)) for f, v in vals],
+        "l_returnflag string, l_extendedprice double")
+    by_flag = {}
+    for f, v in vals:
+        by_flag.setdefault(f, []).append(round(v, 2))
+    for threshold in (10**12, 0):
+        got = {r.l_returnflag: (r.n_items, r.p25, r.p50, r.p75)
+               for r in lineitem_price_quartiles(
+                   df, band_threshold=threshold).collect()}
+        for f, fv in by_flag.items():
+            s = sorted(fv)
+            want = tuple(round(s[math.ceil(q * len(s)) - 1], 2)
+                         for q in (0.25, 0.5, 0.75))
+            assert got[f] == (len(fv), *want), (threshold, f, got[f], want)
