@@ -40,9 +40,14 @@ def _stream_src_dir(spark: SparkSession, sf_dir: str, table: str,
     import os
     import tempfile
 
+    fixture_mtime = os.path.getmtime(
+        os.path.abspath(f"{sf_dir}/{table}.parquet"))
+    # mtime in the key: the upstream fixtures have been regenerated
+    # between rounds — a split cache keyed on path alone would keep
+    # serving the old rows (and potentially an old schema) forever
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{table}|{n_splits}".encode()
-    ).hexdigest()[:12]
+        f"{os.path.abspath(sf_dir)}|{table}|{n_splits}|{fixture_mtime}"
+        .encode()).hexdigest()[:12]
     src_dir = os.path.join(tempfile.gettempdir(), f"tmrs_stream_{key}")
     fixture = os.path.abspath(f"{sf_dir}/{table}.parquet")
     if n_splits == 1:
