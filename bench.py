@@ -82,6 +82,14 @@ def machine_speed_ratio(current: dict[str, float],
     return max(1.0, ratios[len(ratios) // 2])
 
 
+# A genuine host-speed swing lifts the median ratio; so does a fleet-wide
+# CODE regression (r6 advice: uncapped, a change slowing >=half the suite
+# is absorbed into the speed factor and the guard goes blind). Cap the
+# normalization and warn loudly past the cap — per-query guard thresholds
+# never exceed ratio * SPEED_CAP, whatever the host does.
+SPEED_CAP = 1.5
+
+
 def find_regressions(current: dict[str, float],
                      prior: dict[str, float],
                      ratio: float = 1.5,
@@ -106,6 +114,22 @@ def main() -> None:
     from toymapreduce_go_spark.sources.registry import TABLES, load_table
     for t in TABLES:
         load_table(spark, SF_DIR, t).count()
+
+    # Pre-warm the Python worker pool across all cores: the first RDD /
+    # pandas-UDF stage otherwise pays one daemon + N worker forks, which
+    # lands on whichever Python-stage query runs first (r6 recorded
+    # mr_compat_wordcount at 2.5x for exactly this class of cost; with
+    # spark.python.worker.reuse pinned, warmed workers persist).
+    cpus = spark.sparkContext.defaultParallelism
+    spark.sparkContext.parallelize(range(cpus * 4), cpus).map(
+        lambda x: x).count()
+    from pyspark.sql import functions as _F
+
+    @_F.pandas_udf("double")
+    def _warm(v):
+        return v * 1.0
+    spark.range(cpus * 4).repartition(cpus).select(
+        _warm(_F.col("id").cast("double"))).count()
 
     # Best-of-2: single-shot timings on a 32-thread local JVM are noisy
     # (JIT compile storms, GC pauses, Python-worker forks inject random
@@ -163,8 +187,15 @@ def main() -> None:
     if not os.environ.get("SPARK_GRAFT_BENCH_NO_GUARD"):
         prior = load_prior_bench(os.path.dirname(os.path.abspath(__file__)),
                                  sf=sf_val)
-        speed = machine_speed_ratio(timings, prior)
-        if speed > 1.05:
+        raw_speed = machine_speed_ratio(timings, prior)
+        speed = min(raw_speed, SPEED_CAP)
+        if raw_speed > SPEED_CAP:
+            print(f"BENCH WARNING median per-query ratio {raw_speed:.2f}x "
+                  f"exceeds the host-drift cap {SPEED_CAP}x — either the "
+                  "host is unusually slow or a code change slowed most of "
+                  "the suite; guard normalization capped at the latter",
+                  file=sys.stderr)
+        elif speed > 1.05:
             print(f"BENCH NOTE machine-speed ratio {speed:.2f}x vs prior "
                   "round (median per-query) — guard thresholds scaled",
                   file=sys.stderr)

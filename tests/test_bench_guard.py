@@ -72,6 +72,22 @@ def test_machine_speed_ratio_normalizes_uniform_drift():
     assert find_regressions(real, prior, speed=speed) == ["b"]
 
 
+def test_speed_cap_keeps_guard_awake_on_fleet_wide_regression():
+    """r6 advice: a code change slowing >=half the suite must not be
+    absorbed into the host-drift normalization. With the cap, a 2.5x
+    fleet-wide slowdown still flags (2.5 > 1.5 ratio * 1.5 cap), while
+    genuine 1.8x host drift stays under the capped threshold."""
+    from bench import SPEED_CAP, find_regressions, machine_speed_ratio
+
+    prior = {q: 2.0 for q in "abcdef"}
+    fleet_regressed = {q: 5.0 for q in "abcdef"}  # 2.5x everywhere
+    speed = min(machine_speed_ratio(fleet_regressed, prior), SPEED_CAP)
+    assert find_regressions(fleet_regressed, prior, speed=speed) == list("abcdef")
+    host_drift = {q: 3.6 for q in "abcdef"}  # 1.8x everywhere
+    speed = min(machine_speed_ratio(host_drift, prior), SPEED_CAP)
+    assert find_regressions(host_drift, prior, speed=speed) == []
+
+
 def test_machine_speed_ratio_clamps_on_faster_machine():
     from bench import machine_speed_ratio
 

@@ -20,6 +20,26 @@ def test_minhash_recovers_exact_jaccard_pairs(spark):
     assert approx == exact
 
 
+def test_ngram_lsh_tier_matches_exact(spark):
+    """The declared ngram_jaccard_pairs runs the round-7 LSH-candidate
+    tier (banding candidates + exact array_intersect verify). On the
+    fixture — planted near-dups well above the 0.5 threshold, where
+    16x4 banding recall is ~1 — it must emit exactly the exact tier's
+    pairs with exactly the same Jaccard values."""
+    from conftest import SF_DIR
+
+    from toymapreduce_go_spark.operators.dedup import ngram_jaccard_pairs
+    from toymapreduce_go_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = sorted(tuple(r) for r in
+                   ngram_jaccard_pairs(docs, candidates="all").collect())
+    lsh = sorted(tuple(r) for r in
+                 ngram_jaccard_pairs(docs, candidates="lsh").collect())
+    assert exact, "fixture should contain planted near-duplicates"
+    assert lsh == exact
+
+
 def test_ann_variants_recall_vs_bruteforce(spark):
     """Both ANN variants trade recall for candidate-set size; against the
     exact top-5 of each probe they must stay useful: every returned

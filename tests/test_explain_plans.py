@@ -162,6 +162,11 @@ def test_quartiles_band_plan_no_whole_table_sort_and_exact(spark):
     }
     for flag, vals in groups.items():
         rows += [(flag, v) for v in vals]
+    # NULL-price contract (r6 advice): an all-NULL group must not crash
+    # the banded path (its sketch band array is NULL) or skew the
+    # windowed path's n; sprinkled NULLs inside a group must be ignored.
+    rows += [("E", None)] * 7
+    rows += [("D", None)] * 5
     df = spark.createDataFrame(
         rows, "l_returnflag string, l_extendedprice double")
     for threshold in (10**9, 0):  # windowed path, then banded path
@@ -174,6 +179,7 @@ def test_quartiles_band_plan_no_whole_table_sort_and_exact(spark):
                          for q in (0.25, 0.5, 0.75))
             assert got[flag] == (len(vals), *want), (
                 threshold, flag, got[flag], want)
+        assert set(got) == set(groups), got  # all-NULL group E dropped
     # banded plan shape: the only row_number window partitions by
     # (flag, qi) and its input is band-filtered — the sort covers band
     # rows, not the table; the band predicate is a literal price range

@@ -68,6 +68,29 @@ def test_garbage_fails_loudly():
             parse_image_header(bad)
 
 
+def test_truncated_jpeg_fails_loudly():
+    """Real-world truncated JPEGs must raise ValueError, never IndexError
+    (r6 advice): SOF cut mid-dimensions, a final segment shorter than its
+    declared length, and a <2-byte length slice."""
+    import struct
+    full_sof = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+                + struct.pack(">HH", 480, 640) + b"\x03" + bytes(3))
+    jpeg = b"\xff\xd8" + full_sof
+    assert parse_image_header(jpeg) == ("jpeg", 640, 480, 3)
+    # every truncation point before the 10 SOF bytes the parser needs
+    # (marker+len+precision+dims+ncomp ends at offset 12)
+    for cut in range(4, 12):
+        with pytest.raises(ValueError):
+            parse_image_header(jpeg[:cut])
+    # declared segment length runs past the payload end
+    overlong = b"\xff\xd8" + b"\xff\xfe" + struct.pack(">H", 500) + b"x"
+    with pytest.raises(ValueError):
+        parse_image_header(overlong)
+    # bogus <2 length field
+    with pytest.raises(ValueError):
+        parse_image_header(b"\xff\xd8" + b"\xff\xfe\x00\x01")
+
+
 def test_decode_query_counts_both_formats(spark):
     from conftest import SF_DIR
 

@@ -21,9 +21,9 @@ from toymapreduce_go_spark.sources.registry import load_table  # noqa: E402
 K = 5
 
 APPROX = {
-    "ann_lsh (portable, 6 planes)":
+    "ann_lsh (portable, 4 bands x 6 planes)":
         lambda emb: similarity.ann_lsh_portable(emb, k=K),
-    "ann_lsh (prod sketch, 12 planes)":
+    "ann_lsh (prod sketch, 4 bands x 12 planes)":
         lambda emb: similarity.ann_lsh(emb, k=K),
     "ann_ivf (seed centroids, 16 cells, probe 2)":
         lambda emb: similarity.ann_ivf(emb, k=K),

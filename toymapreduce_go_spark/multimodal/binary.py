@@ -138,9 +138,15 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int, int]:
                 continue
             seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
             if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                # SOF payload: precision u8, height u16, width u16,
+                # components u8 — require all 10 bytes before reading.
+                if i + 10 > len(payload):
+                    raise ValueError("truncated JPEG SOF segment")
                 height = int.from_bytes(payload[i + 5:i + 7], "big")
                 width = int.from_bytes(payload[i + 7:i + 9], "big")
                 return "jpeg", width, height, payload[i + 9]
+            if seg_len < 2 or i + 2 + seg_len > len(payload):
+                raise ValueError("truncated JPEG segment")
             i += 2 + seg_len
         raise ValueError("JPEG has no SOF marker before entropy data")
     raise ValueError(f"not a PNG or JPEG (leading bytes {payload[:4]!r})")

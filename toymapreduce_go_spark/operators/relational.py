@@ -463,7 +463,14 @@ def lineitem_price_quartiles(lineitem: DataFrame,
     SQL for either."""
     qs = _QUARTILE_QS
     margin = 2.0 / QUARTILE_ACC
-    base = lineitem.select("l_returnflag", "l_extendedprice")
+    # Explicit non-null contract shared by both plan paths: the windowed
+    # path would otherwise count NULL prices in n while row_number orders
+    # them first (skewing type-1 selection), and the banded path's sketch
+    # yields a NULL band array for an all-NULL group (TypeError on
+    # list(r["b"])). The fixture has no NULL prices, so the DuckDB oracle
+    # (which ignores NULLs in percentile windows anyway) is unchanged.
+    base = (lineitem.select("l_returnflag", "l_extendedprice")
+            .filter(F.col("l_extendedprice").isNotNull()))
     # Free pre-check: Catalyst's column-pruned sizeInBytes estimate (no
     # job; ~6 B/row for this 2-column projection of snappy parquet). A
     # clearly-small input skips even the sketch pass. Being wrong either

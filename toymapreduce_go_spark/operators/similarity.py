@@ -54,22 +54,26 @@ def knn_bruteforce(embeddings: DataFrame, n_probes: int = 5,
     )
 
 
-N_PLANES = 12
+N_PLANES = 12   # planes PER BAND (production sketch)
+LSH_BANDS = 4   # independent OR'd sketch bands (round-7: multi-band LSH)
 
 
-def _sign_sketch(emb_col, n_planes: int = N_PLANES):
+def _sign_sketch(emb_col, n_planes: int = N_PLANES, plane_offset: int = 0):
     """Deterministic random-hyperplane sign sketch → int bucket id.
 
     Plane p's component for dimension d is a pseudo-random weight in
     {-3,-2,-1,1,2,3} derived from xxhash64(p, d) — fixed across runs and
     cluster layouts, and zero-free so every dimension contributes to every
-    plane. sketch bit p = sign(Σ_d w_pd · emb[d]).
+    plane. sketch bit p = sign(Σ_d w_pd · emb[d]). ``plane_offset`` shifts
+    the global plane index so each band of a multi-band sketch draws
+    disjoint (independent) hyperplanes from the same hash stream.
     """
     dims = F.size(emb_col)
     def plane_dot(p):
         def weight(d):
             # residue in {-3..2}, then skip 0 by shifting non-negatives up
-            r = F.pmod(F.xxhash64(F.lit(p), d), F.lit(6)) - F.lit(3)
+            r = F.pmod(F.xxhash64(F.lit(plane_offset + p), d),
+                       F.lit(6)) - F.lit(3)
             return F.when(r >= 0, r + 1).otherwise(r).cast("double")
         return F.aggregate(
             F.zip_with(
@@ -90,12 +94,15 @@ def _sign_sketch(emb_col, n_planes: int = N_PLANES):
 
 LSH_SEED = 0x51DE
 LSH_DIM = 64  # the embeddings table's fixed dimension (TESTDATA.md)
-# The declared portable query uses 6 planes (64 buckets): coarse enough
-# that the 500-2000-vector test corpora yield full top-k candidate sets
-# (12 planes = 4096 buckets leaves every probe alone in its bucket —
-# an empty result proves nothing). Production sizes n_planes ~
-# log2(|corpus| / target_bucket_size); the plan shape is identical.
-PORTABLE_LSH_PLANES = 6
+# The declared portable query uses 4 bands x 6 planes: 6 planes (64
+# buckets per band) is coarse enough that the 500-2000-vector test
+# corpora yield full top-k candidate sets, and OR-ing 4 independent
+# bands lifts weak-neighbor recall the way MinHash banding does
+# (per-band hit prob q -> 1-(1-q)^B; measured in RECALL.md).
+# Production sizes n_planes ~ log2(|corpus| / target_bucket_size) and
+# tunes n_bands to the recall target; the plan shape is identical.
+PORTABLE_LSH_PLANES = 6  # planes PER BAND
+PORTABLE_LSH_BANDS = 4
 
 
 def lsh_plane_weights(n_planes: int = N_PLANES,
@@ -115,12 +122,17 @@ def _sign_sketch_literal(emb: str, planes: list[list[int]]):
     """Bucket id from literal planes, as ONE parsed SQL expression (the
     Py4J round-trip lesson from ``ann_ivf``: thousands of literal Column
     nodes cost seconds of driver time; text parses in milliseconds).
-    Each plane's dot is an explicit left-to-right term chain so the
-    DuckDB twin (``plans.queries._ann_lsh_oracle_sql``) adds in exactly
-    the same order — bit-identical doubles, bit-identical signs."""
+    Each plane's dot is ``aggregate(zip_with(weights, emb, *), 0D, +)``
+    — a left-to-right fold, the SAME accumulation order as the DuckDB
+    twin's ``list_sum(list_transform(...))`` (the proven ``_COS``
+    equivalence) — bit-identical doubles, bit-identical signs. The fold
+    form keeps the expression tree ~64 literals per plane instead of 64
+    unrolled multiply-adds: r7's 4-band sketch (24 planes) in unrolled
+    form OOM'd whole-stage codegen on a default-sized (1g) driver JVM."""
     def plane_dot(w: list[int]) -> str:
-        return " + ".join(f"double({emb}[{d}]) * {float(x)!r}D"
-                          for d, x in enumerate(w))
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in w) + ")"
+        return (f"aggregate(zip_with({arr}, {emb},"
+                " (w, x) -> w * double(x)), 0D, (a, x) -> a + x)")
     return F.expr("(" + " + ".join(
         f"(case when ({plane_dot(w)}) > 0D then {1 << p} else 0 end)"
         for p, w in enumerate(planes)) + ")")
@@ -128,51 +140,83 @@ def _sign_sketch_literal(emb: str, planes: list[list[int]]):
 
 def ann_lsh_portable(embeddings: DataFrame, n_probes: int = 5,
                      k: int = DEFAULT_K,
-                     n_planes: int = PORTABLE_LSH_PLANES) -> DataFrame:
-    """Declared variant of ``ann_lsh``: identical bucket-then-rank plan,
-    but the sign sketch uses the seeded literal planes so the DuckDB
-    oracle reproduces buckets, candidates, and ranks exactly (including
-    the Hamming-1 multi-probe expansion)."""
+                     n_planes: int = PORTABLE_LSH_PLANES,
+                     n_bands: int = PORTABLE_LSH_BANDS) -> DataFrame:
+    """Declared variant of ``ann_lsh``: identical banded bucket-then-rank
+    plan, but each band's sign sketch uses seeded literal planes so the
+    DuckDB oracle reproduces buckets, candidates, and ranks exactly
+    (including the per-band Hamming-1 multi-probe expansion)."""
+    all_planes = lsh_plane_weights(n_bands * n_planes)
     sketched = embeddings.withColumn(
-        "bucket", _sign_sketch_literal("embedding",
-                                       lsh_plane_weights(n_planes)))
-    return _rank_bucket_candidates(sketched, n_probes, k,
-                                   n_planes=n_planes)
+        "buckets", F.array(*[
+            _sign_sketch_literal(
+                "embedding", all_planes[b * n_planes:(b + 1) * n_planes])
+            for b in range(n_bands)]))
+    return _rank_banded_candidates(sketched, n_probes, k,
+                                   n_bands=n_bands, n_planes=n_planes)
 
 
-def _rank_bucket_candidates(sketched: DataFrame, n_probes: int,
-                            k: int, n_planes: int = N_PLANES) -> DataFrame:
+def _rank_banded_candidates(sketched: DataFrame, n_probes: int, k: int,
+                            n_bands: int, n_planes: int) -> DataFrame:
+    """Candidate generation + exact rank for multi-band sign-LSH.
+
+    ``sketched`` carries ``buckets`` — one bucket id per independent
+    band. Two recall knobs compose (round-7, RECALL.md's named fix):
+
+    - **Hamming-1 multi-probe** within a band: a vector on the far side
+      of ONE hyperplane lands one bit away, so each probe searches its
+      own bucket plus the n_planes one-bit-flip buckets.
+    - **OR over bands** (the MinHash banding pattern): a pair missed by
+      one band's planes gets fresh independent chances in the others —
+      per-band hit prob q becomes 1-(1-q)^B.
+
+    Both stay equi-joins: corpus rows posexplode to (band, bucket) and
+    probes to (band, ring bucket), joined on exact (band, bucket) — no
+    distance predicate ever scans the corpus. Per-probe candidates are
+    ~|corpus| * B*(n_planes+1)/2^n_planes, a vanishing fraction at
+    production plane counts. A pair matching in several bands is
+    deduped by the slim (probe_id, vec_id, cos) aggregate — the
+    embedding arrays never ride that shuffle.
+    """
     probes = (
         sketched.orderBy("vec_id").limit(n_probes)
         .select(F.col("vec_id").alias("probe_id"),
                 F.col("embedding").alias("probe_emb"),
-                F.col("bucket").alias("probe_bucket"))
+                F.col("buckets").alias("probe_buckets"))
     )
-    # Hamming-1 multi-probe: a sign sketch splits near-ties across
-    # adjacent buckets (a vector on the far side of ONE hyperplane lands
-    # one bit away), so each probe searches its own bucket plus the
-    # n_planes buckets at Hamming distance 1. Candidates stay
-    # |corpus| * (n_planes + 1) / 2^n_planes per probe — still a
-    # vanishing corpus fraction at production plane counts — and no
-    # candidate duplicates: each corpus vector has ONE bucket and the
-    # probed values are distinct. Measured recall@5 (RECALL.md):
-    # 0.12 -> ~0.5 portable, 0.04 -> ~0.3 prod, at sf0.01.
     probes = probes.select(
         "probe_id", "probe_emb",
+        F.posexplode("probe_buckets").alias("band", "pb"))
+    probes = probes.select(
+        "probe_id", "probe_emb", "band",
         F.explode(F.array(*(
-            [F.col("probe_bucket")]
-            + [F.col("probe_bucket").bitwiseXOR(F.lit(1 << p))
+            [F.col("pb")]
+            + [F.col("pb").bitwiseXOR(F.lit(1 << p))
                for p in range(n_planes)]))).alias("probe_bucket"))
+    corpus = sketched.select(
+        "vec_id", "embedding",
+        F.posexplode("buckets").alias("band", "bucket"))
+    c, p = corpus.alias("c"), probes.alias("p")
     cand = (
-        sketched.join(broadcast(probes),
-                      (F.col("bucket") == F.col("probe_bucket"))
-                      & (F.col("vec_id") != F.col("probe_id")))
-        .withColumn("cos", cosine_sim(F.col("probe_emb"), F.col("embedding")))
+        c.join(broadcast(p),
+               (F.col("c.band") == F.col("p.band"))
+               & (F.col("c.bucket") == F.col("p.probe_bucket"))
+               & (F.col("c.vec_id") != F.col("p.probe_id")))
+        .withColumn("cos", cosine_sim(F.col("p.probe_emb"),
+                                      F.col("c.embedding")))
+    )
+    # band-dedup: within a band the ring values are distinct and a vector
+    # has one bucket, so dupes only come from OR-ing bands — max(cos)
+    # over identical values, narrow shuffle.
+    pairs = (
+        cand.groupBy(F.col("p.probe_id").alias("probe_id"),
+                     F.col("c.vec_id").alias("vec_id"))
+        .agg(F.max("cos").alias("cos"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(),
                                                F.col("vec_id").asc())
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", F.col("vec_id").alias("neighbor_id"), "rank",
                 F.round("cos", 4).alias("cos_sim"))
@@ -181,17 +225,25 @@ def _rank_bucket_candidates(sketched: DataFrame, n_probes: int,
 
 
 def ann_lsh(embeddings: DataFrame, n_probes: int = 5, k: int = DEFAULT_K,
-            n_planes: int = N_PLANES) -> DataFrame:
-    """Approximate top-k: bucket corpus and probes by sign sketch; rank
-    only within the probe's bucket. Recall < 1 by design (the declared
-    ``ann_lsh_portable`` twin is recall-tested against bruteforce; this
-    any-dim production variant is pinned directly in
-    tests/test_dedup_semantics.py); the win is that the per-probe candidate set is
-    |corpus| / 2^n_planes in expectation — at 100 TB with n_planes≈20 the
-    bucket join touches thousands, not billions, of rows per probe.
+            n_planes: int = N_PLANES,
+            n_bands: int = LSH_BANDS) -> DataFrame:
+    """Approximate top-k: bucket corpus and probes by ``n_bands``
+    independent sign sketches; rank only within band-bucket matches.
+    Recall < 1 by design (the declared ``ann_lsh_portable`` twin is
+    recall-tested against bruteforce; this any-dim production variant is
+    pinned directly in tests/test_dedup_semantics.py); the win is that
+    per-probe candidates are |corpus| * B*(n_planes+1)/2^n_planes in
+    expectation — at 100 TB with n_planes≈20 the bucket join touches
+    thousands, not billions, of rows per probe, and B trades linear
+    extra scan work for exponential recall gain on near-dup neighbors.
     """
-    sketched = embeddings.withColumn("bucket", _sign_sketch(F.col("embedding"), n_planes))
-    return _rank_bucket_candidates(sketched, n_probes, k, n_planes=n_planes)
+    sketched = embeddings.withColumn(
+        "buckets", F.array(*[
+            _sign_sketch(F.col("embedding"), n_planes,
+                         plane_offset=b * n_planes)
+            for b in range(n_bands)]))
+    return _rank_banded_candidates(sketched, n_probes, k,
+                                   n_bands=n_bands, n_planes=n_planes)
 
 
 def embedding_stats(embeddings: DataFrame) -> DataFrame:

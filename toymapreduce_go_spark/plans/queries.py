@@ -289,15 +289,16 @@ def _simhash_sigs_sql(bits: int = 60) -> str:
     """
 
 
-def _minhash_oracle_sql(n: int = 3, n_hashes: int = 64, n_bands: int = 16,
-                        threshold: float = 0.5) -> str:
-    """Generated DuckDB twin of ``dedup.near_dedup_minhash(portable=True)``:
-    shingle → 32-bit md5 prefix mod p = 2³¹−1, permutation i =
-    (a_i·x + b_i) mod p with the SAME literal coefficients
-    (``dedup.minhash_perm_params``), 4-row band keys as CSV strings,
-    bucket self-join, then agreement fraction k/n_hashes — an exact
-    dyadic double in both engines, so no rounding is needed (or wanted:
-    the value-hash compares raw doubles)."""
+def _minhash_band_ctes(n: int = 3, n_hashes: int = 64,
+                       n_bands: int = 16) -> str:
+    """WITH-clause body producing the LSH banding candidate pairs —
+    ``pairs(doc_a, doc_b)`` plus the ``sigs`` frame — the DuckDB twin of
+    ``dedup.minhash_band_pairs(portable=True)``: shingle → 32-bit md5
+    prefix mod p = 2³¹−1, permutation i = (a_i·x + b_i) mod p with the
+    SAME literal coefficients (``dedup.minhash_perm_params``), 4-row
+    band keys as CSV strings, bucket self-join. Shared by the
+    near_dedup_minhash oracle and the ngram_jaccard_pairs LSH-candidate
+    oracle (round 7)."""
     from ..operators.dedup import MINHASH_PRIME, minhash_perm_params
 
     p = MINHASH_PRIME
@@ -306,8 +307,7 @@ def _minhash_oracle_sql(n: int = 3, n_hashes: int = 64, n_bands: int = 16,
         f"list_min(list_transform(xs, x -> (x * {a} + {b}) % {p}))"
         for a, b in minhash_perm_params(n_hashes))
     shingle = f"array_to_string(toks[i:i+{n - 1}], ' ')"
-    return f"""
-        WITH xs AS (
+    return f"""xs AS (
             SELECT doc_id,
                    list_transform(range(1, len(toks) - {n} + 2),
                        i -> ('0x' || substr(md5({shingle}), 1, 8))::BIGINT
@@ -324,7 +324,17 @@ def _minhash_oracle_sql(n: int = 3, n_hashes: int = 64, n_bands: int = 16,
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-             AND a.doc_id < b.doc_id),
+             AND a.doc_id < b.doc_id)"""
+
+
+def _minhash_oracle_sql(n: int = 3, n_hashes: int = 64, n_bands: int = 16,
+                        threshold: float = 0.5) -> str:
+    """Generated DuckDB twin of ``dedup.near_dedup_minhash(portable=True)``:
+    banding candidates (``_minhash_band_ctes``), then agreement fraction
+    k/n_hashes — an exact dyadic double in both engines, so no rounding
+    is needed (or wanted: the value-hash compares raw doubles)."""
+    return f"""
+        WITH {_minhash_band_ctes(n, n_hashes, n_bands)},
         est AS (
             SELECT doc_a, doc_b,
                    list_sum(list_transform(range(1, {n_hashes + 1}),
@@ -338,42 +348,85 @@ def _minhash_oracle_sql(n: int = 3, n_hashes: int = 64, n_bands: int = 16,
     """
 
 
+def _ngram_lsh_oracle_sql(n: int = 3, threshold: float = 0.5) -> str:
+    """Generated DuckDB twin of the declared ``ngram_jaccard_pairs``
+    (round-7 LSH-candidate tier): candidate pairs from the SAME portable
+    MinHash banding as near_dedup_minhash, exact string-shingle set
+    Jaccard computed only on those candidates. Mirrors
+    ``dedup.ngram_jaccard_pairs(candidates="lsh")`` exactly — the engine
+    verifies with 64-bit fingerprint sets (collision-free on the
+    fixtures), the oracle with the shingle strings themselves."""
+    return f"""
+        WITH {_minhash_band_ctes(n)},
+        sh AS ({_SHINGLES3}),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, count(*) AS n_common
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.doc_a
+            JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT doc_a, doc_b,
+                   round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b)
+        WHERE jaccard >= {threshold} ORDER BY doc_a, doc_b
+    """
+
+
 def _ann_lsh_oracle_sql(n_probes: int = 5, k: int = 5) -> str:
     """Generated DuckDB twin of ``similarity.ann_lsh_portable``: the SAME
     seeded literal hyperplanes (``similarity.lsh_plane_weights``), each
     plane's dot product written as the SAME explicit left-to-right term
     chain (bit-identical doubles → bit-identical signs → identical
-    buckets), then the bucket join + cosine rank copied from the proven
-    knn_bruteforce oracle."""
-    from ..operators.similarity import PORTABLE_LSH_PLANES, lsh_plane_weights
+    per-band buckets), then the banded candidate set + cosine rank.
 
-    planes = lsh_plane_weights(PORTABLE_LSH_PLANES)
+    The engine's per-band Hamming-1 ring equi-join is expressed here as
+    its set-equivalent predicate: a (probe, vector) pair is a candidate
+    iff SOME band's buckets differ in at most one bit —
+    ``bit_count(xor(...)) <= 1`` — OR-ed over bands. Identical candidate
+    sets, and SQL's single join predicate needs no band explode or
+    pair dedup."""
+    from ..operators.similarity import (PORTABLE_LSH_BANDS,
+                                        PORTABLE_LSH_PLANES,
+                                        lsh_plane_weights)
+
+    all_planes = lsh_plane_weights(PORTABLE_LSH_BANDS * PORTABLE_LSH_PLANES)
+    bands = [all_planes[b * PORTABLE_LSH_PLANES:(b + 1) * PORTABLE_LSH_PLANES]
+             for b in range(PORTABLE_LSH_BANDS)]
 
     def plane_dot(w: list[int]) -> str:
-        # DuckDB arrays are 1-based; Spark's are 0-based — d+1 here
-        # pairs with double(embedding[d]) on the Spark side.
-        return " + ".join(f"embedding[{d + 1}]::DOUBLE * {float(x)!r}"
-                          for d, x in enumerate(w))
+        # list_sum(list_transform(...)) folds left-to-right exactly like
+        # the engine's aggregate(zip_with(...)) — the proven _COS
+        # equivalence; w[i] * embedding[i] pairs with (w, x) -> w *
+        # double(x) on the Spark side (1-based lists both engines here).
+        arr = "[" + ",".join(f"{float(x)!r}" for x in w) + "]"
+        return (f"list_sum(list_transform(range(1, len(embedding) + 1), "
+                f"i -> ({arr})[i] * embedding[i]::DOUBLE))")
 
-    bucket = " + ".join(
-        f"(CASE WHEN ({plane_dot(w)}) > 0 THEN {1 << p} ELSE 0 END)"
-        for p, w in enumerate(planes))
-    # Hamming-1 multi-probe twin: own bucket + one-bit flips
-    masks = ", ".join(["p0.bucket"] + [f"xor(p0.bucket, {1 << p})"
-                                       for p in range(len(planes))])
+    def bucket(band: list[list[int]]) -> str:
+        return " + ".join(
+            f"(CASE WHEN ({plane_dot(w)}) > 0 THEN {1 << p} ELSE 0 END)"
+            for p, w in enumerate(band))
+
+    bucket_cols = ", ".join(f"{bucket(band)} AS b{i}"
+                            for i, band in enumerate(bands))
+    any_band = " OR ".join(f"bit_count(xor(s.b{i}, p.b{i})) <= 1"
+                           for i in range(len(bands)))
     return f"""
         WITH sk AS (
-            SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+            SELECT vec_id, embedding, {bucket_cols} FROM embeddings),
         probes AS (
-            SELECT p0.probe_id, p0.probe_emb, t.pb AS probe_bucket
-            FROM (SELECT vec_id AS probe_id, embedding AS probe_emb, bucket
-                  FROM sk ORDER BY vec_id LIMIT {n_probes}) p0,
-                 UNNEST([{masks}]) AS t(pb)),
+            SELECT vec_id AS probe_id, embedding AS probe_emb,
+                   {', '.join(f'b{i}' for i in range(len(bands)))}
+            FROM sk ORDER BY vec_id LIMIT {n_probes}),
         cand AS (
             SELECT p.probe_id, s.vec_id AS neighbor_id,
                    {_COS.format(a='p.probe_emb', b='s.embedding')} AS cos
             FROM sk s JOIN probes p
-              ON s.bucket = p.probe_bucket AND s.vec_id <> p.probe_id),
+              ON s.vec_id <> p.probe_id AND ({any_band})),
         ranked AS (
             SELECT probe_id, neighbor_id, cos,
                    row_number() OVER (PARTITION BY probe_id
@@ -880,22 +933,7 @@ ORACLES: dict[str, str] = {
               FROM documents)
         GROUP BY source ORDER BY source
     """,
-    "ngram_jaccard_pairs": f"""
-        WITH sh AS ({_SHINGLES3}),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-            FROM sh a JOIN sh b
-              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2)
-        SELECT doc_a, doc_b, jaccard FROM (
-            SELECT doc_a, doc_b,
-                   round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b)
-        WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
-    """,
+    "ngram_jaccard_pairs": _ngram_lsh_oracle_sql(),
     "embedding_near_dup": f"""
         SELECT id_a, id_b, round(cos, 4) AS cos_sim FROM (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -49,6 +49,13 @@ def build_session(app_name: str = "toymapreduce-go-spark",
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python workers are the expensive resource behind the mr-compat
+        # RDD layer and every pandas UDF: a fork per task turns a 1.5s
+        # query into a 3s+ one (the r6 bench saw exactly that class of
+        # swing). reuse=true is Spark's default — pinned here so a
+        # deployment override can never silently reintroduce
+        # fork-per-task on the declared Python-stage queries.
+        .config("spark.python.worker.reuse", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
         # timestamp type — read as long and convert in sources.registry.
