@@ -91,6 +91,60 @@ def test_truncated_jpeg_fails_loudly():
         parse_image_header(b"\xff\xd8" + b"\xff\xfe\x00\x01")
 
 
+def test_png_pixel_decode_roundtrip_all_filters():
+    """real_decode_pixels (round 7): forward-filter rows with every PNG
+    filter type (None/Sub/Up/Average/Paeth), zlib-compress, decode, and
+    require the exact original samples back — pure stdlib, no PIL."""
+    import random
+
+    from toymapreduce_go_spark.multimodal.binary import (
+        real_decode_pixels, synthesize_png_pixels)
+
+    rng = random.Random(42)
+    w, h = 7, 10  # 10 rows cycle through filters 0..4 twice
+    for color_type, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        pixels = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        png = synthesize_png_pixels(pixels, w, h, color_type,
+                                    filters=[y % 5 for y in range(h)])
+        got = real_decode_pixels(png)
+        assert got == (w, h, ch, pixels), (color_type, got[:3])
+
+
+def test_png_pixel_decode_real_world_file():
+    """The genuinely-valid 1x1 gray PNG above (real zlib IDAT, filter 0,
+    sample 0x80) must decode to its one pixel — checksum-pinned."""
+    import hashlib
+
+    from toymapreduce_go_spark.multimodal.binary import real_decode_pixels
+
+    w, h, ch, pixels = real_decode_pixels(REAL_PNG_1x1)
+    assert (w, h, ch) == (1, 1, 1)
+    assert pixels == b"\x80"
+    assert hashlib.sha256(pixels).hexdigest().startswith("76be8b528d")
+
+
+def test_png_pixel_decode_fails_loudly():
+    """Corrupt CRC, truncated chunks, the synthesizer's raw-text IDAT
+    (not a zlib stream), and JPEG must all raise — never return garbage
+    pixels."""
+    import pytest
+
+    from toymapreduce_go_spark.multimodal.binary import (
+        real_decode_pixels, synthesize_jpeg, synthesize_png,
+        synthesize_png_pixels)
+
+    good = synthesize_png_pixels(bytes(4), 2, 2, 0)
+    corrupt = good[:20] + bytes([good[20] ^ 0xFF]) + good[21:]
+    with pytest.raises(ValueError, match="CRC"):
+        real_decode_pixels(corrupt)
+    with pytest.raises(Exception):  # zlib error or ValueError
+        real_decode_pixels(synthesize_png(b"plain text", 3, 3))
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        real_decode_pixels(synthesize_jpeg(b"x", 3, 3))
+    with pytest.raises(ValueError):
+        real_decode_pixels(b"GIF89a")
+
+
 def test_decode_query_counts_both_formats(spark):
     from conftest import SF_DIR
 

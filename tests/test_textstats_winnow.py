@@ -66,3 +66,33 @@ def test_unicode_tokenizer_matches_go_fieldsfunc_semantics(spark):
            df.select("s", tokens_unicode("s").alias("toks")).collect()}
     for s, want in cases:
         assert got[s] == want, (s, got[s], want)
+
+
+def test_unicode_wordcount_cross_engine_on_multilingual_corpus(spark):
+    """The round-7 declared ``unicode_wordcount`` and its DuckDB oracle
+    must agree beyond the (pure-ASCII) driver fixtures: run both on a
+    multilingual corpus spanning Latin-with-diacritics, CJK, Cyrillic,
+    Greek, Arabic, and digits/punctuation splits — the scripts where a
+    Java-regex vs RE2 \\p{L} divergence would surface if there were
+    one."""
+    import duckdb
+    import pandas as pd
+
+    from toymapreduce_go_spark.operators.text_mr import unicode_wordcount
+    from toymapreduce_go_spark.plans.queries import ORACLES
+
+    texts = [
+        "héllo wörld héllo", "日本語のテキスト123と漢字",
+        "Ça c'est l'été! über straße", "русский текст, и ещё текст",
+        "ελληνικά λόγια", "نص عربي قصير", "mixedASCIIand中文words",
+        "42 is 42 · no—dash", "tab\tand\nnewline split",
+    ]
+    docs = spark.createDataFrame(
+        [(i, "t", t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string")
+    got = [(r.word, r.cnt) for r in unicode_wordcount(docs).collect()]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        {"doc_id": range(len(texts)), "source": "t", "text": texts}))
+    want = con.execute(ORACLES["unicode_wordcount"]).fetchall()
+    assert got == want and len(got) > 10

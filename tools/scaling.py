@@ -1,7 +1,10 @@
 #!/usr/bin/env python
-"""Two-decade scaling study for SCALE.md: time the most expensive
-declared queries at sf0.1 and the locally generated sf1
-(tools/gen_sf1.py), best-of-2, one session, otherwise-idle machine.
+"""Two-decade scaling study for SCALE.md: time the FULL declared query
+surface (round 7 — previously the 13 most expensive) at sf0.1 and the
+locally generated sf1 (tools/gen_sf1.py), best-of-2, one session,
+otherwise-idle machine. Prints per-query JSON per decade plus a
+markdown table with the decade ratio; queries above FLAG_RATIO are
+flagged — after round 7, only documented exact tiers should exceed it.
 
     python tools/scaling.py [sf_dir ...]
 """
@@ -16,23 +19,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import materialize  # noqa: E402
-from toymapreduce_go_spark.plans.queries import QUERIES  # noqa: E402
+from toymapreduce_go_spark.plans.queries import DECLARED, QUERIES  # noqa: E402
 from toymapreduce_go_spark.session import build_session  # noqa: E402
 from toymapreduce_go_spark.sources.registry import TABLES, load_table  # noqa: E402
 
-TOP = [
-    # family: relational
-    "pricing_summary", "order_priority_window", "lineitem_price_quartiles",
-    # family: events
-    "events_sessionize", "events_sliding",
-    # family: text/dedup
-    "ngram_jaccard_pairs", "near_dedup_minhash", "simhash_hamming",
-    "curation_pipeline",
-    # family: embeddings
-    "embedding_near_dup", "ann_lsh", "ann_ivf_trained",
-    # family: multimodal
-    "multimodal_pipeline",
-]
+FLAG_RATIO = 2.0
 
 
 def main() -> None:
@@ -47,7 +38,7 @@ def main() -> None:
         label = sf_dir.rstrip("/").rsplit("/", 1)[-1]
         timings: dict[str, float] = {}
         for _pass in range(2):
-            for name in TOP:
+            for name in DECLARED:
                 t0 = time.perf_counter()
                 materialize(QUERIES[name](spark, sf_dir))
                 el = round(time.perf_counter() - t0, 2)
@@ -56,6 +47,22 @@ def main() -> None:
         out[label] = timings
         print(json.dumps({label: timings}), flush=True)
     print(json.dumps(out))
+    if len(out) == 2:
+        (la, ta), (lb, tb) = out.items()
+        print(f"\n| query | {la} | {lb} | ratio |")
+        print("|---|---|---|---|")
+        flagged = []
+        for name in sorted(ta, key=lambda n: -tb.get(n, 0) / max(ta[n], .01)):
+            if name not in tb:
+                continue
+            r = tb[name] / max(ta[name], 0.01)
+            mark = " **FLAG**" if r > FLAG_RATIO else ""
+            if r > FLAG_RATIO:
+                flagged.append(name)
+            print(f"| {name} | {ta[name]:.2f} s | {tb[name]:.2f} s "
+                  f"| {r:.2f}×{mark} |")
+        print(f"\nflagged (> {FLAG_RATIO}x per decade): "
+              f"{flagged or 'none'}")
 
 
 if __name__ == "__main__":

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens, words_exploded
+from ..functions.text import tokens, tokens_unicode, words_exploded
 
 
 def wordcount(documents: DataFrame) -> DataFrame:
@@ -23,6 +23,25 @@ def wordcount(documents: DataFrame) -> DataFrame:
     corpus. One wide shuffle on `word`, partial-agg before it."""
     return (
         words_exploded(documents.select("doc_id", "text"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("word")
+    )
+
+
+def unicode_wordcount(documents: DataFrame) -> DataFrame:
+    """Wordcount under the reference's ACTUAL tokenizer contract —
+    full-Unicode ``FieldsFunc(!unicode.IsLetter)`` (wc.go:26-29) via
+    ``\\p{L}`` letter runs — rather than the ASCII-pinned form the other
+    declared text queries use. Declared in round 7: the driver fixtures
+    are pure ASCII (25 distinct chars, enumerated), where Java regex and
+    DuckDB's RE2 trivially agree on ``[^\\p{L}]+``; both engines are
+    Unicode-aware beyond that (pytest pins the multilingual behavior and
+    the cross-engine agreement on a non-ASCII fixture). Same plan shape
+    as ``wordcount``: one shuffle, map-side partial agg."""
+    return (
+        documents.select(
+            F.explode(tokens_unicode("text")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
         .orderBy("word")

@@ -20,6 +20,13 @@ granularity — files are reduce-task-sized); reads stream line-by-line,
 never materializing a file in memory. The value may itself contain
 spaces (crash.go's reduce joins values with " "), so only the FIRST
 space splits key from value — same contract as the sink.
+
+All filesystem access goes through the scheme→client registry
+(``sources.fs``, the F16 twin of pkg/fsutil/fsclient.go:14-45): a
+``register_fs``-ed scheme makes ``myfs://...`` paths readable AND
+writable here, including the rename-on-commit protocol. The client is
+resolved at plan-build time and pickled to executors with the
+reader/writer.
 """
 
 from __future__ import annotations
@@ -35,6 +42,8 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from .fs import fs_for
+
 KV_SCHEMA = "key string, value string"
 
 
@@ -48,21 +57,21 @@ class KVTextReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("kvtext requires a path: .load(<dir or file>)")
+        self.fs = fs_for(self.path)
 
     def partitions(self) -> Sequence[InputPartition]:
-        import os
-
-        if os.path.isdir(self.path):
+        fs = self.fs
+        if fs.isdir(self.path):
             files = sorted(
-                os.path.join(self.path, f) for f in os.listdir(self.path)
+                fs.join(self.path, f) for f in fs.listdir(self.path)
                 if not f.startswith(("_", "."))
-                and os.path.isfile(os.path.join(self.path, f)))
+                and fs.isfile(fs.join(self.path, f)))
         else:
             files = [self.path]
         return [_FilePartition(f) for f in files]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        with open(partition.path, encoding="utf-8") as f:
+        with self.fs.open(partition.path) as f:
             for line in f:
                 line = line.rstrip("\n")
                 if not line:
@@ -83,6 +92,7 @@ class KVTextWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("kvtext requires a path: .save(<dir>)")
         self.overwrite = overwrite
+        self.fs = fs_for(self.path)
 
     def write(self, rows: Iterator) -> WriterCommitMessage:
         """One ``mr-out``-style part file per task — the reference's
@@ -90,19 +100,19 @@ class KVTextWriter(DataSourceWriter):
         commit() renames winners so failed/speculative attempts leave
         nothing visible (the same rename-on-commit protocol the
         reference uses for map output, worker.go:286-299)."""
-        import os
         import uuid
 
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
-        os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path,
-                           f"._tmp-{pid}-{uuid.uuid4().hex[:12]}")
+        fs = self.fs
+        fs.makedirs(self.path)
+        tmp = fs.join(self.path,
+                      f"._tmp-{pid}-{uuid.uuid4().hex[:12]}")
         n = 0
         try:
-            with open(tmp, "w", encoding="utf-8") as f:
+            with fs.open(tmp, "w") as f:
                 for row in rows:
                     key, value = row[0], row[1]
                     # the line format cannot represent these; fail loudly
@@ -131,49 +141,39 @@ class KVTextWriter(DataSourceWriter):
         except BaseException:
             # a failing task gets no abort() callback for its own file —
             # clean up here or the partial temp leaks forever
-            try:
-                os.remove(tmp)
-            except OSError:
-                pass
+            fs.remove(tmp)
             raise
         return _WroteFile(tmp, n)
 
     def commit(self, messages) -> None:
-        import os
-
+        fs = self.fs
         # write() creates the dir per task, but a zero-partition write
         # (empty RDD) runs no tasks — commit() must still produce a valid
         # (empty) output dir instead of FileNotFoundError
-        os.makedirs(self.path, exist_ok=True)
+        fs.makedirs(self.path)
         start = 0
         if self.overwrite:
             # clear every file a reader would see (mr-out-*, part-*,
             # _SUCCESS...), not just our own layout — "overwrite" must
             # not leave prior data to be unioned into the next read
-            for f in os.listdir(self.path):
-                p = os.path.join(self.path, f)
-                if not f.startswith("._tmp") and os.path.isfile(p):
-                    os.remove(p)
+            for f in fs.listdir(self.path):
+                p = fs.join(self.path, f)
+                if not f.startswith("._tmp") and fs.isfile(p):
+                    fs.remove(p)
         else:
             # append: continue numbering AFTER existing part files so a
             # second append never clobbers the first (mr-out-0 from run
             # 1 silently replaced by run 2's would lose data)
-            taken = [int(f[len("mr-out-"):]) for f in os.listdir(self.path)
+            taken = [int(f[len("mr-out-"):]) for f in fs.listdir(self.path)
                      if f.startswith("mr-out-")
                      and f[len("mr-out-"):].isdigit()]
             start = max(taken) + 1 if taken else 0
         for i, m in enumerate(messages):
-            os.replace(m.path, os.path.join(self.path,
-                                            f"mr-out-{start + i}"))
+            fs.replace(m.path, fs.join(self.path, f"mr-out-{start + i}"))
 
     def abort(self, messages) -> None:
-        import os
-
         for m in messages:
-            try:
-                os.remove(m.path)
-            except OSError:
-                pass
+            self.fs.remove(m.path)
 
 
 class KVTextDataSource(DataSource):

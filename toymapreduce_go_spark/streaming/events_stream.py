@@ -38,17 +38,28 @@ def _stream_src_dir(spark: SparkSession, sf_dir: str, table: str,
     """
     import hashlib
     import os
+    import shutil
     import tempfile
 
     fixture_mtime = os.path.getmtime(
         os.path.abspath(f"{sf_dir}/{table}.parquet"))
-    # mtime in the key: the upstream fixtures have been regenerated
-    # between rounds — a split cache keyed on path alone would keep
-    # serving the old rows (and potentially an old schema) forever
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{table}|{n_splits}|{fixture_mtime}"
+    # Two-part name: a (fixture, table, splits) prefix plus an mtime
+    # suffix. The mtime matters because the upstream fixtures have been
+    # regenerated between rounds — a split cache keyed on path alone
+    # would keep serving the old rows (and potentially an old schema)
+    # forever. Splitting it out of the prefix lets us garbage-collect
+    # the STALE mtime variants (r6 advice: keyed on mtime alone, every
+    # regeneration leaked a full split copy into tempdir forever).
+    base = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{table}|{n_splits}"
         .encode()).hexdigest()[:12]
-    src_dir = os.path.join(tempfile.gettempdir(), f"tmrs_stream_{key}")
+    mkey = hashlib.md5(str(fixture_mtime).encode()).hexdigest()[:8]
+    tmp = tempfile.gettempdir()
+    src_dir = os.path.join(tmp, f"tmrs_stream_{base}_{mkey}")
+    for stale in os.listdir(tmp):  # best-effort GC of old-mtime variants
+        if stale.startswith(f"tmrs_stream_{base}_") \
+                and stale != f"tmrs_stream_{base}_{mkey}":
+            shutil.rmtree(os.path.join(tmp, stale), ignore_errors=True)
     fixture = os.path.abspath(f"{sf_dir}/{table}.parquet")
     if n_splits == 1:
         os.makedirs(src_dir, exist_ok=True)
