@@ -5,7 +5,9 @@ Five strategies, cheapest-first — the order a real 100 TB pipeline runs
 them:
 
 1. exact (sha2 of normalized text)         — one shuffle on the hash
-2. n-gram Jaccard (candidate-free, exact)  — shingle join, small sf only
+2. n-gram Jaccard — exact set Jaccard verified on LSH-band candidates
+   (the declared scale path since r7); full shingle-self-join exact
+   tier via ``candidates="all"`` for small corpora / verification
 3. MinHash + LSH banding                   — the scale path for near-dup
 4. SimHash (Hamming buckets)               — cheap complement to MinHash
 5. embedding cosine near-dup               — semantic dup, via LSH buckets
