@@ -140,6 +140,33 @@ def test_fingerprint_queries_have_no_global_output_sort(spark):
         assert "rangepartitioning" not in plan.lower(), (name, plan[:1500])
 
 
+def test_multiband_lsh_plan_stays_bucket_join_shaped(spark):
+    """The round-7 multi-band ann_lsh must keep the LSH scale shape:
+    candidates come from a broadcast EQUI-join on (band, bucket) — never
+    a nested-loop / cross join with a distance predicate over the corpus
+    — the per-band bucket sketch is a scan-side projection (no extra
+    pass, no Python), and the cross-band pair dedup aggregates the slim
+    (probe_id, vec_id, cos) triple so embedding arrays never ride that
+    shuffle."""
+    from toymapreduce_go_spark.operators.similarity import ann_lsh_portable
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = plan_of(ann_lsh_portable(emb))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # sketch is JVM-side
+    # the pair-dedup aggregate groups on (probe_id, vec_id) with a
+    # map-side partial before its exchange, and its input is the slim
+    # (probe_id, vec_id, cos) triple — embeddings are projected away
+    # before the shuffle
+    assert "Keys [2]: [probe_id" in plan, plan[:2000]
+    partial_blocks = [b for b in plan.split("\n\n")
+                      if "partial_max(cos" in b]
+    assert partial_blocks, plan[:2000]
+    assert all("embedding" not in b for b in partial_blocks)
+
+
 def test_quartiles_band_plan_no_whole_table_sort_and_exact(spark):
     """The r6 quartiles plan (approx band + exact refine) must (a) agree
     with the brute-force type-1 quartile on adversarial shapes — tiny

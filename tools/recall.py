@@ -25,6 +25,8 @@ APPROX = {
         lambda emb: similarity.ann_lsh_portable(emb, k=K),
     "ann_lsh (prod sketch, 4 bands x 12 planes)":
         lambda emb: similarity.ann_lsh(emb, k=K),
+    "ann_lsh (prod recall-leaning, 8 bands x 8 planes)":
+        lambda emb: similarity.ann_lsh(emb, k=K, n_planes=8, n_bands=8),
     "ann_ivf (seed centroids, 16 cells, probe 2)":
         lambda emb: similarity.ann_ivf(emb, k=K),
     "ann_ivf_trained (Lloyd's x3, 8 cells, probe 2)":
