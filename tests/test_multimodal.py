@@ -124,9 +124,9 @@ def test_png_pixel_decode_real_world_file():
 
 
 def test_png_pixel_decode_fails_loudly():
-    """Corrupt CRC, truncated chunks, the synthesizer's raw-text IDAT
-    (not a zlib stream), and JPEG must all raise — never return garbage
-    pixels."""
+    """Corrupt CRC, truncated chunks, and the synthesizers' raw-text
+    bodies (not zlib/Huffman streams) must all raise — never return
+    garbage pixels."""
     import pytest
 
     from toymapreduce_go_spark.multimodal.binary import (
@@ -139,10 +139,145 @@ def test_png_pixel_decode_fails_loudly():
         real_decode_pixels(corrupt)
     with pytest.raises(Exception):  # zlib error or ValueError
         real_decode_pixels(synthesize_png(b"plain text", 3, 3))
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        real_decode_pixels(synthesize_jpeg(b"x", 3, 3))
+    with pytest.raises(ValueError):  # raw payload is not a scan
+        real_decode_pixels(synthesize_jpeg(b"some document text", 3, 3))
     with pytest.raises(ValueError):
         real_decode_pixels(b"GIF89a")
+
+
+def test_jpeg_baseline_codec_round_trip():
+    """The pure-stdlib baseline JPEG codec (round 7): encode gradients
+    and worst-case noise in grayscale and RGB 4:4:4, decode through
+    real_decode_pixels, and require near-lossless recovery (bounded by
+    quantization error) with exact dimensions. Deterministic output is
+    checksum-pinned."""
+    import hashlib
+    import random
+
+    from toymapreduce_go_spark.multimodal.binary import (
+        parse_image_header, real_decode_pixels)
+    from toymapreduce_go_spark.multimodal.jpeg import encode_baseline
+
+    w, h = 24, 17  # exercises edge-block padding (not multiples of 8)
+    gray = bytes(min(255, (x * 3 + y * 5) % 256)
+                 for y in range(h) for x in range(w))
+    jpg = encode_baseline(gray, w, h, 1, quality=90)
+    # the header parser agrees with the full decoder
+    assert parse_image_header(jpg) == ("jpeg", w, h, 1)
+    W, H, C, pix = real_decode_pixels(jpg)
+    assert (W, H, C) == (w, h, 1)
+    assert max(abs(a - b) for a, b in zip(gray, pix)) <= 4
+    assert encode_baseline(gray, w, h, 1, quality=90) == jpg  # determinism
+    assert hashlib.sha256(jpg).hexdigest().startswith("a4b9ca001ad1")
+
+    rgb = bytes(((x * 7) % 256 if c == 0 else (y * 11) % 256 if c == 1
+                 else ((x + y) * 5) % 256)
+                for y in range(h) for x in range(w) for c in range(3))
+    jpg3 = encode_baseline(rgb, w, h, 3, quality=90)
+    assert parse_image_header(jpg3) == ("jpeg", w, h, 3)
+    W, H, C, pix3 = real_decode_pixels(jpg3)
+    assert (W, H, C) == (w, h, 3)
+    assert max(abs(a - b) for a, b in zip(rgb, pix3)) <= 6
+
+    rng = random.Random(1)
+    noise = bytes(rng.randrange(256) for _ in range(w * h))
+    _, _, _, pn = real_decode_pixels(
+        encode_baseline(noise, w, h, 1, quality=95))
+    assert max(abs(a - b) for a, b in zip(noise, pn)) <= 8
+
+
+def test_pixel_stats_pipeline_distributed_equals_local(spark):
+    """The real-pixel tier runs the FULL decoders (PNG inflate+unfilter,
+    JPEG Huffman+DCT) inside a fused mapInPandas stage on executors; the
+    per-(source, format) rollup must equal a driver-side recomputation
+    with the same codecs over the same rows — proving the distributed
+    plumbing (schema, Arrow batches, partitioning) around genuine pixel
+    work."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from conftest import SF_DIR
+
+    from toymapreduce_go_spark.multimodal.binary import (
+        decode_pixel_stats, pixel_stats_query, synthesize_real_image)
+    from toymapreduce_go_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").filter("doc_id < 40")
+    got = [(r.source, r.format, r.n_images, r.sum_width, r.sum_height,
+            r.avg_mean_pixel)
+           for r in pixel_stats_query(docs).collect()]
+
+    local = docs.select("doc_id", "source", "text").toPandas()
+    decoded = pd.concat(decode_pixel_stats(
+        synthesize_real_image(iter([local]))))
+    agg = defaultdict(lambda: [0, 0, 0, 0.0])
+    for r in decoded.itertuples(index=False):
+        a = agg[(r.source, r.format)]
+        a[0] += 1
+        a[1] += r.width
+        a[2] += r.height
+        a[3] += r.mean_pixel
+    want = sorted((s, f, n, sw, sh, round(mp / n, 4))
+                  for (s, f), (n, sw, sh, mp) in agg.items())
+    assert sorted(got) == want and len(want) > 2
+
+
+def test_jpeg_decodes_real_camera_file_matches_jvm_decoder(spark):
+    """Interop proof: decode a real 4:2:0 baseline camera JPEG (shipped
+    in Spark's own mllib data directory) and compare pixel-for-pixel
+    against the JVM's independent decoder (the `image` datasource /
+    ImageIO). Agreement must be within ±1 per sample — IDCT rounding,
+    nothing more."""
+    import os
+
+    import pytest
+
+    from toymapreduce_go_spark.multimodal.jpeg import decode_baseline
+
+    p = ("/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+         "kittens/54893.jpg")
+    if not os.path.exists(p):
+        pytest.skip("mllib sample images not present")
+    row = spark.read.format("image").load(p).select("image.*").collect()[0]
+    w, h, c, mine = decode_baseline(open(p, "rb").read())
+    assert (w, h, c) == (row.width, row.height, 3)
+    theirs = bytes(row.data)  # BGR byte order
+    n = w * h
+    total = 0
+    worst = 0
+    for i in range(n):
+        for ch in range(3):
+            d = abs(mine[3 * i + ch] - theirs[3 * i + (2 - ch)])
+            total += d
+            worst = max(worst, d)
+    assert worst <= 2 and total / (3 * n) < 0.5, (worst, total / (3 * n))
+
+
+def test_jpeg_decoder_rejects_out_of_envelope():
+    """Truncated entropy data, progressive SOF markers, and a frame
+    header whose sampling factors promise more blocks than the stream
+    carries all raise ValueError with a reason, never garbage."""
+    import pytest
+
+    from toymapreduce_go_spark.multimodal.jpeg import (decode_baseline,
+                                                       encode_baseline)
+
+    good = encode_baseline(bytes(range(64)), 8, 8, 1)
+    with pytest.raises(ValueError):
+        decode_baseline(good[:len(good) - 12])  # cut inside entropy data
+    # flip SOF0 -> SOF2 (progressive)
+    sof = good.index(b"\xff\xc0")
+    prog = good[:sof + 1] + b"\xc2" + good[sof + 2:]
+    with pytest.raises(ValueError, match="baseline"):
+        decode_baseline(prog)
+    # 2x2 sampling is SUPPORTED now (the real camera files use it) —
+    # but claiming it here promises 4 luma blocks where the stream has
+    # 1, which must fail loudly, not decode garbage
+    sub = bytearray(good)
+    sub[sof + 11] = 0x22  # component 1 sampling factors
+    with pytest.raises(ValueError):
+        decode_baseline(bytes(sub))
 
 
 def test_decode_query_counts_both_formats(spark):
