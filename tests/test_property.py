@@ -133,3 +133,67 @@ def test_quartiles_property_both_paths(spark, vals):
             want = tuple(round(s[math.ceil(q * len(s)) - 1], 2)
                          for q in (0.25, 0.5, 0.75))
             assert got[f] == (len(fv), *want), (threshold, f, got[f], want)
+
+
+# ---------------------------------------------------------------------------
+# Codec properties (round 7): no Spark session needed — pure functions.
+
+
+@given(w=st.integers(1, 14), h=st.integers(1, 14),
+       color=st.sampled_from([0, 2, 4, 6]),
+       data=st.data())
+@settings(max_examples=20, deadline=None)
+def test_png_codec_roundtrip_property(w, h, color, data):
+    """Any pixel content × any per-row filter choice round-trips the
+    PNG path EXACTLY (it's lossless by construction)."""
+    from toymapreduce_go_spark.multimodal.binary import (
+        _PNG_CHANNELS, real_decode_pixels, synthesize_png_pixels)
+
+    ch = _PNG_CHANNELS[color]
+    pixels = bytes(data.draw(st.lists(
+        st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch)))
+    filters = data.draw(st.lists(st.integers(0, 4),
+                                 min_size=h, max_size=h))
+    png = synthesize_png_pixels(pixels, w, h, color, filters=filters)
+    assert real_decode_pixels(png) == (w, h, ch, pixels)
+
+
+@given(w=st.integers(1, 12), h=st.integers(1, 12),
+       quality=st.integers(70, 100), data=st.data())
+@settings(max_examples=15, deadline=None)
+def test_jpeg_codec_roundtrip_property(w, h, quality, data):
+    """Any grayscale content round-trips the baseline JPEG path within
+    a quantization-error bound that shrinks with quality; dims/channels
+    are always exact."""
+    from toymapreduce_go_spark.multimodal.jpeg import (decode_baseline,
+                                                      encode_baseline)
+
+    pixels = bytes(data.draw(st.lists(
+        st.integers(0, 255), min_size=w * h, max_size=w * h)))
+    jpg = encode_baseline(pixels, w, h, 1, quality=quality)
+    W, H, C, out = decode_baseline(jpg)
+    assert (W, H, C) == (w, h, 1)
+    # worst observed for random noise at q70 is ~40; q95+ stays <10
+    bound = 64 if quality < 85 else 32 if quality < 95 else 12
+    assert max(abs(a - b) for a, b in zip(pixels, out)) <= bound
+
+
+@given(cut=st.integers(2, 400), data=st.data())
+@settings(max_examples=25, deadline=None)
+def test_jpeg_decoder_never_returns_garbage_on_truncation(cut, data):
+    """Truncating a valid JPEG anywhere either raises ValueError or —
+    when the cut lands beyond the last entropy bit actually read —
+    still yields the exact full-stream pixels. Never silent garbage."""
+    from toymapreduce_go_spark.multimodal.jpeg import (decode_baseline,
+                                                      encode_baseline)
+
+    pixels = bytes(data.draw(st.lists(
+        st.integers(0, 255), min_size=64, max_size=64)))
+    jpg = encode_baseline(pixels, 8, 8, 1, quality=90)
+    full = decode_baseline(jpg)
+    trunc = jpg[:min(cut, len(jpg) - 1)]
+    try:
+        out = decode_baseline(trunc)
+    except ValueError:
+        return
+    assert out == full
