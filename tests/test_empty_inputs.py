@@ -1,0 +1,80 @@
+"""Empty-input robustness matrix.
+
+At 100 TB a query routinely meets zero-row inputs: a date-partition
+filter prunes everything, a tenant has no documents yet, a streaming
+micro-batch is empty. The reference's runtime has the same property by
+construction (a map task over an empty file emits no KVs and the job
+still completes — `internal/worker/worker.go` never special-cases empty
+input). Every declared query must therefore run on *schema-only* tables
+and return an empty (or defined-on-empty, e.g. a global aggregate's
+single row) result — never raise.
+
+The fixture writes one empty parquet per catalog table with the exact
+sf0.001 schema, then drives the FULL ``plans.queries.QUERIES`` surface
+(declared + pytest-only) against it.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from conftest import SF_DIR
+from toymapreduce_go_spark.plans.queries import QUERIES
+from toymapreduce_go_spark.sources.registry import TABLES
+
+# Queries whose result is DEFINED on empty input but non-empty:
+#   - global aggregates with no GROUP BY would be here if we had any
+#     (all declared aggs are grouped, so they collapse to zero rows).
+#   - ann_ivf* train centroids from the corpus; with zero vectors there
+#     is nothing to index and the correct result is zero rows.
+# Nothing currently needs an expected-rows override; keep the hook so a
+# future scalar-aggregate query documents its n>0-on-empty contract here.
+EXPECTED_NONEMPTY: dict[str, int] = {}
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    """Schema-only twin of the test catalog: one zero-row parquet per
+    table, schemas read (not guessed) from the sf0.001 fixtures."""
+    root = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        schema = spark.read.parquet(
+            os.path.join(SF_DIR, f"{t}.parquet")).schema
+        (spark.createDataFrame([], schema)
+         .write.mode("overwrite")
+         .parquet(str(root / f"{t}.parquet")))
+    return str(root)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_survives_empty_catalog(spark, empty_sf_dir, name):
+    df = QUERIES[name](spark, empty_sf_dir)
+    rows = df.count()
+    assert rows == EXPECTED_NONEMPTY.get(name, 0), (
+        f"{name}: expected {EXPECTED_NONEMPTY.get(name, 0)} rows on an "
+        f"empty catalog, got {rows}")
+    # The schema must be intact even with no rows — downstream writers
+    # and the driver's schema check rely on it.
+    assert df.columns, f"{name}: empty-input result lost its schema"
+
+
+def test_ivf_survives_single_vector_corpus(spark):
+    """A one-vector corpus exercises the 1-centroid model path (a plain
+    greatest() argmax would reject a single operand) and a sample smaller
+    than n_cells in the trained tier. The lone vector is its own centroid
+    and the only probe, and self-matches are excluded — so zero rows."""
+    from toymapreduce_go_spark.operators import similarity
+
+    one = spark.createDataFrame(
+        [(0, [1.0, 0.0, 2.0], "a")],
+        "vec_id long, embedding array<float>, label string")
+    assert similarity.ann_ivf(one).count() == 0
+    assert similarity.ann_ivf_trained(one).count() == 0
+    two = spark.createDataFrame(
+        [(0, [1.0, 0.0, 2.0], "a"), (1, [1.0, 0.1, 2.0], "b")],
+        "vec_id long, embedding array<float>, label string")
+    # with two vectors each probe's sole candidate is the other vector
+    assert similarity.ann_ivf(two).count() == 2
+    assert similarity.ann_ivf_trained(two).count() == 2

@@ -315,6 +315,12 @@ def train_ivf_centroids(sample: list[tuple[int, list[float]]],
     Scale: training cost is |sample| x n_cells x dim per iteration,
     driver-side — the sample is model-sized by declaration (same budget
     class as collecting the centroid seeds was before)."""
+    # Degenerate corpora (fewer vectors than cells, or none at all) train
+    # however many cells the sample can seed — the oracle twin unrolls the
+    # same rule, and at declared sizes (sample 64 > cells 8) it's a no-op.
+    n_cells = min(n_cells, len(sample))
+    if n_cells == 0:
+        return []
     dim = len(sample[0][1])
     cents = [list(emb) for _, emb in sample[:n_cells]]
     for _ in range(n_iters):
@@ -384,7 +390,8 @@ def ann_ivf_trained(embeddings: DataFrame, n_cells: int = 8,
     )
     sample = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
               for r in sample_rows]
-    cents = list(enumerate(train_ivf_centroids(sample, n_cells, n_iters)))
+    cents = (list(enumerate(train_ivf_centroids(sample, n_cells, n_iters)))
+             if sample else [])
     probes = sample[:n_probes]
     return _ivf_rank(embeddings, cents, probes, n_probe_cells, k)
 
@@ -395,6 +402,12 @@ def _ivf_rank(embeddings: DataFrame,
               n_probe_cells: int, k: int) -> DataFrame:
     """Shared IVF execution: literal-centroid assignment projection,
     driver-side probe→cell routing, bucket join, per-probe top-k."""
+    # Zero-row corpus (a fully-pruned partition, an empty tenant): there
+    # is nothing to index or probe — return an empty, correctly-schemed
+    # result instead of building a degenerate argmax expression.
+    if not cents or not probes:
+        return embeddings.sparkSession.createDataFrame(
+            [], "probe_id long, neighbor_id long, rank int, cos_sim double")
     cent_norms = {cid: _py_norm(emb) for cid, emb in cents}
 
     # One projected corpus-vector norm, reused by every centroid score —
@@ -420,10 +433,15 @@ def _ivf_rank(embeddings: DataFrame,
     # nearest-centroid argmax over the literal set via
     # greatest(struct(cos, cent_id)) — ties break to the larger cent_id,
     # matching the previous max(struct(...)) semantics.
-    best_sql = "greatest(" + ",".join(
-        f"struct({cent_score_sql(cid, emb)} as cos_c, {cid}L as cent_id)"
-        for cid, emb in cents
-    ) + ").cent_id"
+    # greatest() needs >= 2 operands; a one-centroid model (single-vector
+    # corpus) assigns every row to that cell outright.
+    if len(cents) == 1:
+        best_sql = f"{cents[0][0]}L"
+    else:
+        best_sql = "greatest(" + ",".join(
+            f"struct({cent_score_sql(cid, emb)} as cos_c, {cid}L as cent_id)"
+            for cid, emb in cents
+        ) + ").cent_id"
     assigned = emb_n.select(
         "vec_id", "embedding", F.expr(best_sql).alias("cell"))
 
