@@ -1,0 +1,82 @@
+"""Incremental (streaming) MinHash near-dedup: invariants + replay.
+
+Covers ``streaming/dedup_stream.py``: multi-batch arrival over the real
+documents fixture, the bucket-independence invariant of the survivor
+set, and foreachBatch replay idempotence (the exactly-once contract).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_DIR
+from toymapreduce_go_spark.operators.dedup import band_rows, minhash_signatures
+from toymapreduce_go_spark.streaming.dedup_stream import (
+    near_dedup_batch_step, read_survivors, run_near_dedup_stream)
+from toymapreduce_go_spark.streaming.events_stream import (
+    read_documents_stream)
+
+
+@pytest.fixture(scope="module")
+def stream_state(spark, tmp_path_factory):
+    state = str(tmp_path_factory.mktemp("near_dedup_state"))
+    stream = read_documents_stream(spark, SF_DIR, n_splits=3)
+    run_near_dedup_stream(stream, state, spark)
+    return state
+
+
+def test_survivors_are_bucket_independent(spark, stream_state):
+    """The defining invariant: after the run, no two accepted documents
+    share ANY LSH band bucket — within a batch the min-doc_id rule
+    forbids it, across batches the index semi-join forbids it."""
+    surv = read_survivors(spark, stream_state)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    surv_docs = docs.join(surv.select("doc_id"), "doc_id", "left_semi")
+    br = band_rows(minhash_signatures(surv_docs))
+    clashes = (br.groupBy("band_id", "band_hash").count()
+               .filter("count > 1").count())
+    assert clashes == 0
+
+
+def test_survivor_set_shape(spark, stream_state):
+    surv = read_survivors(spark, stream_state)
+    n_surv = surv.count()
+    assert surv.select("doc_id").distinct().count() == n_surv  # unique
+    # every doc that produced a signature is either accepted or dropped;
+    # docs too short to shingle are passed through neither path
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    eligible = minhash_signatures(docs).count()
+    assert 0 < n_surv <= eligible
+    # the fixture plants duplicate clusters, so some docs must drop
+    assert n_surv < eligible
+    # multi-batch arrival really happened
+    assert surv.select("batch_id").distinct().count() >= 2
+
+
+def test_no_op_restart_changes_nothing(spark, stream_state):
+    """Restarting against the same checkpoint with no new input must not
+    change the output (availableNow re-run = pure replay check)."""
+    before = sorted(r["doc_id"] for r in
+                    read_survivors(spark, stream_state).collect())
+    stream = read_documents_stream(spark, SF_DIR, n_splits=3)
+    run_near_dedup_stream(stream, stream_state, spark)
+    after = sorted(r["doc_id"] for r in
+                   read_survivors(spark, stream_state).collect())
+    assert before == after
+
+
+def test_batch_step_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract: re-running foreachBatch step N with the
+    same rows must leave state and output byte-identical, and the
+    replayed batch must not near-dup-match its own index rows."""
+    state = str(tmp_path / "replay_state")
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .orderBy("doc_id").limit(50))
+    near_dedup_batch_step(spark, docs, 0, state)
+    first = sorted(r["doc_id"] for r in
+                   read_survivors(spark, state).collect())
+    assert first
+    near_dedup_batch_step(spark, docs, 0, state)  # replay
+    again = sorted(r["doc_id"] for r in
+                   read_survivors(spark, state).collect())
+    assert first == again

@@ -343,6 +343,38 @@ def minhash_signatures_portable(documents: DataFrame, n: int = 3,
                   for a, b in minhash_perm_params(n_hashes)]).alias("sig"))
 
 
+def _banded(sig: DataFrame, band_key, n_bands: int) -> DataFrame:
+    """Explode a signature frame into (doc_id, band_id, band_hash) rows —
+    one explode, band-key expressions evaluated inside the same
+    projection (no per-band passes over the signature array)."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"),
+                         band_key(b).alias("band_hash"))
+                for b in range(n_bands)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def band_rows(sig: DataFrame, n_hashes: int = N_HASHES,
+              n_bands: int = N_BANDS) -> DataFrame:
+    """Production band rows (xxhash64 over each signature slice — the 8-
+    byte bucket key that keeps the bucket-join shuffle narrow). Shared by
+    the batch LSH pipelines (`minhash_band_pairs`) and the streaming
+    incremental-dedup tier (`streaming/dedup_stream.py`), so both tiers
+    agree bit-for-bit on what a candidate bucket is."""
+    rows_per_band = n_hashes // n_bands
+
+    def band_key(b: int):
+        return F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                            for r in range(rows_per_band)])
+
+    return _banded(sig, band_key, n_bands)
+
+
 def minhash_band_pairs(documents: DataFrame, n: int = 3,
                        n_hashes: int = N_HASHES,
                        n_bands: int = N_BANDS,
@@ -388,16 +420,7 @@ def minhash_band_pairs(documents: DataFrame, n: int = 3,
     # signature array never rides the self-join / pair-dedup shuffles
     # (that tripled shuffle bytes); signatures re-attach afterwards from
     # the per-doc sig table, which is corpus-sized, not pair-sized.
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"),
-                         band_key(b).alias("band_hash"))
-                for b in range(n_bands)
-            ])
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    banded = _banded(sig, band_key, n_bands)
     dropped_pairs = None
     if max_bucket_size is not None:
         wb = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
