@@ -29,6 +29,18 @@ def write_parquet(df: DataFrame, path: str,
     w.parquet(path)
 
 
+def write_orc(df: DataFrame, path: str,
+              partition_by: list[str] | None = None,
+              mode: str = "overwrite") -> None:
+    """ORC interchange sink (Hive/Trino ecosystems): same partitioned
+    columnar contract as ``write_parquet`` — predicate pushdown, column
+    pruning, and per-task files all carry over."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
