@@ -277,3 +277,107 @@ def curation_pipeline(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+def repetition_quality(documents: DataFrame) -> DataFrame:
+    """Repetition-based quality gates (the Gopher/C4-family filters the
+    reference lacks entirely): per document, the duplicate-word fraction
+    (1 − |distinct tokens| / |tokens|) and the top-bigram fraction (most
+    frequent word bigram's share of all bigrams); a document is flagged
+    when either exceeds its threshold (0.3 / 0.2). Reported per source.
+
+    Plan shape: token features are scan-side array expressions; the
+    bigram mode needs a real aggregation — explode bigrams, count per
+    (doc_id, bigram), max per doc — i.e. two shuffles keyed by doc_id,
+    both linear in corpus token count (never quadratic in doc length,
+    unlike an array-of-arrays self-count). At 100 TB the (doc_id, bigram)
+    partial agg combines map-side, so shuffle rows are per-doc DISTINCT
+    bigrams, not occurrences."""
+    lowered = F.transform(tokens("text"), lambda t: F.lower(t))
+    base = documents.select(
+        "doc_id", "source", lowered.alias("toks"),
+    ).select(
+        "doc_id", "source", "toks",
+        F.size("toks").alias("n_tok"),
+        F.greatest(F.size("toks") - 1, F.lit(0)).alias("n_bigrams"),
+        F.when(F.size("toks") > 0,
+               F.round(1.0 - F.size(F.array_distinct("toks"))
+                       / F.size("toks").cast("double"), 4))
+         .otherwise(F.lit(0.0)).alias("dup_word_frac"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode_outer(F.expr(
+            "transform(sequence(1, greatest(size(toks) - 1, 0)), "
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        )).alias("bigram"),
+    ).filter(F.col("bigram").isNotNull())
+    top = (bigrams.groupBy("doc_id", "bigram")
+           .agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("doc_id").agg(F.max("c").alias("top_c")))
+    per_doc = (base.drop("toks")
+               .join(top, "doc_id", "left")
+               .withColumn(
+                   "top_bigram_frac",
+                   F.when(F.col("n_bigrams") > 0,
+                          F.round(F.coalesce(F.col("top_c"), F.lit(0))
+                                  / F.col("n_bigrams").cast("double"), 4))
+                   .otherwise(F.lit(0.0))))
+    flagged = ((F.col("dup_word_frac") > 0.3)
+               | (F.col("top_bigram_frac") > 0.2))
+    # integer-scaled averaging (see curation_pipeline): 4-decimal fracs
+    # sum exactly as bigints, immune to double summation order
+    scaled = lambda c: F.round(F.col(c) * 10000).cast("long")  # noqa: E731
+    return (
+        per_doc.withColumn("flag", flagged.cast("int"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("flag").alias("n_flagged"),
+            F.round(F.sum(scaled("dup_word_frac"))
+                    / (F.count(F.lit(1)) * 10000.0), 4)
+             .alias("avg_dup_word_frac"),
+            F.round(F.sum(scaled("top_bigram_frac"))
+                    / (F.count(F.lit(1)) * 10000.0), 4)
+             .alias("avg_top_bigram_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def stratified_sample_stats(documents: DataFrame,
+                            fraction: float = 0.1) -> DataFrame:
+    """Exact deterministic stratified sampling — the training-mix
+    operation: per source, keep ceil(n · fraction) documents chosen by
+    md5-hash order (a seedless permutation both engines compute
+    identically). Emits per-stratum counts plus the sampled-id checksum
+    so the oracle verifies the SAME sample, not just the same size.
+
+    Scale tiers: this exact-quota form ranks within each stratum (one
+    window shuffle on source — fine while strata are numerous/balanced;
+    a single giant stratum makes AQE split the sort). When quotas may be
+    approximate, ``df.sampleBy`` (Bernoulli per stratum, no shuffle at
+    all) is the 100 TB fast path; this operator is the contract-exact
+    tier."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    cw = Window.partitionBy("source")
+    ranked = documents.select("doc_id", "source").withColumn(
+        "rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(cw))
+    sampled = ranked.withColumn(
+        "take", F.ceil(F.col("cnt") * F.lit(fraction)))
+    return (
+        sampled.withColumn(
+            "in_sample", (F.col("rn") <= F.col("take")).cast("int"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("in_sample").alias("n_sampled"),
+            F.sum(F.when(F.col("in_sample") == 1, F.col("doc_id")))
+             .alias("sampled_id_sum"),
+        )
+        .orderBy("source")
+    )

@@ -185,6 +185,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": _q(textstats.doc_fingerprint),
     "rolling_fingerprint": _q(textstats.rolling_fingerprint_portable),
     "curation_pipeline": _q(textstats.curation_pipeline),
+    "repetition_quality": _q(textstats.repetition_quality),
+    "stratified_sample": _q(textstats.stratified_sample_stats),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
     "multimodal_pipeline": _multimodal_pipeline,
@@ -221,8 +223,12 @@ def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   tokenizer contract (ASCII via mr-compat, full-Unicode via
 #   unicode_wordcount, the reference's actual wc.go semantics).
 
+# - repetition_quality / stratified_sample (round 7): Gopher-style
+#   repetition gates and exact deterministic stratified sampling — full
+#   DuckDB-oracle parity in pytest; kept off the 50-slot declared list
+#   rather than displace an established query mid-stream.
 PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
-               "wordcount")
+               "wordcount", "repetition_quality", "stratified_sample")
 
 DECLARED: list[str] = [q for q in QUERIES if q not in PYTEST_ONLY]
 
@@ -1060,6 +1066,63 @@ ORACLES: dict[str, str] = {
                               CAST(round(alpha_ratio * 10000) AS BIGINT)
                          END) / (sum(keep) * 10000.0), 4) AS avg_kept_alpha
         FROM flagged GROUP BY source, lang ORDER BY source, lang
+    """,
+    "repetition_quality": r"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   list_transform(
+                       list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+                                   t -> length(t) > 0),
+                       t -> lower(t)) AS toks
+            FROM documents),
+        feats AS (
+            SELECT doc_id, source, len(toks) AS n_tok,
+                   greatest(len(toks) - 1, 0) AS n_bigrams,
+                   CASE WHEN len(toks) > 0 THEN
+                        round(1.0 - len(list_distinct(toks))::DOUBLE
+                              / len(toks), 4)
+                   ELSE 0.0 END AS dup_word_frac,
+                   toks
+            FROM base),
+        bg AS (
+            SELECT f.doc_id, concat(f.toks[g.i], ' ', f.toks[g.i + 1])
+                       AS bigram
+            FROM feats f, LATERAL unnest(generate_series(1, f.n_bigrams))
+                 AS g(i)),
+        top AS (
+            SELECT doc_id, max(c) AS top_c FROM (
+                SELECT doc_id, bigram, count(*) AS c
+                FROM bg GROUP BY doc_id, bigram) GROUP BY doc_id),
+        per_doc AS (
+            SELECT f.doc_id, f.source, f.dup_word_frac,
+                   CASE WHEN f.n_bigrams > 0 THEN
+                        round(coalesce(t.top_c, 0)::DOUBLE / f.n_bigrams, 4)
+                   ELSE 0.0 END AS top_bigram_frac
+            FROM feats f LEFT JOIN top t ON f.doc_id = t.doc_id)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN dup_word_frac > 0.3
+                              OR top_bigram_frac > 0.2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               round(sum(CAST(round(dup_word_frac * 10000) AS BIGINT))
+                     / (count(*) * 10000.0), 4) AS avg_dup_word_frac,
+               round(sum(CAST(round(top_bigram_frac * 10000) AS BIGINT))
+                     / (count(*) * 10000.0), 4) AS avg_top_bigram_frac
+        FROM per_doc GROUP BY source ORDER BY source
+    """,
+    "stratified_sample": """
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                               doc_id) AS rn,
+                   count(*) OVER (PARTITION BY source) AS cnt
+            FROM documents)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN rn <= ceil(cnt * 0.1) THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_sampled,
+               CAST(sum(CASE WHEN rn <= ceil(cnt * 0.1) THEN doc_id END)
+                   AS BIGINT) AS sampled_id_sum
+        FROM ranked GROUP BY source ORDER BY source
     """,
     # The oracle re-derives what the synthesizer embedded in the REAL
     # container headers the Spark side then parses back out
