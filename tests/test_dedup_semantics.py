@@ -210,3 +210,33 @@ def test_lsh_multiprobe_catches_planted_strong_neighbors(spark):
            for r in ann_lsh_portable(emb, n_probes=5, k=1).collect()}
     found = sum((i, 100 + i) in got for i in range(5))
     assert found >= 4, f"multi-probe LSH missed planted twins: {got}"
+
+
+def test_contamination_check_flags_planted_overlap(spark):
+    """Planted decontamination scenario: doc 0 (eval slice: 0 % 97 == 0)
+    shares a long phrase with doc 5 (>= 3 distinct 5-gram shingles) but
+    not with doc 6; only doc 5 is flagged. Also pins the plan contract:
+    the benchmark shingle probe must be a broadcast join."""
+    import contextlib
+    import io
+
+    from toymapreduce_go_spark.operators.dedup import contamination_check
+
+    phrase = ("the quick brown fox jumps over the lazy dog while "
+              "seven wizards watch quietly")
+    docs = spark.createDataFrame(
+        [(0, "bench", phrase),
+         (5, "train", "intro words then " + phrase + " and a tail"),
+         (6, "train", "completely different content with no overlap "
+                      "of any five gram runs at all here")],
+        "doc_id long, source string, text string")
+    out = contamination_check(docs)
+    rows = {r["source"]: r for r in out.collect()}
+    assert "bench" not in rows  # eval slice is excluded from the report
+    assert rows["train"]["n_docs"] == 2
+    assert rows["train"]["n_contaminated"] == 1
+    assert rows["train"]["total_shared_shingles"] >= 3
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain()
+    assert "BroadcastHashJoin" in buf.getvalue()

@@ -700,3 +700,58 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4,
         .applyInPandas(tile, schema="id_a long, id_b long, cos_sim double")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Benchmark decontamination
+
+
+def contamination_check(documents: DataFrame, n: int = 5,
+                        eval_mod: int = 97,
+                        min_shared: int = 3) -> DataFrame:
+    """Benchmark decontamination — flag training documents that overlap
+    an evaluation set by >= ``min_shared`` distinct word ``n``-grams (the
+    GPT-3-style 13-gram rule, shortened to fit the fixture's doc length).
+    The eval set here is the deterministic slice ``doc_id % eval_mod ==
+    0`` so the oracle can reproduce it; production passes a real
+    benchmark frame in its place.
+
+    Plan shape — the reason this scales: the benchmark is always tiny
+    relative to the corpus (eval suites are KBs to MBs), so its distinct
+    shingle set is BROADCAST and the corpus side never shuffles. Total
+    cost is one scan-side shingle projection over the corpus plus a
+    map-side hash-join probe, then one per-source aggregation: at 100 TB
+    the decontamination pass rides the same scan as the other curation
+    filters."""
+    shingle = "concat_ws(' ', " + ", ".join(
+        f"element_at(toks, i + {j})" for j in range(n)) + ")"
+    sh = (
+        documents.select("doc_id", "source", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc_id", "source",
+            F.explode_outer(F.array_distinct(F.expr(
+                f"transform(sequence(1, size(toks) - {n - 1}), "
+                f"i -> {shingle})"))).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+    is_eval = F.col("doc_id") % eval_mod == 0
+    bench = sh.filter(is_eval).select("shingle").distinct()
+    shared = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    base = documents.filter(~is_eval).select("doc_id", "source")
+    return (
+        base.join(shared, "doc_id", "left")
+        .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0)))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_shared") >= min_shared).cast("int"))
+             .alias("n_contaminated"),
+            F.sum("n_shared").alias("total_shared_shingles"),
+        )
+        .orderBy("source")
+    )

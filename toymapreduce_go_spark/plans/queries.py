@@ -187,6 +187,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": _q(textstats.curation_pipeline),
     "repetition_quality": _q(textstats.repetition_quality),
     "stratified_sample": _q(textstats.stratified_sample_stats),
+    "contamination_check": _q(dedup.contamination_check),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
     "multimodal_pipeline": _multimodal_pipeline,
@@ -228,7 +229,8 @@ def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   DuckDB-oracle parity in pytest; kept off the 50-slot declared list
 #   rather than displace an established query mid-stream.
 PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
-               "wordcount", "repetition_quality", "stratified_sample")
+               "wordcount", "repetition_quality", "stratified_sample",
+               "contamination_check")
 
 DECLARED: list[str] = [q for q in QUERIES if q not in PYTEST_ONLY]
 
@@ -1108,6 +1110,36 @@ ORACLES: dict[str, str] = {
                round(sum(CAST(round(top_bigram_frac * 10000) AS BIGINT))
                      / (count(*) * 10000.0), 4) AS avg_top_bigram_frac
         FROM per_doc GROUP BY source ORDER BY source
+    """,
+    "contamination_check": r"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+                               t -> length(t) > 0) AS toks
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, source,
+                   array_to_string(toks[i:i+4], ' ') AS shingle
+            FROM (SELECT doc_id, source, toks,
+                         unnest(range(1, len(toks) - 3)) AS i
+                  FROM toks WHERE len(toks) >= 5)),
+        bench AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        shared AS (
+            SELECT s.doc_id, count(*) AS n_shared
+            FROM sh s JOIN bench b ON s.shingle = b.shingle
+            WHERE s.doc_id % 97 <> 0
+            GROUP BY s.doc_id),
+        base AS (
+            SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN coalesce(n_shared, 0) >= 3
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_contaminated,
+               CAST(sum(coalesce(n_shared, 0)) AS BIGINT)
+                   AS total_shared_shingles
+        FROM base LEFT JOIN shared USING (doc_id)
+        GROUP BY source ORDER BY source
     """,
     "stratified_sample": """
         WITH ranked AS (
