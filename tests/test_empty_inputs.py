@@ -29,9 +29,11 @@ from toymapreduce_go_spark.sources.registry import TABLES
 #     (all declared aggs are grouped, so they collapse to zero rows).
 #   - ann_ivf* train centroids from the corpus; with zero vectors there
 #     is nothing to index and the correct result is zero rows.
-# Nothing currently needs an expected-rows override; keep the hook so a
-# future scalar-aggregate query documents its n>0-on-empty contract here.
-EXPECTED_NONEMPTY: dict[str, int] = {}
+EXPECTED_NONEMPTY: dict[str, int] = {
+    # global (ungrouped) aggregate: one all-zeros report row is the
+    # correct result for an empty corpus
+    "sequence_packing": 1,
+}
 
 
 @pytest.fixture(scope="module")

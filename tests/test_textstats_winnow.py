@@ -96,3 +96,25 @@ def test_unicode_wordcount_cross_engine_on_multilingual_corpus(spark):
         {"doc_id": range(len(texts)), "source": "t", "text": texts}))
     want = con.execute(ORACLES["unicode_wordcount"]).fetchall()
     assert got == want and len(got) > 10
+
+
+def test_pii_scrub_planted(spark):
+    from toymapreduce_go_spark.operators.textstats import (pii_redact_text,
+                                                           pii_scrub)
+
+    docs = spark.createDataFrame(
+        [(1, "a", "contact bob@example.com or +1-555-123-4567 now"),
+         (2, "a", "server at 10.0.0.1 went down"),
+         (3, "b", "nothing sensitive here at all")],
+        "doc_id long, source string, text string")
+    rows = {r["source"]: r for r in pii_scrub(docs).collect()}
+    assert rows["a"]["n_docs_with_pii"] == 2
+    assert rows["a"]["total_email"] == 1
+    assert rows["a"]["total_phone"] == 1
+    assert rows["a"]["total_ipv4"] == 1
+    assert rows["b"]["n_docs_with_pii"] == 0
+    red = {r["doc_id"]: r["text"] for r in pii_redact_text(docs).collect()}
+    assert "<EMAIL>" in red[1] and "<PHONE>" in red[1]
+    assert "bob@example.com" not in red[1]
+    assert "<IPV4>" in red[2] and "10.0.0.1" not in red[2]
+    assert red[3] == "nothing sensitive here at all"

@@ -381,3 +381,52 @@ def stratified_sample_stats(documents: DataFrame,
         )
         .orderBy("source")
     )
+
+
+# Patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): character classes + bounded quantifiers only — no lookaround,
+# no backreferences.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """Redact PII spans (emails, phone numbers, IPv4s) and report per
+    source: docs touched, matches per class, and the redacted corpus
+    length delta. Pure ``regexp_replace``/``regexp_count`` scan-side
+    expressions — at 100 TB the scrub rides the curation scan like every
+    other filter; the redacted text itself is produced by
+    ``pii_redact_text`` for pipelines that materialize it."""
+    t = F.col("text")
+    counts = {k: F.regexp_count(t, F.lit(p)).alias(f"n_{k}")
+              for k, p in PII_PATTERNS.items()}
+    red = t
+    for k, p in PII_PATTERNS.items():
+        red = F.regexp_replace(red, p, f"<{k.upper()}>")
+    per_doc = documents.select(
+        "doc_id", "source", *counts.values(),
+        (F.length(red) - F.length(t)).alias("len_delta"),
+    )
+    any_pii = sum(F.col(f"n_{k}") for k in PII_PATTERNS) > 0
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(any_pii.cast("int")).alias("n_docs_with_pii"),
+            *[F.sum(f"n_{k}").alias(f"total_{k}") for k in PII_PATTERNS],
+            F.sum("len_delta").alias("total_len_delta"),
+        )
+        .orderBy("source")
+    )
+
+
+def pii_redact_text(documents: DataFrame) -> DataFrame:
+    """The materializing form: documents with ``text`` replaced by its
+    redacted version (same schema otherwise)."""
+    red = F.col("text")
+    for k, p in PII_PATTERNS.items():
+        red = F.regexp_replace(red, p, f"<{k.upper()}>")
+    return documents.withColumn("text", red)

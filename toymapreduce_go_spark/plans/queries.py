@@ -20,8 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..mr.api import run_map_reduce, wc_map, wc_reduce
-from ..operators import (dedup, events, joins, relational, similarity,
-                         text_mr, textstats)
+from ..operators import (dedup, events, joins, packing, relational,
+                         similarity, text_mr, textstats)
 from ..sources.registry import load_table
 
 
@@ -188,6 +188,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_quality": _q(textstats.repetition_quality),
     "stratified_sample": _q(textstats.stratified_sample_stats),
     "contamination_check": _q(dedup.contamination_check),
+    "pii_scrub": _q(textstats.pii_scrub),
+    "sequence_packing": _q(packing.packing_stats),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
     "multimodal_pipeline": _multimodal_pipeline,
@@ -230,7 +232,7 @@ def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   rather than displace an established query mid-stream.
 PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "wordcount", "repetition_quality", "stratified_sample",
-               "contamination_check")
+               "contamination_check", "pii_scrub", "sequence_packing")
 
 DECLARED: list[str] = [q for q in QUERIES if q not in PYTEST_ONLY]
 
@@ -1140,6 +1142,38 @@ ORACLES: dict[str, str] = {
                    AS total_shared_shingles
         FROM base LEFT JOIN shared USING (doc_id)
         GROUP BY source ORDER BY source
+    """,
+    # Patterns are the PII_PATTERNS literals (textstats.py) — Java/RE2
+    # common subset; replacement order (email → phone → ipv4) matches.
+    "pii_scrub": r"""
+        WITH per_doc AS (
+            SELECT doc_id, source,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_email,
+                   len(regexp_extract_all(text,
+                       '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}'))
+                       AS n_phone,
+                   len(regexp_extract_all(text,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                       AS n_ipv4,
+                   length(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}',
+                       '<PHONE>', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                       '<IPV4>', 'g')) - length(text) AS len_delta
+            FROM documents)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN n_email + n_phone + n_ipv4 > 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_with_pii,
+               CAST(sum(n_email) AS BIGINT) AS total_email,
+               CAST(sum(n_phone) AS BIGINT) AS total_phone,
+               CAST(sum(n_ipv4) AS BIGINT) AS total_ipv4,
+               CAST(sum(len_delta) AS BIGINT) AS total_len_delta
+        FROM per_doc GROUP BY source ORDER BY source
     """,
     "stratified_sample": """
         WITH ranked AS (
