@@ -37,8 +37,12 @@ def main() -> None:
             load_table(spark, sf_dir, t).count()
         label = sf_dir.rstrip("/").rsplit("/", 1)[-1]
         timings: dict[str, float] = {}
+        # SPARK_GRAFT_SCALE_ONLY=a,b,c restricts the run (any registered
+        # query, declared or pytest-tier); default = declared surface
+        only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+        names = only.split(",") if only else list(DECLARED)
         for _pass in range(2):
-            for name in DECLARED:
+            for name in names:
                 t0 = time.perf_counter()
                 materialize(QUERIES[name](spark, sf_dir))
                 el = round(time.perf_counter() - t0, 2)

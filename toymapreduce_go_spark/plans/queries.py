@@ -234,6 +234,12 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "wordcount", "repetition_quality", "stratified_sample",
                "contamination_check", "pii_scrub", "sequence_packing")
 
+# Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
+# can't express); their correctness contract is invariant tests instead
+# (tests/test_packing.py) — the same convention as the declared
+# rows-only approx_stats.
+PYTEST_INVARIANT_ONLY = ("sequence_packing",)
+
 DECLARED: list[str] = [q for q in QUERIES if q not in PYTEST_ONLY]
 
 
