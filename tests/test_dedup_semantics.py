@@ -240,3 +240,55 @@ def test_contamination_check_flags_planted_overlap(spark):
     with contextlib.redirect_stdout(buf):
         out.explain()
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def _uf_components(pairs):
+    """Reference union-find over collected pairs: doc -> min id of its
+    component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Label propagation must agree with exact union-find on the real
+    LSH pair graph at fixture scale."""
+    from conftest import SF_DIR
+    from toymapreduce_go_spark.operators.dedup import (connected_components,
+                                                       near_dedup_minhash)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs_df = near_dedup_minhash(docs).select("doc_a", "doc_b")
+    pairs = [(r["doc_a"], r["doc_b"]) for r in pairs_df.collect()]
+    assert pairs  # fixture plants near-dups; empty would test nothing
+    want = _uf_components(pairs)
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs_df).collect()}
+    assert got == want
+
+
+def test_connected_components_planted_chain_and_clique(spark):
+    """A 5-chain (diameter 4 — forces several propagation rounds), a
+    triangle, and an isolated pair each collapse to min-id labels."""
+    from toymapreduce_go_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain
+         (10, 11), (11, 12), (10, 12),        # clique
+         (20, 21)],                           # pair
+        "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

@@ -755,3 +755,88 @@ def contamination_check(documents: DataFrame, n: int = 5,
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. Near-dup cluster assignment (connected components)
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Minimum-label propagation over an undirected edge list
+    ``(doc_a, doc_b)`` → ``(doc_id, cluster_id)`` with ``cluster_id`` =
+    the min doc_id of the component (deterministic).
+
+    Each round every vertex adopts the minimum label in its closed
+    neighborhood; convergence takes O(component diameter) rounds —
+    near-dup graphs are dense little cliques-with-bridges (diameter
+    almost always <= 3), so this beats the O(log n) star-contraction
+    algorithms (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") in practice while staying two joins per round. Lineage is
+    truncated every round with an EAGER localCheckpoint: without it the
+    iterated join plan nests exponentially and the driver dies on plan
+    analysis long before the executors break a sweat. (localCheckpoint
+    trades replayability for speed — a production run on preemptible
+    executors would use reliable checkpoint() to HDFS instead.)
+
+    The driver-side loop only ever pulls ONE scalar per round (the
+    changed-label count) — labels themselves never leave the cluster.
+    """
+    sym = (edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+           .union(edges.select(F.col("doc_b").alias("a"),
+                               F.col("doc_a").alias("b")))
+           .distinct())
+    sym = sym.localCheckpoint(eager=True)
+    labels = (sym.select(F.col("a").alias("doc_id"))
+              .distinct()
+              .withColumn("label", F.col("doc_id")))
+    for _ in range(max_iter):
+        nbr_min = (sym.join(labels, sym["b"] == labels["doc_id"])
+                   .groupBy(F.col("a").alias("doc_id"))
+                   .agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(nbr_min, "doc_id", "left")
+                      .select("doc_id",
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nbr_label"),
+                                                 F.col("label")))
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def near_dup_clusters(documents: DataFrame, n: int = 3,
+                      threshold: float = 0.5,
+                      portable: bool = False) -> DataFrame:
+    """Transitive near-dup clusters — the operation a dedup pipeline
+    actually keys its survivorship on (pairs alone under-merge: A~B and
+    B~C must collapse to ONE survivor even when A!~C). Pairs come from
+    the declared MinHash pipeline, components from min-label
+    propagation; the report is per-cluster-size histogram plus survivor
+    accounting, so the whole corpus rollup stays small however large the
+    corpus."""
+    pairs = near_dedup_minhash(documents, n=n, threshold=threshold,
+                               portable=portable)
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn("n_docs", F.col("cluster_size") * F.col("n_clusters"))
+        .withColumn("n_survivors", F.col("n_clusters"))
+        .withColumn("n_removed", F.col("n_docs") - F.col("n_survivors"))
+        .orderBy("cluster_size")
+    )
+
+
+def near_dup_clusters_portable(documents: DataFrame) -> DataFrame:
+    """Declared-oracle variant: portable signatures so the DuckDB twin
+    (banding CTEs + recursive-CTE transitive closure) reproduces pairs,
+    components, and the histogram bit-for-bit."""
+    return near_dup_clusters(documents, portable=True)

@@ -190,6 +190,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check": _q(dedup.contamination_check),
     "pii_scrub": _q(textstats.pii_scrub),
     "sequence_packing": _q(packing.packing_stats),
+    "near_dup_clusters": _q(dedup.near_dup_clusters_portable),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
     "multimodal_pipeline": _multimodal_pipeline,
@@ -232,7 +233,8 @@ def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   rather than displace an established query mid-stream.
 PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "wordcount", "repetition_quality", "stratified_sample",
-               "contamination_check", "pii_scrub", "sequence_packing")
+               "contamination_check", "pii_scrub", "sequence_packing",
+               "near_dup_clusters")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -369,6 +371,50 @@ def _minhash_oracle_sql(n: int = 3, n_hashes: int = 64, n_bands: int = 16,
                        JOIN sigs sb ON sb.doc_id = doc_b)
         SELECT doc_a, doc_b, est_jaccard FROM est
         WHERE est_jaccard >= {threshold} ORDER BY doc_a, doc_b
+    """
+
+
+def _clusters_oracle_sql(n: int = 3, n_hashes: int = 64, n_bands: int = 16,
+                         threshold: float = 0.5) -> str:
+    """DuckDB twin of ``dedup.near_dup_clusters_portable``: the portable
+    banding/estimate CTEs, then connected components as a recursive-CTE
+    transitive closure (min reachable doc_id = the same deterministic
+    cluster label min-label propagation converges to), then the
+    cluster-size histogram. Transitive closure is O(V·E) rows — fine for
+    an oracle at test scale; the engine side runs the O(diameter)
+    propagation loop instead."""
+    return f"""
+        WITH RECURSIVE {_minhash_band_ctes(n, n_hashes, n_bands)},
+        est AS (
+            SELECT doc_a, doc_b,
+                   list_sum(list_transform(range(1, {n_hashes + 1}),
+                       i -> CASE WHEN sa.sig[i] = sb.sig[i]
+                                 THEN 1 ELSE 0 END))::DOUBLE
+                   / {float(n_hashes)} AS est_jaccard
+            FROM pairs JOIN sigs sa ON sa.doc_id = doc_a
+                       JOIN sigs sb ON sb.doc_id = doc_b),
+        dup_pairs AS (
+            SELECT doc_a, doc_b FROM est WHERE est_jaccard >= {threshold}),
+        edges2 AS (
+            SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+            UNION SELECT doc_b, doc_a FROM dup_pairs),
+        reach AS (
+            SELECT a AS src, a AS node FROM edges2
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges2 e ON e.a = r.node),
+        comp AS (
+            SELECT src AS doc_id, min(node) AS cluster_id
+            FROM reach GROUP BY src),
+        sizes AS (
+            SELECT cluster_id, count(*) AS cluster_size
+            FROM comp GROUP BY cluster_id)
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_survivors,
+               CAST(cluster_size * count(*) - count(*) AS BIGINT)
+                   AS n_removed
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size
     """
 
 
@@ -1291,6 +1337,7 @@ ORACLES: dict[str, str] = {
     # value-checked — same literal permutation coefficients inlined in
     # both plans.
     "near_dedup_minhash": _minhash_oracle_sql(),
+    "near_dup_clusters": _clusters_oracle_sql(),
     # ANN with literal models (seeded hyperplanes / lowest-vec_id
     # centroids): deterministic, so fully value-checked — buckets, cell
     # assignment, candidate sets, and ranks all reproduced in SQL.
