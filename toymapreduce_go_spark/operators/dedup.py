@@ -840,3 +840,20 @@ def near_dup_clusters_portable(documents: DataFrame) -> DataFrame:
     (banding CTEs + recursive-CTE transitive closure) reproduces pairs,
     components, and the histogram bit-for-bit."""
     return near_dup_clusters(documents, portable=True)
+
+
+def apply_near_dedup(documents: DataFrame, n: int = 3,
+                     threshold: float = 0.5,
+                     portable: bool = False) -> DataFrame:
+    """The materializing form of cluster dedup: the corpus with every
+    near-dup cluster collapsed to its min-doc_id survivor (exact dups
+    are a cluster like any other — their estimated Jaccard is 1.0).
+    Anti-join against the non-survivor set, which is pair-graph-sized,
+    not corpus-sized: documents that never hit a bucket with anyone
+    stay untouched without ever being shuffled."""
+    pairs = near_dedup_minhash(documents, n=n, threshold=threshold,
+                               portable=portable)
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    losers = comp.filter(F.col("doc_id") != F.col("cluster_id")) \
+        .select("doc_id")
+    return documents.join(losers, "doc_id", "left_anti")
