@@ -766,20 +766,25 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     ``(doc_a, doc_b)`` → ``(doc_id, cluster_id)`` with ``cluster_id`` =
     the min doc_id of the component (deterministic).
 
-    Each round every vertex adopts the minimum label in its closed
-    neighborhood; convergence takes O(component diameter) rounds —
-    near-dup graphs are dense little cliques-with-bridges (diameter
-    almost always <= 3), so this beats the O(log n) star-contraction
-    algorithms (Kiveris et al., "Connected Components in MapReduce and
-    Beyond") in practice while staying two joins per round. Lineage is
-    truncated every round with an EAGER localCheckpoint: without it the
-    iterated join plan nests exponentially and the driver dies on plan
-    analysis long before the executors break a sweat. (localCheckpoint
-    trades replayability for speed — a production run on preemptible
-    executors would use reliable checkpoint() to HDFS instead.)
+    Frontier (delta) propagation: round 1 every vertex broadcasts its
+    label to its neighbors and adopts the minimum it hears; every later
+    round only vertices whose label just IMPROVED re-broadcast. Min is
+    monotone, so messages from unchanged vertices are already reflected
+    and never need re-sending — the per-round join shrinks from |V| to
+    |frontier|, which collapses geometrically (near-dup graphs are dense
+    little cliques-with-bridges, diameter almost always <= 3). This is
+    the delta-stepping form of label propagation; the O(log n)
+    star-contraction algorithms (Kiveris et al., "Connected Components
+    in MapReduce and Beyond") win only on high-diameter graphs dedup
+    never produces. Lineage is truncated every round with an EAGER
+    localCheckpoint: without it the iterated join plan nests
+    exponentially and the driver dies on plan analysis long before the
+    executors break a sweat. (localCheckpoint trades replayability for
+    speed — a production run on preemptible executors would use reliable
+    checkpoint() to HDFS instead.)
 
     The driver-side loop only ever pulls ONE scalar per round (the
-    changed-label count) — labels themselves never leave the cluster.
+    frontier size) — labels themselves never leave the cluster.
     """
     sym = (edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
            .union(edges.select(F.col("doc_b").alias("a"),
@@ -788,24 +793,27 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     sym = sym.localCheckpoint(eager=True)
     labels = (sym.select(F.col("a").alias("doc_id"))
               .distinct()
-              .withColumn("label", F.col("doc_id")))
+              .withColumn("label", F.col("doc_id"))
+              .localCheckpoint(eager=True))
+    frontier = labels
     for _ in range(max_iter):
-        nbr_min = (sym.join(labels, sym["b"] == labels["doc_id"])
+        nbr_min = (sym.join(frontier, sym["b"] == frontier["doc_id"])
                    .groupBy(F.col("a").alias("doc_id"))
                    .agg(F.min("label").alias("nbr_label")))
-        new_labels = (labels.join(nbr_min, "doc_id", "left")
-                      .select("doc_id",
-                              F.least(F.col("label"),
-                                      F.coalesce(F.col("nbr_label"),
-                                                 F.col("label")))
-                              .alias("label"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .count())
-        labels = new_labels
-        if changed == 0:
+        # one checkpointed frame carries both the updated label and the
+        # improved flag, so the round costs exactly one materialization
+        # and one scalar action
+        upd = (labels.join(nbr_min, "doc_id", "left")
+               .select("doc_id",
+                       F.least(F.col("label"),
+                               F.coalesce(F.col("nbr_label"),
+                                          F.col("label"))).alias("label"),
+                       (F.coalesce(F.col("nbr_label"), F.col("label"))
+                        < F.col("label")).alias("improved"))
+               .localCheckpoint(eager=True))
+        labels = upd.select("doc_id", "label")
+        frontier = upd.filter("improved").select("doc_id", "label")
+        if frontier.count() == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
