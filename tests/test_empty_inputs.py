@@ -62,6 +62,28 @@ def test_query_survives_empty_catalog(spark, empty_sf_dir, name):
     assert df.columns, f"{name}: empty-input result lost its schema"
 
 
+@pytest.fixture(scope="module")
+def single_row_sf_dir(spark, tmp_path_factory):
+    """One-row twin of the catalog (each table's first row by its id
+    ordering): the degenerate-but-nonempty regime where model-building
+    paths (centroid training, greatest() argmaxes, windows, sketches)
+    historically break. FK consistency doesn't hold and doesn't need to
+    — the contract is only 'never raise'."""
+    root = tmp_path_factory.mktemp("single_sf")
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet"))
+        (df.limit(1)
+         .write.mode("overwrite").parquet(str(root / f"{t}.parquet")))
+    return str(root)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_survives_single_row_catalog(spark, single_row_sf_dir, name):
+    df = QUERIES[name](spark, single_row_sf_dir)
+    df.count()  # must evaluate without raising
+    assert df.columns
+
+
 def test_ivf_survives_single_vector_corpus(spark):
     """A one-vector corpus exercises the 1-centroid model path (a plain
     greatest() argmax would reject a single operand) and a sample smaller
