@@ -285,3 +285,27 @@ def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
     assert out.count() == n_batch_distinct
     assert out.groupBy("fp").count().filter(F.col("count") > 1).count() == 0
     assert 0 < n_first < n_batch_distinct  # run 1 really was partial
+
+
+def test_stream_static_enrichment_join_matches_batch(spark):
+    """Stream-static join (the broadcast-enrichment pattern: a streaming
+    fact joined to a static dim each micro-batch): documents stream
+    enriched with a static per-lang dim must produce exactly the batch
+    join's row multiset."""
+    from toymapreduce_go_spark.streaming.events_stream import (
+        read_documents_stream, run_to_memory)
+
+    docs_batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    lang_dim = (docs_batch.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n_lang_docs")))
+    stream = read_documents_stream(spark, SF_DIR, n_splits=2)
+    enriched = (stream.join(lang_dim, "lang")
+                .select("doc_id", "lang", "n_lang_docs"))
+    run_to_memory(enriched, "t_enriched", spark,
+                  output_mode="append")
+    got = spark.table("t_enriched")
+    want = (docs_batch.join(lang_dim, "lang")
+            .select("doc_id", "lang", "n_lang_docs"))
+    assert got.count() == want.count()
+    assert sorted((r["doc_id"], r["n_lang_docs"]) for r in got.collect()) \
+        == sorted((r["doc_id"], r["n_lang_docs"]) for r in want.collect())
