@@ -70,3 +70,52 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "src1" in frag, frag
     want = docs.filter(F.col("source") == "src1").count()
     assert one.count() == want
+
+
+def test_zorder_layout_narrows_both_column_ranges(spark, tmp_path):
+    """Z-order vs single-column sort, measured on the actual parquet
+    footers: with a linear sort on col1, every file spans ~the full col2
+    domain; Z-ordered files must cover a strictly smaller fraction of
+    the col2 domain on average (that coverage fraction IS the expected
+    scan fraction for a col2 predicate)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from toymapreduce_go_spark.sources.bucketing import write_zordered
+
+    # two independent uniform dims — the worst case for a linear sort
+    df = (spark.range(40000)
+          .select(F.pmod(F.xxhash64("id"), F.lit(4096)).alias("x"),
+                  F.pmod(F.xxhash64("id", F.lit(1)), F.lit(4096))
+                  .alias("y")))
+
+    linear = f"{tmp_path}/linear"
+    (df.repartitionByRange(8, "x").sortWithinPartitions("x")
+       .write.mode("overwrite").parquet(linear))
+    zpath = f"{tmp_path}/zorder"
+    write_zordered(df, zpath, "x", "y", n_files=8, bits=12)
+
+    def avg_span_frac(path, col, domain=4096):
+        import glob
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            los, his = [], []
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                stats = {rg.column(j).path_in_schema:
+                         rg.column(j).statistics
+                         for j in range(rg.num_columns)}[col]
+                los.append(stats.min)
+                his.append(stats.max)
+            spans.append((max(his) - min(los) + 1) / domain)
+        return sum(spans) / len(spans)
+
+    lin_y = avg_span_frac(linear, "y")
+    z_y = avg_span_frac(zpath, "y")
+    z_x = avg_span_frac(zpath, "x")
+    # linear layout: y is unsorted everywhere -> files span ~full domain
+    assert lin_y > 0.9
+    # z-order: both dims materially narrowed per file
+    assert z_y < 0.6, f"z-order y span {z_y}"
+    assert z_x < 0.6, f"z-order x span {z_x}"
