@@ -1,0 +1,37 @@
+"""End-to-end corpus-build pipeline (``pipeline.py``)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from conftest import SF_DIR
+from toymapreduce_go_spark.pipeline import build_training_corpus
+
+
+def test_corpus_build_funnel_and_output(spark, tmp_path):
+    out = f"file://{tmp_path}/curated"
+    curated, funnel = build_training_corpus(spark, SF_DIR, out_path=out)
+    stages = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    # funnel is monotone non-increasing and every stage ran
+    order = ["0_raw", "1_quality_gated", "2_deduped",
+             "3_decontaminated", "4_packed"]
+    assert list(stages) == order
+    counts = [stages[s] for s in order]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    # the fixture plants near-dups, so dedup must actually drop docs
+    assert stages["2_deduped"] < stages["1_quality_gated"]
+    assert stages["4_packed"] > 0
+    # every curated doc has a bin; bins respect the budget except
+    # oversize singletons (packing's own invariant, re-checked end2end)
+    assert curated.filter(F.col("bin_id").isNull()).count() == 0
+    # written output round-trips with partition pruning intact
+    back = spark.read.parquet(out)
+    assert back.count() == stages["4_packed"]
+    assert set(back.columns) == {"doc_id", "source", "lang", "text",
+                                 "bin_id"}
+    # no PII markers missing: redaction happened before everything else,
+    # so any planted address-like text is gone from the output
+    leaked = back.filter(
+        F.col("text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    ).count()
+    assert leaked == 0

@@ -706,6 +706,35 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4,
 # 6. Benchmark decontamination
 
 
+def contamination_shared_counts(documents: DataFrame, n: int = 5,
+                                eval_mod: int = 97) -> DataFrame:
+    """Per-document benchmark-overlap counts: ``(doc_id, n_shared)`` for
+    every non-eval document sharing >= 1 distinct word ``n``-gram with
+    the eval slice (``doc_id % eval_mod == 0``). Shared base of the
+    ``contamination_check`` rollup and the corpus-build pipeline's
+    per-doc drop gate; the benchmark shingle set is BROADCAST, so the
+    corpus side rides the scan without a shuffle."""
+    shingle = "concat_ws(' ', " + ", ".join(
+        f"element_at(toks, i + {j})" for j in range(n)) + ")"
+    sh = (
+        documents.select("doc_id", "source", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc_id", "source",
+            F.explode_outer(F.array_distinct(F.expr(
+                f"transform(sequence(1, size(toks) - {n - 1}), "
+                f"i -> {shingle})"))).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+    is_eval = F.col("doc_id") % eval_mod == 0
+    bench = sh.filter(is_eval).select("shingle").distinct()
+    return (
+        sh.filter(~is_eval)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def contamination_check(documents: DataFrame, n: int = 5,
                         eval_mod: int = 97,
                         min_shared: int = 3) -> DataFrame:
@@ -723,25 +752,8 @@ def contamination_check(documents: DataFrame, n: int = 5,
     map-side hash-join probe, then one per-source aggregation: at 100 TB
     the decontamination pass rides the same scan as the other curation
     filters."""
-    shingle = "concat_ws(' ', " + ", ".join(
-        f"element_at(toks, i + {j})" for j in range(n)) + ")"
-    sh = (
-        documents.select("doc_id", "source", tokens("text").alias("toks"))
-        .filter(F.size("toks") >= n)
-        .select(
-            "doc_id", "source",
-            F.explode_outer(F.array_distinct(F.expr(
-                f"transform(sequence(1, size(toks) - {n - 1}), "
-                f"i -> {shingle})"))).alias("shingle"))
-        .filter(F.col("shingle").isNotNull())
-    )
+    shared = contamination_shared_counts(documents, n, eval_mod)
     is_eval = F.col("doc_id") % eval_mod == 0
-    bench = sh.filter(is_eval).select("shingle").distinct()
-    shared = (
-        sh.filter(~is_eval)
-        .join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared"))
-    )
     base = documents.filter(~is_eval).select("doc_id", "source")
     return (
         base.join(shared, "doc_id", "left")

@@ -279,12 +279,11 @@ def curation_pipeline(documents: DataFrame) -> DataFrame:
     )
 
 
-def repetition_quality(documents: DataFrame) -> DataFrame:
-    """Repetition-based quality gates (the Gopher/C4-family filters the
-    reference lacks entirely): per document, the duplicate-word fraction
-    (1 − |distinct tokens| / |tokens|) and the top-bigram fraction (most
-    frequent word bigram's share of all bigrams); a document is flagged
-    when either exceeds its threshold (0.3 / 0.2). Reported per source.
+def repetition_features(documents: DataFrame) -> DataFrame:
+    """Per-document repetition features: ``(doc_id, source, n_tok,
+    n_bigrams, dup_word_frac, top_bigram_frac)`` — the shared base of
+    the ``repetition_quality`` rollup and the corpus-build pipeline's
+    per-doc gate.
 
     Plan shape: token features are scan-side array expressions; the
     bigram mode needs a real aggregation — explode bigrams, count per
@@ -315,16 +314,36 @@ def repetition_quality(documents: DataFrame) -> DataFrame:
     top = (bigrams.groupBy("doc_id", "bigram")
            .agg(F.count(F.lit(1)).alias("c"))
            .groupBy("doc_id").agg(F.max("c").alias("top_c")))
-    per_doc = (base.drop("toks")
-               .join(top, "doc_id", "left")
-               .withColumn(
-                   "top_bigram_frac",
-                   F.when(F.col("n_bigrams") > 0,
-                          F.round(F.coalesce(F.col("top_c"), F.lit(0))
-                                  / F.col("n_bigrams").cast("double"), 4))
-                   .otherwise(F.lit(0.0))))
-    flagged = ((F.col("dup_word_frac") > 0.3)
-               | (F.col("top_bigram_frac") > 0.2))
+    return (base.drop("toks")
+            .join(top, "doc_id", "left")
+            .withColumn(
+                "top_bigram_frac",
+                F.when(F.col("n_bigrams") > 0,
+                       F.round(F.coalesce(F.col("top_c"), F.lit(0))
+                               / F.col("n_bigrams").cast("double"), 4))
+                .otherwise(F.lit(0.0)))
+            .drop("top_c"))
+
+
+REPETITION_DUP_WORD_MAX = 0.3
+REPETITION_TOP_BIGRAM_MAX = 0.2
+
+
+def repetition_flag() -> F.Column:
+    """Gopher-style keep/drop predicate over ``repetition_features``
+    columns (True = flagged for removal)."""
+    return ((F.col("dup_word_frac") > REPETITION_DUP_WORD_MAX)
+            | (F.col("top_bigram_frac") > REPETITION_TOP_BIGRAM_MAX))
+
+
+def repetition_quality(documents: DataFrame) -> DataFrame:
+    """Repetition-based quality gates (the Gopher/C4-family filters the
+    reference lacks entirely): per document, the duplicate-word fraction
+    (1 − |distinct tokens| / |tokens|) and the top-bigram fraction (most
+    frequent word bigram's share of all bigrams); a document is flagged
+    when either exceeds its threshold (0.3 / 0.2). Reported per source."""
+    per_doc = repetition_features(documents)
+    flagged = repetition_flag()
     # integer-scaled averaging (see curation_pipeline): 4-decimal fracs
     # sum exactly as bigints, immune to double summation order
     scaled = lambda c: F.round(F.col(c) * 10000).cast("long")  # noqa: E731

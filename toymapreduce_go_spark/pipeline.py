@@ -1,0 +1,85 @@
+"""End-to-end training-corpus construction — the composition every
+individual operator in this engine exists to serve:
+
+    raw documents
+      → PII redaction                  (scan-side regex)
+      → quality gates                  (length/alpha + Gopher repetition)
+      → exact + near dedup             (LSH clusters → one survivor each)
+      → benchmark decontamination      (broadcast n-gram overlap)
+      → sequence packing               (sharded FFD into token bins)
+      → curated parquet + funnel report
+
+Stage order is the cost order a 100 TB run wants: cheap scan-side
+filters first shrink the corpus before the shuffling stages (dedup)
+and the Python stage (packing) see it. Every stage is one of the
+oracle-/invariant-checked operators; this module only composes them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dedup import apply_near_dedup, contamination_shared_counts
+from .operators.packing import pack_sequences
+from .operators.textstats import (MIN_ALPHA_RATIO, MIN_CHARS,
+                                  pii_redact_text, repetition_features,
+                                  repetition_flag)
+from .sources.registry import load_table
+
+
+def build_training_corpus(spark: SparkSession, sf_dir: str,
+                          out_path: str | None = None,
+                          max_tokens: int = 256,
+                          min_shared_contamination: int = 3
+                          ) -> tuple[DataFrame, DataFrame]:
+    """Run the full curation funnel over ``sf_dir``'s documents table.
+
+    Returns ``(curated, funnel)``: the curated corpus frame
+    ``(doc_id, source, lang, text, bin_id)`` (also written to
+    ``out_path`` if given, partitioned by source) and a small funnel
+    report frame ``(stage, n_docs)`` ordered by stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    stages: list[tuple[str, int]] = [("0_raw", docs.count())]
+
+    # 1. PII redaction (doesn't drop docs; changes text BEFORE hashing
+    # so dedup/contamination operate on what would actually be trained)
+    red = pii_redact_text(docs)
+
+    # 2. quality gates: curation thresholds + repetition flags
+    t = F.col("text")
+    alpha_ratio = (F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+                   .cast("double")
+                   / F.greatest(F.length(t).cast("double"), F.lit(1.0)))
+    basic_ok = (F.length(t) >= MIN_CHARS) & (alpha_ratio >= MIN_ALPHA_RATIO)
+    rep_flagged = (repetition_features(red).filter(repetition_flag())
+                   .select("doc_id"))
+    gated = (red.filter(basic_ok)
+             .join(rep_flagged, "doc_id", "left_anti"))
+    stages.append(("1_quality_gated", gated.count()))
+
+    # 3. dedup: exact dups have estimated Jaccard 1.0, so the LSH
+    # cluster pass subsumes the exact pass — one survivor per component
+    deduped = apply_near_dedup(gated)
+    stages.append(("2_deduped", deduped.count()))
+
+    # 4. decontamination vs the eval slice
+    contaminated = (contamination_shared_counts(deduped)
+                    .filter(F.col("n_shared") >= min_shared_contamination)
+                    .select("doc_id"))
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    stages.append(("3_decontaminated", clean.count()))
+
+    # 5. sequence packing
+    bins = pack_sequences(clean, max_tokens=max_tokens)
+    curated = clean.select("doc_id", "source", "lang", "text").join(
+        bins.select("doc_id", "bin_id"), "doc_id")
+    stages.append(("4_packed", curated.count()))
+
+    if out_path is not None:
+        (curated.write.mode("overwrite")
+         .partitionBy("source").parquet(out_path))
+
+    funnel = spark.createDataFrame(stages, "stage string, n_docs long") \
+        .orderBy("stage")
+    return curated, funnel
