@@ -292,3 +292,22 @@ def test_connected_components_planted_chain_and_clique(spark):
            for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_random_graphs(spark):
+    """Seeded random graphs (sparse, mid, denser) vs exact union-find —
+    catches propagation bugs planted topologies miss (multiple merges of
+    partial components in one round, label races)."""
+    import random
+
+    from toymapreduce_go_spark.operators.dedup import connected_components
+
+    for seed, n, m in [(1, 60, 30), (2, 80, 90), (3, 40, 160)]:
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        want = _uf_components(edges)
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in connected_components(df).collect()}
+        assert got == want, f"seed {seed}"
