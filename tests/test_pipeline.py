@@ -35,3 +35,18 @@ def test_corpus_build_funnel_and_output(spark, tmp_path):
         F.col("text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
     ).count()
     assert leaked == 0
+
+
+def test_cli_corpus_build(spark, tmp_path, capsys):
+    """The CLI front door runs the same funnel (reference-binary-style
+    operational entry, cmd/main.go analog)."""
+    from toymapreduce_go_spark.__main__ import main
+
+    out = str(tmp_path / "cli_out")
+    main(["--corpus-build", SF_DIR, "--out", out])
+    lines = [ln.split() for ln in
+             capsys.readouterr().out.strip().splitlines()[-5:]]
+    assert [s for s, _ in lines] == [
+        "0_raw", "1_quality_gated", "2_deduped", "3_decontaminated",
+        "4_packed"]
+    assert spark.read.parquet(out).count() == int(lines[-1][1])

@@ -68,7 +68,11 @@ def main(argv: list[str] | None = None) -> None:
     src.add_argument("--plugin", metavar="FILE.py",
                      help="Python plugin exporting Map/Reduce "
                           "(worker -mrpath analog)")
-    p.add_argument("--input", required=True,
+    src.add_argument("--corpus-build", metavar="SF_DIR",
+                     help="run the end-to-end curation pipeline "
+                          "(pipeline.py) over SF_DIR's documents table: "
+                          "curated parquet to --out, funnel to stdout")
+    p.add_argument("--input", required=False,
                    help="comma-separated input files/globs "
                         "(coord -input analog; Hadoop FS URIs OK)")
     p.add_argument("--nreduce", type=int, default=4,
@@ -83,6 +87,19 @@ def main(argv: list[str] | None = None) -> None:
                         "analog; >1 required for the crash app)")
     args = p.parse_args(argv)
 
+    if args.corpus_build:
+        from .pipeline import build_training_corpus
+        from .session import build_session
+        spark = build_session("corpus-build")
+        spark.sparkContext.setLogLevel("ERROR")
+        _, funnel = build_training_corpus(spark, args.corpus_build,
+                                          out_path=args.out)
+        for r in funnel.collect():
+            print(f"{r['stage']} {r['n_docs']}")
+        return
+
+    if not args.input:
+        p.error("--input is required with --app/--plugin")
     if args.plugin:
         map_f, reduce_f = load_plugin(args.plugin)
         app_name = args.plugin
