@@ -197,3 +197,41 @@ def test_jpeg_decoder_never_returns_garbage_on_truncation(cut, data):
     except ValueError:
         return
     assert out == full
+
+
+@given(st.lists(st.tuples(st.integers(0, 10**6),
+                          st.integers(0, 600)),
+                min_size=1, max_size=120, unique_by=lambda t: t[0]),
+       st.integers(16, 512))
+@settings(max_examples=60, deadline=None)
+def test_ffd_pack_shard_invariants(docs, cap):
+    """Pure-Python FFD kernel (packing._pack_shard) under random
+    workloads: every doc assigned exactly once; no bin over budget
+    unless it holds a single oversize doc; FFD quality bound (every
+    bin but at most one is more than half full when no oversize docs
+    exist — the classic first-fit guarantee)."""
+    import pandas as pd
+
+    from toymapreduce_go_spark.operators.packing import _pack_shard
+
+    pdf = pd.DataFrame({
+        "doc_id": [d for d, _ in docs],
+        "n_tok": [t for _, t in docs],
+        "shard": 3,
+        "cap": cap,
+    })
+    out = _pack_shard(pdf)
+    assert sorted(out["doc_id"]) == sorted(pdf["doc_id"])
+    toks = dict(zip(out["doc_id"], out["n_tok"]))
+    bins: dict[int, list[int]] = {}
+    for did, b in zip(out["doc_id"], out["bin_id"]):
+        bins.setdefault(b, []).append(did)
+        assert b >> 32 == 3  # shard-prefixed ids
+    for members in bins.values():
+        fill = sum(toks[d] for d in members)
+        if fill > cap:
+            assert any(toks[d] > cap for d in members)
+    if all(t <= cap for _, t in docs):
+        under_half = sum(1 for m in bins.values()
+                         if sum(toks[d] for d in m) * 2 <= cap)
+        assert under_half <= 1
