@@ -80,3 +80,24 @@ def test_batch_step_replay_is_idempotent(spark, tmp_path):
     again = sorted(r["doc_id"] for r in
                    read_survivors(spark, state).collect())
     assert first == again
+
+
+def test_streaming_curation_composes_gates_with_dedup(spark, tmp_path):
+    """Streaming curation = scan-side gates on the stream feeding the
+    incremental near-dedup: survivors must all satisfy the gate and be
+    a subset of the ungated run's corpus."""
+    import pyspark.sql.functions as F
+
+    from toymapreduce_go_spark.operators.textstats import MIN_CHARS
+
+    state = str(tmp_path / "gated_state")
+    stream = read_documents_stream(spark, SF_DIR, n_splits=2)
+    gated_stream = stream.filter(F.length("text") >= MIN_CHARS)
+    run_near_dedup_stream(gated_stream, state, spark)
+    surv = read_survivors(spark, state)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    joined = surv.join(docs, "doc_id")
+    assert joined.count() == surv.count()
+    assert joined.filter(F.length("text") < MIN_CHARS).count() == 0
+    assert 0 < surv.count() <= docs.filter(
+        F.length("text") >= MIN_CHARS).count()
