@@ -217,3 +217,51 @@ def test_quartiles_band_plan_no_whole_table_sort_and_exact(spark):
     assert "isnotnull(qi" in plan
     assert "l_extendedprice), GreaterThanOrEqual" in plan.replace("#", ")#") \
         or "GreaterThanOrEqual(l_extendedprice" in plan, plan[:2000]
+
+
+def test_repetition_quality_partial_agg_and_pruning(spark):
+    """Bigram mode must be partial+final hash aggregation (map-side
+    combine bounds shuffle rows at per-doc distinct bigrams), and the
+    scan must read only doc_id/source/text."""
+    from toymapreduce_go_spark.operators.textstats import repetition_quality
+
+    plan = plan_of(repetition_quality(load_table(spark, SF_DIR,
+                                                 "documents")))
+    assert plan.count("HashAggregate") >= 2
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "text" in read_schema and "embedding" not in read_schema
+
+
+def test_stratified_sample_single_stratum_exchange(spark):
+    """Exact-quota sampling is one hashpartitioning exchange on the
+    stratum key feeding both window functions — no extra shuffles."""
+    from toymapreduce_go_spark.operators.textstats import \
+        stratified_sample_stats
+
+    plan = plan_of(stratified_sample_stats(load_table(spark, SF_DIR,
+                                                      "documents")))
+    assert plan.count("hashpartitioning(source") <= 2  # window + rollup
+    assert "Window" in plan
+
+
+def test_pii_scrub_is_scan_side(spark):
+    """The scrub itself must not shuffle: exactly the final per-source
+    aggregation exchanges rows, with regex work in the scan projection."""
+    from toymapreduce_go_spark.operators.textstats import pii_scrub
+
+    plan = plan_of(pii_scrub(load_table(spark, SF_DIR, "documents")))
+    # agg exchange + the presentation orderBy's range exchange, no more
+    assert plan.count("+- Exchange") <= 2, plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_pack_sequences_python_stage_input_is_slim(spark):
+    """Token counting stays JVM-side: the pandas stage's input must be
+    the 4 slim columns, never text."""
+    from toymapreduce_go_spark.operators.packing import pack_sequences
+
+    plan = plan_of(pack_sequences(load_table(spark, SF_DIR, "documents")),
+                   mode="extended")
+    assert "FlatMapGroupsInPandas" in plan
+    py_stage = plan.split("FlatMapGroupsInPandas")[1][:200]
+    assert "text" not in py_stage
