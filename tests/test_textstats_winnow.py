@@ -118,3 +118,28 @@ def test_pii_scrub_planted(spark):
     assert "bob@example.com" not in red[1]
     assert "<IPV4>" in red[2] and "10.0.0.1" not in red[2]
     assert red[3] == "nothing sensitive here at all"
+
+
+def test_hashed_tf_unit_norm_and_identity_cosine(spark):
+    from toymapreduce_go_spark.functions.vectors import cosine_sim
+    from toymapreduce_go_spark.operators.textstats import \
+        hashed_tf_embeddings
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),
+         (2, "the quick brown fox jumps"),       # identical text
+         (3, "entirely different words here")],
+        "doc_id long, text string")
+    vecs = hashed_tf_embeddings(docs)
+    rows = {r["doc_id"]: r for r in vecs.collect()}
+    for r in rows.values():
+        norm = sum(x * x for x in r["vec"]) ** 0.5
+        assert abs(norm - 1.0) < 1e-9
+        assert r["nnz"] >= 1
+    a = vecs.alias("a").filter("doc_id = 1")
+    b = (vecs.alias("b").filter("doc_id = 2")
+         .selectExpr("vec as vec_b"))
+    cos = a.crossJoin(b).select(
+        cosine_sim(F.col("vec"), F.col("vec_b")).alias("cos")
+    ).collect()[0]["cos"]
+    assert abs(cos - 1.0) < 1e-9

@@ -449,3 +449,62 @@ def pii_redact_text(documents: DataFrame) -> DataFrame:
     for k, p in PII_PATTERNS.items():
         red = F.regexp_replace(red, p, f"<{k.upper()}>")
     return documents.withColumn("text", red)
+
+
+HASHED_TF_DIM = 64
+
+
+def hashed_tf_embeddings(documents: DataFrame,
+                         dim: int = HASHED_TF_DIM) -> DataFrame:
+    """Feature-hashing text vectorizer (spark.ml HashingTF re-expressed
+    declaratively): token → md5-derived bucket in [0, dim), per-doc
+    bucket counts, L2-normalized — turns the text pipeline's output into
+    the embedding pipeline's input with no model and no Python. The md5
+    bucket hash is the portable form both engines compute bit-for-bit.
+
+    Emits per-doc summary columns (nnz, argmax bucket, rounded top
+    weight) rather than the raw vector so the value-hash compares
+    scalars; the vector itself is the ``vec`` column for downstream
+    composition (dropped from the declared projection).
+
+    Plan shape: one explode + one (doc_id, bucket) partial+final agg +
+    one per-doc rebuild — all shuffle rows are per-doc DISTINCT buckets
+    (<= dim), so shuffle volume is corpus-bounded at docs × dim longs."""
+    bucket = F.expr(
+        "cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) "
+        f"% {dim}")
+    counts = (
+        documents.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = (
+        counts.groupBy("doc_id")
+        .agg(F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("b", "c"))))
+            .alias("m"))
+        .select(
+            "doc_id",
+            F.expr(f"transform(sequence(0, {dim - 1}), "
+                   "b -> coalesce(m[cast(b as bigint)], 0L))").alias("raw"))
+    )
+    norm = F.sqrt(F.aggregate(
+        "raw", F.lit(0.0), lambda a, x: a + x.cast("double") * x))
+    vec = per_doc.select(
+        "doc_id",
+        F.transform("raw", lambda x: x.cast("double") / norm).alias("vec"),
+        F.size(F.filter("raw", lambda x: x > 0)).alias("nnz"),
+        # argmax bucket, ties -> min bucket (array_position of the max)
+        (F.array_position(
+            "raw", F.array_max("raw")) - 1).cast("long").alias("top_bucket"),
+        F.round(F.array_max("raw") / norm, 4).alias("top_weight"),
+    )
+    return vec
+
+
+def hashed_tf_summary(documents: DataFrame,
+                      dim: int = HASHED_TF_DIM) -> DataFrame:
+    """Declared-style scalar projection of ``hashed_tf_embeddings``."""
+    return (hashed_tf_embeddings(documents, dim)
+            .select("doc_id", "nnz", "top_bucket", "top_weight")
+            .orderBy("doc_id"))

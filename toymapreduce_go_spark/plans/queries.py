@@ -191,6 +191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": _q(textstats.pii_scrub),
     "sequence_packing": _q(packing.packing_stats),
     "near_dup_clusters": _q(dedup.near_dup_clusters_portable),
+    "hashed_tf": _q(textstats.hashed_tf_summary),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
     "multimodal_pipeline": _multimodal_pipeline,
@@ -234,7 +235,7 @@ def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "wordcount", "repetition_quality", "stratified_sample",
                "contamination_check", "pii_scrub", "sequence_packing",
-               "near_dup_clusters")
+               "near_dup_clusters", "hashed_tf")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1226,6 +1227,30 @@ ORACLES: dict[str, str] = {
                CAST(sum(n_ipv4) AS BIGINT) AS total_ipv4,
                CAST(sum(len_delta) AS BIGINT) AS total_len_delta
         FROM per_doc GROUP BY source ORDER BY source
+    """,
+    "hashed_tf": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+                                      t -> length(t) > 0)) AS tok
+            FROM documents),
+        counts AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 AS b,
+                   count(*) AS c
+            FROM toks GROUP BY doc_id, b),
+        agg AS (
+            SELECT doc_id, count(*) AS nnz, max(c) AS mx,
+                   sum(c * c) AS ss
+            FROM counts GROUP BY doc_id),
+        top AS (
+            SELECT co.doc_id, min(co.b) AS top_bucket
+            FROM counts co JOIN agg a ON co.doc_id = a.doc_id
+            WHERE co.c = a.mx GROUP BY co.doc_id)
+        SELECT a.doc_id, a.nnz, t.top_bucket,
+               round(a.mx / sqrt(a.ss::DOUBLE), 4) AS top_weight
+        FROM agg a JOIN top t ON a.doc_id = t.doc_id
+        ORDER BY a.doc_id
     """,
     "stratified_sample": """
         WITH ranked AS (
