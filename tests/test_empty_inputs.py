@@ -84,6 +84,34 @@ def test_query_survives_single_row_catalog(spark, single_row_sf_dir, name):
     assert df.columns
 
 
+@pytest.fixture(scope="module")
+def nulled_sf_dir(spark, tmp_path_factory):
+    """Dirty-data twin: every third document's text and every fifth's
+    lang is NULL (dirty crawls do ship null payloads at 100 TB). Other
+    tables pass through — the TPC-H side is NOT NULL by fixture
+    contract. The query contract on dirty rows is 'never raise': null
+    text behaves like an empty/absent document."""
+    import pyspark.sql.functions as F
+    root = tmp_path_factory.mktemp("nulled_sf")
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet"))
+        if t == "documents":
+            df = df.withColumn(
+                "text", F.when(F.col("doc_id") % 3 == 0, F.lit(None))
+                .otherwise(F.col("text"))).withColumn(
+                "lang", F.when(F.col("doc_id") % 5 == 0, F.lit(None))
+                .otherwise(F.col("lang")))
+        df.write.mode("overwrite").parquet(str(root / f"{t}.parquet"))
+    return str(root)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_survives_nulled_documents(spark, nulled_sf_dir, name):
+    df = QUERIES[name](spark, nulled_sf_dir)
+    df.count()  # must evaluate without raising
+    assert df.columns
+
+
 def test_ivf_survives_single_vector_corpus(spark):
     """A one-vector corpus exercises the 1-centroid model path (a plain
     greatest() argmax would reject a single operand) and a sample smaller

@@ -83,6 +83,15 @@ def synthesize_jpeg(payload: bytes, width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + payload + b"\xff\xd9"
 
 
+def _text_rows(documents: DataFrame) -> DataFrame:
+    """(doc_id, source, text) with null text dropped JVM-side before any
+    Python stage: dirty crawls ship null payloads, and the synthesis
+    kernels treat a null document as absent rather than crashing the
+    worker."""
+    return (documents.select("doc_id", "source", "text")
+            .filter(F.col("text").isNotNull()))
+
+
 def synthesize_image(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body: (doc_id, source, text) -> (doc_id, source,
     payload binary). Dimensions derive from the text's octet length (so
@@ -104,7 +113,7 @@ def synthesize_image(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def with_binary_payload(documents: DataFrame) -> DataFrame:
     """Manufacture the opaque binary column (real PNG/JPEG containers)
     from text; a real pipeline reads this column straight from parquet."""
-    return documents.select("doc_id", "source", "text").mapInPandas(
+    return _text_rows(documents).mapInPandas(
         synthesize_image, schema="doc_id long, source string, payload binary")
 
 
@@ -333,7 +342,7 @@ def decode_meta_query(documents: DataFrame) -> DataFrame:
     """Declared query: binary → mapInPandas header-decode → per-source
     rollup of byte/pixel accounting plus a per-format count proving the
     parser actually branched on the container bytes."""
-    decoded = documents.select("doc_id", "source", "text").mapInPandas(
+    decoded = _text_rows(documents).mapInPandas(
         lambda batches: decode_image_headers(synthesize_image(batches)),
         schema=DECODED_SCHEMA)
     return (
@@ -448,7 +457,7 @@ def multimodal_pipeline_query(documents: DataFrame,
             .mapInPandas(sample_frames, schema=SAMPLED_SCHEMA)
         )
     else:
-        transformed = documents.select("doc_id", "source", "text") \
+        transformed = _text_rows(documents) \
             .mapInPandas(fused_pipeline, schema=SAMPLED_SCHEMA)
     return (
         transformed.groupBy("source")
@@ -535,7 +544,7 @@ def pixel_stats_query(documents: DataFrame) -> DataFrame:
     as the declared pipeline), then aggregate per (source, format).
     Pytest-tier: the oracle is a driver-side recomputation with the
     same codecs — DuckDB cannot decode images."""
-    decoded = documents.select("doc_id", "source", "text").mapInPandas(
+    decoded = _text_rows(documents).mapInPandas(
         lambda batches: decode_pixel_stats(synthesize_real_image(batches)),
         schema=PIXEL_STATS_SCHEMA)
     return (

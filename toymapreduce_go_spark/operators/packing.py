@@ -66,7 +66,10 @@ def pack_sequences(documents: DataFrame, max_tokens: int = 256,
     one packing bin of budget ``max_tokens``."""
     slim = documents.select(
         "doc_id",
-        bpe_ish_token_count(F.col("text")).cast("long").alias("n_tok"),
+        # null text (dirty data) packs as a zero-token doc — the bin
+        # assignment must never crash on it
+        F.coalesce(bpe_ish_token_count(F.col("text")).cast("long"),
+                   F.lit(0)).alias("n_tok"),
         (F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)))
         .cast("int").alias("shard"),
         F.lit(max_tokens).alias("cap"),
