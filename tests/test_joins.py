@@ -84,3 +84,27 @@ def test_asof_duckdb_parity_with_nulls(spark, duck):
         ORDER BY l.ts
     """).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+def test_events_gapfill_grid_is_dense_and_filled(spark):
+    """The resampled grid must have exactly one row per hour per type
+    with no holes, zero counts on empty hours, and a forward-filled
+    value from the first observation on."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_DIR
+    from toymapreduce_go_spark.operators.events import events_gapfill
+    from toymapreduce_go_spark.sources.registry import load_table
+
+    out = events_gapfill(load_table(spark, SF_DIR, "events"))
+    per_type = out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.min("hour").alias("h0"), F.max("hour").alias("h1"),
+        F.sum((F.col("n_events") == 0).cast("int")).alias("zero_hours"),
+        F.sum(F.col("filled_avg_v").isNull().cast("int")).alias("nulls"))
+    for r in per_type.collect():
+        expect = int((r["h1"] - r["h0"]).total_seconds() // 3600) + 1
+        assert r["rows"] == expect, r
+        # first grid hour has an observation (bounds come from data), so
+        # the forward fill leaves no nulls anywhere
+        assert r["nulls"] == 0, r

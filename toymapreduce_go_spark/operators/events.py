@@ -100,3 +100,41 @@ def events_sliding(events: DataFrame) -> DataFrame:
                 "n_events", "sum_value")
         .orderBy("window_start", "event_type")
     )
+
+
+def events_gapfill(events: DataFrame) -> DataFrame:
+    """Hypertable-style resample + gap-fill: a DENSE hourly grid per
+    event_type over that type's [min, max] hour range, zero-filling
+    missing hours' counts and carrying the last observed hourly average
+    value forward (`locf`). The operation time-series stores call
+    ``time_bucket_gapfill``; here it is sequence+explode for the grid,
+    a left join onto the hourly rollup, and one `last(ignorenulls)`
+    window for the fill.
+
+    Scale: the grid is |event_types| × hours — metadata-sized next to
+    the events themselves — and the only data-sized work is the hourly
+    rollup's single shuffle. The fill window partitions by event_type,
+    ordered by hour: one more shuffle of grid-sized (not event-sized)
+    rows."""
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = (events.select(F.col("event_type"), hour.alias("h"),
+                            F.col("value"))
+              .groupBy("event_type", "h")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.avg("value"), 4).alias("avg_v")))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"))
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type", F.col("h").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.last("avg_v", ignorenulls=True).over(w).alias("filled_avg_v"),
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -192,6 +192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": _q(packing.packing_stats),
     "near_dup_clusters": _q(dedup.near_dup_clusters_portable),
     "hashed_tf": _q(textstats.hashed_tf_summary),
+    "events_gapfill": _q(events.events_gapfill),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
     "multimodal_pipeline": _multimodal_pipeline,
@@ -235,7 +236,7 @@ def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "wordcount", "repetition_quality", "stratified_sample",
                "contamination_check", "pii_scrub", "sequence_packing",
-               "near_dup_clusters", "hashed_tf")
+               "near_dup_clusters", "hashed_tf", "events_gapfill")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1227,6 +1228,28 @@ ORACLES: dict[str, str] = {
                CAST(sum(n_ipv4) AS BIGINT) AS total_ipv4,
                CAST(sum(len_delta) AS BIGINT) AS total_len_delta
         FROM per_doc GROUP BY source ORDER BY source
+    """,
+    "events_gapfill": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   count(*) AS n, round(avg(value), 4) AS avg_v
+            FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        bounds AS (
+            SELECT event_type, min(h) AS h0, max(h) AS h1
+            FROM hourly GROUP BY event_type),
+        grid AS (
+            SELECT b.event_type, g.h
+            FROM bounds b, LATERAL unnest(
+                generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS g(h))
+        SELECT g.event_type, g.h AS hour,
+               CAST(coalesce(hr.n, 0) AS BIGINT) AS n_events,
+               last_value(hr.avg_v IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS filled_avg_v
+        FROM grid g LEFT JOIN hourly hr
+          ON g.event_type = hr.event_type AND g.h = hr.h
+        ORDER BY g.event_type, hour
     """,
     "hashed_tf": r"""
         WITH toks AS (
