@@ -128,18 +128,19 @@ def reference_results(spark, tmp_path_factory):
 
 
 def _family_result(spark, d, name):
-    from toymapreduce_go_spark.operators.events import events_sliding
+    from toymapreduce_go_spark.operators.events import (events_gapfill,
+                                                        events_sliding)
     from toymapreduce_go_spark.operators.joins import events_asof_join
     from toymapreduce_go_spark.operators.relational import events_cube
 
     fns = {"sliding": events_sliding, "asof": events_asof_join,
-           "cube": events_cube}
+           "cube": events_cube, "gapfill": events_gapfill}
     df = fns[name](load_table(spark, d, "events"))
     cols = sorted(df.columns)
     return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
 
 
-_FAMILY = ("sliding", "asof", "cube")
+_FAMILY = ("sliding", "asof", "cube", "gapfill")
 
 
 @pytest.mark.parametrize("name", _FAMILY)
