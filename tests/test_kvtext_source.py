@@ -259,3 +259,20 @@ def test_failed_write_leaves_no_temp_files(spark, tmp_path):
         df.write.format("kvtext").mode("append").save(str(out))
     leftovers = [p.name for p in out.iterdir()] if out.exists() else []
     assert leftovers == [], leftovers
+
+
+def test_kvtext_malformed_lines_defined_behavior(spark, tmp_path):
+    """Dirty input contract: blank lines skip, a line with no space
+    yields (key, NULL), extra spaces stay in the value (first-space
+    split — the reference sink's exact inverse)."""
+    p = tmp_path / "dirty.txt"
+    p.write_text("alpha 1\n\nnospace\nbeta 2 with spaces\n  leading\n")
+    df = (spark.read.format("kvtext").load(str(p))
+          .orderBy("key"))
+    rows = [(r["key"], r["value"]) for r in df.collect()]
+    assert rows == [
+        ("", " leading"),          # leading space -> empty key
+        ("alpha", "1"),
+        ("beta", "2 with spaces"),
+        ("nospace", None),
+    ]
