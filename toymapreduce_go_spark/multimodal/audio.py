@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .binary import _text_rows
+
 DEFAULT_RATE = 8000
 
 AUDIO_STATS_SCHEMA = ("doc_id long, source string, sample_rate long, "
@@ -161,7 +163,7 @@ def decode_audio_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 def audio_stats_query(documents: DataFrame) -> DataFrame:
     """Per-source audio rollup over the fused synthesize+decode stage:
     total duration, mean RMS, max peak, mean zero-crossing rate."""
-    decoded = documents.select("doc_id", "source", "text").mapInPandas(
+    decoded = _text_rows(documents).mapInPandas(
         lambda batches: decode_audio_stats(synthesize_audio(batches)),
         schema=AUDIO_STATS_SCHEMA)
     return (

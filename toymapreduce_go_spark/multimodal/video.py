@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .binary import _text_rows
+
 from .jpeg import decode_baseline, encode_baseline
 
 SAMPLE_EVERY = 2
@@ -154,7 +156,7 @@ def decode_video_stats(batches: Iterator[pd.DataFrame],
 def video_stats_query(documents: DataFrame) -> DataFrame:
     """Per-source video rollup over the fused synthesize + split +
     sample + decode stage."""
-    decoded = documents.select("doc_id", "source", "text").mapInPandas(
+    decoded = _text_rows(documents).mapInPandas(
         lambda batches: decode_video_stats(synthesize_video(batches)),
         schema=VIDEO_STATS_SCHEMA)
     return (

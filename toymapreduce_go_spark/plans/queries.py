@@ -108,6 +108,16 @@ def _multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_pipeline_query(load_table(spark, sf_dir, "documents"))
 
 
+def _audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.audio import audio_stats_query
+    return audio_stats_query(load_table(spark, sf_dir, "documents"))
+
+
+def _video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.video import video_stats_query
+    return video_stats_query(load_table(spark, sf_dir, "documents"))
+
+
 def _approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL count-distinct, t-digest quantiles) —
     sketch-based, rows-only check (non-deterministic vs an exact oracle by
@@ -196,6 +206,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
     "multimodal_pipeline": _multimodal_pipeline,
+    "audio_stats": _audio_stats,
+    "video_stats": _video_stats,
 }
 
 
@@ -236,13 +248,17 @@ def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "wordcount", "repetition_quality", "stratified_sample",
                "contamination_check", "pii_scrub", "sequence_packing",
-               "near_dup_clusters", "hashed_tf", "events_gapfill")
+               "near_dup_clusters", "hashed_tf", "events_gapfill",
+               "audio_stats", "video_stats")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
 # (tests/test_packing.py) — the same convention as the declared
 # rows-only approx_stats.
-PYTEST_INVARIANT_ONLY = ("sequence_packing",)
+# (audio/video stats decode real RIFF/MJPEG containers — DuckDB cannot;
+# their oracle is the lossless round-trip + distributed-equals-local
+# recomputation in tests/test_audio_video.py.)
+PYTEST_INVARIANT_ONLY = ("sequence_packing", "audio_stats", "video_stats")
 
 DECLARED: list[str] = [q for q in QUERIES if q not in PYTEST_ONLY]
 
