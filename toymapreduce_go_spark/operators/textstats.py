@@ -508,3 +508,38 @@ def hashed_tf_summary(documents: DataFrame,
     return (hashed_tf_embeddings(documents, dim)
             .select("doc_id", "nnz", "top_bucket", "top_weight")
             .orderBy("doc_id"))
+
+
+def weighted_sample_stats(documents: DataFrame,
+                          lang_weights: dict[str, float] | None = None,
+                          default_weight: float = 0.05) -> DataFrame:
+    """Deterministic weighted (Bernoulli) sampling — the training-mix
+    dial: each document keeps with probability = its lang's weight,
+    decided by comparing a per-doc md5 uniform to the weight. Seedless
+    and shuffle-free (the keep decision is a scan-side projection; the
+    only shuffle is the report rollup), and exactly reproducible in the
+    DuckDB oracle — unlike ``df.sample``, whose RNG is
+    partitioning-dependent.
+
+    ``stratified_sample_stats`` is the exact-quota tier (one window
+    shuffle); this is the 100 TB fast path when rates, not exact
+    counts, are the contract."""
+    weights = lang_weights or {"en": 0.5, "de": 0.2, "fr": 0.1}
+    # md5-derived uniform in [0, 1): first 8 hex digits / 2^32
+    u = (F.expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), "
+                "16, 10) as double)") / F.lit(4294967296.0))
+    w = F.lit(default_weight)
+    for lang, wt in sorted(weights.items()):
+        w = F.when(F.col("lang") == lang, F.lit(wt)).otherwise(w)
+    kept = (u < w).cast("int")
+    return (
+        documents.select("lang", "doc_id", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.sum(F.when(F.col("kept") == 1, F.col("doc_id")))
+             .alias("kept_id_sum"),
+        )
+        .orderBy("lang")
+    )

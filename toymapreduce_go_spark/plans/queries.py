@@ -203,6 +203,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters": _q(dedup.near_dup_clusters_portable),
     "hashed_tf": _q(textstats.hashed_tf_summary),
     "events_gapfill": _q(events.events_gapfill),
+    "weighted_sample": _q(textstats.weighted_sample_stats),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
     "multimodal_pipeline": _multimodal_pipeline,
@@ -249,7 +250,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "wordcount", "repetition_quality", "stratified_sample",
                "contamination_check", "pii_scrub", "sequence_packing",
                "near_dup_clusters", "hashed_tf", "events_gapfill",
-               "audio_stats", "video_stats")
+               "audio_stats", "video_stats", "weighted_sample")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1290,6 +1291,24 @@ ORACLES: dict[str, str] = {
                round(a.mx / sqrt(a.ss::DOUBLE), 4) AS top_weight
         FROM agg a JOIN top t ON a.doc_id = t.doc_id
         ORDER BY a.doc_id
+    """,
+    "weighted_sample": """
+        WITH per_doc AS (
+            SELECT lang, doc_id,
+                   CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                                1, 8))::BIGINT
+                             / 4294967296.0
+                             < CASE lang WHEN 'en' THEN 0.5
+                                         WHEN 'de' THEN 0.2
+                                         WHEN 'fr' THEN 0.1
+                                         ELSE 0.05 END
+                        THEN 1 ELSE 0 END AS kept
+            FROM documents)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(kept) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN kept = 1 THEN doc_id END) AS BIGINT)
+                   AS kept_id_sum
+        FROM per_doc GROUP BY lang ORDER BY lang
     """,
     "stratified_sample": """
         WITH ranked AS (
