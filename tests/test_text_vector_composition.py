@@ -1,0 +1,32 @@
+"""Cross-family composition: text → hashed_tf vectors → kNN.
+
+The similarity operators take any (vec_id, embedding) frame; hashed_tf
+turns text into exactly that, so the two families compose with a
+rename. Near-identical texts must come back as each other's top
+neighbor with cosine ≈ 1."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from toymapreduce_go_spark.operators.similarity import knn_bruteforce
+from toymapreduce_go_spark.operators.textstats import hashed_tf_embeddings
+
+
+def test_hashed_tf_feeds_knn(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+         (3, "entirely unrelated text about database engines"),
+         (4, "database engines process entirely unrelated text"),  # ~3
+         (5, "completely disjoint vocabulary here indeed")],
+        "doc_id long, text string")
+    vecs = (hashed_tf_embeddings(docs)
+            .select(F.col("doc_id").alias("vec_id"),
+                    F.col("vec").cast("array<float>").alias("embedding")))
+    out = knn_bruteforce(vecs, n_probes=5, k=1)
+    top = {r["probe_id"]: (r["neighbor_id"], r["cos_sim"])
+           for r in out.collect()}
+    assert top[1][0] == 2 and top[2][0] == 1
+    assert top[1][1] > 0.8
+    assert top[3][0] == 4 and top[4][0] == 3
