@@ -130,3 +130,25 @@ def test_ivf_survives_single_vector_corpus(spark):
     # with two vectors each probe's sole candidate is the other vector
     assert similarity.ann_ivf(two).count() == 2
     assert similarity.ann_ivf_trained(two).count() == 2
+
+
+def test_ivf_model_save_load_roundtrip(spark, tmp_path):
+    """Persisted-model IVF (train once, probe from many jobs) must
+    reproduce the in-session trained tier exactly, and tolerate an
+    empty-model edge."""
+    from toymapreduce_go_spark.operators.similarity import (
+        ann_ivf_from_model, ann_ivf_trained, save_ivf_model)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    model = f"file://{tmp_path}/ivf_model"
+    save_ivf_model(spark, model, emb)
+    got = sorted(tuple(r) for r in
+                 ann_ivf_from_model(emb, model).collect())
+    want = sorted(tuple(r) for r in ann_ivf_trained(emb).collect())
+    assert got == want
+    # empty corpus -> empty model -> empty (not crashed) probe result
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label string")
+    save_ivf_model(spark, f"file://{tmp_path}/empty_model", empty)
+    assert ann_ivf_from_model(
+        emb, f"file://{tmp_path}/empty_model").count() == 0

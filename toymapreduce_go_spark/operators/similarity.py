@@ -473,3 +473,40 @@ def _ivf_rank(embeddings: DataFrame,
                 F.round("cos", 4).alias("cos_sim"))
         .orderBy("probe_id", "rank")
     )
+
+
+def save_ivf_model(spark, path: str, embeddings: DataFrame,
+                   n_cells: int = 8, n_iters: int = IVF_TRAIN_ITERS,
+                   sample_size: int = IVF_SAMPLE_SIZE) -> None:
+    """Train the Lloyd's IVF coarse quantizer once and persist it as a
+    tiny parquet model (cent_id, centroid) — the production pattern:
+    indexes are built by one job and probed by many, so the centroids
+    must outlive the session instead of retraining per query. The model
+    is a few hundred doubles; readers inline it as plan literals exactly
+    like the in-session tier."""
+    sample_rows = (embeddings.orderBy("vec_id").limit(sample_size)
+                   .select("vec_id", "embedding").collect())
+    sample = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+              for r in sample_rows]
+    cents = train_ivf_centroids(sample, n_cells, n_iters) if sample else []
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cent_id long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def ann_ivf_from_model(embeddings: DataFrame, model_path: str,
+                       n_probe_cells: int = 2, n_probes: int = 5,
+                       k: int = DEFAULT_K) -> DataFrame:
+    """Probe a persisted IVF model: identical plan shape to the trained
+    in-session tier (literal-centroid assignment projection + bucket
+    join); only the centroid source differs."""
+    spark = embeddings.sparkSession
+    cent_rows = spark.read.parquet(model_path).orderBy("cent_id").collect()
+    cents = [(int(r["cent_id"]), [float(x) for x in r["centroid"]])
+             for r in cent_rows]
+    probe_rows = (embeddings.orderBy("vec_id").limit(n_probes)
+                  .select("vec_id", "embedding").collect())
+    probes = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+              for r in probe_rows]
+    return _ivf_rank(embeddings, cents, probes, n_probe_cells, k)
