@@ -182,3 +182,22 @@ def test_orc_partitioned_roundtrip(spark, tmp_path):
     a = sorted(r["doc_id"] for r in back.select("doc_id").collect())
     b = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
     assert a == b
+
+
+def test_compact_parquet_reduces_files_keeps_data(spark, tmp_path):
+    from toymapreduce_go_spark.sources.sinks import compact_parquet
+
+    docs = load_table(spark, SF_DIR, "documents")
+    frag = f"file://{tmp_path}/frag"
+    docs.repartition(32).write.parquet(frag)  # micro-batch-style litter
+    before_ids = sorted(r["doc_id"] for r in
+                        spark.read.parquet(frag).select("doc_id").collect())
+    n_before, n_after = compact_parquet(spark, frag, target_mb=1)
+    assert n_before == 32
+    assert n_after < n_before
+    import glob
+    n_disk = len(glob.glob(f"{tmp_path}/frag/*.parquet"))
+    assert n_disk == n_after
+    after_ids = sorted(r["doc_id"] for r in
+                       spark.read.parquet(frag).select("doc_id").collect())
+    assert after_ids == before_ids

@@ -60,3 +60,36 @@ def write_text_kv(df: DataFrame, path: str, key: str = "key",
     if single_file:
         out = out.orderBy(F.col("value")).coalesce(1)
     out.write.mode(mode).text(path)
+
+
+def compact_parquet(spark, path: str, target_mb: int = 128) -> tuple[int, int]:
+    """Small-file compaction — the lake-maintenance operation every
+    streaming/incremental writer eventually needs (each micro-batch
+    commit leaves one file per task; thousands of KB-files make the
+    NEXT reader's listing and scan planning the bottleneck). Rewrites
+    ``path`` in place to ``ceil(bytes / target_mb)`` files via a
+    round-robin repartition (no shuffle key — pure size balancing).
+
+    Returns (files_before, files_after). In-place rewrite goes through
+    a sibling temp dir + atomic-ish rename swap, so a crash mid-compact
+    leaves either the old or the new layout, never a mix."""
+    import math
+    import os
+    import shutil
+
+    local = path[len("file://"):] if path.startswith("file://") else path
+    files = [os.path.join(dp, f)
+             for dp, _dn, fn in os.walk(local)
+             for f in fn if f.endswith(".parquet")]
+    n_before = len(files)
+    total = sum(os.path.getsize(f) for f in files)
+    n_after = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = local.rstrip("/") + "__compact_tmp"
+    df.repartition(n_after).write.mode("overwrite").parquet(
+        "file://" + tmp)
+    old = local.rstrip("/") + "__compact_old"
+    os.rename(local, old)
+    os.rename(tmp, local)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_before, n_after
