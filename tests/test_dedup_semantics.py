@@ -311,3 +311,21 @@ def test_connected_components_random_graphs(spark):
         got = {r["doc_id"]: r["cluster_id"]
                for r in connected_components(df).collect()}
         assert got == want, f"seed {seed}"
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """r7 advice: silently returning unconverged labels would make
+    apply_near_dedup keep docs whose label never reached the component
+    minimum. A diameter-5 chain cannot converge in 1 round -> raise."""
+    import pytest
+
+    from toymapreduce_go_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="frontier"):
+        connected_components(chain, max_iter=1)
+    # and with enough rounds the same graph is one component
+    labels = {r["doc_id"]: r["cluster_id"]
+              for r in connected_components(chain, max_iter=10).collect()}
+    assert set(labels.values()) == {0}

@@ -25,17 +25,62 @@ def stream_state(spark, tmp_path_factory):
     return state
 
 
-def test_survivors_are_bucket_independent(spark, stream_state):
-    """The defining invariant: after the run, no two accepted documents
-    share ANY LSH band bucket — within a batch the min-doc_id rule
-    forbids it, across batches the index semi-join forbids it."""
+def test_survivors_have_no_verified_near_dup_pair(spark, stream_state):
+    """The defining invariant of the verified (default) mode: running the
+    BATCH near-dup filter over the accepted set at the same threshold
+    finds zero pairs — the streaming tier dropped exactly the documents
+    the batch tier would call near-dups of an earlier survivor."""
+    from toymapreduce_go_spark.operators.dedup import near_dedup_minhash
+
     surv = read_survivors(spark, stream_state)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    surv_docs = docs.join(surv.select("doc_id"), "doc_id", "left_semi")
+    assert near_dedup_minhash(surv_docs, threshold=0.5).count() == 0
+
+
+def test_candidate_rule_mode_is_bucket_independent(spark, tmp_path):
+    """threshold=None selects the candidate-rule-only (more aggressive)
+    mode: after the run no two accepted documents share ANY LSH band
+    bucket — within a batch the min-doc_id rule forbids it, across
+    batches the index join forbids it."""
+    state = str(tmp_path / "cand_state")
+    stream = read_documents_stream(spark, SF_DIR, n_splits=3)
+    run_near_dedup_stream(stream, state, spark, threshold=None)
+    surv = read_survivors(spark, state)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     surv_docs = docs.join(surv.select("doc_id"), "doc_id", "left_semi")
     br = band_rows(minhash_signatures(surv_docs))
     clashes = (br.groupBy("band_id", "band_hash").count()
                .filter("count > 1").count())
     assert clashes == 0
+    # verification only ever KEEPS more: candidate-rule survivors are a
+    # subset of the verified tier's
+    verified_state = str(tmp_path / "ver_state")
+    run_near_dedup_stream(read_documents_stream(spark, SF_DIR, n_splits=3),
+                          verified_state, spark)
+    ver_ids = {r["doc_id"] for r in
+               read_survivors(spark, verified_state).collect()}
+    cand_ids = {r["doc_id"] for r in surv.collect()}
+    assert cand_ids <= ver_ids
+
+
+def test_corrupt_index_propagates_not_fails_open(spark, tmp_path):
+    """r7 advice (medium): a blanket except around the index read turned
+    ANY failure into 'first batch', silently accepting duplicates. Only
+    a genuinely missing path may mean first-batch; corrupt state must
+    raise."""
+    import os
+
+    state = str(tmp_path / "corrupt_state")
+    bands = os.path.join(state, "bands")
+    os.makedirs(bands)
+    with open(os.path.join(bands, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .orderBy("doc_id").limit(10))
+    with pytest.raises(Exception) as exc:
+        near_dedup_batch_step(spark, docs, 1, state)
+    assert "PATH_NOT_FOUND" not in str(exc.value)
 
 
 def test_survivor_set_shape(spark, stream_state):

@@ -87,10 +87,14 @@ def test_query_survives_single_row_catalog(spark, single_row_sf_dir, name):
 @pytest.fixture(scope="module")
 def nulled_sf_dir(spark, tmp_path_factory):
     """Dirty-data twin: every third document's text and every fifth's
-    lang is NULL (dirty crawls do ship null payloads at 100 TB). Other
-    tables pass through — the TPC-H side is NOT NULL by fixture
-    contract. The query contract on dirty rows is 'never raise': null
-    text behaves like an empty/absent document."""
+    lang is NULL (dirty crawls do ship null payloads at 100 TB), and a
+    slice of the remainder is EMPTY or ONE-TOKEN text — NULL text
+    short-circuits most expressions, so short-but-present docs are the
+    rows that actually exercise degenerate array paths (r7 advice: a
+    descending sequence(1,0) in the bigram transform crashed exactly
+    here). Other tables pass through — the TPC-H side is NOT NULL by
+    fixture contract. The query contract on dirty rows is 'never
+    raise'."""
     import pyspark.sql.functions as F
     root = tmp_path_factory.mktemp("nulled_sf")
     for t in TABLES:
@@ -98,6 +102,8 @@ def nulled_sf_dir(spark, tmp_path_factory):
         if t == "documents":
             df = df.withColumn(
                 "text", F.when(F.col("doc_id") % 3 == 0, F.lit(None))
+                .when(F.col("doc_id") % 7 == 1, F.lit(""))
+                .when(F.col("doc_id") % 7 == 2, F.lit("solo"))
                 .otherwise(F.col("text"))).withColumn(
                 "lang", F.when(F.col("doc_id") % 5 == 0, F.lit(None))
                 .otherwise(F.col("lang")))

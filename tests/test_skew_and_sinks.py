@@ -201,3 +201,69 @@ def test_compact_parquet_reduces_files_keeps_data(spark, tmp_path):
     after_ids = sorted(r["doc_id"] for r in
                        spark.read.parquet(frag).select("doc_id").collect())
     assert after_ids == before_ids
+
+
+def test_compact_parquet_rerunnable_after_stale_residue(spark, tmp_path):
+    """r7 advice: leftover __compact_tmp / __compact_old dirs from a
+    crashed attempt must not block the next run, and a crash INSIDE the
+    rename window (live dir gone, data at __compact_old) must be
+    recovered, not error."""
+    import os
+    import shutil
+
+    from toymapreduce_go_spark.sources.sinks import compact_parquet
+
+    docs = load_table(spark, SF_DIR, "documents")
+    frag = f"file://{tmp_path}/frag2"
+    local = f"{tmp_path}/frag2"
+    docs.repartition(8).write.parquet(frag)
+    want = sorted(r["doc_id"] for r in
+                  spark.read.parquet(frag).select("doc_id").collect())
+    # stale residue from a "crashed" previous attempt
+    os.makedirs(f"{local}__compact_tmp/junkdir")
+    os.makedirs(f"{local}__compact_old")
+    compact_parquet(spark, frag, target_mb=1)
+    got = sorted(r["doc_id"] for r in
+                 spark.read.parquet(frag).select("doc_id").collect())
+    assert got == want
+    # simulate a crash between the two renames: live -> old, tmp absent
+    shutil.rmtree(f"{local}__compact_old", ignore_errors=True)
+    os.rename(local, f"{local}__compact_old")
+    compact_parquet(spark, frag, target_mb=1)
+    got = sorted(r["doc_id"] for r in
+                 spark.read.parquet(frag).select("doc_id").collect())
+    assert got == want
+    assert not os.path.exists(f"{local}__compact_old")
+    assert not os.path.exists(f"{local}__compact_tmp")
+
+
+def test_compact_parquet_preserves_hive_partitioning(spark, tmp_path):
+    """r7 advice: compacting a hive-partitioned dataset silently rewrote
+    it unpartitioned, destroying partition pruning. The partition
+    column must survive compaction (and pruning must still plan)."""
+    import glob
+
+    from toymapreduce_go_spark.sources.sinks import compact_parquet
+
+    docs = load_table(spark, SF_DIR, "documents")
+    part = f"file://{tmp_path}/part"
+    (docs.repartition(16).write.partitionBy("source").parquet(part))
+    want = sorted((r["doc_id"], r["source"]) for r in
+                  spark.read.parquet(part)
+                  .select("doc_id", "source").collect())
+    n_before, n_after = compact_parquet(spark, part, target_mb=64)
+    back = spark.read.parquet(part)
+    assert sorted((r["doc_id"], r["source"]) for r in
+                  back.select("doc_id", "source").collect()) == want
+    # layout preserved: source=... dirs still exist, fewer files
+    part_dirs = glob.glob(f"{tmp_path}/part/source=*")
+    assert part_dirs, "hive partition dirs were destroyed by compaction"
+    n_disk = len(glob.glob(f"{tmp_path}/part/source=*/*.parquet"))
+    assert n_disk < n_before
+    # partition pruning still works on the compacted layout
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.filter("source = 'wiki'").explain(True)
+    assert "PartitionFilters" in buf.getvalue()

@@ -143,3 +143,32 @@ def test_hashed_tf_unit_norm_and_identity_cosine(spark):
         cosine_sim(F.col("vec"), F.col("vec_b")).alias("cos")
     ).collect()[0]["cos"]
     assert abs(cos - 1.0) < 1e-9
+
+
+def test_repetition_features_short_docs_never_raise(spark):
+    """r7 advice (high): sequence(1, greatest(size(toks)-1, 0)) steps
+    DOWNWARD to [1, 0] on <2-token docs, and element_at(toks, 0) then
+    throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT. Empty-string / one-token /
+    punctuation-only docs must produce defined zero features instead."""
+    from toymapreduce_go_spark.operators.textstats import (
+        repetition_features, repetition_quality)
+
+    docs = spark.createDataFrame(
+        [(1, "a", ""),                      # empty string: 0 tokens
+         (2, "a", "solo"),                  # exactly one token
+         (3, "a", "..!!.."),                # punctuation-only: 0 tokens
+         (4, "a", None),                    # null text
+         (5, "b", "two words"),             # minimal bigram-bearing doc
+         (6, "b", "spam spam spam spam")],  # genuine repetition
+        "doc_id long, source string, text string")
+    rows = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    for short_id in (1, 2, 3, 4):
+        assert rows[short_id]["n_bigrams"] == 0
+        assert rows[short_id]["top_bigram_frac"] == 0.0
+        assert rows[short_id]["dup_word_frac"] == 0.0
+    assert rows[5]["n_bigrams"] == 1
+    assert rows[5]["top_bigram_frac"] == 1.0
+    assert rows[6]["dup_word_frac"] == 0.75
+    # and the rollup (the declared query + pipeline gate) stays defined
+    agg = {r["source"]: r for r in repetition_quality(docs).collect()}
+    assert agg["a"]["n_docs"] == 4 and agg["a"]["n_flagged"] == 0

@@ -447,6 +447,19 @@ def minhash_band_pairs(documents: DataFrame, n: int = 3,
     return pairs.dropDuplicates(["doc_a", "doc_b"]), sig
 
 
+def est_jaccard_expr(sig_a: str = "sig_a", sig_b: str = "sig_b",
+                     n_hashes: int = N_HASHES) -> F.Column:
+    """Estimated Jaccard between two minhash signature columns: the
+    fraction of agreeing positions. Shared by the batch near-dup filter
+    and the streaming tier's candidate verification so both tiers apply
+    the identical estimate (JVM-side higher-order functions, no Python)."""
+    return F.aggregate(
+        F.zip_with(sig_a, sig_b,
+                   lambda x, y: F.when(x == y, 1.0).otherwise(0.0)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ) / F.lit(float(n_hashes))
+
+
 def near_dedup_minhash(documents: DataFrame, n: int = 3,
                        threshold: float = 0.5,
                        n_hashes: int = N_HASHES,
@@ -476,11 +489,7 @@ def near_dedup_minhash(documents: DataFrame, n: int = 3,
         .join(sig.select(F.col("doc_id").alias("doc_b"),
                          F.col("sig").alias("sig_b")), "doc_b")
     )
-    raw = F.aggregate(
-        F.zip_with("sig_a", "sig_b",
-                   lambda x, y: F.when(x == y, 1.0).otherwise(0.0)),
-        F.lit(0.0), lambda acc, x: acc + x,
-    ) / F.lit(float(n_hashes))
+    raw = est_jaccard_expr("sig_a", "sig_b", n_hashes)
     # k/n_hashes with n_hashes a power of two is an exact dyadic double —
     # both engines produce bit-identical values, so the portable declared
     # query needs (and must have) NO rounding for its value-hash oracle.
@@ -669,7 +678,7 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4,
     rep_b = e.join(F.broadcast(grid), F.col("blk") == F.col("bj")) \
              .select("bi", "bj", F.lit("b").alias("side"), "vec_id", "embedding")
 
-    def tile(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def tile(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         bi_v, bj_v = key
         a = pdf[pdf["side"] == "a"]
         b = pdf[pdf["side"] == "b"]
@@ -808,6 +817,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
               .withColumn("label", F.col("doc_id"))
               .localCheckpoint(eager=True))
     frontier = labels
+    n_frontier = -1
     for _ in range(max_iter):
         nbr_min = (sym.join(frontier, sym["b"] == frontier["doc_id"])
                    .groupBy(F.col("a").alias("doc_id"))
@@ -825,8 +835,18 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                .localCheckpoint(eager=True))
         labels = upd.select("doc_id", "label")
         frontier = upd.filter("improved").select("doc_id", "label")
-        if frontier.count() == 0:
+        n_frontier = frontier.count()
+        if n_frontier == 0:
             break
+    if n_frontier != 0:
+        # Unconverged labels would make apply_near_dedup keep documents
+        # whose cluster never reached its component minimum — an error,
+        # not a warning. max_iter bounds graph diameter, and near-dup
+        # graphs converge in ~3 rounds; hitting 20 means pathology.
+        raise RuntimeError(
+            f"connected_components: frontier still has {n_frontier} "
+            f"vertices after {max_iter} rounds — graph diameter exceeds "
+            f"max_iter; raise max_iter for this corpus")
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

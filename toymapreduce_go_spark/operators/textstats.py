@@ -304,11 +304,16 @@ def repetition_features(documents: DataFrame) -> DataFrame:
                        / F.size("toks").cast("double"), 4))
          .otherwise(F.lit(0.0)).alias("dup_word_frac"),
     )
+    # sequence(1, 0) steps DOWNWARD to [1, 0] when a doc has <2 tokens,
+    # and element_at(toks, 0) then throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    # — so the transform only runs for docs that actually have a bigram.
     bigrams = base.select(
         "doc_id",
         F.explode_outer(F.expr(
-            "transform(sequence(1, greatest(size(toks) - 1, 0)), "
-            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            "CASE WHEN size(toks) >= 2 THEN "
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) "
+            "ELSE array() END"
         )).alias("bigram"),
     ).filter(F.col("bigram").isNotNull())
     top = (bigrams.groupBy("doc_id", "bigram")

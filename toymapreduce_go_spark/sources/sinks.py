@@ -67,28 +67,53 @@ def compact_parquet(spark, path: str, target_mb: int = 128) -> tuple[int, int]:
     streaming/incremental writer eventually needs (each micro-batch
     commit leaves one file per task; thousands of KB-files make the
     NEXT reader's listing and scan planning the bottleneck). Rewrites
-    ``path`` in place to ``ceil(bytes / target_mb)`` files via a
-    round-robin repartition (no shuffle key — pure size balancing).
+    ``path`` in place to ~``ceil(bytes / target_mb)`` files. Unpartitioned
+    datasets get a round-robin repartition (pure size balancing);
+    hive-partitioned datasets (``key=value`` dirs) keep their partition
+    columns — rows are hash-repartitioned ON those columns so each
+    partition value compacts to one file, and the layout (and the next
+    reader's partition pruning) is preserved.
 
-    Returns (files_before, files_after). In-place rewrite goes through
-    a sibling temp dir + atomic-ish rename swap, so a crash mid-compact
-    leaves either the old or the new layout, never a mix."""
+    Returns (files_before, files_after). Crash safety: the rewrite goes
+    through a sibling ``__compact_tmp`` dir, then an
+    old-aside/swap-in rename pair. A crash inside the (tiny) window
+    between the two renames leaves the data at ``__compact_old``; the
+    next invocation detects that (live path missing, old present),
+    restores it, and proceeds — so the function is re-runnable after a
+    crash at ANY point, and stale tmp/old residue never blocks it."""
     import math
     import os
     import shutil
 
     local = path[len("file://"):] if path.startswith("file://") else path
+    tmp = local.rstrip("/") + "__compact_tmp"
+    old = local.rstrip("/") + "__compact_old"
+    # Recover from a prior crashed attempt before touching anything:
+    # crashed between the two renames -> data lives only at `old`.
+    if not os.path.exists(local) and os.path.exists(old):
+        os.rename(old, local)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
     files = [os.path.join(dp, f)
              for dp, _dn, fn in os.walk(local)
              for f in fn if f.endswith(".parquet")]
     n_before = len(files)
+    if n_before == 0:
+        return 0, 0
     total = sum(os.path.getsize(f) for f in files)
     n_after = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    # Hive partition columns, from the first file's directory path
+    # (outermost-first nesting order).
+    part_cols = [seg.split("=", 1)[0]
+                 for seg in os.path.relpath(files[0], local).split(os.sep)[:-1]
+                 if "=" in seg]
     df = spark.read.parquet(path)
-    tmp = local.rstrip("/") + "__compact_tmp"
-    df.repartition(n_after).write.mode("overwrite").parquet(
-        "file://" + tmp)
-    old = local.rstrip("/") + "__compact_old"
+    w = (df.repartition(n_after, *part_cols) if part_cols
+         else df.repartition(n_after)).write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet("file://" + tmp)
     os.rename(local, old)
     os.rename(tmp, local)
     shutil.rmtree(old, ignore_errors=True)

@@ -8,110 +8,182 @@ accepted so far* — without ever re-scanning the historical corpus.
 
 Design (the standard Bronze→Silver incremental-dedup shape):
 
-- State is a **band-bucket index table**: one row per accepted
-  (survivor) document per LSH band — ``(band_id, band_hash, doc_id)``,
-  ~``n_bands`` × 16 bytes per survivor, stored as parquet partitioned by
-  ``batch_id``. At 100 TB/day this is the only structure that scales:
-  the historical corpus is never touched again, only its (much smaller)
-  index, and the per-batch probe is a semi-join on (band_id, band_hash)
-  — the same bucket-join shape as the batch pipeline's candidate step.
-- Per micro-batch (``foreachBatch``): documents that share ANY band
-  bucket with an accepted document are near-dups and are dropped;
-  within the batch, the lowest doc_id per bucket survives (mirroring
-  the batch pipeline's min-doc_id survivor rule). Survivors' band rows
-  are appended to the index; survivors are appended to the output.
+- State is a **band-bucket index** plus a **survivor-signature table**:
+  one ``(band_id, band_hash, doc_id)`` row per accepted document per
+  LSH band (~``n_bands`` × 16 bytes/survivor) and one
+  ``(doc_id, sig)`` row per survivor (``n_hashes`` × 8 bytes ≈ 512 B at
+  the default 64 hashes), both parquet partitioned by ``batch_id``. At
+  100 TB/day this is the only structure that scales: the historical
+  corpus is never touched again, only its (much smaller) index, and the
+  per-batch probe is a bucket join on (band_id, band_hash) — the same
+  shape as the batch pipeline's candidate step.
+- Per micro-batch (``foreachBatch``): bucket collisions generate
+  *candidate* pairs (vs the historical index, and vs the batch's own
+  bucket-minimum representative), and — like the batch tier — each
+  candidate is **verified** by estimated Jaccard (fraction of agreeing
+  minhash positions, ``est_jaccard_expr``) against the stored survivor
+  signature before the document is dropped. ``threshold=None`` selects
+  the candidate-rule-only mode (any bucket collision drops — more
+  aggressive, LSH false positives become permanent losses; state stays
+  band-rows-only sized). Within a batch the verification is against the
+  bucket's min-doc_id representative, not all bucket members — a
+  deliberate O(bucket) approximation of the batch tier's full bucket
+  self-join.
 - **Exactly-once across restarts**: every write is a deterministic
   dynamic-partition overwrite of ``batch_id=<N>``, so a replayed batch
   (checkpoint restart re-delivers the last uncommitted batch) rewrites
   its own partitions byte-identically instead of duplicating them; the
   probe explicitly filters the index to ``batch_id < N`` so a replay
-  never sees its own half-written state.
+  never sees its own half-written state. Signatures commit BEFORE band
+  rows, so a crash between the two can leave sigs-without-bands (benign
+  — invisible to the probe, overwritten on replay) but never
+  bands-without-sigs (which would break verification).
 
 No reference parity to cite: the reference engine has no streaming at
-all (SURVEY.md §2c); the *banding semantics* are the batch pipeline's
-(``dedup.py``), which carries the oracle-checked correctness.
+all (SURVEY.md §2c); the *banding + verification semantics* are the
+batch pipeline's (``dedup.py``), which carries the oracle-checked
+correctness.
 """
 
 from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from toymapreduce_go_spark.operators.dedup import (N_BANDS, N_HASHES,
                                                    band_rows,
+                                                   est_jaccard_expr,
                                                    minhash_signatures)
 
 _BANDS_SUBDIR = "bands"
+_SIGS_SUBDIR = "sigs"
 _OUT_SUBDIR = "survivors"
 
 
-def _batch_band_rows(batch_df: DataFrame, n: int, n_hashes: int,
-                     n_bands: int) -> DataFrame:
-    """(doc_id, band_id, band_hash) for one micro-batch — the exact
-    production band key (xxhash64 over signature slices) from the batch
-    pipeline, so batch and streaming tiers agree on what a near-dup is."""
-    sig = minhash_signatures(batch_df, n=n, n_hashes=n_hashes)
-    return band_rows(sig, n_hashes=n_hashes, n_bands=n_bands)
+def _read_prior_state(spark: SparkSession, path: str,
+                      batch_id: int) -> DataFrame | None:
+    """Read a batch_id-partitioned state table restricted to batches
+    committed strictly before this one. Returns None ONLY when the path
+    does not exist yet (the genuine first-batch case); every other
+    failure — corrupt footers, a transient filesystem error — propagates.
+    Swallowing those would silently disable cross-batch dedup for the
+    micro-batch and fail the exactly-once/dedup contract *open*."""
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", None)
+        cond = cond() if callable(cond) else None
+        if cond == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
+    return df.filter(F.col("batch_id") < F.lit(batch_id))
 
 
 def near_dedup_batch_step(spark: SparkSession, batch_df: DataFrame,
                           batch_id: int, state_dir: str, n: int = 3,
                           n_hashes: int = N_HASHES,
-                          n_bands: int = N_BANDS) -> None:
-    """One ``foreachBatch`` step: probe the index, pick survivors, commit
-    this batch's index + output partitions idempotently."""
+                          n_bands: int = N_BANDS,
+                          threshold: float | None = 0.5) -> None:
+    """One ``foreachBatch`` step: probe the index, verify candidates by
+    estimated Jaccard (unless ``threshold is None``), pick survivors,
+    commit this batch's sigs + index + output partitions idempotently."""
     bands_path = os.path.join(state_dir, _BANDS_SUBDIR)
+    sigs_path = os.path.join(state_dir, _SIGS_SUBDIR)
     out_path = os.path.join(state_dir, _OUT_SUBDIR)
 
     batch = batch_df.select("doc_id", "source", "text")
-    bands = _batch_band_rows(batch, n, n_hashes, n_bands)
+    sig = minhash_signatures(batch, n=n, n_hashes=n_hashes).persist()
+    bands = band_rows(sig, n_hashes=n_hashes, n_bands=n_bands)
 
     # Probe the historical index. batch_id < N guards replay: a restarted
     # batch must not match the band rows it already half-committed.
-    try:
-        hist = (spark.read.parquet(bands_path)
-                .filter(F.col("batch_id") < F.lit(batch_id))
-                .select("band_id", "band_hash"))
-        hist_dup_ids = (bands.join(hist, ["band_id", "band_hash"],
-                                   "left_semi")
-                        .select("doc_id").distinct())
-    except Exception:  # first batch: no index yet
+    hist_bands = _read_prior_state(spark, bands_path, batch_id)
+    if hist_bands is None:
         hist_dup_ids = None
+    else:
+        cand = (bands.join(
+            hist_bands.select("band_id", "band_hash",
+                              F.col("doc_id").alias("hist_id")),
+            ["band_id", "band_hash"])
+            .select("doc_id", "hist_id").distinct())
+        if threshold is None:
+            hist_dup_ids = cand.select("doc_id").distinct()
+        else:
+            hist_sigs = _read_prior_state(spark, sigs_path, batch_id)
+            if hist_sigs is None:
+                raise RuntimeError(
+                    f"torn state at {state_dir}: band index exists but "
+                    f"signature table is missing — cannot verify "
+                    f"candidates (write order guarantees sigs commit "
+                    f"first, so this indicates external deletion)")
+            verified = (
+                cand
+                .join(sig.select("doc_id", F.col("sig").alias("sig_a")),
+                      "doc_id")
+                .join(hist_sigs.select(F.col("doc_id").alias("hist_id"),
+                                       F.col("sig").alias("sig_b")),
+                      "hist_id")
+                .filter(est_jaccard_expr("sig_a", "sig_b", n_hashes)
+                        >= F.lit(threshold)))
+            hist_dup_ids = verified.select("doc_id").distinct()
 
     fresh = bands if hist_dup_ids is None else bands.join(
         hist_dup_ids, "doc_id", "left_anti")
 
-    # Within-batch survivor rule: lowest doc_id per bucket survives; any
-    # doc sharing a bucket with a lower fresh doc_id is a near-dup of it
-    # (same min-doc_id convention as the batch pipeline's skew cap).
+    # Within-batch survivor rule: lowest doc_id per bucket is the
+    # representative; any doc sharing a bucket with a lower fresh doc_id
+    # is a candidate near-dup of it (same min-doc_id convention as the
+    # batch pipeline's skew cap) and is verified against the
+    # representative's signature before dropping.
     bucket_min = fresh.groupBy("band_id", "band_hash").agg(
         F.min("doc_id").alias("min_id"))
-    intra_dup_ids = (fresh.join(bucket_min, ["band_id", "band_hash"])
-                     .filter(F.col("doc_id") > F.col("min_id"))
-                     .select("doc_id").distinct())
+    intra_cand = (fresh.join(bucket_min, ["band_id", "band_hash"])
+                  .filter(F.col("doc_id") > F.col("min_id"))
+                  .select("min_id", "doc_id").distinct())
+    if threshold is not None:
+        intra_cand = (
+            intra_cand
+            .join(sig.select(F.col("doc_id").alias("min_id"),
+                             F.col("sig").alias("sig_a")), "min_id")
+            .join(sig.select("doc_id", F.col("sig").alias("sig_b")),
+                  "doc_id")
+            .filter(est_jaccard_expr("sig_a", "sig_b", n_hashes)
+                    >= F.lit(threshold)))
+    intra_dup_ids = intra_cand.select("doc_id").distinct()
     survivor_bands = fresh.join(intra_dup_ids, "doc_id", "left_anti")
+    survivor_ids = survivor_bands.select("doc_id").distinct()
 
     # Idempotent commits: deterministic content per (batch partition),
-    # dynamic-partition overwrite of ONLY batch_id=<N>.
+    # dynamic-partition overwrite of ONLY batch_id=<N>. Sigs first (see
+    # module docstring's crash-window note).
+    (sig.join(survivor_ids, "doc_id", "left_semi")
+     .select("doc_id", "sig")
+     .withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(sigs_path))
     (survivor_bands.withColumn("batch_id", F.lit(batch_id))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("batch_id").parquet(bands_path))
-    survivors = batch.join(
-        survivor_bands.select("doc_id").distinct(), "doc_id", "left_semi")
+    survivors = batch.join(survivor_ids, "doc_id", "left_semi")
     (survivors.select("doc_id", "source")
      .withColumn("batch_id", F.lit(batch_id))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("batch_id").parquet(out_path))
+    sig.unpersist()
 
 
 def run_near_dedup_stream(documents_stream: DataFrame, state_dir: str,
                           spark: SparkSession, n: int = 3,
                           n_hashes: int = N_HASHES,
-                          n_bands: int = N_BANDS, timeout: int = 120):
+                          n_bands: int = N_BANDS,
+                          threshold: float | None = 0.5,
+                          timeout: int = 120):
     """Drive the incremental near-dedup to completion of available input
     (test/ops entry point; production would leave the query running).
     Returns after all currently-available files are processed."""
@@ -119,7 +191,8 @@ def run_near_dedup_stream(documents_stream: DataFrame, state_dir: str,
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         near_dedup_batch_step(spark, batch_df, batch_id, state_dir,
-                              n=n, n_hashes=n_hashes, n_bands=n_bands)
+                              n=n, n_hashes=n_hashes, n_bands=n_bands,
+                              threshold=threshold)
 
     q = (documents_stream.writeStream
          .foreachBatch(step)
