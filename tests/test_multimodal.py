@@ -307,3 +307,38 @@ def test_staged_pipeline_equals_fused(spark):
     staged = [tuple(r) for r in
               multimodal_pipeline_query(docs, staged=True).collect()]
     assert fused == staged
+
+
+def test_progressive_jpeg_detected_and_routed(spark):
+    """r7 verdict item: progressive (SOF2) payloads must be detectable
+    declaratively so a 100 TB run routes them to a native-codec tier
+    instead of erroring mid-stage. is_progressive() flags them,
+    decode_baseline still rejects them, and decode_pixel_stats passes
+    them through as format='jpeg_progressive' rows with header-tier
+    dimensions."""
+    import math
+
+    import pandas as pd
+
+    from toymapreduce_go_spark.multimodal.binary import decode_pixel_stats
+    from toymapreduce_go_spark.multimodal.jpeg import (decode_baseline,
+                                                       encode_baseline,
+                                                       is_progressive)
+
+    good = encode_baseline(bytes(range(64)), 8, 8, 1)
+    sof = good.index(b"\xff\xc0")
+    prog = good[:sof + 1] + b"\xc2" + good[sof + 2:]
+    assert not is_progressive(good)
+    assert is_progressive(prog)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_baseline(prog)
+    # the routing tier: one baseline + one progressive payload in a batch
+    pdf = pd.DataFrame({"doc_id": [1, 2], "source": ["a", "a"],
+                        "payload": [good, prog]})
+    out = next(decode_pixel_stats(iter([pdf])))
+    by_id = {int(r.doc_id): r for r in out.itertuples()}
+    assert by_id[1].format == "jpeg"
+    assert not math.isnan(by_id[1].mean_pixel)
+    assert by_id[2].format == "jpeg_progressive"
+    assert (by_id[2].width, by_id[2].height) == (8, 8)
+    assert math.isnan(by_id[2].mean_pixel)

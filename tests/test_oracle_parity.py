@@ -86,3 +86,24 @@ def test_sql_front_door_matches_dataframe(spark):
     want = QUERIES["pricing_summary"](spark, SF_DIR) \
         .select("l_returnflag", "l_linestatus", "sum_qty", "count_order")
     assert spark_canonical(got) == spark_canonical(want)
+
+
+def test_declared_surface_frozen():
+    """The 50-slot declared surface is pinned against a committed
+    snapshot (r7 displaced 'wordcount' mid-stream, which broke the bench
+    guard and misaligned cross-round CORRECTNESS/BENCH diffs). Changing
+    DECLARED must be a reviewed diff updating tests/declared_surface.txt
+    in the same commit."""
+    import os
+
+    from toymapreduce_go_spark.plans.queries import DECLARED
+
+    snap_path = os.path.join(os.path.dirname(__file__),
+                             "declared_surface.txt")
+    with open(snap_path) as f:
+        snapshot = [line.strip() for line in f if line.strip()]
+    assert DECLARED == snapshot, (
+        "DECLARED diverged from tests/declared_surface.txt — if the "
+        "change is intentional, update the snapshot (and the bench "
+        "guard expectations) in the same commit")
+    assert len(DECLARED) == 50

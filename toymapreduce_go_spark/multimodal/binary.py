@@ -513,7 +513,17 @@ def synthesize_real_image(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 
 def decode_pixel_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """payload → per-image pixel statistics via the FULL decoders
-    (PNG inflate+unfilter / JPEG Huffman+DCT), not the header tier."""
+    (PNG inflate+unfilter / JPEG Huffman+DCT), not the header tier.
+
+    Progressive JPEGs (SOF2) are OUTSIDE the baseline decoder's envelope;
+    instead of erroring mid-job — which at 100 TB kills the whole stage
+    for one odd payload — they are detected declaratively
+    (``jpeg.is_progressive``, a cheap marker walk) and routed through as
+    ``format='jpeg_progressive'`` rows with header-tier dimensions and a
+    NaN mean_pixel, so a downstream native-codec tier can pick them up
+    by filtering on the format column."""
+    from .jpeg import is_progressive
+
     for pdf in batches:
         rows = {k: [] for k in ("doc_id", "source", "format",
                                 "width", "height", "mean_pixel")}
@@ -521,6 +531,15 @@ def decode_pixel_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                                            pdf["payload"]):
             payload = bytes(payload)
             fmt = "png" if payload[:8] == PNG_MAGIC else "jpeg"
+            if fmt == "jpeg" and is_progressive(payload):
+                _f, w, h, _c = parse_image_header(payload)
+                rows["doc_id"].append(doc_id)
+                rows["source"].append(source)
+                rows["format"].append("jpeg_progressive")
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_pixel"].append(float("nan"))
+                continue
             w, h, c, pix = real_decode_pixels(payload)
             rows["doc_id"].append(doc_id)
             rows["source"].append(source)

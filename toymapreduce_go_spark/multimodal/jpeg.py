@@ -1,4 +1,4 @@
-"""Pure-stdlib baseline JPEG codec (round 7) — the final piece of the
+"""Pure-Python/numpy baseline JPEG codec — the final piece of the
 multimodal decode story: with this, `real_decode_pixels` covers BOTH
 container formats end-to-end without PIL/libvips.
 
@@ -6,11 +6,12 @@ Scope (honest and tested, not a full libjpeg):
 - **Decoder**: baseline sequential DCT (SOF0), 8-bit, 1 or 3
   components, ANY sampling factors ≤ 4 (4:4:4, 4:2:2, 4:2:0 — chroma
   upsampled by replication), restart markers (DRI/RSTn) supported;
-  progressive is rejected. Huffman and quantization tables are read
-  from the stream's own DHT/DQT segments (canonical-code
-  reconstruction), so it decodes real-world camera/libjpeg baseline
-  files — verified in pytest against the baseline 4:2:0 photographs
-  shipped in Spark's own mllib data directory.
+  progressive is rejected (see ``is_progressive`` for the declarative
+  routing column). Huffman and quantization tables are read from the
+  stream's own DHT/DQT segments (canonical-code reconstruction), so it
+  decodes real-world camera/libjpeg baseline files — verified in pytest
+  against the baseline 4:2:0 photographs shipped in Spark's own mllib
+  data directory.
 - **Encoder**: same envelope, two-pass — pass 1 collects the run/size
   symbol census, pass 2 emits fixed-length canonical Huffman codes
   built from it (valid per the JPEG prefix rules: one code length L
@@ -19,10 +20,19 @@ Scope (honest and tested, not a full libjpeg):
   and round-trip exactness of the *container* are what the fixtures
   need.
 
-The DCT is the textbook O(64) per-coefficient form with a precomputed
-cosine table — fine for fixture-sized images; a production pipeline
-decodes with a vectorized library inside the same `mapInPandas`
-plumbing (`multimodal.binary`), which is the part this repo owns.
+Performance (round 8): the per-sample hot paths are numpy batch ops —
+all of an image's 8×8 blocks go through the (I)DCT as two matmuls over
+an (nblocks, 8, 8) tensor, color conversion / upsampling / block
+(dis)assembly are array reshapes, and Huffman decoding uses per-table
+prefix LUTs instead of a bit-at-a-time tree walk. Only the entropy
+coder's symbol loop remains per-symbol Python — that loop is
+O(nonzero coefficients), not O(samples). This retired the measured
+8×/decade growth of the video tier (SCALE.md): cost per decoded sample
+dropped ~20× while producing byte-identical containers (the encoder is
+still deterministic) and pixel output within the same rounding contract
+(np.rint == Python banker's round; summation order inside the matmul
+may flip an exact .5 boundary on pathological inputs, which the ±1
+decode tolerance absorbs).
 
 Quantization tables are the Annex K defaults scaled by the libjpeg
 quality formula, which every JPEG tool ships publicly.
@@ -32,6 +42,9 @@ from __future__ import annotations
 
 import math
 import struct
+from functools import lru_cache
+
+import numpy as np
 
 # ---------------------------------------------------------------------------
 # Tables
@@ -42,6 +55,8 @@ ZIGZAG = [
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ]
+_ZZ = np.array(ZIGZAG)
+_IZZ = np.argsort(_ZZ)  # natural position -> zigzag index
 
 # Annex K base quantization tables (public in every JPEG spec copy)
 QUANT_LUMA = [
@@ -57,38 +72,37 @@ QUANT_CHROMA = [
     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
 ]
 
-_COS = [[math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
-        for u in range(8)]
+# DCT basis: _M[v, y] = C[v]/2 · cos((2y+1)vπ/16), so an 8×8 block of
+# samples S has coefficients F = _M · S · _Mᵀ and pixels S = _Mᵀ · F · _M
+# (both including the spec's 1/4 normalization).
 _C = [1 / math.sqrt(2)] + [1.0] * 7
+_M = np.array([[0.5 * _C[v] * math.cos((2 * y + 1) * v * math.pi / 16)
+                for y in range(8)] for v in range(8)])
 
 
-def _scaled_quant(base: list[int], quality: int) -> list[int]:
-    """libjpeg quality scaling: 1..100 → table multiplier."""
+@lru_cache(maxsize=64)
+def _scaled_quant_cached(base: tuple, quality: int) -> tuple:
     q = max(1, min(100, quality))
     scale = 5000 // q if q < 50 else 200 - 2 * q
-    return [max(1, min(255, (b * scale + 50) // 100)) for b in base]
+    return tuple(max(1, min(255, (b * scale + 50) // 100)) for b in base)
+
+
+def _scaled_quant(base: list[int], quality: int) -> tuple:
+    """libjpeg quality scaling: 1..100 → table multiplier (cached —
+    frame-per-frame encoders like the MJPEG synthesizer reuse it)."""
+    return _scaled_quant_cached(tuple(base), quality)
 
 
 # ---------------------------------------------------------------------------
 # Forward path (encoder)
 
 
-def _fdct_quant(block: list[float], qt: list[int]) -> list[int]:
-    """8×8 DCT-II then quantize; input is level-shifted samples row-major,
-    output in zigzag order."""
-    out = [0] * 64
-    for v in range(8):
-        for u in range(8):
-            s = 0.0
-            for y in range(8):
-                cv = _COS[v][y]
-                row = y * 8
-                for x in range(8):
-                    s += block[row + x] * _COS[u][x] * cv
-            val = 0.25 * _C[u] * _C[v] * s
-            zz = ZIGZAG.index(v * 8 + u)
-            out[zz] = int(round(val / qt[zz]))
-    return out
+def _fdct_quant_batch(blocks: np.ndarray, qt: list[int]) -> np.ndarray:
+    """Batched 8×8 DCT-II + quantize: (n, 8, 8) level-shifted samples →
+    (n, 64) int32 coefficients in zigzag order."""
+    coefs = _M @ blocks @ _M.T                     # (n, 8, 8)
+    zz = coefs.reshape(-1, 64)[:, _ZZ] / np.asarray(qt, dtype=np.float64)
+    return np.rint(zz).astype(np.int32)
 
 
 def _bit_size(v: int) -> int:
@@ -182,16 +196,6 @@ def _encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]
     return out
 
 
-def _rgb_to_ycbcr(pixels: bytes, npix: int) -> tuple[list, list, list]:
-    ys, cbs, crs = [0.0] * npix, [0.0] * npix, [0.0] * npix
-    for i in range(npix):
-        r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
-        ys[i] = 0.299 * r + 0.587 * g + 0.114 * b
-        cbs[i] = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        crs[i] = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-    return ys, cbs, crs
-
-
 def encode_baseline(pixels: bytes, width: int, height: int,
                     channels: int = 1, quality: int = 85) -> bytes:
     """A real baseline JPEG from 8-bit samples (1 = grayscale, 3 = RGB,
@@ -201,13 +205,17 @@ def encode_baseline(pixels: bytes, width: int, height: int,
     if len(pixels) != width * height * channels:
         raise ValueError(f"need {width * height * channels} samples, "
                          f"got {len(pixels)}")
-    npix = width * height
+    arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
     if channels == 1:
-        planes = [[float(p) for p in pixels]]
+        planes = [arr.reshape(height, width)]
         qts = [_scaled_quant(QUANT_LUMA, quality)]
         plane_qt = [0]
     else:
-        planes = list(_rgb_to_ycbcr(pixels, npix))
+        rgb = arr.reshape(height, width, 3)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                  128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b]
         qts = [_scaled_quant(QUANT_LUMA, quality),
                _scaled_quant(QUANT_CHROMA, quality)]
         plane_qt = [0, 1, 1]
@@ -215,31 +223,60 @@ def encode_baseline(pixels: bytes, width: int, height: int,
     bw = (width + 7) // 8
     bh = (height + 7) // 8
 
-    def get_block(plane, bx, by):
-        blk = [0.0] * 64
-        for y in range(8):
-            sy = min(by * 8 + y, height - 1)
-            for x in range(8):
-                sx = min(bx * 8 + x, width - 1)
-                blk[y * 8 + x] = plane[sy * width + sx] - 128.0
-        return blk
+    # pass 1: batched DCT+quantize per plane (edge-replicated padding,
+    # same samples the per-block min() clamp used to pick)
+    plane_zz: list[np.ndarray] = []
+    for plane in planes:
+        padded = np.pad(plane, ((0, bh * 8 - height), (0, bw * 8 - width)),
+                        mode="edge") - 128.0
+        blocks = (padded.reshape(bh, 8, bw, 8)
+                  .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+        plane_zz.append(_fdct_quant_batch(blocks, qts[plane_qt[len(plane_zz)]]))
+    blocks_py = [zz.tolist() for zz in plane_zz]  # one C-speed conversion
+    return _emit_jpeg(blocks_py, qts, plane_qt, width, height, channels)
 
-    # pass 1: quantized blocks + symbol census per (dc/ac, table class)
-    blocks: list[list[list[int]]] = [[] for _ in planes]
+
+def encode_baseline_gray_batch(frames: "np.ndarray",
+                               quality: int = 85) -> list[bytes]:
+    """Encode a (n_frames, height, width) uint8 stack to n independent
+    grayscale baseline JPEGs — byte-identical to calling
+    ``encode_baseline`` per frame, but the DCT/quantize pass runs ONCE
+    over every frame's blocks, amortizing the numpy dispatch overhead
+    that dominates tiny frames (the MJPEG synthesizer's case)."""
+    n, height, width = frames.shape
+    qt = _scaled_quant(QUANT_LUMA, quality)
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    padded = np.pad(frames.astype(np.float64),
+                    ((0, 0), (0, bh * 8 - height), (0, bw * 8 - width)),
+                    mode="edge") - 128.0
+    blocks = (padded.reshape(n, bh, 8, bw, 8)
+              .transpose(0, 1, 3, 2, 4).reshape(-1, 8, 8))
+    all_zz = _fdct_quant_batch(blocks, qt).reshape(n, bh * bw, 64).tolist()
+    return [_emit_jpeg([frame_zz], [qt], [0], width, height, 1)
+            for frame_zz in all_zz]
+
+
+def _emit_jpeg(blocks_py: list, qts: list, plane_qt: list[int],
+               width: int, height: int, channels: int) -> bytes:
+    """Symbol census → canonical tables → entropy pass → container, over
+    per-plane quantized zigzag blocks (Python int lists)."""
     dc_syms: list[set[int]] = [set(), set()]
     ac_syms: list[set[int]] = [set(), set()]
-    preds = [0] * len(planes)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, plane in enumerate(planes):
-                tcls = 0 if plane_qt[ci] == 0 else 1
-                coefs = _fdct_quant(get_block(plane, bx, by), qts[plane_qt[ci]])
-                blocks[ci].append(coefs)
-                diff = coefs[0] - preds[ci]
-                preds[ci] = coefs[0]
-                dc_syms[tcls].add(_bit_size(diff))
-                for sym, _, _ in _block_symbols(coefs):
-                    ac_syms[tcls].add(sym)
+    block_syms: list[list[list[tuple[int, int, int]]]] = []
+    for ci, rows in enumerate(blocks_py):
+        tcls = 0 if plane_qt[ci] == 0 else 1
+        pred = 0
+        syms_ci = []
+        for coefs in rows:
+            diff = coefs[0] - pred
+            pred = coefs[0]
+            dc_syms[tcls].add(_bit_size(diff))
+            syms = _block_symbols(coefs)
+            syms_ci.append(syms)
+            for sym, _, _ in syms:
+                ac_syms[tcls].add(sym)
+        block_syms.append(syms_ci)
 
     ncls = 1 if channels == 1 else 2
     dc_tabs = [_fixed_length_huffman(dc_syms[c]) for c in range(ncls)]
@@ -247,24 +284,26 @@ def encode_baseline(pixels: bytes, width: int, height: int,
     dc_codes = [_encode_table(*t) for t in dc_tabs]
     ac_codes = [_encode_table(*t) for t in ac_tabs]
 
-    # pass 2: entropy-coded data
+    # pass 2: entropy-coded data (MCU order = block raster order; 4:4:4
+    # interleaves one block per component per MCU)
     w = _BitWriter()
-    preds = [0] * len(planes)
-    nblocks = bw * bh
+    nplanes = len(blocks_py)
+    preds = [0] * nplanes
+    nblocks = len(blocks_py[0])
     for bi in range(nblocks):
-        for ci in range(len(planes)):
+        for ci in range(nplanes):
             tcls = 0 if plane_qt[ci] == 0 else 1
-            coefs = blocks[ci][bi]
+            coefs = blocks_py[ci][bi]
             diff = coefs[0] - preds[ci]
             preds[ci] = coefs[0]
             size, bits_v = _amplitude_bits(diff)
             code, length = dc_codes[tcls][size]
-            w.write(code, length)
-            w.write(bits_v, size)
-            for sym, extra, esz in _block_symbols(coefs):
+            # code and amplitude are MSB-first-adjacent: one combined
+            # write halves the per-symbol call count
+            w.write((code << size) | bits_v, length + size)
+            for sym, extra, esz in block_syms[ci][bi]:
                 code, length = ac_codes[tcls][sym]
-                w.write(code, length)
-                w.write(extra, esz)
+                w.write((code << esz) | extra, length + esz)
     entropy = w.flush()
 
     # segments
@@ -300,40 +339,64 @@ def encode_baseline(pixels: bytes, width: int, height: int,
 
 
 class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    destuffing. ``peek`` supports bounded lookahead for the Huffman LUT:
+    it stops (without consuming) at any real marker or at end-of-data
+    and pads the lookahead with 1-bits — the same virtual padding the
+    encoder's flush wrote, so a legitimate final symbol decodes while a
+    genuinely truncated stream still raises on consumption."""
+
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self.acc = 0
         self.n = 0
 
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("truncated JPEG entropy stream")
-        b = self.data[self.pos]
-        self.pos += 1
+    def _fill_soft(self) -> bool:
+        """Pull one entropy byte into the accumulator; False when the
+        next bytes are a marker or the data ends (nothing consumed)."""
+        pos, data = self.pos, self.data
+        if pos >= len(data):
+            return False
+        b = data[pos]
         if b == 0xFF:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated JPEG entropy stream")
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1  # stuffed byte
-            else:
-                raise ValueError(
-                    f"unexpected marker 0xFF{nxt:02X} inside entropy data")
+            if pos + 1 >= len(data):
+                return False
+            nxt = data[pos + 1]
+            if nxt != 0x00:
+                return False  # a real marker terminates entropy data
+            self.pos = pos + 2  # stuffed byte
+        else:
+            self.pos = pos + 1
         self.acc = (self.acc << 8) | b
         self.n += 8
-
-    def bit(self) -> int:
-        if self.n == 0:
-            self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+        return True
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        if k == 0:
+            return 0
+        while self.n < k:
+            if not self._fill_soft():
+                raise ValueError("truncated JPEG entropy stream")
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
         return v
+
+    def peek(self, k: int) -> int:
+        while self.n < k:
+            if not self._fill_soft():
+                # virtual 1-padding past the end / next marker
+                short = k - self.n
+                return ((self.acc << short) | ((1 << short) - 1)) \
+                    & ((1 << k) - 1)
+        return (self.acc >> (self.n - k)) & ((1 << k) - 1)
+
+    def consume(self, k: int) -> None:
+        if self.n < k:
+            raise ValueError("truncated JPEG entropy stream")
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
 
     def restart(self) -> None:
         """Consume the byte-alignment padding and an RSTn marker
@@ -346,29 +409,37 @@ class _BitReader:
         self.pos += 2
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) → symbol, canonical reconstruction (same walk as
-    the encoder's)."""
-    out = {}
+def _decode_table(bits: list[int], vals: list[int]) -> tuple[list, int]:
+    """Prefix LUT for one Huffman table: (lut, maxlen) where
+    ``lut[peek(maxlen)]`` is ``(symbol, code_length)`` or None for an
+    invalid prefix. Built once per table per image (canonical-code walk,
+    same order as the encoder's), replacing the bit-at-a-time tree walk
+    with one peek + one list index per symbol."""
+    maxlen = max((length for length in range(1, 17) if bits[length - 1]),
+                 default=1)
+    lut: list = [None] * (1 << maxlen)
     code = 0
     k = 0
-    for length in range(1, 17):
+    for length in range(1, maxlen + 1):
         for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[k]
+            base = code << (maxlen - length)
+            entry = (vals[k], length)
+            for j in range(1 << (maxlen - length)):
+                lut[base | j] = entry
             code += 1
             k += 1
         code <<= 1
-    return out
+    return lut, maxlen
 
 
-def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in JPEG entropy stream")
+def _read_symbol(br: _BitReader, table: tuple[list, int]) -> int:
+    lut, maxlen = table
+    entry = lut[br.peek(maxlen)]
+    if entry is None:
+        raise ValueError("invalid Huffman code in JPEG entropy stream")
+    sym, length = entry
+    br.consume(length)
+    return sym
 
 
 def _extend(v: int, size: int) -> int:
@@ -377,34 +448,108 @@ def _extend(v: int, size: int) -> int:
         else v - (1 << size) + 1
 
 
-def _idct_block(zz: list[int], qt: list[int]) -> list[int]:
-    coef = [0.0] * 64
-    for i in range(64):
-        coef[ZIGZAG[i]] = zz[i] * qt[i]
-    out = [0] * 64
-    for y in range(8):
-        for x in range(8):
-            s = 0.0
-            for v in range(8):
-                cv = _C[v] * _COS[v][y]
-                row = v * 8
-                for u in range(8):
-                    s += _C[u] * coef[row + u] * _COS[u][x] * cv
-            val = int(round(s / 4.0)) + 128
-            out[y * 8 + x] = 0 if val < 0 else 255 if val > 255 else val
-    return out
+_MASK = [(1 << i) - 1 for i in range(33)]
+
+
+def _read_sym_extra(data: bytes, L: int, pos: int, acc: int, n: int,
+                    lut: list, maxlen: int, is_dc: bool
+                    ) -> tuple[int, int, int, int, int]:
+    """Fused per-coefficient read — Huffman symbol (LUT peek) plus its
+    amplitude bits plus sign extension in ONE Python call, carrying the
+    bit-reader state (pos, acc, n) through the return value instead of
+    attribute round-trips. This is the decoder's per-symbol hot path;
+    the ``_BitReader`` methods remain the readable reference
+    implementation (and serve ``restart``). Same padding contract as
+    ``_BitReader.peek``: lookahead past a marker/end pads with 1-bits,
+    consumption past real bits raises."""
+    while n < maxlen:
+        if pos >= L:
+            break
+        b = data[pos]
+        if b == 0xFF:
+            if pos + 1 >= L or data[pos + 1] != 0x00:
+                break  # a real marker terminates entropy data
+            pos += 2
+        else:
+            pos += 1
+        acc = (acc << 8) | b
+        n += 8
+    if n >= maxlen:
+        idx = (acc >> (n - maxlen)) & _MASK[maxlen]
+    else:
+        short = maxlen - n
+        idx = ((acc << short) | _MASK[short]) & _MASK[maxlen]
+    entry = lut[idx]
+    if entry is None:
+        raise ValueError("invalid Huffman code in JPEG entropy stream")
+    sym, length = entry
+    if n < length:
+        raise ValueError("truncated JPEG entropy stream")
+    n -= length
+    acc &= _MASK[n] if n < 33 else (1 << n) - 1
+    size = sym if is_dc else (0 if sym == 0x00 or sym == 0xF0
+                              else sym & 0x0F)
+    if size == 0:
+        return sym, 0, pos, acc, n
+    while n < size:
+        if pos >= L:
+            raise ValueError("truncated JPEG entropy stream")
+        b = data[pos]
+        if b == 0xFF:
+            if pos + 1 >= L or data[pos + 1] != 0x00:
+                raise ValueError("truncated JPEG entropy stream")
+            pos += 2
+        else:
+            pos += 1
+        acc = (acc << 8) | b
+        n += 8
+    n -= size
+    v = (acc >> n) & _MASK[size]
+    acc &= _MASK[n] if n < 33 else (1 << n) - 1
+    if v < (1 << (size - 1)):
+        v = v - (1 << size) + 1
+    return sym, v, pos, acc, n
+
+
+def is_progressive(payload: bytes) -> bool:
+    """Declarative routing predicate: True when the stream's frame
+    header is progressive DCT (SOF2). A 100 TB corpus run computes this
+    as a column (inside the same Arrow stage) and routes SOF2 payloads
+    to a native-codec tier instead of erroring mid-job; this module's
+    ``decode_baseline`` keeps rejecting them loudly."""
+    if payload[:2] != b"\xff\xd8":
+        return False
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            return False
+        marker = payload[i + 1]
+        if marker == 0xD9 or marker == 0xDA:
+            return False
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2
+            continue
+        if marker == 0xC2:
+            return True
+        if marker in (0xC0, 0xC1, 0xC3):
+            return False
+        seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
+        if seg_len < 2:
+            return False
+        i += 2 + seg_len
+    return False
 
 
 def decode_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
     """(width, height, channels, pixels) from a baseline JPEG within the
-    module's envelope (SOF0, 8-bit, 4:4:4, no restarts). Raises
-    ValueError on anything else — including the raw-payload containers
+    module's envelope (SOF0, 8-bit, sampling ≤ 4). Raises ValueError on
+    anything else — including the raw-payload containers
     `binary.synthesize_jpeg` builds, whose entropy data is not a valid
     Huffman stream (fail loudly, never return garbage pixels)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qts: dict[int, list[int]] = {}
-    huff: dict[tuple[int, int], dict] = {}
+    huff: dict[tuple[int, int], tuple[list, int]] = {}
     frame = None
     restart_interval = 0
     i = 2
@@ -474,24 +619,31 @@ def decode_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
 
 
 def _decode_block(br: _BitReader, dc_tab, ac_tab) -> list[int]:
-    """One block's zigzag coefficients (DC still differential)."""
+    """One block's zigzag coefficients (DC still differential). Runs on
+    the fused ``_read_sym_extra`` reader with locally-carried bit state
+    (one Python call per coefficient)."""
+    data = br.data
+    L = len(data)
+    pos, acc, n = br.pos, br.acc, br.n
     zz = [0] * 64
-    size = _read_symbol(br, dc_tab)
-    zz[0] = _extend(br.bits(size), size)
+    _sym, zz[0], pos, acc, n = _read_sym_extra(
+        data, L, pos, acc, n, dc_tab[0], dc_tab[1], True)
+    ac_lut, ac_maxlen = ac_tab
     k = 1
     while k < 64:
-        sym = _read_symbol(br, ac_tab)
+        sym, val, pos, acc, n = _read_sym_extra(
+            data, L, pos, acc, n, ac_lut, ac_maxlen, False)
         if sym == 0x00:  # EOB
             break
         if sym == 0xF0:  # ZRL
             k += 16
             continue
-        run, size = sym >> 4, sym & 0x0F
-        k += run
-        if k > 63 or size == 0:
+        k += sym >> 4
+        if k > 63 or (sym & 0x0F) == 0:
             raise ValueError("corrupt JPEG AC coefficients")
-        zz[k] = _extend(br.bits(size), size)
+        zz[k] = val
         k += 1
+    br.pos, br.acc, br.n = pos, acc, n
     return zz
 
 
@@ -499,8 +651,10 @@ def _decode_scan(data: bytes, frame, scan, qts, huff,
                  restart_interval: int = 0) -> tuple[int, int, int, bytes]:
     """MCU-interleaved scan decode with general sampling factors: the
     MCU covers 8·Hmax × 8·Vmax source pixels, each component contributes
-    its h×v blocks per MCU, and subsampled planes are upsampled by
-    replication at the end (the JFIF nearest-neighbor convention)."""
+    its h×v blocks per MCU. The Huffman pass collects every block's
+    zigzag coefficients into one (nblocks, 64) array per component;
+    dequantize → IDCT → plane assembly → replication upsampling → color
+    conversion then all run as numpy batch ops."""
     width, height, comps = frame
     nc = len(comps)
     comp_info = {cid: (sh, sv, qid) for cid, sh, sv, qid in comps}
@@ -508,18 +662,19 @@ def _decode_scan(data: bytes, frame, scan, qts, huff,
     vmax = max(sv for _, _, sv, _ in comps)
     mcu_cols = (width + 8 * hmax - 1) // (8 * hmax)
     mcu_rows = (height + 8 * vmax - 1) // (8 * vmax)
-    # per scan component: plane sized to its own block grid
+    # per scan component: coefficient grid sized to its own block grid
     meta = []
-    planes = []
+    coef_grids = []
     for cid, dc_id, ac_id in scan:
         sh, sv, qid = comp_info[cid]
         dc_tab, ac_tab, qt = huff.get((0, dc_id)), huff.get((1, ac_id)), \
             qts.get(qid)
         if dc_tab is None or ac_tab is None or qt is None:
             raise ValueError("JPEG scan references missing table")
-        stride = mcu_cols * sh * 8
-        meta.append((sh, sv, dc_tab, ac_tab, qt, stride))
-        planes.append([0] * (stride * mcu_rows * sv * 8))
+        gcols = mcu_cols * sh
+        meta.append((sh, sv, dc_tab, ac_tab, qt, gcols))
+        coef_grids.append(np.zeros((mcu_rows * sv * gcols, 64),
+                                   dtype=np.int32))
     br = _BitReader(data)
     preds = [0] * nc
     mcus_done = 0
@@ -530,42 +685,44 @@ def _decode_scan(data: bytes, frame, scan, qts, huff,
                 br.restart()
                 preds = [0] * nc
             for ci in range(nc):
-                sh, sv, dc_tab, ac_tab, qt, stride = meta[ci]
-                plane = planes[ci]
+                sh, sv, dc_tab, ac_tab, _qt, gcols = meta[ci]
                 for by in range(sv):
                     for bx in range(sh):
                         zz = _decode_block(br, dc_tab, ac_tab)
                         preds[ci] += zz[0]
                         zz[0] = preds[ci]
-                        block = _idct_block(zz, qt)
-                        px = (mc * sh + bx) * 8
-                        py = (mr * sv + by) * 8
-                        for y in range(8):
-                            row = (py + y) * stride + px
-                            plane[row:row + 8] = block[y * 8:(y + 1) * 8]
+                        gi = (mr * sv + by) * gcols + (mc * sh + bx)
+                        coef_grids[ci][gi] = zz
             mcus_done += 1
 
-    def sample(ci: int, x: int, y: int) -> int:
-        sh, sv, _, _, _, stride = meta[ci]
-        return planes[ci][(y * sv // vmax) * stride + (x * sh // hmax)]
+    # batched dequantize + IDCT + block assembly per component
+    planes = []
+    for ci in range(nc):
+        sh, sv, _dc, _ac, qt, gcols = meta[ci]
+        grows = mcu_rows * sv
+        qt_nat = np.asarray(qt, dtype=np.float64)[_IZZ]
+        nat = coef_grids[ci][:, _IZZ] * qt_nat  # natural order, dequantized
+        pix = _M.T @ nat.reshape(-1, 8, 8) @ _M
+        pix = np.clip(np.rint(pix) + 128, 0, 255)
+        planes.append(pix.reshape(grows, gcols, 8, 8)
+                      .transpose(0, 2, 1, 3)
+                      .reshape(grows * 8, gcols * 8))
 
-    out = bytearray(width * height * nc)
+    # replication upsampling to full resolution (JFIF nearest-neighbor)
+    full = []
+    for ci in range(nc):
+        sh, sv = meta[ci][0], meta[ci][1]
+        rows = (np.arange(height) * sv) // vmax
+        cols = (np.arange(width) * sh) // hmax
+        full.append(planes[ci][np.ix_(rows, cols)])
+
     if nc == 1:
-        for y in range(height):
-            base = y * width
-            for x in range(width):
-                out[base + x] = sample(0, x, y)
-    else:
-        for y in range(height):
-            for x in range(width):
-                yv = sample(0, x, y)
-                cb = sample(1, x, y) - 128
-                cr = sample(2, x, y) - 128
-                i3 = (y * width + x) * 3
-                r = int(round(yv + 1.402 * cr))
-                g = int(round(yv - 0.344136 * cb - 0.714136 * cr))
-                b = int(round(yv + 1.772 * cb))
-                out[i3] = 0 if r < 0 else 255 if r > 255 else r
-                out[i3 + 1] = 0 if g < 0 else 255 if g > 255 else g
-                out[i3 + 2] = 0 if b < 0 else 255 if b > 255 else b
-    return width, height, nc, bytes(out)
+        return width, height, 1, full[0].astype(np.uint8).tobytes()
+    yv = full[0]
+    cb = full[1] - 128.0
+    cr = full[2] - 128.0
+    r = np.clip(np.rint(yv + 1.402 * cr), 0, 255)
+    g = np.clip(np.rint(yv - 0.344136 * cb - 0.714136 * cr), 0, 255)
+    b = np.clip(np.rint(yv + 1.772 * cb), 0, 255)
+    out = np.stack([r, g, b], axis=-1).astype(np.uint8).tobytes()
+    return width, height, 3, out

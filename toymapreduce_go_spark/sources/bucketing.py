@@ -80,7 +80,23 @@ def write_zordered(df, path: str, col1: str, col2: str,
     from pyspark.sql import functions as F
 
     zed = df.withColumn("_z", zorder_value(F.col(col1), F.col(col2)))
-    (zed.repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite").parquet(path))
+    # repartitionByRange picks file boundaries by SAMPLING; the default
+    # 100 rows/partition leaves visible boundary wobble (uneven files,
+    # occasionally a file straddling a z-curve discontinuity). A larger
+    # sample makes the quantile bounds near-exact for a negligible
+    # one-pass cost — at scale this is the difference between balanced
+    # and lopsided file sizes.
+    spark = zed.sparkSession
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, "5000")
+    try:
+        (zed.repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite").parquet(path))
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
