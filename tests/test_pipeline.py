@@ -50,3 +50,37 @@ def test_cli_corpus_build(spark, tmp_path, capsys):
         "0_raw", "1_quality_gated", "2_deduped", "3_decontaminated",
         "4_packed"]
     assert spark.read.parquet(out).count() == int(lines[-1][1])
+
+
+def test_pipeline_output_through_registered_scheme(spark, tmp_path):
+    """r7 verdict item: the corpus pipeline's output commit must be
+    scheme-agnostic like the reference's DFS flag. Register the mock
+    scheme, run the SAME funnel to a local path and to mock://, and
+    require identical funnel counts plus full value fidelity of the
+    scheme-routed output (read back through the registry)."""
+    import json
+    import os
+
+    from test_kvtext_source import PrefixFsClient
+
+    from toymapreduce_go_spark.pipeline import build_training_corpus
+    from toymapreduce_go_spark.sources.fs import register_fs
+
+    base = str(tmp_path / "mockroot")
+    register_fs("mock", lambda: PrefixFsClient(base))
+    cur_local, fun_local = build_training_corpus(
+        spark, SF_DIR, out_path=str(tmp_path / "local_out"))
+    cur_mock, fun_mock = build_training_corpus(
+        spark, SF_DIR, out_path="mock://corpus/out")
+    assert [tuple(r) for r in fun_local.collect()] == \
+           [tuple(r) for r in fun_mock.collect()]
+    # physical files landed under the mock root via the registry, with
+    # the sink's committed mr-out layout (no temp files left behind)
+    names = sorted(os.listdir(os.path.join(base, "corpus/out")))
+    assert names and all(n.startswith("mr-out-") for n in names)
+    # value fidelity through the scheme: same doc -> bin assignment
+    back = spark.read.format("kvtext").load("mock://corpus/out")
+    got = {int(r.key): json.loads(r.value)["bin_id"]
+           for r in back.collect()}
+    want = {r.doc_id: r.bin_id for r in cur_local.collect()}
+    assert got == want and got

@@ -31,15 +31,27 @@ from .sources.registry import load_table
 def build_training_corpus(spark: SparkSession, sf_dir: str,
                           out_path: str | None = None,
                           max_tokens: int = 256,
-                          min_shared_contamination: int = 3
+                          min_shared_contamination: int = 3,
+                          docs: DataFrame | None = None
                           ) -> tuple[DataFrame, DataFrame]:
-    """Run the full curation funnel over ``sf_dir``'s documents table.
+    """Run the full curation funnel over ``sf_dir``'s documents table
+    (or an explicit ``docs`` frame — the hook fault-injection and
+    streaming-source tests use).
 
     Returns ``(curated, funnel)``: the curated corpus frame
     ``(doc_id, source, lang, text, bin_id)`` (also written to
     ``out_path`` if given, partitioned by source) and a small funnel
-    report frame ``(stage, n_docs)`` ordered by stage."""
-    docs = load_table(spark, sf_dir, "documents")
+    report frame ``(stage, n_docs)`` ordered by stage.
+
+    ``out_path`` scheme dispatch (the reference's DFS-flag shape,
+    ``cmd/main.go:25`` + ``fsclient.go:34-45``): bare/"file" paths — and
+    any scheme Hadoop itself handles — write partitioned parquet through
+    Spark's writer; a scheme registered in the *Python* fs registry
+    (``sources/fs.py``) routes through the kvtext sink's rename-on-commit
+    protocol instead (key = doc_id, value = JSON row), so the pipeline's
+    output commit is scheme-agnostic end to end."""
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     stages: list[tuple[str, int]] = [("0_raw", docs.count())]
 
     # 1. PII redaction (doesn't drop docs; changes text BEFORE hashing
@@ -82,8 +94,21 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
     stages.append(("4_packed", curated.count()))
 
     if out_path is not None:
-        (curated.write.mode("overwrite")
-         .partitionBy("source").parquet(out_path))
+        from .sources.fs import split_scheme
+        scheme, _ = split_scheme(out_path)
+        if scheme in ("", "file"):
+            (curated.write.mode("overwrite")
+             .partitionBy("source").parquet(out_path))
+        else:
+            # custom registered scheme: kvtext sink (register AFTER
+            # register_fs so the source pickles the current registry)
+            from .sources import kvtext
+            kvtext.register(spark)
+            (curated.select(
+                F.col("doc_id").cast("string").alias("key"),
+                F.to_json(F.struct("source", "lang", "bin_id", "text"))
+                 .alias("value"))
+             .write.format("kvtext").mode("overwrite").save(out_path))
 
     for df in (gated, deduped, clean):
         df.unpersist()
