@@ -329,3 +329,34 @@ def test_connected_components_raises_when_unconverged(spark):
     labels = {r["doc_id"]: r["cluster_id"]
               for r in connected_components(chain, max_iter=10).collect()}
     assert set(labels.values()) == {0}
+
+
+def test_dup_spans_detects_planted_shared_substring(spark):
+    """A 40-char span planted in two docs must be flagged; a doc with no
+    cross-doc overlap must not; content-defined sampling (sample_mod)
+    must still find the long planted span while shrinking gram volume."""
+    from toymapreduce_go_spark.operators.dedup import dup_span_stats
+
+    boiler = "this exact boilerplate sentence appears in multiple docs"
+    docs = spark.createDataFrame(
+        [(1, "a", f"unique preamble alpha. {boiler} unique tail one."),
+         (2, "a", f"different opening beta. {boiler} other ending two."),
+         (3, "b", "entirely original text with no overlap whatsoever "
+                   "and enough length to produce many grams here."),
+         (4, "b", "short")],  # < k chars: excluded entirely
+        "doc_id long, source string, text string")
+    rows = {r["source"]: r for r in dup_span_stats(docs, k=20).collect()}
+    assert rows["a"]["n_docs"] == 2
+    assert rows["a"]["docs_with_dup"] == 2
+    assert rows["a"]["dup_grams"] > 0
+    # the planted span contributes ~ len(boiler)-k+1 duplicated grams
+    # per doc (plus boundary grams differ): sanity-band, not exact
+    assert rows["a"]["dup_grams"] >= 2 * (len(boiler) - 20 - 5)
+    assert rows["b"]["n_docs"] == 1          # doc 4 too short to gram
+    assert rows["b"]["dup_grams"] == 0
+    assert rows["b"]["docs_with_dup"] == 0
+    # content-defined sampling: fewer grams, planted dup still seen
+    sampled = {r["source"]: r
+               for r in dup_span_stats(docs, k=20, sample_mod=4).collect()}
+    assert sampled["a"]["total_grams"] < rows["a"]["total_grams"]
+    assert sampled["a"]["docs_with_dup"] == 2

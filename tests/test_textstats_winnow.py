@@ -172,3 +172,21 @@ def test_repetition_features_short_docs_never_raise(spark):
     # and the rollup (the declared query + pipeline gate) stays defined
     agg = {r["source"]: r for r in repetition_quality(docs).collect()}
     assert agg["a"]["n_docs"] == 4 and agg["a"]["n_flagged"] == 0
+
+
+def test_source_mix_weights_math(spark):
+    """Temperature alpha=0.5 math on known counts: weights ∝ sqrt(n),
+    sum to ~1, and small sources get boost > 1, large ones < 1."""
+    from toymapreduce_go_spark.operators.textstats import source_mix_weights
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small", "t") for i in range(100)],
+        "doc_id long, source string, text string")
+    rows = {r["source"]: r for r in source_mix_weights(docs).collect()}
+    # sqrt(90)=9.4868, sqrt(10)=3.1623 -> weights .7500/.2500 (scaled)
+    assert abs(rows["big"]["weight"] + rows["small"]["weight"] - 1.0) < 1e-6
+    assert abs(rows["big"]["weight"] - 0.75) < 0.01
+    assert rows["small"]["boost"] > 1.0 > rows["big"]["boost"]
+    # natural-share sanity: boost == weight / (n/total)
+    assert abs(rows["small"]["boost"]
+               - rows["small"]["weight"] / 0.1) < 0.01

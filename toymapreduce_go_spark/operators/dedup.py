@@ -712,6 +712,68 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4,
 
 
 # ---------------------------------------------------------------------------
+# 5b. Cross-document duplicated spans (ExactSubstr-style)
+
+
+def dup_span_stats(documents: DataFrame, k: int = 20,
+                   sample_mod: int | None = None) -> DataFrame:
+    """Cross-document duplicated-span detection — the distributed
+    rolling-hash form of ExactSubstr dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better":
+    substrings repeated across documents are memorization fuel; the
+    paper's implementation builds a corpus-wide suffix array, which is
+    inherently serial). Spark shape: hash every k-char gram of every
+    document (scan-side md5 projection — the same DuckDB-portable gram
+    hash as the declared ``rolling_fingerprint``), keep one row per
+    DISTINCT (doc, gram-hash), count documents per hash in ONE groupBy
+    shuffle, and call a gram duplicated when ≥ 2 distinct documents
+    contain it. Reported per source: doc/gram totals, duplicated-gram
+    share, and how many docs carry any cross-doc duplicated span.
+
+    Scale: pair volume is O(total characters) into one hash-keyed
+    shuffle — the honest cost of substring-level dedup (a suffix array
+    pays the same O(corpus), serially). ``sample_mod=p`` switches to
+    content-defined sampling (keep grams with ``h % p == 0``): selection
+    depends only on the gram's bytes, so every COPY of a duplicated
+    span samples the same grams and detection survives, with a
+    duplicated span of length L ≥ k missed with probability
+    ~(1-1/p)^(L-k+1). That divides shuffle volume by p — a 100 TB run
+    uses p = 8..32 with a wider k. The skew profile is benign: one
+    boilerplate gram shared by millions of docs makes a hot groupBy key
+    but the agg is a count (map-side combinable), never a pair join.
+    """
+    gh = F.expr(
+        f"transform(sequence(1, length(text) - {k - 1}), "
+        f"i -> cast(conv(substring(md5(substring(text, i, {k})), 1, 15), "
+        f"16, 10) as bigint))")
+    pairs = (documents
+             .filter(F.length("text") >= k)
+             .select("doc_id", "source",
+                     F.explode(F.array_distinct(gh)).alias("h")))
+    if sample_mod is not None:
+        pairs = pairs.filter(F.col("h") % sample_mod == 0)
+    pairs = persist_shared(pairs)
+    dup_h = (pairs.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+             .filter(F.col("nd") >= 2).select("h"))
+    flagged = pairs.join(dup_h, "h", "left_semi")
+    tot = pairs.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_grams"))
+    dup = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("dup_grams"),
+        F.countDistinct("doc_id").alias("docs_with_dup"))
+    return (tot.join(dup, "source", "left")
+            .select("source", "n_docs", "total_grams",
+                    F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+                    F.coalesce("docs_with_dup", F.lit(0))
+                     .alias("docs_with_dup"),
+                    F.round(F.coalesce("dup_grams", F.lit(0))
+                            / F.col("total_grams").cast("double"), 4)
+                     .alias("dup_frac"))
+            .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
 # 6. Benchmark decontamination
 
 

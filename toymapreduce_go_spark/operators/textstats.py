@@ -548,3 +548,43 @@ def weighted_sample_stats(documents: DataFrame,
         )
         .orderBy("lang")
     )
+
+
+def source_mix_weights(documents: DataFrame,
+                       alpha: float = 0.5) -> DataFrame:
+    """Temperature-scaled source mixing — the training-mix computation
+    every multi-source pretraining run needs (multinomial sampling
+    weights w_s ∝ n_s^alpha; alpha < 1 upweights small sources — the
+    standard rebalancing recipe from multilingual pretraining, e.g.
+    XLM-R's alpha=0.3 / mT5's alpha=0.3 exponential smoothing).
+
+    Output: (source, n_docs, weight, boost) with boost = weight / the
+    source's natural share (boost > 1 ⇔ upweighted).
+
+    Determinism/oracle design: the default alpha = 0.5 computes n^alpha
+    as sqrt(n) — IEEE-exact in every engine, unlike pow() whose last
+    ulp varies across libm builds — then scales to a 4-decimal integer
+    so the normalizing sum is EXACT (bigint, order-independent) and
+    both engines derive bit-identical weights. Other alphas go through
+    pow() and are pytest-rows-tier only.
+
+    Scale: one count-by-source agg (map-side combinable) plus a
+    broadcast of the source-count table (dozens of rows at 100 TB) —
+    the corpus is scanned once, counted, and never shuffled."""
+    counts = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    w = (F.sqrt(F.col("n_docs").cast("double")) if alpha == 0.5
+         else F.pow(F.col("n_docs").cast("double"), F.lit(alpha)))
+    scaled = counts.withColumn(
+        "w_scaled", F.round(w * 10000).cast("long"))
+    tot = scaled.agg(F.sum("w_scaled").alias("tot_w"),
+                     F.sum("n_docs").alias("tot_n"))
+    return (scaled.crossJoin(F.broadcast(tot))
+            .select(
+                "source", "n_docs",
+                F.round(F.col("w_scaled") / F.col("tot_w").cast("double"),
+                        6).alias("weight"),
+                F.round((F.col("w_scaled") / F.col("tot_w").cast("double"))
+                        / (F.col("n_docs") / F.col("tot_n").cast("double")),
+                        4).alias("boost"))
+            .orderBy("source"))

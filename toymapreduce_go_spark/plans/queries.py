@@ -204,6 +204,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hashed_tf": _q(textstats.hashed_tf_summary),
     "events_gapfill": _q(events.events_gapfill),
     "weighted_sample": _q(textstats.weighted_sample_stats),
+    "dup_spans": _q(dedup.dup_span_stats),
+    "source_mix": _q(textstats.source_mix_weights),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
     "multimodal_pipeline": _multimodal_pipeline,
@@ -250,7 +252,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "wordcount", "repetition_quality", "stratified_sample",
                "contamination_check", "pii_scrub", "sequence_packing",
                "near_dup_clusters", "hashed_tf", "events_gapfill",
-               "audio_stats", "video_stats", "weighted_sample")
+               "audio_stats", "video_stats", "weighted_sample",
+               "dup_spans", "source_mix")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1432,6 +1435,50 @@ ORACLES: dict[str, str] = {
     "ann_lsh": _ann_lsh_oracle_sql(),
     "ann_ivf": _ann_ivf_oracle_sql(),
     "ann_ivf_trained": _ann_ivf_trained_oracle_sql(),
+    # ExactSubstr-style duplicated spans: 20-char gram hashes (same
+    # portable md5 pattern as rolling_fingerprint), duplicated = present
+    # in >= 2 distinct docs. NOTE DuckDB range() is end-EXCLUSIVE vs
+    # Spark sequence() inclusive, hence length - 18 here vs
+    # sequence(1, length - 19) there.
+    "dup_spans": """
+        WITH pairs AS (
+            SELECT doc_id, source,
+                   unnest(list_distinct(list_transform(
+                       range(1, length(text) - 18),
+                       i -> ('0x' || substr(md5(substr(text, i, 20)), 1, 15))
+                            ::BIGINT))) AS h
+            FROM documents WHERE length(text) >= 20),
+        dup AS (SELECT h FROM pairs GROUP BY h HAVING count(*) >= 2),
+        tot AS (SELECT source, count(DISTINCT doc_id) AS n_docs,
+                       count(*) AS total_grams
+                FROM pairs GROUP BY source),
+        dupped AS (SELECT source, count(*) AS dup_grams,
+                          count(DISTINCT doc_id) AS docs_with_dup
+                   FROM pairs WHERE h IN (SELECT h FROM dup)
+                   GROUP BY source)
+        SELECT t.source, t.n_docs, t.total_grams,
+               COALESCE(d.dup_grams, 0) AS dup_grams,
+               COALESCE(d.docs_with_dup, 0) AS docs_with_dup,
+               round(COALESCE(d.dup_grams, 0) / t.total_grams::DOUBLE, 4)
+                   AS dup_frac
+        FROM tot t LEFT JOIN dupped d USING (source) ORDER BY t.source
+    """,
+    # Temperature mixing at alpha = 0.5: sqrt is IEEE-exact in both
+    # engines (pow is not, across libms), and the 4-decimal scaled
+    # integer makes the normalizing sum exact/order-independent.
+    "source_mix": """
+        WITH c AS (SELECT source, count(*) AS n_docs
+                   FROM documents GROUP BY source),
+        s AS (SELECT source, n_docs,
+                     CAST(round(sqrt(n_docs) * 10000) AS BIGINT) AS w_scaled
+              FROM c),
+        t AS (SELECT sum(w_scaled) AS tot_w, sum(n_docs) AS tot_n FROM s)
+        SELECT source, n_docs,
+               round(w_scaled / tot_w::DOUBLE, 6) AS weight,
+               round((w_scaled / tot_w::DOUBLE)
+                     / (n_docs / tot_n::DOUBLE), 4) AS boost
+        FROM s, t ORDER BY source
+    """,
     # approx_stats: intentionally no oracle (HLL/t-digest sketch
     # internals are engine-specific) → rows-only check, as SURVEY.md
     # §2d notes.
