@@ -360,3 +360,29 @@ def test_dup_spans_detects_planted_shared_substring(spark):
                for r in dup_span_stats(docs, k=20, sample_mod=4).collect()}
     assert sampled["a"]["total_grams"] < rows["a"]["total_grams"]
     assert sampled["a"]["docs_with_dup"] == 2
+
+
+def test_dup_span_coverage_exact_union_of_planted_span(spark):
+    """The interval-union fold must count each duplicated character ONCE:
+    a planted boilerplate of B chars yields ~B covered chars per doc
+    (contiguous overlapping k-spans union to the span, not k x n_grams),
+    and a doc with no cross-doc overlap contributes zero."""
+    from toymapreduce_go_spark.operators.dedup import dup_span_coverage
+
+    boiler = "x" * 0 + "this exact boilerplate sentence appears twice verbatim"
+    docs = spark.createDataFrame(
+        [(1, "a", f"unique preamble alpha. {boiler} unique tail one."),
+         (2, "a", f"different opening beta. {boiler} other ending two."),
+         (3, "b", "entirely original text with no overlap whatsoever "
+                   "and enough length to produce many grams here.")],
+        "doc_id long, source string, text string")
+    rows = {r["source"]: r for r in dup_span_coverage(docs, k=20).collect()}
+    B = len(boiler)
+    # union coverage per doc is within a few chars of B (boundary grams
+    # mix in per-doc context and so are not duplicated)
+    assert rows["a"]["docs_with_dup"] == 2
+    assert 2 * (B - 4) <= rows["a"]["dup_chars"] <= 2 * (B + 4)
+    assert rows["b"]["dup_chars"] == 0
+    # naive per-gram k-char counting would give ~2*k*(B-k+1) ≈ 1400:
+    # the fold must NOT do that
+    assert rows["a"]["dup_chars"] < 4 * B

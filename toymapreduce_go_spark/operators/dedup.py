@@ -773,6 +773,76 @@ def dup_span_stats(documents: DataFrame, k: int = 20,
             .orderBy("source"))
 
 
+def dup_span_coverage(documents: DataFrame, k: int = 20,
+                      sample_mod: int | None = None) -> DataFrame:
+    """Exact duplicated-CHARACTER accounting — ExactSubstr's actual
+    deliverable (Lee et al. 2021 report and then remove the duplicated
+    characters, not just flag docs): for each document, the number of
+    characters covered by the union of all k-char spans that also occur
+    in another document, rolled up per source.
+
+    Plan shape on top of ``dup_span_stats``'s pair machinery: positions
+    ride along (posexplode), duplicated-gram start positions are
+    collected per doc (sorted, corpus-linear collect), and the interval
+    union is ONE JVM-side ``aggregate`` fold over the sorted starts —
+    the classic sweep (extend-or-start) with the (covered, last_end)
+    state packed into a single BIGINT (covered << 20 | last_end; exact
+    integer ops, docs up to 2^20 chars) so the identical fold runs in
+    the DuckDB oracle's ``list_reduce``, which requires accumulator and
+    element types to match. No Python anywhere; the per-doc start lists
+    are span-count-sized, not char-sized.
+
+    ``sample_mod`` composes (content-defined sampling, see
+    ``dup_span_stats``): coverage then undercounts by the sampling gap —
+    a bound, not an estimate, which is what a removal pass wants."""
+    if k >= 1 << 20:
+        raise ValueError("k must fit the 2^20 packed-state layout")
+    gh = F.expr(
+        f"transform(sequence(1, length(text) - {k - 1}), "
+        f"i -> cast(conv(substring(md5(substring(text, i, {k})), 1, 15), "
+        f"16, 10) as bigint))")
+    g = (documents
+         .filter(F.length("text") >= k)
+         .select("doc_id", "source", F.length("text").alias("n_chars"),
+                 F.posexplode(gh).alias("pos", "h")))
+    if sample_mod is not None:
+        g = g.filter(F.col("h") % sample_mod == 0)
+    g = persist_shared(g)
+    dup_h = (g.select("doc_id", "h").distinct()
+             .groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+             .filter(F.col("nd") >= 2).select("h"))
+    starts = (g.join(dup_h, "h", "left_semi")
+              .groupBy("doc_id", "source", "n_chars")
+              .agg(F.sort_array(F.collect_list("pos")).alias("ss")))
+    lo_mask = F.lit((1 << 20) - 1)
+    fold = F.aggregate(
+        F.col("ss"), F.lit(0).cast("long"),
+        lambda acc, s: F.shiftleft(
+            F.shiftright(acc, 20)
+            + F.greatest(F.lit(0).cast("long"),
+                         s + k - F.greatest(acc.bitwiseAND(lo_mask), s)),
+            20).bitwiseOR(F.greatest(acc.bitwiseAND(lo_mask), s + k)))
+    per_doc = starts.select(
+        "doc_id", "source", "n_chars",
+        F.shiftright(fold, 20).alias("dup_chars"))
+    eligible = (documents.filter(F.length("text") >= k)
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum(F.length("text")).alias("total_chars")))
+    dup = per_doc.groupBy("source").agg(
+        F.sum("dup_chars").alias("dup_chars"),
+        F.count(F.lit(1)).alias("docs_with_dup"))
+    return (eligible.join(dup, "source", "left")
+            .select("source", "n_docs", "total_chars",
+                    F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+                    F.coalesce("docs_with_dup", F.lit(0))
+                     .alias("docs_with_dup"),
+                    F.round(F.coalesce("dup_chars", F.lit(0))
+                            / F.col("total_chars").cast("double"), 4)
+                     .alias("dup_char_frac"))
+            .orderBy("source"))
+
+
 # ---------------------------------------------------------------------------
 # 6. Benchmark decontamination
 

@@ -205,6 +205,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_gapfill": _q(events.events_gapfill),
     "weighted_sample": _q(textstats.weighted_sample_stats),
     "dup_spans": _q(dedup.dup_span_stats),
+    "dup_span_coverage": _q(dedup.dup_span_coverage),
     "source_mix": _q(textstats.source_mix_weights),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
@@ -253,7 +254,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "contamination_check", "pii_scrub", "sequence_packing",
                "near_dup_clusters", "hashed_tf", "events_gapfill",
                "audio_stats", "video_stats", "weighted_sample",
-               "dup_spans", "source_mix")
+               "dup_spans", "dup_span_coverage", "source_mix")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1462,6 +1463,49 @@ ORACLES: dict[str, str] = {
                round(COALESCE(d.dup_grams, 0) / t.total_grams::DOUBLE, 4)
                    AS dup_frac
         FROM tot t LEFT JOIN dupped d USING (source) ORDER BY t.source
+    """,
+    # Exact duplicated-character coverage: interval-union sweep over the
+    # sorted duplicated-gram starts, with the (covered, last_end) state
+    # packed into one BIGINT (covered << 20 | last_end) so the IDENTICAL
+    # integer fold runs as Spark aggregate() and DuckDB list_reduce()
+    # (whose accumulator must match the element type).
+    "dup_span_coverage": """
+        WITH pos AS (
+            SELECT doc_id, source, length(text) AS n_chars,
+                   unnest(range(1, length(text) - 18)) AS i
+            FROM documents WHERE length(text) >= 20),
+        g AS (
+            SELECT p.doc_id, p.source, p.n_chars, p.i - 1 AS pos,
+                   ('0x' || substr(md5(substr(d.text, p.i, 20)), 1, 15))
+                       ::BIGINT AS h
+            FROM pos p JOIN documents d ON p.doc_id = d.doc_id),
+        dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM g)
+                GROUP BY h HAVING count(*) >= 2),
+        starts AS (SELECT doc_id, source, n_chars,
+                          list_sort(list(pos)) AS ss
+                   FROM g WHERE h IN (SELECT h FROM dup)
+                   GROUP BY doc_id, source, n_chars),
+        cov AS (SELECT doc_id, source, n_chars,
+                       list_reduce(list_prepend(0, ss),
+                           (acc, s) -> (((acc >> 20)
+                               + greatest(0, s + 20
+                                          - greatest(acc & 1048575, s)))
+                               << 20)
+                               | greatest(acc & 1048575, s + 20)) >> 20
+                           AS dup_chars
+                FROM starts),
+        tot AS (SELECT source, count(*) AS n_docs,
+                       sum(length(text)) AS total_chars
+                FROM documents WHERE length(text) >= 20 GROUP BY source),
+        d AS (SELECT source, sum(dup_chars) AS dup_chars,
+                     count(*) AS docs_with_dup
+              FROM cov GROUP BY source)
+        SELECT t.source, t.n_docs, t.total_chars,
+               COALESCE(d.dup_chars, 0) AS dup_chars,
+               COALESCE(d.docs_with_dup, 0) AS docs_with_dup,
+               round(COALESCE(d.dup_chars, 0) / t.total_chars::DOUBLE, 4)
+                   AS dup_char_frac
+        FROM tot t LEFT JOIN d USING (source) ORDER BY t.source
     """,
     # Temperature mixing at alpha = 0.5: sqrt is IEEE-exact in both
     # engines (pow is not, across libms), and the 4-decimal scaled
