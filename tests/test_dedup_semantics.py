@@ -386,3 +386,40 @@ def test_dup_span_coverage_exact_union_of_planted_span(spark):
     # naive per-gram k-char counting would give ~2*k*(B-k+1) ≈ 1400:
     # the fold must NOT do that
     assert rows["a"]["dup_chars"] < 4 * B
+
+
+def test_ann_ivf_pq_recall_and_determinism(spark):
+    """IVF-PQ contract: deterministic 8-byte codes, valid (probe, rank)
+    structure, and with the refine stage the recall floor matches the
+    full-precision IVF tier's class on the fixture (measured 0.76 at
+    defaults — floor set with margin). Pure ADC (refine=0) must still
+    return structurally valid results."""
+    from toymapreduce_go_spark.operators.similarity import (
+        PQ_KSUB, PQ_M, _train_pq_codebooks, ann_ivf_pq, pq_encode)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {(r.probe_id, r.neighbor_id)
+             for r in QUERIES["knn_bruteforce"](spark, SF_DIR).collect()}
+    rows = ann_ivf_pq(emb).collect()
+    assert rows
+    got = {(r.probe_id, r.neighbor_id) for r in rows}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, recall
+    # determinism: a second run returns identical rows
+    assert [tuple(r) for r in ann_ivf_pq(emb).collect()] == \
+           [tuple(r) for r in rows]
+    # code structure: m codes per vector, each < ksub
+    sample = [[float(x) for x in r.embedding] for r in
+              emb.orderBy("vec_id").limit(64).collect()]
+    books = _train_pq_codebooks(sample)
+    codes = pq_encode(emb, books).select("codes").limit(20).collect()
+    for r in codes:
+        assert len(r.codes) == PQ_M
+        assert all(0 <= c < PQ_KSUB for c in r.codes)
+    # pure-ADC tier is structurally valid too
+    adc_rows = ann_ivf_pq(emb, refine=0).collect()
+    by_probe = {}
+    for r in adc_rows:
+        by_probe.setdefault(r.probe_id, []).append(r.rank)
+    for probe, ranks in by_probe.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

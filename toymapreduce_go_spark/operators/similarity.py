@@ -510,3 +510,201 @@ def ann_ivf_from_model(embeddings: DataFrame, model_path: str,
     probes = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
               for r in probe_rows]
     return _ivf_rank(embeddings, cents, probes, n_probe_cells, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization on top of the IVF coarse quantizer
+
+
+# 8 subspaces × 16 centroids = 8-byte codes on the fixture's dim-64
+# vectors (64× smaller than float32); with the refine stage this
+# matches the full-precision IVF tier's recall (RECALL.md).
+PQ_M = 8          # subspaces
+PQ_KSUB = 16      # centroids per subspace (4-bit codes)
+
+
+def _train_pq_codebooks(sample_vecs: list[list[float]], m: int = PQ_M,
+                        ksub: int = PQ_KSUB,
+                        n_iters: int = IVF_TRAIN_ITERS
+                        ) -> list[list[list[float]]]:
+    """Deterministic per-subspace L2 Lloyd's over a fixed sample: split
+    each dim-D vector into ``m`` contiguous D/m-dim sub-vectors, train
+    ``ksub`` centroids per subspace (init = the sample's first ksub
+    sub-vectors, assignment ties to the LARGER code — mirroring the
+    engine's greatest(struct(-dist, code)) — empty clusters keep their
+    previous centroid). Model size: m * ksub * D/m = ksub * D doubles —
+    driver/plan-literal class, like the coarse centroids."""
+    if not sample_vecs:
+        return []
+    dim = len(sample_vecs[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        subs = [v[j * dsub:(j + 1) * dsub] for v in sample_vecs]
+        cents = [list(s) for s in subs[:min(ksub, len(subs))]]
+        for _ in range(n_iters):
+            sums = [[0.0] * dsub for _ in cents]
+            cnts = [0] * len(cents)
+            for s in subs:
+                _, best = max(
+                    (-sum((x - y) * (x - y) for x, y in zip(s, c)), ci)
+                    for ci, c in enumerate(cents))
+                cnts[best] += 1
+                acc = sums[best]
+                for d in range(dsub):
+                    acc[d] = acc[d] + s[d]
+            cents = [[acc[d] / cnts[ci] for d in range(dsub)]
+                     if cnts[ci] > 0 else cents[ci]
+                     for ci, acc in enumerate(sums)]
+        books.append(cents)
+    return books
+
+
+def pq_encode(embeddings: DataFrame,
+              books: list[list[list[float]]]) -> DataFrame:
+    """Scan-side PQ encoding: per subspace, the argmin-L2 code against
+    the literal codebook — the whole m × ksub distance argmax is ONE
+    parsed SQL expression (same Py4J-avoidance as ``_ivf_rank``), so
+    encoding is a pure projection: no shuffle, no Python, and the output
+    is ``(vec_id, codes array<int>, vnorm)`` — m bytes of code (ksub ≤
+    256) + one double per vector instead of D floats: the 100 TB memory
+    story (a 10⁹ × 128-dim float corpus is 512 GB raw, 12 GB encoded)."""
+    m = len(books)
+    dsub = len(books[0][0]) if m else 0
+
+    def code_sql(j: int) -> str:
+        # greatest() needs >= 2 operands; a one-centroid codebook (a
+        # single-vector corpus) codes everything 0
+        if len(books[j]) == 1:
+            return "0"
+        terms = []
+        for ci, c in enumerate(books[j]):
+            arr = "array(" + ",".join(f"{x!r}D" for x in c) + ")"
+            d = (f"aggregate(zip_with(slice(embedding, {j * dsub + 1}, "
+                 f"{dsub}), {arr}, (x, y) -> (double(x) - y) * "
+                 f"(double(x) - y)), 0D, (a, x) -> a + x)")
+            terms.append(f"struct(-{d} as negd, {ci} as code)")
+        return f"greatest({','.join(terms)}).code"
+
+    codes = "array(" + ",".join(code_sql(j) for j in range(m)) + ")"
+    return embeddings.select(
+        "vec_id", "embedding",
+        F.expr(codes).alias("codes"),
+        l2_norm(F.col("embedding")).alias("vnorm"))
+
+
+def ann_ivf_pq(embeddings: DataFrame, n_cells: int = 8,
+               n_probe_cells: int = 2, n_probes: int = 5,
+               k: int = DEFAULT_K, m: int = PQ_M,
+               ksub: int = PQ_KSUB,
+               sample_size: int = IVF_SAMPLE_SIZE,
+               refine: int = 8) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search" — the memory-bound scale tier FAISS's IVFPQ index
+    implements): the IVF coarse quantizer routes probes to cells, and
+    within a cell candidates are scored from their m-byte PQ codes via
+    ADC (asymmetric distance computation) — the probe precomputes a
+    LUT[j][c] = <probe_subj, centroid_jc> table (model-sized,
+    driver-side), and a candidate's approximate dot product is m LUT
+    lookups instead of a D-dim product against a vector that, at 100 TB,
+    no longer fits anywhere. Approximate cosine divides by the stored
+    per-vector norm (the FAISS cosine/IP recipe).
+
+    Plan shape: one scan-side encode projection (cell + codes + norm),
+    one broadcast bucket join on cell, LUT scoring via
+    zip_with(codes, lut) — no Python rows anywhere. ``refine`` adds the
+    standard two-stage finish (FAISS IndexRefineFlat): ADC picks a
+    ``refine × k`` shortlist from codes alone, then ONLY the shortlist
+    re-ranks by exact cosine against re-fetched full vectors — at 100 TB
+    the full-precision corpus is touched for probes × refine × k rows
+    instead of every candidate, which is the point of the codes.
+    ``refine=0`` disables (pure-ADC ranking). Pytest tier: exact parity
+    is meaningless for a lossy code; the contract is the recall floor vs
+    bruteforce (RECALL.md) plus deterministic encoding."""
+    sample_rows = (embeddings.orderBy("vec_id").limit(sample_size)
+                   .select("vec_id", "embedding").collect())
+    sample = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+              for r in sample_rows]
+    if not sample:
+        return embeddings.sparkSession.createDataFrame(
+            [], "probe_id long, neighbor_id long, rank int, approx_cos double")
+    cents = list(enumerate(train_ivf_centroids(
+        sample, n_cells, IVF_TRAIN_ITERS)))
+    books = _train_pq_codebooks([v for _, v in sample], m, ksub)
+    probes = sample[:n_probes]
+    cent_norms = {cid: _py_norm(emb) for cid, emb in cents}
+
+    # encode = coarse cell + PQ codes, one projection
+    encoded = pq_encode(embeddings, books)
+    if len(cents) == 1:
+        best_sql = f"{cents[0][0]}L"
+    else:
+        def cs(cid, emb):
+            cn = cent_norms[cid]
+            if cn == 0:
+                return "0D"
+            arr = "array(" + ",".join(f"{x!r}D" for x in emb) + ")"
+            d = (f"aggregate(zip_with({arr}, embedding, (x, y) -> "
+                 f"x * double(y)), 0D, (a, x) -> a + x)")
+            return (f"(case when vnorm > 0D then {d} / ({cn!r}D * vnorm) "
+                    f"else 0D end)")
+        best_sql = "greatest(" + ",".join(
+            f"struct({cs(cid, emb)} as cos_c, {cid}L as cent_id)"
+            for cid, emb in cents) + ").cent_id"
+    assigned = encoded.select(
+        "vec_id", "codes", "vnorm", F.expr(best_sql).alias("cell"))
+
+    # probe side: cell routing + ADC LUT, both model-sized driver work
+    def top_cells(emb):
+        pn = _py_norm(emb)
+        scored = [(-_py_cos(cemb, emb, cent_norms[cid], pn), cid)
+                  for cid, cemb in cents]
+        return [cid for _, cid in sorted(scored)[:n_probe_cells]]
+
+    dsub = len(books[0][0])
+    probe_rows = []
+    for pid, emb in probes:
+        pn = _py_norm(emb)
+        lut = [[_py_dot(emb[j * dsub:(j + 1) * dsub], c)
+                for c in books[j]] for j in range(m)]
+        for cell in top_cells(emb):
+            probe_rows.append((pid, emb, pn, lut, cell))
+    probe_df = embeddings.sparkSession.createDataFrame(
+        probe_rows,
+        "probe_id long, probe_emb array<double>, pnorm double, "
+        "lut array<array<double>>, cell long")
+
+    adc = F.aggregate(
+        F.zip_with("codes", "lut", lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0.0), lambda a, x: a + x)
+    cand = (assigned.join(broadcast(probe_df), "cell")
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .withColumn("approx",
+                        F.when((F.col("pnorm") > 0) & (F.col("vnorm") > 0),
+                               adc / (F.col("pnorm") * F.col("vnorm")))
+                        .otherwise(F.lit(0.0))))
+    w_adc = Window.partitionBy("probe_id").orderBy(
+        F.col("approx").desc(), F.col("vec_id").asc())
+    if refine <= 0:
+        return (cand.withColumn("rank", F.row_number().over(w_adc))
+                .filter(F.col("rank") <= k)
+                .select("probe_id", F.col("vec_id").alias("neighbor_id"),
+                        "rank", F.round("approx", 4).alias("approx_cos"))
+                .orderBy("probe_id", "rank"))
+    shortlist = (cand.withColumn("arank", F.row_number().over(w_adc))
+                 .filter(F.col("arank") <= refine * k)
+                 .select("probe_id", "probe_emb", "vec_id"))
+    # exact re-rank touches only the shortlist's full vectors
+    exact = (shortlist
+             .join(embeddings.select("vec_id", "embedding"), "vec_id")
+             .withColumn("cos", cosine_sim(F.col("probe_emb"),
+                                           F.col("embedding"))))
+    w_x = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(w_x))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", F.col("vec_id").alias("neighbor_id"),
+                    "rank", F.round("cos", 4).alias("approx_cos"))
+            .orderBy("probe_id", "rank"))

@@ -188,6 +188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": _q(similarity.ann_lsh_portable),
     "ann_ivf": _q(similarity.ann_ivf),
     "ann_ivf_trained": _q(similarity.ann_ivf_trained),
+    "ann_ivf_pq": _q(similarity.ann_ivf_pq),
     # -- text analysis (north star) --------------------------------------
     "lang_id": _q(textstats.lang_id),
     "text_quality": _q(textstats.text_quality),
@@ -254,7 +255,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "contamination_check", "pii_scrub", "sequence_packing",
                "near_dup_clusters", "hashed_tf", "events_gapfill",
                "audio_stats", "video_stats", "weighted_sample",
-               "dup_spans", "dup_span_coverage", "source_mix")
+               "dup_spans", "dup_span_coverage", "source_mix",
+               "ann_ivf_pq")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -263,7 +265,11 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
 # (audio/video stats decode real RIFF/MJPEG containers — DuckDB cannot;
 # their oracle is the lossless round-trip + distributed-equals-local
 # recomputation in tests/test_audio_video.py.)
-PYTEST_INVARIANT_ONLY = ("sequence_packing", "audio_stats", "video_stats")
+# (ann_ivf_pq is a LOSSY code — exact SQL parity is meaningless; its
+# contract is the recall floor vs bruteforce + deterministic encoding,
+# tests/test_property.py / RECALL.md.)
+PYTEST_INVARIANT_ONLY = ("sequence_packing", "audio_stats", "video_stats",
+                         "ann_ivf_pq")
 
 # DECLARED is pinned against tests/declared_surface.txt
 # (test_oracle_parity.py::test_declared_surface_frozen): displacing a
