@@ -25,3 +25,72 @@ def test_apply_near_dedup_keeps_exactly_cluster_survivors(spark):
             assert r["doc_id"] not in kept_ids
     # schema passes through untouched
     assert kept.columns == docs.columns
+
+
+def _py_mask_dup_spans(rows, k=20):
+    """Independent pure-Python ExactSubstr removal: same gram hash
+    (int(md5_hex[:15], 16)), >= 2 distinct docs rule, interval union,
+    complement splice."""
+    import hashlib
+
+    def h(gram):
+        return int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:15], 16)
+
+    grams = {}
+    for doc_id, _src, text in rows:
+        if text is None or len(text) < k:
+            continue
+        for i in range(len(text) - k + 1):
+            grams.setdefault(h(text[i:i + k]), set()).add(doc_id)
+    dup = {g for g, docs in grams.items() if len(docs) >= 2}
+    out = {}
+    for doc_id, _src, text in rows:
+        if text is None or len(text) < k:
+            out[doc_id] = text
+            continue
+        starts = [i for i in range(len(text) - k + 1)
+                  if h(text[i:i + k]) in dup]
+        ivs = []
+        for s in starts:
+            if ivs and s <= ivs[-1][1]:
+                ivs[-1][1] = max(ivs[-1][1], s + k)
+            else:
+                ivs.append([s, s + k])
+        kept, pe = [], 0
+        for s, e in ivs:
+            kept.append(text[pe:s])
+            pe = e
+        kept.append(text[pe:])
+        out[doc_id] = "".join(kept)
+    return out
+
+
+def test_mask_dup_spans_matches_python_reference(spark):
+    """The two JVM aggregate folds (interval merge + complement splice)
+    must agree EXACTLY with an independent Python implementation —
+    including overlapping spans, spans at doc start/end, multiple
+    disjoint duplicated regions, short and untouched docs."""
+    from toymapreduce_go_spark.operators.dedup import mask_dup_spans
+
+    b1 = "shared boilerplate block number one used all over"
+    b2 = "another independently repeated chunk of legal text"
+    rows = [
+        (1, "a", f"{b1} then unique middle content {b2} unique end."),
+        (2, "a", f"prefix text {b1} and then some more then {b2}"),
+        (3, "a", f"{b2}"),                       # doc IS the span
+        (4, "b", "completely original content long enough for grams."),
+        (5, "b", "tiny"),                        # < k: untouched
+        (6, "b", None),                          # null text: untouched
+    ]
+    want = _py_mask_dup_spans(rows)
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, source string, text string")
+    got = {r["doc_id"]: r["text"] for r in mask_dup_spans(docs).collect()}
+    assert got == want
+    # the planted boilerplate really is removed from every carrier
+    for d in (1, 2, 3):
+        assert b1 not in (got[d] or "") and b2 not in (got[d] or "")
+    # and original text survives where there is no duplication
+    assert got[4] == rows[3][2]
+    assert got[5] == "tiny"
+    assert got[6] is None

@@ -158,3 +158,22 @@ def test_ivf_model_save_load_roundtrip(spark, tmp_path):
     save_ivf_model(spark, f"file://{tmp_path}/empty_model", empty)
     assert ann_ivf_from_model(
         emb, f"file://{tmp_path}/empty_model").count() == 0
+
+
+def test_ivf_pq_model_save_load_roundtrip(spark, tmp_path):
+    """Persisted IVF-PQ model must reproduce the in-session training
+    exactly (coarse centroids and every per-subspace codebook)."""
+    from toymapreduce_go_spark.operators.similarity import (
+        _train_pq_codebooks, load_ivf_pq_model, save_ivf_pq_model,
+        train_ivf_centroids)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = f"file://{tmp_path}/ivfpq_model"
+    save_ivf_pq_model(spark, path, emb)
+    cents, books = load_ivf_pq_model(spark, path)
+    sample_rows = (emb.orderBy("vec_id").limit(64)
+                   .select("vec_id", "embedding").collect())
+    sample = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+              for r in sample_rows]
+    assert cents == list(enumerate(train_ivf_centroids(sample, 8)))
+    assert books == _train_pq_codebooks([v for _, v in sample])

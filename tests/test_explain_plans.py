@@ -265,3 +265,45 @@ def test_pack_sequences_python_stage_input_is_slim(spark):
     assert "FlatMapGroupsInPandas" in plan
     py_stage = plan.split("FlatMapGroupsInPandas")[1][:200]
     assert "text" not in py_stage
+
+
+def test_dup_spans_scan_side_hash_and_pruned_scan(spark):
+    """dup_spans' gram hashing must be a scan-side projection (no Python
+    stage), reading only (doc_id, source, text), with the length filter
+    pushed to the scan."""
+    from toymapreduce_go_spark.operators.dedup import dup_span_stats
+
+    df = dup_span_stats(load_table(spark, SF_DIR, "documents"))
+    plan = plan_of(df)
+    assert "Python" not in plan and "ArrowEval" not in plan
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "text" in read_schema and "lang" not in read_schema
+    assert "HashAggregate" in plan  # count-combinable dup-hash agg
+
+
+def test_source_mix_broadcasts_totals(spark):
+    """source_mix's normalizing-total join must broadcast (the count
+    table is dozens of rows at any scale), never sort-merge."""
+    from toymapreduce_go_spark.operators.textstats import source_mix_weights
+
+    df = source_mix_weights(load_table(spark, SF_DIR, "documents"))
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ann_ivf_pq_encode_is_projection_and_probe_broadcast(spark):
+    """PQ encoding must be a pure projection (literal codebooks in the
+    plan, no Python, no shuffle before the bucket join) and the probe
+    frame must ride a broadcast join."""
+    from toymapreduce_go_spark.operators.similarity import ann_ivf_pq
+
+    df = ann_ivf_pq(load_table(spark, SF_DIR, "embeddings"))
+    plan = plan_of(df)
+    # no Python EXECUTION stages (the probe/LUT literal frame scans as
+    # an ExistingRDD whose name mentions Python — that's driver-side
+    # model data, not a per-row Python stage)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+    assert "BroadcastHashJoin" in plan

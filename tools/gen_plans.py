@@ -76,6 +76,22 @@ SHOWCASE: dict[str, str] = {
         "JVM projection, `FlatMapGroupsInPandas` whose input schema is "
         "exactly (doc_id, n_tok, shard, cap) — text never crosses into "
         "Python — and one exchange on the shard key."),
+    "dup_spans": (
+        "ExactSubstr-style duplicated spans. Look for: the md5 gram "
+        "transform in the scan-side Project (no Python stage anywhere), "
+        "a pruned ReadSchema (doc_id, source, text only), partial+final "
+        "HashAggregate on the gram hash (count is map-side combinable), "
+        "and the left-semi flag join reusing the persisted pair frame "
+        "(InMemoryTableScan) instead of rehashing the corpus."),
+    "ann_ivf_pq": (
+        "IVF-PQ with refine. Look for: the literal PQ codebooks and "
+        "coarse centroids inlined in ONE encode Project (greatest(...)"
+        "argmins over aggregate(zip_with(...)) folds — no Python "
+        "execution stages), BroadcastHashJoin on the cell bucket with "
+        "the probe/LUT frame as the broadcast side, the ADC zip_with "
+        "scoring in the post-join projection, and the exact re-rank "
+        "touching the full-vector corpus only under the shortlist "
+        "window filter."),
 }
 
 

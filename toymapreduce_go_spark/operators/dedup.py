@@ -843,6 +843,86 @@ def dup_span_coverage(documents: DataFrame, k: int = 20,
             .orderBy("source"))
 
 
+def mask_dup_spans(documents: DataFrame, k: int = 20,
+                   sample_mod: int | None = None) -> DataFrame:
+    """The removal pass ExactSubstr dedup exists for: rewrite each
+    document's text with every cross-document duplicated k-char span
+    CUT OUT (Lee et al. 2021 delete the duplicated characters and keep
+    the rest — dropping whole documents over one boilerplate line
+    throws away good text).
+
+    Plan: the ``dup_span_coverage`` machinery yields each doc's sorted
+    duplicated-span starts; two JVM-side ``aggregate`` folds finish the
+    job — (1) merge starts into disjoint [s, e) intervals (array-of-
+    struct accumulator, extend-or-append sweep), (2) splice the
+    complement substrings back together (state = (prev_end, text-so-
+    far), finish appends the tail). Both folds run over span-count-sized
+    arrays inside one projection: no Python, no extra shuffle beyond
+    the shared gram pipeline, and untouched/short documents pass
+    through verbatim via the left join. Not SQL-oracle-able (DuckDB's
+    list_reduce cannot carry a struct accumulator); the pytest contract
+    is exact agreement with an independent pure-Python reference on
+    planted corpora."""
+    gh = F.expr(
+        f"transform(sequence(1, length(text) - {k - 1}), "
+        f"i -> cast(conv(substring(md5(substring(text, i, {k})), 1, 15), "
+        f"16, 10) as bigint))")
+    g = (documents
+         .filter(F.length("text") >= k)
+         .select("doc_id", F.posexplode(gh).alias("pos", "h")))
+    if sample_mod is not None:
+        g = g.filter(F.col("h") % sample_mod == 0)
+    g = persist_shared(g)
+    dup_h = (g.select("doc_id", "h").distinct()
+             .groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+             .filter(F.col("nd") >= 2).select("h"))
+    starts = (g.join(dup_h, "h", "left_semi")
+              .groupBy("doc_id")
+              .agg(F.sort_array(F.collect_list("pos")).alias("ss")))
+
+    empty_ivs = F.expr("cast(array() as array<struct<s:bigint,e:bigint>>)")
+
+    def merge_iv(acc, s):
+        last = F.element_at(acc, -1)
+        overlaps = (F.size(acc) > 0) & (s <= last["e"])
+        extended = F.struct(last["s"].alias("s"),
+                            F.greatest(last["e"], s + k).alias("e"))
+        return F.when(
+            overlaps,
+            F.concat(F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
+                     F.array(extended))
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(s.alias("s"),
+                                           (s + k).alias("e")))))
+
+    with_text = starts.join(
+        documents.select("doc_id", F.col("text").alias("orig")), "doc_id")
+    merged = F.aggregate(F.col("ss"), empty_ivs, merge_iv)
+    # splice the complement: [0, s1) + [e1, s2) + ... + [e_last, n)
+    orig = F.col("orig")
+    spliced = F.aggregate(
+        merged,
+        F.struct(F.lit(0).cast("bigint").alias("pe"),
+                 F.lit("").alias("txt")),
+        lambda acc, iv: F.struct(
+            iv["e"].alias("pe"),
+            F.concat(acc["txt"],
+                     orig.substr(acc["pe"] + 1,
+                                 iv["s"] - acc["pe"])).alias("txt")),
+        lambda acc: F.concat(
+            acc["txt"],
+            orig.substr(acc["pe"] + 1, F.length(orig) - acc["pe"])))
+    rewritten = with_text.select(
+        "doc_id", spliced.alias("masked_text"))
+    return (documents.join(rewritten, "doc_id", "left")
+            .select("doc_id", "source",
+                    F.coalesce("masked_text", "text").alias("text"),
+                    F.length("text").alias("n_chars"),
+                    (F.length("text")
+                     - F.length(F.coalesce("masked_text", "text")))
+                    .alias("removed_chars")))
+
+
 # ---------------------------------------------------------------------------
 # 6. Benchmark decontamination
 

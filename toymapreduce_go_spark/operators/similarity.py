@@ -708,3 +708,45 @@ def ann_ivf_pq(embeddings: DataFrame, n_cells: int = 8,
             .select("probe_id", F.col("vec_id").alias("neighbor_id"),
                     "rank", F.round("cos", 4).alias("approx_cos"))
             .orderBy("probe_id", "rank"))
+
+
+def save_ivf_pq_model(spark, path: str, embeddings: DataFrame,
+                      n_cells: int = 8, m: int = PQ_M,
+                      ksub: int = PQ_KSUB,
+                      sample_size: int = IVF_SAMPLE_SIZE) -> None:
+    """Train the coarse quantizer AND the PQ codebooks once and persist
+    both as one tiny parquet model (kind, idx, sub, vec) — the
+    index-build-once/probe-many production pattern (``save_ivf_model``'s
+    sibling). Total size: n_cells·D + ksub·D doubles."""
+    sample_rows = (embeddings.orderBy("vec_id").limit(sample_size)
+                   .select("vec_id", "embedding").collect())
+    sample = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+              for r in sample_rows]
+    cents = train_ivf_centroids(sample, n_cells) if sample else []
+    books = _train_pq_codebooks([v for _, v in sample], m, ksub) \
+        if sample else []
+    rows = [("coarse", i, 0, c) for i, c in enumerate(cents)]
+    rows += [("pq", ci, j, c)
+             for j, book in enumerate(books)
+             for ci, c in enumerate(book)]
+    spark.createDataFrame(
+        rows, "kind string, idx long, sub long, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_pq_model(spark, path: str
+                      ) -> tuple[list[tuple[int, list[float]]],
+                                 list[list[list[float]]]]:
+    """(coarse centroids, PQ codebooks) back from ``save_ivf_pq_model``
+    output — reader twin used by tests and any probe-only job."""
+    rows = spark.read.parquet(path).collect()
+    cents = sorted((int(r["idx"]), [float(x) for x in r["vec"]])
+                   for r in rows if r["kind"] == "coarse")
+    pq_rows = [r for r in rows if r["kind"] == "pq"]
+    n_sub = 1 + max((int(r["sub"]) for r in pq_rows), default=-1)
+    books: list[list[list[float]]] = []
+    for j in range(n_sub):
+        sub = sorted((int(r["idx"]), [float(x) for x in r["vec"]])
+                     for r in pq_rows if int(r["sub"]) == j)
+        books.append([v for _, v in sub])
+    return cents, books
