@@ -84,3 +84,27 @@ def test_pipeline_output_through_registered_scheme(spark, tmp_path):
            for r in back.collect()}
     want = {r.doc_id: r.bin_id for r in cur_local.collect()}
     assert got == want and got
+
+
+def test_pipeline_span_masking_stage(spark):
+    """mask_spans=True inserts the ExactSubstr removal between dedup and
+    decontamination: funnel gains the 2b stage, curated text carries no
+    cross-doc duplicated span of the gram width, and disabling the flag
+    reproduces the original funnel exactly."""
+    from toymapreduce_go_spark.operators.dedup import dup_span_stats
+
+    cur_off, fun_off = build_training_corpus(spark, SF_DIR)
+    cur_on, fun_on = build_training_corpus(spark, SF_DIR, mask_spans=True)
+    stages_off = [r["stage"] for r in fun_off.collect()]
+    stages_on = {r["stage"]: r["n_docs"] for r in fun_on.collect()}
+    assert "2b_span_masked" not in stages_off
+    assert "2b_span_masked" in stages_on
+    # masking never ADDS docs, and the shared prefix stages agree
+    off = {r["stage"]: r["n_docs"] for r in fun_off.collect()}
+    for st in ("0_raw", "1_quality_gated", "2_deduped"):
+        assert off[st] == stages_on[st]
+    assert stages_on["2b_span_masked"] <= stages_on["2_deduped"]
+    # post-mask curated corpus has no cross-doc duplicated 20-gram left
+    masked_docs = cur_on.select("doc_id", "source", "text")
+    leftover = dup_span_stats(masked_docs, k=20).collect()
+    assert all(r["dup_grams"] == 0 for r in leftover), leftover

@@ -267,3 +267,29 @@ def test_compact_parquet_preserves_hive_partitioning(spark, tmp_path):
     with redirect_stdout(buf):
         back.filter("source = 'wiki'").explain(True)
     assert "PartitionFilters" in buf.getvalue()
+
+
+def test_dup_spans_survives_corpus_wide_boilerplate(spark):
+    """Skew posture: ONE boilerplate line shared by every document makes
+    the hottest possible gram keys. dup_spans must stay a count
+    aggregation (map-side combinable — never a pair join that would go
+    quadratic on the hot key) and return exact counts."""
+    import time
+
+    from toymapreduce_go_spark.operators.dedup import dup_span_stats
+
+    boiler = "all rights reserved contact the webmaster for details"
+    docs = spark.createDataFrame(
+        [(i, "w", f"document number {i} unique words here. {boiler}")
+         for i in range(500)],
+        "doc_id long, source string, text string")
+    t0 = time.time()
+    rows = dup_span_stats(docs, k=20).collect()
+    wall = time.time() - t0
+    r = rows[0]
+    assert r["n_docs"] == 500
+    assert r["docs_with_dup"] == 500
+    # every doc carries ~len(boiler)-19 duplicated grams from the line
+    assert r["dup_grams"] >= 500 * (len(boiler) - 19 - 2)
+    # a quadratic pair path would blow far past this at 500 docs
+    assert wall < 30, wall

@@ -914,13 +914,16 @@ def mask_dup_spans(documents: DataFrame, k: int = 20,
             orig.substr(acc["pe"] + 1, F.length(orig) - acc["pe"])))
     rewritten = with_text.select(
         "doc_id", spliced.alias("masked_text"))
+    # preserve every other column (lang, metadata, ...) so the pass
+    # drops into any pipeline stage; untouched docs keep text verbatim
     return (documents.join(rewritten, "doc_id", "left")
-            .select("doc_id", "source",
-                    F.coalesce("masked_text", "text").alias("text"),
-                    F.length("text").alias("n_chars"),
-                    (F.length("text")
-                     - F.length(F.coalesce("masked_text", "text")))
-                    .alias("removed_chars")))
+            .withColumn(
+                "removed_chars",
+                F.coalesce(F.length("text")
+                           - F.length(F.coalesce("masked_text", "text")),
+                           F.lit(0)))
+            .withColumn("text", F.coalesce("masked_text", "text"))
+            .drop("masked_text"))
 
 
 # ---------------------------------------------------------------------------

@@ -20,7 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.dedup import apply_near_dedup, contamination_shared_counts
+from .operators.dedup import (apply_near_dedup,
+                              contamination_shared_counts,
+                              mask_dup_spans)
 from .operators.packing import pack_sequences
 from .operators.textstats import (MIN_ALPHA_RATIO, MIN_CHARS,
                                   pii_redact_text, repetition_features,
@@ -32,7 +34,8 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
                           out_path: str | None = None,
                           max_tokens: int = 256,
                           min_shared_contamination: int = 3,
-                          docs: DataFrame | None = None
+                          docs: DataFrame | None = None,
+                          mask_spans: bool = False
                           ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation funnel over ``sf_dir``'s documents table
     (or an explicit ``docs`` frame — the hook fault-injection and
@@ -79,6 +82,18 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
     # cluster pass subsumes the exact pass — one survivor per component
     deduped = apply_near_dedup(gated).persist()
     stages.append(("2_deduped", deduped.count()))
+
+    # 3b (optional). ExactSubstr span removal: cut cross-document
+    # duplicated spans out of the SURVIVORS' text (whole-doc dedup
+    # already removed near-identical docs; this removes the boilerplate
+    # shared between docs that are otherwise distinct), then re-apply
+    # the length gate — a doc that was mostly boilerplate may no longer
+    # carry enough text to train on.
+    if mask_spans:
+        deduped = (mask_dup_spans(deduped)
+                   .filter(F.length("text") >= MIN_CHARS)
+                   .drop("removed_chars").persist())
+        stages.append(("2b_span_masked", deduped.count()))
 
     # 4. decontamination vs the eval slice
     contaminated = (contamination_shared_counts(deduped)
