@@ -85,6 +85,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--max-failures", type=int, default=4,
                    help="task retry budget (coordinator reschedule "
                         "analog; >1 required for the crash app)")
+    p.add_argument("--mask-spans", action="store_true",
+                   help="with --corpus-build: also cut cross-document "
+                        "duplicated spans out of survivor text "
+                        "(ExactSubstr removal stage)")
     args = p.parse_args(argv)
 
     if args.corpus_build:
@@ -93,7 +97,8 @@ def main(argv: list[str] | None = None) -> None:
         spark = build_session("corpus-build")
         spark.sparkContext.setLogLevel("ERROR")
         _, funnel = build_training_corpus(spark, args.corpus_build,
-                                          out_path=args.out)
+                                          out_path=args.out,
+                                          mask_spans=args.mask_spans)
         for r in funnel.collect():
             print(f"{r['stage']} {r['n_docs']}")
         return

@@ -54,11 +54,12 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
-def text_quality(documents: DataFrame) -> DataFrame:
-    """Per-doc quality features + a composite score, aggregated per source:
-    length, alpha ratio, punctuation ratio, stopword ratio, mean word
-    length. The score is a fixed linear blend — the exact weights matter
-    less than determinism (a real pipeline tunes them)."""
+def quality_doc_features(documents: DataFrame) -> DataFrame:
+    """Per-doc scan-side quality features — the shared base of the
+    ``text_quality`` rollup and the distilled quality classifier
+    (``operators.quality_model``): length, alpha ratio, punctuation
+    ratio, stopword ratio, mean word length. All pure column
+    expressions (whole-stage codegen, no shuffle)."""
     t = F.col("text")
     n_chars = F.length(t).cast("double")
     alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
@@ -68,14 +69,22 @@ def text_quality(documents: DataFrame) -> DataFrame:
         tokens("text"),
         lambda x: F.lower(x).isin("the", "a", "and", "of", "to", "in"),
     )).cast("double")
-    feats = documents.select(
+    return documents.select(
         "doc_id", "source",
         n_chars.alias("n_chars_d"),
         F.round(alpha / F.greatest(n_chars, F.lit(1.0)), 4).alias("alpha_ratio"),
         F.round(punct / F.greatest(n_chars, F.lit(1.0)), 4).alias("punct_ratio"),
         F.round(stop / F.greatest(n_tok, F.lit(1.0)), 4).alias("stopword_ratio"),
         F.round(alpha / F.greatest(n_tok, F.lit(1.0)), 4).alias("mean_word_len"),
-    ).withColumn(
+    )
+
+
+def text_quality(documents: DataFrame) -> DataFrame:
+    """Per-doc quality features + a composite score, aggregated per source:
+    length, alpha ratio, punctuation ratio, stopword ratio, mean word
+    length. The score is a fixed linear blend — the exact weights matter
+    less than determinism (a real pipeline tunes them)."""
+    feats = quality_doc_features(documents).withColumn(
         "quality",
         F.round(
             F.least(F.col("n_chars_d") / 400.0, F.lit(1.0)) * 0.4

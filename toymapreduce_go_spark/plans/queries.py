@@ -20,8 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..mr.api import run_map_reduce, wc_map, wc_reduce
-from ..operators import (dedup, events, joins, packing, relational,
-                         similarity, text_mr, textstats)
+from ..operators import (dedup, events, joins, packing, quality_model,
+                         relational, similarity, text_mr, textstats)
 from ..sources.registry import load_table
 
 
@@ -208,6 +208,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_spans": _q(dedup.dup_span_stats),
     "dup_span_coverage": _q(dedup.dup_span_coverage),
     "source_mix": _q(textstats.source_mix_weights),
+    "quality_distill": _q(quality_model.quality_model_report),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
     "multimodal_pipeline": _multimodal_pipeline,
@@ -256,7 +257,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "near_dup_clusters", "hashed_tf", "events_gapfill",
                "audio_stats", "video_stats", "weighted_sample",
                "dup_spans", "dup_span_coverage", "source_mix",
-               "ann_ivf_pq")
+               "ann_ivf_pq", "quality_distill")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -267,9 +268,12 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
 # recomputation in tests/test_audio_video.py.)
 # (ann_ivf_pq is a LOSSY code — exact SQL parity is meaningless; its
 # contract is the recall floor vs bruteforce + deterministic encoding,
-# tests/test_property.py / RECALL.md.)
+# tests/test_property.py / RECALL.md. quality_distill trains a
+# pyspark.ml model — distributed histogram aggregation is not
+# bit-deterministic; its contract is the agreement floor + exact rate
+# matching, tests/test_quality_model.py.)
 PYTEST_INVARIANT_ONLY = ("sequence_packing", "audio_stats", "video_stats",
-                         "ann_ivf_pq")
+                         "ann_ivf_pq", "quality_distill")
 
 # DECLARED is pinned against tests/declared_surface.txt
 # (test_oracle_parity.py::test_declared_surface_frozen): displacing a
