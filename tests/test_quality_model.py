@@ -81,3 +81,19 @@ def test_degenerate_corpora_do_not_crash(spark):
     assert scored.agg(F.min("quality_score")).collect()[0][0] == 1.0
     rep = quality_model_report(allfail)
     assert rep.collect()[0]["n_pass_teacher"] == 0
+
+
+def test_quality_model_save_load_roundtrip(spark, tmp_path):
+    """A reloaded student must score every document identically to the
+    in-session model (train-once / score-many)."""
+    from toymapreduce_go_spark.operators.quality_model import (
+        load_quality_model, save_quality_model)
+
+    docs = _load(spark)
+    model = train_quality_model(docs)
+    path = f"file://{tmp_path}/quality_model"
+    save_quality_model(model, path)
+    back = load_quality_model(spark, path)
+    want = sorted(tuple(r) for r in score_quality(docs, model).collect())
+    got = sorted(tuple(r) for r in score_quality(docs, back).collect())
+    assert got == want

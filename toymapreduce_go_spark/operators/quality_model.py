@@ -167,3 +167,18 @@ def quality_model_report(documents: DataFrame,
                  F.round(F.avg((F.col("pred") == F.col("label"))
                                .cast("double")), 4).alias("agreement"))
             .orderBy("source"))
+
+
+def save_quality_model(model, path: str) -> None:
+    """Persist the fitted student (train once on a labeled slice, score
+    many corpora — the same production pattern as ``save_ivf_model``).
+    Uses pyspark.ml's native MLWriter: the artifact is a few KB of tree/
+    coefficient parquet any Spark job can load."""
+    model.write().overwrite().save(path)
+
+
+def load_quality_model(spark, path: str):
+    """Reader twin of ``save_quality_model``."""
+    from pyspark.ml import PipelineModel
+
+    return PipelineModel.load(path)
