@@ -190,3 +190,26 @@ def test_source_mix_weights_math(spark):
     # natural-share sanity: boost == weight / (n/total)
     assert abs(rows["small"]["boost"]
                - rows["small"]["weight"] / 0.1) < 0.01
+
+
+def test_lm_surprisal_ranks_gibberish_above_typical_text(spark):
+    """CCNet-style sanity: a doc made of corpus-rare tokens must score
+    a higher mean NLL than docs built from the corpus's common tokens,
+    and repeating a common phrase lowers surprisal."""
+    from toymapreduce_go_spark.operators.textstats import (lm_quality,
+                                                           unigram_doc_nll)
+
+    common = "the cat sat on the mat and the dog sat too"
+    docs = spark.createDataFrame(
+        [(1, "a", common), (2, "a", common), (3, "a", common),
+         (4, "a", "the cat and the dog sat on the mat"),
+         (5, "b", "qzxv jkwp vbnm xyzzy plugh qwerty zxcvb")],
+        "doc_id long, source string, text string")
+    nll = {r["doc_id"]: r["nll"]
+           for r in unigram_doc_nll(docs).collect()}
+    assert nll[5] > nll[4] > 0
+    assert nll[5] > nll[1]
+    rollup = {r["source"]: r for r in lm_quality(docs).collect()}
+    assert rollup["b"]["avg_nll"] > rollup["a"]["avg_nll"]
+    assert rollup["a"]["n_docs"] == 4 and rollup["b"]["n_docs"] == 1
+    assert rollup["a"]["min_nll"] <= rollup["a"]["max_nll"]

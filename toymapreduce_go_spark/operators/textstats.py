@@ -597,3 +597,65 @@ def source_mix_weights(documents: DataFrame,
                         / (F.col("n_docs") / F.col("tot_n").cast("double")),
                         4).alias("boost"))
             .orderBy("source"))
+
+
+def unigram_doc_nll(documents: DataFrame,
+                    smoothing: float = 0.5) -> DataFrame:
+    """Per-document language-model surprisal — the CCNet-recipe quality
+    signal (Wenzek et al. 2020 rank crawl documents by the perplexity of
+    a corpus LM; unusually-surprising docs are gibberish/boilerplate,
+    unusually-predictable ones are templates): train a unigram model on
+    the corpus itself (add-k smoothed, k=``smoothing``), then score each
+    doc by its mean negative log-likelihood per token.
+
+    Plan: one explode + token-count agg trains the model (the model IS
+    a token-count table — at 100 TB a few million rows, broadcastable
+    or bucket-joined); scoring is the same exploded frame joined back
+    to the counts and re-aggregated per doc — two shuffles total,
+    both keyed and combinable, no Python. Emits ``(doc_id, source,
+    n_tok, nll)`` for docs with >= 1 token."""
+    toks = F.filter(
+        F.transform(tokens("text"), lambda t: F.lower(t)),
+        lambda t: F.length(t) > 0)
+    words = (documents.select("doc_id", "source", toks.alias("toks"))
+             .filter(F.size("toks") >= 1)
+             .select("doc_id", "source", F.explode("toks").alias("w")))
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_total"),
+        F.count(F.lit(1)).alias("vocab"))
+    # p(w) = (c + k) / (N + k·(V + 1)); the +1 reserves OOV mass so the
+    # same model can score held-out text. The count table IS the model —
+    # vocab-sized (Heaps' law: ~millions of rows even at 100 TB corpora,
+    # tens of MB), so it BROADCASTS and the corpus-sized word frame is
+    # never shuffled a second time for the scoring join.
+    scored = (words.join(F.broadcast(counts), "w")
+              .crossJoin(F.broadcast(totals))
+              .withColumn(
+                  "nll_tok",
+                  -F.log((F.col("c") + F.lit(smoothing))
+                         / (F.col("n_total")
+                            + F.lit(smoothing) * (F.col("vocab") + 1)))))
+    return (scored.groupBy("doc_id", "source")
+            .agg(F.count(F.lit(1)).alias("n_tok"),
+                 F.round(F.avg("nll_tok"), 4).alias("nll")))
+
+
+def lm_quality(documents: DataFrame,
+               smoothing: float = 0.5) -> DataFrame:
+    """Per-source LM-surprisal rollup over ``unigram_doc_nll``: doc
+    counts, mean/extreme per-doc NLL — the report that locates sources
+    whose text distribution diverges from the corpus (the CCNet
+    head/middle/tail split is a threshold on exactly this number)."""
+    per_doc = unigram_doc_nll(documents, smoothing)
+    # integer-scaled averaging (see curation_pipeline): the 4-decimal
+    # per-doc NLLs sum exactly as bigints, immune to summation order
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.sum(F.round(F.col("nll") * 10000)
+                               .cast("long"))
+                         / (F.count(F.lit(1)) * 10000.0), 4)
+                  .alias("avg_nll"),
+                 F.round(F.min("nll"), 4).alias("min_nll"),
+                 F.round(F.max("nll"), 4).alias("max_nll"))
+            .orderBy("source"))

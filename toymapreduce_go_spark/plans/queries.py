@@ -209,6 +209,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_coverage": _q(dedup.dup_span_coverage),
     "source_mix": _q(textstats.source_mix_weights),
     "quality_distill": _q(quality_model.quality_model_report),
+    "lm_quality": _q(textstats.lm_quality),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
     "multimodal_pipeline": _multimodal_pipeline,
@@ -257,7 +258,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "near_dup_clusters", "hashed_tf", "events_gapfill",
                "audio_stats", "video_stats", "weighted_sample",
                "dup_spans", "dup_span_coverage", "source_mix",
-               "ann_ivf_pq", "quality_distill")
+               "ann_ivf_pq", "quality_distill", "lm_quality")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1516,6 +1517,36 @@ ORACLES: dict[str, str] = {
                round(COALESCE(d.dup_chars, 0) / t.total_chars::DOUBLE, 4)
                    AS dup_char_frac
         FROM tot t LEFT JOIN d USING (source) ORDER BY t.source
+    """,
+    # Corpus-trained unigram LM surprisal (CCNet-style). ln() is not
+    # guaranteed correctly-rounded across libms, but per-value ulp
+    # differences (~1e-16) sit measure-zero-close to the 4-decimal
+    # rounding boundaries; the per-source average uses the scaled-
+    # integer pattern so summation order cannot move it.
+    "lm_quality": """
+        WITH words AS (
+            SELECT doc_id, source, lower(w) AS w FROM (
+                SELECT doc_id, source,
+                       unnest(list_filter(
+                           string_split_regex(text, '[^a-zA-Z]+'),
+                           t -> length(t) > 0)) AS w
+                FROM documents)),
+        counts AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+        tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM counts),
+        scored AS (
+            SELECT doc_id, source,
+                   -ln((c + 0.5) / (n_total + 0.5 * (vocab + 1)))
+                       AS nll_tok
+            FROM words JOIN counts USING (w), tot),
+        per_doc AS (
+            SELECT doc_id, source, round(avg(nll_tok), 4) AS nll
+            FROM scored GROUP BY doc_id, source)
+        SELECT source, count(*) AS n_docs,
+               round(sum(CAST(round(nll * 10000) AS BIGINT))
+                     / (count(*) * 10000.0), 4) AS avg_nll,
+               round(min(nll), 4) AS min_nll,
+               round(max(nll), 4) AS max_nll
+        FROM per_doc GROUP BY source ORDER BY source
     """,
     # Temperature mixing at alpha = 0.5: sqrt is IEEE-exact in both
     # engines (pow is not, across libms), and the 4-decimal scaled
