@@ -31,6 +31,10 @@ APPROX = {
         lambda emb: similarity.ann_ivf(emb, k=K),
     "ann_ivf_trained (Lloyd's x3, 8 cells, probe 2)":
         lambda emb: similarity.ann_ivf_trained(emb, k=K),
+    "ann_ivf_pq (m=8 ksub=16, pure ADC)":
+        lambda emb: similarity.ann_ivf_pq(emb, k=K, refine=0),
+    "ann_ivf_pq (m=8 ksub=16, refine 32k exact)":
+        lambda emb: similarity.ann_ivf_pq(emb, k=K),
 }
 
 

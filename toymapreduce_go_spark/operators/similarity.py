@@ -600,7 +600,7 @@ def ann_ivf_pq(embeddings: DataFrame, n_cells: int = 8,
                k: int = DEFAULT_K, m: int = PQ_M,
                ksub: int = PQ_KSUB,
                sample_size: int = IVF_SAMPLE_SIZE,
-               refine: int = 8) -> DataFrame:
+               refine: int = 32) -> DataFrame:
     """IVF-PQ ANN (Jégou et al. 2011, "Product Quantization for Nearest
     Neighbor Search" — the memory-bound scale tier FAISS's IVFPQ index
     implements): the IVF coarse quantizer routes probes to cells, and
