@@ -309,3 +309,44 @@ def test_stream_static_enrichment_join_matches_batch(spark):
     assert got.count() == want.count()
     assert sorted((r["doc_id"], r["n_lang_docs"]) for r in got.collect()) \
         == sorted((r["doc_id"], r["n_lang_docs"]) for r in want.collect())
+
+
+def test_quality_monitor_batches_and_replay(spark, tmp_path):
+    """Streaming curation telemetry: one row per arrival batch whose
+    totals equal the batch recomputation, idempotent under replay, and
+    drift is visible (a poisoned batch shows a lower pass rate)."""
+    import pyspark.sql.functions as F
+
+    from toymapreduce_go_spark.operators.quality_model import gate_labels
+    from toymapreduce_go_spark.streaming.events_stream import (
+        read_documents_stream)
+    from toymapreduce_go_spark.streaming.quality_stream import (
+        quality_batch_step, read_telemetry, run_quality_monitor)
+
+    state = str(tmp_path / "qmon")
+    stream = read_documents_stream(spark, SF_DIR, n_splits=3)
+    run_quality_monitor(stream, state, spark)
+    tel = read_telemetry(spark, state)
+    rows = {r["batch_id"]: r for r in tel.collect()}
+    assert len(rows) >= 2  # multi-batch arrival really happened
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    total_pass = (gate_labels(docs).agg(F.sum("label")).collect()[0][0])
+    assert sum(r["n_pass"] for r in rows.values()) == int(total_pass)
+    assert sum(r["n_docs"] for r in rows.values()) == docs.count()
+    # replay: re-running with no new input changes nothing
+    run_quality_monitor(read_documents_stream(spark, SF_DIR, n_splits=3),
+                        state, spark)
+    again = {r["batch_id"]: tuple(r) for r in
+             read_telemetry(spark, state).collect()}
+    assert again == {r["batch_id"]: tuple(r) for r in rows.values()}
+    # drift visibility: a poisoned batch (all-gibberish short docs)
+    # reports a pass rate below every healthy batch's
+    bad = spark.createDataFrame(
+        [(10_000 + i, "spam", "zz!!") for i in range(50)],
+        "doc_id long, source string, text string")
+    quality_batch_step(spark, bad, 99, state)
+    tel2 = {r["batch_id"]: r for r in
+            read_telemetry(spark, state).collect()}
+    assert tel2[99]["pass_rate"] == 0.0
+    assert all(tel2[99]["pass_rate"] <= r["pass_rate"]
+               for b, r in tel2.items() if b != 99)
