@@ -213,3 +213,29 @@ def test_lm_surprisal_ranks_gibberish_above_typical_text(spark):
     assert rollup["b"]["avg_nll"] > rollup["a"]["avg_nll"]
     assert rollup["a"]["n_docs"] == 4 and rollup["b"]["n_docs"] == 1
     assert rollup["a"]["min_nll"] <= rollup["a"]["max_nll"]
+
+
+def test_epoch_sample_applies_temperature_quotas(spark):
+    """The materialized epoch must honor the mix: the small source is
+    sampled at a HIGHER fraction than the large one (alpha<1 upweights
+    it), quotas cap at source size, and the sample is deterministic."""
+    from toymapreduce_go_spark.operators.textstats import epoch_sample_stats
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small", "t") for i in range(100)],
+        "doc_id long, source string, text string")
+    rows = {r["source"]: r for r in epoch_sample_stats(docs).collect()}
+    assert rows["big"]["n_sampled"] == rows["big"]["quota"]
+    assert rows["small"]["n_sampled"] == rows["small"]["quota"]
+    frac_big = rows["big"]["n_sampled"] / rows["big"]["n_docs"]
+    frac_small = rows["small"]["n_sampled"] / rows["small"]["n_docs"]
+    assert frac_small > frac_big
+    # the small source's quota saturates at its full size (the boost
+    # can't sample more docs than exist), so the total lands somewhat
+    # UNDER epoch_frac x corpus — that shortfall is correct behavior
+    assert rows["small"]["n_sampled"] == rows["small"]["n_docs"] == 10
+    total = rows["big"]["n_sampled"] + rows["small"]["n_sampled"]
+    assert 44 <= total <= 52
+    again = {r["source"]: r["sampled_id_sum"]
+             for r in epoch_sample_stats(docs).collect()}
+    assert again == {s: r["sampled_id_sum"] for s, r in rows.items()}

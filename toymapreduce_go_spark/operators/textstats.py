@@ -659,3 +659,52 @@ def lm_quality(documents: DataFrame,
                  F.round(F.min("nll"), 4).alias("min_nll"),
                  F.round(F.max("nll"), 4).alias("max_nll"))
             .orderBy("source"))
+
+
+def epoch_sample_stats(documents: DataFrame, epoch_frac: float = 0.5
+                       ) -> DataFrame:
+    """Materialize the temperature mix (``source_mix_weights``) into an
+    actual training epoch: each source's quota is its mix weight's
+    share of ``epoch_frac × corpus``, capped at the source's size, and
+    the quota is filled DETERMINISTICALLY by md5(doc_id) order (the
+    ``stratified_sample`` convention — a seedless permutation both
+    engines compute identically). Emits per-source counts plus the
+    sampled-id checksum so the oracle verifies the SAME sample, not
+    just the same size.
+
+    Plan: one count agg (model-sized) broadcast back onto one
+    per-source ranking window — the same shuffle budget as
+    stratified sampling; quotas are exact-integer arithmetic on the
+    scaled sqrt weights so both engines round identically."""
+    from pyspark.sql.window import Window
+
+    counts = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    scaled = counts.withColumn(
+        "w_scaled",
+        F.round(F.sqrt(F.col("n_docs").cast("double")) * 10000)
+         .cast("long"))
+    tot = scaled.agg(F.sum("w_scaled").alias("tot_w"),
+                     F.sum("n_docs").alias("tot_n"))
+    quota = (scaled.crossJoin(F.broadcast(tot))
+             .select("source", "n_docs",
+                     F.least(
+                         F.col("n_docs"),
+                         F.round(F.col("tot_n") * F.lit(epoch_frac)
+                                 * F.col("w_scaled")
+                                 / F.col("tot_w").cast("double"))
+                         .cast("long")).alias("quota")))
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    ranked = (documents.select("doc_id", "source")
+              .withColumn("rn", F.row_number().over(w))
+              .join(F.broadcast(quota), "source"))
+    return (ranked.withColumn(
+                "in_epoch", (F.col("rn") <= F.col("quota")).cast("int"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("quota").alias("quota"),
+                 F.sum("in_epoch").alias("n_sampled"),
+                 F.sum(F.when(F.col("in_epoch") == 1, F.col("doc_id")))
+                  .alias("sampled_id_sum"))
+            .orderBy("source"))

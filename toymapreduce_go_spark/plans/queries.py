@@ -210,6 +210,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_mix": _q(textstats.source_mix_weights),
     "quality_distill": _q(quality_model.quality_model_report),
     "lm_quality": _q(textstats.lm_quality),
+    "epoch_sample": _q(textstats.epoch_sample_stats),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
     "multimodal_pipeline": _multimodal_pipeline,
@@ -258,7 +259,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "near_dup_clusters", "hashed_tf", "events_gapfill",
                "audio_stats", "video_stats", "weighted_sample",
                "dup_spans", "dup_span_coverage", "source_mix",
-               "ann_ivf_pq", "quality_distill", "lm_quality")
+               "ann_ivf_pq", "quality_distill", "lm_quality",
+               "epoch_sample")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1547,6 +1549,36 @@ ORACLES: dict[str, str] = {
                round(min(nll), 4) AS min_nll,
                round(max(nll), 4) AS max_nll
         FROM per_doc GROUP BY source ORDER BY source
+    """,
+    # Materialized training epoch from the temperature mix: quotas are
+    # exact integer/sqrt arithmetic (see source_mix), selection is the
+    # md5(doc_id)-order permutation (see stratified_sample) — the
+    # checksum verifies the SAME documents were chosen.
+    "epoch_sample": """
+        WITH c AS (SELECT source, count(*) AS n_docs
+                   FROM documents GROUP BY source),
+        s AS (SELECT source, n_docs,
+                     CAST(round(sqrt(n_docs) * 10000) AS BIGINT) AS w_scaled
+              FROM c),
+        t AS (SELECT sum(w_scaled) AS tot_w, sum(n_docs) AS tot_n FROM s),
+        q AS (SELECT source, n_docs,
+                     least(n_docs,
+                           CAST(round(tot_n * 0.5 * w_scaled
+                                      / tot_w::DOUBLE) AS BIGINT)) AS quota
+              FROM s, t),
+        ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                               doc_id) AS rn
+            FROM documents)
+        SELECT r.source, count(*) AS n_docs, min(q.quota) AS quota,
+               CAST(sum(CASE WHEN r.rn <= q.quota THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_sampled,
+               CAST(sum(CASE WHEN r.rn <= q.quota THEN r.doc_id END)
+                   AS BIGINT) AS sampled_id_sum
+        FROM ranked r JOIN q ON r.source = q.source
+        GROUP BY r.source ORDER BY r.source
     """,
     # Temperature mixing at alpha = 0.5: sqrt is IEEE-exact in both
     # engines (pow is not, across libms), and the 4-decimal scaled
