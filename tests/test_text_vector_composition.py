@@ -30,3 +30,27 @@ def test_hashed_tf_feeds_knn(spark):
     assert top[1][0] == 2 and top[2][0] == 1
     assert top[1][1] > 0.8
     assert top[3][0] == 4 and top[4][0] == 3
+
+
+def test_hashed_tf_feeds_ivf_pq(spark):
+    """The PQ tier composes with text vectors the same way: planted
+    near-duplicate texts must surface as each other's top neighbor
+    through the full encode -> ADC -> refine chain. The hashed_tf dim
+    (64 by default) divides PQ_M, so the subspace split just works."""
+    from toymapreduce_go_spark.operators.similarity import ann_ivf_pq
+    from toymapreduce_go_spark.operators.textstats import \
+        hashed_tf_embeddings
+
+    base = "the quick brown fox jumps over the lazy"
+    rows = [(1, f"{base} dog"), (2, f"{base} cat")]
+    rows += [(i, f"filler document number {i} with distinct words "
+                 f"alpha{i} beta{i} gamma{i}") for i in range(3, 20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = (hashed_tf_embeddings(docs)
+            .select(F.col("doc_id").alias("vec_id"),
+                    F.col("vec").cast("array<float>").alias("embedding")))
+    out = ann_ivf_pq(vecs, n_probes=2, k=1, n_cells=2)
+    top = {r["probe_id"]: (r["neighbor_id"], r["approx_cos"])
+           for r in out.collect()}
+    assert top[1][0] == 2 and top[2][0] == 1
+    assert top[1][1] > 0.8

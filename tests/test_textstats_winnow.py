@@ -239,3 +239,22 @@ def test_epoch_sample_applies_temperature_quotas(spark):
     again = {r["source"]: r["sampled_id_sum"]
              for r in epoch_sample_stats(docs).collect()}
     assert again == {s: r["sampled_id_sum"] for s, r in rows.items()}
+
+
+def test_bigram_lm_detects_scrambled_word_order(spark):
+    """The whole point of the bigram tier: a doc with the SAME words in
+    scrambled order must score higher bigram NLL than the naturally-
+    ordered docs it was scrambled from, while the unigram model — bag
+    of words — scores them (near-)identically."""
+    from toymapreduce_go_spark.operators.textstats import (bigram_doc_nll,
+                                                           unigram_doc_nll)
+
+    nat = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(1, "a", nat), (2, "a", nat), (3, "a", nat), (4, "a", nat),
+         (5, "a", "dog the lazy over jumps fox brown quick the")],
+        "doc_id long, source string, text string")
+    bi = {r["doc_id"]: r["nll"] for r in bigram_doc_nll(docs).collect()}
+    uni = {r["doc_id"]: r["nll"] for r in unigram_doc_nll(docs).collect()}
+    assert bi[5] > bi[1] + 0.5, (bi[5], bi[1])   # sequence anomaly seen
+    assert abs(uni[5] - uni[1]) < 1e-9           # bag-of-words blind

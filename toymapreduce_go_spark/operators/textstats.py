@@ -708,3 +708,88 @@ def epoch_sample_stats(documents: DataFrame, epoch_frac: float = 0.5
                  F.sum(F.when(F.col("in_epoch") == 1, F.col("doc_id")))
                   .alias("sampled_id_sum"))
             .orderBy("source"))
+
+
+def bigram_doc_nll(documents: DataFrame, lam: float = 0.7,
+                   smoothing: float = 0.5, min_count: int = 1,
+                   broadcast_bigrams: bool = False) -> DataFrame:
+    """Interpolated-bigram surprisal — the step up from
+    ``unigram_doc_nll`` toward the KenLM-class models CCNet actually
+    uses: per bigram position, p = λ·p(w2|w1) + (1−λ)·p(w2), both add-k
+    smoothed on the corpus itself. Catches word-SEQUENCE anomalies
+    (scrambled text, keyword stuffing) that any bag-of-words score is
+    blind to.
+
+    Scale: unlike the unigram model, the FULL bigram count table is
+    corpus-shaped (distinct bigrams grow with token count), so the
+    exact tier's scoring join shuffles on the (w1, w2) key — the one
+    extra shuffle this tier costs, linear in corpus tokens by design.
+    The production knob is the standard count-pruned model:
+    ``min_count > 1`` keeps only bigrams seen at least that often
+    (Zipf: the kept table collapses to the frequent head) and unseen
+    bigrams fall back to the smoothing floor k/(C(w1)+k(V+1)) — the
+    same formula with c12 = 0, so ``min_count=1`` is EXACTLY the
+    unpruned model. With pruning the table is small enough to
+    ``broadcast_bigrams=True`` and the corpus is never shuffled for
+    scoring at all (measured in SCALE.md). The unigram table always
+    broadcasts. Emits ``(doc_id, source, n_bigrams, nll)`` for docs
+    with >= 2 tokens."""
+    toks = F.filter(
+        F.transform(tokens("text"), lambda t: F.lower(t)),
+        lambda t: F.length(t) > 0)
+    base = (documents.select("doc_id", "source", toks.alias("toks"))
+            .filter(F.size("toks") >= 2))
+    bi = (base.select(
+        "doc_id", "source",
+        F.explode(F.expr(
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> struct(element_at(toks, i) as w1, "
+            "element_at(toks, i + 1) as w2))")).alias("b"))
+        .select("doc_id", "source", F.col("b.w1").alias("w1"),
+                F.col("b.w2").alias("w2")))
+    words = (base.select(F.explode("toks").alias("w")))
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = uni.agg(F.sum("c").alias("n_total"),
+                     F.count(F.lit(1)).alias("vocab"))
+    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    if min_count > 1:
+        bic = bic.filter(F.col("c12") >= min_count)
+    if broadcast_bigrams:
+        bic = F.broadcast(bic)
+    k = float(smoothing)
+    denom_v = F.col("vocab") + 1
+    scored = (bi.join(bic, ["w1", "w2"], "left")
+              .withColumn("c12", F.coalesce("c12", F.lit(0)))
+              .join(F.broadcast(uni.select(F.col("w").alias("w1"),
+                                           F.col("c").alias("c1"))), "w1")
+              .join(F.broadcast(uni.select(F.col("w").alias("w2"),
+                                           F.col("c").alias("c2"))), "w2")
+              .crossJoin(F.broadcast(totals))
+              .withColumn(
+                  "nll_tok",
+                  -F.log(
+                      F.lit(lam) * (F.col("c12") + F.lit(k))
+                      / (F.col("c1") + F.lit(k) * denom_v)
+                      + F.lit(1.0 - lam) * (F.col("c2") + F.lit(k))
+                      / (F.col("n_total") + F.lit(k) * denom_v))))
+    return (scored.groupBy("doc_id", "source")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg("nll_tok"), 4).alias("nll")))
+
+
+def lm_bigram_quality(documents: DataFrame, lam: float = 0.7,
+                      smoothing: float = 0.5, min_count: int = 1,
+                      broadcast_bigrams: bool = False) -> DataFrame:
+    """Per-source rollup of ``bigram_doc_nll`` (scaled-integer
+    averaging, same contract as ``lm_quality``)."""
+    per_doc = bigram_doc_nll(documents, lam, smoothing, min_count,
+                             broadcast_bigrams)
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.sum(F.round(F.col("nll") * 10000)
+                               .cast("long"))
+                         / (F.count(F.lit(1)) * 10000.0), 4)
+                  .alias("avg_nll"),
+                 F.round(F.min("nll"), 4).alias("min_nll"),
+                 F.round(F.max("nll"), 4).alias("max_nll"))
+            .orderBy("source"))

@@ -210,6 +210,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_mix": _q(textstats.source_mix_weights),
     "quality_distill": _q(quality_model.quality_model_report),
     "lm_quality": _q(textstats.lm_quality),
+    "lm_bigram_quality": _q(textstats.lm_bigram_quality),
     "epoch_sample": _q(textstats.epoch_sample_stats),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
@@ -260,7 +261,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "audio_stats", "video_stats", "weighted_sample",
                "dup_spans", "dup_span_coverage", "source_mix",
                "ann_ivf_pq", "quality_distill", "lm_quality",
-               "epoch_sample")
+               "lm_bigram_quality", "epoch_sample")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1540,6 +1541,45 @@ ORACLES: dict[str, str] = {
                    -ln((c + 0.5) / (n_total + 0.5 * (vocab + 1)))
                        AS nll_tok
             FROM words JOIN counts USING (w), tot),
+        per_doc AS (
+            SELECT doc_id, source, round(avg(nll_tok), 4) AS nll
+            FROM scored GROUP BY doc_id, source)
+        SELECT source, count(*) AS n_docs,
+               round(sum(CAST(round(nll * 10000) AS BIGINT))
+                     / (count(*) * 10000.0), 4) AS avg_nll,
+               round(min(nll), 4) AS min_nll,
+               round(max(nll), 4) AS max_nll
+        FROM per_doc GROUP BY source ORDER BY source
+    """,
+    # Interpolated-bigram surprisal (same rounding contract as
+    # lm_quality; DuckDB's list_zip pairs adjacent tokens).
+    "lm_bigram_quality": """
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_transform(list_filter(
+                       string_split_regex(text, '[^a-zA-Z]+'),
+                       t -> length(t) > 0), t -> lower(t)) AS tk
+            FROM documents),
+        base AS (SELECT * FROM toks WHERE len(tk) >= 2),
+        bi AS (
+            SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM (
+                SELECT doc_id, source,
+                       unnest(list_transform(range(1, len(tk)),
+                           i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS b
+                FROM base)),
+        words AS (SELECT unnest(tk) AS w FROM base),
+        uni AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+        tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM uni),
+        bic AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+        scored AS (
+            SELECT bi.doc_id, bi.source,
+                   -ln(0.7 * (c12 + 0.5) / (u1.c + 0.5 * (vocab + 1))
+                       + 0.3 * (u2.c + 0.5)
+                         / (n_total + 0.5 * (vocab + 1))) AS nll_tok
+            FROM bi
+            JOIN bic ON bi.w1 = bic.w1 AND bi.w2 = bic.w2
+            JOIN uni u1 ON bi.w1 = u1.w
+            JOIN uni u2 ON bi.w2 = u2.w, tot),
         per_doc AS (
             SELECT doc_id, source, round(avg(nll_tok), 4) AS nll
             FROM scored GROUP BY doc_id, source)
