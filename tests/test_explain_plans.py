@@ -307,3 +307,16 @@ def test_ann_ivf_pq_encode_is_projection_and_probe_broadcast(spark):
                    "FlatMapGroupsInPandas"):
         assert marker not in plan, marker
     assert "BroadcastHashJoin" in plan
+
+
+def test_lm_quality_scoring_join_broadcasts_model(spark):
+    """lm_quality's claim: the vocab-count model broadcasts, so the
+    corpus is shuffled ONCE (the training agg) — the scoring join must
+    be a BroadcastHashJoin, never a SortMergeJoin on the token key."""
+    from toymapreduce_go_spark.operators.textstats import lm_quality
+
+    plan = plan_of(lm_quality(load_table(spark, SF_DIR, "documents")))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "text" in read_schema and "lang" not in read_schema

@@ -83,6 +83,11 @@ SHOWCASE: dict[str, str] = {
         "HashAggregate on the gram hash (count is map-side combinable), "
         "and the left-semi flag join reusing the persisted pair frame "
         "(InMemoryTableScan) instead of rehashing the corpus."),
+    "lm_quality": (
+        "Corpus-trained unigram surprisal. Look for: ONE exchange on "
+        "the token key (the model-training agg), the vocab-count model "
+        "on the BUILD side of a BroadcastHashJoin (scoring never "
+        "re-shuffles the corpus), and a pruned ReadSchema."),
     "ann_ivf_pq": (
         "IVF-PQ with refine. Look for: the literal PQ codebooks and "
         "coarse centroids inlined in ONE encode Project (greatest(...)"
