@@ -20,8 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..mr.api import run_map_reduce, wc_map, wc_reduce
-from ..operators import (dedup, events, joins, packing, quality_model,
-                         relational, similarity, text_mr, textstats)
+from ..operators import (bpe, dedup, events, joins, packing,
+                         quality_model, relational, similarity, text_mr,
+                         textstats)
 from ..sources.registry import load_table
 
 
@@ -212,6 +213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_quality": _q(textstats.lm_quality),
     "lm_bigram_quality": _q(textstats.lm_bigram_quality),
     "epoch_sample": _q(textstats.epoch_sample_stats),
+    "bpe_stats": _q(bpe.bpe_stats),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
     "multimodal_pipeline": _multimodal_pipeline,
@@ -261,7 +263,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "audio_stats", "video_stats", "weighted_sample",
                "dup_spans", "dup_span_coverage", "source_mix",
                "ann_ivf_pq", "quality_distill", "lm_quality",
-               "lm_bigram_quality", "epoch_sample")
+               "lm_bigram_quality", "epoch_sample", "bpe_stats")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -276,8 +278,11 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
 # pyspark.ml model — distributed histogram aggregation is not
 # bit-deterministic; its contract is the agreement floor + exact rate
 # matching, tests/test_quality_model.py.)
+# (bpe_stats trains the tokenizer with an iterative argmax-merge loop
+# SQL can't express; its contract is exact agreement with an
+# independent reference trainer, tests/test_bpe.py.)
 PYTEST_INVARIANT_ONLY = ("sequence_packing", "audio_stats", "video_stats",
-                         "ann_ivf_pq", "quality_distill")
+                         "ann_ivf_pq", "quality_distill", "bpe_stats")
 
 # DECLARED is pinned against tests/declared_surface.txt
 # (test_oracle_parity.py::test_declared_surface_frozen): displacing a
