@@ -146,3 +146,51 @@ def test_streaming_curation_composes_gates_with_dedup(spark, tmp_path):
     assert joined.filter(F.length("text") < MIN_CHARS).count() == 0
     assert 0 < surv.count() <= docs.filter(
         F.length("text") >= MIN_CHARS).count()
+
+
+def test_streaming_curation_end_to_end_matches_batch_funnel(spark, tmp_path):
+    """The round-7/8 streaming pieces compose into the full curation
+    ingest: ONE document stream feeds (a) the quality monitor and
+    (b) gate-filtered incremental near-dedup. Reconciliation against
+    the batch world on the same data:
+    - telemetry doc totals == corpus size, and its pass total == the
+      batch gate's pass count;
+    - every streaming survivor passes the gate;
+    - the accepted set is duplicate-free under the BATCH tier's verified
+      near-dup definition (zero pairs at the same threshold)."""
+    import pyspark.sql.functions as F
+
+    from toymapreduce_go_spark.operators.quality_model import gate_labels
+    from toymapreduce_go_spark.streaming.quality_stream import (
+        read_telemetry, run_quality_monitor)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    labels = gate_labels(docs)
+    gate_ids = {r["doc_id"] for r in
+                labels.filter("label = 1.0").collect()}
+
+    # one source, two consumers
+    mon_state = str(tmp_path / "mon")
+    dd_state = str(tmp_path / "dd")
+    run_quality_monitor(read_documents_stream(spark, SF_DIR, n_splits=3),
+                        mon_state, spark)
+    gated_stream = read_documents_stream(spark, SF_DIR, n_splits=3)
+    gated_stream = gated_stream.join(
+        spark.createDataFrame([(i,) for i in sorted(gate_ids)],
+                              "doc_id long"), "doc_id", "left_semi")
+    run_near_dedup_stream(gated_stream, dd_state, spark)
+
+    tel = read_telemetry(spark, mon_state)
+    assert tel.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+    assert tel.agg(F.sum("n_pass")).collect()[0][0] == len(gate_ids)
+
+    surv = {r["doc_id"] for r in
+            read_survivors(spark, dd_state).collect()}
+    assert surv and surv <= gate_ids
+    # the accepted corpus is duplicate-free under the batch tier's
+    # verified near-dup definition
+    from toymapreduce_go_spark.operators.dedup import near_dedup_minhash
+    surv_docs = docs.join(
+        spark.createDataFrame([(i,) for i in sorted(surv)],
+                              "doc_id long"), "doc_id", "left_semi")
+    assert near_dedup_minhash(surv_docs, threshold=0.5).count() == 0
