@@ -194,3 +194,22 @@ def test_streaming_curation_end_to_end_matches_batch_funnel(spark, tmp_path):
         spark.createDataFrame([(i,) for i in sorted(surv)],
                               "doc_id long"), "doc_id", "left_semi")
     assert near_dedup_minhash(surv_docs, threshold=0.5).count() == 0
+
+
+def test_zero_survivor_first_batch_is_empty_state_not_poison(spark,
+                                                             tmp_path):
+    """r8 advice (low): a first micro-batch with ZERO rows commits its
+    dynamic-overwrite partitions as directories with no parquet files;
+    the next batch's state read then raises UNABLE_TO_INFER_SCHEMA,
+    which must mean 'empty state' (batch proceeds, dedup intact) — not
+    a permanently failed stream."""
+    state = str(tmp_path / "empty_first_state")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    near_dedup_batch_step(spark, docs.limit(0), 0, state)  # zero rows
+    # previously: AnalysisException(UNABLE_TO_INFER_SCHEMA) here
+    near_dedup_batch_step(spark, docs.orderBy("doc_id").limit(30), 1,
+                          state)
+    surv = read_survivors(spark, state)
+    assert surv.count() > 0
+    # and the corrupt-state path still propagates (fail-closed intact):
+    # covered by test_corrupt_index_propagates_not_fails_open

@@ -342,3 +342,28 @@ def test_progressive_jpeg_detected_and_routed(spark):
     assert by_id[2].format == "jpeg_progressive"
     assert (by_id[2].width, by_id[2].height) == (8, 8)
     assert math.isnan(by_id[2].mean_pixel)
+
+
+def test_is_progressive_skips_ff_fill_bytes():
+    """r8 advice (low): JPEG B.1.1.2 allows any number of 0xFF fill
+    bytes before a marker. A padded SOF2 must still classify as
+    progressive (and a padded baseline as not), or a valid padded file
+    would be routed to decode_baseline and fail loudly mid-batch."""
+    from toymapreduce_go_spark.multimodal.jpeg import (encode_baseline,
+                                                      is_progressive)
+
+    good = encode_baseline(bytes(range(64)), 8, 8, 1)
+    sof = good.index(b"\xff\xc0")
+    prog = good[:sof + 1] + b"\xc2" + good[sof + 2:]
+
+    def pad(payload: bytes, at: int, n: int = 3) -> bytes:
+        return payload[:at] + b"\xff" * n + payload[at:]
+
+    # fill bytes directly before the SOF marker
+    assert is_progressive(pad(prog, sof))
+    assert not is_progressive(pad(good, sof))
+    # fill bytes before an EARLIER segment (the DQT right after SOI):
+    # seg_len must be read from the true segment start or the walk
+    # desyncs before it ever reaches the frame header
+    assert is_progressive(pad(prog, 2))
+    assert not is_progressive(pad(good, 2))

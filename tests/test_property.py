@@ -238,27 +238,32 @@ def test_ffd_pack_shard_invariants(docs, cap):
 
 
 @given(starts_sets=st.lists(
-    st.lists(st.integers(0, 400), min_size=0, max_size=40),
+    st.one_of(
+        st.lists(st.integers(0, 400), min_size=0, max_size=40),
+        # past the OLD 20-bit layout's 2^20 ceiling: a multi-megachar
+        # document (crawl-data-normal) must not corrupt the packed state
+        st.lists(st.integers(0, 5_000_000), min_size=0, max_size=40)),
     min_size=1, max_size=6))
 @settings(**_SETTINGS)
 def test_dup_span_interval_union_fold_property(spark, starts_sets):
     """Property pin for dup_span_coverage's packed-BIGINT sweep: for
     ARBITRARY duplicated-span start sets (overlapping, adjacent,
-    repeated, unordered), the JVM fold must equal the brute-force
-    union size |∪ [s, s+k)| computed in Python."""
+    repeated, unordered — including starts past 2^20, where the r8
+    20-bit packing silently overflowed), the JVM fold must equal the
+    brute-force union size |∪ [s, s+k)| computed in Python."""
     k = 20
     rows = [(i, sorted(set(ss))) for i, ss in enumerate(starts_sets)]
     df = spark.createDataFrame(rows, "doc_id long, ss array<bigint>")
-    lo_mask = F.lit((1 << 20) - 1)
+    lo_mask = F.lit((1 << 31) - 1)
     fold = F.aggregate(
         F.col("ss"), F.lit(0).cast("long"),
         lambda acc, s: F.shiftleft(
-            F.shiftright(acc, 20)
+            F.shiftright(acc, 31)
             + F.greatest(F.lit(0).cast("long"),
                          s + k - F.greatest(acc.bitwiseAND(lo_mask), s)),
-            20).bitwiseOR(F.greatest(acc.bitwiseAND(lo_mask), s + k)))
+            31).bitwiseOR(F.greatest(acc.bitwiseAND(lo_mask), s + k)))
     got = {r["doc_id"]: r["dup"] for r in
-           df.select("doc_id", F.shiftright(fold, 20).alias("dup"))
+           df.select("doc_id", F.shiftright(fold, 31).alias("dup"))
            .collect()}
     for i, ss in rows:
         covered = set()

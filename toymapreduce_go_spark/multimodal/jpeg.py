@@ -523,6 +523,12 @@ def is_progressive(payload: bytes) -> bool:
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             return False
+        # B.1.1.2: any number of 0xFF fill bytes may pad a marker; skip
+        # them so seg_len is read from the true segment start
+        while i + 4 <= len(payload) and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > len(payload):
+            return False
         marker = payload[i + 1]
         if marker == 0xD9 or marker == 0xDA:
             return False

@@ -786,17 +786,20 @@ def dup_span_coverage(documents: DataFrame, k: int = 20,
     collected per doc (sorted, corpus-linear collect), and the interval
     union is ONE JVM-side ``aggregate`` fold over the sorted starts —
     the classic sweep (extend-or-start) with the (covered, last_end)
-    state packed into a single BIGINT (covered << 20 | last_end; exact
-    integer ops, docs up to 2^20 chars) so the identical fold runs in
-    the DuckDB oracle's ``list_reduce``, which requires accumulator and
-    element types to match. No Python anywhere; the per-doc start lists
-    are span-count-sized, not char-sized.
+    state packed into a single BIGINT (covered << 31 | last_end; exact
+    integer ops) so the identical fold runs in the DuckDB oracle's
+    ``list_reduce``, which requires accumulator and element types to
+    match. The 31-bit fields are safe BY CONSTRUCTION: both engines cap
+    string length at int32 (< 2^31 chars), so no representable document
+    can overflow either half (covered <= n_chars < 2^31 and the packed
+    word stays under 2^62, inside signed 64-bit). No Python anywhere;
+    the per-doc start lists are span-count-sized, not char-sized.
 
     ``sample_mod`` composes (content-defined sampling, see
     ``dup_span_stats``): coverage then undercounts by the sampling gap —
     a bound, not an estimate, which is what a removal pass wants."""
-    if k >= 1 << 20:
-        raise ValueError("k must fit the 2^20 packed-state layout")
+    if k >= 1 << 31:
+        raise ValueError("k must fit the 2^31 packed-state layout")
     gh = F.expr(
         f"transform(sequence(1, length(text) - {k - 1}), "
         f"i -> cast(conv(substring(md5(substring(text, i, {k})), 1, 15), "
@@ -814,17 +817,17 @@ def dup_span_coverage(documents: DataFrame, k: int = 20,
     starts = (g.join(dup_h, "h", "left_semi")
               .groupBy("doc_id", "source", "n_chars")
               .agg(F.sort_array(F.collect_list("pos")).alias("ss")))
-    lo_mask = F.lit((1 << 20) - 1)
+    lo_mask = F.lit((1 << 31) - 1)
     fold = F.aggregate(
         F.col("ss"), F.lit(0).cast("long"),
         lambda acc, s: F.shiftleft(
-            F.shiftright(acc, 20)
+            F.shiftright(acc, 31)
             + F.greatest(F.lit(0).cast("long"),
                          s + k - F.greatest(acc.bitwiseAND(lo_mask), s)),
-            20).bitwiseOR(F.greatest(acc.bitwiseAND(lo_mask), s + k)))
+            31).bitwiseOR(F.greatest(acc.bitwiseAND(lo_mask), s + k)))
     per_doc = starts.select(
         "doc_id", "source", "n_chars",
-        F.shiftright(fold, 20).alias("dup_chars"))
+        F.shiftright(fold, 31).alias("dup_chars"))
     eligible = (documents.filter(F.length("text") >= k)
                 .groupBy("source")
                 .agg(F.count(F.lit(1)).alias("n_docs"),

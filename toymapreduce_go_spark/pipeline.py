@@ -90,10 +90,15 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
     # the length gate — a doc that was mostly boilerplate may no longer
     # carry enough text to train on.
     if mask_spans:
+        pre_mask = deduped
         deduped = (mask_dup_spans(deduped)
                    .filter(F.length("text") >= MIN_CHARS)
                    .drop("removed_chars").persist())
         stages.append(("2b_span_masked", deduped.count()))
+        # the masked frame is materialized by the count above, so the
+        # pre-mask corpus cache can be released now instead of leaking
+        # for the rest of the session
+        pre_mask.unpersist()
 
     # 4. decontamination vs the eval slice
     contaminated = (contamination_shared_counts(deduped)

@@ -1485,9 +1485,10 @@ ORACLES: dict[str, str] = {
     """,
     # Exact duplicated-character coverage: interval-union sweep over the
     # sorted duplicated-gram starts, with the (covered, last_end) state
-    # packed into one BIGINT (covered << 20 | last_end) so the IDENTICAL
-    # integer fold runs as Spark aggregate() and DuckDB list_reduce()
-    # (whose accumulator must match the element type).
+    # packed into one BIGINT (covered << 31 | last_end — 31-bit fields
+    # hold any int32-length string both engines can represent) so the
+    # IDENTICAL integer fold runs as Spark aggregate() and DuckDB
+    # list_reduce() (whose accumulator must match the element type).
     "dup_span_coverage": """
         WITH pos AS (
             SELECT doc_id, source, length(text) AS n_chars,
@@ -1506,11 +1507,11 @@ ORACLES: dict[str, str] = {
                    GROUP BY doc_id, source, n_chars),
         cov AS (SELECT doc_id, source, n_chars,
                        list_reduce(list_prepend(0, ss),
-                           (acc, s) -> (((acc >> 20)
+                           (acc, s) -> (((acc >> 31)
                                + greatest(0, s + 20
-                                          - greatest(acc & 1048575, s)))
-                               << 20)
-                               | greatest(acc & 1048575, s + 20)) >> 20
+                                          - greatest(acc & 2147483647, s)))
+                               << 31)
+                               | greatest(acc & 2147483647, s + 20)) >> 31
                            AS dup_chars
                 FROM starts),
         tot AS (SELECT source, count(*) AS n_docs,

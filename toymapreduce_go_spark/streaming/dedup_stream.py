@@ -66,17 +66,23 @@ _OUT_SUBDIR = "survivors"
 def _read_prior_state(spark: SparkSession, path: str,
                       batch_id: int) -> DataFrame | None:
     """Read a batch_id-partitioned state table restricted to batches
-    committed strictly before this one. Returns None ONLY when the path
-    does not exist yet (the genuine first-batch case); every other
-    failure — corrupt footers, a transient filesystem error — propagates.
-    Swallowing those would silently disable cross-batch dedup for the
-    micro-batch and fail the exactly-once/dedup contract *open*."""
+    committed strictly before this one. Returns None ONLY when the
+    state is genuinely empty: the path does not exist yet (the
+    first-batch case), or it exists but holds no parquet files — a
+    dynamic-partition overwrite of a ZERO-survivor batch writes the
+    directory with no data files, and the subsequent read raises
+    UNABLE_TO_INFER_SCHEMA, which must mean "empty state", not a
+    permanently failed stream. Every other failure — corrupt footers, a
+    transient filesystem error — propagates: swallowing those would
+    silently disable cross-batch dedup for the micro-batch and fail the
+    exactly-once/dedup contract *open*."""
     try:
         df = spark.read.parquet(path)
     except AnalysisException as e:
         cond = getattr(e, "getCondition", None)
         cond = cond() if callable(cond) else None
-        if cond == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(e):
+        empty_conds = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+        if cond in empty_conds or any(c in str(e) for c in empty_conds):
             return None
         raise
     return df.filter(F.col("batch_id") < F.lit(batch_id))
