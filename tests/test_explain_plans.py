@@ -232,15 +232,22 @@ def test_repetition_quality_partial_agg_and_pruning(spark):
     assert "text" in read_schema and "embedding" not in read_schema
 
 
-def test_stratified_sample_single_stratum_exchange(spark):
-    """Exact-quota sampling is one hashpartitioning exchange on the
-    stratum key feeding both window functions — no extra shuffles."""
+def test_stratified_sample_corpus_shuffles_on_bucketed_key(spark):
+    """r9 rewrite: the only corpus-sized exchange hashes on
+    (source, b) — the 65536-bucket md5-prefix key — so a dominant
+    stratum spreads over its buckets instead of one reducer. (The bare
+    hashpartitioning(source) exchanges that remain feed windows over
+    the metadata-sized bucket table and the boundary bucket only —
+    pinned structurally by
+    test_exact_sampling_ranks_only_the_boundary_bucket.)"""
     from toymapreduce_go_spark.operators.textstats import \
         stratified_sample_stats
 
     plan = plan_of(stratified_sample_stats(load_table(spark, SF_DIR,
                                                       "documents")))
-    assert plan.count("hashpartitioning(source") <= 2  # window + rollup
+    # the bucketed corpus agg key is present
+    import re
+    assert re.search(r"hashpartitioning\(source#\d+, b#\d+", plan), plan
     assert "Window" in plan
 
 
@@ -320,3 +327,97 @@ def test_lm_quality_scoring_join_broadcasts_model(spark):
     assert "SortMergeJoin" not in plan
     read_schema = plan.split("ReadSchema")[1][:300]
     assert "text" in read_schema and "lang" not in read_schema
+
+
+def _tree_nodes(plan: str):
+    """Parse the formatted-plan tree section into (depth, name, opid)."""
+    import re
+
+    nodes = []
+    for line in plan.splitlines():
+        m = re.match(r"^([\s:+\-*]*)([A-Za-z][\w ]*?) \((\d+)\)\s*$", line)
+        if m:
+            nodes.append((len(m.group(1)), m.group(2).strip(),
+                          int(m.group(3))))
+    return nodes
+
+
+def _is_descendant(nodes, anc_id: int, desc_id: int) -> bool:
+    """True when desc_id sits in anc_id's subtree (deeper indentation
+    until the tree pops back to anc's level)."""
+    depth = {opid: d for d, _, opid in nodes}
+    order = [opid for _, _, opid in nodes]
+    if anc_id not in depth or desc_id not in depth:
+        return False
+    started = False
+    for opid in order:
+        if opid == anc_id:
+            started = True
+            continue
+        if started:
+            if depth[opid] <= depth[anc_id]:
+                return False
+            if opid == desc_id:
+                return True
+    return False
+
+
+def test_exact_sampling_ranks_only_the_boundary_bucket(spark):
+    """r8 verdict item 1: exact per-source sampling must NOT run a
+    row_number window partitioned by source over the whole corpus (a
+    dominant source = single-reducer sort at 100 TB). In the hash-cutoff
+    plan the only row_number window's input is the boundary-bucket
+    filter (b = boundary_b), and the corpus-sized pass is a
+    partial+final (source, bucket) hash aggregate."""
+    import re
+
+    from toymapreduce_go_spark.operators.textstats import (
+        epoch_sample_stats, stratified_sample_stats)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for op in (stratified_sample_stats, epoch_sample_stats):
+        plan = plan_of(op(docs))
+        nodes = _tree_nodes(plan)
+        # locate the row_number Window, and every node whose detail
+        # block restricts on boundary_b (Catalyst pushes the
+        # b = boundary_b filter into the broadcast-join condition)
+        win_ids = [int(m.group(1)) for m in
+                   re.finditer(r"\((\d+)\) Window\b", plan)
+                   if "row_number" in plan.split(f"({m.group(1)}) Window",
+                                                 1)[1][:500]]
+        assert win_ids, plan
+        bound_ids = [
+            int(m.group(1)) for m in
+            re.finditer(r"\((\d+)\) (?:Filter|BroadcastHashJoin)\b", plan)
+            if "boundary_b" in plan.split(f"({m.group(1)}) ", 1)[1][:900]]
+        assert bound_ids, plan
+        for win in win_ids:
+            assert any(_is_descendant(nodes, win, f) for f in bound_ids), \
+                (op.__name__, win, bound_ids, plan)
+        # partial+final agg for the (source, bucket) counts
+        assert plan.count("HashAggregate") >= 2
+
+
+def test_exact_sampling_dominant_source_matches_brute_force(spark):
+    """Semantics under the exact skew shape the rewrite exists for: one
+    source holding ~99.8% of the corpus. The hash-cutoff selection must
+    agree doc-for-doc (checksum) with the Python brute force of the
+    contract: sort by (md5(str(doc_id)), doc_id), take ceil(n/10)."""
+    import hashlib
+    import math
+
+    from toymapreduce_go_spark.operators.textstats import (
+        stratified_sample_stats)
+
+    rows = ([(i, "big") for i in range(5000)]
+            + [(i, "tiny") for i in range(5000, 5010)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["source"]: r for r in stratified_sample_stats(df).collect()}
+    by_src = {"big": range(5000), "tiny": range(5000, 5010)}
+    for src, ids in by_src.items():
+        ordered = sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(),
+                                i))
+        take = ordered[:math.ceil(len(ordered) * 0.1)]
+        assert got[src]["n_sampled"] == len(take)
+        assert got[src]["sampled_id_sum"] == sum(take)

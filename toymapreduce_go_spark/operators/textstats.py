@@ -378,6 +378,101 @@ def repetition_quality(documents: DataFrame) -> DataFrame:
     )
 
 
+def _exact_quota_sample_stats(documents: DataFrame, make_quota
+                              ) -> DataFrame:
+    """Skew-safe exact deterministic per-source sampling core, shared by
+    ``stratified_sample_stats`` and ``epoch_sample_stats``.
+
+    Contract: per source, select exactly ``quota`` documents — the
+    first ``quota`` in ``(md5(doc_id), doc_id)`` order, a seedless
+    permutation both engines compute identically — and report
+    ``(source, n_docs, quota, n_sampled, sampled_id_sum)``.
+
+    The naive exact form is ``row_number() OVER (PARTITION BY source
+    ORDER BY md5)``: a window partitioned by ``source`` sends EVERY row
+    of a source to one task, and a dominant source (one crawl = 80% of
+    a 100 TB corpus) makes that a single-reducer sort — the canonical
+    skewed-key scale-killer (r8 verdict's top finding). This core
+    replaces it with two-pass hash-cutoff selection:
+
+    1. Bucket every doc by its md5 prefix (first 4 hex chars → 65536
+       buckets; numeric bucket order == lexicographic md5 order, hex
+       digits being ASCII-sorted) and aggregate per (source, bucket):
+       count + doc_id checksum. ONE map-side-combinable shuffle whose
+       output is metadata-sized (≤ sources × 65536 rows) — no reducer
+       ever holds a source, only a (source, bucket) cell.
+    2. On that metadata table, a cumulative window (per source over its
+       ≤ 65536 bucket rows) finds the BOUNDARY bucket — the one where
+       the running count crosses the quota. Everything in buckets below
+       it is in the sample by construction; their counts/checksums are
+       already aggregated.
+    3. Only the boundary bucket's rows (~n_source/65536 of the corpus)
+       are ranked doc-level to fill the remainder — the row_number
+       window survives but its per-source partition is bucket-sized,
+       so a source 1000× bigger still ranks 1000×/65536 of itself.
+
+    Same determinism contract as before (md5-order selection), so the
+    DuckDB oracles — which keep the simple window form — are unchanged.
+    ``make_quota`` maps the per-source count frame ``(source, n_docs)``
+    to ``(source, n_docs, quota)`` with quota <= n_docs."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    base = (documents.select("doc_id", "source", h.alias("h"))
+            .withColumn("b", F.conv(F.substring("h", 1, 4), 16, 10)
+                        .cast("int")))
+    bc = (base.groupBy("source", "b")
+          .agg(F.count(F.lit(1)).alias("c"),
+               F.sum("doc_id").alias("id_sum")))
+    counts = bc.groupBy("source").agg(F.sum("c").alias("n_docs"))
+    quota = make_quota(counts)
+    wcum = (Window.partitionBy("source").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    cum = (bc.withColumn("cum_before",
+                         F.coalesce(F.sum("c").over(wcum),
+                                    F.lit(0).cast("long")))
+           .withColumn("idsum_before",
+                       F.coalesce(F.sum("id_sum").over(wcum),
+                                  F.lit(0).cast("long"))))
+    # boundary bucket: the unique bucket where cum crosses the quota
+    # (absent entirely when quota = 0 — handled by the left joins below)
+    boundary = (cum.join(quota.select("source", "quota"), "source")
+                .filter((F.col("cum_before") < F.col("quota"))
+                        & (F.col("cum_before") + F.col("c")
+                           >= F.col("quota")))
+                .select("source", F.col("b").alias("boundary_b"),
+                        (F.col("quota") - F.col("cum_before"))
+                        .alias("take"),
+                        "cum_before", "idsum_before"))
+    wr = Window.partitionBy("source").orderBy("h", "doc_id")
+    at = (base.join(F.broadcast(boundary.select("source", "boundary_b",
+                                                "take")), "source")
+          .filter(F.col("b") == F.col("boundary_b"))
+          .withColumn("rn", F.row_number().over(wr))
+          .filter(F.col("rn") <= F.col("take"))
+          .groupBy("source")
+          .agg(F.count(F.lit(1)).alias("at_cnt"),
+               F.sum("doc_id").alias("at_idsum")))
+    n_sampled = (F.coalesce("cum_before", F.lit(0).cast("long"))
+                 + F.coalesce("at_cnt", F.lit(0).cast("long")))
+    return (quota
+            .join(boundary.select("source", "cum_before", "idsum_before"),
+                  "source", "left")
+            .join(at, "source", "left")
+            .select("source", "n_docs", "quota",
+                    n_sampled.alias("n_sampled"),
+                    # NULL (not 0) when nothing sampled — the SQL
+                    # convention sum(CASE WHEN ... THEN doc_id END)
+                    # the oracles share
+                    F.when(n_sampled > 0,
+                           F.coalesce("idsum_before",
+                                      F.lit(0).cast("long"))
+                           + F.coalesce("at_idsum",
+                                        F.lit(0).cast("long")))
+                    .alias("sampled_id_sum"))
+            .orderBy("source"))
+
+
 def stratified_sample_stats(documents: DataFrame,
                             fraction: float = 0.1) -> DataFrame:
     """Exact deterministic stratified sampling — the training-mix
@@ -386,34 +481,19 @@ def stratified_sample_stats(documents: DataFrame,
     identically). Emits per-stratum counts plus the sampled-id checksum
     so the oracle verifies the SAME sample, not just the same size.
 
-    Scale tiers: this exact-quota form ranks within each stratum (one
-    window shuffle on source — fine while strata are numerous/balanced;
-    a single giant stratum makes AQE split the sort). When quotas may be
-    approximate, ``df.sampleBy`` (Bernoulli per stratum, no shuffle at
-    all) is the 100 TB fast path; this operator is the contract-exact
-    tier."""
-    from pyspark.sql.window import Window
+    Scale tiers: the exact-quota selection runs on the skew-safe
+    hash-cutoff core (``_exact_quota_sample_stats`` — no per-source
+    corpus-sized sort, a dominant stratum costs its bucket share only).
+    When quotas may be approximate, ``df.sampleBy`` (Bernoulli per
+    stratum, no shuffle at all) is the still-cheaper 100 TB fast path;
+    this operator is the contract-exact tier."""
+    def make_quota(counts: DataFrame) -> DataFrame:
+        return counts.select(
+            "source", "n_docs",
+            F.ceil(F.col("n_docs") * F.lit(fraction)).alias("quota"))
 
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    w = Window.partitionBy("source").orderBy(h, "doc_id")
-    cw = Window.partitionBy("source")
-    ranked = documents.select("doc_id", "source").withColumn(
-        "rn", F.row_number().over(w)).withColumn(
-        "cnt", F.count(F.lit(1)).over(cw))
-    sampled = ranked.withColumn(
-        "take", F.ceil(F.col("cnt") * F.lit(fraction)))
-    return (
-        sampled.withColumn(
-            "in_sample", (F.col("rn") <= F.col("take")).cast("int"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("in_sample").alias("n_sampled"),
-            F.sum(F.when(F.col("in_sample") == 1, F.col("doc_id")))
-             .alias("sampled_id_sum"),
-        )
-        .orderBy("source")
-    )
+    return (_exact_quota_sample_stats(documents, make_quota)
+            .select("source", "n_docs", "n_sampled", "sampled_id_sum"))
 
 
 # Patterns chosen to mean the same thing in Java regex (Spark) and RE2
@@ -672,42 +752,28 @@ def epoch_sample_stats(documents: DataFrame, epoch_frac: float = 0.5
     sampled-id checksum so the oracle verifies the SAME sample, not
     just the same size.
 
-    Plan: one count agg (model-sized) broadcast back onto one
-    per-source ranking window — the same shuffle budget as
-    stratified sampling; quotas are exact-integer arithmetic on the
-    scaled sqrt weights so both engines round identically."""
-    from pyspark.sql.window import Window
+    Plan: quotas are exact-integer arithmetic on the scaled sqrt
+    weights (broadcast, model-sized) so both engines round identically;
+    the quota fill runs on the skew-safe hash-cutoff core
+    (``_exact_quota_sample_stats``) — a dominant source never funnels
+    through one reducer."""
+    def make_quota(counts: DataFrame) -> DataFrame:
+        scaled = counts.withColumn(
+            "w_scaled",
+            F.round(F.sqrt(F.col("n_docs").cast("double")) * 10000)
+             .cast("long"))
+        tot = scaled.agg(F.sum("w_scaled").alias("tot_w"),
+                         F.sum("n_docs").alias("tot_n"))
+        return (scaled.crossJoin(F.broadcast(tot))
+                .select("source", "n_docs",
+                        F.least(
+                            F.col("n_docs"),
+                            F.round(F.col("tot_n") * F.lit(epoch_frac)
+                                    * F.col("w_scaled")
+                                    / F.col("tot_w").cast("double"))
+                            .cast("long")).alias("quota")))
 
-    counts = documents.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"))
-    scaled = counts.withColumn(
-        "w_scaled",
-        F.round(F.sqrt(F.col("n_docs").cast("double")) * 10000)
-         .cast("long"))
-    tot = scaled.agg(F.sum("w_scaled").alias("tot_w"),
-                     F.sum("n_docs").alias("tot_n"))
-    quota = (scaled.crossJoin(F.broadcast(tot))
-             .select("source", "n_docs",
-                     F.least(
-                         F.col("n_docs"),
-                         F.round(F.col("tot_n") * F.lit(epoch_frac)
-                                 * F.col("w_scaled")
-                                 / F.col("tot_w").cast("double"))
-                         .cast("long")).alias("quota")))
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    w = Window.partitionBy("source").orderBy(h, "doc_id")
-    ranked = (documents.select("doc_id", "source")
-              .withColumn("rn", F.row_number().over(w))
-              .join(F.broadcast(quota), "source"))
-    return (ranked.withColumn(
-                "in_epoch", (F.col("rn") <= F.col("quota")).cast("int"))
-            .groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.min("quota").alias("quota"),
-                 F.sum("in_epoch").alias("n_sampled"),
-                 F.sum(F.when(F.col("in_epoch") == 1, F.col("doc_id")))
-                  .alias("sampled_id_sum"))
-            .orderBy("source"))
+    return _exact_quota_sample_stats(documents, make_quota)
 
 
 def bigram_doc_nll(documents: DataFrame, lam: float = 0.7,
