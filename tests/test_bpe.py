@@ -94,3 +94,49 @@ def test_bpe_on_fixture_corpus(spark):
     assert total_docs == docs.count()
     for r in stats:
         assert 1.0 <= r["tokens_per_word"] <= 8.0
+
+
+def test_train_bpe_pruned_matches_reference_at_200_merges(spark):
+    """r8 verdict item 2 done-gate: with min_count pruning ACTIVE and a
+    deep merge budget (n_merges >= 200), the incremental trainer must
+    agree merge-for-merge with the naive reference loop fed the same
+    pruned counts — proving both the pruning filter and the incremental
+    pair maintenance preserve the exact (count desc, pair asc) merge
+    sequence."""
+    import re
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    splitter = re.compile(r"[^a-zA-Z]+")
+    counts: dict[str, int] = {}
+    for r in docs.select("text").collect():
+        for w in splitter.split(r["text"] or ""):
+            if w:
+                w = w.lower()
+                counts[w] = counts.get(w, 0) + 1
+    pruned = {w: c for w, c in counts.items() if c >= 100}
+    assert 0 < len(pruned) < len(counts)  # the cut really drops words
+    want = _reference_bpe(pruned, 200)
+    got = train_bpe(docs, n_merges=200, min_count=100)
+    assert got == want
+    assert len(got) >= 100  # the budget is actually exercised
+
+
+def test_train_bpe_max_vocab_caps_the_collect(spark):
+    """max_vocab is the hard driver-state cap: the trainer must see only
+    the top-N words by (count desc, word asc) and still produce the
+    reference merge sequence for that truncated table."""
+    import re
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    splitter = re.compile(r"[^a-zA-Z]+")
+    counts: dict[str, int] = {}
+    for r in docs.select("text").collect():
+        for w in splitter.split(r["text"] or ""):
+            if w:
+                w = w.lower()
+                counts[w] = counts.get(w, 0) + 1
+    top = dict(sorted(counts.items(),
+                      key=lambda kv: (-kv[1], kv[0]))[:50])
+    want = _reference_bpe(top, 60)
+    got = train_bpe(docs, n_merges=60, max_vocab=50)
+    assert got == want and len(got) >= 10

@@ -33,14 +33,25 @@ from ..functions.text import tokens
 END = "</w>"
 
 
-def word_frequencies(documents: DataFrame) -> DataFrame:
+def word_frequencies(documents: DataFrame,
+                     min_count: int = 1) -> DataFrame:
     """(word, c) lowercased corpus word counts — the ONE distributed
-    pass BPE training needs."""
+    pass BPE training needs. ``min_count`` prunes the long tail BEFORE
+    anything leaves the cluster: on web text the raw "vocabulary" is
+    not Heaps'-law-polite (typos, concatenations, DNA-like strings make
+    it hundreds of millions of rows at 100 TB), but it is extremely
+    Zipf — singletons alone are the majority of DISTINCT words while
+    carrying negligible total mass, so even ``min_count=2`` collapses
+    the table by an order of magnitude with no effect on which pairs
+    can win a merge vote beyond the dropped mass itself."""
     toks = F.filter(
         F.transform(tokens("text"), lambda t: F.lower(t)),
         lambda t: F.length(t) > 0)
-    return (documents.select(F.explode(toks).alias("w"))
-            .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    wf = (documents.select(F.explode(toks).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    if min_count > 1:
+        wf = wf.filter(F.col("c") >= min_count)
+    return wf
 
 
 def _merge_word(syms: tuple, a: str, b: str, merged: str) -> tuple:
@@ -56,29 +67,54 @@ def _merge_word(syms: tuple, a: str, b: str, merged: str) -> tuple:
     return tuple(out)
 
 
-def train_bpe(documents: DataFrame, n_merges: int = 50
-              ) -> list[tuple[str, str]]:
+def train_bpe(documents: DataFrame, n_merges: int = 50,
+              min_count: int = 1,
+              max_vocab: int | None = None) -> list[tuple[str, str]]:
     """Train ``n_merges`` BPE merges. Returns the ordered merge list
     [(left, right), ...]; applying them in order IS the tokenizer.
 
-    The driver loop runs over the collected word-frequency table
-    (vocab-sized — the model-budget class); each round counts adjacent
-    symbol pairs weighted by word frequency, merges the most frequent
-    pair (ties → lexicographically smallest), and stops early when no
-    pair occurs twice."""
-    freqs = [(r["w"], int(r["c"])) for r in word_frequencies(documents)
-             .collect()]
-    vocab: dict[tuple, int] = {}
+    Driver-state bound (r8 verdict item 2): the collected table is the
+    word-frequency table AFTER ``min_count`` pruning (cluster-side
+    filter) and/or a deterministic ``max_vocab`` top-N cut (by count
+    desc, then word — a distributed TakeOrdered, never a full sort), so
+    the driver materialization is capped by construction instead of
+    trusting web vocabularies to be polite. ``min_count=1`` with
+    ``max_vocab=None`` is the exact unpruned model.
+
+    The merge loop maintains pair counts INCREMENTALLY (the standard
+    public-trainer structure, Sennrich et al. 2016): a pair→words index
+    finds the words containing the winning pair, and only THOSE words
+    re-count their adjacent pairs — each merge costs O(affected words),
+    not O(vocab), which is what makes a real 32k-merge vocabulary
+    feasible. Selection stays a full scan of the live pair table
+    (vocab-sized), preserving the exact (count desc, pair asc)
+    tie-break of the naive loop; each round merges the most frequent
+    pair and stops early when no pair occurs twice."""
+    wf = word_frequencies(documents, min_count=min_count)
+    if max_vocab is not None:
+        wf = wf.orderBy(F.col("c").desc(), "w").limit(max_vocab)
+    freqs = [(r["w"], int(r["c"])) for r in wf.collect()]
+    # words: mutable [symbols, count] rows, one per distinct symbol seq
+    seen: dict[tuple, int] = {}
+    words: list[list] = []
     for w, c in freqs:
         syms = tuple(list(w) + [END])
-        vocab[syms] = vocab.get(syms, 0) + c
+        at = seen.get(syms)
+        if at is None:
+            seen[syms] = len(words)
+            words.append([syms, c])
+        else:
+            words[at][1] += c
+    del seen
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for at, (syms, c) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(at)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pair_counts: dict[tuple[str, str], int] = {}
-        for syms, c in vocab.items():
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                pair_counts[p] = pair_counts.get(p, 0) + c
         if not pair_counts:
             break
         top = max(pair_counts.values())
@@ -87,8 +123,25 @@ def train_bpe(documents: DataFrame, n_merges: int = 50
         a, b = min(p for p, c in pair_counts.items() if c == top)
         merges.append((a, b))
         merged = a + b
-        vocab = {(_merge_word(syms, a, b, merged)): c
-                 for syms, c in vocab.items()}
+        # only words that (ever) contained the winner change; stale
+        # index entries no-op via the new == syms check
+        for at in sorted(pair_words.pop((a, b), ())):
+            syms, c = words[at]
+            new = _merge_word(syms, a, b, merged)
+            if new == syms:
+                continue
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                left = pair_counts.get(p, 0) - c
+                if left > 0:
+                    pair_counts[p] = left
+                else:
+                    pair_counts.pop(p, None)
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                pair_words.setdefault(p, set()).add(at)
+            words[at][0] = new
     return merges
 
 
@@ -144,11 +197,16 @@ def bpe_tokenize(documents: DataFrame,
                                      "n_bpe_tokens long"))
 
 
-def bpe_stats(documents: DataFrame, n_merges: int = 50) -> DataFrame:
+def bpe_stats(documents: DataFrame, n_merges: int = 50,
+              min_count: int = 1,
+              max_vocab: int | None = None) -> DataFrame:
     """Train-and-report in one call: per source, whitespace-word vs
     BPE token counts and the compression the learned merges achieve —
-    the number a tokenizer-budget decision reads."""
-    merges = train_bpe(documents, n_merges)
+    the number a tokenizer-budget decision reads. ``min_count``/
+    ``max_vocab`` bound the training collect (see ``train_bpe``);
+    defaults keep the exact unpruned oracle contract."""
+    merges = train_bpe(documents, n_merges, min_count=min_count,
+                       max_vocab=max_vocab)
     toked = bpe_tokenize(documents, merges)
     chars = documents.select(
         "doc_id",

@@ -680,7 +680,8 @@ def source_mix_weights(documents: DataFrame,
 
 
 def unigram_doc_nll(documents: DataFrame,
-                    smoothing: float = 0.5) -> DataFrame:
+                    smoothing: float = 0.5,
+                    min_count: int = 1) -> DataFrame:
     """Per-document language-model surprisal — the CCNet-recipe quality
     signal (Wenzek et al. 2020 rank crawl documents by the perplexity of
     a corpus LM; unusually-surprising docs are gibberish/boilerplate,
@@ -689,11 +690,17 @@ def unigram_doc_nll(documents: DataFrame,
     doc by its mean negative log-likelihood per token.
 
     Plan: one explode + token-count agg trains the model (the model IS
-    a token-count table — at 100 TB a few million rows, broadcastable
-    or bucket-joined); scoring is the same exploded frame joined back
-    to the counts and re-aggregated per doc — two shuffles total,
+    a token-count table); scoring is the same exploded frame joined
+    back to the counts and re-aggregated per doc — two shuffles total,
     both keyed and combinable, no Python. Emits ``(doc_id, source,
-    n_tok, nll)`` for docs with >= 1 token."""
+    n_tok, nll)`` for docs with >= 1 token.
+
+    ``min_count`` is the knob that makes the broadcast claim hold BY
+    CONSTRUCTION at web vocabulary sizes (its bigram sibling has the
+    same one): the kept model is the Zipf head (``c >= min_count``),
+    totals/vocab are computed on the kept table, and pruned words score
+    at the smoothing floor k/(N + k·(V+1)) — the same formula with
+    c = 0, so ``min_count=1`` is EXACTLY the unpruned model."""
     toks = F.filter(
         F.transform(tokens("text"), lambda t: F.lower(t)),
         lambda t: F.length(t) > 0)
@@ -701,19 +708,22 @@ def unigram_doc_nll(documents: DataFrame,
              .filter(F.size("toks") >= 1)
              .select("doc_id", "source", F.explode("toks").alias("w")))
     counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    if min_count > 1:
+        counts = counts.filter(F.col("c") >= min_count)
     totals = counts.agg(
         F.sum("c").alias("n_total"),
         F.count(F.lit(1)).alias("vocab"))
     # p(w) = (c + k) / (N + k·(V + 1)); the +1 reserves OOV mass so the
-    # same model can score held-out text. The count table IS the model —
-    # vocab-sized (Heaps' law: ~millions of rows even at 100 TB corpora,
-    # tens of MB), so it BROADCASTS and the corpus-sized word frame is
-    # never shuffled a second time for the scoring join.
-    scored = (words.join(F.broadcast(counts), "w")
+    # same model can score held-out (or pruned-away) text. The count
+    # table IS the model — with min_count it is the frequent head (tens
+    # of MB at any corpus size), so it BROADCASTS and the corpus-sized
+    # word frame is never shuffled a second time for the scoring join;
+    # the left join routes unseen words to the c = 0 floor.
+    scored = (words.join(F.broadcast(counts), "w", "left")
               .crossJoin(F.broadcast(totals))
               .withColumn(
                   "nll_tok",
-                  -F.log((F.col("c") + F.lit(smoothing))
+                  -F.log((F.coalesce("c", F.lit(0)) + F.lit(smoothing))
                          / (F.col("n_total")
                             + F.lit(smoothing) * (F.col("vocab") + 1)))))
     return (scored.groupBy("doc_id", "source")
@@ -722,12 +732,13 @@ def unigram_doc_nll(documents: DataFrame,
 
 
 def lm_quality(documents: DataFrame,
-               smoothing: float = 0.5) -> DataFrame:
+               smoothing: float = 0.5,
+               min_count: int = 1) -> DataFrame:
     """Per-source LM-surprisal rollup over ``unigram_doc_nll``: doc
     counts, mean/extreme per-doc NLL — the report that locates sources
     whose text distribution diverges from the corpus (the CCNet
     head/middle/tail split is a threshold on exactly this number)."""
-    per_doc = unigram_doc_nll(documents, smoothing)
+    per_doc = unigram_doc_nll(documents, smoothing, min_count)
     # integer-scaled averaging (see curation_pipeline): the 4-decimal
     # per-doc NLLs sum exactly as bigints, immune to summation order
     return (per_doc.groupBy("source")

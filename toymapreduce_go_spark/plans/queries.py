@@ -211,6 +211,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_mix": _q(textstats.source_mix_weights),
     "quality_distill": _q(quality_model.quality_model_report),
     "lm_quality": _q(textstats.lm_quality),
+    "lm_quality_pruned": lambda spark, sf_dir: textstats.lm_quality(
+        load_table(spark, sf_dir, "documents"), min_count=500),
     "lm_bigram_quality": _q(textstats.lm_bigram_quality),
     "epoch_sample": _q(textstats.epoch_sample_stats),
     "bpe_stats": _q(bpe.bpe_stats),
@@ -263,7 +265,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "audio_stats", "video_stats", "weighted_sample",
                "dup_spans", "dup_span_coverage", "source_mix",
                "ann_ivf_pq", "quality_distill", "lm_quality",
-               "lm_bigram_quality", "epoch_sample", "bpe_stats")
+               "lm_quality_pruned", "lm_bigram_quality", "epoch_sample",
+               "bpe_stats")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1547,6 +1550,36 @@ ORACLES: dict[str, str] = {
                    -ln((c + 0.5) / (n_total + 0.5 * (vocab + 1)))
                        AS nll_tok
             FROM words JOIN counts USING (w), tot),
+        per_doc AS (
+            SELECT doc_id, source, round(avg(nll_tok), 4) AS nll
+            FROM scored GROUP BY doc_id, source)
+        SELECT source, count(*) AS n_docs,
+               round(sum(CAST(round(nll * 10000) AS BIGINT))
+                     / (count(*) * 10000.0), 4) AS avg_nll,
+               round(min(nll), 4) AS min_nll,
+               round(max(nll), 4) AS max_nll
+        FROM per_doc GROUP BY source ORDER BY source
+    """,
+    # Count-pruned unigram LM (min_count=500): the model is the Zipf
+    # head only; pruned/unseen words score at the c = 0 smoothing floor
+    # via the LEFT JOIN — totals and vocab are of the KEPT table, the
+    # exact semantics of unigram_doc_nll(min_count=500).
+    "lm_quality_pruned": """
+        WITH words AS (
+            SELECT doc_id, source, lower(w) AS w FROM (
+                SELECT doc_id, source,
+                       unnest(list_filter(
+                           string_split_regex(text, '[^a-zA-Z]+'),
+                           t -> length(t) > 0)) AS w
+                FROM documents)),
+        counts AS (SELECT w, count(*) AS c FROM words GROUP BY w
+                   HAVING count(*) >= 500),
+        tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM counts),
+        scored AS (
+            SELECT doc_id, source,
+                   -ln((COALESCE(c, 0) + 0.5)
+                       / (n_total + 0.5 * (vocab + 1))) AS nll_tok
+            FROM words LEFT JOIN counts USING (w), tot),
         per_doc AS (
             SELECT doc_id, source, round(avg(nll_tok), 4) AS nll
             FROM scored GROUP BY doc_id, source)
