@@ -213,3 +213,81 @@ def test_zero_survivor_first_batch_is_empty_state_not_poison(spark,
     assert surv.count() > 0
     # and the corrupt-state path still propagates (fail-closed intact):
     # covered by test_corrupt_index_propagates_not_fails_open
+
+
+def _telemetry_multiset(spark, state):
+    from toymapreduce_go_spark.streaming.ingest import read_telemetry
+
+    return sorted((r["n_docs"], r["n_pass"], r["pass_rate"])
+                  for r in read_telemetry(spark, state).collect())
+
+
+def _survivor_ids(spark, state):
+    from toymapreduce_go_spark.streaming.ingest import read_survivors
+
+    return sorted(r["doc_id"] for r in
+                  read_survivors(spark, state).collect())
+
+
+def test_composed_ingest_crash_restart_replays_exactly_once(
+        spark, tmp_path, monkeypatch):
+    """r8 verdict item 6 done-gate: the COMPOSED ingest job (telemetry +
+    gate + incremental near-dedup under ONE checkpoint) crashed in the
+    worst window — after batch 1's telemetry committed, before its dedup
+    state did — must, on restart, replay batch 1 through both idempotent
+    steps and land byte-identical to an uninterrupted run."""
+    import pytest as _pytest
+
+    import toymapreduce_go_spark.streaming.ingest as ingest_mod
+    from toymapreduce_go_spark.streaming.ingest import run_curation_ingest
+
+    ref_state = str(tmp_path / "ref_state")
+    run_curation_ingest(read_documents_stream(spark, SF_DIR, n_splits=3),
+                        ref_state, spark)
+    ref_tel = _telemetry_multiset(spark, ref_state)
+    ref_surv = _survivor_ids(spark, ref_state)
+    assert len(ref_tel) >= 3 and ref_surv
+
+    crash_state = str(tmp_path / "crash_state")
+    real_step = ingest_mod.near_dedup_batch_step
+    fired = {"done": False}
+
+    def flaky(spark_, batch_df, batch_id, state_dir, **kw):
+        if batch_id == 1 and not fired["done"]:
+            fired["done"] = True
+            raise RuntimeError("injected crash between telemetry and "
+                               "dedup commit")
+        return real_step(spark_, batch_df, batch_id, state_dir, **kw)
+
+    monkeypatch.setattr(ingest_mod, "near_dedup_batch_step", flaky)
+    with _pytest.raises(Exception, match="injected crash"):
+        run_curation_ingest(
+            read_documents_stream(spark, SF_DIR, n_splits=3),
+            crash_state, spark)
+    assert fired["done"]
+    # restart against the SAME checkpoint/state: batch 1 replays through
+    # both steps, batch 2 runs fresh
+    run_curation_ingest(read_documents_stream(spark, SF_DIR, n_splits=3),
+                        crash_state, spark)
+    assert _telemetry_multiset(spark, crash_state) == ref_tel
+    assert _survivor_ids(spark, crash_state) == ref_surv
+
+
+def test_stream_ingest_cli_front_door(spark, tmp_path, capsys):
+    """The ops front door: `python -m toymapreduce_go_spark
+    --stream-ingest SF_DIR --out STATE` runs the composed job; running
+    it AGAIN against the same state dir is a pure no-op replay."""
+    from toymapreduce_go_spark.__main__ import main
+
+    out = str(tmp_path / "ingest_state")
+    main(["--stream-ingest", SF_DIR, "--out", out, "--n-splits", "2"])
+    text = capsys.readouterr().out
+    assert "survivors:" in text and "batch 0:" in text and "batch 1:" in text
+    surv = _survivor_ids(spark, out)
+    tel = _telemetry_multiset(spark, out)
+    assert surv and len(tel) == 2
+    # gate really filtered: telemetry sees raw docs, dedup sees gated
+    assert sum(n for n, _, _ in tel) > sum(p for _, p, _ in tel)
+    main(["--stream-ingest", SF_DIR, "--out", out, "--n-splits", "2"])
+    assert _survivor_ids(spark, out) == surv
+    assert _telemetry_multiset(spark, out) == tel

@@ -108,3 +108,45 @@ def test_pipeline_span_masking_stage(spark):
     masked_docs = cur_on.select("doc_id", "source", "text")
     leftover = dup_span_stats(masked_docs, k=20).collect()
     assert all(r["dup_grams"] == 0 for r in leftover), leftover
+
+
+def test_pipeline_span_masking_sampled_is_bounded_undercount(spark):
+    """r8 verdict item 7: span_sample_mod threads the content-defined
+    sampling knob into the pipeline's removal stage. The contract is a
+    BOUNDED UNDERCOUNT, never a wrong cut: the sampled run's removed
+    intervals are a per-doc subset of the exhaustive run's, so every
+    shared doc keeps at least as much text, and no doc survives the
+    exhaustive re-gate but dies under sampling."""
+    cur_full, fun_full = build_training_corpus(spark, SF_DIR,
+                                               mask_spans=True)
+    cur_samp, fun_samp = build_training_corpus(spark, SF_DIR,
+                                               mask_spans=True,
+                                               span_sample_mod=4)
+    full = {r["doc_id"]: r["text"] for r in
+            cur_full.select("doc_id", "text").collect()}
+    samp = {r["doc_id"]: r["text"] for r in
+            cur_samp.select("doc_id", "text").collect()}
+    # sampling removes a subset of spans -> it can only keep MORE docs
+    assert set(full) <= set(samp)
+    for doc_id, t in full.items():
+        assert len(samp[doc_id]) >= len(t)
+    st_full = {r["stage"]: r["n_docs"] for r in fun_full.collect()}
+    st_samp = {r["stage"]: r["n_docs"] for r in fun_samp.collect()}
+    assert st_samp["2b_span_masked"] >= st_full["2b_span_masked"]
+    # the prefix stages are knob-independent
+    for st in ("0_raw", "1_quality_gated", "2_deduped"):
+        assert st_full[st] == st_samp[st]
+
+
+def test_cli_corpus_build_span_flags(spark, tmp_path, capsys):
+    """--mask-spans with --span-k/--span-sample-mod reach the pipeline."""
+    from toymapreduce_go_spark.__main__ import main
+
+    out = str(tmp_path / "cli_span_out")
+    main(["--corpus-build", SF_DIR, "--out", out, "--mask-spans",
+          "--span-k", "24", "--span-sample-mod", "4"])
+    lines = [ln.split() for ln in
+             capsys.readouterr().out.strip().splitlines()[-6:]]
+    assert [s for s, _ in lines] == [
+        "0_raw", "1_quality_gated", "2_deduped", "2b_span_masked",
+        "3_decontaminated", "4_packed"]

@@ -72,6 +72,13 @@ def main(argv: list[str] | None = None) -> None:
                      help="run the end-to-end curation pipeline "
                           "(pipeline.py) over SF_DIR's documents table: "
                           "curated parquet to --out, funnel to stdout")
+    src.add_argument("--stream-ingest", metavar="SF_DIR",
+                     help="run the composed streaming curation ingest "
+                          "(streaming/ingest.py: telemetry + gate + "
+                          "incremental near-dedup) over SF_DIR's "
+                          "documents table; --out is the shared "
+                          "checkpoint/state dir — re-running against it "
+                          "resumes/replays exactly-once")
     p.add_argument("--input", required=False,
                    help="comma-separated input files/globs "
                         "(coord -input analog; Hadoop FS URIs OK)")
@@ -89,16 +96,48 @@ def main(argv: list[str] | None = None) -> None:
                    help="with --corpus-build: also cut cross-document "
                         "duplicated spans out of survivor text "
                         "(ExactSubstr removal stage)")
+    p.add_argument("--span-k", type=int, default=20,
+                   help="with --mask-spans: duplicated-span gram width "
+                        "(widen alongside --span-sample-mod at scale)")
+    p.add_argument("--span-sample-mod", type=int, default=None,
+                   help="with --mask-spans: content-defined gram "
+                        "sampling modulus p — shuffle volume /p, "
+                        "bounded undercount (see pipeline.py)")
+    p.add_argument("--n-splits", type=int, default=3,
+                   help="with --stream-ingest: split the input into N "
+                        "arrival batches (simulated arrival; production "
+                        "points the stream at a landing directory)")
     args = p.parse_args(argv)
+
+    if args.stream_ingest:
+        from .session import build_session
+        from .streaming.events_stream import read_documents_stream
+        from .streaming.ingest import (read_survivors, read_telemetry,
+                                       run_curation_ingest)
+        spark = build_session("stream-ingest")
+        spark.sparkContext.setLogLevel("ERROR")
+        stream = read_documents_stream(spark, args.stream_ingest,
+                                       n_splits=args.n_splits)
+        run_curation_ingest(stream, args.out, spark)
+        for r in (read_telemetry(spark, args.out)
+                  .orderBy("batch_id").collect()):
+            print(f"batch {r['batch_id']}: {r['n_docs']} docs, "
+                  f"{r['n_pass']} pass ({r['pass_rate']}), "
+                  f"avg_alpha={r['avg_alpha']} "
+                  f"avg_chars={r['avg_chars']}")
+        n_surv = read_survivors(spark, args.out).count()
+        print(f"survivors: {n_surv} -> {args.out}")
+        return
 
     if args.corpus_build:
         from .pipeline import build_training_corpus
         from .session import build_session
         spark = build_session("corpus-build")
         spark.sparkContext.setLogLevel("ERROR")
-        _, funnel = build_training_corpus(spark, args.corpus_build,
-                                          out_path=args.out,
-                                          mask_spans=args.mask_spans)
+        _, funnel = build_training_corpus(
+            spark, args.corpus_build, out_path=args.out,
+            mask_spans=args.mask_spans, span_k=args.span_k,
+            span_sample_mod=args.span_sample_mod)
         for r in funnel.collect():
             print(f"{r['stage']} {r['n_docs']}")
         return

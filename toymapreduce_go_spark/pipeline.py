@@ -35,7 +35,9 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
                           max_tokens: int = 256,
                           min_shared_contamination: int = 3,
                           docs: DataFrame | None = None,
-                          mask_spans: bool = False
+                          mask_spans: bool = False,
+                          span_k: int = 20,
+                          span_sample_mod: int | None = None
                           ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation funnel over ``sf_dir``'s documents table
     (or an explicit ``docs`` frame — the hook fault-injection and
@@ -89,9 +91,23 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
     # shared between docs that are otherwise distinct), then re-apply
     # the length gate — a doc that was mostly boilerplate may no longer
     # carry enough text to train on.
+    #
+    # The 100 TB knobs ride through: ``span_sample_mod=p`` switches the
+    # gram pipeline to content-defined sampling (keep grams with
+    # h % p == 0 — every COPY of a span samples identically, so
+    # detection survives), dividing the span stage's shuffle volume by
+    # p at the cost of a bounded UNDERCOUNT: a duplicated span of
+    # length L >= k is missed entirely with probability
+    # ~(1 - 1/p)^(L - k + 1), and a detected span's masked region can
+    # start/end up to the sampling gap inside the true span — strictly
+    # fewer characters removed, never wrong ones (mask_dup_spans cuts
+    # only grams that verifiably repeat). A production run pairs p with
+    # a wider ``span_k`` (boilerplate runs are long; k=40..64 at p=8..32
+    # keeps recall on the spans worth cutting while pricing out noise).
     if mask_spans:
         pre_mask = deduped
-        deduped = (mask_dup_spans(deduped)
+        deduped = (mask_dup_spans(deduped, k=span_k,
+                                  sample_mod=span_sample_mod)
                    .filter(F.length("text") >= MIN_CHARS)
                    .drop("removed_chars").persist())
         stages.append(("2b_span_masked", deduped.count()))
