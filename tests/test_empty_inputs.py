@@ -162,18 +162,30 @@ def test_ivf_model_save_load_roundtrip(spark, tmp_path):
 
 def test_ivf_pq_model_save_load_roundtrip(spark, tmp_path):
     """Persisted IVF-PQ model must reproduce the in-session training
-    exactly (coarse centroids and every per-subspace codebook)."""
+    exactly (coarse centroids, every per-subspace codebook, and the r9
+    by_residual flag — in both training modes)."""
     from toymapreduce_go_spark.operators.similarity import (
-        _train_pq_codebooks, load_ivf_pq_model, save_ivf_pq_model,
-        train_ivf_centroids)
+        _train_pq_codebooks, load_ivf_pq_model, pq_residuals,
+        save_ivf_pq_model, train_ivf_centroids)
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    path = f"file://{tmp_path}/ivfpq_model"
-    save_ivf_pq_model(spark, path, emb)
-    cents, books = load_ivf_pq_model(spark, path)
-    sample_rows = (emb.orderBy("vec_id").limit(64)
+    sample_rows = (emb.orderBy("vec_id").limit(256)
                    .select("vec_id", "embedding").collect())
     sample = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
               for r in sample_rows]
-    assert cents == list(enumerate(train_ivf_centroids(sample, 8)))
-    assert books == _train_pq_codebooks([v for _, v in sample])
+    want_cents = train_ivf_centroids(sample, 8)
+    vecs = [v for _, v in sample]
+
+    path = f"file://{tmp_path}/ivfpq_model"
+    save_ivf_pq_model(spark, path, emb)  # default: residual codebooks
+    cents, books, by_residual = load_ivf_pq_model(spark, path)
+    assert by_residual
+    assert cents == list(enumerate(want_cents))
+    assert books == _train_pq_codebooks(pq_residuals(vecs, want_cents))
+
+    raw_path = f"file://{tmp_path}/ivfpq_model_raw"
+    save_ivf_pq_model(spark, raw_path, emb, by_residual=False)
+    cents_r, books_r, flag_r = load_ivf_pq_model(spark, raw_path)
+    assert not flag_r
+    assert cents_r == list(enumerate(want_cents))
+    assert books_r == _train_pq_codebooks(vecs)

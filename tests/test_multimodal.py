@@ -309,39 +309,118 @@ def test_staged_pipeline_equals_fused(spark):
     assert fused == staged
 
 
-def test_progressive_jpeg_detected_and_routed(spark):
-    """r7 verdict item: progressive (SOF2) payloads must be detectable
-    declaratively so a 100 TB run routes them to a native-codec tier
-    instead of erroring mid-stage. is_progressive() flags them,
-    decode_baseline still rejects them, and decode_pixel_stats passes
-    them through as format='jpeg_progressive' rows with header-tier
-    dimensions."""
-    import math
-
+def test_progressive_jpeg_detected_and_decoded(spark):
+    """r7 verdict item (routing) + r9 item 8 (decoding): progressive
+    (SOF2) payloads are detected declaratively and now DECODED by the
+    progressive tier — decode_pixel_stats emits real pixel statistics
+    under format='jpeg_progressive'. decode_baseline keeps rejecting
+    them (each decoder strict about its own envelope), and a corrupt
+    'progressive' stream (baseline entropy under a flipped SOF marker)
+    fails loudly instead of decoding garbage."""
     import pandas as pd
 
     from toymapreduce_go_spark.multimodal.binary import decode_pixel_stats
     from toymapreduce_go_spark.multimodal.jpeg import (decode_baseline,
+                                                       decode_progressive,
                                                        encode_baseline,
+                                                       encode_progressive,
                                                        is_progressive)
 
-    good = encode_baseline(bytes(range(64)), 8, 8, 1)
-    sof = good.index(b"\xff\xc0")
-    prog = good[:sof + 1] + b"\xc2" + good[sof + 2:]
+    pix = bytes(range(64))
+    good = encode_baseline(pix, 8, 8, 1)
+    prog = encode_progressive(pix, 8, 8, 1)
     assert not is_progressive(good)
     assert is_progressive(prog)
     with pytest.raises(ValueError, match="baseline"):
         decode_baseline(prog)
-    # the routing tier: one baseline + one progressive payload in a batch
+    with pytest.raises(ValueError, match="progressive"):
+        decode_progressive(good)
+    # a flipped SOF0->SOF2 marker over baseline entropy is CORRUPT, not
+    # progressive: the 0..63 "DC" band must be rejected
+    sof = good.index(b"\xff\xc0")
+    corrupt = good[:sof + 1] + b"\xc2" + good[sof + 2:]
+    assert is_progressive(corrupt)
+    with pytest.raises(ValueError, match="spectral band"):
+        decode_progressive(corrupt)
+    # the routing tier: one baseline + one progressive payload in a
+    # batch, both fully decoded — identical coefficients, identical stats
     pdf = pd.DataFrame({"doc_id": [1, 2], "source": ["a", "a"],
                         "payload": [good, prog]})
     out = next(decode_pixel_stats(iter([pdf])))
     by_id = {int(r.doc_id): r for r in out.itertuples()}
     assert by_id[1].format == "jpeg"
-    assert not math.isnan(by_id[1].mean_pixel)
     assert by_id[2].format == "jpeg_progressive"
     assert (by_id[2].width, by_id[2].height) == (8, 8)
-    assert math.isnan(by_id[2].mean_pixel)
+    assert by_id[2].mean_pixel == by_id[1].mean_pixel
+
+
+def test_progressive_codec_matches_baseline_exactly():
+    """The decisive contract: encode_progressive delivers the SAME
+    quantized coefficients as encode_baseline over the full scan
+    protocol (interleaved DC first/refine, spectral-split AC first,
+    AC successive-approximation refinement, per-scan Huffman tables),
+    so decoding either container yields BIT-IDENTICAL pixels."""
+    import numpy as np
+
+    from toymapreduce_go_spark.multimodal.jpeg import (decode_baseline,
+                                                       decode_progressive,
+                                                       encode_baseline,
+                                                       encode_progressive)
+
+    rng = np.random.default_rng(7)
+    for (w, h, ch) in [(8, 8, 1), (23, 17, 1), (16, 16, 3), (21, 13, 3)]:
+        pix = rng.integers(0, 256, size=w * h * ch,
+                           dtype=np.uint8).tobytes()
+        assert decode_progressive(encode_progressive(pix, w, h, ch)) \
+            == decode_baseline(encode_baseline(pix, w, h, ch)), (w, h, ch)
+    # EOB-heavy (smooth gradient), ZRL-heavy (sparse spikes), flat
+    g = (np.add.outer(np.arange(32), np.arange(40)) * 3 % 256) \
+        .astype(np.uint8)
+    sp = np.zeros((32, 40), np.uint8)
+    sp[::7, ::11] = 255
+    for img in (g, sp, np.full((32, 40), 128, np.uint8)):
+        pix = img.tobytes()
+        assert decode_progressive(encode_progressive(pix, 40, 32, 1)) \
+            == decode_baseline(encode_baseline(pix, 40, 32, 1))
+
+
+def test_progressive_scan_scripts_agree():
+    """Scan-script independence: spectral-selection-only, a deep Al=3
+    successive-approximation ladder, and the default script must all
+    reconstruct the same pixels (the coefficients are scan-order
+    invariant), at coarse and fine quality."""
+    import numpy as np
+
+    from toymapreduce_go_spark.multimodal.jpeg import (decode_progressive,
+                                                       encode_progressive)
+
+    rng = np.random.default_rng(11)
+    w, h = 40, 32
+    noise = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+    spectral = [([0], 0, 0, 0, 0), ([0], 1, 5, 0, 0),
+                ([0], 6, 20, 0, 0), ([0], 21, 63, 0, 0)]
+    ladder = [([0], 0, 0, 0, 3), ([0], 0, 0, 3, 2), ([0], 0, 0, 2, 1),
+              ([0], 0, 0, 1, 0), ([0], 1, 2, 0, 3), ([0], 3, 63, 0, 3),
+              ([0], 1, 63, 3, 2), ([0], 1, 63, 2, 1), ([0], 1, 63, 1, 0)]
+    for q in (30, 85):
+        want = decode_progressive(encode_progressive(noise, w, h, 1,
+                                                     quality=q))
+        for script in (spectral, ladder):
+            got = decode_progressive(encode_progressive(
+                noise, w, h, 1, quality=q, script=script))
+            assert got == want, (q, script[0])
+    # color: interleaved DC + per-component AC ladders
+    cpix = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    deep = ([([0, 1, 2], 0, 0, 0, 2)]
+            + [([c], 1, 63, 0, 2) for c in range(3)]
+            + [([c], 1, 63, 2, 1) for c in range(3)]
+            + [([c], 1, 63, 1, 0) for c in range(3)]
+            + [([0, 1, 2], 0, 0, 2, 1), ([0, 1, 2], 0, 0, 1, 0)])
+    want = decode_progressive(encode_progressive(cpix, w, h, 3,
+                                                 quality=30))
+    got = decode_progressive(encode_progressive(cpix, w, h, 3,
+                                                quality=30, script=deep))
+    assert got == want
 
 
 def test_is_progressive_skips_ff_fill_bytes():

@@ -15,6 +15,11 @@ Row counts at sf1: lineitem 6M, orders 1.5M, events 1M, documents 50k,
 embeddings 8k (the driver's embeddings grow ~4x per decade).
 
     python tools/gen_sf1.py [out_dir]   # default /root/repo/localdata/sf1
+
+Round 9: a third half-decade point for the corpus-linear class
+(SCALE.md) — generate a documents-only sf3 (30 replicas) with
+
+    python tools/gen_sf1.py /root/repo/localdata/sf3 30 documents
 """
 
 from __future__ import annotations
@@ -28,7 +33,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-REPLICAS = 10
+REPLICAS = 10  # default; argv[2] overrides (key strides are per-replica,
+               # so any count keeps keys disjoint)
 EMB_FACTOR = 4
 
 KEY_OFFSETS = {
@@ -49,14 +55,14 @@ def _shuffle_text(text: str, seed: int) -> str:
     return " ".join(words)
 
 
-def replicate(name: str, out_dir: str) -> None:
+def replicate(name: str, out_dir: str, replicas: int = REPLICAS) -> None:
     table = pq.read_table(f"{SRC}/{name}.parquet")
     offsets = KEY_OFFSETS.get(name, {})
     cols = {c: table.column(c).to_pandas() for c in table.column_names}
     if "user_id" in offsets and offsets["user_id"] is None:
         offsets = {**offsets, "user_id": int(cols["user_id"].max()) + 1}
     parts = []
-    for i in range(REPLICAS):
+    for i in range(replicas):
         rep = {}
         for c, series in cols.items():
             if c in offsets:
@@ -100,16 +106,22 @@ def gen_embeddings(out_dir: str) -> None:
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/localdata/sf1"
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else REPLICAS
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     os.makedirs(out_dir, exist_ok=True)
     for name in ("region", "nation"):  # fixed-size dims: copy
-        pq.write_table(pq.read_table(f"{SRC}/{name}.parquet"),
-                       f"{out_dir}/{name}.parquet")
+        if only is None or name in only:
+            pq.write_table(pq.read_table(f"{SRC}/{name}.parquet"),
+                           f"{out_dir}/{name}.parquet")
     for name in ("customer", "supplier", "part", "orders", "lineitem",
                  "events", "documents"):
-        replicate(name, out_dir)
+        if only is not None and name not in only:
+            continue
+        replicate(name, out_dir, replicas)
         print(f"{name}: done", flush=True)
-    gen_embeddings(out_dir)
-    print("embeddings: done", flush=True)
+    if only is None or "embeddings" in only:
+        gen_embeddings(out_dir)
+        print("embeddings: done", flush=True)
 
 
 if __name__ == "__main__":

@@ -31,9 +31,14 @@ APPROX = {
         lambda emb: similarity.ann_ivf(emb, k=K),
     "ann_ivf_trained (Lloyd's x3, 8 cells, probe 2)":
         lambda emb: similarity.ann_ivf_trained(emb, k=K),
-    "ann_ivf_pq (m=8 ksub=16, pure ADC)":
+    "ann_ivf_pq (m=8 ksub=64, RAW codes, pure ADC)":
+        lambda emb: similarity.ann_ivf_pq(emb, k=K, refine=0,
+                                          by_residual=False),
+    "ann_ivf_pq (m=8 ksub=64, residual codes, pure ADC)":
         lambda emb: similarity.ann_ivf_pq(emb, k=K, refine=0),
-    "ann_ivf_pq (m=8 ksub=16, refine 32k exact)":
+    "ann_ivf_pq (m=16 ksub=64, residual codes, pure ADC)":
+        lambda emb: similarity.ann_ivf_pq(emb, k=K, refine=0, m=16),
+    "ann_ivf_pq (m=8 ksub=64, residual, refine 32k exact — default)":
         lambda emb: similarity.ann_ivf_pq(emb, k=K),
 }
 

@@ -515,14 +515,15 @@ def decode_pixel_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     """payload → per-image pixel statistics via the FULL decoders
     (PNG inflate+unfilter / JPEG Huffman+DCT), not the header tier.
 
-    Progressive JPEGs (SOF2) are OUTSIDE the baseline decoder's envelope;
-    instead of erroring mid-job — which at 100 TB kills the whole stage
-    for one odd payload — they are detected declaratively
-    (``jpeg.is_progressive``, a cheap marker walk) and routed through as
-    ``format='jpeg_progressive'`` rows with header-tier dimensions and a
-    NaN mean_pixel, so a downstream native-codec tier can pick them up
-    by filtering on the format column."""
-    from .jpeg import is_progressive
+    Progressive JPEGs (SOF2) are detected declaratively
+    (``jpeg.is_progressive``, a cheap marker walk) and routed to the
+    progressive decoder (``jpeg.decode_progressive``, round 9 —
+    spectral selection + successive approximation, the full scan
+    protocol), keeping each decoder strict about its own envelope: a
+    mis-routed payload still fails loudly rather than decoding garbage.
+    The rows keep ``format='jpeg_progressive'`` so the column remains a
+    routing/inventory signal, now with REAL pixel statistics."""
+    from .jpeg import decode_progressive, is_progressive
 
     for pdf in batches:
         rows = {k: [] for k in ("doc_id", "source", "format",
@@ -532,13 +533,13 @@ def decode_pixel_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             payload = bytes(payload)
             fmt = "png" if payload[:8] == PNG_MAGIC else "jpeg"
             if fmt == "jpeg" and is_progressive(payload):
-                _f, w, h, _c = parse_image_header(payload)
+                w, h, c, pix = decode_progressive(payload)
                 rows["doc_id"].append(doc_id)
                 rows["source"].append(source)
                 rows["format"].append("jpeg_progressive")
                 rows["width"].append(w)
                 rows["height"].append(h)
-                rows["mean_pixel"].append(float("nan"))
+                rows["mean_pixel"].append(sum(pix) / len(pix))
                 continue
             w, h, c, pix = real_decode_pixels(payload)
             rows["doc_id"].append(doc_id)

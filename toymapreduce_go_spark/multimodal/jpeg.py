@@ -5,13 +5,16 @@ container formats end-to-end without PIL/libvips.
 Scope (honest and tested, not a full libjpeg):
 - **Decoder**: baseline sequential DCT (SOF0), 8-bit, 1 or 3
   components, ANY sampling factors ≤ 4 (4:4:4, 4:2:2, 4:2:0 — chroma
-  upsampled by replication), restart markers (DRI/RSTn) supported;
-  progressive is rejected (see ``is_progressive`` for the declarative
-  routing column). Huffman and quantization tables are read from the
-  stream's own DHT/DQT segments (canonical-code reconstruction), so it
-  decodes real-world camera/libjpeg baseline files — verified in pytest
-  against the baseline 4:2:0 photographs shipped in Spark's own mllib
-  data directory.
+  upsampled by replication), restart markers (DRI/RSTn) supported.
+  Huffman and quantization tables are read from the stream's own
+  DHT/DQT segments (canonical-code reconstruction), so it decodes
+  real-world camera/libjpeg baseline files — verified in pytest against
+  the baseline 4:2:0 photographs shipped in Spark's own mllib data
+  directory. Round 9: progressive DCT (SOF2) decodes too
+  (``decode_progressive`` — spectral selection, successive
+  approximation, EOB runs, per-scan table redefinition); each decoder
+  stays strict about its own envelope and ``is_progressive`` remains
+  the declarative routing column.
 - **Encoder**: same envelope, two-pass — pass 1 collects the run/size
   symbol census, pass 2 emits fixed-length canonical Huffman codes
   built from it (valid per the JPEG prefix rules: one code length L
@@ -732,3 +735,521 @@ def _decode_scan(data: bytes, frame, scan, qts, huff,
     b = np.clip(np.rint(yv + 1.772 * cb), 0, 255)
     out = np.stack([r, g, b], axis=-1).astype(np.uint8).tobytes()
     return width, height, 3, out
+
+
+# ---------------------------------------------------------------------------
+# Progressive DCT (SOF2) — round 9
+#
+# The successive-approximation + spectral-selection scan protocol from
+# the public JPEG spec (ITU-T T.81 Annex G; the control flow below is
+# the standard published algorithm every progressive codec implements):
+# DC and AC coefficients arrive over MULTIPLE scans — each scan carries
+# one spectral band (Ss..Se) at one bit precision (Ah→Al), AC bands are
+# single-component, and EOB-run symbols amortize trailing zeros across
+# blocks. Coefficients accumulate in per-component full-frame grids;
+# once every scan is applied, dequantize + IDCT + upsample + color
+# convert are the SAME batched numpy tail the baseline decoder uses.
+
+
+def _prog_comp_dims(frame, cid):
+    """((block_rows, block_cols) for non-interleaved scans — ceil of the
+    component's own sample grid, NOT MCU-padded — plus the padded grid
+    column stride blocks are stored under)."""
+    width, height, comps = frame
+    hmax = max(sh for _, sh, _, _ in comps)
+    vmax = max(sv for _, _, sv, _ in comps)
+    sh, sv = next((s, v) for c, s, v, _ in comps if c == cid)
+    comp_w = (width * sh + hmax - 1) // hmax
+    comp_h = (height * sv + vmax - 1) // vmax
+    mcu_cols = (width + 8 * hmax - 1) // (8 * hmax)
+    return ((comp_h + 7) // 8, (comp_w + 7) // 8, mcu_cols * sh)
+
+
+def _dc_first_block(br, dc_tab, pred, Al):
+    sym = _read_symbol(br, dc_tab)
+    diff = _extend(br.bits(sym), sym) if sym else 0
+    pred += diff
+    return pred, pred << Al
+
+
+def _ac_first_block(br, ac_tab, zz, Ss, Se, Al, eobrun):
+    """T.81 G.1.2.2 / the standard decode_mcu_AC_first control flow."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        sym = _read_symbol(br, ac_tab)
+        r, s = sym >> 4, sym & 0x0F
+        if s:
+            k += r
+            if k > Se:
+                raise ValueError("corrupt progressive AC band")
+            zz[k] = _extend(br.bits(s), s) << Al
+            k += 1
+        else:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.bits(r)
+                return eobrun - 1  # this block is part of the run
+            k += 16  # ZRL
+    return 0
+
+
+def _ac_refine_block(br, ac_tab, zz, Ss, Se, Al, eobrun):
+    """T.81 G.1.2.3 AC successive-approximation refinement: correction
+    bits for every already-nonzero coefficient crossed, new ±2^Al
+    coefficients placed at run ends."""
+    p1 = 1 << Al
+    m1 = -p1
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            sym = _read_symbol(br, ac_tab)
+            r, s = sym >> 4, sym & 0x0F
+            if s:
+                if s != 1:
+                    raise ValueError("bad AC refinement symbol")
+                s = p1 if br.bits(1) else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.bits(r)
+                break  # drop to the EOB-run correction sweep
+            while k <= Se:
+                if zz[k]:
+                    if br.bits(1) and not (zz[k] & p1):
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= Se:
+                zz[k] = s
+            k += 1
+    if eobrun > 0:
+        while k <= Se:
+            if zz[k] and br.bits(1) and not (zz[k] & p1):
+                zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(br, frame, scan, Ss, Se, Ah, Al, huff, coef,
+                      restart_interval):
+    """Apply ONE progressive scan to the coefficient grids. ``coef``
+    maps cid → list of per-block zigzag lists (padded MCU grid)."""
+    width, height, comps = frame
+    hmax = max(sh for _, sh, _, _ in comps)
+    vmax = max(sv for _, _, sv, _ in comps)
+    mcu_cols = (width + 8 * hmax - 1) // (8 * hmax)
+    mcu_rows = (height + 8 * vmax - 1) // (8 * vmax)
+    is_dc = Ss == 0
+
+    def tab(kind, tid):
+        t = huff.get((kind, tid))
+        if t is None:
+            raise ValueError("JPEG scan references missing table")
+        return t
+
+    if len(scan) == 1:
+        cid, dc_id, ac_id = scan[0]
+        brows, bcols, stride = _prog_comp_dims(frame, cid)
+        grid = coef[cid]
+        pred = 0
+        eobrun = 0
+        done = 0
+        for row in range(brows):
+            for col in range(bcols):
+                if restart_interval and done \
+                        and done % restart_interval == 0:
+                    br.restart()
+                    pred = 0
+                    eobrun = 0
+                zz = grid[row * stride + col]
+                if is_dc:
+                    if Ah == 0:
+                        pred, zz[0] = _dc_first_block(
+                            br, tab(0, dc_id), pred, Al)
+                    elif br.bits(1):
+                        zz[0] |= 1 << Al
+                elif Ah == 0:
+                    eobrun = _ac_first_block(
+                        br, tab(1, ac_id), zz, Ss, Se, Al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(
+                        br, tab(1, ac_id), zz, Ss, Se, Al, eobrun)
+                done += 1
+        return
+
+    if not is_dc:
+        raise ValueError("progressive AC scans must be single-component")
+    comp_info = {c: (s, v) for c, s, v, _ in comps}
+    preds = {cid: 0 for cid, _, _ in scan}
+    done = 0
+    for mr in range(mcu_rows):
+        for mc in range(mcu_cols):
+            if restart_interval and done \
+                    and done % restart_interval == 0:
+                br.restart()
+                preds = {cid: 0 for cid, _, _ in scan}
+            for cid, dc_id, _ac in scan:
+                sh, sv = comp_info[cid]
+                stride = mcu_cols * sh
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = coef[cid][(mr * sv + by) * stride
+                                       + (mc * sh + bx)]
+                        if Ah == 0:
+                            preds[cid], zz[0] = _dc_first_block(
+                                br, tab(0, dc_id), preds[cid], Al)
+                        elif br.bits(1):
+                            zz[0] |= 1 << Al
+            done += 1
+
+
+def decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, channels, pixels) from a progressive (SOF2) JPEG
+    within the module's envelope (8-bit, 1 or 3 components, sampling
+    ≤ 4, DRI/RSTn). Raises ValueError on baseline input — routing is
+    ``is_progressive``'s job, each decoder stays strict."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qts: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], tuple[list, int]] = {}
+    frame = None
+    coef: dict[int, list[list[int]]] = {}
+    restart_interval = 0
+    saw_scan = False
+    i = 2
+    L = len(payload)
+    while i + 2 <= L:
+        if payload[i] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        while i + 2 <= L and payload[i + 1] == 0xFF:
+            i += 1  # B.1.1.2 fill bytes
+        marker = payload[i + 1]
+        if marker == 0xD9:
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2
+            continue
+        if i + 4 > L:
+            raise ValueError("truncated JPEG segment")
+        seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
+        if seg_len < 2 or i + 2 + seg_len > L:
+            raise ValueError("truncated JPEG segment")
+        data = payload[i + 4:i + 2 + seg_len]
+        if marker == 0xDB:
+            j = 0
+            while j < len(data):
+                prec, tid = data[j] >> 4, data[j] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qts[tid] = list(data[j + 1:j + 65])
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(data):
+                tcls, tid = data[j] >> 4, data[j] & 0x0F
+                bits = list(data[j + 1:j + 17])
+                n = sum(bits)
+                vals = list(data[j + 17:j + 17 + n])
+                huff[(tcls, tid)] = _decode_table(bits, vals)
+                j += 17 + n
+        elif marker == 0xC2:
+            prec = data[0]
+            h, w = struct.unpack(">HH", data[1:5])
+            nc = data[5]
+            comps = []
+            for c in range(nc):
+                cid, sampling, qid = data[6 + 3 * c:9 + 3 * c]
+                sh, sv = sampling >> 4, sampling & 0x0F
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError(f"bad sampling factors {sh}x{sv}")
+                comps.append((cid, sh, sv, qid))
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            if nc not in (1, 3):
+                raise ValueError(f"{nc}-component JPEG unsupported")
+            frame = (w, h, comps)
+            hmax = max(sh for _, sh, _, _ in comps)
+            vmax = max(sv for _, _, sv, _ in comps)
+            mcu_cols = (w + 8 * hmax - 1) // (8 * hmax)
+            mcu_rows = (h + 8 * vmax - 1) // (8 * vmax)
+            for cid, sh, sv, _q in comps:
+                coef[cid] = [[0] * 64
+                             for _ in range(mcu_rows * sv * mcu_cols * sh)]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("not a progressive (SOF2) JPEG")
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", data[:2])[0]
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF2")
+            nc = data[0]
+            scan = []
+            for c in range(nc):
+                cid, tabs = data[1 + 2 * c], data[2 + 2 * c]
+                scan.append((cid, tabs >> 4, tabs & 0x0F))
+            Ss, Se, AhAl = data[1 + 2 * nc:4 + 2 * nc]
+            Ah, Al = AhAl >> 4, AhAl & 0x0F
+            # G.1.1.1.1: a DC scan is exactly the 0..0 band; a
+            # baseline-style 0..63 scan inside an SOF2 stream is corrupt
+            if (Ss == 0) != (Se == 0) or Se > 63 or Ss > Se:
+                raise ValueError("invalid progressive spectral band")
+            br = _BitReader(payload[i + 2 + seg_len:])
+            _decode_prog_scan(br, frame, scan, Ss, Se, Ah, Al, huff,
+                              coef, restart_interval)
+            saw_scan = True
+            # skip to the next marker after this scan's entropy data
+            base = i + 2 + seg_len
+            j = base + br.pos
+            while j + 1 < L and not (payload[j] == 0xFF
+                                     and payload[j + 1] != 0x00):
+                j += 1
+            i = j
+            continue
+        i += 2 + seg_len
+    if frame is None or not saw_scan:
+        raise ValueError("JPEG has no scan data")
+
+    # shared batched tail: dequantize + IDCT + assemble + upsample
+    width, height, comps = frame
+    hmax = max(sh for _, sh, _, _ in comps)
+    vmax = max(sv for _, _, sv, _ in comps)
+    mcu_cols = (width + 8 * hmax - 1) // (8 * hmax)
+    mcu_rows = (height + 8 * vmax - 1) // (8 * vmax)
+    full = []
+    for cid, sh, sv, qid in comps:
+        qt = qts.get(qid)
+        if qt is None:
+            raise ValueError("frame references missing quant table")
+        gcols = mcu_cols * sh
+        grows = mcu_rows * sv
+        qt_nat = np.asarray(qt, dtype=np.float64)[_IZZ]
+        arr = np.asarray(coef[cid], dtype=np.int64)
+        nat = arr[:, _IZZ] * qt_nat
+        pix = _M.T @ nat.reshape(-1, 8, 8) @ _M
+        pix = np.clip(np.rint(pix) + 128, 0, 255)
+        plane = (pix.reshape(grows, gcols, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(grows * 8, gcols * 8))
+        rows = (np.arange(height) * sv) // vmax
+        cols = (np.arange(width) * sh) // hmax
+        full.append(plane[np.ix_(rows, cols)])
+    if len(comps) == 1:
+        return width, height, 1, full[0].astype(np.uint8).tobytes()
+    yv = full[0]
+    cb = full[1] - 128.0
+    cr = full[2] - 128.0
+    r = np.clip(np.rint(yv + 1.402 * cr), 0, 255)
+    g = np.clip(np.rint(yv - 0.344136 * cb - 0.714136 * cr), 0, 255)
+    b = np.clip(np.rint(yv + 1.772 * cb), 0, 255)
+    out = np.stack([r, g, b], axis=-1).astype(np.uint8).tobytes()
+    return width, height, 3, out
+
+
+# --- progressive encoder (test twin: exercises the full scan matrix) ------
+
+
+def _default_scan_script(channels: int) -> list[tuple]:
+    """(comp_indices, Ss, Se, Ah, Al) — a libjpeg-shaped script covering
+    the whole protocol: interleaved DC first at Al=1, spectral-split AC
+    first passes at Al=1, AC refinements to Al=0, DC refinement last."""
+    comps = list(range(channels))
+    script: list[tuple] = [(comps, 0, 0, 0, 1)]
+    for c in comps:
+        script += [([c], 1, 5, 0, 1), ([c], 6, 63, 0, 1)]
+    for c in comps:
+        script += [([c], 1, 63, 1, 0)]
+    script += [(comps, 0, 0, 1, 0)]
+    return script
+
+
+def _enc_ac_first_syms(zz, Ss, Se, Al):
+    """Per-block (symbol, extra, size) triples for an AC first scan
+    (magnitudes point-transformed by >> Al, per-block EOB runs)."""
+    out = []
+    run = 0
+    for k in range(Ss, Se + 1):
+        v = zz[k]
+        t = (abs(v) >> Al)
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            out.append((0xF0, 0, 0))
+            run -= 16
+        tv = t if v >= 0 else -t
+        size, bits = _amplitude_bits(tv)
+        out.append(((run << 4) | size, bits, size))
+        run = 0
+    if run > 0:
+        out.append((0x00, 0, 0))  # EOB (run of exactly this block)
+    return out
+
+
+def _enc_ac_refine_syms(zz, Ss, Se, Al):
+    """Per-block triples + raw correction bits for an AC refinement scan
+    — the encoder mirror of ``_ac_refine_block`` (newly-significant
+    coefficients emit (run,1)+sign, history coefficients append their
+    next magnitude bit after the following symbol / the EOB). Returns a
+    list of ('sym', symbol, extra, size) and ('bits', bitlist) ops in
+    emission order."""
+    absval = [0] * (Se + 1)
+    eob = Ss - 1
+    for k in range(Ss, Se + 1):
+        absval[k] = abs(zz[k]) >> Al
+        if absval[k] == 1:
+            eob = k
+    ops = []
+    run = 0
+    pending: list[int] = []
+    for k in range(Ss, Se + 1):
+        t = absval[k]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            ops.append(("sym", 0xF0, 0, 0))
+            ops.append(("bits", pending))
+            pending = []
+            run -= 16
+        if t > 1:
+            # history coefficient: correction bit rides with the next
+            # emitted symbol
+            pending.append(t & 1)
+            continue
+        sign = 1 if zz[k] >= 0 else 0
+        ops.append(("sym", (run << 4) | 1, sign, 1))
+        ops.append(("bits", pending))
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        ops.append(("sym", 0x00, 0, 0))
+        ops.append(("bits", pending))
+    return ops
+
+
+def encode_progressive(pixels: bytes, width: int, height: int,
+                       channels: int = 1, quality: int = 85,
+                       script: list[tuple] | None = None) -> bytes:
+    """A real progressive (SOF2) JPEG from 8-bit samples — the test twin
+    of ``decode_progressive``: same quantized coefficients as
+    ``encode_baseline`` (so decoding either container yields identical
+    pixels), delivered over a successive-approximation scan script.
+    Deterministic; per-scan symbol census builds per-scan DHT segments
+    (tables legally redefined between scans)."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if len(pixels) != width * height * channels:
+        raise ValueError(f"need {width * height * channels} samples, "
+                         f"got {len(pixels)}")
+    arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
+    if channels == 1:
+        planes = [arr.reshape(height, width)]
+        qts = [_scaled_quant(QUANT_LUMA, quality)]
+        plane_qt = [0]
+    else:
+        rgb = arr.reshape(height, width, 3)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                  128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b]
+        qts = [_scaled_quant(QUANT_LUMA, quality),
+               _scaled_quant(QUANT_CHROMA, quality)]
+        plane_qt = [0, 1, 1]
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    plane_zz = []
+    for pi, plane in enumerate(planes):
+        padded = np.pad(plane, ((0, bh * 8 - height), (0, bw * 8 - width)),
+                        mode="edge") - 128.0
+        blocks = (padded.reshape(bh, 8, bw, 8)
+                  .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+        plane_zz.append(_fdct_quant_batch(blocks, qts[plane_qt[pi]])
+                        .tolist())
+    nblocks = bh * bw
+
+    def seg(marker: int, payload_: bytes) -> bytes:
+        return bytes([0xFF, marker]) \
+            + struct.pack(">H", len(payload_) + 2) + payload_
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00" + bytes((1, 1, 0))
+               + struct.pack(">HH", 72, 72) + b"\x00\x00")
+    for ti in range(len(qts)):
+        out += seg(0xDB, bytes([ti]) + bytes(qts[ti]))
+    comp = b"".join(bytes([i + 1, 0x11, plane_qt[i]])
+                    for i in range(channels))
+    out += seg(0xC2, b"\x08" + struct.pack(">HH", height, width)
+               + bytes([channels]) + comp)
+
+    for comps, Ss, Se, Ah, Al in (script or _default_scan_script(channels)):
+        # build this scan's symbol stream per component
+        scan_ops: list = []   # flat ops in MCU/raster order
+        use_huff = not (Ss == 0 and Ah > 0)
+        if Ss == 0:
+            if Ah == 0:
+                preds = {c: 0 for c in comps}
+                for bi in range(nblocks):
+                    for c in comps:
+                        dc = plane_zz[c][bi][0] >> Al
+                        diff = dc - preds[c]
+                        preds[c] = dc
+                        size, bits = _amplitude_bits(diff)
+                        scan_ops.append(("dc", c, size, bits))
+            else:
+                for bi in range(nblocks):
+                    for c in comps:
+                        scan_ops.append(
+                            ("raw", (plane_zz[c][bi][0] >> Al) & 1))
+        else:
+            (c,) = comps
+            for bi in range(nblocks):
+                zz = plane_zz[c][bi]
+                if Ah == 0:
+                    for sym, extra, size in _enc_ac_first_syms(
+                            zz, Ss, Se, Al):
+                        scan_ops.append(("ac", c, sym, extra, size))
+                else:
+                    for op in _enc_ac_refine_syms(zz, Ss, Se, Al):
+                        if op[0] == "sym":
+                            scan_ops.append(("ac", c, op[1], op[2], op[3]))
+                        else:
+                            scan_ops.append(("rawbits", op[1]))
+        # per-scan Huffman tables from the census
+        dc_syms = {size for op in scan_ops if op[0] == "dc"
+                   for size in [op[2]]}
+        ac_syms = {op[2] for op in scan_ops if op[0] == "ac"}
+        dc_codes = ac_codes = None
+        if use_huff and Ss == 0:
+            bits_, vals_ = _fixed_length_huffman(dc_syms)
+            out += seg(0xC4, bytes([0x00]) + bytes(bits_) + bytes(vals_))
+            dc_codes = _encode_table(bits_, vals_)
+        if Ss > 0:
+            bits_, vals_ = _fixed_length_huffman(ac_syms)
+            out += seg(0xC4, bytes([0x10]) + bytes(bits_) + bytes(vals_))
+            ac_codes = _encode_table(bits_, vals_)
+        sos_comp = b"".join(bytes([c + 1, 0x00]) for c in comps)
+        out += seg(0xDA, bytes([len(comps)]) + sos_comp
+                   + bytes([Ss, Se, (Ah << 4) | Al]))
+        w = _BitWriter()
+        for op in scan_ops:
+            if op[0] == "dc":
+                code, length = dc_codes[op[2]]
+                w.write((code << op[2]) | op[3], length + op[2])
+            elif op[0] == "raw":
+                w.write(op[1], 1)
+            elif op[0] == "ac":
+                code, length = ac_codes[op[2]]
+                w.write((code << op[4]) | op[3], length + op[4])
+            else:  # rawbits
+                for bit in op[1]:
+                    w.write(bit, 1)
+        out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

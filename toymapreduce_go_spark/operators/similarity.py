@@ -520,7 +520,12 @@ def ann_ivf_from_model(embeddings: DataFrame, model_path: str,
 # vectors (64× smaller than float32); with the refine stage this
 # matches the full-precision IVF tier's recall (RECALL.md).
 PQ_M = 8          # subspaces
-PQ_KSUB = 16      # centroids per subspace (4-bit codes)
+# r9: 16 -> 64 centroids per subspace (6-bit codes, still 1 B/subspace
+# stored) trained on a 256-vector sample — with residual encoding this
+# lifts refine-tier recall 0.76 -> 0.84 at BOTH sf0.01/sf0.1 and gets
+# ADC-only to ~0.5 on the weak fixture geometry (RECALL.md ladder)
+PQ_KSUB = 64      # centroids per subspace (6-bit codes)
+PQ_SAMPLE_SIZE = 256
 
 
 def _train_pq_codebooks(sample_vecs: list[list[float]], m: int = PQ_M,
@@ -562,6 +567,65 @@ def _train_pq_codebooks(sample_vecs: list[list[float]], m: int = PQ_M,
     return books
 
 
+def assign_cells_py(vecs: list[list[float]],
+                    cents: list[list[float]]) -> list[int]:
+    """Driver-side twin of the SQL coarse-assignment rule (max cosine,
+    ties -> highest cell id, zero-norm -> highest cell id — the
+    greatest()-over-structs semantics)."""
+    cent_norms = [_py_norm(c) for c in cents]
+    out = []
+    for v in vecs:
+        nv = _py_norm(v)
+        _, best = max((_py_cos(c, v, cent_norms[ci], nv), ci)
+                      for ci, c in enumerate(cents))
+        out.append(best)
+    return out
+
+
+def pq_residuals(vecs: list[list[float]],
+                 cents: list[list[float]]) -> list[list[float]]:
+    """x − c(cell(x)) per training vector — what residual-PQ codebooks
+    train on (the FAISS IVFPQ ``by_residual`` default): after the coarse
+    quantizer explains the between-cell structure, the codes only have
+    to carry the WITHIN-cell offsets, whose spread is far smaller, so
+    the same m×ksub budget buys much finer resolution."""
+    cells = assign_cells_py(vecs, cents)
+    return [[x - c for x, c in zip(v, cents[cell])]
+            for v, cell in zip(vecs, cells)]
+
+
+def _pq_codes_sql(books: list[list[list[float]]],
+                  residual_col: str | None = None) -> str:
+    """The argmin-L2 PQ code of every subspace as ONE parsed SQL
+    expression (Py4J-avoidance, see ``pq_encode``). With
+    ``residual_col`` the distance is measured from the RESIDUAL
+    (embedding − that row's coarse centroid, supplied as an array
+    column) — encoding stays a pure projection either way."""
+    m = len(books)
+    dsub = len(books[0][0]) if m else 0
+
+    def code_sql(j: int) -> str:
+        # greatest() needs >= 2 operands; a one-centroid codebook (a
+        # single-vector corpus) codes everything 0
+        if len(books[j]) == 1:
+            return "0"
+        sub = f"slice(embedding, {j * dsub + 1}, {dsub})"
+        if residual_col is None:
+            res = f"transform({sub}, x -> double(x))"
+        else:
+            csub = f"slice({residual_col}, {j * dsub + 1}, {dsub})"
+            res = f"zip_with({sub}, {csub}, (x, c) -> double(x) - c)"
+        terms = []
+        for ci, c in enumerate(books[j]):
+            arr = "array(" + ",".join(f"{x!r}D" for x in c) + ")"
+            d = (f"aggregate(zip_with({res}, {arr}, (r, y) -> "
+                 f"(r - y) * (r - y)), 0D, (a, x) -> a + x)")
+            terms.append(f"struct(-{d} as negd, {ci} as code)")
+        return f"greatest({','.join(terms)}).code"
+
+    return "array(" + ",".join(code_sql(j) for j in range(m)) + ")"
+
+
 def pq_encode(embeddings: DataFrame,
               books: list[list[list[float]]]) -> DataFrame:
     """Scan-side PQ encoding: per subspace, the argmin-L2 code against
@@ -571,27 +635,9 @@ def pq_encode(embeddings: DataFrame,
     is ``(vec_id, codes array<int>, vnorm)`` — m bytes of code (ksub ≤
     256) + one double per vector instead of D floats: the 100 TB memory
     story (a 10⁹ × 128-dim float corpus is 512 GB raw, 12 GB encoded)."""
-    m = len(books)
-    dsub = len(books[0][0]) if m else 0
-
-    def code_sql(j: int) -> str:
-        # greatest() needs >= 2 operands; a one-centroid codebook (a
-        # single-vector corpus) codes everything 0
-        if len(books[j]) == 1:
-            return "0"
-        terms = []
-        for ci, c in enumerate(books[j]):
-            arr = "array(" + ",".join(f"{x!r}D" for x in c) + ")"
-            d = (f"aggregate(zip_with(slice(embedding, {j * dsub + 1}, "
-                 f"{dsub}), {arr}, (x, y) -> (double(x) - y) * "
-                 f"(double(x) - y)), 0D, (a, x) -> a + x)")
-            terms.append(f"struct(-{d} as negd, {ci} as code)")
-        return f"greatest({','.join(terms)}).code"
-
-    codes = "array(" + ",".join(code_sql(j) for j in range(m)) + ")"
     return embeddings.select(
         "vec_id", "embedding",
-        F.expr(codes).alias("codes"),
+        F.expr(_pq_codes_sql(books)).alias("codes"),
         l2_norm(F.col("embedding")).alias("vnorm"))
 
 
@@ -599,8 +645,9 @@ def ann_ivf_pq(embeddings: DataFrame, n_cells: int = 8,
                n_probe_cells: int = 2, n_probes: int = 5,
                k: int = DEFAULT_K, m: int = PQ_M,
                ksub: int = PQ_KSUB,
-               sample_size: int = IVF_SAMPLE_SIZE,
-               refine: int = 32) -> DataFrame:
+               sample_size: int = PQ_SAMPLE_SIZE,
+               refine: int = 32,
+               by_residual: bool = True) -> DataFrame:
     """IVF-PQ ANN (Jégou et al. 2011, "Product Quantization for Nearest
     Neighbor Search" — the memory-bound scale tier FAISS's IVFPQ index
     implements): the IVF coarse quantizer routes probes to cells, and
@@ -620,9 +667,18 @@ def ann_ivf_pq(embeddings: DataFrame, n_cells: int = 8,
     re-ranks by exact cosine against re-fetched full vectors — at 100 TB
     the full-precision corpus is touched for probes × refine × k rows
     instead of every candidate, which is the point of the codes.
-    ``refine=0`` disables (pure-ADC ranking). Pytest tier: exact parity
-    is meaningless for a lossy code; the contract is the recall floor vs
-    bruteforce (RECALL.md) plus deterministic encoding."""
+    ``refine=0`` disables (pure-ADC ranking).
+
+    ``by_residual`` (default, the FAISS IVFPQ default) encodes each
+    vector's RESIDUAL against its coarse centroid instead of the raw
+    vector: the codes spend their m×ksub budget on within-cell offsets
+    only, and the probe recovers <q, x> ≈ <q, c_cell> + Σ_j LUT[j][code]
+    — the cell term is exact (model-sized driver arithmetic), only the
+    residual is quantized, which is what lifts ADC-only recall on weak
+    geometry (measured in RECALL.md; r8 raw codes floored at 0.20–0.32).
+    Pytest tier: exact parity is meaningless for a lossy code; the
+    contract is the recall floor vs bruteforce (RECALL.md) plus
+    deterministic encoding."""
     sample_rows = (embeddings.orderBy("vec_id").limit(sample_size)
                    .select("vec_id", "embedding").collect())
     sample = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
@@ -632,12 +688,19 @@ def ann_ivf_pq(embeddings: DataFrame, n_cells: int = 8,
             [], "probe_id long, neighbor_id long, rank int, approx_cos double")
     cents = list(enumerate(train_ivf_centroids(
         sample, n_cells, IVF_TRAIN_ITERS)))
-    books = _train_pq_codebooks([v for _, v in sample], m, ksub)
+    vecs = [v for _, v in sample]
+    books = _train_pq_codebooks(
+        pq_residuals(vecs, [c for _, c in cents]) if by_residual
+        else vecs, m, ksub)
     probes = sample[:n_probes]
     cent_norms = {cid: _py_norm(emb) for cid, emb in cents}
 
-    # encode = coarse cell + PQ codes, one projection
-    encoded = pq_encode(embeddings, books)
+    # encode = coarse cell + PQ codes, one projection (residual mode
+    # adds a broadcast join against the model-sized centroid table so
+    # the code expression can subtract the row's own centroid)
+    encoded = embeddings.select(
+        "vec_id", "embedding",
+        l2_norm(F.col("embedding")).alias("vnorm"))
     if len(cents) == 1:
         best_sql = f"{cents[0][0]}L"
     else:
@@ -653,8 +716,18 @@ def ann_ivf_pq(embeddings: DataFrame, n_cells: int = 8,
         best_sql = "greatest(" + ",".join(
             f"struct({cs(cid, emb)} as cos_c, {cid}L as cent_id)"
             for cid, emb in cents) + ").cent_id"
-    assigned = encoded.select(
-        "vec_id", "codes", "vnorm", F.expr(best_sql).alias("cell"))
+    with_cell = encoded.withColumn("cell", F.expr(best_sql))
+    if by_residual:
+        cents_df = embeddings.sparkSession.createDataFrame(
+            [(cid, c) for cid, c in cents], "cell long, cvec array<double>")
+        assigned = (with_cell.join(broadcast(cents_df), "cell")
+                    .select("vec_id", F.expr(
+                        _pq_codes_sql(books, residual_col="cvec"))
+                        .alias("codes"), "vnorm", "cell"))
+    else:
+        assigned = with_cell.select(
+            "vec_id", F.expr(_pq_codes_sql(books)).alias("codes"),
+            "vnorm", "cell")
 
     # probe side: cell routing + ADC LUT, both model-sized driver work
     def top_cells(emb):
@@ -664,17 +737,21 @@ def ann_ivf_pq(embeddings: DataFrame, n_cells: int = 8,
         return [cid for _, cid in sorted(scored)[:n_probe_cells]]
 
     dsub = len(books[0][0])
+    cent_by_id = dict(cents)
     probe_rows = []
     for pid, emb in probes:
         pn = _py_norm(emb)
         lut = [[_py_dot(emb[j * dsub:(j + 1) * dsub], c)
                 for c in books[j]] for j in range(m)]
         for cell in top_cells(emb):
-            probe_rows.append((pid, emb, pn, lut, cell))
+            # residual mode: the exact <q, c_cell> term the quantized
+            # residual rides on; raw mode contributes nothing
+            qc = _py_dot(emb, cent_by_id[cell]) if by_residual else 0.0
+            probe_rows.append((pid, emb, pn, lut, cell, qc))
     probe_df = embeddings.sparkSession.createDataFrame(
         probe_rows,
         "probe_id long, probe_emb array<double>, pnorm double, "
-        "lut array<array<double>>, cell long")
+        "lut array<array<double>>, cell long, qc double")
 
     adc = F.aggregate(
         F.zip_with("codes", "lut", lambda c, row: F.element_at(row, c + 1)),
@@ -683,7 +760,8 @@ def ann_ivf_pq(embeddings: DataFrame, n_cells: int = 8,
             .filter(F.col("vec_id") != F.col("probe_id"))
             .withColumn("approx",
                         F.when((F.col("pnorm") > 0) & (F.col("vnorm") > 0),
-                               adc / (F.col("pnorm") * F.col("vnorm")))
+                               (F.col("qc") + adc)
+                               / (F.col("pnorm") * F.col("vnorm")))
                         .otherwise(F.lit(0.0))))
     w_adc = Window.partitionBy("probe_id").orderBy(
         F.col("approx").desc(), F.col("vec_id").asc())
@@ -713,19 +791,28 @@ def ann_ivf_pq(embeddings: DataFrame, n_cells: int = 8,
 def save_ivf_pq_model(spark, path: str, embeddings: DataFrame,
                       n_cells: int = 8, m: int = PQ_M,
                       ksub: int = PQ_KSUB,
-                      sample_size: int = IVF_SAMPLE_SIZE) -> None:
+                      sample_size: int = PQ_SAMPLE_SIZE,
+                      by_residual: bool = True) -> None:
     """Train the coarse quantizer AND the PQ codebooks once and persist
     both as one tiny parquet model (kind, idx, sub, vec) — the
     index-build-once/probe-many production pattern (``save_ivf_model``'s
-    sibling). Total size: n_cells·D + ksub·D doubles."""
+    sibling). ``by_residual`` (default, matching ``ann_ivf_pq``) trains
+    the codebooks on coarse residuals and records the flag in a meta
+    row so a probe-only job scores codes the way they were built.
+    Total size: n_cells·D + ksub·D doubles + one meta row."""
     sample_rows = (embeddings.orderBy("vec_id").limit(sample_size)
                    .select("vec_id", "embedding").collect())
     sample = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
               for r in sample_rows]
     cents = train_ivf_centroids(sample, n_cells) if sample else []
-    books = _train_pq_codebooks([v for _, v in sample], m, ksub) \
-        if sample else []
-    rows = [("coarse", i, 0, c) for i, c in enumerate(cents)]
+    vecs = [v for _, v in sample]
+    if sample:
+        books = _train_pq_codebooks(
+            pq_residuals(vecs, cents) if by_residual else vecs, m, ksub)
+    else:
+        books = []
+    rows = [("meta", 0, 0, [1.0 if by_residual else 0.0])]
+    rows += [("coarse", i, 0, c) for i, c in enumerate(cents)]
     rows += [("pq", ci, j, c)
              for j, book in enumerate(books)
              for ci, c in enumerate(book)]
@@ -736,9 +823,11 @@ def save_ivf_pq_model(spark, path: str, embeddings: DataFrame,
 
 def load_ivf_pq_model(spark, path: str
                       ) -> tuple[list[tuple[int, list[float]]],
-                                 list[list[list[float]]]]:
-    """(coarse centroids, PQ codebooks) back from ``save_ivf_pq_model``
-    output — reader twin used by tests and any probe-only job."""
+                                 list[list[list[float]]], bool]:
+    """(coarse centroids, PQ codebooks, by_residual) back from
+    ``save_ivf_pq_model`` output — reader twin used by tests and any
+    probe-only job. Pre-r9 models (no meta row) load as raw-code
+    (by_residual=False), which is how they were trained."""
     rows = spark.read.parquet(path).collect()
     cents = sorted((int(r["idx"]), [float(x) for x in r["vec"]])
                    for r in rows if r["kind"] == "coarse")
@@ -749,4 +838,6 @@ def load_ivf_pq_model(spark, path: str
         sub = sorted((int(r["idx"]), [float(x) for x in r["vec"]])
                      for r in pq_rows if int(r["sub"]) == j)
         books.append([v for _, v in sub])
-    return cents, books
+    meta = [r for r in rows if r["kind"] == "meta"]
+    by_residual = bool(meta and float(meta[0]["vec"][0]) > 0)
+    return cents, books, by_residual
