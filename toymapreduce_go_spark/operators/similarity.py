@@ -545,25 +545,26 @@ def _train_pq_codebooks(sample_vecs: list[list[float]], m: int = PQ_M,
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
+    import numpy as np
+    arr = np.asarray(sample_vecs, dtype=np.float64)
     books: list[list[list[float]]] = []
     for j in range(m):
-        subs = [v[j * dsub:(j + 1) * dsub] for v in sample_vecs]
-        cents = [list(s) for s in subs[:min(ksub, len(subs))]]
+        subs = arr[:, j * dsub:(j + 1) * dsub]          # (n, dsub)
+        k = min(ksub, len(subs))
+        cents = subs[:k].copy()                          # (k, dsub)
         for _ in range(n_iters):
-            sums = [[0.0] * dsub for _ in cents]
-            cnts = [0] * len(cents)
-            for s in subs:
-                _, best = max(
-                    (-sum((x - y) * (x - y) for x, y in zip(s, c)), ci)
-                    for ci, c in enumerate(cents))
-                cnts[best] += 1
-                acc = sums[best]
-                for d in range(dsub):
-                    acc[d] = acc[d] + s[d]
-            cents = [[acc[d] / cnts[ci] for d in range(dsub)]
-                     if cnts[ci] > 0 else cents[ci]
-                     for ci, acc in enumerate(sums)]
-        books.append(cents)
+            # ||s - c||^2 for every (sample, centroid) pair in one op;
+            # the larger-code tie-break (greatest(struct(-d, code))
+            # semantics) falls out of argmin over the REVERSED centroid
+            # axis (argmin takes the first minimum = the largest code)
+            d2 = ((subs[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            best = k - 1 - np.argmin(d2[:, ::-1], axis=1)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, best, subs)
+            cnts = np.bincount(best, minlength=k).astype(np.float64)
+            nonempty = cnts > 0
+            cents[nonempty] = sums[nonempty] / cnts[nonempty, None]
+        books.append(cents.tolist())
     return books
 
 
