@@ -258,3 +258,59 @@ def test_bigram_lm_detects_scrambled_word_order(spark):
     uni = {r["doc_id"]: r["nll"] for r in unigram_doc_nll(docs).collect()}
     assert bi[5] > bi[1] + 0.5, (bi[5], bi[1])   # sequence anomaly seen
     assert abs(uni[5] - uni[1]) < 1e-9           # bag-of-words blind
+
+
+def test_ccnet_buckets_tertiles_and_quality_direction(spark):
+    """CCNet split semantics: tertile sizes are exact (ties aside),
+    every doc lands in exactly one bucket, and planted gibberish —
+    maximally surprising under the corpus LM — lands in the TAIL while
+    repetitive common-word docs land in the HEAD."""
+    from toymapreduce_go_spark.operators.textstats import \
+        ccnet_bucket_stats
+
+    common = "the cat sat on the mat and the dog ran to the house "
+    rows = [(i, "normal", common * 3) for i in range(30)]
+    rows += [(100 + i, "gibberish",
+              f"zqxj{i} vwkpf{i * 7} bgtrm{i * 13} xyzzy{i * 31} "
+              f"qqwop{i * 3} zzkkr{i * 11}") for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in ccnet_bucket_stats(docs).collect()}
+    for r in out.values():
+        assert r["n_head"] + r["n_middle"] + r["n_tail"] == r["n_docs"]
+    # the 30 identical common-word docs share one (lowest) NLL score ->
+    # the head cutoff lands inside them; all gibberish is in the tail
+    assert out["gibberish"]["n_tail"] == 10
+    assert out["gibberish"]["n_head"] == 0
+    assert out["normal"]["n_tail"] == 0
+
+
+def test_training_shards_cover_and_balance(spark):
+    """Shard assignment invariants: every doc in exactly one shard
+    (sizes sum to corpus), checksums partition the id space, the lead
+    doc really is the shard's md5-minimum, and the spread is hash-like
+    (no empty shard at 500 docs over 64 shards would be suspicious,
+    but a few are statistically fine — assert occupancy > 70%)."""
+    import hashlib
+
+    from conftest import SF_DIR
+    from toymapreduce_go_spark.operators.textstats import \
+        training_shard_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = training_shard_stats(docs).collect()
+    n = docs.count()
+    assert sum(r["n_docs"] for r in out) == n
+    assert sum(r["id_sum"] for r in out) == \
+        docs.agg({"doc_id": "sum"}).collect()[0][0]
+    assert len(out) >= 0.7 * 64
+    # independent lead check for a few shards
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    by_shard = {}
+    for i in ids:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        s = h % 64
+        if s not in by_shard or h < by_shard[s][0]:
+            by_shard[s] = (h, i)
+    for r in out[:10]:
+        assert r["lead_doc_id"] == by_shard[r["shard"]][1]

@@ -89,14 +89,24 @@ SHOWCASE: dict[str, str] = {
         "on the BUILD side of a BroadcastHashJoin (scoring never "
         "re-shuffles the corpus), and a pruned ReadSchema."),
     "ann_ivf_pq": (
-        "IVF-PQ with refine. Look for: the literal PQ codebooks and "
-        "coarse centroids inlined in ONE encode Project (greatest(...)"
-        "argmins over aggregate(zip_with(...)) folds — no Python "
-        "execution stages), BroadcastHashJoin on the cell bucket with "
-        "the probe/LUT frame as the broadcast side, the ADC zip_with "
-        "scoring in the post-join projection, and the exact re-rank "
-        "touching the full-vector corpus only under the shortlist "
-        "window filter."),
+        "IVF-PQ with residual encoding + refine (r9). Look for: the "
+        "coarse-assignment Project (literal centroids), a "
+        "BroadcastHashJoin against the model-sized cell→centroid table "
+        "feeding the residual code Project (greatest(...) argmins over "
+        "aggregate(zip_with(...)) folds — no Python execution stages), "
+        "BroadcastHashJoin on the cell bucket with the probe/LUT/qc "
+        "frame as the broadcast side, the qc + ADC zip_with scoring in "
+        "the post-join projection, and the exact re-rank touching the "
+        "full-vector corpus only under the shortlist window filter."),
+    "stratified_sample": (
+        "Skew-safe exact sampling (r9 hash-cutoff core). Look for: the "
+        "corpus-sized exchange hashing on (source, b) — the 65536-"
+        "bucket md5-prefix key, never bare source — partial+final "
+        "HashAggregate for the bucket counts, a Window over the "
+        "metadata-sized bucket table for the cumulative boundary "
+        "search, and the ONLY row_number Window sitting above the "
+        "boundary-bucket restriction (pushed into its broadcast join "
+        "condition), so no per-source corpus sort exists anywhere."),
 }
 
 

@@ -752,6 +752,91 @@ def lm_quality(documents: DataFrame,
             .orderBy("source"))
 
 
+def ccnet_bucket_stats(documents: DataFrame, smoothing: float = 0.5,
+                       min_count: int = 1) -> DataFrame:
+    """The CCNet head/middle/tail split (Wenzek et al. 2020): rank every
+    document by corpus-LM surprisal (``unigram_doc_nll``) and cut the
+    corpus into perplexity TERTILES — head (most predictable, highest
+    quality prior), middle, tail — reported per source with membership
+    checksums. This is the partition CCNet actually trains on (keep
+    head+middle, drop tail), i.e. the step between lm_quality's scores
+    and a curation decision.
+
+    Exact-and-scale-safe threshold pass (the r9 hash-cutoff idea applied
+    to a value histogram): per-doc NLLs are 4-decimal-rounded (already
+    the lm_quality contract), so scaling to integers makes the score
+    HISTOGRAM exact and metadata-sized (score keys, not docs). One
+    map-side-combinable groupBy builds it; a cumulative window over
+    that histogram (single partition, histogram-sized — never the
+    corpus) finds the two cutoffs where the running count crosses
+    ceil(N/3) and ceil(2N/3); the corpus is then bucketed by two
+    broadcast scalars. No corpus-sized sort anywhere — the naive
+    ntile()-over-everything window is exactly the single-reducer shape
+    the sampling rewrite deleted. Ties at a cutoff all carry the same
+    integer score and bucket identically in both engines."""
+    from pyspark.sql.window import Window
+
+    per_doc = unigram_doc_nll(documents, smoothing, min_count)
+    scaled = per_doc.select(
+        "doc_id", "source",
+        F.round(F.col("nll") * 10000).cast("long").alias("q"))
+    hist = scaled.groupBy("q").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (Window.orderBy("q")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.withColumn("cum", F.sum("c").over(wcum))
+    tot = scaled.agg(F.count(F.lit(1)).alias("n"))
+    j = cum.crossJoin(F.broadcast(tot))
+    t1 = (j.filter(F.col("cum") >= F.expr("div(n + 2, 3)"))
+          .agg(F.min("q").alias("t1")))
+    t2 = (j.filter(F.col("cum") >= F.expr("div(2 * n + 2, 3)"))
+          .agg(F.min("q").alias("t2")))
+    thr = F.broadcast(t1.crossJoin(t2))
+    bucketed = (scaled.crossJoin(thr)
+                .withColumn("bucket",
+                            F.when(F.col("q") <= F.col("t1"), "head")
+                            .when(F.col("q") <= F.col("t2"), "middle")
+                            .otherwise(F.lit("tail"))))
+    is_b = {b: (F.col("bucket") == b).cast("long")
+            for b in ("head", "middle", "tail")}
+    return (bucketed.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 *[F.sum(is_b[b]).alias(f"n_{b}")
+                   for b in ("head", "middle", "tail")],
+                 F.sum(F.when(F.col("bucket") == "head", F.col("doc_id")))
+                  .alias("head_id_sum"),
+                 F.sum(F.when(F.col("bucket") == "tail", F.col("doc_id")))
+                  .alias("tail_id_sum"))
+            .orderBy("source"))
+
+
+def training_shard_stats(documents: DataFrame,
+                         n_shards: int = 64) -> DataFrame:
+    """Deterministic training-shard assignment — the global-shuffle step
+    that turns a curated corpus into training input: every doc lands in
+    shard md5(doc_id) mod n_shards, and within a shard the read order
+    is the md5 order (the same seedless permutation the sampling tier
+    uses), so every epoch of every run reads bytes in the same order
+    without any RNG state. Reports per shard: size, membership checksum,
+    and the lead document (first in shard order) so the oracle verifies
+    the ASSIGNMENT and the ORDER, not just balance.
+
+    Plan: pure scan-side projection (hash + pmod) into one metadata-
+    sized agg — NO shuffle of the corpus beyond the count-combinable
+    groupBy; the physical write of a real run is
+    ``df.repartition(n_shards, shard).sortWithinPartitions(h)``, the
+    classic total-order-free shuffle whose cost is one pass."""
+    h = F.expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), "
+               "16, 10) as bigint)")
+    assigned = documents.select(
+        "doc_id", h.alias("h"),
+        F.pmod(h, F.lit(n_shards)).cast("long").alias("shard"))
+    return (assigned.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("id_sum"),
+                 F.min_by("doc_id", "h").alias("lead_doc_id"))
+            .orderBy("shard"))
+
+
 def epoch_sample_stats(documents: DataFrame, epoch_frac: float = 0.5
                        ) -> DataFrame:
     """Materialize the temperature mix (``source_mix_weights``) into an

@@ -215,6 +215,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(spark, sf_dir, "documents"), min_count=500),
     "lm_bigram_quality": _q(textstats.lm_bigram_quality),
     "epoch_sample": _q(textstats.epoch_sample_stats),
+    "ccnet_buckets": _q(textstats.ccnet_bucket_stats),
+    "training_shards": _q(textstats.training_shard_stats),
     "bpe_stats": _q(bpe.bpe_stats),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
@@ -266,7 +268,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "dup_spans", "dup_span_coverage", "source_mix",
                "ann_ivf_pq", "quality_distill", "lm_quality",
                "lm_quality_pruned", "lm_bigram_quality", "epoch_sample",
-               "bpe_stats")
+               "ccnet_buckets", "training_shards", "bpe_stats")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1658,6 +1660,72 @@ ORACLES: dict[str, str] = {
                    AS BIGINT) AS sampled_id_sum
         FROM ranked r JOIN q ON r.source = q.source
         GROUP BY r.source ORDER BY r.source
+    """,
+    # CCNet head/middle/tail perplexity tertiles: per-doc NLL (the
+    # lm_quality chain, already hash-exact cross-engine) scaled to
+    # integers, histogram + running-count cutoffs at ceil(N/3) and
+    # ceil(2N/3) — fully integer threshold selection, so ties bucket
+    # identically in both engines.
+    "ccnet_buckets": """
+        WITH words AS (
+            SELECT doc_id, source, lower(w) AS w FROM (
+                SELECT doc_id, source,
+                       unnest(list_filter(
+                           string_split_regex(text, '[^a-zA-Z]+'),
+                           t -> length(t) > 0)) AS w
+                FROM documents)),
+        counts AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+        tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM counts),
+        scored AS (
+            SELECT doc_id, source,
+                   -ln((c + 0.5) / (n_total + 0.5 * (vocab + 1)))
+                       AS nll_tok
+            FROM words JOIN counts USING (w), tot),
+        per_doc AS (
+            SELECT doc_id, source, round(avg(nll_tok), 4) AS nll
+            FROM scored GROUP BY doc_id, source),
+        sq AS (SELECT doc_id, source,
+                      CAST(round(nll * 10000) AS BIGINT) AS q
+               FROM per_doc),
+        hist AS (SELECT q, count(*) AS c FROM sq GROUP BY q),
+        cum AS (SELECT q, sum(c) OVER (ORDER BY q
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum FROM hist),
+        nn AS (SELECT count(*) AS n FROM sq),
+        th1 AS (SELECT min(q) AS t1 FROM cum, nn
+                WHERE cum >= (n + 2) // 3),
+        th2 AS (SELECT min(q) AS t2 FROM cum, nn
+                WHERE cum >= (2 * n + 2) // 3),
+        b AS (SELECT s.source, s.doc_id,
+                     CASE WHEN s.q <= t1 THEN 'head'
+                          WHEN s.q <= t2 THEN 'middle'
+                          ELSE 'tail' END AS bucket
+              FROM sq s, th1, th2)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN bucket = 'head' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_head,
+               CAST(sum(CASE WHEN bucket = 'middle' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_middle,
+               CAST(sum(CASE WHEN bucket = 'tail' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_tail,
+               CAST(sum(CASE WHEN bucket = 'head' THEN doc_id END)
+                   AS BIGINT) AS head_id_sum,
+               CAST(sum(CASE WHEN bucket = 'tail' THEN doc_id END)
+                   AS BIGINT) AS tail_id_sum
+        FROM b GROUP BY source ORDER BY source
+    """,
+    # Deterministic training shards: md5-derived shard + md5-order lead
+    # doc; h is 15 hex digits (< 2^60, nonnegative) so % == pmod.
+    "training_shards": """
+        WITH a AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       ::BIGINT AS h
+            FROM documents)
+        SELECT h % 64 AS shard, count(*) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               arg_min(doc_id, h) AS lead_doc_id
+        FROM a GROUP BY shard ORDER BY shard
     """,
     # Temperature mixing at alpha = 0.5: sqrt is IEEE-exact in both
     # engines (pow is not, across libms), and the 4-decimal scaled
