@@ -601,14 +601,24 @@ def _pq_codes_sql(books: list[list[list[float]]],
     expression (Py4J-avoidance, see ``pq_encode``). With
     ``residual_col`` the distance is measured from the RESIDUAL
     (embedding − that row's coarse centroid, supplied as an array
-    column) — encoding stays a pure projection either way."""
+    column) — encoding stays a pure projection either way.
+
+    Form matters at ksub=64: the r8 ``greatest(struct(-d, code))``
+    unrolling inlined the residual subexpression once PER CENTROID
+    (64 copies per subspace — codegen-dominated plans, ~10 s of
+    compile at sf0.1). This form computes the per-centroid distances
+    into ONE array via ``transform`` over a nested-array codebook
+    literal stored in REVERSED order, then takes
+    ``array_position(ds, array_min(ds))`` — first minimum in reversed
+    order == the LARGEST original code, i.e. exactly the old
+    greatest()-over-structs tie-break, with identical per-centroid
+    fold arithmetic and a ~ksub× smaller expression tree."""
     m = len(books)
     dsub = len(books[0][0]) if m else 0
 
     def code_sql(j: int) -> str:
-        # greatest() needs >= 2 operands; a one-centroid codebook (a
-        # single-vector corpus) codes everything 0
-        if len(books[j]) == 1:
+        k = len(books[j])
+        if k == 1:
             return "0"
         sub = f"slice(embedding, {j * dsub + 1}, {dsub})"
         if residual_col is None:
@@ -616,13 +626,15 @@ def _pq_codes_sql(books: list[list[list[float]]],
         else:
             csub = f"slice({residual_col}, {j * dsub + 1}, {dsub})"
             res = f"zip_with({sub}, {csub}, (x, c) -> double(x) - c)"
-        terms = []
-        for ci, c in enumerate(books[j]):
-            arr = "array(" + ",".join(f"{x!r}D" for x in c) + ")"
-            d = (f"aggregate(zip_with({res}, {arr}, (r, y) -> "
-                 f"(r - y) * (r - y)), 0D, (a, x) -> a + x)")
-            terms.append(f"struct(-{d} as negd, {ci} as code)")
-        return f"greatest({','.join(terms)}).code"
+        book_rev = "array(" + ",".join(
+            "array(" + ",".join(f"{x!r}D" for x in c) + ")"
+            for c in reversed(books[j])) + ")"
+        ds = (f"transform({book_rev}, c -> "
+              f"aggregate(zip_with({res}, c, (r, y) -> "
+              f"(r - y) * (r - y)), 0D, (a, x) -> a + x))")
+        return (f"cast({k} - array_position(ds_{j}, "
+                f"array_min(ds_{j})) as int)"
+                .replace(f"ds_{j}", f"({ds})"))
 
     return "array(" + ",".join(code_sql(j) for j in range(m)) + ")"
 
