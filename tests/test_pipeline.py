@@ -150,3 +150,51 @@ def test_cli_corpus_build_span_flags(spark, tmp_path, capsys):
     assert [s for s, _ in lines] == [
         "0_raw", "1_quality_gated", "2_deduped", "2b_span_masked",
         "3_decontaminated", "4_packed"]
+
+
+def test_pipeline_lm_filter_drops_the_tail_tertile(spark):
+    """lm_filter=True inserts the CCNet LM gate after the scan-side
+    gates: the funnel gains 1b, roughly the tail TERTILE of the gate
+    survivors is dropped (exactly: everything in the tail bucket of the
+    survivor-trained model), the kept set is a subset of the unfiltered
+    run's, and the prefix stages agree."""
+    from toymapreduce_go_spark.operators.textstats import ccnet_doc_buckets
+
+    cur_off, fun_off = build_training_corpus(spark, SF_DIR)
+    cur_on, fun_on = build_training_corpus(spark, SF_DIR, lm_filter=True)
+    off = {r["stage"]: r["n_docs"] for r in fun_off.collect()}
+    on = {r["stage"]: r["n_docs"] for r in fun_on.collect()}
+    assert "1b_lm_gated" not in off and "1b_lm_gated" in on
+    assert off["0_raw"] == on["0_raw"]
+    assert off["1_quality_gated"] == on["1_quality_gated"]
+    n_gated = on["1_quality_gated"]
+    # tertile arithmetic: the drop is between floor(n/3) and ceil(n/3)
+    # plus whatever ties pull across the cutoff; sanity-band it
+    dropped = n_gated - on["1b_lm_gated"]
+    assert 0 < dropped <= n_gated // 2
+    assert on["4_packed"] <= off["4_packed"]
+    # NOT asserted: curated-id subset. Dropping a doc can change which
+    # member of a near-dup cluster survives dedup downstream, so the
+    # final id sets legitimately differ beyond the removed tail.
+    # Direction check instead: none of the docs the gate kept are in
+    # the tail bucket of the kept-set-trained model... trivially true
+    # by construction; assert the 1b stage count matches an independent
+    # recomputation of the tail split on the gate survivors.
+    from pyspark.sql import functions as F
+
+    from toymapreduce_go_spark.operators.textstats import (
+        MIN_ALPHA_RATIO, MIN_CHARS, pii_redact_text,
+        repetition_features, repetition_flag)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    red = pii_redact_text(docs)
+    t = F.col("text")
+    alpha = (F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+             / F.greatest(F.length(t).cast("double"), F.lit(1.0)))
+    gated = (red.filter((F.length(t) >= MIN_CHARS)
+                        & (alpha >= MIN_ALPHA_RATIO))
+             .join(repetition_features(red).filter(repetition_flag())
+                   .select("doc_id"), "doc_id", "left_anti"))
+    n_tail = (ccnet_doc_buckets(gated)
+              .filter("bucket = 'tail'").count())
+    assert on["1_quality_gated"] - on["1b_lm_gated"] == n_tail

@@ -96,6 +96,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="with --corpus-build: also cut cross-document "
                         "duplicated spans out of survivor text "
                         "(ExactSubstr removal stage)")
+    p.add_argument("--lm-filter", action="store_true",
+                   help="with --corpus-build: drop the CCNet perplexity "
+                        "TAIL tertile (corpus-LM surprisal gate) after "
+                        "the scan-side quality gates")
     p.add_argument("--span-k", type=int, default=20,
                    help="with --mask-spans: duplicated-span gram width "
                         "(widen alongside --span-sample-mod at scale)")
@@ -137,7 +141,8 @@ def main(argv: list[str] | None = None) -> None:
         _, funnel = build_training_corpus(
             spark, args.corpus_build, out_path=args.out,
             mask_spans=args.mask_spans, span_k=args.span_k,
-            span_sample_mod=args.span_sample_mod)
+            span_sample_mod=args.span_sample_mod,
+            lm_filter=args.lm_filter)
         for r in funnel.collect():
             print(f"{r['stage']} {r['n_docs']}")
         return

@@ -752,15 +752,12 @@ def lm_quality(documents: DataFrame,
             .orderBy("source"))
 
 
-def ccnet_bucket_stats(documents: DataFrame, smoothing: float = 0.5,
-                       min_count: int = 1) -> DataFrame:
-    """The CCNet head/middle/tail split (Wenzek et al. 2020): rank every
-    document by corpus-LM surprisal (``unigram_doc_nll``) and cut the
-    corpus into perplexity TERTILES — head (most predictable, highest
-    quality prior), middle, tail — reported per source with membership
-    checksums. This is the partition CCNet actually trains on (keep
-    head+middle, drop tail), i.e. the step between lm_quality's scores
-    and a curation decision.
+def ccnet_doc_buckets(documents: DataFrame, smoothing: float = 0.5,
+                      min_count: int = 1) -> DataFrame:
+    """Per-document CCNet bucket assignment ``(doc_id, source, q,
+    bucket)`` — the shared base of the ``ccnet_buckets`` rollup and the
+    pipeline's optional LM-tail gate (docs with < 1 token carry no
+    score and are not emitted; callers decide their fate).
 
     Exact-and-scale-safe threshold pass (the r9 hash-cutoff idea applied
     to a value histogram): per-doc NLLs are 4-decimal-rounded (already
@@ -791,11 +788,25 @@ def ccnet_bucket_stats(documents: DataFrame, smoothing: float = 0.5,
     t2 = (j.filter(F.col("cum") >= F.expr("div(2 * n + 2, 3)"))
           .agg(F.min("q").alias("t2")))
     thr = F.broadcast(t1.crossJoin(t2))
-    bucketed = (scaled.crossJoin(thr)
-                .withColumn("bucket",
-                            F.when(F.col("q") <= F.col("t1"), "head")
-                            .when(F.col("q") <= F.col("t2"), "middle")
-                            .otherwise(F.lit("tail"))))
+    return (scaled.crossJoin(thr)
+            .withColumn("bucket",
+                        F.when(F.col("q") <= F.col("t1"), "head")
+                        .when(F.col("q") <= F.col("t2"), "middle")
+                        .otherwise(F.lit("tail")))
+            .select("doc_id", "source", "q", "bucket"))
+
+
+def ccnet_bucket_stats(documents: DataFrame, smoothing: float = 0.5,
+                       min_count: int = 1) -> DataFrame:
+    """The CCNet head/middle/tail split (Wenzek et al. 2020): rank every
+    document by corpus-LM surprisal (``unigram_doc_nll``) and cut the
+    corpus into perplexity TERTILES — head (most predictable, highest
+    quality prior), middle, tail — reported per source with membership
+    checksums. This is the partition CCNet actually trains on (keep
+    head+middle, drop tail), i.e. the step between lm_quality's scores
+    and a curation decision. Threshold machinery: ``ccnet_doc_buckets``
+    (exact integer-histogram tertile cutoffs, no corpus-sized sort)."""
+    bucketed = ccnet_doc_buckets(documents, smoothing, min_count)
     is_b = {b: (F.col("bucket") == b).cast("long")
             for b in ("head", "middle", "tail")}
     return (bucketed.groupBy("source")

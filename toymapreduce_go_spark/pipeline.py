@@ -25,8 +25,8 @@ from .operators.dedup import (apply_near_dedup,
                               mask_dup_spans)
 from .operators.packing import pack_sequences
 from .operators.textstats import (MIN_ALPHA_RATIO, MIN_CHARS,
-                                  pii_redact_text, repetition_features,
-                                  repetition_flag)
+                                  ccnet_doc_buckets, pii_redact_text,
+                                  repetition_features, repetition_flag)
 from .sources.registry import load_table
 
 
@@ -37,7 +37,8 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
                           docs: DataFrame | None = None,
                           mask_spans: bool = False,
                           span_k: int = 20,
-                          span_sample_mod: int | None = None
+                          span_sample_mod: int | None = None,
+                          lm_filter: bool = False
                           ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation funnel over ``sf_dir``'s documents table
     (or an explicit ``docs`` frame — the hook fault-injection and
@@ -79,6 +80,19 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
     gated = (red.filter(basic_ok)
              .join(rep_flagged, "doc_id", "left_anti")).persist()
     stages.append(("1_quality_gated", gated.count()))
+
+    # 2b (optional). CCNet LM gate: train the corpus unigram LM on the
+    # gate SURVIVORS (scoring raw spam would drag the model toward it),
+    # split into perplexity tertiles with the exact histogram-cutoff
+    # pass (ccnet_doc_buckets — no corpus-sized sort), and drop the
+    # TAIL — CCNet's keep-head+middle recipe (Wenzek et al. 2020).
+    if lm_filter:
+        pre_lm = gated
+        tail = (ccnet_doc_buckets(gated)
+                .filter(F.col("bucket") == "tail").select("doc_id"))
+        gated = gated.join(tail, "doc_id", "left_anti").persist()
+        stages.append(("1b_lm_gated", gated.count()))
+        pre_lm.unpersist()
 
     # 3. dedup: exact dups have estimated Jaccard 1.0, so the LSH
     # cluster pass subsumes the exact pass — one survivor per component
