@@ -421,3 +421,35 @@ def test_exact_sampling_dominant_source_matches_brute_force(spark):
         take = ordered[:math.ceil(len(ordered) * 0.1)]
         assert got[src]["n_sampled"] == len(take)
         assert got[src]["sampled_id_sum"] == sum(take)
+
+
+def test_bigram_lm_pruned_scoring_join_broadcasts(spark):
+    """SCALE.md's bigram-knob claim, pinned by plan (the fixture's
+    closed vocabulary can't show it in wall time): with min_count
+    pruning + broadcast_bigrams, the scoring join against the bigram
+    model must be a BroadcastHashJoin — the corpus-shaped bigram frame
+    is never exchanged for scoring; the one remaining corpus-linear
+    exchange is the (w1, w2) training agg."""
+    import re
+
+    from toymapreduce_go_spark.operators.textstats import \
+        lm_bigram_quality
+
+    def pair_join_kinds(plan: str) -> set[str]:
+        kinds = set()
+        for block in plan.split("\n\n"):
+            m = re.match(r"\(\d+\) (\w+Join)", block)
+            if m and re.search(r"Left keys \[2\]: \[w1#\d+, w2#\d+\]",
+                               block):
+                kinds.add(m.group(1))
+        return kinds
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(lm_bigram_quality(docs, min_count=2,
+                                     broadcast_bigrams=True))
+    # the scoring join on (w1, w2) is broadcast BY HINT — robust at any
+    # scale, unlike the exact tier whose join form is size-dependent
+    # (the fixture's tiny bigram table auto-broadcasts under the 64 MB
+    # threshold; at web scale it would sort-merge, which is exactly why
+    # the knob exists)
+    assert pair_join_kinds(plan) == {"BroadcastHashJoin"}, plan[:2000]

@@ -198,3 +198,23 @@ def test_pipeline_lm_filter_drops_the_tail_tertile(spark):
     n_tail = (ccnet_doc_buckets(gated)
               .filter("bucket = 'tail'").count())
     assert on["1_quality_gated"] - on["1b_lm_gated"] == n_tail
+
+
+def test_pipeline_all_knobs_compose(spark, tmp_path):
+    """Every optional stage at once (lm_filter + mask_spans with
+    sampling knobs + output write): the funnel carries all stages in
+    order, stays monotone, and the written corpus matches the final
+    stage count — the flags must not interact destructively."""
+    out = f"file://{tmp_path}/all_knobs"
+    curated, funnel = build_training_corpus(
+        spark, SF_DIR, out_path=out, mask_spans=True, span_k=24,
+        span_sample_mod=4, lm_filter=True)
+    stages = [(r["stage"], r["n_docs"]) for r in funnel.collect()]
+    names = [s for s, _ in stages]
+    assert names == ["0_raw", "1_quality_gated", "1b_lm_gated",
+                     "2_deduped", "2b_span_masked", "3_decontaminated",
+                     "4_packed"]
+    counts = [n for _, n in stages]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[-1] > 0
+    assert spark.read.parquet(out).count() == counts[-1]

@@ -54,6 +54,57 @@ def knn_bruteforce(embeddings: DataFrame, n_probes: int = 5,
     )
 
 
+def knn_label_vote(embeddings: DataFrame, n_probes: int = 20,
+                   k: int = DEFAULT_K) -> DataFrame:
+    """kNN label classification over the embedding space — the intrinsic
+    eval every embedding table gets (does proximity predict the label?):
+    for a deterministic probe set (the ``n_probes`` lowest vec_ids),
+    find the k nearest neighbors by cosine (self excluded), majority-
+    vote their labels (ties → smallest label — deterministic in both
+    engines), and report per TRUE label: probe count, correct count,
+    accuracy.
+
+    Plan: the same broadcast-probes shape as ``knn_bruteforce`` (corpus
+    scanned once, never shuffled; only |probes|·k candidate rows move),
+    then two metadata-sized aggs (votes, rollup). Cost class: probes ×
+    corpus — the brute-force EXACT eval tier, linear in corpus size by
+    definition (every probe must see every vector). When the corpus
+    outgrows a full scan per eval, run the same vote over an ANN tier's
+    neighbor lists (``ann_ivf_pq`` shortlists + a label join) — the
+    vote/rollup half is neighbor-frame-agnostic."""
+    probes = (
+        embeddings.orderBy("vec_id").limit(n_probes)
+        .select(F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("probe_emb"),
+                F.col("label").alias("true_label")))
+    scored = (
+        embeddings.join(broadcast(probes),
+                        F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos", cosine_sim(F.col("probe_emb"),
+                                      F.col("embedding"))))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc())
+    top = (scored.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select("probe_id", "true_label", "label"))
+    votes = (top.groupBy("probe_id", "true_label", "label")
+             .agg(F.count(F.lit(1)).alias("c")))
+    wv = Window.partitionBy("probe_id").orderBy(
+        F.col("c").desc(), F.col("label").asc())
+    pred = (votes.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("probe_id", "true_label",
+                    F.col("label").alias("pred_label")))
+    return (pred.groupBy("true_label")
+            .agg(F.count(F.lit(1)).alias("n_probes"),
+                 F.sum((F.col("pred_label") == F.col("true_label"))
+                       .cast("long")).alias("n_correct"),
+                 F.round(F.avg((F.col("pred_label")
+                                == F.col("true_label"))
+                               .cast("double")), 4).alias("accuracy"))
+            .orderBy("true_label"))
+
+
 N_PLANES = 12   # planes PER BAND (production sketch)
 LSH_BANDS = 4   # independent OR'd sketch bands (round-7: multi-band LSH)
 

@@ -190,6 +190,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": _q(similarity.ann_ivf),
     "ann_ivf_trained": _q(similarity.ann_ivf_trained),
     "ann_ivf_pq": _q(similarity.ann_ivf_pq),
+    "knn_label_vote": _q(similarity.knn_label_vote),
     # -- text analysis (north star) --------------------------------------
     "lang_id": _q(textstats.lang_id),
     "text_quality": _q(textstats.text_quality),
@@ -266,7 +267,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "near_dup_clusters", "hashed_tf", "events_gapfill",
                "audio_stats", "video_stats", "weighted_sample",
                "dup_spans", "dup_span_coverage", "source_mix",
-               "ann_ivf_pq", "quality_distill", "lm_quality",
+               "ann_ivf_pq", "knn_label_vote", "quality_distill",
+               "lm_quality",
                "lm_quality_pruned", "lm_bigram_quality", "epoch_sample",
                "ccnet_buckets", "training_shards", "bpe_stats")
 
@@ -1089,6 +1091,40 @@ ORACLES: dict[str, str] = {
             FROM scored)
         SELECT probe_id, neighbor_id, rank, round(cos, 4) AS cos_sim
         FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank
+    """,
+    # kNN label vote: the knn_bruteforce machinery over 50 probes, then
+    # a deterministic majority (count desc, label asc) per probe.
+    "knn_label_vote": f"""
+        WITH probes AS (SELECT vec_id AS probe_id, embedding AS probe_emb,
+                               label AS true_label
+                        FROM embeddings ORDER BY vec_id LIMIT 20),
+        scored AS (
+            SELECT p.probe_id, p.true_label, e.vec_id AS neighbor_id,
+                   e.label AS nlabel,
+                   {_COS.format(a='p.probe_emb', b='e.embedding')} AS cos
+            FROM probes p JOIN embeddings e ON e.vec_id <> p.probe_id),
+        ranked AS (
+            SELECT probe_id, true_label, nlabel,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY cos DESC, neighbor_id)
+                       AS rank
+            FROM scored),
+        votes AS (
+            SELECT probe_id, true_label, nlabel, count(*) AS c
+            FROM ranked WHERE rank <= 5
+            GROUP BY probe_id, true_label, nlabel),
+        pred AS (
+            SELECT probe_id, true_label, nlabel AS pred_label,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY c DESC, nlabel) AS rn
+            FROM votes)
+        SELECT true_label, count(*) AS n_probes,
+               CAST(sum(CASE WHEN pred_label = true_label
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               round(avg(CASE WHEN pred_label = true_label
+                              THEN 1.0 ELSE 0.0 END), 4) AS accuracy
+        FROM pred WHERE rn = 1
+        GROUP BY true_label ORDER BY true_label
     """,
     "lang_id": f"""
         WITH scores AS (
