@@ -87,6 +87,14 @@ def knn_label_vote(embeddings: DataFrame, n_probes: int = 20,
     top = (scored.withColumn("rank", F.row_number().over(w))
            .filter(F.col("rank") <= k)
            .select("probe_id", "true_label", "label"))
+    return _label_vote_rollup(top)
+
+
+def _label_vote_rollup(top: DataFrame) -> DataFrame:
+    """Majority vote + per-true-label accuracy rollup over ANY
+    (probe_id, true_label, label) neighbor frame — shared by the exact
+    (``knn_label_vote``) and ANN (``ann_label_vote``) tiers. Ties go to
+    the smallest label; both aggs are metadata-sized."""
     votes = (top.groupBy("probe_id", "true_label", "label")
              .agg(F.count(F.lit(1)).alias("c")))
     wv = Window.partitionBy("probe_id").orderBy(
@@ -103,6 +111,29 @@ def knn_label_vote(embeddings: DataFrame, n_probes: int = 20,
                                 == F.col("true_label"))
                                .cast("double")), 4).alias("accuracy"))
             .orderBy("true_label"))
+
+
+def ann_label_vote(embeddings: DataFrame, n_probes: int = 20,
+                   k: int = DEFAULT_K, **ivf_pq_kw) -> DataFrame:
+    """The 100 TB path of ``knn_label_vote``: the SAME majority vote
+    over ``ann_ivf_pq``'s neighbor lists — probe cost is cells-probed ×
+    refine instead of the whole corpus. Labels ride two model-sized
+    joins (neighbor label by vec_id semi-shape; probe truth broadcast);
+    the vote/rollup half is shared (``_label_vote_rollup``), so any
+    future ANN tier gets the eval for free. Lossy codes mean lossy
+    neighbor lists: accuracy is the ANN operating point's, not the
+    exact tier's (RECALL.md quantifies the gap's source)."""
+    nbrs = ann_ivf_pq(embeddings, n_probes=n_probes, k=k, **ivf_pq_kw)
+    truths = (embeddings.orderBy("vec_id").limit(n_probes)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("label").alias("true_label")))
+    nlabels = embeddings.select(F.col("vec_id").alias("neighbor_id"),
+                                F.col("label").alias("label"))
+    top = (nbrs.select("probe_id", "neighbor_id")
+           .join(nlabels, "neighbor_id")
+           .join(broadcast(truths), "probe_id")
+           .select("probe_id", "true_label", "label"))
+    return _label_vote_rollup(top)
 
 
 N_PLANES = 12   # planes PER BAND (production sketch)
