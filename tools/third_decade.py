@@ -38,6 +38,14 @@ VARIANTS = {
             d, min_count=5, broadcast_bigrams=True),
     "video_stats":
         lambda d, dedup, ts, mm: mm(d),
+    # r9 skew-safe sampling rewrite: prove the flat curve holds a third
+    # half-decade (both read only the documents table)
+    "epoch_sample":
+        lambda d, dedup, ts, mm: ts.epoch_sample_stats(d),
+    "stratified_sample":
+        lambda d, dedup, ts, mm: ts.stratified_sample_stats(d),
+    "ccnet_buckets":
+        lambda d, dedup, ts, mm: ts.ccnet_bucket_stats(d),
 }
 
 
