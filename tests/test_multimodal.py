@@ -446,3 +446,94 @@ def test_is_progressive_skips_ff_fill_bytes():
     # desyncs before it ever reaches the frame header
     assert is_progressive(pad(prog, 2))
     assert not is_progressive(pad(good, 2))
+
+
+def test_progressive_decodes_real_jdk_420_file_matches_jvm(spark):
+    """Interop + coverage for the paths our own encoder cannot produce:
+    the JDK's ImageIO JPEG writer in progressive mode emits a REAL
+    multi-scan SOF2 stream with 4:2:0 chroma subsampling (luma 0x22)
+    and its own successive-approximation scan script — exercising the
+    interleaved 2x2-luma DC MCUs and the non-interleaved ceil-grid AC
+    scans over subsampled chroma. decode_progressive must agree with
+    the JVM's own decoder within upsampling tolerance on a smooth
+    gradient (replication vs fancy chroma upsampling differ only at
+    chroma edges)."""
+    import os
+
+    from toymapreduce_go_spark.multimodal.jpeg import (decode_progressive,
+                                                       is_progressive)
+
+    jvm = spark._jvm
+    w, h = 48, 40
+    BI = jvm.java.awt.image.BufferedImage
+    bi = BI(w, h, BI.TYPE_INT_RGB)
+    for y in range(h):
+        for x in range(w):
+            r = x * 255 // (w - 1)
+            g = y * 255 // (h - 1)
+            b = (x + y) * 255 // (w + h - 2)
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+        "jpeg").next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.7)
+    path = "/tmp/jdk_progressive_interop.jpg"
+    f = jvm.java.io.File(path)
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(f)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    ios.close()
+    payload = open(path, "rb").read()
+    os.remove(path)
+    assert is_progressive(payload)
+    # the coverage this test exists for: the luma really is 2x2
+    i = payload.index(b"\xff\xc2")
+    assert payload[i + 11] == 0x22, hex(payload[i + 11])
+    dw, dh, dc_, pix = decode_progressive(payload)
+    assert (dw, dh, dc_) == (w, h, 3)
+    # JVM oracle read (write again for the datasource, then clean up)
+    with open(path, "wb") as fh:
+        fh.write(payload)
+    row = (spark.read.format("image").load(f"file://{path}")
+           .select("image.*").collect()[0])
+    os.remove(path)
+    theirs = bytes(row.data)  # BGR byte order
+    worst = 0
+    total = 0
+    for j in range(w * h):
+        for ch in range(3):
+            d = abs(pix[3 * j + ch] - theirs[3 * j + (2 - ch)])
+            worst = max(worst, d)
+            total += d
+    # replication upsampling reconstructs chroma half a sample off vs
+    # the JDK's triangular filter: on this gradient (chroma step ~3 per
+    # pixel) that bounds the difference at ~half-step + quantization;
+    # luma (not upsampled) stays within IDCT rounding
+    assert worst <= 8 and total / (3 * w * h) < 2.0, (worst, total)
+
+
+def test_progressive_restart_markers_roundtrip():
+    """DRI/RSTn coverage for the progressive tier: encode with restart
+    intervals of 1, 2, and 7 (DC predictors reset, streams byte-aligned
+    at each marker) and require bit-identical pixels vs the baseline
+    container — in gray and 4:4:4 color."""
+    import numpy as np
+
+    from toymapreduce_go_spark.multimodal.jpeg import (decode_baseline,
+                                                       decode_progressive,
+                                                       encode_baseline,
+                                                       encode_progressive)
+
+    rng = np.random.default_rng(5)
+    for dri in (1, 2, 7):
+        for (w, h, ch) in [(40, 32, 1), (24, 24, 3)]:
+            pix = rng.integers(0, 256, size=w * h * ch,
+                               dtype=np.uint8).tobytes()
+            prog = encode_progressive(pix, w, h, ch,
+                                      restart_interval=dri)
+            assert b"\xff\xdd" in prog and b"\xff\xd0" in prog
+            assert decode_progressive(prog) == \
+                decode_baseline(encode_baseline(pix, w, h, ch)), \
+                (dri, w, h, ch)

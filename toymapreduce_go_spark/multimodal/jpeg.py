@@ -199,10 +199,12 @@ def _encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]
     return out
 
 
-def encode_baseline(pixels: bytes, width: int, height: int,
-                    channels: int = 1, quality: int = 85) -> bytes:
-    """A real baseline JPEG from 8-bit samples (1 = grayscale, 3 = RGB,
-    4:4:4). Deterministic: same input → identical bytes."""
+def _prep_planes(pixels: bytes, width: int, height: int,
+                 channels: int, quality: int):
+    """Shared encoder front half (baseline AND progressive): validate,
+    RGB→YCbCr (or passthrough gray), per-plane quant tables, then the
+    padded batched DCT+quantize per plane. Returns (plane_zz, qts,
+    plane_qt) with plane_zz as (nblocks, 64) int lists."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
     if len(pixels) != width * height * channels:
@@ -222,20 +224,25 @@ def encode_baseline(pixels: bytes, width: int, height: int,
         qts = [_scaled_quant(QUANT_LUMA, quality),
                _scaled_quant(QUANT_CHROMA, quality)]
         plane_qt = [0, 1, 1]
-
     bw = (width + 7) // 8
     bh = (height + 7) // 8
-
-    # pass 1: batched DCT+quantize per plane (edge-replicated padding,
-    # same samples the per-block min() clamp used to pick)
-    plane_zz: list[np.ndarray] = []
-    for plane in planes:
+    plane_zz = []
+    for pi, plane in enumerate(planes):
         padded = np.pad(plane, ((0, bh * 8 - height), (0, bw * 8 - width)),
                         mode="edge") - 128.0
         blocks = (padded.reshape(bh, 8, bw, 8)
                   .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
-        plane_zz.append(_fdct_quant_batch(blocks, qts[plane_qt[len(plane_zz)]]))
-    blocks_py = [zz.tolist() for zz in plane_zz]  # one C-speed conversion
+        plane_zz.append(_fdct_quant_batch(blocks, qts[plane_qt[pi]])
+                        .tolist())
+    return plane_zz, qts, plane_qt
+
+
+def encode_baseline(pixels: bytes, width: int, height: int,
+                    channels: int = 1, quality: int = 85) -> bytes:
+    """A real baseline JPEG from 8-bit samples (1 = grayscale, 3 = RGB,
+    4:4:4). Deterministic: same input → identical bytes."""
+    blocks_py, qts, plane_qt = _prep_planes(pixels, width, height,
+                                            channels, quality)
     return _emit_jpeg(blocks_py, qts, plane_qt, width, height, channels)
 
 
@@ -656,6 +663,42 @@ def _decode_block(br: _BitReader, dc_tab, ac_tab) -> list[int]:
     return zz
 
 
+def _idct_plane(zz_rows, qt, grows: int, gcols: int) -> "np.ndarray":
+    """Batched dequantize + IDCT + block assembly for one component:
+    (grows·gcols, 64) zigzag coefficients → (grows·8, gcols·8) samples."""
+    qt_nat = np.asarray(qt, dtype=np.float64)[_IZZ]
+    nat = np.asarray(zz_rows)[:, _IZZ] * qt_nat
+    pix = _M.T @ nat.reshape(-1, 8, 8) @ _M
+    pix = np.clip(np.rint(pix) + 128, 0, 255)
+    return (pix.reshape(grows, gcols, 8, 8)
+            .transpose(0, 2, 1, 3).reshape(grows * 8, gcols * 8))
+
+
+def _finish_planes(width: int, height: int, samplings, planes
+                   ) -> tuple[int, int, int, bytes]:
+    """Shared decoder tail (baseline AND progressive): replication
+    upsampling to full resolution, then YCbCr→RGB (or gray
+    passthrough). ``samplings`` = [(sh, sv)] per component in frame
+    order; ``planes`` the assembled component sample grids."""
+    hmax = max(sh for sh, _ in samplings)
+    vmax = max(sv for _, sv in samplings)
+    full = []
+    for (sh, sv), plane in zip(samplings, planes):
+        rows = (np.arange(height) * sv) // vmax
+        cols = (np.arange(width) * sh) // hmax
+        full.append(plane[np.ix_(rows, cols)])
+    if len(full) == 1:
+        return width, height, 1, full[0].astype(np.uint8).tobytes()
+    yv = full[0]
+    cb = full[1] - 128.0
+    cr = full[2] - 128.0
+    r = np.clip(np.rint(yv + 1.402 * cr), 0, 255)
+    g = np.clip(np.rint(yv - 0.344136 * cb - 0.714136 * cr), 0, 255)
+    b = np.clip(np.rint(yv + 1.772 * cb), 0, 255)
+    out = np.stack([r, g, b], axis=-1).astype(np.uint8).tobytes()
+    return width, height, 3, out
+
+
 def _decode_scan(data: bytes, frame, scan, qts, huff,
                  restart_interval: int = 0) -> tuple[int, int, int, bytes]:
     """MCU-interleaved scan decode with general sampling factors: the
@@ -704,37 +747,12 @@ def _decode_scan(data: bytes, frame, scan, qts, huff,
                         coef_grids[ci][gi] = zz
             mcus_done += 1
 
-    # batched dequantize + IDCT + block assembly per component
-    planes = []
-    for ci in range(nc):
-        sh, sv, _dc, _ac, qt, gcols = meta[ci]
-        grows = mcu_rows * sv
-        qt_nat = np.asarray(qt, dtype=np.float64)[_IZZ]
-        nat = coef_grids[ci][:, _IZZ] * qt_nat  # natural order, dequantized
-        pix = _M.T @ nat.reshape(-1, 8, 8) @ _M
-        pix = np.clip(np.rint(pix) + 128, 0, 255)
-        planes.append(pix.reshape(grows, gcols, 8, 8)
-                      .transpose(0, 2, 1, 3)
-                      .reshape(grows * 8, gcols * 8))
-
-    # replication upsampling to full resolution (JFIF nearest-neighbor)
-    full = []
-    for ci in range(nc):
-        sh, sv = meta[ci][0], meta[ci][1]
-        rows = (np.arange(height) * sv) // vmax
-        cols = (np.arange(width) * sh) // hmax
-        full.append(planes[ci][np.ix_(rows, cols)])
-
-    if nc == 1:
-        return width, height, 1, full[0].astype(np.uint8).tobytes()
-    yv = full[0]
-    cb = full[1] - 128.0
-    cr = full[2] - 128.0
-    r = np.clip(np.rint(yv + 1.402 * cr), 0, 255)
-    g = np.clip(np.rint(yv - 0.344136 * cb - 0.714136 * cr), 0, 255)
-    b = np.clip(np.rint(yv + 1.772 * cb), 0, 255)
-    out = np.stack([r, g, b], axis=-1).astype(np.uint8).tobytes()
-    return width, height, 3, out
+    # batched dequantize + IDCT + assemble + upsample + color convert
+    planes = [_idct_plane(coef_grids[ci], meta[ci][4],
+                          mcu_rows * meta[ci][1], meta[ci][5])
+              for ci in range(nc)]
+    return _finish_planes(width, height,
+                          [(m[0], m[1]) for m in meta], planes)
 
 
 # ---------------------------------------------------------------------------
@@ -1023,33 +1041,16 @@ def decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
     vmax = max(sv for _, _, sv, _ in comps)
     mcu_cols = (width + 8 * hmax - 1) // (8 * hmax)
     mcu_rows = (height + 8 * vmax - 1) // (8 * vmax)
-    full = []
+    planes = []
     for cid, sh, sv, qid in comps:
         qt = qts.get(qid)
         if qt is None:
             raise ValueError("frame references missing quant table")
-        gcols = mcu_cols * sh
-        grows = mcu_rows * sv
-        qt_nat = np.asarray(qt, dtype=np.float64)[_IZZ]
-        arr = np.asarray(coef[cid], dtype=np.int64)
-        nat = arr[:, _IZZ] * qt_nat
-        pix = _M.T @ nat.reshape(-1, 8, 8) @ _M
-        pix = np.clip(np.rint(pix) + 128, 0, 255)
-        plane = (pix.reshape(grows, gcols, 8, 8)
-                 .transpose(0, 2, 1, 3).reshape(grows * 8, gcols * 8))
-        rows = (np.arange(height) * sv) // vmax
-        cols = (np.arange(width) * sh) // hmax
-        full.append(plane[np.ix_(rows, cols)])
-    if len(comps) == 1:
-        return width, height, 1, full[0].astype(np.uint8).tobytes()
-    yv = full[0]
-    cb = full[1] - 128.0
-    cr = full[2] - 128.0
-    r = np.clip(np.rint(yv + 1.402 * cr), 0, 255)
-    g = np.clip(np.rint(yv - 0.344136 * cb - 0.714136 * cr), 0, 255)
-    b = np.clip(np.rint(yv + 1.772 * cb), 0, 255)
-    out = np.stack([r, g, b], axis=-1).astype(np.uint8).tobytes()
-    return width, height, 3, out
+        planes.append(_idct_plane(
+            np.asarray(coef[cid], dtype=np.int64),
+            qt, mcu_rows * sv, mcu_cols * sh))
+    return _finish_planes(width, height,
+                          [(sh, sv) for _, sh, sv, _ in comps], planes)
 
 
 # --- progressive encoder (test twin: exercises the full scan matrix) ------
@@ -1136,43 +1137,17 @@ def _enc_ac_refine_syms(zz, Ss, Se, Al):
 
 def encode_progressive(pixels: bytes, width: int, height: int,
                        channels: int = 1, quality: int = 85,
-                       script: list[tuple] | None = None) -> bytes:
+                       script: list[tuple] | None = None,
+                       restart_interval: int = 0) -> bytes:
     """A real progressive (SOF2) JPEG from 8-bit samples — the test twin
     of ``decode_progressive``: same quantized coefficients as
     ``encode_baseline`` (so decoding either container yields identical
     pixels), delivered over a successive-approximation scan script.
     Deterministic; per-scan symbol census builds per-scan DHT segments
     (tables legally redefined between scans)."""
-    if channels not in (1, 3):
-        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
-    if len(pixels) != width * height * channels:
-        raise ValueError(f"need {width * height * channels} samples, "
-                         f"got {len(pixels)}")
-    arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
-    if channels == 1:
-        planes = [arr.reshape(height, width)]
-        qts = [_scaled_quant(QUANT_LUMA, quality)]
-        plane_qt = [0]
-    else:
-        rgb = arr.reshape(height, width, 3)
-        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        planes = [0.299 * r + 0.587 * g + 0.114 * b,
-                  128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
-                  128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b]
-        qts = [_scaled_quant(QUANT_LUMA, quality),
-               _scaled_quant(QUANT_CHROMA, quality)]
-        plane_qt = [0, 1, 1]
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
-    plane_zz = []
-    for pi, plane in enumerate(planes):
-        padded = np.pad(plane, ((0, bh * 8 - height), (0, bw * 8 - width)),
-                        mode="edge") - 128.0
-        blocks = (padded.reshape(bh, 8, bw, 8)
-                  .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
-        plane_zz.append(_fdct_quant_batch(blocks, qts[plane_qt[pi]])
-                        .tolist())
-    nblocks = bh * bw
+    plane_zz, qts, plane_qt = _prep_planes(pixels, width, height,
+                                           channels, quality)
+    nblocks = ((width + 7) // 8) * ((height + 7) // 8)
 
     def seg(marker: int, payload_: bytes) -> bytes:
         return bytes([0xFF, marker]) \
@@ -1187,6 +1162,8 @@ def encode_progressive(pixels: bytes, width: int, height: int,
                     for i in range(channels))
     out += seg(0xC2, b"\x08" + struct.pack(">HH", height, width)
                + bytes([channels]) + comp)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
 
     for comps, Ss, Se, Ah, Al in (script or _default_scan_script(channels)):
         # build this scan's symbol stream per component
@@ -1196,6 +1173,10 @@ def encode_progressive(pixels: bytes, width: int, height: int,
             if Ah == 0:
                 preds = {c: 0 for c in comps}
                 for bi in range(nblocks):
+                    if restart_interval and bi \
+                            and bi % restart_interval == 0:
+                        preds = {c: 0 for c in comps}  # E.2.4 reset
+                    scan_ops.append(("unit",))
                     for c in comps:
                         dc = plane_zz[c][bi][0] >> Al
                         diff = dc - preds[c]
@@ -1204,12 +1185,14 @@ def encode_progressive(pixels: bytes, width: int, height: int,
                         scan_ops.append(("dc", c, size, bits))
             else:
                 for bi in range(nblocks):
+                    scan_ops.append(("unit",))
                     for c in comps:
                         scan_ops.append(
                             ("raw", (plane_zz[c][bi][0] >> Al) & 1))
         else:
             (c,) = comps
             for bi in range(nblocks):
+                scan_ops.append(("unit",))
                 zz = plane_zz[c][bi]
                 if Ah == 0:
                     for sym, extra, size in _enc_ac_first_syms(
@@ -1238,8 +1221,18 @@ def encode_progressive(pixels: bytes, width: int, height: int,
         out += seg(0xDA, bytes([len(comps)]) + sos_comp
                    + bytes([Ss, Se, (Ah << 4) | Al]))
         w = _BitWriter()
+        entropy = bytearray()
+        unit = 0
         for op in scan_ops:
-            if op[0] == "dc":
+            if op[0] == "unit":
+                if restart_interval and unit \
+                        and unit % restart_interval == 0:
+                    entropy += w.flush()   # byte-align (1-padded)
+                    m = (unit // restart_interval - 1) % 8
+                    entropy += bytes([0xFF, 0xD0 + m])
+                    w = _BitWriter()
+                unit += 1
+            elif op[0] == "dc":
                 code, length = dc_codes[op[2]]
                 w.write((code << op[2]) | op[3], length + op[2])
             elif op[0] == "raw":
@@ -1250,6 +1243,7 @@ def encode_progressive(pixels: bytes, width: int, height: int,
             else:  # rawbits
                 for bit in op[1]:
                     w.write(bit, 1)
-        out += w.flush()
+        entropy += w.flush()
+        out += entropy
     out += b"\xff\xd9"
     return bytes(out)

@@ -781,7 +781,9 @@ def ccnet_doc_buckets(documents: DataFrame, smoothing: float = 0.5,
     wcum = (Window.orderBy("q")
             .rowsBetween(Window.unboundedPreceding, 0))
     cum = hist.withColumn("cum", F.sum("c").over(wcum))
-    tot = scaled.agg(F.count(F.lit(1)).alias("n"))
+    # total scored docs from the histogram itself (metadata-sized) — a
+    # count over `scaled` would re-run the corpus-sized per-doc agg
+    tot = hist.agg(F.sum("c").alias("n"))
     j = cum.crossJoin(F.broadcast(tot))
     t1 = (j.filter(F.col("cum") >= F.expr("div(n + 2, 3)"))
           .agg(F.min("q").alias("t1")))

@@ -92,5 +92,13 @@ def run_curation_ingest(documents_stream: DataFrame, state_dir: str,
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout)
+    # awaitTermination(timeout) returning False means the run OUTLIVED
+    # the budget — treating that as success would report a committed
+    # PREFIX of batches as the whole job. Fail loudly instead.
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming run did not finish within {timeout}s "
+            f"(state under {state_dir!r} holds only the committed "
+            f"prefix; re-run to resume from the checkpoint)")
     return q
