@@ -191,6 +191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_trained": _q(similarity.ann_ivf_trained),
     "ann_ivf_pq": _q(similarity.ann_ivf_pq),
     "knn_label_vote": _q(similarity.knn_label_vote),
+    "ann_label_vote": _q(similarity.ann_label_vote),
     # -- text analysis (north star) --------------------------------------
     "lang_id": _q(textstats.lang_id),
     "text_quality": _q(textstats.text_quality),
@@ -267,8 +268,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "near_dup_clusters", "hashed_tf", "events_gapfill",
                "audio_stats", "video_stats", "weighted_sample",
                "dup_spans", "dup_span_coverage", "source_mix",
-               "ann_ivf_pq", "knn_label_vote", "quality_distill",
-               "lm_quality",
+               "ann_ivf_pq", "knn_label_vote", "ann_label_vote",
+               "quality_distill", "lm_quality",
                "lm_quality_pruned", "lm_bigram_quality", "epoch_sample",
                "ccnet_buckets", "training_shards", "bpe_stats")
 
@@ -289,7 +290,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
 # SQL can't express; its contract is exact agreement with an
 # independent reference trainer, tests/test_bpe.py.)
 PYTEST_INVARIANT_ONLY = ("sequence_packing", "audio_stats", "video_stats",
-                         "ann_ivf_pq", "quality_distill", "bpe_stats")
+                         "ann_ivf_pq", "ann_label_vote",
+                         "quality_distill", "bpe_stats")
 
 # DECLARED is pinned against tests/declared_surface.txt
 # (test_oracle_parity.py::test_declared_surface_frozen): displacing a
