@@ -94,3 +94,54 @@ def test_mask_dup_spans_matches_python_reference(spark):
     assert got[4] == rows[3][2]
     assert got[5] == "tiny"
     assert got[6] is None
+
+
+def test_dedup_lines_across_corpus_matches_python_reference(spark):
+    """The line-dedup rewrite pass: planted boilerplate (a long cookie
+    banner shared by many docs) must survive exactly once corpus-wide
+    (first (doc_id, pos) occurrence), short lines pass through verbatim
+    everywhere, line order within docs is preserved, and the rewrite
+    agrees doc-for-doc with an independent Python reference."""
+    from toymapreduce_go_spark.operators.dedup import (
+        dedup_lines_across_corpus, line_dedup_stats)
+
+    banner = "This website uses cookies to improve your experience."
+    lic = "Licensed under the Apache License, Version 2.0 (the License)"
+    rows = [
+        (1, "a", f"{banner}\nunique text one\nok"),
+        (2, "a", f"intro two\n{banner}\n{lic}"),
+        (3, "b", f"{lic}\nshort\n{banner}"),
+        (4, "b", "no duplicates here at all, just original prose lines"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+
+    # python reference: first (doc_id, pos) occurrence of eligible lines
+    seen: set[str] = set()
+    want = {}
+    for doc_id, _, text in sorted(rows):
+        kept = []
+        for line in text.split("\n"):
+            if len(line) >= 30:
+                if line in seen:
+                    continue
+                seen.add(line)
+            kept.append(line)
+        want[doc_id] = "\n".join(kept)
+
+    got = {r["doc_id"]: r["text"]
+           for r in dedup_lines_across_corpus(docs).collect()}
+    assert got == want
+    # the banner survives exactly once, in doc 1 where it first appeared
+    assert banner in got[1] and banner not in got[2] \
+        and banner not in got[3]
+    assert lic in got[2] and lic not in got[3]
+    # stats agree with the rewrite's removals
+    stats = {r["source"]: r for r in line_dedup_stats(docs).collect()}
+    assert stats["a"]["n_dup_lines"] == 1   # banner copy in doc 2
+    assert stats["b"]["n_dup_lines"] == 2   # lic + banner copies
+    assert stats["b"]["docs_with_dup"] == 1
+    removed = {r["doc_id"]: r["removed_chars"]
+               for r in dedup_lines_across_corpus(docs).collect()}
+    for doc_id, _, text in rows:
+        assert removed[doc_id] == len(text) - len(want[doc_id])

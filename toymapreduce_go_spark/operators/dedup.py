@@ -929,6 +929,107 @@ def mask_dup_spans(documents: DataFrame, k: int = 20,
             .drop("masked_text"))
 
 
+def line_dedup_stats(documents: DataFrame,
+                     min_len: int = 30) -> DataFrame:
+    """Corpus-level exact LINE dedup — the C4 recipe (Raffel et al.
+    2020 discard every repeated three-sentence span corpus-wide, keep
+    the first occurrence; the line-granular form is the common
+    boilerplate killer for nav bars / cookie banners / license headers
+    that repeat across millions of pages): a line is ELIGIBLE when it
+    has >= ``min_len`` characters (short lines — blanks, bullets —
+    repeat naturally and are not boilerplate evidence), and among all
+    corpus occurrences of an eligible line only the FIRST in
+    (doc_id, position) order survives. Reports per source: line totals,
+    duplicate lines, characters removable, and docs touched.
+
+    Skew-safe first-occurrence selection: a window over the line hash
+    would send every copy of one viral line to one task; instead the
+    winner is found with two map-side-combinable min aggs (min doc_id
+    per hash, then min pos within that doc) — the same reduce profile
+    as a word count no matter how hot a line is. The gram hash is the
+    portable md5-prefix BIGINT, so the DuckDB oracle replays selection
+    exactly."""
+    lines = (documents
+             .select("doc_id", "source",
+                     F.posexplode(F.split("text", "\n"))
+                     .alias("pos", "line"))
+             .withColumn("len", F.length("line")))
+    elig = (lines.filter(F.col("len") >= min_len)
+            .withColumn("h", F.expr(
+                "cast(conv(substring(md5(line), 1, 15), 16, 10) "
+                "as bigint)")))
+    elig = persist_shared(elig)
+    d0 = elig.groupBy("h").agg(F.min("doc_id").alias("d0"))
+    p0 = (elig.join(d0, "h")
+          .filter(F.col("doc_id") == F.col("d0"))
+          .groupBy("h", "d0").agg(F.min("pos").alias("p0")))
+    flagged = (elig.join(p0, "h")
+               .withColumn("dup", ((F.col("doc_id") != F.col("d0"))
+                                   | (F.col("pos") != F.col("p0")))
+                           .cast("long")))
+    tot = lines.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("doc_id").alias("n_docs"))
+    dup = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_eligible"),
+        F.sum("dup").alias("n_dup_lines"),
+        F.sum(F.when(F.col("dup") == 1, F.col("len") + 1)
+              .otherwise(F.lit(0))).alias("chars_removable"),
+        F.countDistinct(F.when(F.col("dup") == 1, F.col("doc_id")))
+         .alias("docs_with_dup"))
+    return (tot.join(dup, "source", "left")
+            .select("source", "n_docs", "n_lines",
+                    F.coalesce("n_eligible", F.lit(0))
+                     .alias("n_eligible"),
+                    F.coalesce("n_dup_lines", F.lit(0))
+                     .alias("n_dup_lines"),
+                    F.coalesce("chars_removable", F.lit(0))
+                     .alias("chars_removable"),
+                    F.coalesce("docs_with_dup", F.lit(0))
+                     .alias("docs_with_dup"))
+            .orderBy("source"))
+
+
+def dedup_lines_across_corpus(documents: DataFrame,
+                              min_len: int = 30) -> DataFrame:
+    """The materializing form of ``line_dedup_stats``: rewrite every
+    document keeping only ineligible lines and FIRST occurrences of
+    eligible ones (same two-agg winner rule), preserving original line
+    order; all other columns pass through. Documents whose every line
+    vanished keep an empty text (callers re-gate on length, as the
+    pipeline does after span masking)."""
+    lines = (documents
+             .select("doc_id",
+                     F.posexplode(F.split("text", "\n"))
+                     .alias("pos", "line")))
+    elig = (lines.filter(F.length("line") >= min_len)
+            .withColumn("h", F.expr(
+                "cast(conv(substring(md5(line), 1, 15), 16, 10) "
+                "as bigint)")))
+    elig = persist_shared(elig)
+    d0 = elig.groupBy("h").agg(F.min("doc_id").alias("d0"))
+    p0 = (elig.join(d0, "h")
+          .filter(F.col("doc_id") == F.col("d0"))
+          .groupBy("h", "d0").agg(F.min("pos").alias("p0")))
+    losers = (elig.join(p0, "h")
+              .filter((F.col("doc_id") != F.col("d0"))
+                      | (F.col("pos") != F.col("p0")))
+              .select("doc_id", "pos"))
+    kept = lines.join(losers, ["doc_id", "pos"], "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("pos", "line"))),
+                       lambda s: s["line"]), "\n").alias("new_text")))
+    return (documents.join(rebuilt, "doc_id", "left")
+            .withColumn("removed_chars",
+                        F.length("text")
+                        - F.length(F.coalesce("new_text", F.lit(""))))
+            .withColumn("text", F.coalesce("new_text", F.lit("")))
+            .drop("new_text"))
+
+
 # ---------------------------------------------------------------------------
 # 6. Benchmark decontamination
 

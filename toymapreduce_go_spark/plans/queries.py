@@ -209,6 +209,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_gapfill": _q(events.events_gapfill),
     "weighted_sample": _q(textstats.weighted_sample_stats),
     "dup_spans": _q(dedup.dup_span_stats),
+    "line_dedup": _q(dedup.line_dedup_stats),
     "dup_span_coverage": _q(dedup.dup_span_coverage),
     "source_mix": _q(textstats.source_mix_weights),
     "quality_distill": _q(quality_model.quality_model_report),
@@ -267,7 +268,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "contamination_check", "pii_scrub", "sequence_packing",
                "near_dup_clusters", "hashed_tf", "events_gapfill",
                "audio_stats", "video_stats", "weighted_sample",
-               "dup_spans", "dup_span_coverage", "source_mix",
+               "dup_spans", "dup_span_coverage", "line_dedup",
+               "source_mix",
                "ann_ivf_pq", "knn_label_vote", "ann_label_vote",
                "quality_distill", "lm_quality",
                "lm_quality_pruned", "lm_bigram_quality", "epoch_sample",
@@ -1525,6 +1527,48 @@ ORACLES: dict[str, str] = {
                round(COALESCE(d.dup_grams, 0) / t.total_grams::DOUBLE, 4)
                    AS dup_frac
         FROM tot t LEFT JOIN dupped d USING (source) ORDER BY t.source
+    """,
+    # C4-style corpus-level exact line dedup: first (doc_id, pos)
+    # occurrence of each eligible (>= 30 chars) line wins; winner found
+    # by the same two-min rule the Spark side uses (skew-safe there,
+    # exact here). chr(10) == the Spark split's newline.
+    "line_dedup": """
+        WITH parts AS (SELECT doc_id, source,
+                              string_split(text, chr(10)) AS ls
+                       FROM documents),
+        lines AS (SELECT doc_id, source, i - 1 AS pos, ls[i] AS line,
+                         length(ls[i]) AS len
+                  FROM (SELECT doc_id, source, ls,
+                               unnest(range(1, len(ls) + 1)) AS i
+                        FROM parts)),
+        elig AS (SELECT *,
+                        ('0x' || substr(md5(line), 1, 15))::BIGINT AS h
+                 FROM lines WHERE len >= 30),
+        d0 AS (SELECT h, min(doc_id) AS d0 FROM elig GROUP BY h),
+        p0 AS (SELECT e.h, d.d0, min(e.pos) AS p0
+               FROM elig e JOIN d0 d ON e.h = d.h AND e.doc_id = d.d0
+               GROUP BY e.h, d.d0),
+        flagged AS (SELECT e.source, e.doc_id, e.len,
+                           CASE WHEN e.doc_id != p.d0 OR e.pos != p.p0
+                                THEN 1 ELSE 0 END AS dup
+                    FROM elig e JOIN p0 p ON e.h = p.h),
+        tot AS (SELECT source, count(*) AS n_lines,
+                       count(DISTINCT doc_id) AS n_docs
+                FROM lines GROUP BY source),
+        agg AS (SELECT source, count(*) AS n_eligible,
+                       CAST(sum(dup) AS BIGINT) AS n_dup_lines,
+                       CAST(sum(CASE WHEN dup = 1 THEN len + 1
+                                     ELSE 0 END) AS BIGINT)
+                           AS chars_removable,
+                       count(DISTINCT CASE WHEN dup = 1 THEN doc_id END)
+                           AS docs_with_dup
+                FROM flagged GROUP BY source)
+        SELECT t.source, t.n_docs, t.n_lines,
+               COALESCE(a.n_eligible, 0) AS n_eligible,
+               COALESCE(a.n_dup_lines, 0) AS n_dup_lines,
+               COALESCE(a.chars_removable, 0) AS chars_removable,
+               COALESCE(a.docs_with_dup, 0) AS docs_with_dup
+        FROM tot t LEFT JOIN agg a USING (source) ORDER BY t.source
     """,
     # Exact duplicated-character coverage: interval-union sweep over the
     # sorted duplicated-gram starts, with the (covered, last_end) state
