@@ -96,6 +96,11 @@ def main(argv: list[str] | None = None) -> None:
                    help="with --corpus-build: also cut cross-document "
                         "duplicated spans out of survivor text "
                         "(ExactSubstr removal stage)")
+    p.add_argument("--dedup-lines", action="store_true",
+                   help="with --corpus-build: C4-style corpus-level "
+                        "exact line dedup before the hashing stages "
+                        "(first occurrence of each repeated long line "
+                        "wins)")
     p.add_argument("--lm-filter", action="store_true",
                    help="with --corpus-build: drop the CCNet perplexity "
                         "TAIL tertile (corpus-LM surprisal gate) after "
@@ -142,7 +147,7 @@ def main(argv: list[str] | None = None) -> None:
             spark, args.corpus_build, out_path=args.out,
             mask_spans=args.mask_spans, span_k=args.span_k,
             span_sample_mod=args.span_sample_mod,
-            lm_filter=args.lm_filter)
+            lm_filter=args.lm_filter, dedup_lines=args.dedup_lines)
         for r in funnel.collect():
             print(f"{r['stage']} {r['n_docs']}")
         return

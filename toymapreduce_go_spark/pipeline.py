@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from .operators.dedup import (apply_near_dedup,
                               contamination_shared_counts,
-                              mask_dup_spans)
+                              dedup_lines_across_corpus, mask_dup_spans)
 from .operators.packing import pack_sequences
 from .operators.textstats import (MIN_ALPHA_RATIO, MIN_CHARS,
                                   ccnet_doc_buckets, pii_redact_text,
@@ -38,7 +38,8 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
                           mask_spans: bool = False,
                           span_k: int = 20,
                           span_sample_mod: int | None = None,
-                          lm_filter: bool = False
+                          lm_filter: bool = False,
+                          dedup_lines: bool = False
                           ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation funnel over ``sf_dir``'s documents table
     (or an explicit ``docs`` frame — the hook fault-injection and
@@ -90,9 +91,30 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
         pre_lm = gated
         tail = (ccnet_doc_buckets(gated)
                 .filter(F.col("bucket") == "tail").select("doc_id"))
-        gated = gated.join(tail, "doc_id", "left_anti").persist()
+        # localCheckpoint, not persist: the LM gate's plan embeds the
+        # ccnet threshold subqueries; persist() caches DATA but every
+        # downstream ACTION still re-ANALYZES the whole tree, and with
+        # the later optional stages stacked on top that analysis cost
+        # compounds per action (measured: the downstream dedup stages
+        # went 4 s -> 30+ s from lineage depth alone). Checkpointing
+        # truncates the lineage — the production analog is writing the
+        # stage to the lake and reading it back.
+        gated = gated.join(tail, "doc_id", "left_anti").localCheckpoint()
         stages.append(("1b_lm_gated", gated.count()))
         pre_lm.unpersist()
+
+    # 1c (optional). C4-style corpus-level line dedup: cut repeated
+    # boilerplate LINES before any hashing stage sees them — removing
+    # shared banners here both shrinks the corpus and sharpens near-dup
+    # detection (two docs that only shared boilerplate stop colliding).
+    # Re-gate on length afterwards, same contract as span masking.
+    if dedup_lines:
+        pre_ld = gated
+        gated = (dedup_lines_across_corpus(gated)
+                 .filter(F.length("text") >= MIN_CHARS)
+                 .drop("removed_chars").localCheckpoint())
+        stages.append(("1c_line_deduped", gated.count()))
+        pre_ld.unpersist()
 
     # 3. dedup: exact dups have estimated Jaccard 1.0, so the LSH
     # cluster pass subsumes the exact pass — one survivor per component
@@ -123,7 +145,7 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
         deduped = (mask_dup_spans(deduped, k=span_k,
                                   sample_mod=span_sample_mod)
                    .filter(F.length("text") >= MIN_CHARS)
-                   .drop("removed_chars").persist())
+                   .drop("removed_chars").localCheckpoint())
         stages.append(("2b_span_masked", deduped.count()))
         # the masked frame is materialized by the count above, so the
         # pre-mask corpus cache can be released now instead of leaking
