@@ -145,3 +145,58 @@ def test_dedup_lines_across_corpus_matches_python_reference(spark):
                for r in dedup_lines_across_corpus(docs).collect()}
     for doc_id, _, text in rows:
         assert removed[doc_id] == len(text) - len(want[doc_id])
+
+
+def test_dedup_lines_within_doc_matches_python_reference(spark):
+    """Intra-doc repeated-line removal: equal long lines collapse to
+    their first occurrence WITHIN each doc (other docs untouched),
+    short lines repeat freely, and the whole pass is scan-side — the
+    physical plan has no Exchange at all."""
+    import contextlib
+    import io
+
+    from toymapreduce_go_spark.operators.dedup import \
+        dedup_lines_within_doc
+
+    banner = "This website uses cookies to improve your experience."
+    rows = [
+        # banner twice in one doc -> second copy goes
+        (1, "a", f"{banner}\nmiddle prose line, quite original\n{banner}"),
+        # same banner in ANOTHER doc -> intra-doc pass keeps it
+        (2, "a", f"{banner}\nunrelated content"),
+        # short line repeated -> kept both times; long line repeated
+        # three times -> kept once
+        (3, "b", f"ok\n{banner}\nok\n{banner}\n{banner}\nok"),
+        (4, "b", "no duplicates here at all, just original prose"),
+        (5, "b", ""),  # empty text survives as empty
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+
+    def py_ref(text: str) -> str:
+        seen: set[str] = set()
+        kept = []
+        for line in text.split("\n"):
+            if len(line) >= 30:
+                if line in seen:
+                    continue
+                seen.add(line)
+            kept.append(line)
+        return "\n".join(kept)
+
+    out = dedup_lines_within_doc(docs)
+    got = {r["doc_id"]: (r["text"], r["removed_chars"])
+           for r in out.collect()}
+    for doc_id, _, text in rows:
+        want = py_ref(text)
+        assert got[doc_id][0] == want, doc_id
+        assert got[doc_id][1] == len(text) - len(want)
+    # doc 2's banner copy is intact (independence from doc 1)
+    assert banner in got[2][0]
+    assert got[3][0].count(banner) == 1
+    assert [l for l in got[3][0].split("\n") if l == "ok"] == ["ok"] * 3
+    # scan-side contract: zero shuffles
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "Exchange" not in buf.getvalue()

@@ -1,0 +1,81 @@
+"""DSIR importance weighting: model shape, selection property, and the
+100 TB plan posture (metadata-sized model broadcasts; the corpus is
+never sort-merge-joined). Cross-engine value parity runs in
+tests/test_oracle_parity.py like every other oracled query."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from toymapreduce_go_spark.operators.dsir import (DSIR_DIM,
+                                                  dsir_doc_weights,
+                                                  dsir_importance_stats,
+                                                  dsir_log_ratio_model)
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _toy_docs(spark):
+    """Target slice (doc_id % 97 == 0) speaks 'physics'; raw docs 1-3
+    speak physics too, raw docs 4-6 speak 'cooking' — disjoint vocab."""
+    phys = "quantum field theory lattice gauge boson entangled spin"
+    cook = "butter garlic saute onion simmer braise whisk dough"
+    # the target slice repeats its vocabulary so the target model's
+    # per-bucket mass clearly exceeds the raw pool's (with only one
+    # occurrence each, Laplace smoothing keeps ratios near zero)
+    rows = [
+        (0, "t", " ".join([phys] * 10)),
+        (97, "t", " ".join([phys + " hamiltonian operator"] * 10)),
+        (1, "r", phys), (2, "r", phys + " spin boson"),
+        (3, "r", "lattice gauge entangled quantum spin"),
+        (4, "r", cook), (5, "r", cook + " season taste"),
+        (6, "r", "simmer braise whisk butter onion dough"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+
+
+def test_model_is_bounded_by_dim(spark):
+    docs = _toy_docs(spark)
+    model = dsir_log_ratio_model(docs).collect()
+    assert 0 < len(model) <= DSIR_DIM
+    assert {r["b"] for r in model} <= set(range(DSIR_DIM))
+
+
+def test_target_like_docs_outscore_disjoint_docs(spark):
+    """The selection property the operator exists for: every raw doc
+    sharing the target's vocabulary must outweigh every raw doc with
+    disjoint vocabulary, and target docs must not appear in the pool."""
+    w = {r["doc_id"]: r["w"]
+         for r in dsir_doc_weights(_toy_docs(spark)).collect()}
+    assert set(w) == {1, 2, 3, 4, 5, 6}  # targets 0/97 excluded
+    assert min(w[1], w[2], w[3]) > max(w[4], w[5], w[6])
+    assert all(w[d] > 0 for d in (1, 2, 3))      # preferred by target
+    assert all(w[d] < 0 for d in (4, 5, 6))      # dispreferred
+
+
+def test_stats_rollup_counts_preferred(spark):
+    rows = {r["source"]: r
+            for r in dsir_importance_stats(_toy_docs(spark)).collect()}
+    assert set(rows) == {"r"}
+    assert rows["r"]["n_docs"] == 6
+    assert rows["r"]["n_preferred"] == 3
+    assert rows["r"]["max_w"] > 0 > rows["r"]["min_w"]
+
+
+def test_scoring_plan_broadcasts_model_no_sort_merge(spark):
+    from conftest import SF_DIR
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan_of(dsir_importance_stats(docs))
+    # the 1024-row log-ratio model rides a broadcast to the scorers;
+    # the corpus is never shuffled for a join anywhere in the tree
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # per-doc sum + rollup both run partial-final (map-side combine)
+    assert plan.count("HashAggregate") >= 4

@@ -1030,6 +1030,40 @@ def dedup_lines_across_corpus(documents: DataFrame,
             .drop("new_text"))
 
 
+def dedup_lines_within_doc(documents: DataFrame,
+                           min_len: int = 30) -> DataFrame:
+    """WITHIN-document repeated-line removal (the MassiveText/Dolma
+    intra-doc cleanup that complements the corpus-level pass above):
+    inside each document, among equal lines of >= ``min_len`` chars only
+    the first occurrence survives; shorter lines (blanks, bullets) pass
+    through untouched. Adds ``removed_chars``; all other columns ride.
+
+    Scale: a pure scan-side array expression — split, filter-with-index
+    (``array_position`` finds the first occurrence), re-join. ZERO
+    shuffle: the whole pass is per-row whole-stage codegen, so it costs
+    a projection no matter the corpus size. Per-doc cost is quadratic
+    in the document's LINE count (array_position scans the array per
+    kept line), bounded by document size — documents with enough lines
+    to care route through the hashed corpus-level pass anyway.
+
+    Disclosed fixture blind spot: the synthetic documents tables are
+    single-line (no '\\n'), so this operator is exercised by constructed
+    frames in tests/test_dedup_lines.py, not by a registered fixture
+    query — registering it would compare all-zeros."""
+    lines = F.split("text", "\n")
+    keep = F.filter(
+        lines,
+        lambda x, i: (F.length(x) < min_len)
+        | (F.array_position(lines, x) == i + F.lit(1)))
+    new_text = F.array_join(keep, "\n")
+    return (documents
+            .withColumn("__new_text", new_text)
+            .withColumn("removed_chars",
+                        F.length("text") - F.length("__new_text"))
+            .withColumn("text", F.col("__new_text"))
+            .drop("__new_text"))
+
+
 # ---------------------------------------------------------------------------
 # 6. Benchmark decontamination
 

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..mr.api import run_map_reduce, wc_map, wc_reduce
-from ..operators import (bpe, dedup, events, joins, packing,
+from ..operators import (bpe, dedup, dsir, events, joins, packing,
                          quality_model, relational, similarity, text_mr,
                          textstats)
 from ..sources.registry import load_table
@@ -221,6 +221,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_buckets": _q(textstats.ccnet_bucket_stats),
     "training_shards": _q(textstats.training_shard_stats),
     "bpe_stats": _q(bpe.bpe_stats),
+    "dsir_importance": _q(dsir.dsir_importance_stats),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
     "multimodal_pipeline": _multimodal_pipeline,
@@ -273,7 +274,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "ann_ivf_pq", "knn_label_vote", "ann_label_vote",
                "quality_distill", "lm_quality",
                "lm_quality_pruned", "lm_bigram_quality", "epoch_sample",
-               "ccnet_buckets", "training_shards", "bpe_stats")
+               "ccnet_buckets", "training_shards", "bpe_stats",
+               "dsir_importance")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1712,6 +1714,55 @@ ORACLES: dict[str, str] = {
                round(min(nll), 4) AS min_nll,
                round(max(nll), 4) AS max_nll
         FROM per_doc GROUP BY source ORDER BY source
+    """,
+    # DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    # features (the portable md5 bucket), two Laplace-smoothed (+0.5)
+    # 1024-bucket models (target = the doc_id % 97 eval slice, raw =
+    # the rest), per-doc weight = summed log ratio over the doc's
+    # feature occurrences. Same rounding contract as lm_quality:
+    # per-doc round-4, integer-scaled rollup average.
+    "dsir_importance": """
+        WITH tk AS (
+            SELECT doc_id, source,
+                   list_transform(list_filter(
+                       string_split_regex(text, '[^a-zA-Z]+'),
+                       t -> length(t) > 0), t -> lower(t)) AS tk
+            FROM documents),
+        feats AS (
+            SELECT doc_id, source, doc_id % 97 = 0 AS is_t,
+                   unnest(tk) AS f
+            FROM tk
+            UNION ALL
+            SELECT doc_id, source, doc_id % 97 = 0 AS is_t,
+                   unnest(list_transform(range(1, len(tk)),
+                                         i -> tk[i] || ' ' || tk[i + 1]))
+                       AS f
+            FROM tk WHERE len(tk) >= 2),
+        bk AS (
+            SELECT doc_id, source, is_t,
+                   ('0x' || substring(md5(f), 1, 8))::BIGINT % 1024 AS b
+            FROM feats),
+        counts AS (
+            SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                   sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+            FROM bk GROUP BY b),
+        tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts),
+        model AS (
+            SELECT b, ln((ct + 0.5) / (nt + 512.0))
+                      - ln((cr + 0.5) / (nr + 512.0)) AS lr
+            FROM counts, tot),
+        scored AS (
+            SELECT doc_id, source, round(sum(lr), 4) AS w
+            FROM bk JOIN model USING (b) WHERE NOT is_t
+            GROUP BY doc_id, source)
+        SELECT source, count(*) AS n_docs,
+               round(sum(CAST(round(w * 10000) AS BIGINT))
+                     / (count(*) * 10000.0), 4) AS avg_w,
+               CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_preferred,
+               round(max(w), 4) AS max_w,
+               round(min(w), 4) AS min_w
+        FROM scored GROUP BY source ORDER BY source
     """,
     # Materialized training epoch from the temperature mix: quotas are
     # exact integer/sqrt arithmetic (see source_mix), selection is the
