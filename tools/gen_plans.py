@@ -107,6 +107,22 @@ SHOWCASE: dict[str, str] = {
         "search, and the ONLY row_number Window sitting above the "
         "boundary-bucket restriction (pushed into its broadcast join "
         "condition), so no per-source corpus sort exists anywhere."),
+    "line_dedup": (
+        "C4-style corpus-level line dedup (r9). Look for: posexplode + "
+        "scan-side md5 line hash, then ONLY min()-aggregates on the "
+        "hash (partial+final HashAggregate pairs — a viral boilerplate "
+        "line combines map-side instead of funnelling one reducer), "
+        "and NO Window anywhere: first-occurrence selection is two "
+        "joins against the metadata-shaped (hash, winner) tables."),
+    "dsir_importance": (
+        "DSIR importance weighting (r9). Look for: the feature "
+        "explode feeding a partial+final HashAggregate with at most "
+        "1024 distinct keys (the fixed hashed-feature space), the "
+        "log-ratio model riding a BroadcastExchange into the scoring "
+        "join (no SortMergeJoin anywhere — the corpus is never "
+        "shuffled for a join), and the only corpus-sized exchanges "
+        "being load_table's round-robin scan spread plus the keyed "
+        "doc_id (per-doc sum) and source (report) aggs."),
 }
 
 

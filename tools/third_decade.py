@@ -46,7 +46,14 @@ VARIANTS = {
         lambda d, dedup, ts, mm: ts.stratified_sample_stats(d),
     "ccnet_buckets":
         lambda d, dedup, ts, mm: ts.ccnet_bucket_stats(d),
+    "dsir_importance":
+        lambda d, dedup, ts, mm: _dsir().dsir_importance_stats(d),
 }
+
+
+def _dsir():
+    from toymapreduce_go_spark.operators import dsir
+    return dsir
 
 
 def run_one(variant: str, sf_dir: str) -> None:
