@@ -112,6 +112,10 @@ def test_dedup_lines_across_corpus_matches_python_reference(spark):
         (2, "a", f"intro two\n{banner}\n{lic}"),
         (3, "b", f"{lic}\nshort\n{banner}"),
         (4, "b", "no duplicates here at all, just original prose lines"),
+        # fully-cleared doc: its ONLY line is a corpus duplicate, so
+        # the rewrite leaves "" and removes len(banner) chars (no
+        # newline existed) — the stats' fully-cleared correction
+        (5, "c", banner),
     ]
     docs = spark.createDataFrame(
         rows, "doc_id long, source string, text string")
@@ -141,10 +145,20 @@ def test_dedup_lines_across_corpus_matches_python_reference(spark):
     assert stats["a"]["n_dup_lines"] == 1   # banner copy in doc 2
     assert stats["b"]["n_dup_lines"] == 2   # lic + banner copies
     assert stats["b"]["docs_with_dup"] == 1
+    assert stats["c"]["n_dup_lines"] == 1
+    assert got[5] == ""
     removed = {r["doc_id"]: r["removed_chars"]
                for r in dedup_lines_across_corpus(docs).collect()}
     for doc_id, _, text in rows:
         assert removed[doc_id] == len(text) - len(want[doc_id])
+    # chars_removable is EXACTLY what the rewrite removes, per source —
+    # including the fully-cleared doc 5 (len(banner), not len+1)
+    by_src: dict[str, int] = {}
+    for doc_id, src, _ in rows:
+        by_src[src] = by_src.get(src, 0) + removed[doc_id]
+    for src, r in stats.items():
+        assert r["chars_removable"] == by_src[src], src
+    assert stats["c"]["chars_removable"] == len(banner)
 
 
 def test_dedup_lines_within_doc_matches_python_reference(spark):

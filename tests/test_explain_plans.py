@@ -423,6 +423,23 @@ def test_exact_sampling_dominant_source_matches_brute_force(spark):
         assert got[src]["sampled_id_sum"] == sum(take)
 
 
+def test_exact_sampling_quota_above_count_takes_everything(spark):
+    """quota > n_docs must mean 'take everything' (the naive window's
+    rn <= quota semantics), not 'no boundary bucket crosses, take
+    nothing' — the core clamps quota to n_docs."""
+    from toymapreduce_go_spark.operators.textstats import (
+        stratified_sample_stats)
+
+    rows = [(i, "a") for i in range(50)] + [(i, "b") for i in (100, 101)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["source"]: r
+           for r in stratified_sample_stats(df, fraction=1.2).collect()}
+    assert got["a"]["n_sampled"] == 50
+    assert got["a"]["sampled_id_sum"] == sum(range(50))
+    assert got["b"]["n_sampled"] == 2
+    assert got["b"]["sampled_id_sum"] == 201
+
+
 def test_bigram_lm_pruned_scoring_join_broadcasts(spark):
     """SCALE.md's bigram-knob claim, pinned by plan (the fixture's
     closed vocabulary can't show it in wall time): with min_count

@@ -448,6 +448,33 @@ def test_is_progressive_skips_ff_fill_bytes():
     assert not is_progressive(pad(good, 2))
 
 
+def test_decoders_skip_fill_bytes_and_fail_closed_on_trailing_fill():
+    """The decoders share is_progressive's B.1.1.2 handling: a padded
+    valid file round-trips bit-identically, and a payload that ENDS in
+    fill bytes (no marker left to read) raises the contract ValueError,
+    never IndexError."""
+    import pytest
+
+    from toymapreduce_go_spark.multimodal.jpeg import (decode_baseline,
+                                                       decode_progressive,
+                                                       encode_baseline,
+                                                       encode_progressive)
+
+    pix = bytes(range(64))
+    base = encode_baseline(pix, 8, 8, 1)
+    prog = encode_progressive(pix, 8, 8, 1)
+    # fill bytes before the first segment: both decoders skip them
+    assert decode_baseline(base[:2] + b"\xff" * 3 + base[2:]) \
+        == decode_baseline(base)
+    assert decode_progressive(prog[:2] + b"\xff" * 3 + prog[2:]) \
+        == decode_progressive(prog)
+    # payload ending in fill bytes: ValueError, not IndexError
+    with pytest.raises(ValueError):
+        decode_progressive(b"\xff\xd8\xff\xff")
+    with pytest.raises(ValueError):
+        decode_baseline(b"\xff\xd8\xff\xff\xff\xff")
+
+
 def test_progressive_decodes_real_jdk_420_file_matches_jvm(spark):
     """Interop + coverage for the paths our own encoder cannot produce:
     the JDK's ImageIO JPEG writer in progressive mode emits a REAL

@@ -120,9 +120,12 @@ SHOWCASE: dict[str, str] = {
         "1024 distinct keys (the fixed hashed-feature space), the "
         "log-ratio model riding a BroadcastExchange into the scoring "
         "join (no SortMergeJoin anywhere — the corpus is never "
-        "shuffled for a join), and the only corpus-sized exchanges "
-        "being load_table's round-robin scan spread plus the keyed "
-        "doc_id (per-doc sum) and source (report) aggs."),
+        "shuffled for a join), the persisted bucketed-feature frame "
+        "(InMemoryTableScan) feeding BOTH the model's count agg and "
+        "the pool scorer from one corpus scan, and the only "
+        "corpus-sized exchanges being load_table's round-robin scan "
+        "spread plus the keyed doc_id (per-doc sum) and source "
+        "(report) aggs."),
 }
 
 

@@ -572,9 +572,15 @@ def decode_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        while i + 2 <= len(payload) and payload[i + 1] == 0xFF:
+            i += 1  # B.1.1.2 fill bytes
+        if i + 2 > len(payload):
+            raise ValueError("truncated JPEG segment")
         marker = payload[i + 1]
         if marker == 0xD9:
             break
+        if i + 4 > len(payload):
+            raise ValueError("truncated JPEG segment")
         if 0xD0 <= marker <= 0xD7 or marker == 0x01:
             i += 2
             continue
@@ -948,6 +954,8 @@ def decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("bad JPEG marker alignment")
         while i + 2 <= L and payload[i + 1] == 0xFF:
             i += 1  # B.1.1.2 fill bytes
+        if i + 2 > L:  # payload ends in fill bytes: no marker to read
+            raise ValueError("truncated JPEG segment")
         marker = payload[i + 1]
         if marker == 0xD9:
             break

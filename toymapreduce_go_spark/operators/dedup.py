@@ -929,24 +929,20 @@ def mask_dup_spans(documents: DataFrame, k: int = 20,
             .drop("masked_text"))
 
 
-def line_dedup_stats(documents: DataFrame,
-                     min_len: int = 30) -> DataFrame:
-    """Corpus-level exact LINE dedup — the C4 recipe (Raffel et al.
-    2020 discard every repeated three-sentence span corpus-wide, keep
-    the first occurrence; the line-granular form is the common
-    boilerplate killer for nav bars / cookie banners / license headers
-    that repeat across millions of pages): a line is ELIGIBLE when it
-    has >= ``min_len`` characters (short lines — blanks, bullets —
-    repeat naturally and are not boilerplate evidence), and among all
-    corpus occurrences of an eligible line only the FIRST in
-    (doc_id, position) order survives. Reports per source: line totals,
-    duplicate lines, characters removable, and docs touched.
+def _line_first_occurrence_flags(documents: DataFrame, min_len: int
+                                 ) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the corpus-level line-dedup pair (stats +
+    rewrite): returns ``(lines, flagged)`` — the posexploded
+    (doc_id, source, pos, line, len) frame, and the eligible-line
+    frame with ``dup = 1`` on every occurrence that LOSES
+    first-(doc_id, pos) selection. One definition of the winner rule,
+    so the report and the removal pass cannot silently diverge.
 
     Skew-safe first-occurrence selection: a window over the line hash
     would send every copy of one viral line to one task; instead the
     winner is found with two map-side-combinable min aggs (min doc_id
     per hash, then min pos within that doc) — the same reduce profile
-    as a word count no matter how hot a line is. The gram hash is the
+    as a word count no matter how hot a line is. The line hash is the
     portable md5-prefix BIGINT, so the DuckDB oracle replays selection
     exactly."""
     lines = (documents
@@ -967,16 +963,50 @@ def line_dedup_stats(documents: DataFrame,
                .withColumn("dup", ((F.col("doc_id") != F.col("d0"))
                                    | (F.col("pos") != F.col("p0")))
                            .cast("long")))
+    return lines, flagged
+
+
+def line_dedup_stats(documents: DataFrame,
+                     min_len: int = 30) -> DataFrame:
+    """Corpus-level exact LINE dedup — the C4 recipe (Raffel et al.
+    2020 discard every repeated three-sentence span corpus-wide, keep
+    the first occurrence; the line-granular form is the common
+    boilerplate killer for nav bars / cookie banners / license headers
+    that repeat across millions of pages): a line is ELIGIBLE when it
+    has >= ``min_len`` characters (short lines — blanks, bullets —
+    repeat naturally and are not boilerplate evidence), and among all
+    corpus occurrences of an eligible line only the FIRST in
+    (doc_id, position) order survives. Reports per source: line totals,
+    duplicate lines, characters removable, and docs touched.
+
+    ``chars_removable`` is exactly what ``dedup_lines_across_corpus``
+    removes: each dropped line takes one adjacent newline with it,
+    EXCEPT that a document whose every line is dropped ends up as
+    empty text — an n-line doc has only n-1 newlines — so the per-doc
+    accounting subtracts one for fully-cleared docs. Winner selection
+    is the shared skew-safe two-min-agg core
+    (``_line_first_occurrence_flags``)."""
+    lines, flagged = _line_first_occurrence_flags(documents, min_len)
     tot = lines.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.countDistinct("doc_id").alias("n_docs"))
-    dup = flagged.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_eligible"),
-        F.sum("dup").alias("n_dup_lines"),
-        F.sum(F.when(F.col("dup") == 1, F.col("len") + 1)
-              .otherwise(F.lit(0))).alias("chars_removable"),
-        F.countDistinct(F.when(F.col("dup") == 1, F.col("doc_id")))
-         .alias("docs_with_dup"))
+    # per-doc roll first (doc_id keys — uniform): needed to detect
+    # fully-cleared docs, whose last removed line has no newline
+    nl = documents.select(
+        "doc_id", F.size(F.split("text", "\n")).alias("n_lines_doc"))
+    per_doc = (flagged.groupBy("source", "doc_id")
+               .agg(F.count(F.lit(1)).alias("n_elig"),
+                    F.sum("dup").alias("n_dup"),
+                    F.sum(F.when(F.col("dup") == 1, F.col("len") + 1)
+                          .otherwise(F.lit(0))).alias("chars"))
+               .join(nl, "doc_id"))
+    dup = per_doc.groupBy("source").agg(
+        F.sum("n_elig").alias("n_eligible"),
+        F.sum("n_dup").alias("n_dup_lines"),
+        (F.sum("chars")
+         - F.sum((F.col("n_dup") == F.col("n_lines_doc")).cast("long")))
+        .alias("chars_removable"),
+        F.sum((F.col("n_dup") > 0).cast("long")).alias("docs_with_dup"))
     return (tot.join(dup, "source", "left")
             .select("source", "n_docs", "n_lines",
                     F.coalesce("n_eligible", F.lit(0))
@@ -994,26 +1024,13 @@ def dedup_lines_across_corpus(documents: DataFrame,
                               min_len: int = 30) -> DataFrame:
     """The materializing form of ``line_dedup_stats``: rewrite every
     document keeping only ineligible lines and FIRST occurrences of
-    eligible ones (same two-agg winner rule), preserving original line
+    eligible ones (same two-agg winner rule — the shared
+    ``_line_first_occurrence_flags`` core), preserving original line
     order; all other columns pass through. Documents whose every line
     vanished keep an empty text (callers re-gate on length, as the
     pipeline does after span masking)."""
-    lines = (documents
-             .select("doc_id",
-                     F.posexplode(F.split("text", "\n"))
-                     .alias("pos", "line")))
-    elig = (lines.filter(F.length("line") >= min_len)
-            .withColumn("h", F.expr(
-                "cast(conv(substring(md5(line), 1, 15), 16, 10) "
-                "as bigint)")))
-    elig = persist_shared(elig)
-    d0 = elig.groupBy("h").agg(F.min("doc_id").alias("d0"))
-    p0 = (elig.join(d0, "h")
-          .filter(F.col("doc_id") == F.col("d0"))
-          .groupBy("h", "d0").agg(F.min("pos").alias("p0")))
-    losers = (elig.join(p0, "h")
-              .filter((F.col("doc_id") != F.col("d0"))
-                      | (F.col("pos") != F.col("p0")))
+    lines, flagged = _line_first_occurrence_flags(documents, min_len)
+    losers = (flagged.filter(F.col("dup") == 1)
               .select("doc_id", "pos"))
     kept = lines.join(losers, ["doc_id", "pos"], "left_anti")
     rebuilt = (kept.groupBy("doc_id")

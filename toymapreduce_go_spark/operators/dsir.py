@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..functions.text import tokens
+from .dedup import persist_shared
 
 DSIR_DIM = 1024        # hashed feature buckets (paper: 10k; fixture-sized)
 DSIR_TARGET_MOD = 97   # target slice = doc_id % mod == 0 (oracle-replayable)
@@ -62,17 +63,28 @@ def _doc_features(documents: DataFrame):
                     F.explode(feats).alias("f")))
 
 
+def _bucketed_features(documents: DataFrame, dim: int) -> DataFrame:
+    """(doc_id, source, is_target, b): the hashed-bucket feature
+    occurrences — persisted via the session-scoped ``persist_shared``
+    because BOTH halves of a DSIR run (model training and pool scoring)
+    consume it; without the shared materialization the corpus-sized
+    tokenize + explode — the dominant cost — would run once per
+    consumer."""
+    bucket = F.expr(
+        "cast(conv(substring(md5(f), 1, 8), 16, 10) as bigint) "
+        f"% {dim}")
+    return persist_shared(
+        _doc_features(documents)
+        .select("doc_id", "source", "is_target", bucket.alias("b")))
+
+
 def dsir_log_ratio_model(documents: DataFrame,
                          dim: int = DSIR_DIM) -> DataFrame:
     """The ``dim``-row importance model: per hashed bucket, the
     log-likelihood ratio ``ln p_target(b) - ln p_raw(b)`` of two
     Laplace-smoothed (+0.5) hashed-unigram models. Always
     metadata-sized; callers broadcast it."""
-    feats = _doc_features(documents)
-    bucket = F.expr(
-        "cast(conv(substring(md5(f), 1, 8), 16, 10) as bigint) "
-        f"% {dim}")
-    counts = (feats.select(bucket.alias("b"), "is_target")
+    counts = (_bucketed_features(documents, dim)
               .groupBy("b")
               .agg(F.sum(F.col("is_target").cast("long")).alias("ct"),
                    F.sum((~F.col("is_target")).cast("long")).alias("cr")))
@@ -91,13 +103,13 @@ def dsir_doc_weights(documents: DataFrame,
     """Per RAW document (the selection pool — target docs are the
     recipe, not candidates): ``(doc_id, source, w)`` where ``w`` is the
     doc's summed hashed-feature log importance ratio, rounded to 4
-    decimals (the cross-engine contract)."""
+    decimals (the cross-engine contract). The bucketed feature frame is
+    shared with the model's training pass (one corpus scan feeds
+    both)."""
     model = dsir_log_ratio_model(documents, dim)
-    feats = _doc_features(documents).filter(~F.col("is_target"))
-    bucket = F.expr(
-        "cast(conv(substring(md5(f), 1, 8), 16, 10) as bigint) "
-        f"% {dim}")
-    return (feats.select("doc_id", "source", bucket.alias("b"))
+    pool = (_bucketed_features(documents, dim)
+            .filter(~F.col("is_target")))
+    return (pool.select("doc_id", "source", "b")
             .join(broadcast(model), "b")
             .groupBy("doc_id", "source")
             .agg(F.round(F.sum("lr"), 4).alias("w")))

@@ -414,7 +414,10 @@ def _exact_quota_sample_stats(documents: DataFrame, make_quota
     Same determinism contract as before (md5-order selection), so the
     DuckDB oracles — which keep the simple window form — are unchanged.
     ``make_quota`` maps the per-source count frame ``(source, n_docs)``
-    to ``(source, n_docs, quota)`` with quota <= n_docs."""
+    to ``(source, n_docs, quota)``; the core clamps quota to n_docs
+    (quota > n_docs means "take everything" — the naive window's
+    ``rn <= quota`` semantics — NOT "no boundary bucket, take
+    nothing")."""
     from pyspark.sql.window import Window
 
     h = F.md5(F.col("doc_id").cast("string").cast("binary"))
@@ -425,7 +428,8 @@ def _exact_quota_sample_stats(documents: DataFrame, make_quota
           .agg(F.count(F.lit(1)).alias("c"),
                F.sum("doc_id").alias("id_sum")))
     counts = bc.groupBy("source").agg(F.sum("c").alias("n_docs"))
-    quota = make_quota(counts)
+    quota = (make_quota(counts)
+             .withColumn("quota", F.least("quota", "n_docs")))
     wcum = (Window.partitionBy("source").orderBy("b")
             .rowsBetween(Window.unboundedPreceding, -1))
     cum = (bc.withColumn("cum_before",

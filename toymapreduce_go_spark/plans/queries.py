@@ -1557,14 +1557,25 @@ ORACLES: dict[str, str] = {
         tot AS (SELECT source, count(*) AS n_lines,
                        count(DISTINCT doc_id) AS n_docs
                 FROM lines GROUP BY source),
-        agg AS (SELECT source, count(*) AS n_eligible,
-                       CAST(sum(dup) AS BIGINT) AS n_dup_lines,
-                       CAST(sum(CASE WHEN dup = 1 THEN len + 1
-                                     ELSE 0 END) AS BIGINT)
+        -- per-doc first: a fully-cleared doc (every line a removed
+        -- dup) loses one newline fewer than lines removed, matching
+        -- dedup_lines_across_corpus exactly
+        nl AS (SELECT doc_id, len(ls) AS n_lines_doc FROM parts),
+        per_doc AS (SELECT f.source, f.doc_id, nl.n_lines_doc,
+                           count(*) AS n_elig, sum(f.dup) AS n_dup,
+                           sum(CASE WHEN f.dup = 1 THEN f.len + 1
+                                    ELSE 0 END) AS chars
+                    FROM flagged f JOIN nl ON f.doc_id = nl.doc_id
+                    GROUP BY f.source, f.doc_id, nl.n_lines_doc),
+        agg AS (SELECT source, CAST(sum(n_elig) AS BIGINT) AS n_eligible,
+                       CAST(sum(n_dup) AS BIGINT) AS n_dup_lines,
+                       CAST(sum(chars)
+                            - sum(CASE WHEN n_dup = n_lines_doc
+                                       THEN 1 ELSE 0 END) AS BIGINT)
                            AS chars_removable,
-                       count(DISTINCT CASE WHEN dup = 1 THEN doc_id END)
-                           AS docs_with_dup
-                FROM flagged GROUP BY source)
+                       CAST(sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS docs_with_dup
+                FROM per_doc GROUP BY source)
         SELECT t.source, t.n_docs, t.n_lines,
                COALESCE(a.n_eligible, 0) AS n_eligible,
                COALESCE(a.n_dup_lines, 0) AS n_dup_lines,

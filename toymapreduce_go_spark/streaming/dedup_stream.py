@@ -57,6 +57,7 @@ from toymapreduce_go_spark.operators.dedup import (N_BANDS, N_HASHES,
                                                    band_rows,
                                                    est_jaccard_expr,
                                                    minhash_signatures)
+from toymapreduce_go_spark.streaming.run import run_available_now
 
 _BANDS_SUBDIR = "bands"
 _SIGS_SUBDIR = "sigs"
@@ -193,28 +194,12 @@ def run_near_dedup_stream(documents_stream: DataFrame, state_dir: str,
     """Drive the incremental near-dedup to completion of available input
     (test/ops entry point; production would leave the query running).
     Returns after all currently-available files are processed."""
-    ckpt = os.path.join(state_dir, "_checkpoint")
-
     def step(batch_df: DataFrame, batch_id: int) -> None:
         near_dedup_batch_step(spark, batch_df, batch_id, state_dir,
                               n=n, n_hashes=n_hashes, n_bands=n_bands,
                               threshold=threshold)
 
-    q = (documents_stream.writeStream
-         .foreachBatch(step)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True)
-         .start())
-    # awaitTermination(timeout) returning False means the run OUTLIVED
-    # the budget — treating that as success would report a committed
-    # PREFIX of batches as the whole job. Fail loudly instead.
-    if not q.awaitTermination(timeout):
-        q.stop()
-        raise TimeoutError(
-            f"streaming run did not finish within {timeout}s "
-            f"(state under {state_dir!r} holds only the committed "
-            f"prefix; re-run to resume from the checkpoint)")
-    return q
+    return run_available_now(documents_stream, state_dir, step, timeout)
 
 
 def read_survivors(spark: SparkSession, state_dir: str) -> DataFrame:

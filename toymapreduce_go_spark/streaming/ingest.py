@@ -33,8 +33,6 @@ streaming at all (SURVEY.md §2c).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 from toymapreduce_go_spark.operators.dedup import N_BANDS, N_HASHES
@@ -43,6 +41,7 @@ from toymapreduce_go_spark.streaming.dedup_stream import (
     near_dedup_batch_step, read_survivors)
 from toymapreduce_go_spark.streaming.quality_stream import (
     quality_batch_step, read_telemetry)
+from toymapreduce_go_spark.streaming.run import run_available_now
 
 __all__ = ["ingest_batch_step", "run_curation_ingest", "read_survivors",
            "read_telemetry"]
@@ -80,25 +79,9 @@ def run_curation_ingest(documents_stream: DataFrame, state_dir: str,
     (availableNow; production leaves the query running). ONE checkpoint
     under ``state_dir`` governs both tiers, so a crash-restart replays
     the last uncommitted batch through BOTH idempotent steps."""
-    ckpt = os.path.join(state_dir, "_checkpoint")
-
     def step(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch_step(spark, batch_df, batch_id, state_dir, n=n,
                           n_hashes=n_hashes, n_bands=n_bands,
                           threshold=threshold)
 
-    q = (documents_stream.writeStream
-         .foreachBatch(step)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True)
-         .start())
-    # awaitTermination(timeout) returning False means the run OUTLIVED
-    # the budget — treating that as success would report a committed
-    # PREFIX of batches as the whole job. Fail loudly instead.
-    if not q.awaitTermination(timeout):
-        q.stop()
-        raise TimeoutError(
-            f"streaming run did not finish within {timeout}s "
-            f"(state under {state_dir!r} holds only the committed "
-            f"prefix; re-run to resume from the checkpoint)")
-    return q
+    return run_available_now(documents_stream, state_dir, step, timeout)

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from toymapreduce_go_spark.operators.quality_model import gate_labels
 from toymapreduce_go_spark.operators.textstats import quality_doc_features
+from toymapreduce_go_spark.streaming.run import run_available_now
 
 _TELEMETRY_SUBDIR = "telemetry"
 
@@ -56,26 +57,10 @@ def run_quality_monitor(documents_stream: DataFrame, state_dir: str,
     """Drive the monitor over all currently-available input (test/ops
     entry point; production leaves the query running alongside the
     dedup stream on the same source)."""
-    ckpt = os.path.join(state_dir, "_checkpoint")
-
     def step(batch_df: DataFrame, batch_id: int) -> None:
         quality_batch_step(spark, batch_df, batch_id, state_dir)
 
-    q = (documents_stream.writeStream
-         .foreachBatch(step)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True)
-         .start())
-    # awaitTermination(timeout) returning False means the run OUTLIVED
-    # the budget — treating that as success would report a committed
-    # PREFIX of batches as the whole job. Fail loudly instead.
-    if not q.awaitTermination(timeout):
-        q.stop()
-        raise TimeoutError(
-            f"streaming run did not finish within {timeout}s "
-            f"(state under {state_dir!r} holds only the committed "
-            f"prefix; re-run to resume from the checkpoint)")
-    return q
+    return run_available_now(documents_stream, state_dir, step, timeout)
 
 
 def read_telemetry(spark: SparkSession, state_dir: str) -> DataFrame:
