@@ -54,3 +54,29 @@ def test_hashed_tf_feeds_ivf_pq(spark):
            for r in out.collect()}
     assert top[1][0] == 2 and top[2][0] == 1
     assert top[1][1] > 0.8
+
+
+def test_tfidf_prefers_distinctive_over_frequent(spark):
+    """The reweighting TF-IDF exists for: a corpus-wide stopword
+    ('the', in every doc -> idf ln(N+1 / N+1) = 0) contributes NOTHING,
+    so a single occurrence of a rare word out-weights five of the
+    stopword; hashed_tf's raw argmax picks the frequent bucket
+    instead."""
+    from toymapreduce_go_spark.functions.text import tokens
+    from toymapreduce_go_spark.operators.textstats import (
+        hashed_tf_summary, tfidf_summary)
+    from pyspark.sql import functions as F
+
+    rows = [(i, "the " * 5 + "filler%d" % i) for i in range(9)]
+    rows.append((9, "the " * 5 + "zebra"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def bucket(word):
+        import hashlib
+        return int(hashlib.md5(word.encode()).hexdigest()[:8], 16) % 64
+
+    tf = {r["doc_id"]: r for r in hashed_tf_summary(docs).collect()}
+    ti = {r["doc_id"]: r for r in tfidf_summary(docs).collect()}
+    assert tf[9]["top_bucket"] == bucket("the")      # raw counts: 5 > 1
+    assert ti[9]["top_bucket"] == bucket("zebra")    # idf: 0 vs ln(11/2)
+    assert ti[9]["top_tfidf"] > 0.99                 # zebra is ~the vector

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (bpe_ish_token_count, tokens,
                               whitespace_token_count)
+from .dedup import persist_shared
 
 # Tiny per-language marker vocabularies for the n-gram/stopword heuristic.
 # Real pipelines use fastText lang-id; the declared query pins a
@@ -606,6 +607,55 @@ def hashed_tf_summary(documents: DataFrame,
     return (hashed_tf_embeddings(documents, dim)
             .select("doc_id", "nnz", "top_bucket", "top_weight")
             .orderBy("doc_id"))
+
+
+def tfidf_summary(documents: DataFrame,
+                  dim: int = HASHED_TF_DIM) -> DataFrame:
+    """TF-IDF on the hashed-feature space: ``hashed_tf``'s bucket
+    counts reweighted by inverse document frequency, the classic
+    relevance weighting (idf = ln((N+1)/(df+1)), the smoothed
+    scikit-learn convention) — turns the raw-count vectorizer into the
+    form retrieval / clustering actually consumes. Emits per-doc
+    scalars ``(doc_id, nnz, top_bucket, top_tfidf)``: the highest
+    TF-IDF bucket is the doc's most DISTINCTIVE feature, where
+    hashed_tf's argmax is merely its most frequent.
+
+    Determinism contract: idf is scaled to INTEGER milli-units
+    (round(idf·1000)) before any multiplication, so every downstream
+    weight, argmax, and tie-break is integer-exact cross-engine (w ≤
+    ~1e7 → w² ≤ 1e14, exactly representable in doubles for the norm);
+    the only float-sensitive step is the one-per-bucket ln rounding.
+
+    Plan shape: the idf model is ≤ ``dim`` rows (doc frequencies of a
+    FIXED bucket space) and broadcasts with its N_docs scalar; the
+    corpus-side cost is hashed_tf's one explode + (doc_id, b) agg, and
+    the join adds no shuffle. 100 TB posture = hashed_tf's."""
+    bucket = F.expr(
+        "cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) "
+        f"% {dim}")
+    counts = (
+        documents.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    )
+    counts = persist_shared(counts)
+    total = documents.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf = (counts.groupBy("b").agg(F.count(F.lit(1)).alias("df"))
+           .crossJoin(F.broadcast(total))
+           .select("b", F.round(
+               F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+               * 1000).cast("long").alias("idf_s")))
+    w = (counts.join(F.broadcast(idf), "b")
+         .withColumn("w", F.col("c") * F.col("idf_s")))
+    agg = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.max(F.struct(F.col("w"), (-F.col("b")).alias("nb"))).alias("mx"),
+        F.sum((F.col("w") * F.col("w")).cast("double")).alias("ss"))
+    return (agg.select(
+        "doc_id", "nnz",
+        (-F.col("mx.nb")).alias("top_bucket"),
+        F.round(F.col("mx.w") / F.sqrt("ss"), 4).alias("top_tfidf"))
+        .orderBy("doc_id"))
 
 
 def weighted_sample_stats(documents: DataFrame,

@@ -222,6 +222,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_shards": _q(textstats.training_shard_stats),
     "bpe_stats": _q(bpe.bpe_stats),
     "dsir_importance": _q(dsir.dsir_importance_stats),
+    "tfidf": _q(textstats.tfidf_summary),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
     "multimodal_pipeline": _multimodal_pipeline,
@@ -275,7 +276,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "quality_distill", "lm_quality",
                "lm_quality_pruned", "lm_bigram_quality", "epoch_sample",
                "ccnet_buckets", "training_shards", "bpe_stats",
-               "dsir_importance")
+               "dsir_importance", "tfidf")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1364,6 +1365,42 @@ ORACLES: dict[str, str] = {
             WHERE co.c = a.mx GROUP BY co.doc_id)
         SELECT a.doc_id, a.nnz, t.top_bucket,
                round(a.mx / sqrt(a.ss::DOUBLE), 4) AS top_weight
+        FROM agg a JOIN top t ON a.doc_id = t.doc_id
+        ORDER BY a.doc_id
+    """,
+    # TF-IDF over the hashed bucket space: idf scaled to integer
+    # milli-units BEFORE multiplying, so weights/argmax/ties are
+    # integer-exact cross-engine; w <= ~1e7 keeps w*w exactly
+    # representable in the double norm sum.
+    "tfidf": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+                                      t -> length(t) > 0)) AS tok
+            FROM documents),
+        counts AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 AS b,
+                   count(*) AS c
+            FROM toks GROUP BY doc_id, b),
+        total AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        idf AS (
+            SELECT b, CAST(round(ln((n_docs + 1.0) / (count(*) + 1.0))
+                                 * 1000) AS BIGINT) AS idf_s
+            FROM counts, total GROUP BY b, n_docs),
+        w AS (
+            SELECT co.doc_id, co.b, co.c * i.idf_s AS w
+            FROM counts co JOIN idf i ON co.b = i.b),
+        agg AS (
+            SELECT doc_id, count(*) AS nnz, max(w) AS mx,
+                   sum(CAST(w AS DOUBLE) * w) AS ss
+            FROM w GROUP BY doc_id),
+        top AS (
+            SELECT w.doc_id, min(w.b) AS top_bucket
+            FROM w JOIN agg a ON w.doc_id = a.doc_id
+            WHERE w.w = a.mx GROUP BY w.doc_id)
+        SELECT a.doc_id, a.nnz, t.top_bucket,
+               round(a.mx / sqrt(a.ss), 4) AS top_tfidf
         FROM agg a JOIN top t ON a.doc_id = t.doc_id
         ORDER BY a.doc_id
     """,
