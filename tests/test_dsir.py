@@ -11,7 +11,8 @@ import io
 from toymapreduce_go_spark.operators.dsir import (DSIR_DIM,
                                                   dsir_doc_weights,
                                                   dsir_importance_stats,
-                                                  dsir_log_ratio_model)
+                                                  dsir_log_ratio_model,
+                                                  dsir_select)
 
 
 def _plan_of(df) -> str:
@@ -67,6 +68,46 @@ def test_stats_rollup_counts_preferred(spark):
     assert rows["r"]["n_docs"] == 6
     assert rows["r"]["n_preferred"] == 3
     assert rows["r"]["max_w"] > 0 > rows["r"]["min_w"]
+
+
+def test_select_matches_brute_force_threshold(spark):
+    """dsir_select's histogram cutoff against the Python brute force of
+    its contract on the fixture: keep every pool doc whose rounded
+    weight >= the quota-th largest (ties at the threshold all keep), so
+    the kept set contains the top-quota and only threshold-tied
+    extras."""
+    import math
+
+    from conftest import SF_DIR
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    w = {r["doc_id"]: r["w"] for r in dsir_doc_weights(docs).collect()}
+    kept = {r["doc_id"]: r["w"] for r in
+            dsir_select(docs, keep_frac=0.25).collect()}
+    quota = math.ceil(len(w) * 0.25)
+    cutoff = sorted(w.values(), reverse=True)[quota - 1]
+    want = {d for d, v in w.items() if v >= cutoff}
+    assert set(kept) == want
+    assert len(kept) >= quota
+    for d, v in kept.items():
+        assert v == w[d]  # weights ride through unchanged
+
+
+def test_select_in_pipeline_drops_target_slice(spark):
+    """Composed into build_training_corpus, the selection stage keeps
+    only pool keepers — target-slice docs (doc_id % 97 == 0) never
+    reach the curated corpus."""
+    from conftest import SF_DIR
+
+    from toymapreduce_go_spark.pipeline import build_training_corpus
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter("doc_id < 250"))
+    curated, funnel = build_training_corpus(
+        spark, SF_DIR, docs=docs, dsir_frac=0.6)
+    stages = dict((r["stage"], r["n_docs"]) for r in funnel.collect())
+    assert "1d_dsir_selected" in stages
+    assert 0 < stages["1d_dsir_selected"] <= stages["1_quality_gated"]
+    assert curated.filter("doc_id % 97 = 0").count() == 0
 
 
 def test_scoring_plan_broadcasts_model_no_sort_merge(spark):

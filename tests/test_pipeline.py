@@ -211,12 +211,13 @@ def test_pipeline_all_knobs_compose(spark, tmp_path):
     # interactions are what's under test, not fixture-scale wall time
     curated, funnel = build_training_corpus(
         spark, SF_DIR, docs=docs, out_path=out, mask_spans=True,
-        span_k=24, span_sample_mod=4, lm_filter=True, dedup_lines=True)
+        span_k=24, span_sample_mod=4, lm_filter=True, dedup_lines=True,
+        dsir_frac=0.8)
     stages = [(r["stage"], r["n_docs"]) for r in funnel.collect()]
     names = [s for s, _ in stages]
     assert names == ["0_raw", "1_quality_gated", "1b_lm_gated",
-                     "1c_line_deduped", "2_deduped", "2b_span_masked",
-                     "3_decontaminated", "4_packed"]
+                     "1c_line_deduped", "1d_dsir_selected", "2_deduped",
+                     "2b_span_masked", "3_decontaminated", "4_packed"]
     counts = [n for _, n in stages]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert counts[-1] > 0

@@ -105,6 +105,12 @@ def main(argv: list[str] | None = None) -> None:
                    help="with --corpus-build: drop the CCNet perplexity "
                         "TAIL tertile (corpus-LM surprisal gate) after "
                         "the scan-side quality gates")
+    p.add_argument("--dsir-select", type=float, default=None,
+                   metavar="FRAC",
+                   help="with --corpus-build: keep the top-FRAC of the "
+                        "gated pool by DSIR importance weight vs the "
+                        "target slice (exact histogram-cutoff "
+                        "threshold, no corpus sort)")
     p.add_argument("--span-k", type=int, default=20,
                    help="with --mask-spans: duplicated-span gram width "
                         "(widen alongside --span-sample-mod at scale)")
@@ -147,7 +153,8 @@ def main(argv: list[str] | None = None) -> None:
             spark, args.corpus_build, out_path=args.out,
             mask_spans=args.mask_spans, span_k=args.span_k,
             span_sample_mod=args.span_sample_mod,
-            lm_filter=args.lm_filter, dedup_lines=args.dedup_lines)
+            lm_filter=args.lm_filter, dedup_lines=args.dedup_lines,
+            dsir_frac=args.dsir_select)
         for r in funnel.collect():
             print(f"{r['stage']} {r['n_docs']}")
         return

@@ -115,6 +115,44 @@ def dsir_doc_weights(documents: DataFrame,
             .agg(F.round(F.sum("lr"), 4).alias("w")))
 
 
+def dsir_select(documents: DataFrame, keep_frac: float = 0.5,
+                dim: int = DSIR_DIM) -> DataFrame:
+    """The selection pass the weights exist for: keep the raw-pool docs
+    whose DSIR weight clears the top-``keep_frac`` threshold (target
+    docs are the recipe, never candidates, and are not emitted).
+    Returns ``(doc_id, source, w)`` of the keepers.
+
+    Exact and skew-safe (the ccnet_doc_buckets histogram-cutoff shape):
+    per-doc weights are 4-decimal-rounded already (the cross-engine
+    contract), so scaling to integers makes the weight HISTOGRAM exact
+    and metadata-sized (weight keys, not docs). One map-side-combinable
+    groupBy builds it; a cumulative window over the histogram (ordered
+    by weight DESC — histogram-sized, never the corpus) finds the
+    smallest weight whose running count reaches ceil(pool ·
+    keep_frac); the pool is then filtered by one broadcast scalar. No
+    corpus-sized sort anywhere. Ties AT the threshold share one
+    integer weight and all keep (deterministic in both engines), so
+    the kept count is >= the quota by at most the tie class."""
+    from pyspark.sql.window import Window
+
+    w = dsir_doc_weights(documents, dim)
+    scaled = w.select(
+        "doc_id", "source",
+        F.round(F.col("w") * 10000).cast("long").alias("ws"))
+    hist = scaled.groupBy("ws").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (Window.orderBy(F.col("ws").desc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.withColumn("cum", F.sum("c").over(wcum))
+    tot = hist.agg(F.sum("c").alias("n"))
+    thr = (cum.crossJoin(broadcast(tot))
+           .filter(F.col("cum") >= F.ceil(F.col("n") * F.lit(keep_frac)))
+           .agg(F.max("ws").alias("cutoff")))
+    return (scaled.crossJoin(broadcast(thr))
+            .filter(F.col("ws") >= F.col("cutoff"))
+            .select("doc_id", "source",
+                    (F.col("ws") / 10000.0).alias("w")))
+
+
 def dsir_importance_stats(documents: DataFrame,
                           dim: int = DSIR_DIM) -> DataFrame:
     """Declared-style rollup of ``dsir_doc_weights``: per source, pool

@@ -39,7 +39,8 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
                           span_k: int = 20,
                           span_sample_mod: int | None = None,
                           lm_filter: bool = False,
-                          dedup_lines: bool = False
+                          dedup_lines: bool = False,
+                          dsir_frac: float | None = None
                           ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation funnel over ``sf_dir``'s documents table
     (or an explicit ``docs`` frame — the hook fault-injection and
@@ -115,6 +116,24 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
                  .drop("removed_chars").localCheckpoint())
         stages.append(("1c_line_deduped", gated.count()))
         pre_ld.unpersist()
+
+    # 1d (optional). DSIR selection: keep the top-``dsir_frac`` of the
+    # gated pool by hashed-feature importance ratio vs the target
+    # slice (Xie et al. 2023) — the "train on what looks like the
+    # recipe" dial, run before the shuffling stages so they see only
+    # the selected corpus. Exact histogram-cutoff threshold (the ccnet
+    # shape): no corpus-sized sort. Target-slice docs are the recipe,
+    # not candidates — the semi join drops them from the training
+    # corpus (they are the eval-adjacent slice decontamination exists
+    # to protect).
+    if dsir_frac is not None:
+        from .operators.dsir import dsir_select
+        pre_ds = gated
+        keep = dsir_select(gated, keep_frac=dsir_frac).select("doc_id")
+        gated = (gated.join(keep, "doc_id", "left_semi")
+                 .localCheckpoint())
+        stages.append(("1d_dsir_selected", gated.count()))
+        pre_ds.unpersist()
 
     # 3. dedup: exact dups have estimated Jaccard 1.0, so the LSH
     # cluster pass subsumes the exact pass — one survivor per component
