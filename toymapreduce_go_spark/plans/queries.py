@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..mr.api import run_map_reduce, wc_map, wc_reduce
 from ..operators import (bpe, dedup, dsir, events, joins, packing,
                          quality_model, relational, similarity, text_mr,
-                         textstats)
+                         textstats, unigram_tok)
 from ..sources.registry import load_table
 
 
@@ -223,6 +223,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_stats": _q(bpe.bpe_stats),
     "dsir_importance": _q(dsir.dsir_importance_stats),
     "tfidf": _q(textstats.tfidf_summary),
+    "unigram_tok": _q(unigram_tok.unigram_tok_stats),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
     "multimodal_pipeline": _multimodal_pipeline,
@@ -276,7 +277,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "quality_distill", "lm_quality",
                "lm_quality_pruned", "lm_bigram_quality", "epoch_sample",
                "ccnet_buckets", "training_shards", "bpe_stats",
-               "dsir_importance", "tfidf")
+               "dsir_importance", "tfidf", "unigram_tok")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -291,12 +292,13 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
 # pyspark.ml model — distributed histogram aggregation is not
 # bit-deterministic; its contract is the agreement floor + exact rate
 # matching, tests/test_quality_model.py.)
-# (bpe_stats trains the tokenizer with an iterative argmax-merge loop
-# SQL can't express; its contract is exact agreement with an
-# independent reference trainer, tests/test_bpe.py.)
+# (bpe_stats and unigram_tok train tokenizers with iterative loops
+# (argmax-merge / hard-EM prune) SQL can't express; their contract is
+# exact agreement with independent reference trainers, tests/test_bpe.py
+# and tests/test_unigram_tok.py.)
 PYTEST_INVARIANT_ONLY = ("sequence_packing", "audio_stats", "video_stats",
                          "ann_ivf_pq", "ann_label_vote",
-                         "quality_distill", "bpe_stats")
+                         "quality_distill", "bpe_stats", "unigram_tok")
 
 # DECLARED is pinned against tests/declared_surface.txt
 # (test_oracle_parity.py::test_declared_surface_frozen): displacing a
