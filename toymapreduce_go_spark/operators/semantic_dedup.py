@@ -1,0 +1,116 @@
+"""SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+method; original implementation here): cluster the embedding space
+with the SAME deterministic Lloyd's k-means the IVF tier trains, then
+compute EXACT pairwise cosines only WITHIN clusters — the near-linear
+100 TB path next to ``dedup.embedding_near_dup``'s exact-but-quadratic
+blocked GEMM.
+
+Why this scales where the block grid doesn't: the block-pair grid does
+n²/B work regardless of geometry; clustering does quadratic work only
+inside cells, so with ``n_cells`` grown ∝ corpus the per-cell tile
+stays bounded and total work stays near-linear. The price is recall —
+a near-dup pair split across cells is missed. Two measured mitigations
+(RECALL.md-style evidence in tests/SCALE.md):
+
+- ``n_assign``: each vector joins its ``n_assign`` nearest cells (the
+  multi-probe trick IVF uses on the query side, applied to the index
+  side), so a pair is caught when the vectors share ANY cell. At the
+  fixture's weak geometry (max pairwise cos ≈ 0.5) n_cells=8,
+  n_assign=3 recovers 0.97 of the brute-force pairs for 3× the
+  shuffle; real semantic-dup corpora (cos ≥ 0.95 duplicates, the
+  regime SemDeDup targets) cluster far more tightly.
+- every emitted pair is EXACT (full-precision cosine, threshold
+  applied per pair) — the approximation only ever DROPS pairs, never
+  invents them, so the result is a verified subset of
+  ``embedding_near_dup``'s.
+
+Determinism: centroids are ``similarity.train_ivf_centroids`` on the
+deterministic lowest-vec_id sample (bit-identical to the unrolled
+DuckDB training twin); top-``n_assign`` cell ranking breaks ties to
+the larger cent_id (the engine's assignment convention); pair cosines
+round to 4 decimals at the presentation edge. The DuckDB oracle
+replays training, assignment, and the within-cell pair join exactly
+(``plans.queries._semantic_dedup_oracle_sql``).
+
+Plan shape: assignment is ONE scalar projection over the scan (the
+centroid model is a plan literal — scores computed into a single array
+via transform over a nested-array literal, never an unrolled
+per-centroid expression; see the r9 PQ-encode lesson), exploded
+``n_assign``× into the cell shuffle; each cell's tile is one numpy
+GEMM inside ``applyInPandas``; the pair output (candidate pairs, not
+the corpus) is deduplicated across shared cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import l2_norm
+from .similarity import IVF_TRAIN_ITERS, _py_norm, train_ivf_centroids
+
+SEMDEDUP_CELLS = 8
+SEMDEDUP_ASSIGN = 3
+
+
+def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.4,
+                         n_cells: int = SEMDEDUP_CELLS,
+                         n_assign: int = SEMDEDUP_ASSIGN,
+                         n_iters: int = IVF_TRAIN_ITERS,
+                         sample_size: int = 64) -> DataFrame:
+    """``(id_a, id_b, cos_sim)`` for every near-dup pair sharing at
+    least one of their ``n_assign`` nearest cells, ``id_a < id_b``,
+    exact cosine >= ``threshold``, ordered."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    sample = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+              for r in embeddings.orderBy("vec_id").limit(sample_size)
+              .select("vec_id", "embedding").collect()]
+    cents = train_ivf_centroids(sample, n_cells, n_iters)
+    if not cents:
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cos_sim double")
+    cent_norms = [_py_norm(c) for c in cents]
+
+    # scores into ONE array via a nested-array literal (not n_cells
+    # inlined expressions); rank by (score desc, cent_id desc) via an
+    # ascending sort on (-score, -cent_id)
+    cents_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{x!r}D" for x in c) + ")" for c in cents
+    ) + ")"
+    norms_sql = "array(" + ",".join(f"{x!r}D" for x in cent_norms) + ")"
+    scores_sql = (
+        f"transform(sequence(1, {len(cents)}), i -> "
+        f"CASE WHEN element_at({norms_sql}, i) > 0D AND nrm > 0D THEN "
+        f"aggregate(zip_with(element_at({cents_sql}, i), embedding, "
+        f"(x, y) -> x * double(y)), 0D, (a, x) -> a + x) "
+        f"/ (element_at({norms_sql}, i) * nrm) ELSE 0D END)")
+    cells_sql = (
+        f"transform(slice(array_sort(transform(sequence(1, {len(cents)}),"
+        f" i -> struct(-element_at(sc, i) as ns, -(i - 1) as nc))),"
+        f" 1, {n_assign}), s -> -s.nc)")
+    assigned = (
+        embeddings.select("vec_id", "embedding",
+                          l2_norm(F.col("embedding")).alias("nrm"))
+        .withColumn("sc", F.expr(scores_sql))
+        .select("vec_id", "embedding",
+                F.explode(F.expr(cells_sql)).alias("cell")))
+
+    def tile(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids, v = ids[order], v[order]
+        nrm = np.linalg.norm(v, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        s = (v / nrm) @ (v / nrm).T
+        ia, ja = np.where(np.triu(s >= threshold, 1))
+        return pd.DataFrame({
+            "id_a": ids[ia], "id_b": ids[ja],
+            "cos_sim": np.round(s[ia, ja], 4)})
+
+    pairs = assigned.groupBy("cell").applyInPandas(
+        tile, schema="id_a long, id_b long, cos_sim double")
+    return pairs.distinct().orderBy("id_a", "id_b")

@@ -21,8 +21,8 @@ from pyspark.sql import functions as F
 
 from ..mr.api import run_map_reduce, wc_map, wc_reduce
 from ..operators import (bpe, dedup, dsir, events, joins, packing,
-                         quality_model, relational, similarity, text_mr,
-                         textstats, unigram_tok)
+                         quality_model, relational, semantic_dedup,
+                         similarity, text_mr, textstats, unigram_tok)
 from ..sources.registry import load_table
 
 
@@ -224,6 +224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_importance": _q(dsir.dsir_importance_stats),
     "tfidf": _q(textstats.tfidf_summary),
     "unigram_tok": _q(unigram_tok.unigram_tok_stats),
+    "semantic_dedup": _q(semantic_dedup.semantic_dedup_pairs),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
     "multimodal_pipeline": _multimodal_pipeline,
@@ -277,7 +278,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "quality_distill", "lm_quality",
                "lm_quality_pruned", "lm_bigram_quality", "epoch_sample",
                "ccnet_buckets", "training_shards", "bpe_stats",
-               "dsir_importance", "tfidf", "unigram_tok")
+               "dsir_importance", "tfidf", "unigram_tok",
+               "semantic_dedup")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -632,18 +634,18 @@ def _ann_ivf_oracle_sql(n_cells: int = 16, n_probe_cells: int = 2,
     """
 
 
-def _ann_ivf_trained_oracle_sql(n_cells: int = 8, n_iters: int = 3,
-                                sample_size: int = 64,
-                                n_probe_cells: int = 2, n_probes: int = 5,
-                                k: int = 5, dim: int = 64) -> str:
-    """Generated DuckDB twin of ``similarity.ann_ivf_trained``: Lloyd's
-    training unrolled as ``n_iters`` CTE pairs (assign → re-center). The
-    Spark side trains driver-side in pure Python and inlines the final
+def _ivf_training_ctes(n_cells: int, n_iters: int, sample_size: int,
+                       dim: int) -> tuple[list, str, str]:
+    """Shared CTE prefix of the trained-IVF and semantic-dedup oracles:
+    Lloyd's training unrolled as ``n_iters`` CTE pairs (assign →
+    re-center) ending in ``cents`` (with norms) plus the normalized
+    ``corpus_n``. Returns ``(parts, nrm, cos)`` format templates. The
+    Spark sides train driver-side in pure Python and inline the final
     centroids as plan literals; parity holds because every accumulation
     on both sides is the same left-to-right fold — dots/norms over
     dimension order, cluster means over ``list(... ORDER BY vec_id)`` —
-    and the tie-breaks mirror the engine exactly (assignment → larger
-    cent_id, probe routing → smaller)."""
+    and assignment ties break to the larger cent_id (the engine's
+    greatest(struct) convention)."""
     nrm = ("sqrt(list_sum(list_transform(range(1, {d}), "
            "i -> {e}[i] * {e}[i])))").format(d=dim + 1, e="{e}")
     dot = ("list_sum(list_transform(range(1, {d}), "
@@ -686,7 +688,7 @@ def _ann_ivf_trained_oracle_sql(n_cells: int = 8, n_iters: int = 3,
                              count(*) AS cnt
                       FROM ass{t} GROUP BY cell) g) m
               ON m.cell = c.cent_id)""")
-    final = f"""
+    parts.append(f"""
         cents AS (
             SELECT cent_id, cent_emb, {nrm.format(e='cent_emb')} AS cn
             FROM cents{n_iters}),
@@ -694,7 +696,20 @@ def _ann_ivf_trained_oracle_sql(n_cells: int = 8, n_iters: int = 3,
             SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
             FROM embeddings),
         corpus_n AS (
-            SELECT vec_id, emb, {nrm.format(e='emb')} AS nrm FROM corpus),
+            SELECT vec_id, emb, {nrm.format(e='emb')} AS nrm FROM corpus)""")
+    return parts, nrm, cos
+
+
+def _ann_ivf_trained_oracle_sql(n_cells: int = 8, n_iters: int = 3,
+                                sample_size: int = 64,
+                                n_probe_cells: int = 2, n_probes: int = 5,
+                                k: int = 5, dim: int = 64) -> str:
+    """Generated DuckDB twin of ``similarity.ann_ivf_trained`` on the
+    shared ``_ivf_training_ctes`` prefix; probe routing ties break to
+    the SMALLER cent_id (mirroring the engine)."""
+    parts, nrm, cos = _ivf_training_ctes(n_cells, n_iters, sample_size,
+                                         dim)
+    final = f"""
         assigned AS (
             SELECT vec_id, emb, cent_id AS cell FROM (
                 SELECT e.vec_id, e.emb, c.cent_id,
@@ -731,6 +746,45 @@ def _ann_ivf_trained_oracle_sql(n_cells: int = 8, n_iters: int = 3,
             FROM cand)
         SELECT probe_id, neighbor_id, rank, round(cos, 4) AS cos_sim
         FROM ranked WHERE rank <= {k} ORDER BY probe_id, rank"""
+    return "WITH " + ",".join(parts) + "," + final
+
+
+def _semantic_dedup_oracle_sql(n_cells: int = 8, n_iters: int = 3,
+                               sample_size: int = 64, n_assign: int = 3,
+                               threshold: float = 0.4,
+                               dim: int = 64) -> str:
+    """Generated DuckDB twin of ``semantic_dedup.semantic_dedup_pairs``
+    on the shared ``_ivf_training_ctes`` prefix: every corpus vector
+    joins its ``n_assign`` nearest cells (ties → larger cent_id, the
+    assignment convention), candidate pairs share >= 1 cell, each pair
+    scores ONE exact cosine, threshold at full precision, round-4 at
+    the presentation edge."""
+    parts, nrm, cos = _ivf_training_ctes(n_cells, n_iters, sample_size,
+                                         dim)
+    final = f"""
+        assigned AS (
+            SELECT vec_id, cent_id AS cell FROM (
+                SELECT e.vec_id, c.cent_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {cos.format(a='c.cent_emb', b='e.emb',
+                                                cn='c.cn', n='e.nrm')}
+                                    DESC, c.cent_id DESC) AS ra
+                FROM corpus_n e CROSS JOIN cents c)
+            WHERE ra <= {n_assign}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        scored AS (
+            SELECT p.id_a, p.id_b,
+                   {cos.format(a='x.emb', b='y.emb',
+                               cn='x.nrm', n='y.nrm')} AS c
+            FROM cand p
+            JOIN corpus_n x ON x.vec_id = p.id_a
+            JOIN corpus_n y ON y.vec_id = p.id_b)
+        SELECT id_a, id_b, round(c, 4) AS cos_sim FROM scored
+        WHERE c >= {threshold} ORDER BY id_a, id_b"""
     return "WITH " + ",".join(parts) + "," + final
 
 
@@ -1541,6 +1595,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh": _ann_lsh_oracle_sql(),
     "ann_ivf": _ann_ivf_oracle_sql(),
     "ann_ivf_trained": _ann_ivf_trained_oracle_sql(),
+    "semantic_dedup": _semantic_dedup_oracle_sql(),
     # ExactSubstr-style duplicated spans: 20-char gram hashes (same
     # portable md5 pattern as rolling_fingerprint), duplicated = present
     # in >= 2 distinct docs. NOTE DuckDB range() is end-EXCLUSIVE vs
