@@ -126,6 +126,15 @@ SHOWCASE: dict[str, str] = {
         "corpus-sized exchanges being load_table's round-robin scan "
         "spread plus the keyed doc_id (per-doc sum) and source "
         "(report) aggs."),
+    "semantic_dedup": (
+        "SemDeDup clustered near-dup (r9). Look for: NO join and NO "
+        "Window before the cell shuffle — assignment is one scan-side "
+        "Project computing the score array from the nested-array "
+        "centroid literal, then Generate (the n_assign explode) "
+        "straight into the Exchange on `cell`; the quadratic work is "
+        "inside FlatMapGroupsInPandas (one numpy GEMM per cell), and "
+        "only candidate PAIRS reach the dedup/sort exchanges after "
+        "it."),
 }
 
 

@@ -48,7 +48,16 @@ VARIANTS = {
         lambda d, dedup, ts, mm: ts.ccnet_bucket_stats(d),
     "dsir_importance":
         lambda d, dedup, ts, mm: _dsir().dsir_importance_stats(d),
+    "tfidf":
+        lambda d, dedup, ts, mm: ts.tfidf_summary(d),
+    "unigram_tok":
+        lambda d, dedup, ts, mm: _unitok().unigram_tok_stats(d),
 }
+
+
+def _unitok():
+    from toymapreduce_go_spark.operators import unigram_tok
+    return unigram_tok
 
 
 def _dsir():
