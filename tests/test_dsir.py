@@ -92,6 +92,30 @@ def test_select_matches_brute_force_threshold(spark):
         assert v == w[d]  # weights ride through unchanged
 
 
+def test_select_boundary_fractions_and_featureless_docs(spark):
+    """The review-found boundary class: keep_frac >= 1 keeps the WHOLE
+    pool (not silently nothing), keep_frac = 0 keeps nothing, and a doc
+    with zero extractable features ('12345...') still counts — neutral
+    weight 0.0, kept under keep-everything."""
+    rows = _toy_docs(spark).collect()
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["source"], r["text"]) for r in rows]
+        + [(7, "r", "12345 !!! 67890")],  # no letter runs
+        "doc_id long, source string, text string")
+    w = {r["doc_id"]: r["w"] for r in dsir_doc_weights(docs).collect()}
+    assert w[7] == 0.0
+    every = {r["doc_id"]: r["w"]
+             for r in dsir_select(docs, keep_frac=1.2).collect()}
+    assert set(every) == {1, 2, 3, 4, 5, 6, 7}
+    assert every[7] == 0.0
+    none = dsir_select(docs, keep_frac=0.0).collect()
+    assert none == []
+    # integer-exact quota: 7 docs * 3/7 must take exactly 3 (double
+    # ceil(7 * 0.42857...) could round the product up past 3)
+    three = dsir_select(docs, keep_frac=3 / 7).collect()
+    assert len(three) == 3
+
+
 def test_select_in_pipeline_drops_target_slice(spark):
     """Composed into build_training_corpus, the selection stage keeps
     only pool keepers — target-slice docs (doc_id % 97 == 0) never

@@ -145,56 +145,80 @@ def train_bpe(documents: DataFrame, n_merges: int = 50,
     return merges
 
 
+def apply_word_tokenizer(documents: DataFrame, word_fn_factory,
+                         tokens_name: str,
+                         count_name: str) -> DataFrame:
+    """Shared distributed word-level tokenizer apply (BPE and the
+    unigram-LM tokenizer differ ONLY in the per-word function): split
+    each text on the engine's letter-run contract, lowercase, map every
+    word through ``word_fn_factory()`` with a per-batch memo
+    (Arrow-batched; the model rides the factory closure, model-sized).
+    Emits ``(doc_id, source, <tokens_name> array<string>, <count_name>
+    long, n_words long)`` — the word count comes from the SAME pass, so
+    stats consumers never re-scan the corpus for it."""
+    import pandas as pd  # noqa: F401 (typed signature below)
+
+    def run(batches):
+        word_fn = word_fn_factory()
+        memo: dict[str, list[str]] = {}
+
+        def pieces(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                got = word_fn(w)
+                memo[w] = got
+            return got
+
+        import re
+        splitter = re.compile(r"[^a-zA-Z]+")
+        for pdf in batches:
+            toks_col, nw_col = [], []
+            for text in pdf["text"]:
+                if text is None:
+                    toks_col.append([])
+                    nw_col.append(0)
+                    continue
+                out: list[str] = []
+                nw = 0
+                for w in splitter.split(text):
+                    if w:
+                        nw += 1
+                        out.extend(pieces(w.lower()))
+                toks_col.append(out)
+                nw_col.append(nw)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                tokens_name: toks_col,
+                count_name: [len(t) for t in toks_col],
+                "n_words": nw_col,
+            })
+
+    return (documents.select("doc_id", "source", "text")
+            .mapInPandas(run, schema=f"doc_id long, source string, "
+                                     f"{tokens_name} array<string>, "
+                                     f"{count_name} long, n_words long"))
+
+
 def bpe_tokenize(documents: DataFrame,
                  merges: list[tuple[str, str]]) -> DataFrame:
     """Apply a trained merge list to the corpus — the distributed
     scoring pass: ``(doc_id, source, bpe_tokens array<string>,
-    n_bpe_tokens)``. Arrow-batched with a per-batch word memo; the
-    merge list ships with the closure (model-sized broadcast)."""
-    import pandas as pd  # noqa: F401 (typed signature below)
-
+    n_bpe_tokens, n_words)`` via the shared word-level apply."""
     merge_list = list(merges)
 
-    def run(batches):
-        memo: dict[str, list[str]] = {}
-
+    def factory():
         def word_to_tokens(w: str) -> list[str]:
-            got = memo.get(w)
-            if got is not None:
-                return got
             syms = tuple(list(w) + [END])
             for a, b in merge_list:
                 if len(syms) < 2:
                     break
                 syms = _merge_word(syms, a, b, a + b)
-            out = list(syms)
-            memo[w] = out
-            return out
+            return list(syms)
+        return word_to_tokens
 
-        import re
-        splitter = re.compile(r"[^a-zA-Z]+")
-        for pdf in batches:
-            toks_col = []
-            for text in pdf["text"]:
-                if text is None:
-                    toks_col.append([])
-                    continue
-                out: list[str] = []
-                for w in splitter.split(text):
-                    if w:
-                        out.extend(word_to_tokens(w.lower()))
-                toks_col.append(out)
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "source": pdf["source"],
-                "bpe_tokens": toks_col,
-                "n_bpe_tokens": [len(t) for t in toks_col],
-            })
-
-    return (documents.select("doc_id", "source", "text")
-            .mapInPandas(run, schema="doc_id long, source string, "
-                                     "bpe_tokens array<string>, "
-                                     "n_bpe_tokens long"))
+    return apply_word_tokenizer(documents, factory,
+                                "bpe_tokens", "n_bpe_tokens")
 
 
 def bpe_stats(documents: DataFrame, n_merges: int = 50,
@@ -207,13 +231,10 @@ def bpe_stats(documents: DataFrame, n_merges: int = 50,
     defaults keep the exact unpruned oracle contract."""
     merges = train_bpe(documents, n_merges, min_count=min_count,
                        max_vocab=max_vocab)
+    # n_words rides out of the SAME Arrow pass — no second corpus scan
+    # or doc_id join for the denominator
     toked = bpe_tokenize(documents, merges)
-    chars = documents.select(
-        "doc_id",
-        F.size(F.filter(F.transform(tokens("text"),
-                                    lambda t: F.lower(t)),
-                        lambda t: F.length(t) > 0)).alias("n_words"))
-    return (toked.join(chars, "doc_id")
+    return (toked
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_words").alias("total_words"),

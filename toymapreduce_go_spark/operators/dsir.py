@@ -48,7 +48,10 @@ DSIR_TARGET_MOD = 97   # target slice = doc_id % mod == 0 (oracle-replayable)
 def _doc_features(documents: DataFrame):
     """(doc_id, source, is_target, f): one row per hashed-feature
     OCCURRENCE — lowercased unigrams plus adjacent-pair bigrams, the
-    paper's feature family."""
+    paper's feature family. ``explode_outer`` keeps a single
+    NULL-feature sentinel row for docs with NO extractable features
+    (no letter runs), so every pool doc survives into scoring — model
+    training filters the NULL bucket out."""
     tk = F.transform(tokens("text"), lambda t: F.lower(t))
     with_tk = documents.select(
         "doc_id", "source", tk.alias("tk"),
@@ -60,7 +63,7 @@ def _doc_features(documents: DataFrame):
         "ELSE array() END)")
     return (with_tk
             .select("doc_id", "source", "is_target",
-                    F.explode(feats).alias("f")))
+                    F.explode_outer(feats).alias("f")))
 
 
 def _bucketed_features(documents: DataFrame, dim: int) -> DataFrame:
@@ -85,6 +88,7 @@ def dsir_log_ratio_model(documents: DataFrame,
     Laplace-smoothed (+0.5) hashed-unigram models. Always
     metadata-sized; callers broadcast it."""
     counts = (_bucketed_features(documents, dim)
+              .filter(F.col("b").isNotNull())  # drop featureless sentinels
               .groupBy("b")
               .agg(F.sum(F.col("is_target").cast("long")).alias("ct"),
                    F.sum((~F.col("is_target")).cast("long")).alias("cr")))
@@ -103,16 +107,24 @@ def dsir_doc_weights(documents: DataFrame,
     """Per RAW document (the selection pool — target docs are the
     recipe, not candidates): ``(doc_id, source, w)`` where ``w`` is the
     doc's summed hashed-feature log importance ratio, rounded to 4
-    decimals (the cross-engine contract). The bucketed feature frame is
-    shared with the model's training pass (one corpus scan feeds
+    decimals (the cross-engine contract). EVERY pool doc gets a row:
+    a doc with zero extractable features (no letter runs) carries no
+    evidence either way and scores the neutral 0.0 — so selection at
+    keep_frac=1.0 genuinely keeps everything and the quota base is the
+    whole pool, not just the featured part. The bucketed feature frame
+    is shared with the model's training pass (one corpus scan feeds
     both)."""
     model = dsir_log_ratio_model(documents, dim)
     pool = (_bucketed_features(documents, dim)
             .filter(~F.col("is_target")))
+    # LEFT broadcast join: a featureless doc's NULL-bucket sentinel row
+    # matches nothing and its sum(lr) coalesces to the neutral 0.0 —
+    # no corpus-side shuffle join is ever introduced for it
     return (pool.select("doc_id", "source", "b")
-            .join(broadcast(model), "b")
+            .join(broadcast(model), "b", "left")
             .groupBy("doc_id", "source")
-            .agg(F.round(F.sum("lr"), 4).alias("w")))
+            .agg(F.round(F.coalesce(F.sum("lr"), F.lit(0.0)), 4)
+                 .alias("w")))
 
 
 def dsir_select(documents: DataFrame, keep_frac: float = 0.5,
@@ -128,24 +140,41 @@ def dsir_select(documents: DataFrame, keep_frac: float = 0.5,
     and metadata-sized (weight keys, not docs). One map-side-combinable
     groupBy builds it; a cumulative window over the histogram (ordered
     by weight DESC — histogram-sized, never the corpus) finds the
-    smallest weight whose running count reaches ceil(pool ·
-    keep_frac); the pool is then filtered by one broadcast scalar. No
-    corpus-sized sort anywhere. Ties AT the threshold share one
-    integer weight and all keep (deterministic in both engines), so
-    the kept count is >= the quota by at most the tie class."""
+    smallest weight whose running count reaches the quota; the pool is
+    then filtered by one broadcast scalar. No corpus-sized sort
+    anywhere. Ties AT the threshold share one integer weight and all
+    keep (deterministic in both engines), so the kept count is >= the
+    quota by at most the tie class.
+
+    Quota exactness + boundaries: quota = ceil(n · keep_frac) computed
+    in INTEGER micro-units (double ceil(30 · 0.1) is 4, not 3 — binary
+    fractions), clamped to [0, n]: keep_frac >= 1 keeps the whole pool
+    (never the empty-boundary-bucket failure the sampling core's clamp
+    also guards), keep_frac <= 0 keeps nothing. The weight frame is
+    persisted — the histogram, total, and final filter all consume
+    it."""
     from pyspark.sql.window import Window
 
+    from .dedup import persist_shared
+
     w = dsir_doc_weights(documents, dim)
-    scaled = w.select(
+    scaled = persist_shared(w.select(
         "doc_id", "source",
-        F.round(F.col("w") * 10000).cast("long").alias("ws"))
+        F.round(F.col("w") * 10000).cast("long").alias("ws")))
     hist = scaled.groupBy("ws").agg(F.count(F.lit(1)).alias("c"))
     wcum = (Window.orderBy(F.col("ws").desc())
             .rowsBetween(Window.unboundedPreceding, 0))
     cum = hist.withColumn("cum", F.sum("c").over(wcum))
     tot = hist.agg(F.sum("c").alias("n"))
+    frac_scaled = round(keep_frac * 1_000_000)
+    quota = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("n"), F.expr(
+            f"cast(div(n * {frac_scaled} + 999999, 1000000) as bigint)")))
     thr = (cum.crossJoin(broadcast(tot))
-           .filter(F.col("cum") >= F.ceil(F.col("n") * F.lit(keep_frac)))
+           .withColumn("quota", quota)
+           .filter((F.col("quota") > 0)
+                   & (F.col("cum") >= F.col("quota")))
            .agg(F.max("ws").alias("cutoff")))
     return (scaled.crossJoin(broadcast(thr))
             .filter(F.col("ws") >= F.col("cutoff"))

@@ -107,9 +107,11 @@ def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.4,
         nrm[nrm == 0] = 1.0
         s = (v / nrm) @ (v / nrm).T
         ia, ja = np.where(np.triu(s >= threshold, 1))
+        # HALF_UP rounding (matches Spark/DuckDB round for positives —
+        # np.round is half-to-even and would diverge on .xxxx5 ties)
+        cs = np.floor(s[ia, ja] * 1e4 + 0.5) / 1e4
         return pd.DataFrame({
-            "id_a": ids[ia], "id_b": ids[ja],
-            "cos_sim": np.round(s[ia, ja], 4)})
+            "id_a": ids[ia], "id_b": ids[ja], "cos_sim": cs})
 
     pairs = assigned.groupBy("cell").applyInPandas(
         tile, schema="id_a long, id_b long, cos_sim double")

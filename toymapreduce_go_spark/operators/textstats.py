@@ -569,14 +569,7 @@ def hashed_tf_embeddings(documents: DataFrame,
     Plan shape: one explode + one (doc_id, bucket) partial+final agg +
     one per-doc rebuild — all shuffle rows are per-doc DISTINCT buckets
     (<= dim), so shuffle volume is corpus-bounded at docs × dim longs."""
-    bucket = F.expr(
-        "cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) "
-        f"% {dim}")
-    counts = (
-        documents.select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .select("doc_id", bucket.alias("b"))
-        .groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
-    )
+    counts = _hashed_bucket_counts(documents, dim)
     per_doc = (
         counts.groupBy("doc_id")
         .agg(F.map_from_entries(
@@ -609,6 +602,21 @@ def hashed_tf_summary(documents: DataFrame,
             .orderBy("doc_id"))
 
 
+def _hashed_bucket_counts(documents: DataFrame, dim: int) -> DataFrame:
+    """(doc_id, b, c): per-doc hashed-bucket term counts — the shared
+    base of both vectorizers (``hashed_tf_embeddings`` raw counts,
+    ``tfidf_summary`` idf-reweighted), so the tokenize/hash contract
+    has exactly one definition."""
+    bucket = F.expr(
+        "cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) "
+        f"% {dim}")
+    return (
+        documents.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def tfidf_summary(documents: DataFrame,
                   dim: int = HASHED_TF_DIM) -> DataFrame:
     """TF-IDF on the hashed-feature space: ``hashed_tf``'s bucket
@@ -630,15 +638,7 @@ def tfidf_summary(documents: DataFrame,
     FIXED bucket space) and broadcasts with its N_docs scalar; the
     corpus-side cost is hashed_tf's one explode + (doc_id, b) agg, and
     the join adds no shuffle. 100 TB posture = hashed_tf's."""
-    bucket = F.expr(
-        "cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) "
-        f"% {dim}")
-    counts = (
-        documents.select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .select("doc_id", bucket.alias("b"))
-        .groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
-    )
-    counts = persist_shared(counts)
+    counts = persist_shared(_hashed_bucket_counts(documents, dim))
     total = documents.agg(F.countDistinct("doc_id").alias("n_docs"))
     idf = (counts.groupBy("b").agg(F.count(F.lit(1)).alias("df"))
            .crossJoin(F.broadcast(total))
@@ -654,7 +654,11 @@ def tfidf_summary(documents: DataFrame,
     return (agg.select(
         "doc_id", "nnz",
         (-F.col("mx.nb")).alias("top_bucket"),
-        F.round(F.col("mx.w") / F.sqrt("ss"), 4).alias("top_tfidf"))
+        # every-bucket-universal docs (idf 0 everywhere, e.g. a one-doc
+        # corpus) have a zero norm: NULL, not 0/0 = NaN
+        F.when(F.col("ss") > 0,
+               F.round(F.col("mx.w") / F.sqrt("ss"), 4))
+        .alias("top_tfidf"))
         .orderBy("doc_id"))
 
 

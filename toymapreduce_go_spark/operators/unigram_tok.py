@@ -51,8 +51,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
-from .bpe import word_frequencies
+from .bpe import apply_word_tokenizer, word_frequencies
 
 SEED_MAX_LEN = 6
 
@@ -153,48 +152,19 @@ def train_unigram(documents: DataFrame, vocab_size: int = 60,
 def unigram_tokenize(documents: DataFrame, model: dict[str, int],
                      seed_max_len: int = SEED_MAX_LEN) -> DataFrame:
     """Apply a trained model distributed: ``(doc_id, source,
-    uni_tokens array<string>, n_uni_tokens)`` — Arrow-batched with a
-    per-batch word memo, the model rides the closure (model-sized),
-    same Python-stage contract as ``bpe_tokenize``."""
-    import pandas as pd
-
+    uni_tokens array<string>, n_uni_tokens, n_words)`` via the shared
+    ``bpe.apply_word_tokenizer`` scaffold (the tokenizer families
+    differ only in the per-word function)."""
     counts = dict(model)
     total = sum(counts.values()) or 1
 
-    def run(batches):
-        memo: dict[str, list[str]] = {}
-
+    def factory():
         def word_pieces(w: str) -> list[str]:
-            got = memo.get(w)
-            if got is None:
-                got = _viterbi(w, counts, total, seed_max_len)
-                memo[w] = got
-            return got
+            return _viterbi(w, counts, total, seed_max_len)
+        return word_pieces
 
-        import re
-        splitter = re.compile(r"[^a-zA-Z]+")
-        for pdf in batches:
-            toks_col = []
-            for text in pdf["text"]:
-                if text is None:
-                    toks_col.append([])
-                    continue
-                out: list[str] = []
-                for w in splitter.split(text):
-                    if w:
-                        out.extend(word_pieces(w.lower()))
-                toks_col.append(out)
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "source": pdf["source"],
-                "uni_tokens": toks_col,
-                "n_uni_tokens": [len(t) for t in toks_col],
-            })
-
-    return (documents.select("doc_id", "source", "text")
-            .mapInPandas(run, schema="doc_id long, source string, "
-                                     "uni_tokens array<string>, "
-                                     "n_uni_tokens long"))
+    return apply_word_tokenizer(documents, factory,
+                                "uni_tokens", "n_uni_tokens")
 
 
 def unigram_tok_stats(documents: DataFrame, vocab_size: int = 60,
@@ -206,13 +176,9 @@ def unigram_tok_stats(documents: DataFrame, vocab_size: int = 60,
     reads."""
     model = train_unigram(documents, vocab_size=vocab_size,
                           min_count=min_count, max_vocab=max_vocab)
+    # n_words rides out of the same Arrow pass (apply_word_tokenizer)
     toked = unigram_tokenize(documents, model)
-    words = documents.select(
-        "doc_id",
-        F.size(F.filter(F.transform(tokens("text"),
-                                    lambda t: F.lower(t)),
-                        lambda t: F.length(t) > 0)).alias("n_words"))
-    return (toked.join(words, "doc_id")
+    return (toked
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_words").alias("total_words"),

@@ -1456,7 +1456,8 @@ ORACLES: dict[str, str] = {
             FROM w JOIN agg a ON w.doc_id = a.doc_id
             WHERE w.w = a.mx GROUP BY w.doc_id)
         SELECT a.doc_id, a.nnz, t.top_bucket,
-               round(a.mx / sqrt(a.ss), 4) AS top_tfidf
+               CASE WHEN a.ss > 0
+                    THEN round(a.mx / sqrt(a.ss), 4) END AS top_tfidf
         FROM agg a JOIN top t ON a.doc_id = t.doc_id
         ORDER BY a.doc_id
     """,
@@ -1856,10 +1857,18 @@ ORACLES: dict[str, str] = {
             SELECT b, ln((ct + 0.5) / (nt + 512.0))
                       - ln((cr + 0.5) / (nr + 512.0)) AS lr
             FROM counts, tot),
-        scored AS (
+        -- EVERY pool doc scores: zero-feature docs (no letter runs)
+        -- carry no evidence and take the neutral 0.0 via the LEFT JOIN
+        scored_f AS (
             SELECT doc_id, source, round(sum(lr), 4) AS w
             FROM bk JOIN model USING (b) WHERE NOT is_t
-            GROUP BY doc_id, source)
+            GROUP BY doc_id, source),
+        scored AS (
+            SELECT p.doc_id, p.source, COALESCE(s.w, 0.0) AS w
+            FROM (SELECT doc_id, source FROM documents
+                  WHERE doc_id % 97 <> 0) p
+            LEFT JOIN scored_f s
+              ON p.doc_id = s.doc_id AND p.source = s.source)
         SELECT source, count(*) AS n_docs,
                round(sum(CAST(round(w * 10000) AS BIGINT))
                      / (count(*) * 10000.0), 4) AS avg_w,
