@@ -109,6 +109,11 @@ def _multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_pipeline_query(load_table(spark, sf_dir, "documents"))
 
 
+def _image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.phash import image_phash_pairs
+    return image_phash_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def _audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.audio import audio_stats_query
     return audio_stats_query(load_table(spark, sf_dir, "documents"))
@@ -230,6 +235,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_pipeline": _multimodal_pipeline,
     "audio_stats": _audio_stats,
     "video_stats": _video_stats,
+    "image_phash": _image_phash,
 }
 
 
@@ -279,7 +285,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "lm_quality_pruned", "lm_bigram_quality", "epoch_sample",
                "ccnet_buckets", "training_shards", "bpe_stats",
                "dsir_importance", "tfidf", "unigram_tok",
-               "semantic_dedup")
+               "semantic_dedup", "image_phash")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -300,7 +306,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
 # and tests/test_unigram_tok.py.)
 PYTEST_INVARIANT_ONLY = ("sequence_packing", "audio_stats", "video_stats",
                          "ann_ivf_pq", "ann_label_vote",
-                         "quality_distill", "bpe_stats", "unigram_tok")
+                         "quality_distill", "bpe_stats", "unigram_tok",
+                         "image_phash")
 
 # DECLARED is pinned against tests/declared_surface.txt
 # (test_oracle_parity.py::test_declared_surface_frozen): displacing a
