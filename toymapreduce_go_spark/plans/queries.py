@@ -225,6 +225,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "epoch_sample": _q(textstats.epoch_sample_stats),
     "ccnet_buckets": _q(textstats.ccnet_bucket_stats),
     "training_shards": _q(textstats.training_shard_stats),
+    "dataset_split": _q(textstats.dataset_split_stats),
     "bpe_stats": _q(bpe.bpe_stats),
     "dsir_importance": _q(dsir.dsir_importance_stats),
     "tfidf": _q(textstats.tfidf_summary),
@@ -285,7 +286,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "lm_quality_pruned", "lm_bigram_quality", "epoch_sample",
                "ccnet_buckets", "training_shards", "bpe_stats",
                "dsir_importance", "tfidf", "unigram_tok",
-               "semantic_dedup", "image_phash")
+               "semantic_dedup", "image_phash", "dataset_split")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1970,6 +1971,25 @@ ORACLES: dict[str, str] = {
     """,
     # Deterministic training shards: md5-derived shard + md5-order lead
     # doc; h is 15 hex digits (< 2^60, nonnegative) so % == pmod.
+    # Content-keyed holdout split: the md5 is over the TEXT (null → ''),
+    # so byte-identical docs share a split by construction; integer
+    # percent buckets keep the boundaries float-free in both engines.
+    "dataset_split": """
+        WITH a AS (
+            SELECT doc_id, source,
+                   (('0x' || substr(md5(coalesce(text, '')), 1, 15))
+                       ::BIGINT) % 100 AS b,
+                   length(coalesce(text, '')) AS nc
+            FROM documents)
+        SELECT source,
+               CASE WHEN b < 1 THEN 'test'
+                    WHEN b < 2 THEN 'val'
+                    ELSE 'train' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               CAST(sum(nc) AS BIGINT) AS char_sum
+        FROM a GROUP BY source, split ORDER BY source, split
+    """,
     "training_shards": """
         WITH a AS (
             SELECT doc_id,
