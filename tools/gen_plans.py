@@ -135,6 +135,20 @@ SHOWCASE: dict[str, str] = {
         "inside FlatMapGroupsInPandas (one numpy GEMM per cell), and "
         "only candidate PAIRS reach the dedup/sort exchanges after "
         "it."),
+    "image_phash": (
+        "DCT perceptual-hash image near-dup (r9). Look for: ONE "
+        "MapInPandas directly over the parquet scan (synthesize + "
+        "decode + DCT hash fused — no Exchange before any Python "
+        "stage), then Generate (the 7-block pigeonhole explode) into "
+        "the block-value equi-join for candidate pairs, and a single "
+        "codegen'd bit_count(xor) Filter verifying each candidate — "
+        "never an all-pairs product."),
+    "dataset_split": (
+        "Content-keyed holdout split (r9). Look for: a scan-side "
+        "Project (md5 + pmod + CASE — the whole assignment), ONE "
+        "partial+final HashAggregate pair on the ≤ 3×sources key "
+        "space, and NOTHING else — no join, no window, no Python "
+        "stage; the corpus is read once and reduced immediately."),
 }
 
 
