@@ -136,13 +136,16 @@ SHOWCASE: dict[str, str] = {
         "only candidate PAIRS reach the dedup/sort exchanges after "
         "it."),
     "image_phash": (
-        "DCT perceptual-hash image near-dup (r9). Look for: ONE "
-        "MapInPandas directly over the parquet scan (synthesize + "
-        "decode + DCT hash fused — no Exchange before any Python "
-        "stage), then Generate (the 7-block pigeonhole explode) into "
-        "the block-value equi-join for candidate pairs, and a single "
-        "codegen'd bit_count(xor) Filter verifying each candidate — "
-        "never an all-pairs product."),
+        "DCT perceptual-hash image near-dup (r9). Look for: BOTH "
+        "self-join sides scanning `ExistingRDD` — the decode+DCT "
+        "MapInPandas runs ONCE behind a localCheckpoint lineage cut "
+        "(PythonUDF subplans don't canonicalize equal, so without the "
+        "cut Spark re-decodes per join side; the hash stage itself is "
+        "plan-asserted shuffle-free in test_phash.py), then Generate "
+        "(the 7-block pigeonhole explode) into the block-value "
+        "equi-join for candidate pairs, and a single codegen'd "
+        "bit_count(xor) Filter verifying each candidate — never an "
+        "all-pairs product."),
     "dataset_split": (
         "Content-keyed holdout split (r9). Look for: a scan-side "
         "Project (md5 + pmod + CASE — the whole assignment), ONE "

@@ -174,7 +174,14 @@ def image_phash_pairs(documents: DataFrame,
             f"max_hamming+1={n_blocks} must divide {PHASH_BITS} bits")
     width = PHASH_BITS // n_blocks
     block_mask = (1 << width) - 1
-    sigs = image_phashes(documents).select("doc_id", "phash")
+    # Unlike simhash (codegen'd JVM expressions, free to recompute), the
+    # decode+hash stage is ~1 ms/doc of Python — and Spark does not reuse
+    # the exchange across the self-join sides (PythonUDF subplans don't
+    # canonicalize equal), so without a lineage cut every image decodes
+    # TWICE. localCheckpoint materializes the tiny (doc_id, phash) table
+    # once and both join sides read it.
+    sigs = (image_phashes(documents).select("doc_id", "phash")
+            .localCheckpoint(eager=False))
     blocks = sigs.select(
         "doc_id", "phash",
         F.explode(F.array(*[
