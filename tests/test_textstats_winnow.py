@@ -360,21 +360,29 @@ def test_dataset_split_duplicate_text_never_straddles_holdout(spark):
             rows.append((g * 3 + c, f"src_{c}", text))
     docs = spark.createDataFrame(
         rows, "doc_id long, source string, text string")
-    # per-group purity: join each doc's split back and count distinct
-    # splits per text
-    from pyspark.sql import functions as F
-    h = F.expr("cast(conv(substring(md5(coalesce(text, '')), 1, 15), "
-               "16, 10) as bigint)")
-    b = F.pmod(h, F.lit(100))
-    split = (F.when(b < 1, "test").when(b < 2, "val").otherwise("train"))
-    per_text = (docs.select("text", split.alias("split"))
-                .groupBy("text")
-                .agg(F.countDistinct("split").alias("k")).collect())
-    assert all(r["k"] == 1 for r in per_text)
-    # and the aggregate view balances: every (source, split) cell of the
-    # stats frame is consistent with 40 groups of 3
+    # Certify purity from the OPERATOR'S output alone (no re-derived
+    # split expression, which would be tautologically pure): each text
+    # has exactly one copy per source, so a content-keyed split makes
+    # the three sources' per-split stats symmetric. A doc_id- (or
+    # source-) keyed split scatters a group's copies and breaks this.
     out = dataset_split_stats(docs).collect()
     assert sum(r["n_docs"] for r in out) == 120
+    cells = {(r["source"], r["split"]): r for r in out}
+    splits = {r["split"] for r in out}
+    for s in splits:
+        per_src = [cells.get((f"src_{c}", s)) for c in range(3)]
+        # split-pure groups put ONE copy per source into each split...
+        counts = {0 if r is None else r["n_docs"] for r in per_src}
+        assert len(counts) == 1, (s, per_src)
+        n = counts.pop()
+        if n == 0:
+            continue
+        # ...and copy c of group g is doc_id 3g+c, so each source's
+        # id_sum exceeds the previous source's by exactly one per group
+        # — this certifies the same GROUPS landed in the split, not
+        # just the same number of docs
+        assert per_src[1]["id_sum"] - per_src[0]["id_sum"] == n, (s, per_src)
+        assert per_src[2]["id_sum"] - per_src[1]["id_sum"] == n, (s, per_src)
 
 
 def test_dataset_split_validates_percents():

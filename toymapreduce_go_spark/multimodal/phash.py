@@ -163,18 +163,16 @@ def image_phash_buckets(documents: DataFrame) -> DataFrame:
 def image_phash_pairs(documents: DataFrame,
                       max_hamming: int = 6) -> DataFrame:
     """All image pairs with pHash Hamming distance ≤ max_hamming via
-    the pigeonhole block join (63 bits → max_hamming+1 equal blocks;
-    within distance k at least one block matches exactly) — the image
-    twin of ``simhash_hamming_pairs``. Candidates are generated by a
-    9-bit block-value equi-join, never all-pairs; one
-    ``bit_count(xor)`` verifies each."""
-    n_blocks = max_hamming + 1
-    if PHASH_BITS % n_blocks:
-        raise ValueError(
-            f"max_hamming+1={n_blocks} must divide {PHASH_BITS} bits")
-    width = PHASH_BITS // n_blocks
-    block_mask = (1 << width) - 1
-    # Unlike simhash (codegen'd JVM expressions, free to recompute), the
+    the shared pigeonhole block join (``dedup.hamming_block_pairs``:
+    63 bits → max_hamming+1 equal blocks; within distance k at least
+    one block matches exactly) — the image twin of
+    ``simhash_hamming_pairs``. Candidates are generated by a 9-bit
+    block-value equi-join, never all-pairs; one ``bit_count(xor)``
+    verifies each."""
+    from ..operators.dedup import hamming_block_pairs, hamming_block_width
+
+    hamming_block_width(PHASH_BITS, max_hamming)   # fail before decoding
+    # Unlike simhash (codegen'd JVM expressions, cheap to recompute), the
     # decode+hash stage is ~1 ms/doc of Python — and Spark does not reuse
     # the exchange across the self-join sides (PythonUDF subplans don't
     # canonicalize equal), so without a lineage cut every image decodes
@@ -182,32 +180,4 @@ def image_phash_pairs(documents: DataFrame,
     # once and both join sides read it.
     sigs = (image_phashes(documents).select("doc_id", "phash")
             .localCheckpoint(eager=False))
-    blocks = sigs.select(
-        "doc_id", "phash",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("block_id"),
-                F.shiftright("phash", b * width)
-                 .bitwiseAND(F.lit(block_mask)).alias("block_val"),
-            )
-            for b in range(n_blocks)
-        ])).alias("blk"),
-    ).select("doc_id", "phash", "blk.block_id", "blk.block_val")
-    a, b = blocks.alias("a"), blocks.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.block_id") == F.col("b.block_id"))
-               & (F.col("a.block_val") == F.col("b.block_val"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.col("a.phash").alias("ph_a"),
-                F.col("b.phash").alias("ph_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    return (
-        pairs.withColumn(
-            "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
-    )
+    return hamming_block_pairs(sigs, "phash", PHASH_BITS, max_hamming)

@@ -584,39 +584,52 @@ def simhash_buckets_portable(documents: DataFrame) -> DataFrame:
     return simhash_buckets(documents, portable=True)
 
 
-def simhash_hamming_pairs(documents: DataFrame, max_hamming: int = 2,
-                          bits: int = PORTABLE_SIMHASH_BITS,
-                          portable: bool = True) -> DataFrame:
-    """All doc pairs with SimHash Hamming distance ≤ max_hamming, via the
-    pigeonhole block join: split the signature into max_hamming+1 equal
-    bit-blocks — any pair within distance k differs in at most k blocks,
-    so at least one block matches exactly. Join on (block_id, block_val),
-    then verify with bit_count(xor).
-
-    Scale: candidate generation is an equi-join on block values — docs
-    meet only when a 20-bit block collides (corpus/2^20 expected bucket
-    size per block), never all-pairs; the verify step is one codegen'd
-    bit_count per candidate. This is the standard Hamming-neighbor
-    decomposition (pigeonhole over signature blocks, as in
-    Manku et al.'s simhash dedup, WWW'07).
-    """
+def hamming_block_width(bits: int, max_hamming: int) -> int:
+    """Validate the pigeonhole decomposition — max_hamming+1 equal
+    blocks must tile the signature exactly — and return the block width
+    in bits. Callers with an expensive signature stage (image decode)
+    run this BEFORE building the signature frame so bad arguments fail
+    fast."""
     n_blocks = max_hamming + 1
     if bits % n_blocks:
-        raise ValueError(f"bits={bits} must divide into {n_blocks} blocks")
-    width = bits // n_blocks
+        raise ValueError(
+            f"max_hamming+1={n_blocks} must divide the {bits}-bit "
+            "signature into equal blocks")
+    return bits // n_blocks
+
+
+def hamming_block_pairs(sigs: DataFrame, sig_col: str, bits: int,
+                        max_hamming: int) -> DataFrame:
+    """Pigeonhole block join over any packed-BIGINT signature column:
+    all (doc_a, doc_b, hamming) pairs with Hamming distance ≤
+    max_hamming. Split the signature into max_hamming+1 equal bit-blocks
+    — any pair within distance k differs in at most k blocks, so at
+    least one block matches exactly. Join on (block_id, block_val), then
+    verify with bit_count(xor).
+
+    Scale: candidate generation is an equi-join on block values — docs
+    meet only when a block collides (corpus/2^width expected bucket size
+    per block), never all-pairs; the verify step is one codegen'd
+    bit_count per candidate. This is the standard Hamming-neighbor
+    decomposition (pigeonhole over signature blocks, as in
+    Manku et al.'s simhash dedup, WWW'07). One helper serves the text
+    tier (``simhash_hamming_pairs``) and the image tier
+    (``multimodal.phash.image_phash_pairs``).
+    """
+    width = hamming_block_width(bits, max_hamming)
+    n_blocks = max_hamming + 1
     block_mask = (1 << width) - 1
-    sigs = simhash_signatures(documents, bits, portable)
     blocks = sigs.select(
-        "doc_id", "simhash",
+        "doc_id", sig_col,
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("block_id"),
-                F.shiftright("simhash", b * width)
+                F.shiftright(sig_col, b * width)
                  .bitwiseAND(F.lit(block_mask)).alias("block_val"),
             )
             for b in range(n_blocks)
         ])).alias("blk"),
-    ).select("doc_id", "simhash", "blk.block_id", "blk.block_val")
+    ).select("doc_id", sig_col, "blk.block_id", "blk.block_val")
     a, b = blocks.alias("a"), blocks.alias("b")
     pairs = (
         a.join(b, (F.col("a.block_id") == F.col("b.block_id"))
@@ -624,18 +637,28 @@ def simhash_hamming_pairs(documents: DataFrame, max_hamming: int = 2,
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
-                F.col("a.simhash").alias("sh_a"),
-                F.col("b.simhash").alias("sh_b"))
+                F.col(f"a.{sig_col}").alias("sig_a"),
+                F.col(f"b.{sig_col}").alias("sig_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return (
         pairs.withColumn(
             "hamming",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def simhash_hamming_pairs(documents: DataFrame, max_hamming: int = 2,
+                          bits: int = PORTABLE_SIMHASH_BITS,
+                          portable: bool = True) -> DataFrame:
+    """All doc pairs with SimHash Hamming distance ≤ max_hamming — the
+    pigeonhole block join of ``hamming_block_pairs`` over the (shared,
+    persisted) simhash signature frame."""
+    sigs = simhash_signatures(documents, bits, portable)
+    return hamming_block_pairs(sigs, "simhash", bits, max_hamming)
 
 
 # ---------------------------------------------------------------------------

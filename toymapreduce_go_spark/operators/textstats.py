@@ -931,6 +931,11 @@ def dataset_split_stats(documents: DataFrame, val_pct: int = 1,
     the same projection used as a partition column. NULL text hashes
     as '' (all null/empty docs share one bucket — they are identical
     content under the leakage rule)."""
+    if not (isinstance(val_pct, int) and isinstance(test_pct, int)):
+        # the buckets are integer percents; a float (e.g. 0.5) would
+        # silently behave as its ceiling against the integer bucket id
+        raise ValueError("val_pct/test_pct must be integers (the split "
+                         "buckets are whole percents)")
     if not (0 <= test_pct and 0 <= val_pct and test_pct + val_pct <= 100):
         raise ValueError("val_pct/test_pct must be non-negative percents "
                          "summing to <= 100")

@@ -1969,8 +1969,6 @@ ORACLES: dict[str, str] = {
                    AS BIGINT) AS tail_id_sum
         FROM b GROUP BY source ORDER BY source
     """,
-    # Deterministic training shards: md5-derived shard + md5-order lead
-    # doc; h is 15 hex digits (< 2^60, nonnegative) so % == pmod.
     # Content-keyed holdout split: the md5 is over the TEXT (null → ''),
     # so byte-identical docs share a split by construction; integer
     # percent buckets keep the boundaries float-free in both engines.
@@ -1990,6 +1988,8 @@ ORACLES: dict[str, str] = {
                CAST(sum(nc) AS BIGINT) AS char_sum
         FROM a GROUP BY source, split ORDER BY source, split
     """,
+    # Deterministic training shards: md5-derived shard + md5-order lead
+    # doc; h is 15 hex digits (< 2^60, nonnegative) so % == pmod.
     "training_shards": """
         WITH a AS (
             SELECT doc_id,
