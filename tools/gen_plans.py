@@ -146,6 +146,14 @@ SHOWCASE: dict[str, str] = {
         "equi-join for candidate pairs, and a single codegen'd "
         "bit_count(xor) Filter verifying each candidate — never an "
         "all-pairs product."),
+    "audio_fingerprint": (
+        "Spectral-hash audio near-dup (r9). Look for: BOTH self-join "
+        "sides scanning `ExistingRDD` — the WAV-decode + FFT-hash "
+        "MapInPandas runs ONCE behind the same localCheckpoint lineage "
+        "cut as image_phash — then Generate (the 3-block pigeonhole "
+        "explode at Hamming ≤ 2) into the 21-bit block-value equi-join, "
+        "and one codegen'd bit_count(xor) Filter verifying each "
+        "candidate — never an all-pairs product."),
     "dataset_split": (
         "Content-keyed holdout split (r9). Look for: a scan-side "
         "Project (md5 + pmod + CASE — the whole assignment), ONE "

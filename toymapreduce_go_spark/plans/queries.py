@@ -119,6 +119,11 @@ def _audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_stats_query(load_table(spark, sf_dir, "documents"))
 
 
+def _audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.audiofp import audio_fingerprint_pairs
+    return audio_fingerprint_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def _video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.video import video_stats_query
     return video_stats_query(load_table(spark, sf_dir, "documents"))
@@ -237,6 +242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_stats": _audio_stats,
     "video_stats": _video_stats,
     "image_phash": _image_phash,
+    "audio_fingerprint": _audio_fingerprint,
 }
 
 
@@ -286,7 +292,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "lm_quality_pruned", "lm_bigram_quality", "epoch_sample",
                "ccnet_buckets", "training_shards", "bpe_stats",
                "dsir_importance", "tfidf", "unigram_tok",
-               "semantic_dedup", "image_phash", "dataset_split")
+               "semantic_dedup", "image_phash", "dataset_split",
+               "audio_fingerprint")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -308,7 +315,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
 PYTEST_INVARIANT_ONLY = ("sequence_packing", "audio_stats", "video_stats",
                          "ann_ivf_pq", "ann_label_vote",
                          "quality_distill", "bpe_stats", "unigram_tok",
-                         "image_phash")
+                         "image_phash", "audio_fingerprint")
 
 # DECLARED is pinned against tests/declared_surface.txt
 # (test_oracle_parity.py::test_declared_surface_frozen): displacing a
