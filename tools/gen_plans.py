@@ -154,6 +154,14 @@ SHOWCASE: dict[str, str] = {
         "explode at Hamming ≤ 2) into the 21-bit block-value equi-join, "
         "and one codegen'd bit_count(xor) Filter verifying each "
         "candidate — never an all-pairs product."),
+    "video_fingerprint": (
+        "Bag-of-frames video near-dup (r9). Look for: BOTH self-join "
+        "sides scanning `ExistingRDD` — the MJPEG-split + per-frame "
+        "pHash + majority-vote MapInPandas runs ONCE behind the shared "
+        "localCheckpoint lineage cut — then Generate (the 7-block "
+        "pigeonhole explode) into the 9-bit block-value equi-join and "
+        "one codegen'd bit_count(xor) Filter per candidate — never an "
+        "all-pairs product."),
     "dataset_split": (
         "Content-keyed holdout split (r9). Look for: a scan-side "
         "Project (md5 + pmod + CASE — the whole assignment), ONE "

@@ -71,6 +71,10 @@ def _resample32(gray: np.ndarray) -> np.ndarray:
     convention). Pure float64 numpy — bit-identical wherever it runs."""
     n = PHASH_SIZE
     h, w = gray.shape
+    if (h, w) == (n, n):
+        # the bilinear weights are exactly (1, 0) at native size (the
+        # sample points land on pixel centers), so this is the identity
+        return gray
     ys = np.clip((np.arange(n) + 0.5) * h / n - 0.5, 0.0, h - 1.0)
     xs = np.clip((np.arange(n) + 0.5) * w / n - 0.5, 0.0, w - 1.0)
     y0 = np.floor(ys).astype(np.int64)

@@ -1,0 +1,171 @@
+"""Video fingerprinting + Hamming near-dup — the VIDEO member of the
+multimodal dedup matrix (text: simhash/minhash; images:
+``multimodal.phash``; audio: ``multimodal.audiofp``; video: this
+module), all sharing ONE pigeonhole block join
+(``operators.dedup.hamming_block_pairs``).
+
+Reference scope note: the reference runtime (pkg/mapreduce, ~1.7k LoC
+Go) ships no video operators; this is part of the
+training-data-pipeline surface built Spark-first on the repo's own
+MJPEG machinery (``multimodal.video``: real marker-parse frame split)
+and JPEG codec (``multimodal.jpeg``).
+
+The fingerprint is the bag-of-frames baseline of content-based video
+retrieval: per-frame DCT pHash (``phash.phash63``), majority-voted
+per bit across frames into one 63-bit signature. Temporal order is
+deliberately discarded — a re-encoded, frame-dropped, or trimmed copy
+of the same footage votes the same way, which is the dedup question;
+sequence-sensitive retrieval is a search problem, not a dedup one.
+
+Properties (measured, tests/test_videofp.py, through the REAL codec):
+- full-stream re-encode at JPEG quality 60 / 95 moves ≤ 3 / ≤ 1 of 63
+  bits; dropping a frame moves ≤ 6;
+- unrelated videos sit at distance ≥ 18 (mean ~31) on fixture text,
+  and a 1500-doc fixture study found ZERO false pairs at the default
+  ``max_hamming=6`` (the one ≤6 hit was an exact-duplicate text);
+- per-doc cost ~3 ms (2–5 frames of 32×32 encode+decode+hash) —
+  the video_stats decode-bound class.
+
+Synthesis is CONTENT-keyed (md5(text) seeds two broadband 8×8
+low-frequency fields, bilinearly upsampled to 32×32 and rotated
+smoothly across frames). Broadband matters: ``video.synthesize_mjpeg``'s
+linear-gradient probe frames concentrate DCT energy in 1–2
+coefficients, leaving the other 61 pHash bits thresholding
+quantization noise — measured 2% fingerprint collisions across
+distinct docs (quadratic pair blowup at corpus scale) and 20+ bit
+flips under re-encode. Smooth random fields give every low-frequency
+coefficient real signal, the regime pHash is designed for.
+
+Spark shape (the 100 TB posture): fingerprinting is ONE fused
+mapInPandas stage at scan parallelism (synthesize MJPEG → marker-parse
+frame split → per-frame decode + pHash → majority vote); the pair tier
+cuts lineage with a localCheckpoint (PythonUDF subplans don't
+canonicalize equal, see ``phash.image_phash_pairs``) so every stream
+decodes ONCE, then the shared block join generates candidates — never
+all-pairs.
+
+Correctness tier: pytest-invariant (DuckDB cannot parse MJPEG) —
+distributed-equals-local recomputation, re-encode and frame-drop
+robustness through the real codec, and planted-pair detection, the
+same convention as ``image_phash`` / ``audio_fingerprint``.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .binary import _text_rows
+from .jpeg import decode_baseline, encode_baseline_gray_batch
+from .phash import _resample32, phash63
+from .video import split_mjpeg
+
+VFP_BITS = 63
+VFP_SIZE = 32            # native frame size = pHash's resample target
+VFP_FIELD = 8            # low-frequency field resolution before upsample
+VFP_QUALITY = 85
+
+
+def fingerprint_frames(text: str) -> np.ndarray:
+    """Deterministic content-keyed frame stack (nf × 32 × 32 uint8):
+    md5(text) seeds two broadband smooth fields A, B (8×8 normal noise,
+    bilinear-upsampled), and frame f is 128 + 55·(A·cos θ_f + B·sin θ_f)
+    with θ_f = 0.35·f — smooth motion with a stationary broadband
+    spectrum. Identical text → identical frames on every worker."""
+    h = hashlib.md5(text.encode("utf-8")).digest()
+    r = np.random.RandomState(int.from_bytes(h[:4], "big"))
+    nf = 2 + h[15] % 4
+    a = _resample32(r.normal(0.0, 1.0, (VFP_FIELD, VFP_FIELD)))
+    b = _resample32(r.normal(0.0, 1.0, (VFP_FIELD, VFP_FIELD)))
+    frames = [np.clip(128.0 + 55.0 * (a * np.cos(0.35 * f)
+                                      + b * np.sin(0.35 * f)), 0, 255)
+              for f in range(nf)]
+    return np.stack(frames).astype(np.uint8)
+
+
+def video_fp63(frame_hashes: Sequence[int]) -> int:
+    """Majority vote per bit over per-frame pHashes (ties → 0);
+    an empty sequence (no frames) hashes to 0."""
+    if not len(frame_hashes):
+        return 0
+    h = np.asarray(frame_hashes, dtype=np.int64)
+    bit_cols = (h[:, None] >> np.arange(VFP_BITS, dtype=np.int64)) & 1
+    votes = (2 * bit_cols - 1).sum(axis=0)
+    bits = np.nonzero(votes > 0)[0]
+    return int(np.sum(np.int64(1) << bits.astype(np.int64)))
+
+
+def mjpeg_fp63(payload: bytes) -> int:
+    """Fingerprint of one raw MJPEG stream via the real frame split +
+    per-frame decode."""
+    hashes = []
+    for frame in split_mjpeg(payload):
+        w, h, c, pix = decode_baseline(frame)
+        hashes.append(phash63(w, h, c, pix))
+    return video_fp63(hashes)
+
+
+VFP_SCHEMA = "doc_id long, source string, vfp long, n_frames long"
+
+
+def synthesize_fp_video(batches: Iterator[pd.DataFrame]
+                        ) -> Iterator[pd.DataFrame]:
+    """(doc_id, source, text) → (doc_id, source, payload) with real
+    MJPEG streams (concatenated baseline JPEGs) around the
+    content-keyed frame stack."""
+    for pdf in batches:
+        payloads = [b"".join(encode_baseline_gray_batch(
+                        fingerprint_frames(t), quality=VFP_QUALITY))
+                    for t in pdf["text"]]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                            "source": pdf["source"],
+                            "payload": payloads})
+
+
+def fingerprint_payloads(batches: Iterator[pd.DataFrame]
+                         ) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (doc_id, source, payload MJPEG) → (doc_id,
+    source, vfp, n_frames)."""
+    for pdf in batches:
+        fps, nfs = [], []
+        for payload in pdf["payload"]:
+            frames = split_mjpeg(bytes(payload))
+            hashes = []
+            for frame in frames:
+                w, h, c, pix = decode_baseline(frame)
+                hashes.append(phash63(w, h, c, pix))
+            fps.append(video_fp63(hashes))
+            nfs.append(len(frames))
+        yield pd.DataFrame({
+            "doc_id": pd.Series(pdf["doc_id"], dtype="int64"),
+            "source": pd.Series(pdf["source"], dtype="object"),
+            "vfp": pd.Series(fps, dtype="int64"),
+            "n_frames": pd.Series(nfs, dtype="int64"),
+        })
+
+
+def video_fingerprints(documents: DataFrame) -> DataFrame:
+    """Per-document video fingerprint over REAL MJPEG streams:
+    synthesize → frame split → decode → hash → vote in ONE fused
+    Python stage (scan parallelism, no shuffle)."""
+    return _text_rows(documents).mapInPandas(
+        lambda batches: fingerprint_payloads(synthesize_fp_video(batches)),
+        schema=VFP_SCHEMA)
+
+
+def video_fingerprint_pairs(documents: DataFrame,
+                            max_hamming: int = 6) -> DataFrame:
+    """All video pairs with fingerprint Hamming distance ≤ max_hamming
+    via the shared pigeonhole block join — the video twin of
+    ``image_phash_pairs``. The default threshold 6 covers re-encodes
+    (≤ 3 bits) and single-frame drops (≤ 6 bits) with a measured zero
+    false-pair rate on the fixture (module docstring)."""
+    from ..operators.dedup import hamming_block_pairs, hamming_block_width
+
+    hamming_block_width(VFP_BITS, max_hamming)   # fail before decoding
+    sigs = (video_fingerprints(documents).select("doc_id", "vfp")
+            .localCheckpoint(eager=False))
+    return hamming_block_pairs(sigs, "vfp", VFP_BITS, max_hamming)

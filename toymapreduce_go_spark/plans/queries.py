@@ -124,6 +124,11 @@ def _audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_fingerprint_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def _video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.videofp import video_fingerprint_pairs
+    return video_fingerprint_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def _video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.video import video_stats_query
     return video_stats_query(load_table(spark, sf_dir, "documents"))
@@ -243,6 +248,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_stats": _video_stats,
     "image_phash": _image_phash,
     "audio_fingerprint": _audio_fingerprint,
+    "video_fingerprint": _video_fingerprint,
 }
 
 
@@ -293,7 +299,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "ccnet_buckets", "training_shards", "bpe_stats",
                "dsir_importance", "tfidf", "unigram_tok",
                "semantic_dedup", "image_phash", "dataset_split",
-               "audio_fingerprint")
+               "audio_fingerprint", "video_fingerprint")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -315,7 +321,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
 PYTEST_INVARIANT_ONLY = ("sequence_packing", "audio_stats", "video_stats",
                          "ann_ivf_pq", "ann_label_vote",
                          "quality_distill", "bpe_stats", "unigram_tok",
-                         "image_phash", "audio_fingerprint")
+                         "image_phash", "audio_fingerprint",
+                         "video_fingerprint")
 
 # DECLARED is pinned against tests/declared_surface.txt
 # (test_oracle_parity.py::test_declared_surface_frozen): displacing a
