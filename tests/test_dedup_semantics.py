@@ -452,3 +452,45 @@ def test_ann_label_vote_matches_exact_tier_shape(spark):
     e_correct = sum(r["n_correct"] for r in e_rows)
     a_correct = sum(r["n_correct"] for r in a_rows)
     assert abs(a_correct - e_correct) <= 10
+
+
+def test_bloom_dedup_flags_every_prior_repeat(spark):
+    """The Bloom guarantee: a non-prior doc whose content hash IS in
+    the prior slice is flagged with certainty (no false negatives);
+    distinct texts on the fixture-sparse bitmap stay unflagged (the
+    false-positive probability at these sizes is ~(k·n/m)^k ≈ 1e-9)."""
+    from toymapreduce_go_spark.operators.dedup import bloom_dedup
+
+    rows = [(0, "prior_src", "yesterday ingested body one"),
+            (97, "prior_src", "yesterday ingested body two"),
+            (194, "prior_src", "yesterday ingested body three")]
+    rows += [(i, "fresh_src", f"genuinely new document {i}")
+             for i in range(1, 31)]
+    rows += [(50, "repeat_src", "yesterday ingested body two"),
+             (51, "repeat_src", "yesterday ingested body three")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in bloom_dedup(docs).collect()}
+    assert "prior_src" not in out          # the prior slice isn't scored
+    assert out["repeat_src"]["n_docs"] == 2
+    assert out["repeat_src"]["n_flagged"] == 2
+    assert out["fresh_src"]["n_flagged"] == 0
+    # 3 prior keys × 4 salts, no collisions at m=245760
+    assert out["fresh_src"]["bloom_bits_set"] == 12
+
+
+def test_bloom_dedup_scoring_plan_is_scan_side(spark):
+    """Plan contract: the corpus side is a pure scan-side projection
+    against the plan-literal bitmap — no join, no window, no Python
+    stage; the only exchanges serve the final metadata-sized aggregate
+    and sort."""
+    from test_explain_plans import plan_of
+
+    from toymapreduce_go_spark.operators.dedup import bloom_dedup
+    from toymapreduce_go_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(bloom_dedup(docs))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan

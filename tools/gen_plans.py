@@ -154,6 +154,14 @@ SHOWCASE: dict[str, str] = {
         "explode at Hamming ≤ 2) into the 21-bit block-value equi-join, "
         "and one codegen'd bit_count(xor) Filter verifying each "
         "candidate — never an all-pairs product."),
+    "bloom_dedup": (
+        "Prior-snapshot Bloom dedup (r9). Look for: NO Join, NO Window, "
+        "NO Python stage anywhere — the bitmap is a plan-literal array "
+        "(built by a separate model-sized bit_or agg at construction "
+        "time, the ann_ivf centroid convention) and membership is a "
+        "scan-side element_at + shiftright projection; the only "
+        "Exchanges serve the per-source HashAggregate and the final "
+        "sort."),
     "video_fingerprint": (
         "Bag-of-frames video near-dup (r9). Look for: BOTH self-join "
         "sides scanning `ExistingRDD` — the MJPEG-split + per-frame "

@@ -1171,6 +1171,94 @@ def contamination_check(documents: DataFrame, n: int = 5,
     )
 
 
+BLOOM_WORD_BITS = 60     # bits packed per BIGINT word — 60, not 64, so
+                         # the shift never reaches the sign bit and the
+                         # identical packing runs in DuckDB
+
+
+def bloom_dedup(documents: DataFrame, prior_mod: int = 97,
+                m_words: int = 4096, k: int = 4) -> DataFrame:
+    """Exact-dedup screening against a PRIOR corpus snapshot via a
+    broadcast-size Bloom filter — the 100 TB shape for "drop today's
+    crawl docs already ingested yesterday" when the prior key set is
+    too large to broadcast exactly (``contamination_check`` broadcasts
+    its eval set verbatim; a multi-billion-key prior snapshot cannot
+    ship that way, but its ~10-bits-per-key Bloom bitmap can).
+
+    The prior set here is the deterministic slice ``doc_id % prior_mod
+    == 0`` keyed by md5(text) content hash, so the DuckDB oracle can
+    reproduce the whole construction; production passes a real prior
+    snapshot in its place. ``k`` salted positions per key (salt = the
+    literal digit prefix on the hex hash) land in an ``m_words × 60``
+    bit space; a non-prior doc is flagged iff ALL k of its bits are
+    set. Bloom guarantee: every true repeat of a prior key is flagged
+    (no false negatives); false positives are ~(1 − e^(−k·n/m))^k —
+    size ``m_words`` to ~10 bits per prior key for ~1% at production
+    scale (the fixture's slice is far sparser).
+
+    Plan shape — the reason this scales: the bitmap is built from the
+    (small) prior slice by one count-combinable ``bit_or`` aggregation,
+    collected (≤ ``m_words`` rows — model-sized, the plan-literal
+    convention of ``ann_ivf``'s centroids), and inlined as ONE array
+    literal; scoring is then a pure scan-side projection over the
+    corpus — no join, no corpus shuffle, membership is
+    ``element_at(arr, p div 60 + 1) >> (p mod 60) & 1`` per salt —
+    into one per-source count-combinable aggregate.
+
+    The output carries two bitmap-certifying constants
+    (``bloom_bits_set``, ``bloom_checksum``): the fixture has no
+    cross-slice duplicate text, so ``n_flagged`` is 0 there and a
+    flags-only oracle would verify nothing — the checksum columns make
+    the DuckDB value-hash pin the entire bitmap construction
+    (positions, salting, packing) even when no document is flagged."""
+    m = m_words * BLOOM_WORD_BITS
+    content = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    is_prior = F.pmod(F.col("doc_id"), F.lit(prior_mod)) == 0
+
+    def pos(j: int):
+        salted = F.md5(F.concat(F.lit(str(j)), F.col("h")))
+        return F.pmod(
+            F.conv(F.substring(salted, 1, 15), 16, 10).cast("long"),
+            F.lit(m))
+
+    prior = (documents.filter(is_prior)
+             .select(content.alias("h")).distinct())
+    word_rows = (
+        prior.select(F.explode(F.array(
+                 *[pos(j).alias("p") for j in range(k)])).alias("p"))
+        .groupBy((F.col("p") / BLOOM_WORD_BITS).cast("long").alias("w"))
+        .agg(F.expr(f"bit_or(shiftleft(1L, cast(p % {BLOOM_WORD_BITS} "
+                    "as int)))").alias("bits"))
+        .collect())
+    bitmap = [0] * m_words
+    for r in word_rows:
+        bitmap[int(r["w"])] = int(r["bits"])
+    arr = F.array(*[F.lit(b) for b in bitmap])
+    bits_set = sum(bin(b).count("1") for b in bitmap)
+    checksum = sum((w + 1) * bin(b).count("1")
+                   for w, b in enumerate(bitmap))
+
+    scored = (documents.filter(~is_prior)
+              .select("doc_id", "source", content.alias("h")))
+    checks = []
+    for j in range(k):
+        p = pos(j)
+        word = F.element_at(arr, (p / BLOOM_WORD_BITS).cast("int") + 1)
+        checks.append(
+            F.call_function("shiftright", word,
+                            p.cast("int") % BLOOM_WORD_BITS)
+             .bitwiseAND(F.lit(1)) == 1)
+    import functools
+    flagged = functools.reduce(lambda a, b: a & b, checks)
+    return (scored.select("source", flagged.cast("int").alias("hit"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("hit").cast("long").alias("n_flagged"))
+            .withColumn("bloom_bits_set", F.lit(bits_set).cast("long"))
+            .withColumn("bloom_checksum", F.lit(checksum).cast("long"))
+            .orderBy("source"))
+
+
 # ---------------------------------------------------------------------------
 # 7. Near-dup cluster assignment (connected components)
 

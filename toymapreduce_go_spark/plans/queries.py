@@ -217,6 +217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_quality": _q(textstats.repetition_quality),
     "stratified_sample": _q(textstats.stratified_sample_stats),
     "contamination_check": _q(dedup.contamination_check),
+    "bloom_dedup": _q(dedup.bloom_dedup),
     "pii_scrub": _q(textstats.pii_scrub),
     "sequence_packing": _q(packing.packing_stats),
     "near_dup_clusters": _q(dedup.near_dup_clusters_portable),
@@ -299,7 +300,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "ccnet_buckets", "training_shards", "bpe_stats",
                "dsir_importance", "tfidf", "unigram_tok",
                "semantic_dedup", "image_phash", "dataset_split",
-               "audio_fingerprint", "video_fingerprint")
+               "audio_fingerprint", "video_fingerprint", "bloom_dedup")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1337,6 +1338,51 @@ ORACLES: dict[str, str] = {
                round(sum(CAST(round(top_bigram_frac * 10000) AS BIGINT))
                      / (count(*) * 10000.0), 4) AS avg_top_bigram_frac
         FROM per_doc GROUP BY source ORDER BY source
+    """,
+    # Bloom-filter prior-snapshot dedup: the bitmap construction (salted
+    # md5 positions into 60-bit-packed BIGINT words — 60 so the shift
+    # never reaches the sign bit) is replayed verbatim; bit_count-based
+    # checksum columns certify the bitmap even when n_flagged is 0 on
+    # the duplicate-free fixture.
+    "bloom_dedup": """
+        WITH prior AS (
+            SELECT DISTINCT md5(coalesce(text, '')) AS h
+            FROM documents WHERE doc_id % 97 = 0),
+        pos AS (
+            SELECT (('0x' || substr(md5(j || h), 1, 15))::BIGINT)
+                       % 245760 AS p
+            FROM prior, (SELECT unnest(['0','1','2','3']) AS j)),
+        words AS (
+            SELECT p // 60 AS w,
+                   bit_or(1::BIGINT << CAST(p % 60 AS INT)) AS bits
+            FROM pos GROUP BY 1),
+        cert AS (
+            SELECT CAST(coalesce(sum(bit_count(bits)), 0) AS BIGINT)
+                       AS bits_set,
+                   CAST(coalesce(sum((w + 1) * bit_count(bits)), 0)
+                       AS BIGINT) AS checksum
+            FROM words),
+        corpus AS (
+            SELECT doc_id, source, md5(coalesce(text, '')) AS h
+            FROM documents WHERE doc_id % 97 <> 0),
+        cpos AS (
+            SELECT doc_id, source,
+                   (('0x' || substr(md5(j || h), 1, 15))::BIGINT)
+                       % 245760 AS p
+            FROM corpus, (SELECT unnest(['0','1','2','3']) AS j)),
+        hits AS (
+            SELECT c.doc_id, c.source,
+                   min(CASE WHEN w.bits IS NULL THEN 0
+                            ELSE CAST((w.bits >> CAST(c.p % 60 AS INT))
+                                      & 1 AS INT)
+                       END) AS all_set
+            FROM cpos c LEFT JOIN words w ON c.p // 60 = w.w
+            GROUP BY 1, 2)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(all_set) AS BIGINT) AS n_flagged,
+               (SELECT bits_set FROM cert) AS bloom_bits_set,
+               (SELECT checksum FROM cert) AS bloom_checksum
+        FROM hits GROUP BY source ORDER BY source
     """,
     "contamination_check": r"""
         WITH toks AS (
