@@ -38,14 +38,15 @@ def test_vfp_vote_semantics():
 
 
 def test_vfp_reencode_and_framedrop_robust_unrelated_separated():
-    """The defining properties, measured through real MJPEG re-encodes:
-    quality 60/95 re-encodes move ≤ 4 of 63 bits, dropping the last
-    frame moves ≤ 6, and unrelated videos sit at ≥ 14."""
+    """The defining properties, pinned at the measured values the
+    module docstring advertises (deterministic inputs): a quality-60
+    re-encode moves ≤ 3 of 63 bits, quality-95 ≤ 1, dropping the last
+    frame ≤ 6, and unrelated videos sit at ≥ 20 (mean ~31)."""
     texts = [f"video document {i} body content" for i in range(20)]
     fps = [mjpeg_fp63(_stream(t)) for t in texts]
     for t, fp in zip(texts, fps):
-        for q in (60, 95):
-            assert _ham(fp, mjpeg_fp63(_stream(t, quality=q))) <= 4
+        assert _ham(fp, mjpeg_fp63(_stream(t, quality=60))) <= 3
+        assert _ham(fp, mjpeg_fp63(_stream(t, quality=95))) <= 1
         frames = fingerprint_frames(t)
         if len(frames) > 2:
             dropped = b"".join(encode_baseline_gray_batch(
@@ -53,8 +54,8 @@ def test_vfp_reencode_and_framedrop_robust_unrelated_separated():
             assert _ham(fp, mjpeg_fp63(dropped)) <= 6
     dists = [_ham(fps[i], fps[j])
              for i in range(20) for j in range(i + 1, 20)]
-    assert min(dists) >= 14
-    assert np.mean(dists) > 20
+    assert min(dists) >= 20
+    assert np.mean(dists) > 25
 
 
 def test_vfp_distributed_equals_local(spark):

@@ -59,7 +59,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from .audio import decode_pcm, parse_wav_header, synthesize_wav
+from .audio import decode_pcm, synthesize_wav
 from .binary import _text_rows
 
 AFP_BITS = 63
@@ -115,9 +115,9 @@ def fingerprint_payloads(batches: Iterator[pd.DataFrame]
     for pdf in batches:
         fps = []
         for payload in pdf["payload"]:
-            payload = bytes(payload)
-            parse_wav_header(payload)          # validates the container
-            fps.append(audio_fp63(decode_pcm(payload)))
+            # decode_pcm walks the RIFF chunks itself and raises on any
+            # invalid container — no separate header-validation pass
+            fps.append(audio_fp63(decode_pcm(bytes(payload))))
         yield pd.DataFrame({
             "doc_id": pd.Series(pdf["doc_id"], dtype="int64"),
             "source": pd.Series(pdf["source"], dtype="object"),

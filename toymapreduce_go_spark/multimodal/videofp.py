@@ -20,8 +20,9 @@ sequence-sensitive retrieval is a search problem, not a dedup one.
 Properties (measured, tests/test_videofp.py, through the REAL codec):
 - full-stream re-encode at JPEG quality 60 / 95 moves ≤ 3 / ≤ 1 of 63
   bits; dropping a frame moves ≤ 6;
-- unrelated videos sit at distance ≥ 18 (mean ~31) on fixture text,
-  and a 1500-doc fixture study found ZERO false pairs at the default
+- unrelated videos sit at distance ≥ 20 (mean ~31) on the pinned
+  20-doc set (≥ 18 across a broader 60-doc study), and a 1500-doc
+  fixture study found ZERO false pairs at the default
   ``max_hamming=6`` (the one ≤6 hit was an exact-duplicate text);
 - per-doc cost ~3 ms (2–5 frames of 32×32 encode+decode+hash) —
   the video_stats decode-bound class.
@@ -64,9 +65,10 @@ from .phash import _resample32, phash63
 from .video import split_mjpeg
 
 VFP_BITS = 63
-VFP_SIZE = 32            # native frame size = pHash's resample target
 VFP_FIELD = 8            # low-frequency field resolution before upsample
 VFP_QUALITY = 85
+# frames are natively phash.PHASH_SIZE (32×32) — _resample32's output
+# size — so the per-frame hash path is an exact identity resample
 
 
 def fingerprint_frames(text: str) -> np.ndarray:
@@ -98,14 +100,21 @@ def video_fp63(frame_hashes: Sequence[int]) -> int:
     return int(np.sum(np.int64(1) << bits.astype(np.int64)))
 
 
-def mjpeg_fp63(payload: bytes) -> int:
-    """Fingerprint of one raw MJPEG stream via the real frame split +
-    per-frame decode."""
+def frame_hashes(payload: bytes) -> list[int]:
+    """Per-frame pHashes of one raw MJPEG stream via the real frame
+    split + per-frame decode — the ONE decode-routing path shared by
+    ``mjpeg_fp63`` and the distributed ``fingerprint_payloads`` (so a
+    future routing change, e.g. progressive tiers, lands in both)."""
     hashes = []
     for frame in split_mjpeg(payload):
         w, h, c, pix = decode_baseline(frame)
         hashes.append(phash63(w, h, c, pix))
-    return video_fp63(hashes)
+    return hashes
+
+
+def mjpeg_fp63(payload: bytes) -> int:
+    """Fingerprint of one raw MJPEG stream."""
+    return video_fp63(frame_hashes(payload))
 
 
 VFP_SCHEMA = "doc_id long, source string, vfp long, n_frames long"
@@ -132,13 +141,9 @@ def fingerprint_payloads(batches: Iterator[pd.DataFrame]
     for pdf in batches:
         fps, nfs = [], []
         for payload in pdf["payload"]:
-            frames = split_mjpeg(bytes(payload))
-            hashes = []
-            for frame in frames:
-                w, h, c, pix = decode_baseline(frame)
-                hashes.append(phash63(w, h, c, pix))
+            hashes = frame_hashes(bytes(payload))
             fps.append(video_fp63(hashes))
-            nfs.append(len(frames))
+            nfs.append(len(hashes))
         yield pd.DataFrame({
             "doc_id": pd.Series(pdf["doc_id"], dtype="int64"),
             "source": pd.Series(pdf["source"], dtype="object"),

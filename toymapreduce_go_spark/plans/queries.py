@@ -1363,15 +1363,19 @@ ORACLES: dict[str, str] = {
                        AS BIGINT) AS checksum
             FROM words),
         corpus AS (
-            SELECT doc_id, source, md5(coalesce(text, '')) AS h
+            -- rid, not doc_id, is the per-row key: the Spark operator
+            -- scores every ROW, so a duplicated doc_id must not
+            -- collapse into one AND-of-8-positions group here
+            SELECT row_number() OVER (ORDER BY doc_id, source) AS rid,
+                   source, md5(coalesce(text, '')) AS h
             FROM documents WHERE doc_id % 97 <> 0),
         cpos AS (
-            SELECT doc_id, source,
+            SELECT rid, source,
                    (('0x' || substr(md5(j || h), 1, 15))::BIGINT)
                        % 245760 AS p
             FROM corpus, (SELECT unnest(['0','1','2','3']) AS j)),
         hits AS (
-            SELECT c.doc_id, c.source,
+            SELECT c.rid, c.source,
                    min(CASE WHEN w.bits IS NULL THEN 0
                             ELSE CAST((w.bits >> CAST(c.p % 60 AS INT))
                                       & 1 AS INT)
