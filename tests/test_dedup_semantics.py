@@ -494,3 +494,21 @@ def test_bloom_dedup_scoring_plan_is_scan_side(spark):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_bloom_screen_keeps_fresh_drops_repeats(spark):
+    """bloom_screen (the pipeline-facing form): prior repeats are
+    dropped with certainty, fresh docs survive (FP odds ~1e-9 at these
+    sizes), and the returned frame keeps the input schema."""
+    from toymapreduce_go_spark.operators.dedup import bloom_screen
+
+    prior = spark.createDataFrame(
+        [(1, "old", "seen before one"), (2, "old", "seen before two")],
+        "doc_id long, source string, text string")
+    docs = spark.createDataFrame(
+        [(10, "new", "seen before one"), (11, "new", "brand new doc a"),
+         (12, "new", "seen before two"), (13, "new", "brand new doc b")],
+        "doc_id long, source string, text string")
+    out = bloom_screen(docs, prior)
+    assert out.columns == docs.columns
+    assert sorted(r["doc_id"] for r in out.collect()) == [11, 13]

@@ -222,3 +222,28 @@ def test_pipeline_all_knobs_compose(spark, tmp_path):
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert counts[-1] > 0
     assert spark.read.parquet(out).count() == counts[-1]
+
+
+def test_pipeline_bloom_prior_screen(spark):
+    """--bloom-prior composition: documents whose content hash is in
+    the prior snapshot are dropped by the scan-side Bloom screen before
+    any other stage, and the funnel records the 0b stage in order."""
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter("doc_id < 200"))
+    # prior snapshot = 30 of those docs re-ingested under new doc_ids
+    prior = (docs.filter("doc_id < 30")
+             .select((F.col("doc_id") + 100000).alias("doc_id"),
+                     "source", "lang", "text", "n_chars"))
+    _, funnel = build_training_corpus(spark, SF_DIR, docs=docs,
+                                      prior_docs=prior)
+    stages = [(r["stage"], r["n_docs"]) for r in funnel.collect()]
+    names = [s for s, _ in stages]
+    assert names[:2] == ["0_raw", "0b_prior_screened"]
+    counts = dict(stages)
+    # every repeat of a prior text is gone (no false negatives); the
+    # fixture's planted near-dup GROUPS can make the drop exceed 30
+    # (byte-identical group members share the prior hash), never fall
+    # short of it
+    assert counts["0_raw"] - counts["0b_prior_screened"] >= 30
+    assert all(a >= b for (_, a), (_, b) in zip(stages, stages[1:]))
+    assert counts["4_packed"] > 0

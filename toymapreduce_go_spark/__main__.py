@@ -118,6 +118,12 @@ def main(argv: list[str] | None = None) -> None:
                    help="with --mask-spans: content-defined gram "
                         "sampling modulus p — shuffle volume /p, "
                         "bounded undercount (see pipeline.py)")
+    p.add_argument("--bloom-prior", metavar="PARQUET_DIR", default=None,
+                   help="with --corpus-build: drop docs whose content "
+                        "hash might already be in PARQUET_DIR's "
+                        "documents table (prior-snapshot Bloom screen, "
+                        "scan-side plan-literal bitmap — runs before "
+                        "every other stage)")
     p.add_argument("--n-splits", type=int, default=3,
                    help="with --stream-ingest: split the input into N "
                         "arrival batches (simulated arrival; production "
@@ -149,12 +155,14 @@ def main(argv: list[str] | None = None) -> None:
         from .session import build_session
         spark = build_session("corpus-build")
         spark.sparkContext.setLogLevel("ERROR")
+        prior = (spark.read.parquet(f"{args.bloom_prior}/documents.parquet")
+                 if args.bloom_prior else None)
         _, funnel = build_training_corpus(
             spark, args.corpus_build, out_path=args.out,
             mask_spans=args.mask_spans, span_k=args.span_k,
             span_sample_mod=args.span_sample_mod,
             lm_filter=args.lm_filter, dedup_lines=args.dedup_lines,
-            dsir_frac=args.dsir_select)
+            dsir_frac=args.dsir_select, prior_docs=prior)
         for r in funnel.collect():
             print(f"{r['stage']} {r['n_docs']}")
         return

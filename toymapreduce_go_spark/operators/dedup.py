@@ -1211,45 +1211,17 @@ def bloom_dedup(documents: DataFrame, prior_mod: int = 97,
     flags-only oracle would verify nothing — the checksum columns make
     the DuckDB value-hash pin the entire bitmap construction
     (positions, salting, packing) even when no document is flagged."""
-    m = m_words * BLOOM_WORD_BITS
     content = F.md5(F.coalesce(F.col("text"), F.lit("")))
     is_prior = F.pmod(F.col("doc_id"), F.lit(prior_mod)) == 0
-
-    def pos(j: int):
-        salted = F.md5(F.concat(F.lit(str(j)), F.col("h")))
-        return F.pmod(
-            F.conv(F.substring(salted, 1, 15), 16, 10).cast("long"),
-            F.lit(m))
-
     prior = (documents.filter(is_prior)
              .select(content.alias("h")).distinct())
-    word_rows = (
-        prior.select(F.explode(F.array(
-                 *[pos(j).alias("p") for j in range(k)])).alias("p"))
-        .groupBy((F.col("p") / BLOOM_WORD_BITS).cast("long").alias("w"))
-        .agg(F.expr(f"bit_or(shiftleft(1L, cast(p % {BLOOM_WORD_BITS} "
-                    "as int)))").alias("bits"))
-        .collect())
-    bitmap = [0] * m_words
-    for r in word_rows:
-        bitmap[int(r["w"])] = int(r["bits"])
-    arr = F.array(*[F.lit(b) for b in bitmap])
+    bitmap = build_bloom_bitmap(prior, m_words, k)
     bits_set = sum(bin(b).count("1") for b in bitmap)
     checksum = sum((w + 1) * bin(b).count("1")
                    for w, b in enumerate(bitmap))
-
     scored = (documents.filter(~is_prior)
               .select("doc_id", "source", content.alias("h")))
-    checks = []
-    for j in range(k):
-        p = pos(j)
-        word = F.element_at(arr, (p / BLOOM_WORD_BITS).cast("int") + 1)
-        checks.append(
-            F.call_function("shiftright", word,
-                            p.cast("int") % BLOOM_WORD_BITS)
-             .bitwiseAND(F.lit(1)) == 1)
-    import functools
-    flagged = functools.reduce(lambda a, b: a & b, checks)
+    flagged = bloom_member_expr(bitmap, k)
     return (scored.select("source", flagged.cast("int").alias("hit"))
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -1257,6 +1229,70 @@ def bloom_dedup(documents: DataFrame, prior_mod: int = 97,
             .withColumn("bloom_bits_set", F.lit(bits_set).cast("long"))
             .withColumn("bloom_checksum", F.lit(checksum).cast("long"))
             .orderBy("source"))
+
+
+def _bloom_pos(j: int, m: int):
+    """Salted bucket position for the content-hash column ``h``:
+    md5 re-hash with a literal digit prefix, 60-bit prefix mod m —
+    the construction the DuckDB oracle replays verbatim."""
+    salted = F.md5(F.concat(F.lit(str(j)), F.col("h")))
+    return F.pmod(
+        F.conv(F.substring(salted, 1, 15), 16, 10).cast("long"),
+        F.lit(m))
+
+
+def build_bloom_bitmap(prior_hashes: DataFrame, m_words: int = 4096,
+                       k: int = 4) -> list[int]:
+    """Bloom bitmap over a frame of content hashes (column ``h``): one
+    count-combinable ``bit_or`` aggregation, collected model-sized
+    (≤ m_words rows by construction)."""
+    m = m_words * BLOOM_WORD_BITS
+    word_rows = (
+        prior_hashes.select(F.explode(F.array(
+                 *[_bloom_pos(j, m).alias("p") for j in range(k)]))
+                 .alias("p"))
+        .groupBy((F.col("p") / BLOOM_WORD_BITS).cast("long").alias("w"))
+        .agg(F.expr(f"bit_or(shiftleft(1L, cast(p % {BLOOM_WORD_BITS} "
+                    "as int)))").alias("bits"))
+        .collect())
+    bitmap = [0] * m_words
+    for r in word_rows:
+        bitmap[int(r["w"])] = int(r["bits"])
+    return bitmap
+
+
+def bloom_member_expr(bitmap: list[int], k: int = 4):
+    """Scan-side membership test against the plan-literal bitmap for a
+    row's content-hash column ``h``: AND over the k salted bits."""
+    import functools
+    m = len(bitmap) * BLOOM_WORD_BITS
+    arr = F.array(*[F.lit(b) for b in bitmap])
+    checks = []
+    for j in range(k):
+        p = _bloom_pos(j, m)
+        word = F.element_at(arr, (p / BLOOM_WORD_BITS).cast("int") + 1)
+        checks.append(
+            F.call_function("shiftright", word,
+                            p.cast("int") % BLOOM_WORD_BITS)
+             .bitwiseAND(F.lit(1)) == 1)
+    return functools.reduce(lambda a, b: a & b, checks)
+
+
+def bloom_screen(documents: DataFrame, prior: DataFrame,
+                 m_words: int = 4096, k: int = 4) -> DataFrame:
+    """Drop every document whose content hash MIGHT already be in the
+    ``prior`` snapshot (Bloom semantics: every true repeat is dropped
+    with certainty; a false positive drops a fresh doc with probability
+    ~(1 − e^(−k·n/m))^k — size ``m_words`` to ~10 bits per prior key).
+    The ingest-screen form of ``bloom_dedup``: same construction, but
+    returns the surviving rows for pipeline composition instead of
+    per-source counts."""
+    content = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    prior_hashes = prior.select(content.alias("h")).distinct()
+    bitmap = build_bloom_bitmap(prior_hashes, m_words, k)
+    hit = bloom_member_expr(bitmap, k)
+    return (documents.withColumn("h", content)
+            .filter(~hit).drop("h"))
 
 
 # ---------------------------------------------------------------------------

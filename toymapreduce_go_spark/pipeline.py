@@ -2,6 +2,8 @@
 individual operator in this engine exists to serve:
 
     raw documents
+      → prior-snapshot Bloom screen    (optional; scan-side plan-literal
+                                        bitmap — drops re-ingested docs)
       → PII redaction                  (scan-side regex)
       → quality gates                  (length/alpha + Gopher repetition)
       → exact + near dedup             (LSH clusters → one survivor each)
@@ -40,7 +42,8 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
                           span_sample_mod: int | None = None,
                           lm_filter: bool = False,
                           dedup_lines: bool = False,
-                          dsir_frac: float | None = None
+                          dsir_frac: float | None = None,
+                          prior_docs: DataFrame | None = None
                           ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation funnel over ``sf_dir``'s documents table
     (or an explicit ``docs`` frame — the hook fault-injection and
@@ -61,6 +64,16 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
     stages: list[tuple[str, int]] = [("0_raw", docs.count())]
+
+    # 0b (optional). Prior-snapshot Bloom screen: drop docs already
+    # ingested in an earlier corpus build BEFORE any other stage runs —
+    # the bitmap is a plan literal, so this is the cheapest possible
+    # first gate (pure scan-side expression, no join, no shuffle) and
+    # at 100 TB it spares every downstream stage the re-ingested share.
+    if prior_docs is not None:
+        from .operators.dedup import bloom_screen
+        docs = bloom_screen(docs, prior_docs)
+        stages.append(("0b_prior_screened", docs.count()))
 
     # 1. PII redaction (doesn't drop docs; changes text BEFORE hashing
     # so dedup/contamination operate on what would actually be trained)
