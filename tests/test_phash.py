@@ -142,7 +142,9 @@ def test_phash_buckets_exact_dups_same_container(spark):
 
 def test_phash_pairs_invalid_blocks():
     with pytest.raises(ValueError):
-        image_phash_pairs(None, max_hamming=3)   # 4 does not divide 63
+        image_phash_pairs(None, max_hamming=9)   # no clean block at t=0
+    with pytest.raises(ValueError):
+        image_phash_pairs(None, n_blocks=8)      # 8 does not divide 63
 
 
 def test_phash_single_python_stage_no_pre_shuffle(spark):

@@ -274,22 +274,25 @@ def test_dup_span_interval_union_fold_property(spark, starts_sets):
 
 @given(sigs=st.lists(st.integers(0, (1 << 63) - 1),
                      min_size=2, max_size=14, unique=True),
-       max_hamming=st.sampled_from([2, 6, 8]))
+       decomp=st.sampled_from([(2, None), (6, None), (8, None),
+                               (6, 9), (2, 9), (8, 9)]))
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
-def test_hamming_block_pairs_matches_bruteforce(spark, sigs, max_hamming):
+def test_hamming_block_pairs_matches_bruteforce(spark, sigs, decomp):
     """The shared pigeonhole join (simhash / image_phash /
     audio_fingerprint / video_fingerprint pair tier) returns EXACTLY
-    the brute-force Hamming-≤k pairs — the block decomposition loses
-    nothing (pigeonhole: ≤k differing bits cannot touch all k+1
-    blocks) and the verify filter adds nothing."""
+    the brute-force Hamming-≤k pairs at every decomposition — the
+    default k+1 split AND the widened n_blocks variants that join on
+    block combinations (t = n_blocks − k clean blocks guaranteed);
+    neither loses a pair, and the verify filter adds nothing."""
     from toymapreduce_go_spark.operators.dedup import hamming_block_pairs
 
+    max_hamming, n_blocks = decomp
     df = spark.createDataFrame([(i, s) for i, s in enumerate(sigs)],
                                "doc_id long, sig long")
     got = {(r["doc_a"], r["doc_b"]): r["hamming"]
-           for r in hamming_block_pairs(df, "sig", 63,
-                                        max_hamming).collect()}
+           for r in hamming_block_pairs(df, "sig", 63, max_hamming,
+                                        n_blocks).collect()}
     want = {}
     for i in range(len(sigs)):
         for j in range(i + 1, len(sigs)):

@@ -88,7 +88,9 @@ def test_vfp_pairs_planted_duplicate_and_reencode(spark):
 
 def test_vfp_pairs_invalid_blocks():
     with pytest.raises(ValueError):
-        video_fingerprint_pairs(None, max_hamming=4)   # 5 ∤ 63
+        video_fingerprint_pairs(None, max_hamming=9)   # no clean block
+    with pytest.raises(ValueError):
+        video_fingerprint_pairs(None, n_blocks=8)      # 8 ∤ 63
 
 
 def test_vfp_single_python_stage_no_pre_shuffle(spark):

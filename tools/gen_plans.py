@@ -142,8 +142,10 @@ SHOWCASE: dict[str, str] = {
         "(PythonUDF subplans don't canonicalize equal, so without the "
         "cut Spark re-decodes per join side; the hash stage itself is "
         "plan-asserted shuffle-free in test_phash.py), then Generate "
-        "(the 7-block pigeonhole explode) into the block-value "
-        "equi-join for candidate pairs, and a single codegen'd "
+        "(the pigeonhole explode: 9 blocks of 7 bits at k=6, one packed "
+        "21-bit key per block TRIPLE — C(9,3)=84 keys, the Manku "
+        "multi-table widening that keeps candidates ~n²/50k instead of "
+        "n²/146) into the bucket-key equi-join, and a single codegen'd "
         "bit_count(xor) Filter verifying each candidate — never an "
         "all-pairs product."),
     "audio_fingerprint": (
@@ -166,10 +168,11 @@ SHOWCASE: dict[str, str] = {
         "Bag-of-frames video near-dup (r9). Look for: BOTH self-join "
         "sides scanning `ExistingRDD` — the MJPEG-split + per-frame "
         "pHash + majority-vote MapInPandas runs ONCE behind the shared "
-        "localCheckpoint lineage cut — then Generate (the 7-block "
-        "pigeonhole explode) into the 9-bit block-value equi-join and "
-        "one codegen'd bit_count(xor) Filter per candidate — never an "
-        "all-pairs product."),
+        "localCheckpoint lineage cut — then Generate (the "
+        "9-blocks-of-7-bits pigeonhole explode, one packed 21-bit key "
+        "per block triple, same decomposition as image_phash) into the "
+        "bucket-key equi-join and one codegen'd bit_count(xor) Filter "
+        "per candidate — never an all-pairs product."),
     "dataset_split": (
         "Content-keyed holdout split (r9). Look for: a scan-side "
         "Project (md5 + pmod + CASE — the whole assignment), ONE "

@@ -52,7 +52,30 @@ VARIANTS = {
         lambda d, dedup, ts, mm: ts.tfidf_summary(d),
     "unigram_tok":
         lambda d, dedup, ts, mm: _unitok().unigram_tok_stats(d),
+    # r9 multimodal dedup tiers: the decode-every-item linear class —
+    # prove the slope holds a third half-decade (no knobs by design)
+    "image_phash":
+        lambda d, dedup, ts, mm: _phash().image_phash_pairs(d),
+    "audio_fingerprint":
+        lambda d, dedup, ts, mm: _afp().audio_fingerprint_pairs(d),
+    "video_fingerprint":
+        lambda d, dedup, ts, mm: _vfp().video_fingerprint_pairs(d),
 }
+
+
+def _phash():
+    from toymapreduce_go_spark.multimodal import phash
+    return phash
+
+
+def _afp():
+    from toymapreduce_go_spark.multimodal import audiofp
+    return audiofp
+
+
+def _vfp():
+    from toymapreduce_go_spark.multimodal import videofp
+    return videofp
 
 
 def _unitok():

@@ -164,18 +164,26 @@ def image_phash_buckets(documents: DataFrame) -> DataFrame:
     )
 
 
+PHASH_N_BLOCKS = 9       # 7-bit blocks joined on triples at k=6: the
+                         # collision-rate knob — see hamming_block_pairs
+
+
 def image_phash_pairs(documents: DataFrame,
-                      max_hamming: int = 6) -> DataFrame:
+                      max_hamming: int = 6,
+                      n_blocks: int = PHASH_N_BLOCKS) -> DataFrame:
     """All image pairs with pHash Hamming distance ≤ max_hamming via
-    the shared pigeonhole block join (``dedup.hamming_block_pairs``:
-    63 bits → max_hamming+1 equal blocks; within distance k at least
-    one block matches exactly) — the image twin of
-    ``simhash_hamming_pairs``. Candidates are generated by a 9-bit
-    block-value equi-join, never all-pairs; one ``bit_count(xor)``
-    verifies each."""
+    the shared pigeonhole block join (``dedup.hamming_block_pairs``) —
+    the image twin of ``simhash_hamming_pairs``. 9 blocks of 7 bits
+    joined on block TRIPLES (t = 9 − 6 clean blocks guaranteed by
+    pigeonhole): the default max_hamming+1 split would join 63 bits on
+    9-bit values — only 512 buckets, candidates ∝ n²/146 (measured
+    153M candidates at 150k images) — where the C(9,3)=84 21-bit
+    triple keys cut that ~340×. Exact either way; one
+    ``bit_count(xor)`` verifies each candidate."""
     from ..operators.dedup import hamming_block_pairs, hamming_block_width
 
-    hamming_block_width(PHASH_BITS, max_hamming)   # fail before decoding
+    hamming_block_width(PHASH_BITS, max_hamming,
+                        n_blocks)                  # fail before decoding
     # Unlike simhash (codegen'd JVM expressions, cheap to recompute), the
     # decode+hash stage is ~1 ms/doc of Python — and Spark does not reuse
     # the exchange across the self-join sides (PythonUDF subplans don't
@@ -184,4 +192,5 @@ def image_phash_pairs(documents: DataFrame,
     # once and both join sides read it.
     sigs = (image_phashes(documents).select("doc_id", "phash")
             .localCheckpoint(eager=False))
-    return hamming_block_pairs(sigs, "phash", PHASH_BITS, max_hamming)
+    return hamming_block_pairs(sigs, "phash", PHASH_BITS, max_hamming,
+                               n_blocks)

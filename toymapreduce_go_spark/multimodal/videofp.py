@@ -162,15 +162,20 @@ def video_fingerprints(documents: DataFrame) -> DataFrame:
 
 
 def video_fingerprint_pairs(documents: DataFrame,
-                            max_hamming: int = 6) -> DataFrame:
+                            max_hamming: int = 6,
+                            n_blocks: int = 9) -> DataFrame:
     """All video pairs with fingerprint Hamming distance ≤ max_hamming
     via the shared pigeonhole block join — the video twin of
-    ``image_phash_pairs``. The default threshold 6 covers re-encodes
-    (≤ 3 bits) and single-frame drops (≤ 6 bits) with a measured zero
-    false-pair rate on the fixture (module docstring)."""
+    ``image_phash_pairs``, including its 9-blocks-of-7-bits /
+    join-on-triples decomposition (the k=6 collision-rate fix; see
+    ``phash.image_phash_pairs``). The default threshold 6 covers
+    re-encodes (≤ 3 bits) and single-frame drops (≤ 6 bits) with a
+    measured zero false-pair rate on the fixture (module docstring)."""
     from ..operators.dedup import hamming_block_pairs, hamming_block_width
 
-    hamming_block_width(VFP_BITS, max_hamming)   # fail before decoding
+    hamming_block_width(VFP_BITS, max_hamming,
+                        n_blocks)                # fail before decoding
     sigs = (video_fingerprints(documents).select("doc_id", "vfp")
             .localCheckpoint(eager=False))
-    return hamming_block_pairs(sigs, "vfp", VFP_BITS, max_hamming)
+    return hamming_block_pairs(sigs, "vfp", VFP_BITS, max_hamming,
+                               n_blocks)

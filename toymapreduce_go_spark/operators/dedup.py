@@ -584,56 +584,90 @@ def simhash_buckets_portable(documents: DataFrame) -> DataFrame:
     return simhash_buckets(documents, portable=True)
 
 
-def hamming_block_width(bits: int, max_hamming: int) -> int:
-    """Validate the pigeonhole decomposition — max_hamming+1 equal
-    blocks must tile the signature exactly — and return the block width
-    in bits. Callers with an expensive signature stage (image decode)
-    run this BEFORE building the signature frame so bad arguments fail
-    fast."""
-    n_blocks = max_hamming + 1
+def hamming_block_width(bits: int, max_hamming: int,
+                        n_blocks: int | None = None) -> int:
+    """Validate the pigeonhole decomposition — ``n_blocks`` equal
+    blocks (default max_hamming+1) must tile the signature exactly and
+    leave at least one clean block per qualifying pair — and return the
+    block width in bits. Callers with an expensive signature stage
+    (image decode) run this BEFORE building the signature frame so bad
+    arguments fail fast."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks={n_blocks} must exceed max_hamming={max_hamming} "
+            "(pigeonhole needs at least one clean block)")
     if bits % n_blocks:
         raise ValueError(
-            f"max_hamming+1={n_blocks} must divide the {bits}-bit "
+            f"n_blocks={n_blocks} must divide the {bits}-bit "
             "signature into equal blocks")
     return bits // n_blocks
 
 
 def hamming_block_pairs(sigs: DataFrame, sig_col: str, bits: int,
-                        max_hamming: int) -> DataFrame:
+                        max_hamming: int,
+                        n_blocks: int | None = None) -> DataFrame:
     """Pigeonhole block join over any packed-BIGINT signature column:
     all (doc_a, doc_b, hamming) pairs with Hamming distance ≤
-    max_hamming. Split the signature into max_hamming+1 equal bit-blocks
-    — any pair within distance k differs in at most k blocks, so at
-    least one block matches exactly. Join on (block_id, block_val), then
-    verify with bit_count(xor).
+    max_hamming. Split the signature into ``n_blocks`` equal bit-blocks
+    (default max_hamming+1): d ≤ max_hamming differing bits spoil at
+    most d blocks, so at least t = n_blocks − max_hamming blocks match
+    exactly — join on every t-combination of block values (one packed
+    BIGINT key per combination), then verify with bit_count(xor). EXACT
+    at any valid (n_blocks, max_hamming): pigeonhole guarantees no
+    false negatives, the verify filter removes false positives.
 
-    Scale: candidate generation is an equi-join on block values — docs
-    meet only when a block collides (corpus/2^width expected bucket size
-    per block), never all-pairs; the verify step is one codegen'd
-    bit_count per candidate. This is the standard Hamming-neighbor
-    decomposition (pigeonhole over signature blocks, as in
-    Manku et al.'s simhash dedup, WWW'07). One helper serves the text
-    tier (``simhash_hamming_pairs``) and the image tier
-    (``multimodal.phash.image_phash_pairs``).
+    Scale — ``n_blocks`` is THE collision-rate knob: with the default
+    t=1 the join key carries bits/(max_hamming+1) bits, and a narrow
+    key (image/video: 63 bits at k=6 → 9-bit blocks, 512 values) makes
+    candidates grow as n²·(k+1)/2^(width+1) — measured 153M candidates
+    at 150k docs. Raising n_blocks joins on t-combinations whose keys
+    carry t·width bits: 9 blocks of 7 bits at k=6 → C(9,3)=84 keys of
+    21 bits, candidates ∝ n²·84/2^22 — ~340× fewer — for an 84-row
+    (tiny) explode per doc. This is the multi-table generalization in
+    Manku et al.'s simhash dedup (WWW'07, §3). One helper serves the
+    text tier (``simhash_hamming_pairs``) and the image/audio/video
+    fingerprint tiers.
     """
-    width = hamming_block_width(bits, max_hamming)
-    n_blocks = max_hamming + 1
+    import itertools
+
+    width = hamming_block_width(bits, max_hamming, n_blocks)
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    t = n_blocks - max_hamming
     block_mask = (1 << width) - 1
+
+    def block_val(b: int):
+        return (F.shiftright(sig_col, b * width)
+                .bitwiseAND(F.lit(block_mask)))
+
+    # one packed BIGINT key per t-combination of blocks:
+    # combo_id · 2^(t·width) + v_b1 · 2^((t-1)·width) + ... + v_bt
+    combos = list(itertools.combinations(range(n_blocks), t))
+    if len(combos) > 512:
+        raise ValueError(
+            f"C({n_blocks},{t})={len(combos)} block combinations — the "
+            "per-doc explode would dominate; choose n_blocks closer to "
+            "max_hamming+1")
+    key_bits = (len(combos) - 1).bit_length() + t * width
+    if key_bits > 63:
+        raise ValueError(
+            f"packed bucket key needs {key_bits} bits (> 63); choose a "
+            "smaller n_blocks")
+    keys = []
+    for cid, combo in enumerate(combos):
+        key = F.lit(cid).cast("long")
+        for b in combo:
+            key = F.call_function(
+                "shiftleft", key, F.lit(width)).bitwiseOR(block_val(b))
+        keys.append(key)
     blocks = sigs.select(
         "doc_id", sig_col,
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("block_id"),
-                F.shiftright(sig_col, b * width)
-                 .bitwiseAND(F.lit(block_mask)).alias("block_val"),
-            )
-            for b in range(n_blocks)
-        ])).alias("blk"),
-    ).select("doc_id", sig_col, "blk.block_id", "blk.block_val")
+        F.explode(F.array(*keys)).alias("bucket_key"))
     a, b = blocks.alias("a"), blocks.alias("b")
     pairs = (
-        a.join(b, (F.col("a.block_id") == F.col("b.block_id"))
-               & (F.col("a.block_val") == F.col("b.block_val"))
+        a.join(b, (F.col("a.bucket_key") == F.col("b.bucket_key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
