@@ -156,6 +156,13 @@ SHOWCASE: dict[str, str] = {
         "explode at Hamming ≤ 2) into the 21-bit block-value equi-join, "
         "and one codegen'd bit_count(xor) Filter verifying each "
         "candidate — never an all-pairs product."),
+    "heavy_hitters": (
+        "CMS-gated exact frequent tokens (r9). Look for: NO Join — the "
+        "sketch is 4 plan-literal counter arrays; a scan-side Filter "
+        "computing least() of element_at lookups gates which tokens "
+        "reach the word HashAggregate, so the exact-count shuffle "
+        "carries candidates only; the final Filter is the exact "
+        "HAVING that makes the sketch provably invisible."),
     "bloom_dedup": (
         "Prior-snapshot Bloom dedup (r9). Look for: NO Join, NO Window, "
         "NO Python stage anywhere — the bitmap is a plan-literal array "

@@ -1300,7 +1300,8 @@ def bloom_member_expr(bitmap: list[int], k: int = 4):
     row's content-hash column ``h``: AND over the k salted bits."""
     import functools
     m = len(bitmap) * BLOOM_WORD_BITS
-    arr = F.array(*[F.lit(b) for b in bitmap])
+    # ONE array Literal (not 4096 Literal nodes) — flat analysis cost
+    arr = F.lit(bitmap)
     checks = []
     for j in range(k):
         p = _bloom_pos(j, m)

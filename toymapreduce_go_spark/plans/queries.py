@@ -129,6 +129,11 @@ def _video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_fingerprint_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import heavy_hitters
+    return heavy_hitters(load_table(spark, sf_dir, "documents"))
+
+
 def _video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.video import video_stats_query
     return video_stats_query(load_table(spark, sf_dir, "documents"))
@@ -218,6 +223,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": _q(textstats.stratified_sample_stats),
     "contamination_check": _q(dedup.contamination_check),
     "bloom_dedup": _q(dedup.bloom_dedup),
+    "heavy_hitters": _heavy_hitters,
     "pii_scrub": _q(textstats.pii_scrub),
     "sequence_packing": _q(packing.packing_stats),
     "near_dup_clusters": _q(dedup.near_dup_clusters_portable),
@@ -300,7 +306,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "ccnet_buckets", "training_shards", "bpe_stats",
                "dsir_importance", "tfidf", "unigram_tok",
                "semantic_dedup", "image_phash", "dataset_split",
-               "audio_fingerprint", "video_fingerprint", "bloom_dedup")
+               "audio_fingerprint", "video_fingerprint", "bloom_dedup",
+               "heavy_hitters")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1338,6 +1345,22 @@ ORACLES: dict[str, str] = {
                round(sum(CAST(round(top_bigram_frac * 10000) AS BIGINT))
                      / (count(*) * 10000.0), 4) AS avg_top_bigram_frac
         FROM per_doc GROUP BY source ORDER BY source
+    """,
+    # Heavy hitters: the Spark side routes through a Count-Min-Sketch
+    # candidate pass, but the final HAVING re-checks the EXACT count,
+    # so the result provably equals the naive form — which is what the
+    # oracle runs (ceil via integer (n*milli+999)//1000).
+    "heavy_hitters": """
+        WITH tok AS (
+            SELECT unnest(list_filter(
+                       string_split_regex(text, '[^a-zA-Z]+'),
+                       t -> length(t) > 0)) AS word
+            FROM documents),
+        tot AS (SELECT count(*) AS n FROM tok)
+        SELECT word, count(*) AS n_occurrences
+        FROM tok GROUP BY word
+        HAVING count(*) >= (SELECT (n * 5 + 999) // 1000 FROM tot)
+        ORDER BY n_occurrences DESC, word
     """,
     # Bloom-filter prior-snapshot dedup: the bitmap construction (salted
     # md5 positions into 60-bit-packed BIGINT words — 60 so the shift
