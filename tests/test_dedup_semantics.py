@@ -512,3 +512,65 @@ def test_bloom_screen_keeps_fresh_drops_repeats(spark):
     out = bloom_screen(docs, prior)
     assert out.columns == docs.columns
     assert sorted(r["doc_id"] for r in out.collect()) == [11, 13]
+
+
+def test_vs_prior_is_cross_split_subset_of_full_near_dedup(spark):
+    """near_dedup_vs_prior_split must report EXACTLY the cross-corpus
+    subset of the full near_dedup_minhash pair set — same banding, same
+    estimate, restricted to (archive, batch) pairs — with identical
+    est_jaccard values (both run the portable signature path)."""
+    from toymapreduce_go_spark.operators.dedup import (
+        near_dedup_minhash_portable, near_dedup_vs_prior_split)
+    from toymapreduce_go_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    full = near_dedup_minhash_portable(docs).collect()
+    expected = {}
+    for r in full:
+        a_prior, b_prior = r.doc_a % 3 == 0, r.doc_b % 3 == 0
+        if a_prior and not b_prior:
+            expected[(r.doc_b, r.doc_a)] = r.est_jaccard
+        elif b_prior and not a_prior:
+            expected[(r.doc_a, r.doc_b)] = r.est_jaccard
+    got = {(r.doc_id, r.prior_id): r.est_jaccard
+           for r in near_dedup_vs_prior_split(docs).collect()}
+    assert expected, "fixture should contain cross-split near-duplicates"
+    assert got == expected
+
+
+def test_vs_prior_planted_batch_near_dup_of_archive(spark):
+    """Planted contract: a batch doc that shares most shingles with an
+    archive doc is reported (doc_id = the batch side, prior_id = the
+    archive side); fresh batch docs and archive-internal duplicates are
+    not — the operator is cross-corpus only by design."""
+    from toymapreduce_go_spark.operators.dedup import near_dedup_vs_prior
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    prior = spark.createDataFrame(
+        [(1, "arch", base), (2, "arch", base),  # archive-internal dup pair
+         (3, "arch", "completely different archive payload here today")],
+        "doc_id long, source string, text string")
+    batch = spark.createDataFrame(
+        [(10, "new", base + " phi"),            # near-dup of 1 and 2
+         (11, "new", "a genuinely fresh never seen batch document")],
+        "doc_id long, source string, text string")
+    rows = near_dedup_vs_prior(batch, prior).collect()
+    got = {(r.doc_id, r.prior_id) for r in rows}
+    assert got == {(10, 1), (10, 2)}
+    assert all(r.est_jaccard >= 0.5 for r in rows)
+
+
+def test_vs_prior_plan_has_no_python_stage_or_cartesian(spark):
+    """Plan contract: the whole vs-prior pipeline — signatures, banding,
+    index probe, estimate — is pure JVM SQL (portable md5 signatures, no
+    Python workers) and every join is keyed (no cartesian blow-up)."""
+    from test_explain_plans import plan_of
+
+    from toymapreduce_go_spark.operators.dedup import near_dedup_vs_prior_split
+    from toymapreduce_go_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(near_dedup_vs_prior_split(docs))
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -247,3 +247,43 @@ def test_pipeline_bloom_prior_screen(spark):
     assert counts["0_raw"] - counts["0b_prior_screened"] >= 30
     assert all(a >= b for (_, a), (_, b) in zip(stages, stages[1:]))
     assert counts["4_packed"] > 0
+
+
+def test_pipeline_near_prior_screen(spark):
+    """--near-prior composition: batch docs that are near-duplicates of
+    the prior snapshot (not just byte-identical — the Bloom screen's
+    job) are dropped by the band-index probe, the funnel records the
+    0c stage in order, and fresh docs ride through untouched."""
+    import pytest
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter("doc_id < 200"))
+    # prior snapshot: 20 docs re-ingested VERBATIM (Bloom's catch) plus
+    # 20 docs re-ingested with one word appended (near-dup only — a
+    # changed hash sails through Bloom; only the band probe catches it)
+    verbatim = (docs.filter("doc_id < 20")
+                .select((F.col("doc_id") + 100000).alias("doc_id"),
+                        "source", "lang", "text", "n_chars"))
+    edited = (docs.filter("doc_id >= 20 AND doc_id < 40")
+              .select((F.col("doc_id") + 200000).alias("doc_id"),
+                      "source", "lang",
+                      F.concat(F.col("text"), F.lit(" zzedit"))
+                      .alias("text"), "n_chars"))
+    prior = verbatim.unionByName(edited)
+    _, funnel = build_training_corpus(spark, SF_DIR, docs=docs,
+                                      prior_docs=prior, near_prior=True)
+    stages = [(r["stage"], r["n_docs"]) for r in funnel.collect()]
+    names = [s for s, _ in stages]
+    assert names[:3] == ["0_raw", "0b_prior_screened",
+                         "0c_near_prior_screened"]
+    counts = dict(stages)
+    # Bloom drops at least the 20 verbatim repeats; the near screen
+    # then drops at least the 20 edited ones (est-Jaccard ~1 for a
+    # one-word edit on a 40+-token doc)
+    assert counts["0_raw"] - counts["0b_prior_screened"] >= 20
+    assert counts["0b_prior_screened"] - counts["0c_near_prior_screened"] >= 20
+    assert all(a >= b for (_, a), (_, b) in zip(stages, stages[1:]))
+    assert counts["4_packed"] > 0
+
+    with pytest.raises(ValueError, match="near_prior"):
+        build_training_corpus(spark, SF_DIR, docs=docs, near_prior=True)

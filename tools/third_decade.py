@@ -52,6 +52,9 @@ VARIANTS = {
         lambda d, dedup, ts, mm: ts.tfidf_summary(d),
     "unigram_tok":
         lambda d, dedup, ts, mm: _unitok().unigram_tok_stats(d),
+    # r9 incremental batch near-dedup: pair-join op → third-decade rule
+    "near_dedup_vs_prior":
+        lambda d, dedup, ts, mm: dedup.near_dedup_vs_prior_split(d),
     # r9 multimodal dedup tiers: the decode-every-item linear class —
     # prove the slope holds a third half-decade (no knobs by design)
     "image_phash":

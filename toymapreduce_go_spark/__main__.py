@@ -124,6 +124,12 @@ def main(argv: list[str] | None = None) -> None:
                         "documents table (prior-snapshot Bloom screen, "
                         "scan-side plan-literal bitmap — runs before "
                         "every other stage)")
+    p.add_argument("--near-prior", action="store_true",
+                   help="with --corpus-build and --bloom-prior: also "
+                        "drop docs that are NEAR-duplicates of the "
+                        "prior snapshot (one batch-sized bucket join "
+                        "against the archive's band index — the "
+                        "archive is never re-scanned)")
     p.add_argument("--n-splits", type=int, default=3,
                    help="with --stream-ingest: split the input into N "
                         "arrival batches (simulated arrival; production "
@@ -162,7 +168,8 @@ def main(argv: list[str] | None = None) -> None:
             mask_spans=args.mask_spans, span_k=args.span_k,
             span_sample_mod=args.span_sample_mod,
             lm_filter=args.lm_filter, dedup_lines=args.dedup_lines,
-            dsir_frac=args.dsir_select, prior_docs=prior)
+            dsir_frac=args.dsir_select, prior_docs=prior,
+            near_prior=args.near_prior)
         for r in funnel.collect():
             print(f"{r['stage']} {r['n_docs']}")
         return

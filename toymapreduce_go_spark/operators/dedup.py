@@ -1449,3 +1449,127 @@ def apply_near_dedup(documents: DataFrame, n: int = 3,
     losers = comp.filter(F.col("doc_id") != F.col("cluster_id")) \
         .select("doc_id")
     return documents.join(losers, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# 11. Incremental batch near-dedup against a prior archive
+#
+# The batch twin of streaming/dedup_stream.py: "which of today's crawl
+# documents are near-duplicates of ANYTHING already in the archive" —
+# without ever re-shuffling the archive's corpus. The reference's closest
+# surface is re-running its whole wordcount-style job over old+new input
+# together (mrapps have no incremental form; cmd/mrcoordinator/main.go
+# takes a fixed file list); here the archive participates only through
+# its band INDEX.
+
+
+def prior_band_index(prior: DataFrame, n: int = 3,
+                     n_hashes: int = N_HASHES,
+                     n_bands: int = N_BANDS) -> tuple[DataFrame, DataFrame]:
+    """(band_index, sigs) for an archive corpus — the portable-MinHash
+    band rows ``(band_id, band_hash, prior_id)`` plus the per-doc
+    signature table. In production BOTH are parquet tables written ONCE
+    when a snapshot is ingested (the band index bucketed by
+    ``(band_id, band_hash)``, the sig table by doc_id) and only READ by
+    every later batch — the archive's raw text never participates in an
+    incremental run. Here they are derived frames over the fixture so the
+    DuckDB oracle can replay the whole construction."""
+    rows_per_band = n_hashes // n_bands
+    sig = persist_shared(minhash_signatures_portable(prior, n, n_hashes))
+
+    def band_key(b: int):
+        return F.concat_ws(",", *[
+            F.col("sig")[b * rows_per_band + r].cast("string")
+            for r in range(rows_per_band)])
+
+    idx = _banded(sig, band_key, n_bands).select(
+        "band_id", "band_hash", F.col("doc_id").alias("prior_id"))
+    return idx, sig
+
+
+def near_dedup_vs_prior(batch: DataFrame, prior: DataFrame, n: int = 3,
+                        threshold: float = 0.5,
+                        n_hashes: int = N_HASHES,
+                        n_bands: int = N_BANDS) -> DataFrame:
+    """Near-duplicate pairs (doc_id, prior_id, est_jaccard) between a new
+    BATCH corpus and a PRIOR archive: portable MinHash signatures on the
+    batch (scan-side projection, see ``minhash_signatures_portable``),
+    band rows joined against the archive's band index, estimated Jaccard
+    (fraction of agreeing minhashes — ``est_jaccard_expr``, the same
+    verification the streaming tier applies) kept at ≥ ``threshold``.
+
+    100 TB shape — why this is the incremental-ingest path:
+    - The archive contributes ONLY its band index and sig table
+      (``prior_band_index``), both ~0.5 KB/doc metadata written once at
+      snapshot time. A day's incremental run shuffles the BATCH's band
+      rows (batch-sized) into a join against the stored index; the
+      archive corpus itself is never re-scanned, re-hashed, or
+      re-shuffled. Cost per batch is O(batch × bands) + index probe —
+      independent of how many batches came before, the same property
+      the streaming tier measures (SCALE.md, sf1 growing-index run).
+    - Batch-vs-batch duplicates are a separate ``near_dedup_minhash``
+      pass over the (small) batch alone; this operator is deliberately
+      cross-corpus only, so its join never goes quadratic on an
+      archive-internal boilerplate cluster.
+    - A hot band bucket (giant boilerplate cluster in the archive) fans
+      out batch probes linearly — each batch row meets the bucket's
+      members — not quadratically; the ``max_bucket_size`` cap of
+      ``minhash_band_pairs`` applies to the index build if even that
+      linear fan-out needs bounding.
+    """
+    bidx, psig = prior_band_index(prior, n, n_hashes, n_bands)
+    rows_per_band = n_hashes // n_bands
+    bsig = persist_shared(minhash_signatures_portable(batch, n, n_hashes))
+
+    def band_key(b: int):
+        return F.concat_ws(",", *[
+            F.col("sig")[b * rows_per_band + r].cast("string")
+            for r in range(rows_per_band)])
+
+    probe = _banded(bsig, band_key, n_bands)
+    cand = (probe.join(bidx, ["band_id", "band_hash"])
+            .select("doc_id", "prior_id")
+            .dropDuplicates(["doc_id", "prior_id"]))
+    # Signatures re-attach from the per-doc tables (corpus-sized, not
+    # pair-sized) — band rows never carry the 64-long array through the
+    # bucket join, the same discipline as minhash_band_pairs.
+    cand = (cand
+            .join(psig.select(F.col("doc_id").alias("prior_id"),
+                              F.col("sig").alias("sig_a")), "prior_id")
+            .join(bsig.select("doc_id", F.col("sig").alias("sig_b")),
+                  "doc_id"))
+    # k/n_hashes with n_hashes a power of two is an exact dyadic double
+    # (near_dedup_minhash's portable convention) — no rounding, the
+    # DuckDB value-hash compares raw doubles.
+    est = est_jaccard_expr("sig_a", "sig_b", n_hashes)
+    return (cand.withColumn("est_jaccard", est)
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("doc_id", "prior_id", "est_jaccard")
+            .orderBy("doc_id", "prior_id"))
+
+
+def screen_vs_prior(batch: DataFrame, prior: DataFrame, n: int = 3,
+                    threshold: float = 0.5) -> DataFrame:
+    """The materializing form: batch docs that are NOT near-duplicates
+    of anything in the prior archive (input schema preserved). The
+    incremental-ingest complement of ``bloom_screen``: Bloom catches
+    exact re-ingests scan-side, this catches lightly-edited ones with
+    one batch-sized bucket join against the archive's band index. The
+    anti-join key set is match-sized (docs that hit the archive), not
+    corpus-sized — untouched batch docs are never shuffled by it."""
+    hits = (near_dedup_vs_prior(batch, prior, n=n, threshold=threshold)
+            .select("doc_id").distinct())
+    return batch.join(hits, "doc_id", "left_anti")
+
+
+def near_dedup_vs_prior_split(documents: DataFrame, prior_mod: int = 3,
+                              n: int = 3, threshold: float = 0.5
+                              ) -> DataFrame:
+    """Fixture-facing form: the deterministic slice ``doc_id % prior_mod
+    == 0`` plays the archive (the ``bloom_dedup`` convention — exactly
+    reproducible in the DuckDB oracle), the rest is today's batch.
+    Production passes two real corpora to ``near_dedup_vs_prior``."""
+    is_prior = F.pmod(F.col("doc_id"), F.lit(prior_mod)) == 0
+    return near_dedup_vs_prior(documents.filter(~is_prior),
+                               documents.filter(is_prior),
+                               n=n, threshold=threshold)

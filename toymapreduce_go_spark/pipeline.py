@@ -4,6 +4,9 @@ individual operator in this engine exists to serve:
     raw documents
       → prior-snapshot Bloom screen    (optional; scan-side plan-literal
                                         bitmap — drops re-ingested docs)
+      → near-dup screen vs prior       (optional; batch-sized probe of
+                                        the archive's band index — drops
+                                        lightly-edited re-ingests)
       → PII redaction                  (scan-side regex)
       → quality gates                  (length/alpha + Gopher repetition)
       → exact + near dedup             (LSH clusters → one survivor each)
@@ -43,7 +46,8 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
                           lm_filter: bool = False,
                           dedup_lines: bool = False,
                           dsir_frac: float | None = None,
-                          prior_docs: DataFrame | None = None
+                          prior_docs: DataFrame | None = None,
+                          near_prior: bool = False
                           ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation funnel over ``sf_dir``'s documents table
     (or an explicit ``docs`` frame — the hook fault-injection and
@@ -74,6 +78,19 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
         from .operators.dedup import bloom_screen
         docs = bloom_screen(docs, prior_docs)
         stages.append(("0b_prior_screened", docs.count()))
+
+    # 0c (optional). Near-dup screen vs the prior archive: the Bloom
+    # gate above catches byte-identical re-ingests; this catches
+    # lightly-edited ones with ONE batch-sized bucket join against the
+    # archive's band index (near_dedup_vs_prior — the archive corpus is
+    # never re-scanned). localCheckpoint for the same lineage-depth
+    # reason as the later optional stages.
+    if near_prior:
+        if prior_docs is None:
+            raise ValueError("near_prior requires prior_docs")
+        from .operators.dedup import screen_vs_prior
+        docs = screen_vs_prior(docs, prior_docs).localCheckpoint()
+        stages.append(("0c_near_prior_screened", docs.count()))
 
     # 1. PII redaction (doesn't drop docs; changes text BEFORE hashing
     # so dedup/contamination operate on what would actually be trained)

@@ -223,6 +223,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": _q(textstats.stratified_sample_stats),
     "contamination_check": _q(dedup.contamination_check),
     "bloom_dedup": _q(dedup.bloom_dedup),
+    "near_dedup_vs_prior": _q(dedup.near_dedup_vs_prior_split),
     "heavy_hitters": _heavy_hitters,
     "pii_scrub": _q(textstats.pii_scrub),
     "sequence_packing": _q(packing.packing_stats),
@@ -307,7 +308,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "dsir_importance", "tfidf", "unigram_tok",
                "semantic_dedup", "image_phash", "dataset_split",
                "audio_fingerprint", "video_fingerprint", "bloom_dedup",
-               "heavy_hitters")
+               "heavy_hitters", "near_dedup_vs_prior")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -466,6 +467,35 @@ def _minhash_oracle_sql(n: int = 3, n_hashes: int = 64, n_bands: int = 16,
                        JOIN sigs sb ON sb.doc_id = doc_b)
         SELECT doc_a, doc_b, est_jaccard FROM est
         WHERE est_jaccard >= {threshold} ORDER BY doc_a, doc_b
+    """
+
+
+def _vs_prior_oracle_sql(n: int = 3, n_hashes: int = 64, n_bands: int = 16,
+                         threshold: float = 0.5, prior_mod: int = 3) -> str:
+    """Generated DuckDB twin of ``dedup.near_dedup_vs_prior_split``: the
+    SAME portable banding CTEs, but candidate pairs are cross-corpus only
+    — archive slice (doc_id % prior_mod = 0) joined against the batch
+    slice — then the agreement-fraction estimate. The shared ``pairs``
+    CTE goes unused here (DuckDB inlines CTEs; unreferenced ones cost
+    nothing)."""
+    return f"""
+        WITH {_minhash_band_ctes(n, n_hashes, n_bands)},
+        xpairs AS (
+            SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS prior_id
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id % {prior_mod} = 0
+             AND b.doc_id % {prior_mod} <> 0),
+        est AS (
+            SELECT xpairs.doc_id AS doc_id, xpairs.prior_id AS prior_id,
+                   list_sum(list_transform(range(1, {n_hashes + 1}),
+                       i -> CASE WHEN sa.sig[i] = sb.sig[i]
+                                 THEN 1 ELSE 0 END))::DOUBLE
+                   / {float(n_hashes)} AS est_jaccard
+            FROM xpairs JOIN sigs sa ON sa.doc_id = xpairs.prior_id
+                        JOIN sigs sb ON sb.doc_id = xpairs.doc_id)
+        SELECT doc_id, prior_id, est_jaccard FROM est
+        WHERE est_jaccard >= {threshold} ORDER BY doc_id, prior_id
     """
 
 
@@ -1684,6 +1714,7 @@ ORACLES: dict[str, str] = {
     # value-checked — same literal permutation coefficients inlined in
     # both plans.
     "near_dedup_minhash": _minhash_oracle_sql(),
+    "near_dedup_vs_prior": _vs_prior_oracle_sql(),
     "near_dup_clusters": _clusters_oracle_sql(),
     # ANN with literal models (seeded hyperplanes / lowest-vec_id
     # centroids): deterministic, so fully value-checked — buckets, cell
