@@ -186,6 +186,15 @@ SHOWCASE: dict[str, str] = {
         "partial+final HashAggregate pair on the ≤ 3×sources key "
         "space, and NOTHING else — no join, no window, no Python "
         "stage; the corpus is read once and reduced immediately."),
+    "near_dedup_vs_prior": (
+        "Incremental batch near-dedup vs a prior archive (r9). Look "
+        "for: two `InMemoryTableScan`s (the archive's and the batch's "
+        "persisted signature tables — at 100 TB the archive side is a "
+        "STORED parquet index instead), band rows carrying only "
+        "(doc_id, band_id, band_hash) into ONE bucket equi-join — the "
+        "64-long sig arrays re-attach afterwards from the per-doc "
+        "tables — and no Python stage anywhere (portable md5 "
+        "signatures are pure JVM SQL)."),
 }
 
 
