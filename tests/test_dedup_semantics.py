@@ -574,3 +574,28 @@ def test_vs_prior_plan_has_no_python_stage_or_cartesian(spark):
     plan = plan_of(near_dedup_vs_prior_split(docs))
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_vs_prior_index_cap_bounds_hot_bucket_keeps_screen_recall(spark):
+    """max_bucket_size on the archive index: a giant identical cluster
+    (same signature → same bucket in every band) is capped to its
+    lowest prior_ids, so the probe fan-out is bounded — but the batch
+    doc still verifies against the kept representative (identical sigs),
+    so the screen never misses the hot case the cap exists for."""
+    from toymapreduce_go_spark.operators.dedup import near_dedup_vs_prior
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    prior = spark.createDataFrame(
+        [(i, "arch", base) for i in range(1, 9)],  # 8 identical docs
+        "doc_id long, source string, text string")
+    batch = spark.createDataFrame(
+        [(10, "new", base + " phi")],
+        "doc_id long, source string, text string")
+    uncapped = {(r.doc_id, r.prior_id)
+                for r in near_dedup_vs_prior(batch, prior).collect()}
+    assert uncapped == {(10, i) for i in range(1, 9)}
+    capped = {(r.doc_id, r.prior_id)
+              for r in near_dedup_vs_prior(batch, prior,
+                                           max_bucket_size=1).collect()}
+    assert capped == {(10, 1)}

@@ -188,9 +188,10 @@ SHOWCASE: dict[str, str] = {
         "stage; the corpus is read once and reduced immediately."),
     "near_dedup_vs_prior": (
         "Incremental batch near-dedup vs a prior archive (r9). Look "
-        "for: two `InMemoryTableScan`s (the archive's and the batch's "
-        "persisted signature tables — at 100 TB the archive side is a "
-        "STORED parquet index instead), band rows carrying only "
+        "for: two persisted signature relations (the archive's and the "
+        "batch's), each read twice via `InMemoryTableScan` — band rows "
+        "+ sig re-attach; at 100 TB the archive side is a STORED "
+        "parquet index instead — band rows carrying only "
         "(doc_id, band_id, band_hash) into ONE bucket equi-join — the "
         "64-long sig arrays re-attach afterwards from the per-doc "
         "tables — and no Python stage anywhere (portable md5 "

@@ -135,6 +135,9 @@ def main(argv: list[str] | None = None) -> None:
                         "arrival batches (simulated arrival; production "
                         "points the stream at a landing directory)")
     args = p.parse_args(argv)
+    if args.near_prior and not args.bloom_prior:
+        p.error("--near-prior requires --bloom-prior (the prior "
+                "snapshot directory supplies the archive)")
 
     if args.stream_ingest:
         from .session import build_session

@@ -375,6 +375,25 @@ def band_rows(sig: DataFrame, n_hashes: int = N_HASHES,
     return _banded(sig, band_key, n_bands)
 
 
+def portable_band_rows(sig: DataFrame, n_hashes: int = N_HASHES,
+                       n_bands: int = N_BANDS) -> DataFrame:
+    """Portable band rows: exact slice-tuple equality as a CSV string —
+    the form the DuckDB oracle replays with ``array_to_string`` —
+    collision-free by construction (the production ``band_rows`` hashes
+    to 8 bytes instead to keep the bucket-join shuffle narrow). The ONE
+    definition shared by ``minhash_band_pairs(portable=True)``,
+    ``prior_band_index``, and ``near_dedup_vs_prior``, so the banding
+    stays bit-identical across all three and the generated oracles."""
+    rows_per_band = n_hashes // n_bands
+
+    def band_key(b: int):
+        return F.concat_ws(",", *[
+            F.col("sig")[b * rows_per_band + r].cast("string")
+            for r in range(rows_per_band)])
+
+    return _banded(sig, band_key, n_bands)
+
+
 def minhash_band_pairs(documents: DataFrame, n: int = 3,
                        n_hashes: int = N_HASHES,
                        n_bands: int = N_BANDS,
@@ -398,29 +417,16 @@ def minhash_band_pairs(documents: DataFrame, n: int = 3,
     representative row per band), so the hot key costs O(bucket log
     bucket) for the window + O(bucket) pairs instead of O(bucket²).
     """
-    rows_per_band = n_hashes // n_bands
     if portable:
         sig = persist_shared(minhash_signatures_portable(documents, n, n_hashes))
-
-        def band_key(b: int):
-            # exact 4-tuple equality as a CSV string — portable to the
-            # DuckDB oracle (array_to_string), collision-free by
-            # construction; the production variant hashes to 8 bytes
-            # instead to keep the bucket-join shuffle narrow
-            return F.concat_ws(",", *[
-                F.col("sig")[b * rows_per_band + r].cast("string")
-                for r in range(rows_per_band)])
+        banded = portable_band_rows(sig, n_hashes, n_bands)
     else:
         sig = persist_shared(minhash_signatures(documents, n, n_hashes))
-
-        def band_key(b: int):
-            return F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)])
+        banded = band_rows(sig, n_hashes, n_bands)
     # Band rows carry ONLY (doc_id, band_id, band_hash): the 64-long
     # signature array never rides the self-join / pair-dedup shuffles
     # (that tripled shuffle bytes); signatures re-attach afterwards from
     # the per-doc sig table, which is corpus-sized, not pair-sized.
-    banded = _banded(sig, band_key, n_bands)
     dropped_pairs = None
     if max_bucket_size is not None:
         wb = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
@@ -1465,7 +1471,9 @@ def apply_near_dedup(documents: DataFrame, n: int = 3,
 
 def prior_band_index(prior: DataFrame, n: int = 3,
                      n_hashes: int = N_HASHES,
-                     n_bands: int = N_BANDS) -> tuple[DataFrame, DataFrame]:
+                     n_bands: int = N_BANDS,
+                     max_bucket_size: int | None = None
+                     ) -> tuple[DataFrame, DataFrame]:
     """(band_index, sigs) for an archive corpus — the portable-MinHash
     band rows ``(band_id, band_hash, prior_id)`` plus the per-doc
     signature table. In production BOTH are parquet tables written ONCE
@@ -1473,24 +1481,30 @@ def prior_band_index(prior: DataFrame, n: int = 3,
     ``(band_id, band_hash)``, the sig table by doc_id) and only READ by
     every later batch — the archive's raw text never participates in an
     incremental run. Here they are derived frames over the fixture so the
-    DuckDB oracle can replay the whole construction."""
-    rows_per_band = n_hashes // n_bands
+    DuckDB oracle can replay the whole construction.
+
+    ``max_bucket_size`` caps each (band_id, band_hash) bucket at its
+    lowest prior_ids, bounding a hot bucket's probe fan-out (a giant
+    identical-boilerplate cluster in the archive). Screen recall is
+    preserved for exactly that hot case — identical docs have identical
+    signatures, so any kept representative verifies in the kept member's
+    place; a MIXED over-full bucket can lose the one true near-dup, so
+    the cap is off by default and the declared query runs uncapped."""
     sig = persist_shared(minhash_signatures_portable(prior, n, n_hashes))
-
-    def band_key(b: int):
-        return F.concat_ws(",", *[
-            F.col("sig")[b * rows_per_band + r].cast("string")
-            for r in range(rows_per_band)])
-
-    idx = _banded(sig, band_key, n_bands).select(
+    idx = portable_band_rows(sig, n_hashes, n_bands).select(
         "band_id", "band_hash", F.col("doc_id").alias("prior_id"))
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band_id", "band_hash").orderBy("prior_id")
+        idx = (idx.withColumn("_bn", F.row_number().over(wb))
+               .filter(F.col("_bn") <= max_bucket_size).drop("_bn"))
     return idx, sig
 
 
 def near_dedup_vs_prior(batch: DataFrame, prior: DataFrame, n: int = 3,
                         threshold: float = 0.5,
                         n_hashes: int = N_HASHES,
-                        n_bands: int = N_BANDS) -> DataFrame:
+                        n_bands: int = N_BANDS,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Near-duplicate pairs (doc_id, prior_id, est_jaccard) between a new
     BATCH corpus and a PRIOR archive: portable MinHash signatures on the
     batch (scan-side projection, see ``minhash_signatures_portable``),
@@ -1513,20 +1527,14 @@ def near_dedup_vs_prior(batch: DataFrame, prior: DataFrame, n: int = 3,
       archive-internal boilerplate cluster.
     - A hot band bucket (giant boilerplate cluster in the archive) fans
       out batch probes linearly — each batch row meets the bucket's
-      members — not quadratically; the ``max_bucket_size`` cap of
-      ``minhash_band_pairs`` applies to the index build if even that
-      linear fan-out needs bounding.
+      members — not quadratically; ``max_bucket_size`` (threaded to
+      ``prior_band_index``) caps the index side if even that linear
+      fan-out needs bounding.
     """
-    bidx, psig = prior_band_index(prior, n, n_hashes, n_bands)
-    rows_per_band = n_hashes // n_bands
+    bidx, psig = prior_band_index(prior, n, n_hashes, n_bands,
+                                  max_bucket_size)
     bsig = persist_shared(minhash_signatures_portable(batch, n, n_hashes))
-
-    def band_key(b: int):
-        return F.concat_ws(",", *[
-            F.col("sig")[b * rows_per_band + r].cast("string")
-            for r in range(rows_per_band)])
-
-    probe = _banded(bsig, band_key, n_bands)
+    probe = portable_band_rows(bsig, n_hashes, n_bands)
     cand = (probe.join(bidx, ["band_id", "band_hash"])
             .select("doc_id", "prior_id")
             .dropDuplicates(["doc_id", "prior_id"]))
