@@ -599,3 +599,69 @@ def test_vs_prior_index_cap_bounds_hot_bucket_keeps_screen_recall(spark):
               for r in near_dedup_vs_prior(batch, prior,
                                            max_bucket_size=1).collect()}
     assert capped == {(10, 1)}
+
+
+def test_vs_index_roundtrip_matches_derived_frame_path(spark, tmp_path):
+    """The parquet-persisted index (write_prior_index →
+    near_dedup_vs_index) must report exactly what the derived-frame
+    path (near_dedup_vs_prior) reports — persistence is transparent."""
+    from toymapreduce_go_spark.operators.dedup import (
+        near_dedup_vs_index, near_dedup_vs_prior, write_prior_index)
+    from toymapreduce_go_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    prior = docs.filter("doc_id % 3 = 0")
+    batch = docs.filter("doc_id % 3 <> 0")
+    direct = [tuple(r) for r in near_dedup_vs_prior(batch, prior).collect()]
+    assert direct, "fixture should contain cross-split near-duplicates"
+    path = str(tmp_path / "idx")
+    write_prior_index(prior, path)
+    via_index = [tuple(r)
+                 for r in near_dedup_vs_index(batch, spark, path).collect()]
+    assert via_index == direct
+
+
+def test_vs_index_extension_equals_one_shot_and_replays_idempotently(
+        spark, tmp_path):
+    """The incremental contract: probing batch2 against (archive index
+    + batch1-survivor extension) equals the one-shot probe against the
+    unioned corpus, and re-running an extension with the same batch_id
+    (a crashed-and-rerun commit) changes nothing."""
+    from toymapreduce_go_spark.operators.dedup import (
+        near_dedup_vs_index, near_dedup_vs_prior, write_prior_index)
+    from toymapreduce_go_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    archive = docs.filter("doc_id % 3 = 0")
+    batch1 = docs.filter("doc_id % 3 = 1")
+    batch2 = docs.filter("doc_id % 3 = 2")
+    path = str(tmp_path / "idx")
+    write_prior_index(archive, path, batch_id=0)
+
+    # before_batch=1 is the ingest contract: survivors1's LAZY plan
+    # stays pinned to the pre-extension snapshot even after the
+    # extension write lands (without it, a re-evaluation would see the
+    # survivors' own partition, self-match at est 1.0, and flag all)
+    hits1 = (near_dedup_vs_index(batch1, spark, path, before_batch=1)
+             .select("doc_id").distinct())
+    survivors1 = batch1.join(hits1, "doc_id", "left_anti")
+    n_surv = survivors1.count()
+    write_prior_index(survivors1, path, batch_id=1)
+    assert survivors1.count() == n_surv  # the hazard, pinned
+
+    got = [tuple(r) for r in near_dedup_vs_index(
+        batch2, spark, path, before_batch=2).collect()]
+    want = [tuple(r) for r in near_dedup_vs_prior(
+        batch2, archive.unionByName(survivors1)).collect()]
+    assert got == want
+    assert got, "split should produce cross-corpus near-duplicates"
+
+    # idempotent replay of the batch-1 extension commit
+    n_bands_rows = spark.read.parquet(f"{path}/bands").count()
+    n_sig_rows = spark.read.parquet(f"{path}/sigs").count()
+    write_prior_index(survivors1, path, batch_id=1)
+    assert spark.read.parquet(f"{path}/bands").count() == n_bands_rows
+    assert spark.read.parquet(f"{path}/sigs").count() == n_sig_rows
+    replay = [tuple(r) for r in near_dedup_vs_index(
+        batch2, spark, path, before_batch=2).collect()]
+    assert replay == got

@@ -1533,6 +1533,19 @@ def near_dedup_vs_prior(batch: DataFrame, prior: DataFrame, n: int = 3,
     """
     bidx, psig = prior_band_index(prior, n, n_hashes, n_bands,
                                   max_bucket_size)
+    return _probe_band_index(
+        batch, bidx,
+        psig.select(F.col("doc_id").alias("prior_id"), "sig"),
+        n, threshold, n_hashes, n_bands)
+
+
+def _probe_band_index(batch: DataFrame, bidx: DataFrame, psig: DataFrame,
+                      n: int, threshold: float, n_hashes: int,
+                      n_bands: int) -> DataFrame:
+    """The probe core shared by ``near_dedup_vs_prior`` (derived-frame
+    index) and ``near_dedup_vs_index`` (parquet-persisted index):
+    ``bidx`` is (band_id, band_hash, prior_id) band rows, ``psig`` is
+    the (prior_id, sig) signature table."""
     bsig = persist_shared(minhash_signatures_portable(batch, n, n_hashes))
     probe = portable_band_rows(bsig, n_hashes, n_bands)
     cand = (probe.join(bidx, ["band_id", "band_hash"])
@@ -1542,8 +1555,8 @@ def near_dedup_vs_prior(batch: DataFrame, prior: DataFrame, n: int = 3,
     # pair-sized) — band rows never carry the 64-long array through the
     # bucket join, the same discipline as minhash_band_pairs.
     cand = (cand
-            .join(psig.select(F.col("doc_id").alias("prior_id"),
-                              F.col("sig").alias("sig_a")), "prior_id")
+            .join(psig.select("prior_id", F.col("sig").alias("sig_a")),
+                  "prior_id")
             .join(bsig.select("doc_id", F.col("sig").alias("sig_b")),
                   "doc_id"))
     # k/n_hashes with n_hashes a power of two is an exact dyadic double
@@ -1554,6 +1567,66 @@ def near_dedup_vs_prior(batch: DataFrame, prior: DataFrame, n: int = 3,
             .filter(F.col("est_jaccard") >= threshold)
             .select("doc_id", "prior_id", "est_jaccard")
             .orderBy("doc_id", "prior_id"))
+
+
+def write_prior_index(docs: DataFrame, path: str, batch_id: int = 0,
+                      n: int = 3, n_hashes: int = N_HASHES,
+                      n_bands: int = N_BANDS) -> None:
+    """Materialize the archive index ``near_dedup_vs_index`` probes:
+    ``{path}/bands`` (band_id, band_hash, prior_id) and ``{path}/sigs``
+    (prior_id, sig), both partitioned by ``ingest_batch``. This is the
+    "written ONCE at snapshot time" half of the incremental contract —
+    call it with ``batch_id=0`` for the initial archive, then again with
+    a fresh ``batch_id`` per ingested batch's NEW survivors (docs that
+    passed the screen — by construction disjoint from what the index
+    already holds, so extensions never duplicate a key).
+
+    Exactly-once: content per partition is deterministic and the write
+    is a dynamic-partition overwrite of ONLY ``ingest_batch=<id>`` (the
+    streaming tier's convention, ``streaming/dedup_stream.py``), so a
+    crashed-and-rerun extension replaces its own partition byte-for-byte
+    and never touches earlier snapshots. At 100 TB, bucket ``bands`` by
+    band_hash at write time so every later probe join is co-located."""
+    idx, sig = prior_band_index(docs, n, n_hashes, n_bands)
+    for frame, sub in ((sig.select(F.col("doc_id").alias("prior_id"),
+                                   "sig"), "sigs"),
+                       (idx, "bands")):
+        (frame.withColumn("ingest_batch", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("ingest_batch").parquet(f"{path}/{sub}"))
+
+
+def near_dedup_vs_index(batch: DataFrame, spark, path: str,
+                        n: int = 3, threshold: float = 0.5,
+                        n_hashes: int = N_HASHES,
+                        n_bands: int = N_BANDS,
+                        before_batch: int | None = None) -> DataFrame:
+    """``near_dedup_vs_prior`` against a parquet-persisted index
+    (``write_prior_index``): the archive contributes ONLY stored band
+    rows and signatures — its corpus is not even an argument. This is
+    the operator a daily ingest actually runs; the derived-frame form
+    exists so the fixture oracle can replay the whole construction.
+
+    ``before_batch`` restricts the probe to index partitions with
+    ``ingest_batch < before_batch`` — ALWAYS pass it (= the batch id
+    about to be written) when the same job later extends the index:
+    the returned frame is LAZY, and a re-evaluation after the
+    extension would otherwise see the new partition — including the
+    probing batch's own survivors, which self-match at est 1.0 and
+    silently flag everything (measured, not hypothetical). This is the
+    streaming tier's ``batch_id < N`` state-read contract
+    (``streaming/dedup_stream.py:_read_prior_state``) in batch form;
+    the partition filter prunes at the file listing, so old probes
+    also never pay for newer snapshots."""
+    bands = spark.read.parquet(f"{path}/bands")
+    sigs = spark.read.parquet(f"{path}/sigs")
+    if before_batch is not None:
+        bands = bands.filter(F.col("ingest_batch") < before_batch)
+        sigs = sigs.filter(F.col("ingest_batch") < before_batch)
+    return _probe_band_index(
+        batch, bands.select("band_id", "band_hash", "prior_id"),
+        sigs.select("prior_id", "sig"), n, threshold, n_hashes, n_bands)
 
 
 def screen_vs_prior(batch: DataFrame, prior: DataFrame, n: int = 3,
