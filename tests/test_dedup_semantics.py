@@ -665,3 +665,59 @@ def test_vs_index_extension_equals_one_shot_and_replays_idempotently(
     replay = [tuple(r) for r in near_dedup_vs_index(
         batch2, spark, path, before_batch=2).collect()]
     assert replay == got
+
+
+def test_ann_ivf_filtered_respects_predicate_with_recall(spark):
+    """Filtered ANN: every returned neighbor satisfies the metadata
+    predicate, ranks are contiguous per probe, and recall against the
+    FILTERED brute-force top-k clears the unfiltered tier's floor —
+    filtering must shrink the candidate set, not break the ranking."""
+    import numpy as np
+
+    from toymapreduce_go_spark.operators.similarity import ann_ivf_filtered
+    from toymapreduce_go_spark.sources.registry import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = ann_ivf_filtered(emb).collect()
+    assert rows
+    labels = {r.vec_id: r.label
+              for r in emb.select("vec_id", "label").collect()}
+    assert all(labels[r.neighbor_id] % 2 == 0 for r in rows)
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, []).append(r.rank)
+    for probe, ranks in by_probe.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), probe
+    # filtered brute force (numpy at fixture scale)
+    data = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in data}
+    probe_ids = sorted(vecs)[:5]
+    exact = set()
+    for pid in probe_ids:
+        p = vecs[pid]
+        pn = np.linalg.norm(p)
+        scored = sorted(
+            ((-float(np.dot(p, v) / (pn * np.linalg.norm(v))), vid)
+             for vid, v in vecs.items()
+             if vid != pid and labels[vid] % 2 == 0))
+        exact |= {(pid, vid) for _, vid in scored[:5]}
+    got = {(r.probe_id, r.neighbor_id) for r in rows}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.1, recall
+
+
+def test_ann_ivf_filtered_pushes_predicate_to_scan(spark):
+    """Plan contract: the IN-list predicate reaches the parquet scan as
+    a pushed filter — non-matching vectors are never decoded, assigned,
+    or joined (filtering makes the query cheaper, never a rescan)."""
+    from test_explain_plans import plan_of
+
+    from toymapreduce_go_spark.operators.similarity import ann_ivf_filtered
+    from toymapreduce_go_spark.sources.registry import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = plan_of(ann_ivf_filtered(emb))
+    assert "PushedFilters" in plan, plan
+    pushed = [seg[:200] for seg in plan.split("PushedFilters")[1:]]
+    assert any("label" in seg and "In(" in seg for seg in pushed), pushed

@@ -186,6 +186,14 @@ SHOWCASE: dict[str, str] = {
         "partial+final HashAggregate pair on the ≤ 3×sources key "
         "space, and NOTHING else — no join, no window, no Python "
         "stage; the corpus is read once and reduced immediately."),
+    "ann_ivf_filtered": (
+        "Filtered vector search (r9). Look for: the label IN-list in "
+        "`PushedFilters` at the embeddings parquet scan — the metadata "
+        "predicate prunes vectors BEFORE the literal-centroid "
+        "assignment projection, so non-matching rows are never "
+        "decoded, assigned, or joined; then the same shape as ann_ivf "
+        "(scan-side argmax, broadcast probe-cell join, one slim "
+        "window for per-probe top-k)."),
     "near_dedup_vs_prior": (
         "Incremental batch near-dedup vs a prior archive (r9). Look "
         "for: two persisted signature relations (the archive's and the "

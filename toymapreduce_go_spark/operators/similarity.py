@@ -456,6 +456,40 @@ def ann_ivf(embeddings: DataFrame, n_cells: int = 16,
     return _ivf_rank(embeddings, cents, probes, n_probe_cells, k)
 
 
+def ann_ivf_filtered(embeddings: DataFrame,
+                     where: str = "label IN (0, 2, 4, 6, 8)",
+                     n_cells: int = 16, n_probe_cells: int = 2,
+                     n_probes: int = 5, k: int = DEFAULT_K) -> DataFrame:
+    """Filtered ANN — top-k cosine neighbors among corpus vectors that
+    satisfy a METADATA predicate (the vector-search "filtered search"
+    mode: "nearest docs *where lang = 'en'*"). The IVF index is the
+    point: it is built ONCE over the full corpus (same deterministic
+    seed centroids as ``ann_ivf`` — a filter never triggers a rebuild),
+    and the predicate restricts only the candidate stream.
+
+    Plan shape: the predicate is applied to the corpus frame BEFORE the
+    literal-centroid assignment projection, so Catalyst pushes a
+    pushable predicate (IN-lists, comparisons on plain columns) all the
+    way into the parquet scan (``PushedFilters`` — plan-asserted in
+    pytest): non-matching vectors are never decoded, assigned, or
+    joined. Per-probe candidates shrink from
+    |corpus| × n_probe_cells / n_cells to |match| × n_probe_cells /
+    n_cells — filtering makes the query CHEAPER, never a rescan. This
+    post-filter-in-cells design is the standard batch answer at 100 TB;
+    very selective predicates want smaller n_cells or more probe cells
+    to keep per-cell match counts up (recall is measured against the
+    filtered brute force in pytest)."""
+    cent_rows = (
+        embeddings.orderBy("vec_id").limit(n_cells)
+        .select("vec_id", "embedding").collect()
+    )
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in cent_rows]
+    probes = cents[:n_probes]
+    return _ivf_rank(embeddings.filter(where), cents, probes,
+                     n_probe_cells, k)
+
+
 def ann_ivf_trained(embeddings: DataFrame, n_cells: int = 8,
                     n_iters: int = IVF_TRAIN_ITERS,
                     sample_size: int = IVF_SAMPLE_SIZE,

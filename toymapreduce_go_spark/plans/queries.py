@@ -208,6 +208,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce": _q(similarity.knn_bruteforce),
     "ann_lsh": _q(similarity.ann_lsh_portable),
     "ann_ivf": _q(similarity.ann_ivf),
+    "ann_ivf_filtered": _q(similarity.ann_ivf_filtered),
     "ann_ivf_trained": _q(similarity.ann_ivf_trained),
     "ann_ivf_pq": _q(similarity.ann_ivf_pq),
     "knn_label_vote": _q(similarity.knn_label_vote),
@@ -308,7 +309,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "dsir_importance", "tfidf", "unigram_tok",
                "semantic_dedup", "image_phash", "dataset_split",
                "audio_fingerprint", "video_fingerprint", "bloom_dedup",
-               "heavy_hitters", "near_dedup_vs_prior")
+               "heavy_hitters", "near_dedup_vs_prior",
+               "ann_ivf_filtered")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -633,8 +635,13 @@ def _ann_lsh_oracle_sql(n_probes: int = 5, k: int = 5) -> str:
 
 
 def _ann_ivf_oracle_sql(n_cells: int = 16, n_probe_cells: int = 2,
-                        n_probes: int = 5, k: int = 5) -> str:
-    """Generated DuckDB twin of ``similarity.ann_ivf``. The 'model' —
+                        n_probes: int = 5, k: int = 5,
+                        corpus_where: str = "TRUE") -> str:
+    """Generated DuckDB twin of ``similarity.ann_ivf`` (and, with a
+    ``corpus_where`` predicate, of ``similarity.ann_ivf_filtered`` —
+    the filter restricts only the assigned candidate corpus; centroids
+    and probes still come from the full table, mirroring the engine's
+    build-once index). The 'model' —
     centroids = embeddings of the ``n_cells`` lowest vec_ids — is
     recomputed from the table rather than inlined: Spark inlines the
     repr of the collected float32 values, and DuckDB's FLOAT→DOUBLE cast
@@ -656,7 +663,8 @@ def _ann_ivf_oracle_sql(n_cells: int = 16, n_probe_cells: int = 2,
                    {norm.format(e='embedding')} AS cn
             FROM embeddings ORDER BY vec_id LIMIT {n_cells}),
         corpus AS (
-            SELECT vec_id, embedding, {norm.format(e='embedding')} AS nrm
+            SELECT vec_id, embedding, label,
+                   {norm.format(e='embedding')} AS nrm
             FROM embeddings),
         assigned AS (
             SELECT vec_id, embedding, cent_id AS cell FROM (
@@ -665,7 +673,8 @@ def _ann_ivf_oracle_sql(n_cells: int = 16, n_probe_cells: int = 2,
                            PARTITION BY e.vec_id
                            ORDER BY {cos_cn.format(e='e.embedding', n='e.nrm')}
                                     DESC, c.cent_id DESC) AS ra
-                FROM corpus e CROSS JOIN cents c)
+                FROM corpus e CROSS JOIN cents c
+                WHERE {corpus_where})
             WHERE ra = 1),
         probe_cells AS (
             SELECT probe_id, probe_emb, cent_id AS cell FROM (
@@ -1721,6 +1730,8 @@ ORACLES: dict[str, str] = {
     # assignment, candidate sets, and ranks all reproduced in SQL.
     "ann_lsh": _ann_lsh_oracle_sql(),
     "ann_ivf": _ann_ivf_oracle_sql(),
+    "ann_ivf_filtered": _ann_ivf_oracle_sql(
+        corpus_where="e.label IN (0, 2, 4, 6, 8)"),
     "ann_ivf_trained": _ann_ivf_trained_oracle_sql(),
     "semantic_dedup": _semantic_dedup_oracle_sql(),
     # ExactSubstr-style duplicated spans: 20-char gram hashes (same
