@@ -186,6 +186,13 @@ SHOWCASE: dict[str, str] = {
         "partial+final HashAggregate pair on the ≤ 3×sources key "
         "space, and NOTHING else — no join, no window, no Python "
         "stage; the corpus is read once and reduced immediately."),
+    "chunk_stats": (
+        "Overlapping document chunking (r9). Look for: the windowing "
+        "is ONE scan-side Project (tokens → transform(sequence) of "
+        "clamped slices) feeding Generate (posexplode) — no shuffle, "
+        "no join, no Python anywhere in the chunking itself; the only "
+        "Exchange serves the final per-source count-combinable "
+        "HashAggregate pair."),
     "ann_ivf_filtered": (
         "Filtered vector search (r9). Look for: the label IN-list in "
         "`PushedFilters` at the embeddings parquet scan — the metadata "

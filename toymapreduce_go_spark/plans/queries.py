@@ -20,9 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..mr.api import run_map_reduce, wc_map, wc_reduce
-from ..operators import (bpe, dedup, dsir, events, joins, packing,
-                         quality_model, relational, semantic_dedup,
-                         similarity, text_mr, textstats, unigram_tok)
+from ..operators import (bpe, chunking, dedup, dsir, events, joins,
+                         packing, quality_model, relational,
+                         semantic_dedup, similarity, text_mr, textstats,
+                         unigram_tok)
 from ..sources.registry import load_table
 
 
@@ -228,6 +229,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": _heavy_hitters,
     "pii_scrub": _q(textstats.pii_scrub),
     "sequence_packing": _q(packing.packing_stats),
+    "chunk_stats": _q(chunking.chunk_stats),
     "near_dup_clusters": _q(dedup.near_dup_clusters_portable),
     "hashed_tf": _q(textstats.hashed_tf_summary),
     "events_gapfill": _q(events.events_gapfill),
@@ -310,7 +312,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "semantic_dedup", "image_phash", "dataset_split",
                "audio_fingerprint", "video_fingerprint", "bloom_dedup",
                "heavy_hitters", "near_dedup_vs_prior",
-               "ann_ivf_filtered")
+               "ann_ivf_filtered", "chunk_stats")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -469,6 +471,52 @@ def _minhash_oracle_sql(n: int = 3, n_hashes: int = 64, n_bands: int = 16,
                        JOIN sigs sb ON sb.doc_id = doc_b)
         SELECT doc_a, doc_b, est_jaccard FROM est
         WHERE est_jaccard >= {threshold} ORDER BY doc_a, doc_b
+    """
+
+
+def _chunk_stats_oracle_sql(chunk_tokens: int = 32, overlap: int = 8
+                            ) -> str:
+    """Generated DuckDB twin of ``chunking.chunk_stats``: the same
+    integer ceil-div window count (DuckDB ``//`` == Spark ``div``),
+    end-exclusive ``range`` == the guarded Spark ``sequence``, clamped
+    list slices, and the (chunk_id + 1)-weighted md5-mod-prime content
+    checksum. ``unnest`` rides inside the SELECT so every ROW chunks
+    independently — faithful under duplicate doc_ids."""
+    c, s = chunk_tokens, chunk_tokens - overlap
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+                               t -> length(t) > 0) AS toks
+            FROM documents),
+        nc AS (
+            SELECT doc_id, source, toks,
+                   CASE WHEN len(toks) <= 0 THEN 0
+                        WHEN len(toks) <= {c} THEN 1
+                        ELSE 1 + ((len(toks) - {c} + {s - 1}) // {s})
+                   END AS n_chunks
+            FROM toks),
+        ch AS (
+            SELECT doc_id, source, toks,
+                   unnest(range(1, n_chunks + 1)) - 1 AS chunk_id
+            FROM nc),
+        cw AS (
+            SELECT doc_id, source, chunk_id,
+                   toks[chunk_id * {s} + 1 : chunk_id * {s} + {c}]
+                       AS ctoks
+            FROM ch),
+        terms AS (
+            SELECT doc_id, source, len(ctoks) AS n_tokens,
+                   (chunk_id + 1) *
+                   (('0x' || substr(md5(array_to_string(ctoks, ' ')),
+                                    1, 12))::BIGINT % 1000003) AS term
+            FROM cw)
+        SELECT source, count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_chunks,
+               sum(n_tokens) AS sum_chunk_tokens,
+               max(n_tokens) AS max_chunk_tokens,
+               sum(term) AS chunk_checksum
+        FROM terms GROUP BY source ORDER BY source
     """
 
 
@@ -1724,6 +1772,7 @@ ORACLES: dict[str, str] = {
     # both plans.
     "near_dedup_minhash": _minhash_oracle_sql(),
     "near_dedup_vs_prior": _vs_prior_oracle_sql(),
+    "chunk_stats": _chunk_stats_oracle_sql(),
     "near_dup_clusters": _clusters_oracle_sql(),
     # ANN with literal models (seeded hyperplanes / lowest-vec_id
     # centroids): deterministic, so fully value-checked — buckets, cell
