@@ -21,9 +21,10 @@ def test_chunks_reconstruct_token_stream_exactly(spark):
     """Drop the first ``overlap`` tokens of every chunk after the first
     and concatenate: the original token stream comes back exactly —
     chunking loses nothing and every token lands in at least one
-    window. (The LAST window is right-anchored, so its fresh suffix can
-    be shorter than the stride; reconstruction uses each chunk's fresh
-    TAIL against the stream position instead of assuming stride.)"""
+    window. (The LAST window keeps its fixed stride position and is
+    CLAMPED at the stream end, so its fresh suffix can be shorter than
+    the stride; reconstruction uses each chunk's fresh TAIL against the
+    stream position instead of assuming stride.)"""
     from toymapreduce_go_spark.sources.registry import load_table
 
     c, o = 12, 4
@@ -69,8 +70,9 @@ def test_chunking_degenerate_inputs(spark):
     assert len(per_doc[2]) == 1 and per_doc[2][0].n_tokens == 3
     assert len(per_doc[3]) == 1 and per_doc[3][0].n_tokens == 12
     assert len(per_doc[4]) == 2
-    # the second window is right-anchored: tokens 9..13 (5 of them,
-    # clamped), sharing 4 with window one
+    # the second window starts at its fixed stride position (token 9)
+    # and is clamped at the end: tokens 9..13 (5 of them), sharing
+    # exactly overlap=4 with window one
     assert sorted(r.n_tokens for r in per_doc[4]) == [5, 12]
 
     with pytest.raises(ValueError, match="overlap"):

@@ -617,7 +617,7 @@ def test_vs_index_roundtrip_matches_derived_frame_path(spark, tmp_path):
     path = str(tmp_path / "idx")
     write_prior_index(prior, path)
     via_index = [tuple(r)
-                 for r in near_dedup_vs_index(batch, spark, path).collect()]
+                 for r in near_dedup_vs_index(batch, path).collect()]
     assert via_index == direct
 
 
@@ -642,7 +642,7 @@ def test_vs_index_extension_equals_one_shot_and_replays_idempotently(
     # stays pinned to the pre-extension snapshot even after the
     # extension write lands (without it, a re-evaluation would see the
     # survivors' own partition, self-match at est 1.0, and flag all)
-    hits1 = (near_dedup_vs_index(batch1, spark, path, before_batch=1)
+    hits1 = (near_dedup_vs_index(batch1, path, before_batch=1)
              .select("doc_id").distinct())
     survivors1 = batch1.join(hits1, "doc_id", "left_anti")
     n_surv = survivors1.count()
@@ -650,7 +650,7 @@ def test_vs_index_extension_equals_one_shot_and_replays_idempotently(
     assert survivors1.count() == n_surv  # the hazard, pinned
 
     got = [tuple(r) for r in near_dedup_vs_index(
-        batch2, spark, path, before_batch=2).collect()]
+        batch2, path, before_batch=2).collect()]
     want = [tuple(r) for r in near_dedup_vs_prior(
         batch2, archive.unionByName(survivors1)).collect()]
     assert got == want
@@ -663,7 +663,7 @@ def test_vs_index_extension_equals_one_shot_and_replays_idempotently(
     assert spark.read.parquet(f"{path}/bands").count() == n_bands_rows
     assert spark.read.parquet(f"{path}/sigs").count() == n_sig_rows
     replay = [tuple(r) for r in near_dedup_vs_index(
-        batch2, spark, path, before_batch=2).collect()]
+        batch2, path, before_batch=2).collect()]
     assert replay == got
 
 
@@ -721,3 +721,26 @@ def test_ann_ivf_filtered_pushes_predicate_to_scan(spark):
     assert "PushedFilters" in plan, plan
     pushed = [seg[:200] for seg in plan.split("PushedFilters")[1:]]
     assert any("label" in seg and "In(" in seg for seg in pushed), pushed
+
+
+def test_vs_index_manifest_fails_closed_on_mismatch(spark, tmp_path):
+    """The index manifest: probing or extending with banding parameters
+    different from what the index was built with joins to NOTHING
+    (silent total recall loss) — both paths must fail closed instead."""
+    import pytest
+
+    from toymapreduce_go_spark.operators.dedup import (
+        near_dedup_vs_index, write_prior_index)
+
+    docs = spark.createDataFrame(
+        [(1, "a", "some archive document body here today")],
+        "doc_id long, source string, text string")
+    path = str(tmp_path / "idx")
+    write_prior_index(docs, path, n_hashes=32, n_bands=8)
+    with pytest.raises(ValueError, match="manifest"):
+        near_dedup_vs_index(docs, path)  # default n_hashes=64
+    with pytest.raises(ValueError, match="manifest"):
+        write_prior_index(docs, path, batch_id=1)  # mismatched extension
+    # matching parameters pass both ways
+    near_dedup_vs_index(docs, path, n_hashes=32, n_bands=8).collect()
+    write_prior_index(docs, path, batch_id=1, n_hashes=32, n_bands=8)

@@ -21,10 +21,11 @@ oracle):
 - n_chunks = 0 for an empty token stream, 1 when n ≤ chunk_tokens,
   else 1 + ceil((n − chunk_tokens)/s) — the minimal count whose last
   window still reaches the final token
-- chunk i = tokens[i·s + 1 .. i·s + chunk_tokens] (1-based, clamped
-  at the end); consecutive chunks share exactly ``overlap`` tokens,
-  except the last pair, which may share more when the tail is short
-  (the last window is right-anchored by the clamp, never padded)
+- chunk i = tokens[i·s + 1 .. i·s + chunk_tokens] (1-based, fixed
+  left-anchored starts, CLAMPED at the stream end): consecutive
+  chunks always share exactly ``overlap`` tokens; the LAST chunk may
+  be shorter than ``chunk_tokens`` (it keeps its stride position and
+  simply runs out of tokens — never padded, never re-anchored)
 - chunk text is the token stream re-joined with single spaces —
   canonical whitespace, NOT the original byte span (the tokenizer
   already dropped punctuation; disclosed, matched by the oracle)
@@ -50,7 +51,7 @@ CHUNK_OVERLAP = 8
 # modulus for the content-certifying checksum: keeps the per-chunk
 # term small enough that the per-source SUM stays far from int64
 # range at any realistic scale (and is identical in both engines —
-# the 15-hex md5 prefix is < 2^60, so pmod == DuckDB %)
+# the 12-hex md5 prefix is < 2^48 and nonnegative, so pmod == DuckDB %)
 _CKSUM_MOD = 1_000_003
 
 
@@ -62,8 +63,8 @@ def chunk_documents(documents: DataFrame,
     train on; disclosed, mirrored by the oracle)."""
     if not 0 <= overlap < chunk_tokens:
         raise ValueError(
-            f"need 0 <= overlap < chunk_tokens, got {overlap} >= "
-            f"{chunk_tokens}")
+            f"need 0 <= overlap < chunk_tokens, got overlap={overlap}, "
+            f"chunk_tokens={chunk_tokens}")
     s = chunk_tokens - overlap
     toks = documents.select(
         "doc_id", "source", tokens("text").alias("toks"),

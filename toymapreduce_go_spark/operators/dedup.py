@@ -1569,9 +1569,36 @@ def _probe_band_index(batch: DataFrame, bidx: DataFrame, psig: DataFrame,
             .orderBy("doc_id", "prior_id"))
 
 
+def _read_index_meta(spark, path: str) -> dict | None:
+    """The index's parameter manifest, or None if absent (pre-manifest
+    indexes / first write). A manifest mismatch must be LOUD: probing
+    an n_hashes=32 index with n_hashes=64 band keys silently returns
+    zero matches — every near-duplicate missed, no error."""
+    from pyspark.errors import AnalysisException
+    try:
+        row = spark.read.parquet(f"{path}/meta").collect()[0]
+    except AnalysisException:
+        return None
+    return {"n": int(row["n"]), "n_hashes": int(row["n_hashes"]),
+            "n_bands": int(row["n_bands"])}
+
+
+def _check_index_meta(spark, path: str, n: int, n_hashes: int,
+                      n_bands: int, what: str) -> None:
+    meta = _read_index_meta(spark, path)
+    if meta is not None and meta != {"n": n, "n_hashes": n_hashes,
+                                     "n_bands": n_bands}:
+        raise ValueError(
+            f"{what} with (n={n}, n_hashes={n_hashes}, "
+            f"n_bands={n_bands}) does not match the index manifest at "
+            f"{path}: {meta} — mismatched banding silently finds "
+            f"nothing, so this fails closed")
+
+
 def write_prior_index(docs: DataFrame, path: str, batch_id: int = 0,
                       n: int = 3, n_hashes: int = N_HASHES,
-                      n_bands: int = N_BANDS) -> None:
+                      n_bands: int = N_BANDS,
+                      max_bucket_size: int | None = None) -> None:
     """Materialize the archive index ``near_dedup_vs_index`` probes:
     ``{path}/bands`` (band_id, band_hash, prior_id) and ``{path}/sigs``
     (prior_id, sig), both partitioned by ``ingest_batch``. This is the
@@ -1586,8 +1613,18 @@ def write_prior_index(docs: DataFrame, path: str, batch_id: int = 0,
     streaming tier's convention, ``streaming/dedup_stream.py``), so a
     crashed-and-rerun extension replaces its own partition byte-for-byte
     and never touches earlier snapshots. At 100 TB, bucket ``bands`` by
-    band_hash at write time so every later probe join is co-located."""
-    idx, sig = prior_band_index(docs, n, n_hashes, n_bands)
+    band_hash at write time so every later probe join is co-located.
+
+    A one-row ``{path}/meta`` manifest records (n, n_hashes, n_bands);
+    extensions and probes validate against it and fail closed on a
+    mismatch (mismatched banding joins to nothing — silent total
+    recall loss otherwise). ``max_bucket_size`` caps hot buckets at
+    write time (see ``prior_band_index`` for the recall contract)."""
+    spark = docs.sparkSession
+    _check_index_meta(spark, path, n, n_hashes, n_bands,
+                      "write_prior_index")
+    idx, sig = prior_band_index(docs, n, n_hashes, n_bands,
+                                max_bucket_size)
     for frame, sub in ((sig.select(F.col("doc_id").alias("prior_id"),
                                    "sig"), "sigs"),
                        (idx, "bands")):
@@ -1595,9 +1632,12 @@ def write_prior_index(docs: DataFrame, path: str, batch_id: int = 0,
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("ingest_batch").parquet(f"{path}/{sub}"))
+    (spark.createDataFrame([(n, n_hashes, n_bands)],
+                           "n int, n_hashes int, n_bands int")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
 
 
-def near_dedup_vs_index(batch: DataFrame, spark, path: str,
+def near_dedup_vs_index(batch: DataFrame, path: str,
                         n: int = 3, threshold: float = 0.5,
                         n_hashes: int = N_HASHES,
                         n_bands: int = N_BANDS,
@@ -1618,7 +1658,14 @@ def near_dedup_vs_index(batch: DataFrame, spark, path: str,
     streaming tier's ``batch_id < N`` state-read contract
     (``streaming/dedup_stream.py:_read_prior_state``) in batch form;
     the partition filter prunes at the file listing, so old probes
-    also never pay for newer snapshots."""
+    also never pay for newer snapshots.
+
+    Probe parameters are validated against the index's manifest — a
+    mismatched banding joins to NOTHING (silent total recall loss), so
+    this fails closed instead."""
+    spark = batch.sparkSession
+    _check_index_meta(spark, path, n, n_hashes, n_bands,
+                      "near_dedup_vs_index")
     bands = spark.read.parquet(f"{path}/bands")
     sigs = spark.read.parquet(f"{path}/sigs")
     if before_batch is not None:

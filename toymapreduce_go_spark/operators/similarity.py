@@ -442,6 +442,17 @@ def ann_ivf(embeddings: DataFrame, n_cells: int = 16,
     value-checked against the generated DuckDB twin
     (``plans.queries._ann_ivf_oracle_sql``).
     """
+    cents, probes = _seed_cents_probes(embeddings, n_cells, n_probes)
+    return _ivf_rank(embeddings, cents, probes, n_probe_cells, k)
+
+
+def _seed_cents_probes(embeddings: DataFrame, n_cells: int, n_probes: int
+                       ) -> tuple[list, list]:
+    """Shared seed model: centroids = embeddings of the ``n_cells``
+    lowest vec_ids, probes = the ``n_probes`` lowest (reusing the
+    centroid rows when they suffice, one extra model-sized collect when
+    n_probes > n_cells). One definition so ``ann_ivf`` and
+    ``ann_ivf_filtered`` can never diverge on probe selection."""
     cent_rows = (
         embeddings.orderBy("vec_id").limit(n_cells)
         .select("vec_id", "embedding").collect()
@@ -453,7 +464,7 @@ def ann_ivf(embeddings: DataFrame, n_cells: int = 16,
             (int(r["vec_id"]), [float(x) for x in r["embedding"]])
             for r in embeddings.orderBy("vec_id").limit(n_probes)
             .select("vec_id", "embedding").collect()]
-    return _ivf_rank(embeddings, cents, probes, n_probe_cells, k)
+    return cents, probes
 
 
 def ann_ivf_filtered(embeddings: DataFrame,
@@ -479,13 +490,7 @@ def ann_ivf_filtered(embeddings: DataFrame,
     very selective predicates want smaller n_cells or more probe cells
     to keep per-cell match counts up (recall is measured against the
     filtered brute force in pytest)."""
-    cent_rows = (
-        embeddings.orderBy("vec_id").limit(n_cells)
-        .select("vec_id", "embedding").collect()
-    )
-    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
-             for r in cent_rows]
-    probes = cents[:n_probes]
+    cents, probes = _seed_cents_probes(embeddings, n_cells, n_probes)
     return _ivf_rank(embeddings.filter(where), cents, probes,
                      n_probe_cells, k)
 
