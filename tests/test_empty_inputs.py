@@ -33,6 +33,10 @@ EXPECTED_NONEMPTY: dict[str, int] = {
     # global (ungrouped) aggregate: one all-zeros report row is the
     # correct result for an empty corpus
     "sequence_packing": 1,
+    # one report row per funnel step (zero users, zero checksum) is
+    # the correct empty-catalog funnel — the oracle's UNION ALL of
+    # ungrouped aggregates produces the same three rows
+    "event_funnel": 3,
 }
 
 

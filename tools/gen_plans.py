@@ -186,6 +186,13 @@ SHOWCASE: dict[str, str] = {
         "partial+final HashAggregate pair on the ≤ 3×sources key "
         "space, and NOTHING else — no join, no window, no Python "
         "stage; the corpus is read once and reduced immediately."),
+    "event_funnel": (
+        "Ordered-sequence funnel (r9). Look for: one filtered scan + "
+        "HashAggregate pair per step, each step's equi-join on user_id "
+        "against the previous step's ≤-one-row-per-user frame (AQE "
+        "picks broadcast at fixture scale; shuffle join at corpus "
+        "user counts), min aggs with map-side partials — no Window "
+        "over raw events, no collect_list, no cartesian."),
     "chunk_stats": (
         "Overlapping document chunking (r9). Look for: the windowing "
         "is ONE scan-side Project (tokens → transform(sequence) of "

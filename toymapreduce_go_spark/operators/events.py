@@ -138,3 +138,68 @@ def events_gapfill(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WITHIN_MINUTES = 24 * 60
+
+
+def event_funnel(events: DataFrame,
+                 steps: tuple[str, ...] = FUNNEL_STEPS,
+                 within_minutes: int = FUNNEL_WITHIN_MINUTES) -> DataFrame:
+    """Ordered-sequence funnel (the MATCH_RECOGNIZE-class analytics the
+    events family was missing): per user, greedily match the earliest
+    ``steps[0]`` event, then the earliest ``steps[1]`` STRICTLY after
+    it, and so on — all later steps inside ``within_minutes`` of the
+    first step's timestamp. Greedy-earliest is exact for subsequence
+    matching: a user completes the funnel iff the greedy chain does.
+
+    Output: one row per step — (step, event_type, n_users,
+    t_checksum) — where n_users counts users whose chain reached the
+    step and t_checksum folds each reached user's matched timestamp
+    (µs mod a prime; bounded far from int64 at any user count) into
+    the value-hash, so the oracle comparison pins the exact matched
+    TIMES, not just the conversion counts.
+
+    Scale — why a chain of min-aggs and not one collect_list: the
+    single-shuffle alternative (sort each user's full event history
+    into an array, scan it with ``aggregate``) materializes whale
+    users' entire histories in one task — the per-key skew SURVEY.md
+    §4 warns about. This plan instead runs len(steps) keyed equi-joins
+    on user_id, each against a ≤-one-row-per-user frame, with
+    map-side-combinable min aggregates on both sides of every join —
+    no step ever holds more than (user, t, deadline) state, a hot user
+    costs only their event count in the filtered scan, and the
+    time-horizon filter prunes BEFORE each aggregation. At 100 TB the
+    events table is date-partitioned, so the horizon also prunes
+    whole partitions of the later-step scans."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    within_us = within_minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = events.select("user_id", "event_type", us.alias("us"))
+    cur = (base.filter(F.col("event_type") == steps[0])
+           .groupBy("user_id").agg(F.min("us").alias("t")))
+    cur = cur.withColumn("deadline", F.col("t") + F.lit(within_us))
+    per_step = [cur]
+    for s in steps[1:]:
+        cur = (base.filter(F.col("event_type") == s)
+               .join(per_step[-1].select("user_id", F.col("t").alias("prev_t"),
+                                         "deadline"), "user_id")
+               .filter((F.col("us") > F.col("prev_t"))
+                       & (F.col("us") <= F.col("deadline")))
+               .groupBy("user_id")
+               .agg(F.min("us").alias("t"),
+                    F.max("deadline").alias("deadline")))
+        per_step.append(cur)
+    rows = None
+    for i, (s, frame) in enumerate(zip(steps, per_step)):
+        agg = (frame.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.coalesce(F.sum(F.pmod(F.col("t"), F.lit(1_000_003))),
+                       F.lit(0)).alias("t_checksum"))
+            .select(F.lit(i + 1).alias("step"),
+                    F.lit(s).alias("event_type"), "n_users",
+                    F.col("t_checksum").cast("long")))
+        rows = agg if rows is None else rows.unionByName(agg)
+    return rows.orderBy("step")

@@ -233,6 +233,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters": _q(dedup.near_dup_clusters_portable),
     "hashed_tf": _q(textstats.hashed_tf_summary),
     "events_gapfill": _q(events.events_gapfill),
+    "event_funnel": _q(events.event_funnel),
     "weighted_sample": _q(textstats.weighted_sample_stats),
     "dup_spans": _q(dedup.dup_span_stats),
     "line_dedup": _q(dedup.line_dedup_stats),
@@ -312,7 +313,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "semantic_dedup", "image_phash", "dataset_split",
                "audio_fingerprint", "video_fingerprint", "bloom_dedup",
                "heavy_hitters", "near_dedup_vs_prior",
-               "ann_ivf_filtered", "chunk_stats")
+               "ann_ivf_filtered", "chunk_stats", "event_funnel")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -471,6 +472,41 @@ def _minhash_oracle_sql(n: int = 3, n_hashes: int = 64, n_bands: int = 16,
                        JOIN sigs sb ON sb.doc_id = doc_b)
         SELECT doc_a, doc_b, est_jaccard FROM est
         WHERE est_jaccard >= {threshold} ORDER BY doc_a, doc_b
+    """
+
+
+def _event_funnel_oracle_sql(steps: tuple[str, ...] = ("view", "click",
+                                                       "purchase"),
+                             within_minutes: int = 24 * 60) -> str:
+    """Generated DuckDB twin of ``events.event_funnel``: the same
+    greedy-earliest chain as a sequence of min-agg CTEs (one per step),
+    integer-µs horizon arithmetic (``epoch_us`` == Spark
+    ``unix_micros``), and the mod-prime matched-time checksum."""
+    w_us = within_minutes * 60 * 1_000_000
+    p = 1_000_003
+    ctes = [f"""s1 AS (
+            SELECT user_id, min(us) AS t, min(us) + {w_us} AS deadline
+            FROM base WHERE event_type = '{steps[0]}' GROUP BY user_id)"""]
+    for i, s in enumerate(steps[1:], start=2):
+        ctes.append(f"""s{i} AS (
+            SELECT b.user_id, min(b.us) AS t, max(p.deadline) AS deadline
+            FROM base b JOIN s{i - 1} p USING (user_id)
+            WHERE b.event_type = '{s}' AND b.us > p.t
+              AND b.us <= p.deadline
+            GROUP BY b.user_id)""")
+    selects = "\n            UNION ALL\n            ".join(
+        f"SELECT {i} AS step, '{s}' AS event_type, "
+        f"count(*) AS n_users, "
+        f"coalesce(sum(t % {p}), 0)::BIGINT AS t_checksum FROM s{i}"
+        for i, s in enumerate(steps, start=1))
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH base AS (
+            SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        {body}
+        SELECT * FROM (
+            {selects}
+        ) ORDER BY step
     """
 
 
@@ -1773,6 +1809,7 @@ ORACLES: dict[str, str] = {
     "near_dedup_minhash": _minhash_oracle_sql(),
     "near_dedup_vs_prior": _vs_prior_oracle_sql(),
     "chunk_stats": _chunk_stats_oracle_sql(),
+    "event_funnel": _event_funnel_oracle_sql(),
     "near_dup_clusters": _clusters_oracle_sql(),
     # ANN with literal models (seeded hyperplanes / lowest-vec_id
     # centroids): deterministic, so fully value-checked — buckets, cell
