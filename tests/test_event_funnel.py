@@ -91,3 +91,33 @@ def test_funnel_plan_is_keyed_joins_only(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_retention_constructed_cohorts(spark):
+    """Two cohorts with known dropout: users 1-3 start week 1 (user 3
+    churns after week 1, user 2 after week 2); user 4 starts week 2.
+    The matrix must report exactly that, and n_active_days must count
+    distinct (user, day) activity — repeats on one day collapse."""
+    from toymapreduce_go_spark.operators.events import user_retention
+
+    rows = [
+        # (day-of-jan, user) — all "view" events
+        (1, 1), (8, 1), (15, 1),        # user 1: weeks 0, 1, 2
+        (2, 2), (9, 2),                 # user 2: weeks 0, 1
+        (3, 3),                         # user 3: week 0 only
+        (8, 4), (8, 4), (16, 4),        # user 4: cohort week 2, then +1
+    ]
+    data = [(i, datetime(2024, 1, d, 12, 0), u, "view", 1.0, "{}")
+            for i, (d, u) in enumerate(rows)]
+    ev = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {(r.cohort_week.day, r.week_offset): (r.n_users, r.n_active_days)
+           for r in user_retention(ev).collect()}
+    # cohort of Jan 1 (users 1-3): 3 active in week 0, 2 in week 1,
+    # 1 in week 2; cohort of Jan 8 (user 4): active weeks 0 and 1 —
+    # user 4's two Jan-8 events collapse to ONE active day
+    assert got == {
+        (1, 0): (3, 3), (1, 1): (2, 2), (1, 2): (1, 1),
+        (8, 0): (1, 1), (8, 1): (1, 1),
+    }

@@ -203,3 +203,37 @@ def event_funnel(events: DataFrame,
                     F.col("t_checksum").cast("long")))
         rows = agg if rows is None else rows.unionByName(agg)
     return rows.orderBy("step")
+
+
+def user_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention (the funnel's classic companion): users are
+    cohorted by the ISO week of their FIRST event; for every
+    (cohort_week, week_offset) the output counts how many of that
+    cohort were active ``week_offset`` weeks later.
+
+    Exactness: ``date_trunc('week')`` is ISO-Monday in both engines,
+    week offsets are integer day differences divided by 7 (weeks
+    always differ by exact multiples of 7 days — no DST in NTZ
+    timestamps), so the whole result is integer/timestamp-exact for
+    the DuckDB value-hash.
+
+    Scale: (user, week) distinct activity is ONE map-side-combinable
+    dedup whose per-user fan-out is bounded by the calendar (a whale
+    user still contributes at most |weeks| rows downstream); the
+    cohort table is a min-agg per user; one keyed equi-join on
+    user_id; the final rollup's key space is |weeks|² — metadata. No
+    windows, no per-user history collection."""
+    wk = F.date_trunc("week", F.col("ts"))
+    day = F.date_trunc("day", F.col("ts"))
+    activity = events.select("user_id", wk.alias("week"),
+                             day.alias("day")).distinct()
+    cohort = activity.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week"))
+    return (activity.join(cohort, "user_id")
+            .select("user_id", "day", "cohort_week",
+                    (F.datediff(F.col("week"), F.col("cohort_week"))
+                     / F.lit(7)).cast("long").alias("week_offset"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count_distinct("user_id").alias("n_users"),
+                 F.count_distinct("user_id", "day").alias("n_active_days"))
+            .orderBy("cohort_week", "week_offset"))

@@ -234,6 +234,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hashed_tf": _q(textstats.hashed_tf_summary),
     "events_gapfill": _q(events.events_gapfill),
     "event_funnel": _q(events.event_funnel),
+    "user_retention": _q(events.user_retention),
     "weighted_sample": _q(textstats.weighted_sample_stats),
     "dup_spans": _q(dedup.dup_span_stats),
     "line_dedup": _q(dedup.line_dedup_stats),
@@ -313,7 +314,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "semantic_dedup", "image_phash", "dataset_split",
                "audio_fingerprint", "video_fingerprint", "bloom_dedup",
                "heavy_hitters", "near_dedup_vs_prior",
-               "ann_ivf_filtered", "chunk_stats", "event_funnel")
+               "ann_ivf_filtered", "chunk_stats", "event_funnel",
+               "user_retention")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1810,6 +1812,30 @@ ORACLES: dict[str, str] = {
     "near_dedup_vs_prior": _vs_prior_oracle_sql(),
     "chunk_stats": _chunk_stats_oracle_sql(),
     "event_funnel": _event_funnel_oracle_sql(),
+    # Cohort retention: ISO-Monday week truncation in both engines
+    # (DuckDB's week-trunc yields DATE — cast back to TIMESTAMP to
+    # match Spark); week offsets are exact integer day-diffs / 7;
+    # n_active_days sharpens the value-hash beyond the saturated
+    # all-users-active fixture retention
+    "user_retention": """
+        WITH act AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('week', ts)::TIMESTAMP AS week,
+                   date_trunc('day', ts)::TIMESTAMP AS day
+            FROM events),
+        coh AS (
+            SELECT user_id, min(week) AS cohort_week
+            FROM act GROUP BY user_id),
+        j AS (
+            SELECT a.user_id, a.day, c.cohort_week,
+                   date_diff('day', c.cohort_week, a.week) // 7
+                       AS week_offset
+            FROM act a JOIN coh c USING (user_id))
+        SELECT cohort_week, week_offset,
+               count(DISTINCT user_id) AS n_users,
+               count(DISTINCT (user_id, day)) AS n_active_days
+        FROM j GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "near_dup_clusters": _clusters_oracle_sql(),
     # ANN with literal models (seeded hyperplanes / lowest-vec_id
     # centroids): deterministic, so fully value-checked — buckets, cell
