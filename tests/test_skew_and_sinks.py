@@ -293,3 +293,52 @@ def test_dup_spans_survives_corpus_wide_boilerplate(spark):
     assert r["dup_grams"] >= 500 * (len(boiler) - 19 - 2)
     # a quadratic pair path would blow far past this at 500 docs
     assert wall < 30, wall
+
+
+def test_top_k_tournament_matches_window_on_skewed_groups(spark):
+    """top_k_per_group is exact by composition — on a deliberately
+    skewed frame (one group holds 5000 of 5150 rows, with duplicate
+    scores and duplicate full keys) it must equal the naive window
+    formulation row for row, at several salt counts (partitioning
+    invariance of the tournament)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from toymapreduce_go_spark.operators.relational import top_k_per_group
+
+    rows = [("hot", i, (i * 37) % 101) for i in range(5000)]
+    rows += [("cold%d" % g, 10_000 + g * 100 + i, (i * 13) % 17)
+             for g in range(15) for i in range(10)]
+    rows += [("hot", 90_001, 100), ("hot", 90_002, 100)]  # dup scores
+    df = spark.createDataFrame(rows, "grp string, rid long, score long")
+    w = Window.partitionBy("grp").orderBy(F.col("score").desc(),
+                                          F.col("rid").asc())
+    want = sorted(
+        (r.grp, r.rank, r.rid, r.score) for r in
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 7).collect())
+    key = F.struct(F.col("score"), (-F.col("rid")).alias("neg_id"))
+    for n_salts in (1, 8, 64):
+        got = sorted(
+            (r.grp, r.rank, -r.key.neg_id, r.key.score) for r in
+            top_k_per_group(df, "grp", key, k=7, n_salts=n_salts)
+            .collect())
+        assert got == want, n_salts
+
+
+def test_top_docs_plan_has_no_window(spark):
+    """Plan contract: the declared face runs the two-stage tournament —
+    NO Window operator anywhere (the per-group window is exactly the
+    single-reducer plan this operator replaces), two aggregate stages,
+    no Python."""
+    from test_explain_plans import plan_of
+
+    from conftest import SF_DIR
+    from toymapreduce_go_spark.operators.relational import \
+        top_docs_per_source
+    from toymapreduce_go_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(top_docs_per_source(docs))
+    assert "Window" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan

@@ -556,3 +556,61 @@ def events_props_map(events: DataFrame) -> DataFrame:
              F.sum(F.col("prop_val").cast("long")).alias("sum_val"))
         .orderBy("event_type", "prop_key")
     )
+
+
+def top_k_per_group(df: DataFrame, group_col: str, order_struct,
+                    k: int = 5, n_salts: int = 64) -> DataFrame:
+    """Exact top-k rows per group WITHOUT a per-group window sort —
+    the skew-safe replacement for ``row_number().over(partitionBy
+    (group))``, which sends EVERY row of a group to one task (the
+    single-reducer killer on a dominant group at 100 TB; the same
+    class epoch_sample's hash-cutoff rewrite retired).
+
+    Two-stage salted tournament, exact by composition (the top-k of a
+    union is the top-k of the per-part top-k's):
+      1. groupBy (group, pmod(hash(row), n_salts)) → keep each salt
+         bucket's k best via sort_array + slice — map-side
+         combinable, state bounded at k per (group, salt);
+      2. groupBy (group) over the ≤ n_salts·k survivors → final k.
+    No task ever holds more than n_salts·k rows of any group, however
+    hot the group is.
+
+    ``order_struct`` is a Column producing a struct whose DESCENDING
+    lexicographic order is the ranking (encode ascending tiebreaks by
+    negating — e.g. ``struct(score, -doc_id)`` for score desc, doc_id
+    asc). Returns (group_col, rank, key) where key is the
+    order_struct; callers project fields back out."""
+    salted = df.select(
+        F.col(group_col), order_struct.alias("key"),
+        F.pmod(F.xxhash64(order_struct), F.lit(n_salts)).alias("_salt"))
+    stage1 = (salted.groupBy(group_col, "_salt")
+              .agg(F.slice(F.sort_array(F.collect_list("key"), False),
+                           1, k).alias("keys")))
+    stage2 = (stage1.select(group_col, F.explode("keys").alias("key"))
+              .groupBy(group_col)
+              .agg(F.slice(F.sort_array(F.collect_list("key"), False),
+                           1, k).alias("keys")))
+    return (stage2.select(group_col,
+                          F.posexplode("keys").alias("rank0", "key"))
+            .select(group_col, (F.col("rank0") + 1).alias("rank"), "key"))
+
+
+def top_docs_per_source(documents: DataFrame, k: int = 5,
+                        n_salts: int = 64) -> DataFrame:
+    """Per-source top-k documents by token count (ties → lowest
+    doc_id), through the salted tournament — the declared face of
+    ``top_k_per_group``. Output (source, rank, doc_id, n_tokens),
+    value-hash-exact against the oracle's row_number formulation
+    (which IS the single-reducer plan this operator exists to avoid —
+    fine for DuckDB at test scale, wrong for Spark at 100 TB)."""
+    from ..functions.text import tokens
+
+    n_tok = F.size(tokens("text")).cast("long")
+    key = F.struct(n_tok.alias("n_tokens"),
+                   (-F.col("doc_id")).alias("neg_id"))
+    top = top_k_per_group(documents, "source", key, k, n_salts)
+    return (top.select(
+        "source", F.col("rank").cast("long").alias("rank"),
+        (-F.col("key.neg_id")).cast("long").alias("doc_id"),
+        F.col("key.n_tokens").alias("n_tokens"))
+        .orderBy("source", "rank"))

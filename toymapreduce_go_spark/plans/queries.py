@@ -235,6 +235,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_gapfill": _q(events.events_gapfill),
     "event_funnel": _q(events.event_funnel),
     "user_retention": _q(events.user_retention),
+    "top_docs_per_source": _q(relational.top_docs_per_source),
     "weighted_sample": _q(textstats.weighted_sample_stats),
     "dup_spans": _q(dedup.dup_span_stats),
     "line_dedup": _q(dedup.line_dedup_stats),
@@ -315,7 +316,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "audio_fingerprint", "video_fingerprint", "bloom_dedup",
                "heavy_hitters", "near_dedup_vs_prior",
                "ann_ivf_filtered", "chunk_stats", "event_funnel",
-               "user_retention")
+               "user_retention", "top_docs_per_source")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1812,6 +1813,24 @@ ORACLES: dict[str, str] = {
     "near_dedup_vs_prior": _vs_prior_oracle_sql(),
     "chunk_stats": _chunk_stats_oracle_sql(),
     "event_funnel": _event_funnel_oracle_sql(),
+    # Exact top-k per group: the oracle USES the per-group window the
+    # engine-side salted tournament exists to avoid — fine in DuckDB
+    # at test scale, the single-reducer killer in Spark at 100 TB
+    "top_docs_per_source": """
+        WITH toks AS (
+            SELECT source, doc_id,
+                   len(list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+                                   t -> length(t) > 0)) AS n_tokens
+            FROM documents),
+        ranked AS (
+            SELECT source, doc_id, n_tokens,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_tokens DESC, doc_id)
+                       AS rank
+            FROM toks)
+        SELECT source, rank, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM ranked WHERE rank <= 5 ORDER BY source, rank
+    """,
     # Cohort retention: ISO-Monday week truncation in both engines
     # (DuckDB's week-trunc yields DATE — cast back to TIMESTAMP to
     # match Spark); week offsets are exact integer day-diffs / 7;
