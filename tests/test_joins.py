@@ -108,3 +108,51 @@ def test_events_gapfill_grid_is_dense_and_filled(spark):
         # first grid hour has an observation (bounds come from data), so
         # the forward fill leaves no nulls anywhere
         assert r["nulls"] == 0, r
+
+
+def test_fuzzy_pairs_planted_edit_cases(spark):
+    """Deletion-neighborhood recall on hand-built cases: substitution,
+    insertion, deletion at every position class (start/middle/end) are
+    found at dist 1; exact duplicates at dist 0; a transposition
+    (dist 2) shares deletion variants but must be filtered out; an
+    unrelated name must not pair."""
+    from toymapreduce_go_spark.operators.relational import fuzzy_name_pairs
+
+    rows = [(1, "carlos"), (2, "karlos"),   # substitution @ start
+            (3, "carlo"),                   # deletion @ end
+            (4, "carblos"),                 # insertion @ middle
+            (5, "acrlos"),                  # transposition → dist 2
+            (6, "zelda"),                   # unrelated
+            (7, "carlos")]                  # exact duplicate of 1
+    cust = spark.createDataFrame(
+        [(k, nm, "addr", 0, "p", 0.0, "seg", "c") for k, nm in rows],
+        "c_custkey long, c_name string, c_address string, "
+        "c_nationkey long, c_phone string, c_acctbal double, "
+        "c_mktsegment string, c_comment string")
+    got = {(r.custkey_a, r.custkey_b): r.dist
+           for r in fuzzy_name_pairs(cust).collect()}
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 4)] == 1
+    assert got[(1, 7)] == 0
+    assert (1, 5) not in got and (1, 6) not in got
+    # the duplicate pairs with everything its twin pairs with
+    assert got[(2, 7)] == 1 and got[(3, 7)] == 1 and got[(4, 7)] == 1
+    assert set(got) == {(1, 2), (1, 3), (1, 4), (1, 7),
+                        (2, 7), (3, 7), (4, 7)}
+
+
+def test_fuzzy_join_plan_is_variant_equijoin(spark):
+    """Plan contract: ONE equi-join on the deletion variant (never a
+    cartesian/nested-loop distance predicate over row pairs), no
+    window, no Python."""
+    from test_explain_plans import plan_of
+
+    from conftest import SF_DIR
+    from toymapreduce_go_spark.operators.relational import fuzzy_name_stats
+    from toymapreduce_go_spark.sources.registry import load_table
+
+    cust = load_table(spark, SF_DIR, "customer")
+    plan = plan_of(fuzzy_name_stats(cust))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan

@@ -186,6 +186,20 @@ SHOWCASE: dict[str, str] = {
         "partial+final HashAggregate pair on the ≤ 3×sources key "
         "space, and NOTHING else — no join, no window, no Python "
         "stage; the corpus is read once and reduced immediately."),
+    "top_docs_per_source": (
+        "Salted-tournament exact top-k per group (r9). Look for: NO "
+        "Window operator anywhere — stage 1 is a partial+final "
+        "HashAggregate pair on (source, salt) collecting each "
+        "bucket's k best, stage 2 re-aggregates the exploded "
+        "survivors on source alone; both collect_lists are bounded "
+        "at k and n_salts*k rows respectively."),
+    "fuzzy_name_stats": (
+        "Deletion-neighborhood edit-distance-1 join (r9). Look for: "
+        "Generate (the variant explode) on BOTH join sides feeding "
+        "ONE equi-join keyed on the variant string — no "
+        "CartesianProduct, no BroadcastNestedLoopJoin, no distance "
+        "predicate over raw row pairs; levenshtein appears only in "
+        "the post-join Filter over candidates."),
     "event_funnel": (
         "Ordered-sequence funnel (r9). Look for: one filtered scan + "
         "HashAggregate pair per step, each step's equi-join on user_id "

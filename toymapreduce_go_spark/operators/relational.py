@@ -614,3 +614,61 @@ def top_docs_per_source(documents: DataFrame, k: int = 5,
         (-F.col("key.neg_id")).cast("long").alias("doc_id"),
         F.col("key.n_tokens").alias("n_tokens"))
         .orderBy("source", "rank"))
+
+
+def fuzzy_name_pairs(customer: DataFrame) -> DataFrame:
+    """String-similarity self-join: customer pairs whose names are
+    within Levenshtein distance 1, via DELETION-NEIGHBORHOOD blocking —
+    the classic exact algorithm for edit-distance-1 joins (FastSS
+    family): variants(s) = {s} ∪ {s minus character i}. Two strings at
+    distance ≤ 1 ALWAYS share a variant (substitution: deleting the
+    differing position from both yields the same string; indel: the
+    shorter string is itself a deletion variant of the longer), so an
+    equi-join on variants is a complete candidate generator and the
+    final ``levenshtein ≤ 1`` filter only removes false candidates —
+    recall 1 by construction, which the DuckDB oracle PROVES by running
+    the naive n² cross-join instead.
+
+    Scale: |s|+1 variant rows per string into ONE equi-join — never a
+    cross-join or a distance predicate over row pairs. Variant-key
+    fan-out is bounded by real near-duplicate density (a hot variant
+    means that many genuinely similar names); the verify filter is
+    JVM-side ``levenshtein`` on candidate pairs only. The result is
+    OUTPUT-BOUND (pair count ∝ true matches — the sequential-id sf1
+    fixture yields ~27M) and returned UNSORTED; ``fuzzy_name_stats``
+    is the registered compact rollup."""
+    base = customer.select(F.col("c_custkey").alias("k"),
+                           F.col("c_name").alias("nm"))
+    variants = base.select(
+        "k", "nm",
+        F.explode(F.expr(
+            "transform(sequence(0, length(nm)), i -> CASE WHEN i = 0 "
+            "THEN nm ELSE concat(substring(nm, 1, i - 1), "
+            "substring(nm, i + 1, length(nm))) END)")).alias("v"))
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (a.join(b, (F.col("a.v") == F.col("b.v"))
+                   & (F.col("a.k") < F.col("b.k")))
+            .select(F.col("a.k").alias("custkey_a"),
+                    F.col("a.nm").alias("nm_a"),
+                    F.col("b.k").alias("custkey_b"),
+                    F.col("b.nm").alias("nm_b"))
+            .dropDuplicates(["custkey_a", "custkey_b"]))
+    return (cand
+            .withColumn("dist", F.levenshtein("nm_a", "nm_b"))
+            .filter(F.col("dist") <= 1)
+            .select("custkey_a", "custkey_b",
+                    F.col("dist").cast("long").alias("dist")))
+
+
+def fuzzy_name_stats(customer: DataFrame) -> DataFrame:
+    """Registered rollup of ``fuzzy_name_pairs`` (the raw pair set is
+    ~20k rows at sf0.01 — compact stats keep the oracle compare light
+    while the checksum still pins every pair): per distance, the pair
+    count and a mod-prime fold of (a·31 + b) over the pairs."""
+    pairs = fuzzy_name_pairs(customer)
+    term = F.pmod(F.col("custkey_a") * 31 + F.col("custkey_b"),
+                  F.lit(1_000_003))
+    return (pairs.groupBy("dist")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(term).cast("long").alias("pair_checksum"))
+            .orderBy("dist"))

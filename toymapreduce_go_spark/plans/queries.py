@@ -236,6 +236,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_funnel": _q(events.event_funnel),
     "user_retention": _q(events.user_retention),
     "top_docs_per_source": _q(relational.top_docs_per_source),
+    "fuzzy_name_stats": _q(relational.fuzzy_name_stats),
     "weighted_sample": _q(textstats.weighted_sample_stats),
     "dup_spans": _q(dedup.dup_span_stats),
     "line_dedup": _q(dedup.line_dedup_stats),
@@ -316,7 +317,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "audio_fingerprint", "video_fingerprint", "bloom_dedup",
                "heavy_hitters", "near_dedup_vs_prior",
                "ann_ivf_filtered", "chunk_stats", "event_funnel",
-               "user_retention", "top_docs_per_source")
+               "user_retention", "top_docs_per_source",
+               "fuzzy_name_stats")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1813,6 +1815,23 @@ ORACLES: dict[str, str] = {
     "near_dedup_vs_prior": _vs_prior_oracle_sql(),
     "chunk_stats": _chunk_stats_oracle_sql(),
     "event_funnel": _event_funnel_oracle_sql(),
+    # Edit-distance-1 name join: the oracle is the NAIVE n² cross-join
+    # — deliberately, because matching it proves the engine's
+    # deletion-neighborhood blocking has recall 1, not just that both
+    # sides ran the same clever algorithm
+    "fuzzy_name_stats": """
+        WITH c AS (SELECT c_custkey, c_name FROM customer),
+        pairs AS (
+            SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+                   levenshtein(a.c_name, b.c_name) AS dist
+            FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1)
+        SELECT CAST(dist AS BIGINT) AS dist,
+               count(*) AS n_pairs,
+               CAST(sum((ka * 31 + kb) % 1000003) AS BIGINT)
+                   AS pair_checksum
+        FROM pairs GROUP BY dist ORDER BY dist
+    """,
     # Exact top-k per group: the oracle USES the per-group window the
     # engine-side salted tournament exists to avoid — fine in DuckDB
     # at test scale, the single-reducer killer in Spark at 100 TB
