@@ -121,3 +121,19 @@ def test_retention_constructed_cohorts(spark):
         (1, 0): (3, 3), (1, 1): (2, 2), (1, 2): (1, 1),
         (8, 0): (1, 1), (8, 1): (1, 1),
     }
+
+
+def test_funnel_first_touch_anchor(spark):
+    """Pins the FIRST-TOUCH semantics the docstring promises: the
+    horizon anchors on the user's EARLIEST step-1 event, so a user
+    whose only completing chain starts at a LATER step-1 event is
+    deliberately not counted (the sliding/any-anchor variant would
+    count them)."""
+    rows = [(0, 1, "view"), (40, 1, "view"), (50, 1, "click"),
+            (90, 1, "purchase")]
+    out = {r.step: r.n_users for r in event_funnel(
+        _frame(spark, rows), within_minutes=60).collect()}
+    # anchored at view@0: click@50 matches, purchase@90 is outside the
+    # 60-min horizon — NOT counted, although view@40→click@50→purchase@90
+    # would complete under any-anchor semantics
+    assert out == {1: 1, 2: 1, 3: 0}

@@ -310,6 +310,7 @@ def test_top_k_tournament_matches_window_on_skewed_groups(spark):
     rows += [("cold%d" % g, 10_000 + g * 100 + i, (i * 13) % 17)
              for g in range(15) for i in range(10)]
     rows += [("hot", 90_001, 100), ("hot", 90_002, 100)]  # dup scores
+    rows += [("hot", 90_003, 100), ("hot", 90_003, 100)]  # dup FULL keys
     df = spark.createDataFrame(rows, "grp string, rid long, score long")
     w = Window.partitionBy("grp").orderBy(F.col("score").desc(),
                                           F.col("rid").asc())

@@ -191,8 +191,9 @@ SHOWCASE: dict[str, str] = {
         "Window operator anywhere — stage 1 is a partial+final "
         "HashAggregate pair on (source, salt) collecting each "
         "bucket's k best, stage 2 re-aggregates the exploded "
-        "survivors on source alone; both collect_lists are bounded "
-        "at k and n_salts*k rows respectively."),
+        "survivors on source alone; stage-1 buffers are bounded by "
+        "the bucket (N_group/n_salts — the knob), stage-2 lists by "
+        "n_salts*k."),
     "fuzzy_name_stats": (
         "Deletion-neighborhood edit-distance-1 join (r9). Look for: "
         "Generate (the variant explode) on BOTH join sides feeding "

@@ -43,16 +43,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.checksum import CKSUM_MOD as _CKSUM_MOD
 from ..functions.text import tokens
 
 CHUNK_TOKENS = 32
 CHUNK_OVERLAP = 8
-
-# modulus for the content-certifying checksum: keeps the per-chunk
-# term small enough that the per-source SUM stays far from int64
-# range at any realistic scale (and is identical in both engines —
-# the 12-hex md5 prefix is < 2^48 and nonnegative, so pmod == DuckDB %)
-_CKSUM_MOD = 1_000_003
 
 
 def chunk_documents(documents: DataFrame,

@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.checksum import CKSUM_MOD
+
 SESSION_GAP_MINUTES = 30
 
 
@@ -151,8 +153,17 @@ def event_funnel(events: DataFrame,
     events family was missing): per user, greedily match the earliest
     ``steps[0]`` event, then the earliest ``steps[1]`` STRICTLY after
     it, and so on — all later steps inside ``within_minutes`` of the
-    first step's timestamp. Greedy-earliest is exact for subsequence
-    matching: a user completes the funnel iff the greedy chain does.
+    first step's timestamp.
+
+    Semantics — FIRST-TOUCH anchoring, stated precisely: the horizon
+    is anchored on the user's EARLIEST step-1 event (the standard
+    first-touch-attribution funnel). Without a binding horizon,
+    greedy-earliest is exact for subsequence matching (a user
+    completes iff the greedy chain does); WITH a binding horizon, a
+    user whose only completing chain starts from a LATER step-1 event
+    is deliberately not counted — that is the first-touch definition,
+    not an approximation of the sliding ("any-anchor") variant, and
+    the test suite pins it (test_funnel_first_touch_anchor).
 
     Output: one row per step — (step, event_type, n_users,
     t_checksum) — where n_users counts users whose chain reached the
@@ -196,7 +207,7 @@ def event_funnel(events: DataFrame,
     for i, (s, frame) in enumerate(zip(steps, per_step)):
         agg = (frame.agg(
             F.count(F.lit(1)).alias("n_users"),
-            F.coalesce(F.sum(F.pmod(F.col("t"), F.lit(1_000_003))),
+            F.coalesce(F.sum(F.pmod(F.col("t"), F.lit(CKSUM_MOD))),
                        F.lit(0)).alias("t_checksum"))
             .select(F.lit(i + 1).alias("step"),
                     F.lit(s).alias("event_type"), "n_users",

@@ -568,12 +568,23 @@ def top_k_per_group(df: DataFrame, group_col: str, order_struct,
 
     Two-stage salted tournament, exact by composition (the top-k of a
     union is the top-k of the per-part top-k's):
-      1. groupBy (group, pmod(hash(row), n_salts)) → keep each salt
-         bucket's k best via sort_array + slice — map-side
-         combinable, state bounded at k per (group, salt);
+      1. groupBy (group, salt) → keep each salt bucket's k best via
+         sort_array + slice;
       2. groupBy (group) over the ≤ n_salts·k survivors → final k.
-    No task ever holds more than n_salts·k rows of any group, however
-    hot the group is.
+
+    The honest state bound: stage 1's ``collect_list`` buffers the
+    WHOLE (group, salt) bucket before the slice — ≈ N_group/n_salts
+    rows — so ``n_salts`` is the knob that divides the hot group, not
+    a guarantee of k-sized buffers (a k-bounded streaming aggregate
+    needs a custom JVM Aggregator, which PySpark cannot register).
+    Stage 2's lists ARE bounded at n_salts·k. The per-group window
+    this replaces buffers N_group rows in ONE task with no knob at
+    all. The salt hashes (order_struct, spark_partition_id()): the
+    partition-id term means even a group whose rows are ALL IDENTICAL
+    (duplicate full keys — xxhash64 alone would put them in one
+    bucket) spreads across buckets, because exactness does not depend
+    on WHICH bucket a row lands in, only that every row lands in
+    exactly one.
 
     ``order_struct`` is a Column producing a struct whose DESCENDING
     lexicographic order is the ranking (encode ascending tiebreaks by
@@ -582,7 +593,8 @@ def top_k_per_group(df: DataFrame, group_col: str, order_struct,
     order_struct; callers project fields back out."""
     salted = df.select(
         F.col(group_col), order_struct.alias("key"),
-        F.pmod(F.xxhash64(order_struct), F.lit(n_salts)).alias("_salt"))
+        F.pmod(F.xxhash64(order_struct, F.spark_partition_id()),
+               F.lit(n_salts)).alias("_salt"))
     stage1 = (salted.groupBy(group_col, "_salt")
               .agg(F.slice(F.sort_array(F.collect_list("key"), False),
                            1, k).alias("keys")))
@@ -646,6 +658,13 @@ def fuzzy_name_pairs(customer: DataFrame) -> DataFrame:
             "THEN nm ELSE concat(substring(nm, 1, i - 1), "
             "substring(nm, i + 1, length(nm))) END)")).alias("v"))
     a, b = variants.alias("a"), variants.alias("b")
+    # Order of dedup vs verify, MEASURED (sf0.1): dedup-first 3.84 s,
+    # verify-first 11.77 s. A true pair shares up to |s|+1 variants, so
+    # deduping candidate (a, b) keys first divides the levenshtein
+    # calls by ~|s| — which dominates, because false candidates
+    # (variant-sharing pairs at distance 2) are rare next to the ~|s|×
+    # duplication of true ones. The dedup shuffle carries only narrow
+    # (ka, kb, names) rows either way.
     cand = (a.join(b, (F.col("a.v") == F.col("b.v"))
                    & (F.col("a.k") < F.col("b.k")))
             .select(F.col("a.k").alias("custkey_a"),
@@ -666,8 +685,10 @@ def fuzzy_name_stats(customer: DataFrame) -> DataFrame:
     while the checksum still pins every pair): per distance, the pair
     count and a mod-prime fold of (a·31 + b) over the pairs."""
     pairs = fuzzy_name_pairs(customer)
+    from ..functions.checksum import CKSUM_MOD
+
     term = F.pmod(F.col("custkey_a") * 31 + F.col("custkey_b"),
-                  F.lit(1_000_003))
+                  F.lit(CKSUM_MOD))
     return (pairs.groupBy("dist")
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  F.sum(term).cast("long").alias("pair_checksum"))
