@@ -24,6 +24,7 @@ from ..operators import (bpe, chunking, dedup, dsir, events, joins,
                          packing, quality_model, relational,
                          semantic_dedup, similarity, text_mr, textstats,
                          unigram_tok)
+from ..functions.checksum import CKSUM_MOD
 from ..sources.registry import load_table
 
 
@@ -488,7 +489,7 @@ def _event_funnel_oracle_sql(steps: tuple[str, ...] = ("view", "click",
     integer-µs horizon arithmetic (``epoch_us`` == Spark
     ``unix_micros``), and the mod-prime matched-time checksum."""
     w_us = within_minutes * 60 * 1_000_000
-    p = 1_000_003
+    p = CKSUM_MOD
     ctes = [f"""s1 AS (
             SELECT user_id, min(us) AS t, min(us) + {w_us} AS deadline
             FROM base WHERE event_type = '{steps[0]}' GROUP BY user_id)"""]
@@ -550,7 +551,7 @@ def _chunk_stats_oracle_sql(chunk_tokens: int = 32, overlap: int = 8
             SELECT doc_id, source, len(ctoks) AS n_tokens,
                    (chunk_id + 1) *
                    (('0x' || substr(md5(array_to_string(ctoks, ' ')),
-                                    1, 12))::BIGINT % 1000003) AS term
+                                    1, 12))::BIGINT % {CKSUM_MOD}) AS term
             FROM cw)
         SELECT source, count(DISTINCT doc_id) AS n_docs,
                count(*) AS n_chunks,
@@ -1819,7 +1820,7 @@ ORACLES: dict[str, str] = {
     # — deliberately, because matching it proves the engine's
     # deletion-neighborhood blocking has recall 1, not just that both
     # sides ran the same clever algorithm
-    "fuzzy_name_stats": """
+    "fuzzy_name_stats": f"""
         WITH c AS (SELECT c_custkey, c_name FROM customer),
         pairs AS (
             SELECT a.c_custkey AS ka, b.c_custkey AS kb,
@@ -1828,7 +1829,7 @@ ORACLES: dict[str, str] = {
             WHERE levenshtein(a.c_name, b.c_name) <= 1)
         SELECT CAST(dist AS BIGINT) AS dist,
                count(*) AS n_pairs,
-               CAST(sum((ka * 31 + kb) % 1000003) AS BIGINT)
+               CAST(sum((ka * 31 + kb) % {CKSUM_MOD}) AS BIGINT)
                    AS pair_checksum
         FROM pairs GROUP BY dist ORDER BY dist
     """,
