@@ -287,3 +287,31 @@ def test_pipeline_near_prior_screen(spark):
 
     with pytest.raises(ValueError, match="near_prior"):
         build_training_corpus(spark, SF_DIR, docs=docs, near_prior=True)
+
+
+def test_pipeline_chunk_long_docs(spark):
+    """--chunk-long composition: documents over the packing budget are
+    split into half-budget windows before packing, so no curated unit
+    exceeds the budget (packing's oversized-own-bin case disappears);
+    chunk rows carry synthetic negative ids disjoint from real ones."""
+    from toymapreduce_go_spark.operators.packing import bpe_ish_token_count
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter("doc_id < 150"))
+    # the repetition gate leaves only SHORT survivors on this fixture
+    # (a 31-word vocabulary repeats words in any long doc), so the
+    # budget must sit below the survivors' ~18+ token counts
+    max_tokens = 16
+    curated, funnel = build_training_corpus(
+        spark, SF_DIR, docs=docs, max_tokens=max_tokens, chunk_long=True)
+    names = [r["stage"] for r in funnel.collect()]
+    assert "3b_long_docs_chunked" in names
+    rows = curated.select(
+        "doc_id",
+        bpe_ish_token_count(F.col("text")).alias("n_tok")).collect()
+    assert rows
+    assert any(r.doc_id < 0 for r in rows)          # chunks exist
+    assert all(r.n_tok <= max_tokens for r in rows)  # budget holds
+    # synthetic ids never collide with surviving real ids
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))

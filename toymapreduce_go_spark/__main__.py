@@ -124,6 +124,11 @@ def main(argv: list[str] | None = None) -> None:
                         "documents table (prior-snapshot Bloom screen, "
                         "scan-side plan-literal bitmap — runs before "
                         "every other stage)")
+    p.add_argument("--chunk-long", action="store_true",
+                   help="with --corpus-build: split documents whose "
+                        "token count exceeds the packing budget into "
+                        "half-budget windows before packing (synthetic "
+                        "negative doc_ids for chunk rows)")
     p.add_argument("--near-prior", action="store_true",
                    help="with --corpus-build and --bloom-prior: also "
                         "drop docs that are NEAR-duplicates of the "
@@ -172,7 +177,7 @@ def main(argv: list[str] | None = None) -> None:
             span_sample_mod=args.span_sample_mod,
             lm_filter=args.lm_filter, dedup_lines=args.dedup_lines,
             dsir_frac=args.dsir_select, prior_docs=prior,
-            near_prior=args.near_prior)
+            near_prior=args.near_prior, chunk_long=args.chunk_long)
         for r in funnel.collect():
             print(f"{r['stage']} {r['n_docs']}")
         return

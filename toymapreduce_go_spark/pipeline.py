@@ -11,6 +11,8 @@ individual operator in this engine exists to serve:
       → quality gates                  (length/alpha + Gopher repetition)
       → exact + near dedup             (LSH clusters → one survivor each)
       → benchmark decontamination      (broadcast n-gram overlap)
+      → long-document chunking         (optional; over-budget docs split
+                                        into half-budget windows)
       → sequence packing               (sharded FFD into token bins)
       → curated parquet + funnel report
 
@@ -47,7 +49,8 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
                           dedup_lines: bool = False,
                           dsir_frac: float | None = None,
                           prior_docs: DataFrame | None = None,
-                          near_prior: bool = False
+                          near_prior: bool = False,
+                          chunk_long: bool = False
                           ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation funnel over ``sf_dir``'s documents table
     (or an explicit ``docs`` frame — the hook fault-injection and
@@ -207,6 +210,38 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
                     .select("doc_id"))
     clean = deduped.join(contaminated, "doc_id", "left_anti").persist()
     stages.append(("3_decontaminated", clean.count()))
+
+    # 4b (optional). Long-document chunking: split documents whose
+    # token count exceeds the packing budget into windows BEFORE the
+    # packer sees them (packing.py deliberately gives oversized docs a
+    # bin of their own rather than truncating; this stage makes that
+    # case disappear). Chunk width is half the budget in ASCII-token
+    # units — the margin absorbs the difference between the chunker's
+    # word tokens and the packer's finer bpe_ish count. Chunk rows get
+    # NEGATIVE synthetic ids (-(doc_id·4096 + chunk_id + 1)) — a
+    # namespace disjoint from every real nonnegative doc_id. Note the
+    # funnel count may INCREASE at this stage (one long doc → several
+    # chunks); that is the point.
+    if chunk_long:
+        from .operators.chunking import chunk_documents
+        from .operators.packing import bpe_ish_token_count
+        n_tok = F.coalesce(bpe_ish_token_count(F.col("text")), F.lit(0))
+        long_docs = clean.filter(n_tok > max_tokens)
+        short_docs = clean.join(long_docs.select("doc_id"),
+                                "doc_id", "left_anti")
+        chunks = (chunk_documents(long_docs,
+                                  chunk_tokens=max(1, max_tokens // 2),
+                                  overlap=0)
+                  .join(long_docs.select("doc_id", "lang"), "doc_id")
+                  .select(
+                      (-(F.col("doc_id") * 4096 + F.col("chunk_id") + 1))
+                      .alias("doc_id"),
+                      "source", "lang", "text"))
+        pre_chunk = clean
+        clean = (short_docs.select("doc_id", "source", "lang", "text")
+                 .unionByName(chunks).localCheckpoint())
+        stages.append(("3b_long_docs_chunked", clean.count()))
+        pre_chunk.unpersist()
 
     # 5. sequence packing
     bins = pack_sequences(clean, max_tokens=max_tokens)
