@@ -124,6 +124,11 @@ def main(argv: list[str] | None = None) -> None:
                         "documents table (prior-snapshot Bloom screen, "
                         "scan-side plan-literal bitmap — runs before "
                         "every other stage)")
+    p.add_argument("--wds-out", metavar="DIR", default=None,
+                   help="with --corpus-build: also materialize the "
+                        "curated corpus as WebDataset tar shards "
+                        "(deterministic bytes, rename-on-commit, "
+                        "manifest parquet) under DIR")
     p.add_argument("--chunk-long", action="store_true",
                    help="with --corpus-build: split documents whose "
                         "token count exceeds the packing budget into "
@@ -171,7 +176,7 @@ def main(argv: list[str] | None = None) -> None:
         spark.sparkContext.setLogLevel("ERROR")
         prior = (spark.read.parquet(f"{args.bloom_prior}/documents.parquet")
                  if args.bloom_prior else None)
-        _, funnel = build_training_corpus(
+        curated, funnel = build_training_corpus(
             spark, args.corpus_build, out_path=args.out,
             mask_spans=args.mask_spans, span_k=args.span_k,
             span_sample_mod=args.span_sample_mod,
@@ -180,6 +185,15 @@ def main(argv: list[str] | None = None) -> None:
             near_prior=args.near_prior, chunk_long=args.chunk_long)
         for r in funnel.collect():
             print(f"{r['stage']} {r['n_docs']}")
+        if args.wds_out:
+            from .sources.wds import write_webdataset
+            man = write_webdataset(
+                curated.select("doc_id", "source", "lang", "text"),
+                args.wds_out)
+            rows = man.collect()
+            print(f"wds: {len(rows)} shards, "
+                  f"{sum(r['n_docs'] for r in rows)} docs -> "
+                  f"{args.wds_out}")
         return
 
     if not args.input:

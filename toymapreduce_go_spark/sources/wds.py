@@ -1,0 +1,160 @@
+"""WebDataset-style tar shard sink: materialize a curated corpus as
+POSIX tar shards — ``shard-000123.tar`` containing one ``{key}.txt``
+member (and one ``{key}.json`` metadata member) per document — the
+de-facto delivery format for large-scale training data loaders
+(the public WebDataset convention: samples are adjacent same-prefix
+members inside sequentially-read tar files, so a trainer streams
+shards with NO random access).
+
+Reference scope: the reference's only sink is the per-reduce-task
+"mr-out-N" text file (``mr/worker.go``); tar shards are this repo's
+training-facing extension of that sink row, built on the same
+rename-on-commit discipline as ``sources/kvtext.py``.
+
+Design for 100 TB:
+- Shard assignment is a deterministic hash of doc_id (the
+  ``training_shards`` convention) — no global sort, no sequential
+  counter, so assignment is a scan-side projection and any subset of
+  shards can be (re)built independently.
+- Each shard is built by ONE task (``applyInPandas`` over the shard
+  key): members sorted by key inside the shard, tar metadata pinned
+  (mtime 0, uid/gid 0, USTAR format), so a shard's BYTES are a pure
+  function of its document set — reruns reproduce shards
+  byte-identically.
+- Exactly-once: each task writes ``shard-NNNNNN.tar.tmp-<uuid>`` then
+  atomically renames over the final name — a crashed-and-rerun write
+  replaces its own shard with identical bytes and never tears a
+  reader (the kvtext sink's commit protocol, per-shard).
+- The returned manifest (shard, n_docs, n_bytes, sha256) is
+  metadata-sized; readers verify shards against it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import os
+import tarfile
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = ("shard int, n_docs long, n_bytes long, sha256 string")
+
+
+def _build_shard(out_dir: str):
+    """Per-shard tar builder (runs once per shard key). Deterministic
+    bytes: members sorted by key, USTAR format, zeroed metadata."""
+
+    def build(pdf):
+        import pandas as pd
+
+        # executors write directly: out_dir must be task-visible shared
+        # storage (trivially true on local[N]; NFS / a FUSE-mounted
+        # object store on a cluster — or route a registered scheme
+        # through sources/fs.py). Keys assume the curated-corpus
+        # contract of unique doc_ids.
+        os.makedirs(out_dir, exist_ok=True)
+        shard = int(pdf["shard"].iloc[0])
+        rows = sorted(
+            (int(r.doc_id), ("" if r.text is None else str(r.text)),
+             ("" if r.source is None else str(r.source)),
+             ("" if r.lang is None else str(r.lang)))
+            for r in pdf.itertuples(index=False))
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tar:
+            for doc_id, text, source, lang in rows:
+                key = f"{doc_id:012d}"
+                for ext, payload in (
+                        ("txt", text.encode("utf-8")),
+                        ("json", json.dumps(
+                            {"doc_id": doc_id, "source": source,
+                             "lang": lang},
+                            sort_keys=True).encode("utf-8"))):
+                    info = tarfile.TarInfo(name=f"{key}.{ext}")
+                    info.size = len(payload)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tar.addfile(info, io.BytesIO(payload))
+        data = buf.getvalue()
+        final = os.path.join(out_dir, f"shard-{shard:06d}.tar")
+        tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, final)  # atomic commit, idempotent on rerun
+        return pd.DataFrame(
+            [{"shard": shard, "n_docs": len(rows),
+              "n_bytes": len(data),
+              "sha256": hashlib.sha256(data).hexdigest()}])
+
+    return build
+
+
+def write_webdataset(documents: DataFrame, out_dir: str,
+                     docs_per_shard: int = 1000) -> DataFrame:
+    """Write ``documents`` (doc_id, source, lang, text) as WebDataset
+    tar shards under ``out_dir``; returns the manifest frame (shard,
+    n_docs, n_bytes, sha256), also persisted as ``{out_dir}/_manifest``
+    parquet. Shard count = ceil(n/docs_per_shard) with hash
+    assignment, so shards are docs_per_shard-sized in expectation (the
+    loader convention cares about order WITHIN a shard, which is
+    deterministic, not exact shard cardinality)."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = documents.count()
+    n_shards = max(1, -(-n // docs_per_shard))
+    slim = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source", "lang", "text",
+        F.pmod(F.xxhash64(F.col("doc_id").cast("long")),
+               F.lit(n_shards)).cast("int").alias("shard"))
+    manifest = (slim.groupBy("shard")
+                .applyInPandas(_build_shard(out_dir), MANIFEST_SCHEMA)
+                .orderBy("shard"))
+    # materialize (runs the writes), then persist the manifest next to
+    # the shards for readers
+    (manifest.coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(out_dir, "_manifest")))
+    return manifest.sparkSession.read.parquet(
+        os.path.join(out_dir, "_manifest")).orderBy("shard")
+
+
+def read_webdataset(spark, out_dir: str) -> DataFrame:
+    """Read tar shards back into (doc_id, source, lang, text) —
+    distributed: each task parses whole tar files from the binaryFile
+    source (a shard is one file = one reader, the WebDataset streaming
+    model)."""
+
+    def parse(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            out = []
+            for _, row in pdf.iterrows():
+                with tarfile.open(
+                        fileobj=io.BytesIO(row["content"])) as tar:
+                    texts: dict[str, str] = {}
+                    metas: dict[str, dict] = {}
+                    for m in tar.getmembers():
+                        key, ext = m.name.rsplit(".", 1)
+                        payload = tar.extractfile(m).read()
+                        if ext == "txt":
+                            texts[key] = payload.decode("utf-8")
+                        elif ext == "json":
+                            metas[key] = json.loads(payload)
+                    for key, meta in metas.items():
+                        out.append({"doc_id": meta["doc_id"],
+                                    "source": meta["source"],
+                                    "lang": meta["lang"],
+                                    "text": texts.get(key, "")})
+            yield pd.DataFrame(
+                out, columns=["doc_id", "source", "lang", "text"])
+
+    files = (spark.read.format("binaryFile")
+             .load(os.path.join(out_dir, "shard-*.tar"))
+             .select("content"))
+    return files.mapInPandas(
+        parse, "doc_id long, source string, lang string, text string")
