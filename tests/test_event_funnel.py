@@ -137,3 +137,34 @@ def test_funnel_first_touch_anchor(spark):
     # 60-min horizon — NOT counted, although view@40→click@50→purchase@90
     # would complete under any-anchor semantics
     assert out == {1: 1, 2: 1, 3: 0}
+
+
+def test_anomalies_planted_spike_and_dip(spark):
+    """Direction contract on a constructed series: 40 quiet hours at
+     10 events each, one 100-event spike, one 1-event dip. Both tails
+    must flag at 3σ (the z² test is two-sided) and the checksum must
+    pin WHICH hours flagged (moving the spike changes it)."""
+    from toymapreduce_go_spark.operators.events import event_anomalies
+
+    def series(spike_hour):
+        rows = []
+        eid = 0
+        for h in range(40):
+            n = 100 if h == spike_hour else (1 if h == 20 else 10)
+            for i in range(n):
+                rows.append((eid, datetime(2024, 1, 1 + h // 24, h % 24,
+                                           i % 60), 1, "view", 1.0, "{}"))
+                eid += 1
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+
+    out = event_anomalies(series(5)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_hours == 40
+    assert r.n_anomalies_3s == 1          # the spike dominates sigma
+    assert r.n_anomalies_2s >= 1
+    moved = event_anomalies(series(6)).collect()[0]
+    assert moved.n_anomalies_3s == 1
+    assert moved.anomaly_checksum != r.anomaly_checksum

@@ -248,3 +248,51 @@ def user_retention(events: DataFrame) -> DataFrame:
             .agg(F.count_distinct("user_id").alias("n_users"),
                  F.count_distinct("user_id", "day").alias("n_active_days"))
             .orderBy("cohort_week", "week_offset"))
+
+
+def event_anomalies(events: DataFrame) -> DataFrame:
+    """Time-series anomaly report: per event_type, how many hours had
+    a count beyond 2σ / 3σ of that type's own hourly distribution —
+    the monitoring query every ingest pipeline runs over its event
+    stream ("did some hour spike or die?").
+
+    The σ-test is INTEGER-EXACT, which is what makes it value-hash
+    oracleable: z² > k² is evaluated as the cross-multiplied
+    inequality (n·c − s)² > k²·(n·ss − s²) over the integer moments
+    (n hours, s = Σc, ss = Σc²) — no float mean/stddev ever computed,
+    so both engines agree bit-for-bit even at the knife-edge
+    (two-sided: dips count like spikes). Bounds: hourly counts c fit
+    comfortably in int64 cross-products at any realistic per-type
+    hourly volume (overflow needs n·c ≈ 3·10⁹).
+
+    Scale: ONE count-combinable shuffle on (event_type, hour) — the
+    events_tumbling shape — then a metadata-sized moment table
+    broadcast back onto the hourly rows; the anomaly flags are a
+    scan-side projection over |types|×|hours| rows. The
+    anomaly_checksum folds the 3σ-anomalous hours' epoch-µs (mod the
+    shared prime) into the value-hash so WHICH hours flagged is
+    pinned, not just how many."""
+    hr = F.date_trunc("hour", F.col("ts"))
+    hourly = (events.groupBy("event_type", hr.alias("hr"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    mom = (hourly.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("c").alias("s"),
+                F.sum(F.col("c") * F.col("c")).alias("ss")))
+    from pyspark.sql.functions import broadcast
+    j = hourly.join(broadcast(mom), "event_type")
+    dev2 = ((F.col("n") * F.col("c") - F.col("s"))
+            * (F.col("n") * F.col("c") - F.col("s")))
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    z2 = dev2 > 4 * var_n2
+    z3 = dev2 > 9 * var_n2
+    return (j.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_hours"),
+                 F.sum("c").alias("sum_events"),
+                 F.sum(z2.cast("long")).alias("n_anomalies_2s"),
+                 F.sum(z3.cast("long")).alias("n_anomalies_3s"),
+                 F.sum(F.when(z3, F.pmod(
+                     F.unix_micros(F.col("hr").cast("timestamp")),
+                     F.lit(CKSUM_MOD))).otherwise(F.lit(0)))
+                 .cast("long").alias("anomaly_checksum"))
+            .orderBy("event_type"))

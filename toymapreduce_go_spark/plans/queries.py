@@ -236,6 +236,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_gapfill": _q(events.events_gapfill),
     "event_funnel": _q(events.event_funnel),
     "user_retention": _q(events.user_retention),
+    "event_anomalies": _q(events.event_anomalies),
     "top_docs_per_source": _q(relational.top_docs_per_source),
     "fuzzy_name_stats": _q(relational.fuzzy_name_stats),
     "weighted_sample": _q(textstats.weighted_sample_stats),
@@ -319,7 +320,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "heavy_hitters", "near_dedup_vs_prior",
                "ann_ivf_filtered", "chunk_stats", "event_funnel",
                "user_retention", "top_docs_per_source",
-               "fuzzy_name_stats")
+               "fuzzy_name_stats", "event_anomalies")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1816,6 +1817,35 @@ ORACLES: dict[str, str] = {
     "near_dedup_vs_prior": _vs_prior_oracle_sql(),
     "chunk_stats": _chunk_stats_oracle_sql(),
     "event_funnel": _event_funnel_oracle_sql(),
+    # Hourly anomaly detection with the INTEGER-EXACT z² test:
+    # (n·c − s)² > k²·(n·ss − s²) over integer moments — no float
+    # mean/stddev anywhere, so the knife-edge cases agree bit-for-bit
+    "event_anomalies": f"""
+        WITH h AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2),
+        m AS (
+            SELECT event_type, count(*) AS n, sum(c) AS s,
+                   sum(c*c) AS ss
+            FROM h GROUP BY 1),
+        j AS (
+            SELECT h.event_type, h.hr, h.c,
+                   (m.n*h.c - m.s)*(m.n*h.c - m.s) AS dev2,
+                   m.n*m.ss - m.s*m.s AS var_n2
+            FROM h JOIN m USING (event_type))
+        SELECT event_type,
+               count(*) AS n_hours,
+               CAST(sum(c) AS BIGINT) AS sum_events,
+               CAST(sum(CASE WHEN dev2 > 4*var_n2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_anomalies_2s,
+               CAST(sum(CASE WHEN dev2 > 9*var_n2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_anomalies_3s,
+               CAST(sum(CASE WHEN dev2 > 9*var_n2
+                             THEN epoch_us(hr) % {{CKSUM_MOD}} ELSE 0 END)
+                    AS BIGINT) AS anomaly_checksum
+        FROM j GROUP BY 1 ORDER BY 1
+    """.format(CKSUM_MOD=CKSUM_MOD),
     # Edit-distance-1 name join: the oracle is the NAIVE n² cross-join
     # — deliberately, because matching it proves the engine's
     # deletion-neighborhood blocking has recall 1, not just that both
