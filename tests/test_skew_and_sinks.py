@@ -343,3 +343,40 @@ def test_top_docs_plan_has_no_window(spark):
     plan = plan_of(top_docs_per_source(docs))
     assert "Window" not in plan, plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_merge_snapshot_semantics(spark):
+    """Latest-wins CDC merge on constructed frames: newer ts wins, the
+    UPDATE wins an exact ts tie, duplicate keys on either side
+    collapse to one winner, and keys present on only one side survive
+    untouched. No Window in the plan — the winner is a combinable
+    struct-max aggregate."""
+    import pyspark.sql.functions as F
+    from datetime import datetime
+
+    from test_explain_plans import plan_of
+
+    from toymapreduce_go_spark.operators.relational import merge_snapshot
+
+    d = datetime
+    base = spark.createDataFrame(
+        [(1, "base", d(2024, 1, 1)), (2, "base", d(2024, 1, 5)),
+         (3, "base", d(2024, 1, 1)), (4, "base-dup-a", d(2024, 1, 1)),
+         (4, "base-dup-b", d(2024, 1, 2))],
+        "o_orderkey long, o_orderstatus string, o_orderdate timestamp")
+    upd = spark.createDataFrame(
+        [(1, "upd", d(2024, 1, 3)),      # newer -> wins
+         (2, "upd", d(2024, 1, 4)),      # older -> base keeps
+         (3, "upd", d(2024, 1, 1)),      # tie -> update wins
+         (9, "upd", d(2024, 1, 9))],     # insert
+        "o_orderkey long, o_orderstatus string, o_orderdate timestamp")
+    got = {r.o_orderkey: (r.o_orderstatus, r.o_orderdate)
+           for r in merge_snapshot(base, upd).collect()}
+    assert got[1] == ("upd", d(2024, 1, 3))
+    assert got[2] == ("base", d(2024, 1, 5))
+    assert got[3] == ("upd", d(2024, 1, 1))
+    assert got[4] == ("base-dup-b", d(2024, 1, 2))
+    assert got[9] == ("upd", d(2024, 1, 9))
+    assert len(got) == 5
+    plan = plan_of(merge_snapshot(base, upd))
+    assert "Window" not in plan, plan

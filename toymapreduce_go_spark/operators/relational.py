@@ -693,3 +693,55 @@ def fuzzy_name_stats(customer: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  F.sum(term).cast("long").alias("pair_checksum"))
             .orderBy("dist"))
+
+
+def merge_snapshot(base: DataFrame, updates: DataFrame,
+                   key: str = "o_orderkey",
+                   ts: str = "o_orderdate") -> DataFrame:
+    """CDC upsert (the lakehouse MERGE INTO shape): latest-wins merge
+    of an updates batch into a base snapshot — per key, keep the row
+    with the greatest ``ts``; at equal ``ts`` the UPDATE wins (the CDC
+    convention), and any remaining tie breaks deterministically on the
+    row's other columns.
+
+    Scale shape — why this is an aggregation and not a window: the
+    winner per key is ONE map-side-combinable ``max(struct(ts, rank,
+    ...cols))`` aggregate, so a hot key combines down to one row per
+    input partition before the shuffle, and no task ever sorts a
+    key group (the ``row_number`` formulation of MERGE does exactly
+    that). Works unchanged when either side carries duplicate keys —
+    the struct max is total over (ts, side, columns)."""
+    cols = [c for c in base.columns if c != key]
+    tagged = (base.withColumn("_upd", F.lit(0))
+              .unionByName(updates.withColumn("_upd", F.lit(1))))
+    winner = F.max(F.struct(
+        F.col(ts).alias("_ts"), F.col("_upd").alias("_u"),
+        *[F.col(c) for c in cols])).alias("w")
+    merged = tagged.groupBy(key).agg(winner)
+    return merged.select(
+        key, *[F.col(f"w.{c}").alias(c) for c in cols])
+
+
+def orders_upsert(orders: DataFrame) -> DataFrame:
+    """Registered face of ``merge_snapshot``: a deterministic updates
+    batch (every 10th orderkey re-arrives one day later with status
+    'U' and +1.00 total) merged into the orders snapshot, rolled up
+    per resulting status with integer key/date checksums so the
+    value-hash pins exactly WHICH rows the merge kept."""
+    from ..functions.checksum import CKSUM_MOD
+
+    upd = (orders.filter(F.pmod(F.col("o_orderkey"), F.lit(10)) == 0)
+           .withColumn("o_orderstatus", F.lit("U"))
+           .withColumn("o_orderdate",
+                       F.col("o_orderdate") + F.expr("interval 1 day"))
+           .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0)))
+    merged = merge_snapshot(orders, upd)
+    return (merged.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.pmod(F.col("o_orderkey"), F.lit(CKSUM_MOD)))
+                 .cast("long").alias("key_checksum"),
+                 F.sum(F.pmod(F.unix_micros(
+                     F.col("o_orderdate").cast("timestamp")),
+                     F.lit(CKSUM_MOD)))
+                 .cast("long").alias("date_checksum"))
+            .orderBy("o_orderstatus"))

@@ -239,6 +239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_anomalies": _q(events.event_anomalies),
     "top_docs_per_source": _q(relational.top_docs_per_source),
     "fuzzy_name_stats": _q(relational.fuzzy_name_stats),
+    "orders_upsert": _q(relational.orders_upsert),
     "weighted_sample": _q(textstats.weighted_sample_stats),
     "dup_spans": _q(dedup.dup_span_stats),
     "line_dedup": _q(dedup.line_dedup_stats),
@@ -320,7 +321,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "heavy_hitters", "near_dedup_vs_prior",
                "ann_ivf_filtered", "chunk_stats", "event_funnel",
                "user_retention", "top_docs_per_source",
-               "fuzzy_name_stats", "event_anomalies")
+               "fuzzy_name_stats", "event_anomalies", "orders_upsert")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1817,6 +1818,27 @@ ORACLES: dict[str, str] = {
     "near_dedup_vs_prior": _vs_prior_oracle_sql(),
     "chunk_stats": _chunk_stats_oracle_sql(),
     "event_funnel": _event_funnel_oracle_sql(),
+    # CDC upsert: the oracle expresses the MERGE declaratively (updated
+    # keys take the update row, the rest keep base) — matching it
+    # proves the engine's combinable struct-max formulation implements
+    # exactly that spec, not merely the same trick twice
+    "orders_upsert": f"""
+        WITH upd AS (
+            SELECT o_orderkey, 'U' AS o_orderstatus,
+                   o_orderdate + INTERVAL 1 DAY AS o_orderdate
+            FROM orders WHERE o_orderkey % 10 = 0),
+        merged AS (
+            SELECT o_orderkey, o_orderstatus, o_orderdate FROM orders
+            WHERE o_orderkey % 10 <> 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_orderdate FROM upd)
+        SELECT o_orderstatus, count(*) AS n_orders,
+               CAST(sum(o_orderkey % {CKSUM_MOD}) AS BIGINT)
+                   AS key_checksum,
+               CAST(sum(epoch_us(o_orderdate) % {CKSUM_MOD}) AS BIGINT)
+                   AS date_checksum
+        FROM merged GROUP BY 1 ORDER BY 1
+    """,
     # Hourly anomaly detection with the INTEGER-EXACT z² test:
     # (n·c − s)² > k²·(n·ss − s²) over integer moments — no float
     # mean/stddev anywhere, so the knife-edge cases agree bit-for-bit
