@@ -8,8 +8,8 @@ from __future__ import annotations
 
 from conftest import SF_DIR
 from toymapreduce_go_spark.operators.dedup import embedding_near_dup
-from toymapreduce_go_spark.operators.semantic_dedup import \
-    semantic_dedup_pairs
+from toymapreduce_go_spark.operators.semantic_dedup import (
+    _cell_block_replicas, semantic_dedup_pairs)
 
 
 def test_subset_of_bruteforce_with_exact_cosines(spark):
@@ -56,3 +56,42 @@ def test_assignment_is_scan_side_projection(spark):
     assert "SortMergeJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan
     assert "Window" not in plan
+
+
+def test_hot_cell_pairs_exact_and_blocking_invariant(spark):
+    """Planted hot cell: N identical vectors — every vector lands in
+    the same n_assign cells, the worst case the intra-cell block grid
+    exists for. The blocking must not change the pair set: all C(N,2)
+    pairs, each exactly once, exact cosine 1.0, and identical output
+    at n_blocks=1 (one tile per cell, the pre-fix shape)."""
+    n = 48
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    out = semantic_dedup_pairs(emb, threshold=0.9, n_blocks=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {
+        (i, j) for i in range(n) for j in range(i + 1, n)}
+    assert len(out) == n * (n - 1) // 2  # each pair exactly once
+    assert all(r["cos_sim"] == 1.0 for r in out)
+    single_tile = semantic_dedup_pairs(
+        emb, threshold=0.9, n_blocks=1).collect()
+    assert sorted((r["id_a"], r["id_b"], r["cos_sim"])
+                  for r in single_tile) == sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"]) for r in out)
+
+
+def test_hot_cell_per_task_rows_are_capped(spark):
+    """The per-task input bound, asserted directly on the replication
+    frame the operator groups: a (cell, bi, bj) task receives at most
+    TWO blocks of one cell — never the whole cell — even when one cell
+    holds the entire corpus."""
+    n, n_blocks = 64, 4
+    assigned = spark.createDataFrame(
+        [(i, [1.0, 0.0], 0) for i in range(n)],
+        "vec_id long, embedding array<float>, cell int")
+    sizes = (_cell_block_replicas(assigned, n_blocks)
+             .groupBy("cell", "bi", "bj").count().collect())
+    per_block = -(-n // n_blocks)  # ceil: ids 0..n-1 spread mod n_blocks
+    assert len(sizes) == n_blocks * (n_blocks + 1) // 2
+    assert max(r["count"] for r in sizes) <= 2 * per_block
+    assert max(r["count"] for r in sizes) < n  # never the whole cell

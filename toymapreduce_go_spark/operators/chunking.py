@@ -103,9 +103,15 @@ def chunk_stats(documents: DataFrame,
     h = F.pmod(
         F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("long"),
         F.lit(_CKSUM_MOD))
+    # the weighted term is reduced mod the prime BEFORE the SUM so every
+    # term honors checksum.py's "< ~10^6" invariant — unreduced,
+    # (chunk_id+1)*h reaches ~6.7e13 for int32-length docs and a
+    # per-source int64 SUM can wrap (Spark wraps silently, DuckDB sums
+    # in HUGEINT → silent value-hash divergence at scale)
     return (ch
             .select("doc_id", "source", "n_tokens",
-                    ((F.col("chunk_id") + 1) * h).alias("term"))
+                    F.pmod((F.col("chunk_id") + 1) * h,
+                           F.lit(_CKSUM_MOD)).alias("term"))
             .groupBy("source")
             .agg(F.count_distinct("doc_id").alias("n_docs"),
                  F.count(F.lit(1)).alias("n_chunks"),

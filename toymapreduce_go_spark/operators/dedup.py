@@ -1576,9 +1576,15 @@ def _read_index_meta(spark, path: str) -> dict | None:
     zero matches — every near-duplicate missed, no error."""
     from pyspark.errors import AnalysisException
     try:
-        row = spark.read.parquet(f"{path}/meta").collect()[0]
+        rows = spark.read.parquet(f"{path}/meta").collect()
     except AnalysisException:
         return None
+    if not rows:
+        # meta dir exists but is empty — a crash between the partition
+        # writes and the meta commit; degrade to the pre-manifest path
+        # (same as absent) instead of an unrelated IndexError
+        return None
+    row = rows[0]
     return {"n": int(row["n"]), "n_hashes": int(row["n_hashes"]),
             "n_bands": int(row["n_bands"])}
 

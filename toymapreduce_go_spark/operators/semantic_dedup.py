@@ -36,9 +36,19 @@ Plan shape: assignment is ONE scalar projection over the scan (the
 centroid model is a plan literal — scores computed into a single array
 via transform over a nested-array literal, never an unrolled
 per-centroid expression; see the r9 PQ-encode lesson), exploded
-``n_assign``× into the cell shuffle; each cell's tile is one numpy
-GEMM inside ``applyInPandas``; the pair output (candidate pairs, not
-the corpus) is deduplicated across shared cells.
+``n_assign``× into the cell shuffle; each cell is then tiled over the
+same bounded (block_i ≤ block_j) grid ``dedup.embedding_near_dup``
+uses, so a HOT cell (a near-dup-dense region — exactly what this
+operator hunts) never lands in one task: per-task input is at most two
+blocks of one cell (~2·|cell|/n_blocks rows), and the cell's GEMM is
+``n_blocks·(n_blocks+1)/2`` bounded numpy tiles instead of one
+unbounded n_cell² matmul. Shuffle volume is
+``n_assign·(n_blocks+1)·corpus`` — the grid multiplies the (already
+n_assign-replicated) assignment rows, not the pair set. The pair
+output (candidate pairs, not the corpus) is deduplicated across
+shared cells; within one cell every unordered pair meets in exactly
+one (bi, bj) tile, so the blocking changes WHERE pairs are computed,
+never the pair set — the DuckDB oracle is unchanged.
 """
 
 from __future__ import annotations
@@ -51,16 +61,20 @@ from .similarity import IVF_TRAIN_ITERS, _py_norm, train_ivf_centroids
 
 SEMDEDUP_CELLS = 8
 SEMDEDUP_ASSIGN = 3
+SEMDEDUP_BLOCKS = 4
 
 
 def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.4,
                          n_cells: int = SEMDEDUP_CELLS,
                          n_assign: int = SEMDEDUP_ASSIGN,
                          n_iters: int = IVF_TRAIN_ITERS,
-                         sample_size: int = 64) -> DataFrame:
+                         sample_size: int = 64,
+                         n_blocks: int = SEMDEDUP_BLOCKS) -> DataFrame:
     """``(id_a, id_b, cos_sim)`` for every near-dup pair sharing at
     least one of their ``n_assign`` nearest cells, ``id_a < id_b``,
-    exact cosine >= ``threshold``, ordered."""
+    exact cosine >= ``threshold``, ordered. ``n_blocks`` bounds the
+    per-task tile (~2·|cell|/n_blocks rows) — size it so two blocks of
+    the LARGEST plausible cell fit executor memory."""
     import numpy as np
     import pandas as pd
 
@@ -98,21 +112,60 @@ def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.4,
         .select("vec_id", "embedding",
                 F.explode(F.expr(cells_sql)).alias("cell")))
 
+    replicas = _cell_block_replicas(assigned, n_blocks)
+
     def tile(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
-        v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        ids = pdf["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids, v = ids[order], v[order]
-        nrm = np.linalg.norm(v, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        s = (v / nrm) @ (v / nrm).T
-        ia, ja = np.where(np.triu(s >= threshold, 1))
+        _, bi_v, bj_v = key
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        A = np.array(a["embedding"].tolist(), dtype=np.float64)
+        B = np.array(b["embedding"].tolist(), dtype=np.float64)
+        an = np.linalg.norm(A, axis=1, keepdims=True)
+        bn = np.linalg.norm(B, axis=1, keepdims=True)
+        an[an == 0] = 1.0
+        bn[bn == 0] = 1.0
+        s = (A / an) @ (B / bn).T
+        ia, jb = np.nonzero(s >= threshold)
+        ids_a = a["vec_id"].to_numpy()[ia]
+        ids_b = b["vec_id"].to_numpy()[jb]
+        if bi_v == bj_v:
+            keep = ids_a < ids_b  # diagonal tile: each pair once
+        else:
+            keep = np.ones(len(ids_a), dtype=bool)
+        lo = np.minimum(ids_a[keep], ids_b[keep])
+        hi = np.maximum(ids_a[keep], ids_b[keep])
         # HALF_UP rounding (matches Spark/DuckDB round for positives —
         # np.round is half-to-even and would diverge on .xxxx5 ties)
-        cs = np.floor(s[ia, ja] * 1e4 + 0.5) / 1e4
-        return pd.DataFrame({
-            "id_a": ids[ia], "id_b": ids[ja], "cos_sim": cs})
+        cs = np.floor(s[ia, jb][keep] * 1e4 + 0.5) / 1e4
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": cs})
 
-    pairs = assigned.groupBy("cell").applyInPandas(
-        tile, schema="id_a long, id_b long, cos_sim double")
+    pairs = (replicas
+             .groupBy("cell", "bi", "bj")
+             .applyInPandas(
+                 tile, schema="id_a long, id_b long, cos_sim double"))
     return pairs.distinct().orderBy("id_a", "id_b")
+
+
+def _cell_block_replicas(assigned: DataFrame, n_blocks: int) -> DataFrame:
+    """Replicate the ``(vec_id, embedding, cell)`` assignment frame over
+    the bounded (bi ≤ bj) block grid — the intra-cell tiling of
+    ``dedup.embedding_near_dup``'s pattern, keyed additionally by cell.
+    A (cell, bi, bj) task receives |cell ∩ blk=bi| + |cell ∩ blk=bj|
+    rows (2·|cell ∩ blk=bi| on the diagonal) — at most two blocks of
+    one cell, never the whole cell. Factored out so the per-task input
+    bound is directly testable (tests/test_semantic_dedup.py)."""
+    spark = assigned.sparkSession
+    e = assigned.withColumn(
+        "blk", (F.col("vec_id") % n_blocks).cast("int"))
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(n_blocks)
+         if i <= j], "bi int, bj int")
+    rep_a = (e.join(F.broadcast(grid), F.col("blk") == F.col("bi"))
+             .select("cell", "bi", "bj", F.lit("a").alias("side"),
+                     "vec_id", "embedding"))
+    rep_b = (e.join(F.broadcast(grid), F.col("blk") == F.col("bj"))
+             .select("cell", "bi", "bj", F.lit("b").alias("side"),
+                     "vec_id", "embedding"))
+    return rep_a.unionByName(rep_b)

@@ -68,11 +68,13 @@ def heavy_hitters(documents: DataFrame,
                          "cross-engine)")
     tok = (documents.select(F.explode(tokens("text")).alias("word")))
 
-    # pass 1: total + sketch. Both aggregations are count-combinable
-    # and the sketch's key space is fixed at d*w, so the shuffle is
-    # bounded per partition no matter the vocabulary.
-    n_total = tok.count()
-    min_count = -(-n_total * threshold_milli // 1000) if n_total else 1
+    # pass 1: the sketch — count-combinable and keyed on a FIXED d*w
+    # space, so the shuffle is bounded per partition no matter the
+    # vocabulary. The total token count is NOT a separate pass: every
+    # token lands in exactly one depth-0 counter, so n_total is the sum
+    # of the depth-0 row of the collected sketch — the corpus is
+    # scanned exactly twice (sketch + exact re-check), matching the
+    # module's two-pass framing.
     rows = (
         tok.select(F.explode(F.array(*[
                 F.struct(F.lit(d).alias("d"),
@@ -82,6 +84,8 @@ def heavy_hitters(documents: DataFrame,
     cms = [[0] * CMS_WIDTH for _ in range(CMS_DEPTH)]
     for r in rows:
         cms[int(r["d"])][int(r["p"])] = int(r["count"])
+    n_total = sum(cms[0])
+    min_count = -(-n_total * threshold_milli // 1000) if n_total else 1
     # ONE array Literal per row (not 4096 Literal nodes each — a
     # single ArrayType literal keeps analysis/codegen cost flat)
     counters = [F.lit(row) for row in cms]

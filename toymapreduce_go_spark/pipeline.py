@@ -218,24 +218,35 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
     # case disappear). Chunk width is half the budget in ASCII-token
     # units — the margin absorbs the difference between the chunker's
     # word tokens and the packer's finer bpe_ish count. Chunk rows get
-    # NEGATIVE synthetic ids (-(doc_id·4096 + chunk_id + 1)) — a
-    # namespace disjoint from every real nonnegative doc_id. Note the
-    # funnel count may INCREASE at this stage (one long doc → several
-    # chunks); that is the point.
+    # NEGATIVE synthetic ids (-(doc_id·2²⁴ + chunk_id + 1)) — a
+    # namespace disjoint from every real nonnegative doc_id, and
+    # collision-free by a LOUD guard: chunk_id must stay below the
+    # multiplier (2²⁴ chunks ≈ 2.1e9 tokens per document at the
+    # default max_tokens=256) or distinct chunks from different
+    # documents would silently merge in the downstream packing join.
+    # Note the funnel count may INCREASE at this stage (one long doc →
+    # several chunks); that is the point.
     if chunk_long:
         from .operators.chunking import chunk_documents
         from .operators.packing import bpe_ish_token_count
+        _CHUNK_ID_MULT = 1 << 24
         n_tok = F.coalesce(bpe_ish_token_count(F.col("text")), F.lit(0))
         long_docs = clean.filter(n_tok > max_tokens)
         short_docs = clean.join(long_docs.select("doc_id"),
                                 "doc_id", "left_anti")
+        synth_id = F.when(
+            F.col("chunk_id") < _CHUNK_ID_MULT,
+            -(F.col("doc_id") * _CHUNK_ID_MULT + F.col("chunk_id") + 1)
+        ).otherwise(F.raise_error(F.concat(
+            F.lit("chunk_long: document "), F.col("doc_id"),
+            F.lit(f" produced >= {_CHUNK_ID_MULT} chunks — synthetic "
+                  "ids would collide across documents"))))
         chunks = (chunk_documents(long_docs,
                                   chunk_tokens=max(1, max_tokens // 2),
                                   overlap=0)
                   .join(long_docs.select("doc_id", "lang"), "doc_id")
                   .select(
-                      (-(F.col("doc_id") * 4096 + F.col("chunk_id") + 1))
-                      .alias("doc_id"),
+                      synth_id.alias("doc_id"),
                       "source", "lang", "text"))
         pre_chunk = clean
         clean = (short_docs.select("doc_id", "source", "lang", "text")

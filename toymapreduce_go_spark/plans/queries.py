@@ -551,9 +551,10 @@ def _chunk_stats_oracle_sql(chunk_tokens: int = 32, overlap: int = 8
             FROM ch),
         terms AS (
             SELECT doc_id, source, len(ctoks) AS n_tokens,
-                   (chunk_id + 1) *
-                   (('0x' || substr(md5(array_to_string(ctoks, ' ')),
-                                    1, 12))::BIGINT % {CKSUM_MOD}) AS term
+                   ((chunk_id + 1) *
+                    (('0x' || substr(md5(array_to_string(ctoks, ' ')),
+                                     1, 12))::BIGINT % {CKSUM_MOD}))
+                   % {CKSUM_MOD} AS term
             FROM cw)
         SELECT source, count(DISTINCT doc_id) AS n_docs,
                count(*) AS n_chunks,

@@ -118,15 +118,38 @@ def write_webdataset(documents: DataFrame, out_dir: str,
     # the shards for readers
     (manifest.coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(out_dir, "_manifest")))
-    return manifest.sparkSession.read.parquet(
+    committed = manifest.sparkSession.read.parquet(
         os.path.join(out_dir, "_manifest")).orderBy("shard")
+    # defense-in-depth next to the manifest-driven reader: a rewrite
+    # with fewer shards must not leave the old run's extra shard-*.tar
+    # (or orphaned .tmp-*) files behind — stale finals would resurrect
+    # deleted documents for any non-manifest consumer
+    written = {f"shard-{int(r['shard']):06d}.tar"
+               for r in committed.select("shard").collect()}
+    for name in os.listdir(out_dir):
+        stale_final = (name.startswith("shard-") and name.endswith(".tar")
+                       and name not in written)
+        orphan_tmp = name.startswith("shard-") and ".tar.tmp-" in name
+        if stale_final or orphan_tmp:
+            os.remove(os.path.join(out_dir, name))
+    return committed
 
 
 def read_webdataset(spark, out_dir: str) -> DataFrame:
     """Read tar shards back into (doc_id, source, lang, text) —
     distributed: each task parses whole tar files from the binaryFile
     source (a shard is one file = one reader, the WebDataset streaming
-    model)."""
+    model).
+
+    The shard LIST comes from the ``_manifest`` parquet, never a
+    ``shard-*.tar`` glob — rewriting the same out_dir with a smaller
+    corpus (fewer shards) leaves stale shard files on disk, and a glob
+    would silently read them back, resurrecting deleted documents.
+    Every shard's bytes are also verified against the manifest sha256
+    before parsing, so a stale or torn shard fails LOUD."""
+    mf = spark.read.parquet(os.path.join(out_dir, "_manifest"))
+    expected = {f"shard-{int(r['shard']):06d}.tar": r["sha256"]
+                for r in mf.select("shard", "sha256").collect()}
 
     def parse(iterator):
         import pandas as pd
@@ -134,6 +157,13 @@ def read_webdataset(spark, out_dir: str) -> DataFrame:
         for pdf in iterator:
             out = []
             for _, row in pdf.iterrows():
+                name = os.path.basename(str(row["path"]))
+                digest = hashlib.sha256(bytes(row["content"])).hexdigest()
+                if digest != expected.get(name):
+                    raise ValueError(
+                        f"webdataset shard {name} does not match the "
+                        f"manifest sha256 — stale, torn, or foreign "
+                        f"shard file under {out_dir}")
                 with tarfile.open(
                         fileobj=io.BytesIO(row["content"])) as tar:
                     texts: dict[str, str] = {}
@@ -154,7 +184,8 @@ def read_webdataset(spark, out_dir: str) -> DataFrame:
                 out, columns=["doc_id", "source", "lang", "text"])
 
     files = (spark.read.format("binaryFile")
-             .load(os.path.join(out_dir, "shard-*.tar"))
-             .select("content"))
+             .load([os.path.join(out_dir, name)
+                    for name in sorted(expected)])
+             .select("path", "content"))
     return files.mapInPandas(
         parse, "doc_id long, source string, lang string, text string")
