@@ -1,0 +1,93 @@
+"""URL canonicalization (operators/urls.py): each RFC 3986
+normalization rule on constructed URLs, the tracking-param strip, the
+scan-side plan shape, and the quad-collapse dedup contract. Value
+parity vs the generated DuckDB twin runs in tests/test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from toymapreduce_go_spark.operators.urls import (
+    canonicalize_url, synthesize_urls, url_dedup_docs, url_domain,
+    url_stats)
+
+
+def _canon(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(canonicalize_url(F.col("url")).alias("c")).first()["c"]
+
+
+def test_normalization_rules(spark):
+    # case: scheme + host lowercased, path case preserved
+    assert (_canon(spark, "HTTP://WWW.Site.COM/Path/File")
+            == "http://www.site.com/Path/File")
+    # default ports dropped; non-default kept
+    assert _canon(spark, "http://a.com:80/x") == "http://a.com/x"
+    assert _canon(spark, "https://a.com:443/x") == "https://a.com/x"
+    assert _canon(spark, "http://a.com:8080/x") == "http://a.com:8080/x"
+    assert _canon(spark, "https://a.com:80/x") == "https://a.com:80/x"
+    # fragment dropped
+    assert _canon(spark, "http://a.com/x#frag") == "http://a.com/x"
+    # empty path -> '/'
+    assert _canon(spark, "http://a.com") == "http://a.com/"
+    assert _canon(spark, "http://a.com?b=1") == "http://a.com/?b=1"
+    # query params sorted byte-lexicographically
+    assert _canon(spark, "http://a.com/x?c=3&a=1&b=2") \
+        == "http://a.com/x?a=1&b=2&c=3"
+
+
+def test_tracking_params_stripped(spark):
+    assert (_canon(spark,
+                   "http://a.com/x?utm_source=f&a=1&utm_campaign=c")
+            == "http://a.com/x?a=1")
+    assert _canon(spark, "http://a.com/x?fbclid=abc&gclid=z") \
+        == "http://a.com/x"
+    # tracking-LIKE values (not names) survive
+    assert _canon(spark, "http://a.com/x?q=utm_source") \
+        == "http://a.com/x?q=utm_source"
+
+
+def test_unparseable_passes_through(spark):
+    # no scheme: fail-open (fragment still stripped), never empty
+    assert _canon(spark, "not a url#frag") == "not a url"
+    assert _canon(spark, "www.a.com/x") == "www.a.com/x"
+
+
+def test_domain_extraction(spark):
+    df = spark.createDataFrame(
+        [("http://www.site.com:8080/x?a=1",)], "c string")
+    assert df.select(url_domain(F.col("c")).alias("d")).first()["d"] \
+        == "www.site.com"
+
+
+def test_quad_collapse_and_stats(spark):
+    """All four raw variants of a page canonicalize identically, so
+    url_dedup keeps exactly one survivor per quad and url_stats
+    reports 3 duplicates per full quad."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    dd = url_dedup_docs(synthesize_urls(docs)).collect()
+    assert sum(r["n_occurrences"] for r in dd) == n
+    assert all(r["n_occurrences"] == 4 for r in dd)  # 500 % 4 == 0
+    assert all(r["doc_id"] % 4 == 0 for r in dd)  # min of each quad
+    st = url_stats(docs).collect()
+    assert sum(r["n_urls"] for r in st) == n
+    assert sum(r["n_dup_urls"] for r in st) == n - len(dd)
+    # the four variants are four DISTINCT raw strings
+    assert all(r["n_raw_distinct"] == r["n_urls"] for r in st)
+
+
+def test_plan_is_scan_side(spark):
+    """Canonicalization is a pure projection: no join, no window, no
+    Python stage anywhere before the rollup shuffle."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        url_stats(docs).explain("formatted")
+    plan = buf.getvalue()
+    for bad in ("Join", "Window", "InPandas", "PythonUDF"):
+        assert bad not in plan, bad

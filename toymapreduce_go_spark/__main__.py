@@ -129,6 +129,12 @@ def main(argv: list[str] | None = None) -> None:
                         "curated corpus as WebDataset tar shards "
                         "(deterministic bytes, rename-on-commit, "
                         "manifest parquet) under DIR")
+    p.add_argument("--from-html", action="store_true",
+                   help="with --corpus-build: run HTML→text extraction "
+                        "(tag strip + entity unescape + line-frequency "
+                        "boilerplate removal) as the front stage; an "
+                        "html column is consumed directly, a text-only "
+                        "frame gets the synthesized-page fixture path")
     p.add_argument("--chunk-long", action="store_true",
                    help="with --corpus-build: split documents whose "
                         "token count exceeds the packing budget into "
@@ -182,7 +188,8 @@ def main(argv: list[str] | None = None) -> None:
             span_sample_mod=args.span_sample_mod,
             lm_filter=args.lm_filter, dedup_lines=args.dedup_lines,
             dsir_frac=args.dsir_select, prior_docs=prior,
-            near_prior=args.near_prior, chunk_long=args.chunk_long)
+            near_prior=args.near_prior, chunk_long=args.chunk_long,
+            from_html=args.from_html)
         for r in funnel.collect():
             print(f"{r['stage']} {r['n_docs']}")
         if args.wds_out:

@@ -50,7 +50,8 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
                           dsir_frac: float | None = None,
                           prior_docs: DataFrame | None = None,
                           near_prior: bool = False,
-                          chunk_long: bool = False
+                          chunk_long: bool = False,
+                          from_html: bool = False
                           ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation funnel over ``sf_dir``'s documents table
     (or an explicit ``docs`` frame — the hook fault-injection and
@@ -71,6 +72,26 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
     stages: list[tuple[str, int]] = [("0_raw", docs.count())]
+
+    # 0a (optional). HTML → text extraction: the crawl front door —
+    # tag strip + entity unescape + line-frequency boilerplate removal
+    # (operators/html_extract.py) runs BEFORE any gate, hash, or model
+    # sees a byte, so every downstream stage operates on prose, not
+    # markup. An ``html`` column is consumed directly (the production
+    # path); a text-only frame gets the deterministic synthesized-page
+    # fixture path first, the multimodal/binary.py convention.
+    # localCheckpoint: the extraction embeds a broadcast-subquery
+    # (boilerplate set) — lineage-depth discipline like the other
+    # optional stages.
+    if from_html:
+        from .operators.html_extract import (extract_html_documents,
+                                             synthesize_html)
+        pages = (docs if "html" in docs.columns
+                 else synthesize_html(docs))
+        docs = (extract_html_documents(pages)
+                .filter(F.length("text") >= 1)
+                .drop("removed_lines").localCheckpoint())
+        stages.append(("0a_html_extracted", docs.count()))
 
     # 0b (optional). Prior-snapshot Bloom screen: drop docs already
     # ingested in an earlier corpus build BEFORE any other stage runs —

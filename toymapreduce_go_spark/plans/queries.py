@@ -20,10 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..mr.api import run_map_reduce, wc_map, wc_reduce
-from ..operators import (bpe, chunking, dedup, dsir, events, joins,
-                         packing, quality_model, relational,
-                         semantic_dedup, similarity, text_mr, textstats,
-                         unigram_tok)
+from ..operators import (bpe, chunking, dedup, dsir, events,
+                         html_extract, joins, packing, quality_model,
+                         relational, semantic_dedup, similarity,
+                         text_mr, textstats, unigram_tok, urls)
 from ..functions.checksum import CKSUM_MOD
 from ..sources.registry import load_table
 
@@ -259,6 +259,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf": _q(textstats.tfidf_summary),
     "unigram_tok": _q(unigram_tok.unigram_tok_stats),
     "semantic_dedup": _q(semantic_dedup.semantic_dedup_pairs),
+    "html_extract": _q(html_extract.html_extract_stats),
+    "url_canonical": _q(urls.url_stats),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
     "multimodal_pipeline": _multimodal_pipeline,
@@ -321,7 +323,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "heavy_hitters", "near_dedup_vs_prior",
                "ann_ivf_filtered", "chunk_stats", "event_funnel",
                "user_retention", "top_docs_per_source",
-               "fuzzy_name_stats", "event_anomalies", "orders_upsert")
+               "fuzzy_name_stats", "event_anomalies", "orders_upsert",
+               "html_extract", "url_canonical")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -562,6 +565,185 @@ def _chunk_stats_oracle_sql(chunk_tokens: int = 32, overlap: int = 8
                max(n_tokens) AS max_chunk_tokens,
                sum(term) AS chunk_checksum
         FROM terms GROUP BY source ORDER BY source
+    """
+
+
+def _html_extract_oracle_sql(boilerplate_milli: int = 20) -> str:
+    """Generated DuckDB twin of ``html_extract.html_extract_stats``:
+    the same deterministic page synthesis (byte-identical concat,
+    entity-escaped body), the same RE2-compatible strip chain
+    ((?s) lazy script/style removal — RE2 and Java regex agree on
+    these constructs), the same entity unescape order (&amp; last),
+    parallel-unnest line positions (DuckDB zips same-SELECT unnests;
+    range is end-exclusive so len+1 == Spark's posexplode+1), the
+    cross-multiplied integer boilerplate threshold, and the
+    pos-weighted mod-prime checksum over kept lines."""
+    return f"""
+        WITH esc AS (
+            SELECT doc_id, source,
+                   replace(replace(replace(text, '&', '&amp;'),
+                           '<', '&lt;'), '>', '&gt;') AS et
+            FROM documents),
+        page AS (
+            SELECT doc_id, source,
+              '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) ||
+              '<head><title>' || source || ' #' ||
+              CAST(doc_id AS VARCHAR) || '</title>' || chr(10) ||
+              '<style>body{{margin:0;padding:0}}</style>' || chr(10) ||
+              '<script type="text/javascript">var p="' ||
+              CAST(doc_id AS VARCHAR) || '";track(p);</script>' ||
+              chr(10) || '</head>' || chr(10) || '<body>' || chr(10) ||
+              '<header><nav><a href="/">Home</a> | ' ||
+              '<a href="/about">About</a> | ' ||
+              '<a href="/contact">Contact</a></nav></header>' ||
+              chr(10) ||
+              '<div class="banner">Subscribe &amp; save today!</div>' ||
+              chr(10) || '<main>' || chr(10) ||
+              '<h1>' || source || ' document ' ||
+              CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
+              '<p>' || et || '</p>' || chr(10) || '</main>' ||
+              chr(10) || '<footer>&copy; 2026 ' || source ||
+              '. All rights reserved.</footer>' || chr(10) ||
+              '</body>' || chr(10) || '</html>' AS html
+            FROM esc),
+        ext AS (
+            SELECT doc_id, source,
+              replace(replace(replace(replace(replace(replace(replace(
+                regexp_replace(regexp_replace(regexp_replace(html,
+                  '(?s)<script[^>]*>.*?</script>', '', 'g'),
+                  '(?s)<style[^>]*>.*?</style>', '', 'g'),
+                  '<[^>]*>', '', 'g'),
+                '&copy;', '(c)'), '&nbsp;', ' '), '&quot;', '"'),
+                '&#39;', chr(39)), '&lt;', '<'), '&gt;', '>'),
+                '&amp;', '&') AS txt
+            FROM page),
+        l0 AS (SELECT doc_id, source,
+                      string_split(txt, chr(10)) AS ls FROM ext),
+        lines AS (SELECT doc_id, source,
+                         unnest(range(1, len(ls) + 1)) AS pos,
+                         trim(unnest(ls)) AS line
+                  FROM l0),
+        ne AS (SELECT doc_id, source, pos, line,
+                      ('0x' || substr(md5(line), 1, 15))::BIGINT AS h
+               FROM lines WHERE length(line) > 0),
+        boiler AS (
+            SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df
+                           FROM ne GROUP BY h)
+            WHERE df * 1000 >= {boilerplate_milli} *
+                  (SELECT count(DISTINCT doc_id) FROM documents)),
+        flagged AS (
+            SELECT ne.*, CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END
+                   AS is_boiler
+            FROM ne LEFT JOIN boiler b ON ne.h = b.h),
+        raw AS (SELECT source, count(DISTINCT doc_id) AS n_docs,
+                       sum(len(ls)) AS n_raw_lines
+                FROM l0 GROUP BY source),
+        per AS (SELECT source, count(*) AS n_nonempty_lines,
+                       sum(is_boiler) AS n_boiler_dropped,
+                       sum(1 - is_boiler) AS n_kept_lines,
+                       sum(CASE WHEN is_boiler = 0
+                                THEN (pos * (h % {CKSUM_MOD}))
+                                     % {CKSUM_MOD}
+                                ELSE 0 END) AS clean_checksum
+                FROM flagged GROUP BY source)
+        SELECT raw.source AS source, n_docs, n_raw_lines,
+               coalesce(n_nonempty_lines, 0) AS n_nonempty_lines,
+               coalesce(n_boiler_dropped, 0) AS n_boiler_dropped,
+               coalesce(n_kept_lines, 0) AS n_kept_lines,
+               coalesce(clean_checksum, 0) AS clean_checksum
+        FROM raw LEFT JOIN per ON raw.source = per.source
+        ORDER BY raw.source
+    """
+
+
+def _url_canonical_oracle_sql() -> str:
+    """Generated DuckDB twin of ``urls.url_stats``: the same messy-URL
+    synthesis (doc_id quads share a page, doc_id % 4 picks the raw
+    variant), the same RFC 3986 normalization chain step for step
+    (fragment strip, lowercased scheme/host, default-port drop, empty
+    path → '/', tracking-param filter via the SHARED ``TRACKING_RE``
+    literal, byte-lexicographic param sort — DuckDB list_sort and
+    Spark array_sort both compare UTF-8 bytes), and the per-domain
+    rollup with the mod-prime canonical checksum."""
+    from ..operators.urls import TRACKING_RE
+    return f"""
+        WITH u AS (
+          SELECT doc_id,
+            CASE CAST(doc_id % 4 AS INT)
+              WHEN 0 THEN 'http://www.site' ||
+                   CAST((doc_id // 4) % 16 AS VARCHAR) ||
+                   '.example.com:80/articles/item' ||
+                   CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1'
+              WHEN 1 THEN 'HTTP://' || upper('www.site' ||
+                   CAST((doc_id // 4) % 16 AS VARCHAR) ||
+                   '.example.com') || '/articles/item' ||
+                   CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2#section-2'
+              WHEN 2 THEN 'http://www.site' ||
+                   CAST((doc_id // 4) % 16 AS VARCHAR) ||
+                   '.example.com/articles/item' ||
+                   CAST(doc_id // 4 AS VARCHAR) ||
+                   '?utm_source=feed&a=1&b=2&utm_campaign=spring'
+              ELSE 'http://www.site' ||
+                   CAST((doc_id // 4) % 16 AS VARCHAR) ||
+                   '.example.com/articles/item' ||
+                   CAST(doc_id // 4 AS VARCHAR) || '?a=1&fbclid=x' ||
+                   CAST(doc_id AS VARCHAR) || '&b=2'
+            END AS url
+          FROM documents),
+        s1 AS (SELECT doc_id, url,
+                      regexp_replace(url, '#.*$', '') AS nofrag
+               FROM u),
+        s2 AS (SELECT *, lower(regexp_extract(nofrag,
+                        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                      regexp_replace(nofrag,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+               FROM s1),
+        s3 AS (SELECT *,
+                      lower(regexp_extract(rest, '^([^/?]*)', 1))
+                        AS hostport,
+                      regexp_replace(rest, '^[^/?]*', '') AS pathq
+               FROM s2),
+        s4 AS (SELECT *,
+                      regexp_extract(hostport, '^([^:]*)', 1) AS host,
+                      regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                      regexp_extract(pathq, '^([^?]*)', 1) AS path0,
+                      regexp_extract(pathq, '\\?(.*)$', 1) AS query
+               FROM s3),
+        s5 AS (SELECT *,
+                      CASE WHEN path0 = '' THEN '/' ELSE path0 END
+                        AS path,
+                      CASE WHEN port = ''
+                                OR (scheme = 'http' AND port = '80')
+                                OR (scheme = 'https' AND port = '443')
+                           THEN '' ELSE ':' || port END AS keep_port,
+                      list_sort(list_filter(string_split(query, '&'),
+                          p -> p <> '' AND
+                               NOT regexp_matches(p, '{TRACKING_RE}')))
+                        AS params
+               FROM s4),
+        c AS (SELECT doc_id, url,
+                     CASE WHEN scheme = '' THEN nofrag
+                          ELSE scheme || '://' || host || keep_port ||
+                               path ||
+                               (CASE WHEN len(params) > 0
+                                     THEN '?' ||
+                                          array_to_string(params, '&')
+                                     ELSE '' END)
+                     END AS canon
+              FROM s5),
+        d AS (SELECT doc_id, url, canon,
+                     regexp_extract(lower(canon),
+                       '^[a-z][a-z0-9+.-]*://([^/:?]*)', 1) AS domain
+              FROM c),
+        pc AS (SELECT domain, canon, count(*) AS n,
+                      count(DISTINCT url) AS nraw
+               FROM d GROUP BY domain, canon)
+        SELECT domain, sum(n) AS n_urls, sum(nraw) AS n_raw_distinct,
+               count(*) AS n_canonical,
+               sum(n) - count(*) AS n_dup_urls,
+               sum(('0x' || substr(md5(canon), 1, 15))::BIGINT
+                   % {CKSUM_MOD}) AS canon_checksum
+        FROM pc GROUP BY domain ORDER BY domain
     """
 
 
@@ -1818,6 +2000,8 @@ ORACLES: dict[str, str] = {
     "near_dedup_minhash": _minhash_oracle_sql(),
     "near_dedup_vs_prior": _vs_prior_oracle_sql(),
     "chunk_stats": _chunk_stats_oracle_sql(),
+    "html_extract": _html_extract_oracle_sql(),
+    "url_canonical": _url_canonical_oracle_sql(),
     "event_funnel": _event_funnel_oracle_sql(),
     # CDC upsert: the oracle expresses the MERGE declaratively (updated
     # keys take the update row, the rest keep base) — matching it
