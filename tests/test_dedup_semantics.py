@@ -744,3 +744,81 @@ def test_vs_index_manifest_fails_closed_on_mismatch(spark, tmp_path):
     # matching parameters pass both ways
     near_dedup_vs_index(docs, path, n_hashes=32, n_bands=8).collect()
     write_prior_index(docs, path, batch_id=1, n_hashes=32, n_bands=8)
+
+
+def test_index_compaction_preserves_snapshots_and_retention_expires(
+        spark, tmp_path):
+    """Index maintenance: compact_prior_index rewrites bands/sigs to
+    fewer files while preserving the ingest_batch layout — probes at
+    EVERY before_batch snapshot return byte-identical results, and a
+    post-compaction extension behaves exactly as on the uncompacted
+    twin. expire_index_batches then drops old partitions: a probe sees
+    only the kept archive content (the deliberate retention policy)."""
+    import shutil
+
+    from toymapreduce_go_spark.operators.dedup import (
+        compact_prior_index, expire_index_batches, near_dedup_vs_index,
+        write_prior_index)
+    from toymapreduce_go_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # months-of-commits fragmentation, for real: the band computation is
+    # a NARROW chain (one write task per input split — the one-file
+    # fixture yields one file per batch), so force multi-split inputs
+    # with a repartition and keep AQE from coalescing it back to one.
+    archive = docs.filter("doc_id % 3 = 0").repartition(4)
+    batch1 = docs.filter("doc_id % 3 = 1").repartition(4)
+    batch2 = docs.filter("doc_id % 3 = 2")
+    path = str(tmp_path / "idx")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   "false")
+    try:
+        write_prior_index(archive, path, batch_id=0)
+        write_prior_index(batch1, path, batch_id=1)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                       "true")
+
+    twin = str(tmp_path / "idx_twin")
+    shutil.copytree(path, twin)
+    stats = compact_prior_index(spark, path)
+    assert stats["bands"][1] <= stats["bands"][0]
+    n_files = lambda p, sub: len(  # noqa: E731
+        [f for dp, _d, fn in __import__("os").walk(f"{p}/{sub}")
+         for f in fn if f.endswith(".parquet")])
+    assert n_files(path, "bands") < n_files(twin, "bands")
+
+    # every snapshot the uncompacted twin can answer, identically
+    for before in (1, 2):
+        got = sorted(tuple(r) for r in near_dedup_vs_index(
+            batch2, path, before_batch=before).collect())
+        want = sorted(tuple(r) for r in near_dedup_vs_index(
+            batch2, twin, before_batch=before).collect())
+        assert got == want
+        assert got or before == 1  # full archive must produce hits
+
+    # compact-then-extend equals no-compact-then-extend
+    write_prior_index(batch2, path, batch_id=2)
+    write_prior_index(batch2, twin, batch_id=2)
+    probe = docs.filter("doc_id % 3 = 1")
+    got = sorted(tuple(r) for r in near_dedup_vs_index(
+        probe, path, before_batch=3).collect())
+    want = sorted(tuple(r) for r in near_dedup_vs_index(
+        probe, twin, before_batch=3).collect())
+    assert got == want
+
+    # retention: expire batches < 2 -> only batch-2 content remains
+    removed = expire_index_batches(path, keep_from=2)
+    assert removed == 4  # 2 batches x (bands, sigs)
+    left = {r.ingest_batch for r in
+            spark.read.parquet(f"{path}/bands")
+            .select("ingest_batch").distinct().collect()}
+    assert left == {2}
+    post = sorted(tuple(r) for r in near_dedup_vs_index(
+        probe, path, before_batch=3).collect())
+    # the kept-partition probe must equal probing batch2's index alone
+    alone = str(tmp_path / "idx_alone")
+    write_prior_index(batch2, alone, batch_id=2)
+    want_post = sorted(tuple(r) for r in near_dedup_vs_index(
+        probe, alone, before_batch=3).collect())
+    assert post == want_post

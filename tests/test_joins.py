@@ -156,3 +156,37 @@ def test_fuzzy_join_plan_is_variant_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" not in plan, plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_fuzzy_join_max_candidates_guard(spark):
+    """Blowup guard rail: an adversarial key distribution (all names
+    one substitution apart — every pair shares the same deletion
+    variant, quadratic candidates by construction) trips the
+    max_candidates pre-check LOUDLY before the join runs; a benign
+    corpus under the cap returns the identical pair set."""
+    import pytest
+
+    from toymapreduce_go_spark.operators.relational import fuzzy_name_pairs
+
+    def cust(rows):
+        return spark.createDataFrame(
+            [(k, nm, "addr", 0, "p", 0.0, "seg", "c") for k, nm in rows],
+            "c_custkey long, c_name string, c_address string, "
+            "c_nationkey long, c_phone string, c_acctbal double, "
+            "c_mktsegment string, c_comment string")
+
+    # 40 names "nameXX" differing only in the last 2 chars do NOT all
+    # collide; use a truly hot variant: one fixed stem + one varying
+    # character at the end -> deleting it maps all to the same variant.
+    hot = cust([(i, f"aaaa{c}") for i, c in
+                enumerate("abcdefghijklmnopqrstuvwxyz")])
+    with pytest.raises(ValueError, match="max_candidates=100"):
+        fuzzy_name_pairs(hot, max_candidates=100)
+
+    benign = cust([(1, "carlos"), (2, "karlos"), (3, "zelda")])
+    capped = {(r.custkey_a, r.custkey_b, r.dist)
+              for r in fuzzy_name_pairs(benign,
+                                        max_candidates=1000).collect()}
+    uncapped = {(r.custkey_a, r.custkey_b, r.dist)
+                for r in fuzzy_name_pairs(benign).collect()}
+    assert capped == uncapped == {(1, 2, 1)}

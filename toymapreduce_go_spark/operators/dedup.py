@@ -1682,6 +1682,59 @@ def near_dedup_vs_index(batch: DataFrame, path: str,
         sigs.select("prior_id", "sig"), n, threshold, n_hashes, n_bands)
 
 
+def compact_prior_index(spark, path: str,
+                        target_mb: int = 128) -> dict[str, tuple[int, int]]:
+    """Index maintenance: ``write_prior_index`` appends one
+    ``ingest_batch=<id>`` partition per ingested batch forever, and each
+    extension commit leaves one file per write task — after months of
+    daily ingests the probe's file LISTING (not the data) becomes the
+    bottleneck. This rewrites ``{path}/bands`` and ``{path}/sigs``
+    through ``sources.sinks.compact_parquet``, which preserves the
+    hive ``ingest_batch=`` layout (rows are hash-repartitioned ON the
+    partition column, so every batch still compacts to its own
+    partition directory) — therefore ``before_batch`` snapshot
+    semantics are EXACTLY preserved: the partition-value → directory
+    mapping is unchanged, only the file count within each directory
+    drops. ``{path}/meta`` (one row) is left alone. Crash-rerunnable
+    via compact_parquet's tmp/old rename protocol.
+
+    Returns {"bands": (files_before, files_after), "sigs": ...}."""
+    from ..sources.sinks import compact_parquet
+
+    return {sub: compact_parquet(spark, f"{path}/{sub}", target_mb)
+            for sub in ("bands", "sigs")}
+
+
+def expire_index_batches(path: str, keep_from: int) -> int:
+    """Retention, the policy half of index maintenance: drop all
+    ``ingest_batch < keep_from`` partitions from ``{path}/bands`` and
+    ``{path}/sigs``. This DELIBERATELY changes probe results — future
+    batches are no longer screened against the expired archive content
+    (the operator a pipeline runs when its dedup horizon is "the last
+    N days", not "all of history"). Probes with ``before_batch`` inside
+    the expired range see only what survives, so expire only below the
+    oldest snapshot any consumer still replays. Pure directory removal
+    (partition pruning in reverse) — no Spark job, no rewrite of kept
+    batches. Returns the number of partition directories removed."""
+    import os
+    import re
+    import shutil
+
+    removed = 0
+    for sub in ("bands", "sigs"):
+        local = f"{path}/{sub}"
+        if local.startswith("file://"):
+            local = local[len("file://"):]
+        if not os.path.isdir(local):
+            continue
+        for name in os.listdir(local):
+            m = re.fullmatch(r"ingest_batch=(\d+)", name)
+            if m and int(m.group(1)) < keep_from:
+                shutil.rmtree(os.path.join(local, name))
+                removed += 1
+    return removed
+
+
 def screen_vs_prior(batch: DataFrame, prior: DataFrame, n: int = 3,
                     threshold: float = 0.5) -> DataFrame:
     """The materializing form: batch docs that are NOT near-duplicates

@@ -628,7 +628,8 @@ def top_docs_per_source(documents: DataFrame, k: int = 5,
         .orderBy("source", "rank"))
 
 
-def fuzzy_name_pairs(customer: DataFrame) -> DataFrame:
+def fuzzy_name_pairs(customer: DataFrame,
+                     max_candidates: int | None = None) -> DataFrame:
     """String-similarity self-join: customer pairs whose names are
     within Levenshtein distance 1, via DELETION-NEIGHBORHOOD blocking —
     the classic exact algorithm for edit-distance-1 joins (FastSS
@@ -648,7 +649,19 @@ def fuzzy_name_pairs(customer: DataFrame) -> DataFrame:
     JVM-side ``levenshtein`` on candidate pairs only. The result is
     OUTPUT-BOUND (pair count ∝ true matches — the sequential-id sf1
     fixture yields ~27M) and returned UNSORTED; ``fuzzy_name_stats``
-    is the registered compact rollup."""
+    is the registered compact rollup.
+
+    ``max_candidates`` is the blowup guard rail: output-bound means the
+    cost follows the DATA, and an adversarial key distribution (every
+    name one edit from every other — e.g. a constant name with one
+    varying character) makes the candidate set quadratic by
+    construction. Before executing the join, one metadata-sized agg
+    over the variant buckets computes Σ C(m, 2) — EXACTLY the number
+    of candidate rows the equi-join will emit pre-dedup — and raises
+    ``ValueError`` (naming the hottest variants) if it exceeds the cap,
+    instead of launching a shuffle that cannot finish. Note the bound
+    counts each true pair once per shared variant (up to |s|+1 times),
+    so size the cap in candidate rows, not final pairs."""
     base = customer.select(F.col("c_custkey").alias("k"),
                            F.col("c_name").alias("nm"))
     variants = base.select(
@@ -657,6 +670,27 @@ def fuzzy_name_pairs(customer: DataFrame) -> DataFrame:
             "transform(sequence(0, length(nm)), i -> CASE WHEN i = 0 "
             "THEN nm ELSE concat(substring(nm, 1, i - 1), "
             "substring(nm, i + 1, length(nm))) END)")).alias("v"))
+    if max_candidates is not None:
+        # m*(m-1)/2 per variant bucket = the join's exact pre-dedup
+        # output row count (the a.k < b.k predicate halves m²). The
+        # check itself is one groupBy over narrow (v) rows — cheap
+        # next to the join it gates.
+        stats = (variants.groupBy("v").agg(F.count(F.lit(1)).alias("m"))
+                 .filter(F.col("m") > 1)
+                 .agg(F.sum(F.col("m") * (F.col("m") - 1) / 2)
+                      .cast("long").alias("n_cand"),
+                      F.max("m").alias("hottest"))
+                 .collect()[0])
+        n_cand = int(stats["n_cand"] or 0)
+        if n_cand > max_candidates:
+            raise ValueError(
+                f"fuzzy_name_pairs: candidate generation would emit "
+                f"{n_cand} pairs (> max_candidates={max_candidates}; "
+                f"hottest variant bucket holds {stats['hottest']} "
+                f"names) — the key distribution is near-duplicate-"
+                f"dense and the join is quadratic on it. Raise the "
+                f"cap, pre-dedup exact duplicates, or use "
+                f"fuzzy_name_stats on a sample")
     a, b = variants.alias("a"), variants.alias("b")
     # Order of dedup vs verify, MEASURED (sf0.1): dedup-first 3.84 s,
     # verify-first 11.77 s. A true pair shares up to |s|+1 variants, so
