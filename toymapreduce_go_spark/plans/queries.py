@@ -21,9 +21,10 @@ from pyspark.sql import functions as F
 
 from ..mr.api import run_map_reduce, wc_map, wc_reduce
 from ..operators import (bpe, chunking, dedup, dsir, events,
-                         html_extract, joins, packing, quality_model,
-                         relational, semantic_dedup, similarity,
-                         text_mr, textstats, unigram_tok, urls)
+                         html_extract, joins, langid_model, packing,
+                         quality_model, relational, semantic_dedup,
+                         similarity, text_mr, textstats, unigram_tok,
+                         urls)
 from ..functions.checksum import CKSUM_MOD
 from ..sources.registry import load_table
 
@@ -261,6 +262,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": _q(semantic_dedup.semantic_dedup_pairs),
     "html_extract": _q(html_extract.html_extract_stats),
     "url_canonical": _q(urls.url_stats),
+    "langid_trained": _q(langid_model.langid_confusion),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
     "multimodal_pipeline": _multimodal_pipeline,
@@ -324,7 +326,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "ann_ivf_filtered", "chunk_stats", "event_funnel",
                "user_retention", "top_docs_per_source",
                "fuzzy_name_stats", "event_anomalies", "orders_upsert",
-               "html_extract", "url_canonical")
+               "html_extract", "url_canonical", "langid_trained")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1130,6 +1132,49 @@ def _semantic_dedup_oracle_sql(n_cells: int = 8, n_iters: int = 3,
         SELECT id_a, id_b, round(c, 4) AS cos_sim FROM scored
         WHERE c >= {threshold} ORDER BY id_a, id_b"""
     return "WITH " + ",".join(parts) + "," + final
+
+
+def _langid_oracle_sql(n: int = 2, dim: int = 1024,
+                       scale: int = 1_000_000, holdout_mod: int = 5) -> str:
+    """Generated DuckDB twin of ``langid_model.langid_confusion`` —
+    replays TRAINING (hashed char-n-gram counts → integer per-million
+    weights, ``(c * scale) // tot`` == Spark ``div``) and SCORING
+    (per-doc weight sums, argmax with ``ORDER BY s DESC, cand ASC`` ==
+    Spark's greatest + ascending when-chain) bit-for-bit. The md5-prefix
+    bucket hash is nonneg (< 2^60) so ``%`` == Spark ``pmod``; DuckDB
+    ``range`` is end-exclusive, matching Spark's inclusive
+    ``sequence(1, len - n + 1)``."""
+    grams = (f"list_transform(range(1, length(t) - {n - 2}), "
+             f"i -> ('0x' || substr(md5(substr(t, CAST(i AS INT), {n})), "
+             f"1, 15))::BIGINT % {dim})")
+    return f"""
+        WITH usable AS (
+            SELECT doc_id, lang, lower(text) AS t FROM documents
+            WHERE length(lower(text)) >= {n}),
+        tg AS (
+            SELECT lang, unnest({grams}) AS b
+            FROM usable WHERE doc_id % {holdout_mod} <> 0),
+        counts AS (SELECT lang, b, count(*) AS c FROM tg GROUP BY 1, 2),
+        tots AS (SELECT lang, sum(c) AS tot FROM counts GROUP BY 1),
+        w AS (SELECT counts.lang, b, (c * {scale}) // tot AS w
+              FROM counts JOIN tots USING (lang)),
+        hold AS (SELECT doc_id, lang, t FROM usable
+                 WHERE doc_id % {holdout_mod} = 0),
+        hg AS (SELECT doc_id, unnest({grams}) AS b FROM hold),
+        langs AS (SELECT DISTINCT lang AS cand FROM w),
+        sc AS (SELECT hg.doc_id, w.lang AS cand, sum(w.w) AS s
+               FROM hg JOIN w ON w.b = hg.b GROUP BY 1, 2),
+        scored AS (
+            SELECT h.doc_id, h.lang, l.cand, coalesce(sc.s, 0) AS s
+            FROM hold h CROSS JOIN langs l
+            LEFT JOIN sc ON sc.doc_id = h.doc_id AND sc.cand = l.cand),
+        pred AS (
+            SELECT doc_id, lang, cand AS pred_lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY s DESC, cand ASC) AS rn
+            FROM scored)
+        SELECT lang, pred_lang, count(*) AS n_docs
+        FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
 ORACLES: dict[str, str] = {
@@ -2002,6 +2047,7 @@ ORACLES: dict[str, str] = {
     "chunk_stats": _chunk_stats_oracle_sql(),
     "html_extract": _html_extract_oracle_sql(),
     "url_canonical": _url_canonical_oracle_sql(),
+    "langid_trained": _langid_oracle_sql(),
     "event_funnel": _event_funnel_oracle_sql(),
     # CDC upsert: the oracle expresses the MERGE declaratively (updated
     # keys take the update row, the rest keep base) — matching it
