@@ -28,6 +28,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # bucket pattern at scale; they run as declared here.
 BENCH_QUERIES = list(DECLARED)
 
+# Tier 2 (round-9 verdict item 9): the heavyweight PYTEST_ONLY
+# operators — decode-bound multimodal dedup, the CMS-gated exact pass,
+# SemDeDup — whose regressions previously surfaced only in per-round
+# decade studies. Timed single-pass AFTER the declared best-of-2 (JVM,
+# parquet footers, and Python worker pool fully warm; each is
+# multi-second at sf0.1 so single-pass noise stays under the guard's
+# 1.5x-and-1s bar), recorded under "tier2" — EXCLUDED from the headline
+# declared total so cross-round value comparisons stay apples-to-apples
+# — and guarded against the prior round exactly like the declared tier.
+TIER2_QUERIES = ["image_phash", "audio_fingerprint", "video_fingerprint",
+                 "heavy_hitters", "semantic_dedup"]
+
 
 def materialize(df) -> None:
     """Full-fidelity action: the noop sink executes the complete plan
@@ -39,12 +51,16 @@ def materialize(df) -> None:
         df.count()
 
 
-def load_prior_bench(repo_dir: str, sf=None) -> dict[str, float]:
+def load_prior_bench(repo_dir: str, sf=None,
+                     key: str = "queries") -> dict[str, float]:
     """Per-query seconds from the most recent driver-recorded BENCH_r*.json
     (empty if none exists / parses). When ``sf`` is given, a prior round
     recorded at a DIFFERENT scale factor is ignored — comparing an sf1
     run against an sf0.1 baseline would flag every query (or mask every
-    real regression in the other direction)."""
+    real regression in the other direction). ``key`` selects the tier
+    ("queries" = declared, "tier2" = the heavyweight pytest-only tier;
+    rounds before the tier existed simply yield {} and the guard has
+    nothing to compare — never a false flag)."""
     import glob
     import re
 
@@ -61,7 +77,9 @@ def load_prior_bench(repo_dir: str, sf=None) -> dict[str, float]:
                 parsed = json.load(f)["parsed"]
             if sf is not None and parsed.get("sf") != sf:
                 continue
-            return dict(parsed["queries"])
+            queries = dict(parsed["queries"])  # raises -> skip the round
+            return dict(parsed.get(key) or {}) if key != "queries" \
+                else queries
         except Exception:
             continue
     return {}
@@ -158,6 +176,18 @@ def main() -> None:
                 continue
             if name not in timings or el < timings[name]:
                 timings[name] = el
+
+    # Tier 2: single pass on the now-fully-warm JVM/worker pool.
+    tier2: dict[str, float] = {}
+    for name in TIER2_QUERIES:
+        try:
+            t0 = time.perf_counter()
+            materialize(QUERIES[name](spark, SF_DIR))
+            tier2[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -166,6 +196,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "tier2": tier2,
         "sf": sf_val,
     }
     if errors:
@@ -185,8 +216,13 @@ def main() -> None:
     # regression persists. The reported JSON above stays the comparable
     # best-of-2 numbers; the re-run only arbitrates the guard verdict.
     if not os.environ.get("SPARK_GRAFT_BENCH_NO_GUARD"):
-        prior = load_prior_bench(os.path.dirname(os.path.abspath(__file__)),
-                                 sf=sf_val)
+        repo_dir = os.path.dirname(os.path.abspath(__file__))
+        prior = load_prior_bench(repo_dir, sf=sf_val)
+        # tier2 joins the guard with its own prior baseline (names never
+        # collide with declared); the machine-speed normalization stays
+        # declared-only — 50 best-of-2 samples beat 5 single-pass ones.
+        prior.update(load_prior_bench(repo_dir, sf=sf_val, key="tier2"))
+        current_all = {**timings, **tier2}
         raw_speed = machine_speed_ratio(timings, prior)
         speed = min(raw_speed, SPEED_CAP)
         if raw_speed > SPEED_CAP:
@@ -200,10 +236,10 @@ def main() -> None:
                   "round (median per-query) — guard thresholds scaled",
                   file=sys.stderr)
         confirmed = {}
-        for q in find_regressions(timings, prior, speed=speed):
+        for q in find_regressions(current_all, prior, speed=speed):
             t0 = time.perf_counter()
             materialize(QUERIES[q](spark, SF_DIR))
-            best = min(timings[q], round(time.perf_counter() - t0, 3))
+            best = min(current_all[q], round(time.perf_counter() - t0, 3))
             if find_regressions({q: best}, prior, speed=speed):
                 confirmed[q] = best
         if confirmed:

@@ -15,6 +15,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_T2 = os.environ.get("SPARK_GRAFT_T2_SF_DIR", "/root/testdata/sf0.01")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "local_cluster: spawns a real standalone Master/Worker with "
+        "separate executor JVMs (local-cluster[...]); deselect with "
+        "-m 'not local_cluster' on hosts without the launcher")
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = build_session("toymapreduce-go-spark-tests")

@@ -102,3 +102,30 @@ def test_machine_speed_ratio_clamps_on_faster_machine():
     prior = {"a": 2.0, "b": 4.0, "c": 6.0}
     faster = {q: v / 2 for q, v in prior.items()}
     assert machine_speed_ratio(faster, prior) == 1.0
+
+
+def test_load_prior_bench_tier2_key(tmp_path):
+    """r10: the heavyweight pytest-only tier has its own baseline dict;
+    rounds recorded before the tier existed yield {} (guard silent, not
+    false-flagging)."""
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps(
+        {"parsed": {"queries": {"q": 1.0}, "tier2": {"h": 5.0},
+                    "sf": 0.1}}))
+    assert load_prior_bench(str(tmp_path), sf=0.1, key="tier2") == \
+        {"h": 5.0}
+    assert load_prior_bench(str(tmp_path), sf=0.1) == {"q": 1.0}
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(
+        {"parsed": {"queries": {"q": 2.0}, "sf": 0.1}}))
+    assert load_prior_bench(str(tmp_path), sf=0.1, key="tier2") == {}
+
+
+def test_tier2_names_are_registered_and_disjoint():
+    """Every tier2 name must be a real QUERIES entry (so the bench can
+    run it) and NOT declared (so the headline total stays comparable
+    across rounds)."""
+    from bench import TIER2_QUERIES
+
+    from toymapreduce_go_spark.plans.queries import DECLARED, QUERIES
+
+    assert set(TIER2_QUERIES) <= set(QUERIES)
+    assert not set(TIER2_QUERIES) & set(DECLARED)
