@@ -517,18 +517,11 @@ def ann_ivf_trained(embeddings: DataFrame, n_cells: int = 8,
     return _ivf_rank(embeddings, cents, probes, n_probe_cells, k)
 
 
-def _ivf_rank(embeddings: DataFrame,
-              cents: list[tuple[int, list[float]]],
-              probes: list[tuple[int, list[float]]],
-              n_probe_cells: int, k: int) -> DataFrame:
-    """Shared IVF execution: literal-centroid assignment projection,
-    driver-side probe→cell routing, bucket join, per-probe top-k."""
-    # Zero-row corpus (a fully-pruned partition, an empty tenant): there
-    # is nothing to index or probe — return an empty, correctly-schemed
-    # result instead of building a degenerate argmax expression.
-    if not cents or not probes:
-        return embeddings.sparkSession.createDataFrame(
-            [], "probe_id long, neighbor_id long, rank int, cos_sim double")
+def _assign_cells(embeddings: DataFrame,
+                  cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Literal-centroid assignment projection: (vec_id, embedding, cell)
+    with cell = nearest-centroid argmax. Shared by the in-session IVF
+    tiers and the persisted index writer."""
     cent_norms = {cid: _py_norm(emb) for cid, emb in cents}
 
     # One projected corpus-vector norm, reused by every centroid score —
@@ -563,23 +556,35 @@ def _ivf_rank(embeddings: DataFrame,
             f"struct({cent_score_sql(cid, emb)} as cos_c, {cid}L as cent_id)"
             for cid, emb in cents
         ) + ").cent_id"
-    assigned = emb_n.select(
+    return emb_n.select(
         "vec_id", "embedding", F.expr(best_sql).alias("cell"))
 
-    # Probe→cell routing is model-sized work (|probes| × n_cells scores):
-    # computed driver-side, shipped as a literal broadcast frame.
+
+def _route_probes(spark, cents: list[tuple[int, list[float]]],
+                  probes: list[tuple[int, list[float]]],
+                  n_probe_cells: int) -> DataFrame:
+    """Probe→cell routing is model-sized work (|probes| × n_cells
+    scores): computed driver-side, shipped as a literal broadcast
+    frame (probe_id, probe_emb, cell)."""
+    cent_norms = {cid: _py_norm(emb) for cid, emb in cents}
+
     def top_cells(emb):
         pn = _py_norm(emb)
         scored = [(-_py_cos(cemb, emb, cent_norms[cid], pn), cid)
                   for cid, cemb in cents]
         return [cid for _, cid in sorted(scored)[:n_probe_cells]]
 
-    probe_cells = embeddings.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         [(pid, emb, cell)
          for pid, emb in probes
          for cell in top_cells(emb)],
         "probe_id long, probe_emb array<double>, cell long",
     )
+
+
+def _rank_probe_candidates(assigned: DataFrame, probe_cells: DataFrame,
+                           k: int) -> DataFrame:
+    """Bucket join + exact per-probe top-k over the routed cells."""
     cand = (
         assigned.join(broadcast(probe_cells), "cell")
         .filter(F.col("vec_id") != F.col("probe_id"))
@@ -594,6 +599,24 @@ def _ivf_rank(embeddings: DataFrame,
                 F.round("cos", 4).alias("cos_sim"))
         .orderBy("probe_id", "rank")
     )
+
+
+def _ivf_rank(embeddings: DataFrame,
+              cents: list[tuple[int, list[float]]],
+              probes: list[tuple[int, list[float]]],
+              n_probe_cells: int, k: int) -> DataFrame:
+    """Shared IVF execution: literal-centroid assignment projection,
+    driver-side probe→cell routing, bucket join, per-probe top-k."""
+    # Zero-row corpus (a fully-pruned partition, an empty tenant): there
+    # is nothing to index or probe — return an empty, correctly-schemed
+    # result instead of building a degenerate argmax expression.
+    if not cents or not probes:
+        return embeddings.sparkSession.createDataFrame(
+            [], "probe_id long, neighbor_id long, rank int, cos_sim double")
+    assigned = _assign_cells(embeddings, cents)
+    probe_cells = _route_probes(embeddings.sparkSession, cents, probes,
+                                n_probe_cells)
+    return _rank_probe_candidates(assigned, probe_cells, k)
 
 
 def save_ivf_model(spark, path: str, embeddings: DataFrame,
@@ -631,6 +654,74 @@ def ann_ivf_from_model(embeddings: DataFrame, model_path: str,
     probes = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
               for r in probe_rows]
     return _ivf_rank(embeddings, cents, probes, n_probe_cells, k)
+
+
+def write_vector_index(embeddings: DataFrame, path: str,
+                       n_cells: int = 8, n_iters: int = IVF_TRAIN_ITERS,
+                       sample_size: int = IVF_SAMPLE_SIZE) -> None:
+    """Persist the FULL vector index — model AND posting lists — the
+    production build-once/probe-many pattern ``save_ivf_model`` only
+    half delivers (it persists centroids, but every probe job still
+    re-scans and re-assigns the whole corpus). Here the corpus is
+    assigned once (the same scan-side literal-centroid argmax as
+    ``ann_ivf_trained``) and written to ``{path}/postings``
+    PARTITIONED BY cell, so a probe reads only its routed cells'
+    partitions: probe cost ∝ probed cells × cell size, independent of
+    corpus size. ``{path}/model`` holds the (cent_id, centroid) rows.
+
+    Training uses the same deterministic sample as ``ann_ivf_trained``
+    (lowest ``sample_size`` vec_ids), so ``ann_query_index`` over this
+    index is bit-identical to the in-session trained tier (doubles
+    round-trip parquet exactly) — equality pinned in
+    ``tests/test_vector_index.py``, inheriting the trained tier's
+    DuckDB oracle. At 100 TB, cells are also the skew unit: n_cells
+    grows ∝ corpus (the SemDeDup convention) so partitions stay
+    bounded."""
+    spark = embeddings.sparkSession
+    sample_rows = (embeddings.orderBy("vec_id").limit(sample_size)
+                   .select("vec_id", "embedding").collect())
+    sample = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+              for r in sample_rows]
+    cents = (list(enumerate(train_ivf_centroids(sample, n_cells, n_iters)))
+             if sample else [])
+    spark.createDataFrame(
+        [(cid, emb) for cid, emb in cents],
+        "cent_id long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
+    if cents:
+        (_assign_cells(embeddings, cents)
+         .write.mode("overwrite").partitionBy("cell")
+         .parquet(f"{path}/postings"))
+
+
+def ann_query_index(probes_df: DataFrame, path: str,
+                    n_probe_cells: int = 2, n_probes: int = 5,
+                    k: int = DEFAULT_K) -> DataFrame:
+    """Probe a ``write_vector_index`` index: centroids load as a tiny
+    collect, probe routing is driver-side, and the postings scan is
+    PARTITION-PRUNED to the routed cells via a literal IN filter on the
+    partition column (plan-asserted: ``PartitionFilters`` on cell) —
+    the corpus is never re-read, re-assigned, or shuffled. Probes come
+    from ``probes_df`` (lowest ``n_probes`` vec_ids, the repo's probe
+    convention), which need not be the indexed corpus — the
+    build-once/probe-many split."""
+    spark = probes_df.sparkSession
+    cent_rows = (spark.read.parquet(f"{path}/model")
+                 .orderBy("cent_id").collect())
+    cents = [(int(r["cent_id"]), [float(x) for x in r["centroid"]])
+             for r in cent_rows]
+    probe_rows = (probes_df.orderBy("vec_id").limit(n_probes)
+                  .select("vec_id", "embedding").collect())
+    probes = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+              for r in probe_rows]
+    if not cents or not probes:
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, rank int, cos_sim double")
+    probe_cells = _route_probes(spark, cents, probes, n_probe_cells)
+    routed = sorted({int(r["cell"]) for r in probe_cells.collect()})
+    postings = (spark.read.parquet(f"{path}/postings")
+                .filter(F.col("cell").isin(routed)))
+    return _rank_probe_candidates(postings, probe_cells, k)
 
 
 # ---------------------------------------------------------------------------

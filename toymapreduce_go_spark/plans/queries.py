@@ -142,6 +142,26 @@ def _video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_stats_query(load_table(spark, sf_dir, "documents"))
 
 
+def _ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the PERSISTED vector index (model + cell-partitioned
+    posting lists) into a session temp dir, then probe it — result
+    bit-identical to ann_ivf_trained (same deterministic training,
+    doubles round-trip parquet exactly), so it shares that oracle.
+    The probe's postings scan is partition-pruned to the routed cells
+    (tests/test_vector_index.py plan assertion)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.similarity import ann_query_index, write_vector_index
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"tmrg_vec_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}")
+    write_vector_index(emb, path)
+    return ann_query_index(emb, path)
+
+
 def _approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL count-distinct, t-digest quantiles) —
     sketch-based, rows-only check (non-deterministic vs an exact oracle by
@@ -213,6 +233,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": _q(similarity.ann_ivf),
     "ann_ivf_filtered": _q(similarity.ann_ivf_filtered),
     "ann_ivf_trained": _q(similarity.ann_ivf_trained),
+    "ann_index_probe": _ann_index_probe,
     "ann_ivf_pq": _q(similarity.ann_ivf_pq),
     "knn_label_vote": _q(similarity.knn_label_vote),
     "ann_label_vote": _q(similarity.ann_label_vote),
@@ -326,7 +347,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "ann_ivf_filtered", "chunk_stats", "event_funnel",
                "user_retention", "top_docs_per_source",
                "fuzzy_name_stats", "event_anomalies", "orders_upsert",
-               "html_extract", "url_canonical", "langid_trained")
+               "html_extract", "url_canonical", "langid_trained",
+               "ann_index_probe")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -2167,6 +2189,10 @@ ORACLES: dict[str, str] = {
     "ann_ivf_filtered": _ann_ivf_oracle_sql(
         corpus_where="e.label IN (0, 2, 4, 6, 8)"),
     "ann_ivf_trained": _ann_ivf_trained_oracle_sql(),
+    # the persisted index probe is bit-identical to the trained tier by
+    # construction (same sample, training, argmax; doubles round-trip
+    # parquet exactly) — the oracle replays the same build
+    "ann_index_probe": _ann_ivf_trained_oracle_sql(),
     "semantic_dedup": _semantic_dedup_oracle_sql(),
     # ExactSubstr-style duplicated spans: 20-char gram hashes (same
     # portable md5 pattern as rolling_fingerprint), duplicated = present
