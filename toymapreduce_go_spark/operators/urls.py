@@ -44,12 +44,15 @@ from ..functions.checksum import CKSUM_MOD
 TRACKING_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid)="
 
 
-def synthesize_urls(documents: DataFrame) -> DataFrame:
-    """(doc_id, url): a deterministic messy URL per document. doc_id
-    quads (div 4) share a page — same host, same path — and doc_id % 4
-    picks the raw variant, so every page arrives as four DIFFERENT raw
-    strings that canonicalize identically; (div 4) % 16 spreads pages
-    over 16 hosts for the domain rollup."""
+def synth_url_expr() -> "F.Column":
+    """The messy-URL synthesis as a bare column expression over
+    ``doc_id`` — reused by ``synthesize_urls`` and the snapshot
+    builder so no join is ever needed to pair a document's URL with
+    its other columns. doc_id quads (div 4) share a page — same host,
+    same path — and doc_id % 4 picks the raw variant, so every page
+    arrives as four DIFFERENT raw strings that canonicalize
+    identically; (div 4) % 16 spreads pages over 16 hosts for the
+    domain rollup."""
     page = F.col("doc_id").cast("long")
     item = F.expr("doc_id div 4").cast("long")
     v = F.pmod(page, F.lit(4))
@@ -71,7 +74,14 @@ def synthesize_urls(documents: DataFrame) -> DataFrame:
             F.lit("http://"), base, path,
             F.lit("?a=1&fbclid=x"), page.cast("string"),
             F.lit("&b=2"))))
-    return documents.select("doc_id", url.alias("url"))
+    return url
+
+
+def synthesize_urls(documents: DataFrame) -> DataFrame:
+    """(doc_id, url): a deterministic messy URL per document — the
+    frame form of ``synth_url_expr`` (see there for the quad/variant
+    contract)."""
+    return documents.select("doc_id", synth_url_expr().alias("url"))
 
 
 def canonicalize_url(col) -> "F.Column":
@@ -150,3 +160,88 @@ def url_dedup_docs(urls: DataFrame) -> DataFrame:
             .agg(F.min("doc_id").alias("doc_id"),
                  F.count(F.lit(1)).alias("n_occurrences"))
             .orderBy("canon"))
+
+
+# ---------------------------------------------------------------------------
+# Crawl snapshot diffing — the refresh-crawl operation: compare two
+# crawls of the same web by canonical URL and classify every page as
+# added / removed / changed / unchanged. This is how a pipeline decides
+# what to re-extract, re-dedup, and re-embed after a new crawl lands —
+# diff first, reprocess only `added` + `changed` (usually a few percent
+# of a 100 TB snapshot).
+
+SNAPSHOT_MOD = 9          # page-universe modulus for the two snapshots
+OLD_EXCLUDE = 0           # pages missing from the OLD crawl -> "added"
+NEW_EXCLUDE = 5           # pages missing from the NEW crawl -> "removed"
+CHANGED_MODS = (1, 2)     # pages whose content changed between crawls
+
+
+def synthesize_snapshot(documents: DataFrame,
+                        exclude_page_mod: int | None = None,
+                        change_mods: tuple[int, ...] = ()) -> DataFrame:
+    """One crawl snapshot (canon, domain, fp) synthesized from the
+    fixture: page key = the canonical URL (quads collapse), content
+    fingerprint = min(md5(text)) over the page's fetched variants
+    (deterministic, DuckDB-replayable). ``exclude_page_mod`` drops the
+    pages that crawl never fetched; ``change_mods`` re-stamps the
+    listed pages' fingerprints (md5(fp || ':recrawl')) — the
+    deterministic stand-in for content that changed between crawls.
+    All scan-side expressions + ONE count-combinable groupBy on canon;
+    no joins (``synth_url_expr`` keeps url and text in the same row)."""
+    d = documents.select(
+        F.md5("text").alias("h"),
+        canonicalize_url(synth_url_expr()).alias("canon"),
+        F.expr("doc_id div 4").cast("long").alias("page"))
+    if exclude_page_mod is not None:
+        d = d.filter(F.pmod(F.col("page"), F.lit(SNAPSHOT_MOD))
+                     != exclude_page_mod)
+    pages = d.groupBy("canon").agg(F.min("h").alias("fp0"),
+                                   F.min("page").alias("page"))
+    fp = F.col("fp0")
+    if change_mods:
+        fp = F.when(
+            F.pmod(F.col("page"), F.lit(SNAPSHOT_MOD)).isin(*change_mods),
+            F.md5(F.concat(F.col("fp0"), F.lit(":recrawl")))).otherwise(fp)
+    return pages.select("canon",
+                        url_domain(F.col("canon")).alias("domain"),
+                        fp.alias("fp"))
+
+
+def crawl_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Diff two snapshots (canon, domain, fp) by canonical URL: one
+    FULL OUTER join on the page key — the single unavoidable shuffle
+    (at 100 TB, write both snapshots bucketed by canon,
+    ``sources/bucketing.py``, and the join is co-located with no
+    exchange at all). Returns (canon, domain, status, fp_old, fp_new)
+    with status ∈ added / removed / changed / unchanged."""
+    o = old.select("canon", F.col("domain").alias("dom_o"),
+                   F.col("fp").alias("fp_old"))
+    n = new.select("canon", F.col("domain").alias("dom_n"),
+                   F.col("fp").alias("fp_new"))
+    j = o.join(n, "canon", "full_outer")
+    status = (F.when(F.col("fp_old").isNull(), "added")
+              .when(F.col("fp_new").isNull(), "removed")
+              .when(F.col("fp_old") == F.col("fp_new"), "unchanged")
+              .otherwise("changed"))
+    return j.select("canon",
+                    F.coalesce("dom_o", "dom_n").alias("domain"),
+                    status.alias("status"), "fp_old", "fp_new")
+
+
+def crawl_diff_stats(documents: DataFrame) -> DataFrame:
+    """The registered rollup: synthesize the OLD crawl (pages
+    ``page % 9 != 0``) and the NEW crawl (``page % 9 != 5``, pages
+    1,2 mod 9 re-stamped as changed), diff, and count per
+    (domain, status) with a mod-prime canonical checksum — every page
+    routing decision is value-hash-pinned. Output is bounded by
+    domains × 4 statuses."""
+    old = synthesize_snapshot(documents, exclude_page_mod=OLD_EXCLUDE)
+    new = synthesize_snapshot(documents, exclude_page_mod=NEW_EXCLUDE,
+                              change_mods=CHANGED_MODS)
+    d = crawl_diff(old, new)
+    h = F.pmod(F.conv(F.substring(F.md5("canon"), 1, 15), 16, 10)
+               .cast("long"), F.lit(CKSUM_MOD))
+    return (d.groupBy("domain", "status")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.sum(h).alias("canon_checksum"))
+            .orderBy("domain", "status"))

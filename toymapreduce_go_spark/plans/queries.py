@@ -283,6 +283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": _q(semantic_dedup.semantic_dedup_pairs),
     "html_extract": _q(html_extract.html_extract_stats),
     "url_canonical": _q(urls.url_stats),
+    "crawl_diff": _q(urls.crawl_diff_stats),
     "langid_trained": _q(langid_model.langid_confusion),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
@@ -348,7 +349,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "user_retention", "top_docs_per_source",
                "fuzzy_name_stats", "event_anomalies", "orders_upsert",
                "html_extract", "url_canonical", "langid_trained",
-               "ann_index_probe")
+               "ann_index_probe", "crawl_diff")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -680,18 +681,18 @@ def _html_extract_oracle_sql(boilerplate_milli: int = 20) -> str:
     """
 
 
-def _url_canonical_oracle_sql() -> str:
-    """Generated DuckDB twin of ``urls.url_stats``: the same messy-URL
-    synthesis (doc_id quads share a page, doc_id % 4 picks the raw
-    variant), the same RFC 3986 normalization chain step for step
-    (fragment strip, lowercased scheme/host, default-port drop, empty
-    path → '/', tracking-param filter via the SHARED ``TRACKING_RE``
-    literal, byte-lexicographic param sort — DuckDB list_sort and
-    Spark array_sort both compare UTF-8 bytes), and the per-domain
-    rollup with the mod-prime canonical checksum."""
+def _url_canon_ctes() -> str:
+    """Shared WITH-clause body for the URL family oracles: the same
+    messy-URL synthesis (doc_id quads share a page, doc_id % 4 picks
+    the raw variant) and the same RFC 3986 normalization chain step
+    for step (fragment strip, lowercased scheme/host, default-port
+    drop, empty path → '/', tracking-param filter via the SHARED
+    ``TRACKING_RE`` literal, byte-lexicographic param sort — DuckDB
+    list_sort and Spark array_sort both compare UTF-8 bytes).
+    Produces ``d(doc_id, url, canon, domain)``; consumers append their
+    own CTEs (DuckDB ignores unused ones)."""
     from ..operators.urls import TRACKING_RE
-    return f"""
-        WITH u AS (
+    return f"""u AS (
           SELECT doc_id,
             CASE CAST(doc_id % 4 AS INT)
               WHEN 0 THEN 'http://www.site' ||
@@ -758,7 +759,15 @@ def _url_canonical_oracle_sql() -> str:
         d AS (SELECT doc_id, url, canon,
                      regexp_extract(lower(canon),
                        '^[a-z][a-z0-9+.-]*://([^/:?]*)', 1) AS domain
-              FROM c),
+              FROM c)"""
+
+
+def _url_canonical_oracle_sql() -> str:
+    """Generated DuckDB twin of ``urls.url_stats``: the shared
+    synthesis+normalization CTEs plus the per-domain rollup with the
+    mod-prime canonical checksum."""
+    return f"""
+        WITH {_url_canon_ctes()},
         pc AS (SELECT domain, canon, count(*) AS n,
                       count(DISTINCT url) AS nraw
                FROM d GROUP BY domain, canon)
@@ -768,6 +777,52 @@ def _url_canonical_oracle_sql() -> str:
                sum(('0x' || substr(md5(canon), 1, 15))::BIGINT
                    % {CKSUM_MOD}) AS canon_checksum
         FROM pc GROUP BY domain ORDER BY domain
+    """
+
+
+def _crawl_diff_oracle_sql() -> str:
+    """Generated DuckDB twin of ``urls.crawl_diff_stats`` on the shared
+    URL CTEs: both snapshots replay synthesis (page universe filtered
+    by ``page % SNAPSHOT_MOD``), per-page fingerprint = min(md5(text))
+    over fetched variants, the NEW crawl re-stamps the CHANGED_MODS
+    pages (md5(fp || ':recrawl')), FULL OUTER join on canon, status
+    CASE, per-(domain, status) counts + the mod-prime canonical
+    checksum."""
+    from ..operators.urls import (CHANGED_MODS, NEW_EXCLUDE, OLD_EXCLUDE,
+                                  SNAPSHOT_MOD)
+    changed = ", ".join(str(m) for m in CHANGED_MODS)
+    return f"""
+        WITH {_url_canon_ctes()},
+        pages AS (
+            SELECT d.canon, d.domain, (d.doc_id // 4) AS page,
+                   md5(doc.text) AS h
+            FROM d JOIN documents doc ON doc.doc_id = d.doc_id),
+        old AS (
+            SELECT canon, min(domain) AS domain, min(h) AS fp
+            FROM pages WHERE page % {SNAPSHOT_MOD} <> {OLD_EXCLUDE}
+            GROUP BY canon),
+        new0 AS (
+            SELECT canon, min(domain) AS domain, min(h) AS fp0,
+                   min(page) AS page
+            FROM pages WHERE page % {SNAPSHOT_MOD} <> {NEW_EXCLUDE}
+            GROUP BY canon),
+        new AS (
+            SELECT canon, domain,
+                   CASE WHEN page % {SNAPSHOT_MOD} IN ({changed})
+                        THEN md5(fp0 || ':recrawl') ELSE fp0 END AS fp
+            FROM new0),
+        diff AS (
+            SELECT coalesce(old.canon, new.canon) AS canon,
+                   coalesce(old.domain, new.domain) AS domain,
+                   CASE WHEN old.canon IS NULL THEN 'added'
+                        WHEN new.canon IS NULL THEN 'removed'
+                        WHEN old.fp = new.fp THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old FULL OUTER JOIN new ON old.canon = new.canon)
+        SELECT domain, status, count(*) AS n_pages,
+               sum(('0x' || substr(md5(canon), 1, 15))::BIGINT
+                   % {CKSUM_MOD}) AS canon_checksum
+        FROM diff GROUP BY domain, status ORDER BY domain, status
     """
 
 
@@ -2069,6 +2124,7 @@ ORACLES: dict[str, str] = {
     "chunk_stats": _chunk_stats_oracle_sql(),
     "html_extract": _html_extract_oracle_sql(),
     "url_canonical": _url_canonical_oracle_sql(),
+    "crawl_diff": _crawl_diff_oracle_sql(),
     "langid_trained": _langid_oracle_sql(),
     "event_funnel": _event_funnel_oracle_sql(),
     # CDC upsert: the oracle expresses the MERGE declaratively (updated
