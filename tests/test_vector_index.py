@@ -46,8 +46,8 @@ def test_probe_scan_is_partition_pruned(spark, tmp_path):
     assert "cell" in part and "dynamicpruning" not in part.lower(), plan
     # and the pruning is real: fewer files read than partitions exist
     import os
-    n_cells = len([d for d in os.listdir(f"{path}/postings")
-                   if d.startswith("cell=")])
+    n_cells = len({d for dp, dns, _f in os.walk(f"{path}/postings")
+                   for d in dns if d.startswith("cell=")})
     assert n_cells > 2  # the literal IN-list is a strict subset
 
 
@@ -76,3 +76,39 @@ def test_empty_corpus_probe_is_empty(spark, tmp_path):
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == [
         "probe_id", "neighbor_id", "rank", "cos_sim"]
+
+
+def test_extend_equals_one_shot_build(spark, tmp_path):
+    """The IVF lifecycle contract: train once, assign forever — an
+    index built on batch 0 then EXTENDED with batch 1 is bit-identical
+    to a one-shot build over the union, provided batch 0 contains the
+    training sample (the 64 lowest vec_ids; both builds then train on
+    the same sample, and extensions only assign with the stored
+    centroids). Re-running an extension (crash-rerun) overwrites only
+    its own ingest_batch partition — byte-identical, never duplicated."""
+    import pytest as _pytest
+
+    from toymapreduce_go_spark.operators.similarity import (
+        extend_vector_index)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    batch0 = emb.orderBy("vec_id").limit((n + 1) // 2)
+    ids0 = {r.vec_id for r in batch0.select("vec_id").collect()}
+    batch1 = emb.filter(~emb.vec_id.isin(list(ids0)))
+
+    oneshot = str(tmp_path / "oneshot")
+    write_vector_index(emb, oneshot)
+    grown = str(tmp_path / "grown")
+    write_vector_index(batch0, grown)
+    extend_vector_index(batch1, grown, batch_id=1)
+    want = _rows(ann_query_index(emb, oneshot))
+    assert _rows(ann_query_index(emb, grown)) == want
+
+    # crash-rerun: the same extension replays into its own partition
+    extend_vector_index(batch1, grown, batch_id=1)
+    assert _rows(ann_query_index(emb, grown)) == want
+
+    # extensions never train: a missing model fails loudly
+    with _pytest.raises(ValueError, match="write_vector_index first"):
+        extend_vector_index(batch1, str(tmp_path / "nomodel"), 1)

@@ -689,9 +689,57 @@ def write_vector_index(embeddings: DataFrame, path: str,
         "cent_id long, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
     if cents:
+        # ingest_batch=0 in the same (ingest_batch, cell) layout
+        # extend_vector_index appends to, so builds and extensions are
+        # one uniform index (probes prune on cell either way)
         (_assign_cells(embeddings, cents)
-         .write.mode("overwrite").partitionBy("cell")
+         .withColumn("ingest_batch", F.lit(0))
+         .write.mode("overwrite")
+         .partitionBy("ingest_batch", "cell")
          .parquet(f"{path}/postings"))
+
+
+def extend_vector_index(batch: DataFrame, path: str,
+                        batch_id: int) -> None:
+    """Incrementally extend a ``write_vector_index`` index with a new
+    batch of vectors — the production IVF lifecycle: the coarse
+    quantizer is trained ONCE (the stored model is never touched) and
+    every later batch is merely ASSIGNED with the stored centroids and
+    appended, so ingest cost is one scan-side argmax projection over
+    the batch, independent of index size.
+
+    Layout: batch postings land under ``{path}/postings`` partitioned
+    by (ingest_batch, cell) via a dynamic-partition overwrite of ONLY
+    ``ingest_batch=<id>`` — the dedup index's exactly-once convention
+    (``dedup.write_prior_index``): a crashed-and-rerun extension
+    replaces its own partition byte-for-byte and never touches earlier
+    batches. The initial ``write_vector_index`` build writes
+    ``ingest_batch=0`` the same way, so extend-batch-by-batch is
+    bit-identical to a one-shot build over the union (same centroids,
+    same argmax — pinned in tests/test_vector_index.py). Probes prune
+    on cell exactly as before; the extra partition level only adds
+    directories, and ``dedup.compact_prior_index``'s compactor applies
+    if file counts ever matter."""
+    from pyspark.errors import AnalysisException
+    spark = batch.sparkSession
+    try:
+        cent_rows = (spark.read.parquet(f"{path}/model")
+                     .orderBy("cent_id").collect())
+    except AnalysisException:
+        cent_rows = []
+    cents = [(int(r["cent_id"]), [float(x) for x in r["centroid"]])
+             for r in cent_rows]
+    if not cents:
+        raise ValueError(
+            f"extend_vector_index: no model at {path}/model — build the "
+            "index with write_vector_index first (extensions assign with "
+            "the STORED centroids; they never train)")
+    (_assign_cells(batch, cents)
+     .withColumn("ingest_batch", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("ingest_batch", "cell")
+     .parquet(f"{path}/postings"))
 
 
 def ann_query_index(probes_df: DataFrame, path: str,
