@@ -822,3 +822,23 @@ def test_index_compaction_preserves_snapshots_and_retention_expires(
     want_post = sorted(tuple(r) for r in near_dedup_vs_index(
         probe, alone, before_batch=3).collect())
     assert post == want_post
+
+
+def test_expire_refuses_to_empty_the_index(spark, tmp_path):
+    """review r10: expiring past the newest batch would leave bands/
+    sigs holding only _SUCCESS and crash the next probe on schema
+    inference — refused loudly instead."""
+    import pytest as _pytest
+
+    from toymapreduce_go_spark.operators.dedup import (
+        expire_index_batches, write_prior_index)
+    from toymapreduce_go_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "idx")
+    write_prior_index(docs, path, batch_id=0)
+    write_prior_index(docs.orderBy("doc_id").limit(30), path,
+                      batch_id=1)
+    with _pytest.raises(ValueError, match="delete the index instead"):
+        expire_index_batches(path, keep_from=2)
+    assert expire_index_batches(path, keep_from=1) == 2

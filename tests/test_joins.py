@@ -190,3 +190,22 @@ def test_fuzzy_join_max_candidates_guard(spark):
     uncapped = {(r.custkey_a, r.custkey_b, r.dist)
                 for r in fuzzy_name_pairs(benign).collect()}
     assert capped == uncapped == {(1, 2, 1)}
+
+
+def test_fuzzy_guard_counts_cross_key_rows_only(spark):
+    """review r10: repeated-character names produce duplicate deletion
+    variants for the SAME key; those row pairs never pass a.k < b.k,
+    so they must not count against max_candidates. 'aaa'/'aab' share
+    variant 'aa' with multiplicities 3/1 -> exactly 3 cross-key
+    candidate rows (the old sum-C(m,2) said 7 and tripped a cap of 3)."""
+    from toymapreduce_go_spark.operators.relational import fuzzy_name_pairs
+
+    cust = spark.createDataFrame(
+        [(1, "aaa", "a", 0, "p", 0.0, "s", "c"),
+         (2, "aab", "a", 0, "p", 0.0, "s", "c")],
+        "c_custkey long, c_name string, c_address string, "
+        "c_nationkey long, c_phone string, c_acctbal double, "
+        "c_mktsegment string, c_comment string")
+    got = {(r.custkey_a, r.custkey_b, r.dist)
+           for r in fuzzy_name_pairs(cust, max_candidates=3).collect()}
+    assert got == {(1, 2, 1)}

@@ -95,3 +95,20 @@ def test_hot_cell_per_task_rows_are_capped(spark):
     assert len(sizes) == n_blocks * (n_blocks + 1) // 2
     assert max(r["count"] for r in sizes) <= 2 * per_block
     assert max(r["count"] for r in sizes) < n  # never the whole cell
+
+
+def test_negative_vec_ids_are_not_dropped(spark):
+    """review r10: the block grid keys on pmod(vec_id), so the
+    pipeline's NEGATIVE synthetic chunk ids land in the grid and their
+    near-dup pairs survive (a signed % routed them to a blk no grid
+    row matched — silently empty)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pos = sorted(tuple(r) for r in semantic_dedup_pairs(emb).collect())
+    assert pos
+    # order-preserving shift into the negatives: same training sample,
+    # same centroids, same cells — the pair set must be the identical
+    # set under the id shift (a signed % made it empty)
+    shift = 10_000_000
+    neg = emb.selectExpr(f"vec_id - {shift}L as vec_id", "embedding")
+    got = sorted(tuple(r) for r in semantic_dedup_pairs(neg).collect())
+    assert got == [(a - shift, b - shift, c) for a, b, c in pos]

@@ -91,3 +91,45 @@ def test_plan_is_scan_side(spark):
     plan = buf.getvalue()
     for bad in ("Join", "Window", "InPandas", "PythonUDF"):
         assert bad not in plan, bad
+
+
+def test_authority_userinfo_and_ipv6(spark):
+    """RFC 3986 authority parsing (review r10): userinfo splits at the
+    last '@', stays case-sensitive, and is re-emitted; only the host
+    lowercases; bracketed IPv6 hosts keep their brackets and still
+    split the port."""
+    assert (_canon(spark, "http://Alice:Pw@B.COM:80/x")
+            == "http://Alice:Pw@b.com/x")
+    # '@' inside the (percent-unencoded, lenient) userinfo: last @ wins
+    assert (_canon(spark, "http://a@b@C.com/x") == "http://a@b@c.com/x")
+    assert _canon(spark, "http://[::1]:8080/x") == "http://[::1]:8080/x"
+    assert _canon(spark, "http://[2001:DB8::7]/x#f") \
+        == "http://[2001:db8::7]/x"
+    # distinct hosts behind identical userinfo stay distinct pages
+    assert (_canon(spark, "http://alice:pw@a.com/x")
+            != _canon(spark, "http://alice:pw@b.com/x"))
+    # domain excludes userinfo/port, keeps IPv6 brackets
+    df = spark.createDataFrame(
+        [("http://alice:pw@a.com:8080/x",), ("http://[::1]:8080/x",)],
+        "c string")
+    doms = [r["d"] for r in
+            df.select(url_domain(F.col("c")).alias("d")).collect()]
+    assert doms == ["a.com", "[::1]"]
+
+
+def test_crawl_diff_null_fingerprints_use_presence_not_fp(spark):
+    """review r10: a snapshot row with a NULL fingerprint is still a
+    PRESENT page — side membership decides added/removed, null-safe
+    equality decides changed/unchanged."""
+    from toymapreduce_go_spark.operators.urls import crawl_diff
+
+    schema = "canon string, domain string, fp string"
+    old = spark.createDataFrame(
+        [("u1", "d", None), ("u2", "d", None), ("u3", "d", "x")], schema)
+    new = spark.createDataFrame(
+        [("u1", "d", None), ("u3", "d", None), ("u4", "d", None)], schema)
+    got = {r.canon: r.status for r in crawl_diff(old, new).collect()}
+    assert got == {"u1": "unchanged",   # NULL == NULL, both present
+                   "u2": "removed",     # present-in-old-only, NULL fp
+                   "u3": "changed",     # x -> NULL
+                   "u4": "added"}       # new-only, NULL fp

@@ -191,21 +191,22 @@ def extract_html_documents(pages: DataFrame,
     dropped. Documents whose every line was dropped keep empty text
     (callers re-gate on length, as the pipeline does)."""
     flagged = _flagged_lines(pages, boilerplate_milli)
-    rebuilt = (flagged.filter(F.col("is_boiler") == 0)
-               .groupBy("doc_id")
+    # ONE aggregation for both the rebuild and the drop count —
+    # collect_list skips the NULLs the boiler-line CASE produces, so
+    # the extraction/boilerplate lineage evaluates once per action and
+    # the pages frame is stitched with a single join (review r10)
+    rebuilt = (flagged.groupBy("doc_id")
                .agg(F.array_join(
                    F.transform(
                        F.array_sort(F.collect_list(
-                           F.struct("pos", "line"))),
+                           F.when(F.col("is_boiler") == 0,
+                                  F.struct("pos", "line")))),
                        lambda s: s["line"]), "\n").alias("text"),
-                    F.count(F.lit(1)).alias("n_kept")))
-    drops = (flagged.groupBy("doc_id")
-             .agg(F.sum("is_boiler").alias("removed_lines")))
+                    F.sum("is_boiler").alias("removed_lines")))
     cols = [c for c in ("doc_id", "source", "lang") if c
             in pages.columns]
     return (pages.select(*cols)
-            .join(rebuilt.select("doc_id", "text"), "doc_id", "left")
-            .join(drops, "doc_id", "left")
+            .join(rebuilt, "doc_id", "left")
             .withColumn("text", F.coalesce("text", F.lit("")))
             .withColumn("removed_lines",
                         F.coalesce("removed_lines", F.lit(0))))

@@ -655,9 +655,10 @@ def fuzzy_name_pairs(customer: DataFrame,
     cost follows the DATA, and an adversarial key distribution (every
     name one edit from every other — e.g. a constant name with one
     varying character) makes the candidate set quadratic by
-    construction. Before executing the join, one metadata-sized agg
-    over the variant buckets computes Σ C(m, 2) — EXACTLY the number
-    of candidate rows the equi-join will emit pre-dedup — and raises
+    construction. Before executing the join, a metadata-sized agg over
+    the variant buckets computes Σ (C(m, 2) − Σ_k C(c_k, 2)) — EXACTLY
+    the number of candidate rows the equi-join will emit pre-dedup
+    (same-key duplicate-variant pairs never pass a.k < b.k) — and raises
     ``ValueError`` (naming the hottest variants) if it exceeds the cap,
     instead of launching a shuffle that cannot finish. Note the bound
     counts each true pair once per shared variant (up to |s|+1 times),
@@ -671,13 +672,22 @@ def fuzzy_name_pairs(customer: DataFrame,
             "THEN nm ELSE concat(substring(nm, 1, i - 1), "
             "substring(nm, i + 1, length(nm))) END)")).alias("v"))
     if max_candidates is not None:
-        # m*(m-1)/2 per variant bucket = the join's exact pre-dedup
-        # output row count (the a.k < b.k predicate halves m²). The
-        # check itself is one groupBy over narrow (v) rows — cheap
-        # next to the join it gates.
-        stats = (variants.groupBy("v").agg(F.count(F.lit(1)).alias("m"))
+        # Exact pre-dedup candidate rows per variant bucket:
+        # C(m, 2) − Σ_k C(c_k, 2), where c_k is key k's row multiplicity
+        # in the bucket — same-KEY row pairs (duplicate variants of one
+        # name, e.g. 'aaa' deleting either 'a') never pass a.k < b.k,
+        # so they must not count against the cap. NULL variants are
+        # excluded the same way the equi-join drops them. Two narrow
+        # aggs over (v, k) rows — still cheap next to the join it gates.
+        per_vk = (variants.filter(F.col("v").isNotNull())
+                  .groupBy("v", "k").agg(F.count(F.lit(1)).alias("c")))
+        stats = (per_vk.groupBy("v")
+                 .agg(F.sum("c").alias("m"),
+                      F.sum(F.col("c") * (F.col("c") - 1) / 2)
+                      .alias("same"))
                  .filter(F.col("m") > 1)
-                 .agg(F.sum(F.col("m") * (F.col("m") - 1) / 2)
+                 .agg(F.sum(F.col("m") * (F.col("m") - 1) / 2
+                            - F.col("same"))
                       .cast("long").alias("n_cand"),
                       F.max("m").alias("hottest"))
                  .collect()[0])

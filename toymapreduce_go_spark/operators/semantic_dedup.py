@@ -157,8 +157,12 @@ def _cell_block_replicas(assigned: DataFrame, n_blocks: int) -> DataFrame:
     one cell, never the whole cell. Factored out so the per-task input
     bound is directly testable (tests/test_semantic_dedup.py)."""
     spark = assigned.sparkSession
+    # pmod, not %: negative vec_ids (the pipeline's synthetic chunk ids
+    # are negative) must land IN the 0..n_blocks-1 grid — a signed %
+    # would route them to a blk no grid row matches and silently drop
+    # them from the pair set (review r10)
     e = assigned.withColumn(
-        "blk", (F.col("vec_id") % n_blocks).cast("int"))
+        "blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
     grid = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(n_blocks)
          if i <= j], "bi int, bj int")

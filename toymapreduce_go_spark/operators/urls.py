@@ -93,8 +93,14 @@ def canonicalize_url(col) -> "F.Column":
     scheme = F.lower(F.regexp_extract(
         nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
-    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    # RFC 3986 authority = [userinfo@]host[:port]: userinfo (split at
+    # the LAST '@', greedy) is case-SENSITIVE and re-emitted verbatim;
+    # only the host lowercases. Bracketed IPv6 hosts ([::1]:8080) keep
+    # their brackets and still split the port correctly.
+    authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    userinfo = F.regexp_extract(authority, r"^(.*)@", 1)
+    hostport = F.lower(F.regexp_extract(authority, r"([^@]*)$", 1))
+    host = F.regexp_extract(hostport, r"^(\[[^\]]*\]|[^:]*)", 1)
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     pathq = F.regexp_replace(rest, r"^[^/?]*", "")
     path = F.regexp_extract(pathq, r"^([^?]*)", 1)
@@ -104,6 +110,8 @@ def canonicalize_url(col) -> "F.Column":
         F.when((port == "") | ((scheme == "http") & (port == "80"))
                | ((scheme == "https") & (port == "443")), F.lit(""))
         .otherwise(F.concat(F.lit(":"), port)))
+    ui = F.when(userinfo == "", F.lit("")).otherwise(
+        F.concat(userinfo, F.lit("@")))
     params = F.array_sort(F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(TRACKING_RE)))
@@ -112,14 +120,16 @@ def canonicalize_url(col) -> "F.Column":
                     ).otherwise(F.lit(""))
     return F.when(
         scheme == "", nofrag
-    ).otherwise(F.concat(scheme, F.lit("://"), host, keep_port,
+    ).otherwise(F.concat(scheme, F.lit("://"), ui, host, keep_port,
                          path, qcanon))
 
 
 def url_domain(col) -> "F.Column":
-    """The lowercased host of a canonical URL (port excluded)."""
-    return F.regexp_extract(F.lower(col), r"^[a-z][a-z0-9+.-]*://([^/:?]*)",
-                            1)
+    """The lowercased host of a canonical URL (userinfo and port
+    excluded; bracketed IPv6 kept whole)."""
+    return F.regexp_extract(
+        F.lower(col),
+        r"^[a-z][a-z0-9+.-]*://(?:[^/?]*@)?(\[[^\]]*\]|[^/:?]*)", 1)
 
 
 def url_stats(documents: DataFrame) -> DataFrame:
@@ -214,14 +224,19 @@ def crawl_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     ``sources/bucketing.py``, and the join is co-located with no
     exchange at all). Returns (canon, domain, status, fp_old, fp_new)
     with status ∈ added / removed / changed / unchanged."""
+    # presence is tracked with explicit side markers, NOT fp nullness:
+    # a caller-supplied snapshot row with a NULL fingerprint (e.g. NULL
+    # text upstream) is still a PRESENT page and must diff as
+    # changed/unchanged (null-safe equality), never as added/removed
     o = old.select("canon", F.col("domain").alias("dom_o"),
-                   F.col("fp").alias("fp_old"))
+                   F.col("fp").alias("fp_old"), F.lit(1).alias("_o"))
     n = new.select("canon", F.col("domain").alias("dom_n"),
-                   F.col("fp").alias("fp_new"))
+                   F.col("fp").alias("fp_new"), F.lit(1).alias("_n"))
     j = o.join(n, "canon", "full_outer")
-    status = (F.when(F.col("fp_old").isNull(), "added")
-              .when(F.col("fp_new").isNull(), "removed")
-              .when(F.col("fp_old") == F.col("fp_new"), "unchanged")
+    status = (F.when(F.col("_o").isNull(), "added")
+              .when(F.col("_n").isNull(), "removed")
+              .when(F.col("fp_old").eqNullSafe(F.col("fp_new")),
+                    "unchanged")
               .otherwise("changed"))
     return j.select("canon",
                     F.coalesce("dom_o", "dom_n").alias("domain"),

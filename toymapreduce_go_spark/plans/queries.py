@@ -155,9 +155,12 @@ def _ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import ann_query_index, write_vector_index
     emb = load_table(spark, sf_dir, "embeddings")
+    # pid-scoped: two concurrent runs (pytest parity + bench) must not
+    # overwrite each other's postings mid-probe (review r10)
     path = os.path.join(
         tempfile.gettempdir(),
-        f"tmrg_vec_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}")
+        f"tmrg_vec_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+        f"_{os.getpid()}")
     write_vector_index(emb, path)
     return ann_query_index(emb, path)
 
@@ -724,16 +727,21 @@ def _url_canon_ctes() -> str:
                         '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
                FROM s1),
         s3 AS (SELECT *,
-                      lower(regexp_extract(rest, '^([^/?]*)', 1))
-                        AS hostport,
+                      regexp_extract(rest, '^([^/?]*)', 1) AS authority,
                       regexp_replace(rest, '^[^/?]*', '') AS pathq
                FROM s2),
+        s3b AS (SELECT *,
+                      regexp_extract(authority, '^(.*)@', 1) AS userinfo,
+                      lower(regexp_extract(authority, '([^@]*)$', 1))
+                        AS hostport
+               FROM s3),
         s4 AS (SELECT *,
-                      regexp_extract(hostport, '^([^:]*)', 1) AS host,
+                      regexp_extract(hostport,
+                        '^(\\[[^\\]]*\\]|[^:]*)', 1) AS host,
                       regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
                       regexp_extract(pathq, '^([^?]*)', 1) AS path0,
                       regexp_extract(pathq, '\\?(.*)$', 1) AS query
-               FROM s3),
+               FROM s3b),
         s5 AS (SELECT *,
                       CASE WHEN path0 = '' THEN '/' ELSE path0 END
                         AS path,
@@ -748,7 +756,10 @@ def _url_canon_ctes() -> str:
                FROM s4),
         c AS (SELECT doc_id, url,
                      CASE WHEN scheme = '' THEN nofrag
-                          ELSE scheme || '://' || host || keep_port ||
+                          ELSE scheme || '://' ||
+                               (CASE WHEN userinfo = '' THEN ''
+                                     ELSE userinfo || '@' END) ||
+                               host || keep_port ||
                                path ||
                                (CASE WHEN len(params) > 0
                                      THEN '?' ||
@@ -758,7 +769,8 @@ def _url_canon_ctes() -> str:
               FROM s5),
         d AS (SELECT doc_id, url, canon,
                      regexp_extract(lower(canon),
-                       '^[a-z][a-z0-9+.-]*://([^/:?]*)', 1) AS domain
+                       '^[a-z][a-z0-9+.-]*://(?:[^/?]*@)?' ||
+                       '(\\[[^\\]]*\\]|[^/:?]*)', 1) AS domain
               FROM c)"""
 
 
@@ -816,7 +828,8 @@ def _crawl_diff_oracle_sql() -> str:
                    coalesce(old.domain, new.domain) AS domain,
                    CASE WHEN old.canon IS NULL THEN 'added'
                         WHEN new.canon IS NULL THEN 'removed'
-                        WHEN old.fp = new.fp THEN 'unchanged'
+                        WHEN old.fp IS NOT DISTINCT FROM new.fp
+                             THEN 'unchanged'
                         ELSE 'changed' END AS status
             FROM old FULL OUTER JOIN new ON old.canon = new.canon)
         SELECT domain, status, count(*) AS n_pages,
