@@ -1,0 +1,112 @@
+"""Streaming vector ingest (streaming/vector_stream.py): the persisted
+IVF index grows batch-by-batch under one checkpoint, exactly-once."""
+
+from __future__ import annotations
+
+import os
+
+from conftest import SF_DIR
+
+from toymapreduce_go_spark.operators.similarity import (
+    ann_query_index, extend_vector_index, write_vector_index)
+from toymapreduce_go_spark.sources.registry import load_table
+from toymapreduce_go_spark.streaming.vector_stream import (
+    VINDEX_SUBDIR, read_embeddings_stream, run_vector_ingest,
+    vector_index_batch_step)
+
+
+def _probe(spark, idx):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    return sorted(tuple(r) for r in ann_query_index(emb, idx).collect())
+
+
+def _postings(spark, idx):
+    return sorted(
+        (int(r["ingest_batch"]), int(r["cell"]), int(r["vec_id"]))
+        for r in spark.read.parquet(f"{idx}/postings").collect())
+
+
+def test_streamed_ingest_equals_batch_built_twin(spark, tmp_path):
+    """After draining a 3-split stream, the state must equal an index
+    built by the BATCH API over the same batch frames (membership
+    recovered from the postings' own ingest_batch column): same
+    postings, same model, same probe results — stream/batch
+    equivalence for the whole lifecycle."""
+    state = str(tmp_path / "state")
+    run_vector_ingest(read_embeddings_stream(spark, SF_DIR, n_splits=3),
+                      state, spark)
+    idx = os.path.join(state, VINDEX_SUBDIR)
+    posts = _postings(spark, idx)
+    batches = sorted({b for b, _c, _v in posts})
+    assert len(batches) == 3
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    twin = str(tmp_path / "twin")
+    for i, b in enumerate(batches):
+        ids = [v for bb, _c, v in posts if bb == b]
+        frame = emb.filter(emb.vec_id.isin(ids))
+        if i == 0:
+            write_vector_index(frame, twin, batch_id=b)
+        else:
+            extend_vector_index(frame, twin, batch_id=b)
+    assert _postings(spark, twin) == posts
+    assert _probe(spark, twin) == _probe(spark, idx)
+    # full coverage: every corpus vector is indexed exactly once
+    assert sorted(v for _b, _c, v in posts) == sorted(
+        r.vec_id for r in emb.select("vec_id").collect())
+
+
+def test_crash_restart_replays_exactly_once(spark, tmp_path,
+                                            monkeypatch):
+    """Crash in the worst window — batch 1 fails after batch 0's build
+    committed — then restart against the same checkpoint: the replay
+    must land byte-identical to an uninterrupted run."""
+    import pytest as _pytest
+
+    import toymapreduce_go_spark.streaming.vector_stream as vs
+
+    ref = str(tmp_path / "ref")
+    run_vector_ingest(read_embeddings_stream(spark, SF_DIR, n_splits=3),
+                      ref, spark)
+    ref_idx = os.path.join(ref, VINDEX_SUBDIR)
+
+    crash = str(tmp_path / "crash")
+    real = vs.extend_vector_index
+    fired = {"done": False}
+
+    def flaky(batch, path, batch_id):
+        if batch_id == 1 and not fired["done"]:
+            fired["done"] = True
+            raise RuntimeError("injected crash before extension commit")
+        return real(batch, path, batch_id=batch_id)
+
+    monkeypatch.setattr(vs, "extend_vector_index", flaky)
+    with _pytest.raises(Exception, match="injected crash"):
+        run_vector_ingest(
+            read_embeddings_stream(spark, SF_DIR, n_splits=3),
+            crash, spark)
+    assert fired["done"]
+    run_vector_ingest(read_embeddings_stream(spark, SF_DIR, n_splits=3),
+                      crash, spark)
+    crash_idx = os.path.join(crash, VINDEX_SUBDIR)
+    assert _postings(spark, crash_idx) == _postings(spark, ref_idx)
+    assert _probe(spark, crash_idx) == _probe(spark, ref_idx)
+
+
+def test_empty_first_batch_trains_on_first_nonempty(spark, tmp_path):
+    """An empty batch 0 (dedup stream's empty-first-batch analogue)
+    writes an empty model; the first NON-empty batch trains instead,
+    owning its true partition id, and probing works."""
+    state = str(tmp_path / "state")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    vector_index_batch_step(spark, emb.limit(0), 0, state)
+    vector_index_batch_step(spark, emb, 1, state)
+    idx = os.path.join(state, VINDEX_SUBDIR)
+    posts = _postings(spark, idx)
+    assert posts and {b for b, _c, _v in posts} == {1}
+    assert _probe(spark, idx)
+    # replay of the building batch goes through the extend path and
+    # overwrites the SAME partition — no duplicate at ingest_batch=0
+    before = posts
+    vector_index_batch_step(spark, emb, 1, state)
+    assert _postings(spark, idx) == before

@@ -658,7 +658,8 @@ def ann_ivf_from_model(embeddings: DataFrame, model_path: str,
 
 def write_vector_index(embeddings: DataFrame, path: str,
                        n_cells: int = 8, n_iters: int = IVF_TRAIN_ITERS,
-                       sample_size: int = IVF_SAMPLE_SIZE) -> None:
+                       sample_size: int = IVF_SAMPLE_SIZE,
+                       batch_id: int = 0) -> None:
     """Persist the FULL vector index — model AND posting lists — the
     production build-once/probe-many pattern ``save_ivf_model`` only
     half delivers (it persists centroids, but every probe job still
@@ -689,11 +690,16 @@ def write_vector_index(embeddings: DataFrame, path: str,
         "cent_id long, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
     if cents:
-        # ingest_batch=0 in the same (ingest_batch, cell) layout
-        # extend_vector_index appends to, so builds and extensions are
-        # one uniform index (probes prune on cell either way)
+        # ingest_batch=<batch_id> in the same (ingest_batch, cell)
+        # layout extend_vector_index appends to, so builds and
+        # extensions are one uniform index (probes prune on cell either
+        # way). batch_id matters to the STREAMING tier's train-on-
+        # first-nonempty-batch fallback: the building batch must own
+        # its true partition id so a checkpoint replay (which takes the
+        # extend path once the model exists) overwrites the SAME
+        # partition instead of leaving a duplicate at 0.
         (_assign_cells(embeddings, cents)
-         .withColumn("ingest_batch", F.lit(0))
+         .withColumn("ingest_batch", F.lit(batch_id))
          .write.mode("overwrite")
          .partitionBy("ingest_batch", "cell")
          .parquet(f"{path}/postings"))

@@ -1,0 +1,84 @@
+"""Streaming vector ingest — embeddings arrive in micro-batches and the
+persisted IVF index (``operators.similarity.write_vector_index``
+family) grows under ONE Structured Streaming checkpoint, completing
+the vector-search lifecycle: build once, EXTEND per arrival batch,
+probe many.
+
+Contract per batch (the dedup stream's exactly-once conventions):
+
+- the first non-empty batch TRAINS the coarse quantizer and builds the
+  index, stamping its own ``ingest_batch`` partition id;
+- every later batch assigns with the STORED centroids
+  (``extend_vector_index`` — one scan-side argmax projection, cost
+  independent of index size) and dynamic-overwrites only its own
+  ``ingest_batch`` partition;
+- a checkpoint replay of any batch therefore lands byte-identical: the
+  building batch replays through the extend path (the model already
+  exists, and extensions assign with the exact centroids the build
+  trained), every extension replaces its own partition.
+
+Reference scope: the reference has no streaming or vector surface at
+all (SURVEY.md §2c); this is the north-star pipeline tier that keeps a
+100 TB corpus's ANN index fresh as embeddings land, without ever
+re-scanning the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.similarity import extend_vector_index, write_vector_index
+from .events_stream import _stream_src_dir
+from .run import run_available_now
+
+VINDEX_SUBDIR = "vindex"
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str,
+                           max_files_per_trigger: int = 1,
+                           n_splits: int = 1) -> DataFrame:
+    """File-source stream over the embeddings parquet (the
+    ``read_documents_stream`` convention: one file per trigger,
+    ``n_splits > 1`` for true multi-batch arrival; production points
+    at the landing directory)."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    src_dir = _stream_src_dir(spark, sf_dir, "embeddings", n_splits)
+    return (spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(src_dir))
+
+
+def vector_index_batch_step(spark: SparkSession, batch_df: DataFrame,
+                            batch_id: int, state_dir: str,
+                            n_cells: int = 8) -> None:
+    """One ``foreachBatch`` step. Model present → extend (assign with
+    stored centroids, overwrite own partition). Model absent → this is
+    the first non-empty batch: train + build, owning its true
+    partition id (see module docstring for why replay stays
+    exactly-once either way)."""
+    idx = os.path.join(state_dir, VINDEX_SUBDIR)
+    batch = batch_df.select("vec_id", "embedding")
+    try:
+        extend_vector_index(batch, idx, batch_id=batch_id)
+    except ValueError:
+        # no model yet (all prior batches were empty, or this is batch
+        # 0) — train on THIS batch; an empty batch writes an empty
+        # model and the next non-empty one trains instead
+        write_vector_index(batch, idx, n_cells=n_cells,
+                           batch_id=batch_id)
+
+
+def run_vector_ingest(embeddings_stream: DataFrame, state_dir: str,
+                      spark: SparkSession, n_cells: int = 8,
+                      timeout: int = 240):
+    """Drive the vector ingest over all currently-available input
+    (availableNow; production leaves the query running). The index
+    lives at ``{state_dir}/vindex`` and is probed with
+    ``similarity.ann_query_index`` exactly like a batch-built one."""
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        vector_index_batch_step(spark, batch_df, batch_id, state_dir,
+                                n_cells=n_cells)
+
+    return run_available_now(embeddings_stream, state_dir, step, timeout)
