@@ -1073,3 +1073,44 @@ def lm_bigram_quality(documents: DataFrame, lam: float = 0.7,
                  F.round(F.min("nll"), 4).alias("min_nll"),
                  F.round(F.max("nll"), 4).alias("max_nll"))
             .orderBy("source"))
+
+
+def corpus_datasheet(documents: DataFrame) -> DataFrame:
+    """The dataset-card rollup — the one table a corpus datasheet
+    (Gebru et al., "Datasheets for Datasets") actually prints per
+    source: volume (docs, chars, whitespace tokens), exact-duplicate
+    rate, and language composition. Everything a 100 TB release
+    publishes before anyone trains on it, in two count-combinable
+    source-keyed aggregations joined metadata-to-metadata (the lang
+    argmax pre-aggregates per (source, lang), so no per-doc state ever
+    reaches the join).
+
+    Integer-exact end to end for the DuckDB twin: the dup rate is
+    reported in milli-units via integer division, and top_lang breaks
+    count ties to the ascending language via ``min(struct(-cnt,
+    lang))``."""
+    base = (documents
+            .select("source", "lang",
+                    F.length("text").cast("long").alias("chars"),
+                    whitespace_token_count(F.col("text")).cast("long")
+                    .alias("toks"),
+                    F.md5("text").alias("h"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("chars").alias("n_chars"),
+                 F.sum("toks").alias("n_tokens"),
+                 F.count_distinct("h").alias("n_distinct_texts"),
+                 F.count_distinct("lang").alias("n_langs")))
+    top = (documents.groupBy("source", "lang")
+           .agg(F.count(F.lit(1)).alias("cnt"))
+           .groupBy("source")
+           .agg(F.min(F.struct((-F.col("cnt")).alias("neg"),
+                               F.col("lang").alias("lang")))
+                .getField("lang").alias("top_lang")))
+    return (base.join(top, "source")
+            .select("source", "n_docs", "n_chars", "n_tokens",
+                    "n_distinct_texts",
+                    F.expr("(n_docs - n_distinct_texts) * 1000 div "
+                           "n_docs").alias("dup_rate_milli"),
+                    "n_langs", "top_lang")
+            .orderBy("source"))

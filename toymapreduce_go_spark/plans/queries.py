@@ -287,6 +287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract": _q(html_extract.html_extract_stats),
     "url_canonical": _q(urls.url_stats),
     "crawl_diff": _q(urls.crawl_diff_stats),
+    "corpus_datasheet": _q(textstats.corpus_datasheet),
     "langid_trained": _q(langid_model.langid_confusion),
     # -- multimodal plumbing (north star) --------------------------------
     "multimodal_decode": _multimodal_decode,
@@ -352,7 +353,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "user_retention", "top_docs_per_source",
                "fuzzy_name_stats", "event_anomalies", "orders_upsert",
                "html_extract", "url_canonical", "langid_trained",
-               "ann_index_probe", "crawl_diff")
+               "ann_index_probe", "crawl_diff", "corpus_datasheet")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -2138,6 +2139,29 @@ ORACLES: dict[str, str] = {
     "html_extract": _html_extract_oracle_sql(),
     "url_canonical": _url_canonical_oracle_sql(),
     "crawl_diff": _crawl_diff_oracle_sql(),
+    "corpus_datasheet": r"""
+        WITH lt AS (
+            SELECT source, lang, count(*) AS cnt
+            FROM documents GROUP BY 1, 2),
+        top AS (
+            SELECT source, lang AS top_lang FROM lt
+            QUALIFY row_number() OVER (
+                PARTITION BY source ORDER BY cnt DESC, lang ASC) = 1),
+        base AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                   CAST(sum(len(list_filter(
+                       string_split_regex(text, '\s+'),
+                       t -> length(t) > 0))) AS BIGINT) AS n_tokens,
+                   count(DISTINCT md5(text)) AS n_distinct_texts,
+                   count(DISTINCT lang) AS n_langs
+            FROM documents GROUP BY source)
+        SELECT source, n_docs, n_chars, n_tokens, n_distinct_texts,
+               ((n_docs - n_distinct_texts) * 1000) // n_docs
+                   AS dup_rate_milli,
+               n_langs, top_lang
+        FROM base JOIN top USING (source) ORDER BY source
+    """,
     "langid_trained": _langid_oracle_sql(),
     "event_funnel": _event_funnel_oracle_sql(),
     # CDC upsert: the oracle expresses the MERGE declaratively (updated
