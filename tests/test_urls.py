@@ -133,3 +133,30 @@ def test_crawl_diff_null_fingerprints_use_presence_not_fp(spark):
                    "u2": "removed",     # present-in-old-only, NULL fp
                    "u3": "changed",     # x -> NULL
                    "u4": "added"}       # new-only, NULL fp
+
+
+def test_blocklist_filter_paths_agree_and_drop_exactly(spark):
+    """Both deny-list forms (plan-literal array for lists, broadcast
+    anti-join for frames) drop exactly the blocked host classes and
+    agree with each other; the literal path stays scan-side (no join)."""
+    from test_explain_plans import plan_of
+
+    from toymapreduce_go_spark.operators.urls import (
+        BLOCKED_HOST_MODS, blocklist_filter, fixture_blocklist)
+    from toymapreduce_go_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    lit_kept = blocklist_filter(docs, fixture_blocklist())
+    frame = spark.createDataFrame(
+        [(d,) for d in fixture_blocklist()], "domain string")
+    df_kept = blocklist_filter(docs, frame)
+    lit_ids = {r.doc_id for r in lit_kept.select("doc_id").collect()}
+    assert lit_ids == {r.doc_id
+                       for r in df_kept.select("doc_id").collect()}
+    # exactly the blocked host classes are gone
+    blocked_ids = {r.doc_id for r in docs.select("doc_id").collect()
+                   if (r.doc_id // 4) % 16 in BLOCKED_HOST_MODS}
+    assert blocked_ids and lit_ids.isdisjoint(blocked_ids)
+    assert len(lit_ids) + len(blocked_ids) == docs.count()
+    plan = plan_of(lit_kept)
+    assert "Join" not in plan, plan

@@ -260,3 +260,57 @@ def crawl_diff_stats(documents: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_pages"),
                  F.sum(h).alias("canon_checksum"))
             .orderBy("domain", "status"))
+
+
+# ---------------------------------------------------------------------------
+# Domain blocklist — the crawl-hygiene gate every public pipeline runs
+# right after canonicalization (C4's blocklist recipe at domain level):
+# drop documents whose canonical domain is on a deny list BEFORE any
+# expensive extraction/dedup stage sees them.
+
+# the fixture blocklist: hosts are www.site<item%16>.example.com, so
+# blocking two of the 16 host classes exercises both outcomes
+BLOCKED_HOST_MODS = (3, 7)
+
+
+def fixture_blocklist() -> list[str]:
+    """The deterministic deny list for the fixture's 16 synthesized
+    hosts (production feeds a real list)."""
+    return [f"www.site{m}.example.com" for m in BLOCKED_HOST_MODS]
+
+
+def blocklist_filter(documents: DataFrame,
+                     blocked: list[str] | DataFrame) -> DataFrame:
+    """Documents surviving the domain deny list, with (url, canon,
+    domain) attached. A list (the common case — deny lists are
+    thousands of rows, metadata-sized) rides in as ONE plan-literal
+    array and the gate is a scan-side ``array_contains`` — no join, no
+    shuffle. A DataFrame blocklist (one column ``domain``) broadcasts
+    into a LEFT ANTI join — still never shuffles the corpus."""
+    d = documents.withColumn(
+        "canon", canonicalize_url(synth_url_expr())).withColumn(
+        "domain", url_domain(F.col("canon")))
+    if isinstance(blocked, DataFrame):
+        deny = blocked.select(F.col("domain").alias("domain"))
+        return d.join(F.broadcast(deny), "domain", "left_anti")
+    return d.filter(~F.array_contains(
+        F.lit([str(b) for b in blocked]), F.col("domain")))
+
+
+def domain_blocklist_stats(documents: DataFrame) -> DataFrame:
+    """The registered rollup: per source, documents kept vs dropped by
+    the fixture deny list, with an id-sum membership checksum over the
+    kept set so the value-hash pins every routing decision. Scan-side
+    gate + one count-combinable agg."""
+    d = documents.withColumn(
+        "domain", url_domain(canonicalize_url(synth_url_expr())))
+    blocked = F.array_contains(F.lit(fixture_blocklist()),
+                               F.col("domain"))
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(blocked.cast("long")).alias("n_blocked"),
+                 F.sum((~blocked).cast("long")).alias("n_kept"),
+                 F.sum(F.when(~blocked, F.pmod(F.col("doc_id"),
+                                               F.lit(CKSUM_MOD)))
+                       .otherwise(F.lit(0))).alias("kept_checksum"))
+            .orderBy("source"))

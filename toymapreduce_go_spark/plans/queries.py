@@ -287,6 +287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract": _q(html_extract.html_extract_stats),
     "url_canonical": _q(urls.url_stats),
     "crawl_diff": _q(urls.crawl_diff_stats),
+    "domain_blocklist": _q(urls.domain_blocklist_stats),
     "corpus_datasheet": _q(textstats.corpus_datasheet),
     "langid_trained": _q(langid_model.langid_confusion),
     # -- multimodal plumbing (north star) --------------------------------
@@ -353,7 +354,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "user_retention", "top_docs_per_source",
                "fuzzy_name_stats", "event_anomalies", "orders_upsert",
                "html_extract", "url_canonical", "langid_trained",
-               "ann_index_probe", "crawl_diff", "corpus_datasheet")
+               "ann_index_probe", "crawl_diff", "corpus_datasheet",
+               "domain_blocklist")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1223,6 +1225,31 @@ def _semantic_dedup_oracle_sql(n_cells: int = 8, n_iters: int = 3,
         SELECT id_a, id_b, round(c, 4) AS cos_sim FROM scored
         WHERE c >= {threshold} ORDER BY id_a, id_b"""
     return "WITH " + ",".join(parts) + "," + final
+
+
+def _domain_blocklist_oracle_sql() -> str:
+    """Generated DuckDB twin of ``urls.domain_blocklist_stats`` on the
+    shared URL CTEs: the same deny list (via ``fixture_blocklist`` —
+    one literal, two engines), the same per-source kept/blocked counts
+    and kept-set id-sum checksum."""
+    from ..operators.urls import fixture_blocklist
+    deny = ", ".join(f"'{h}'" for h in fixture_blocklist())
+    return f"""
+        WITH {_url_canon_ctes()},
+        g AS (
+            SELECT doc.source, d.doc_id,
+                   (d.domain IN ({deny})) AS blocked
+            FROM d JOIN documents doc ON doc.doc_id = d.doc_id)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_blocked,
+               CAST(sum(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_kept,
+               CAST(sum(CASE WHEN blocked THEN 0
+                             ELSE doc_id % {CKSUM_MOD} END) AS BIGINT)
+                   AS kept_checksum
+        FROM g GROUP BY source ORDER BY source
+    """
 
 
 def _langid_oracle_sql(n: int = 2, dim: int = 1024,
@@ -2139,6 +2166,7 @@ ORACLES: dict[str, str] = {
     "html_extract": _html_extract_oracle_sql(),
     "url_canonical": _url_canonical_oracle_sql(),
     "crawl_diff": _crawl_diff_oracle_sql(),
+    "domain_blocklist": _domain_blocklist_oracle_sql(),
     "corpus_datasheet": r"""
         WITH lt AS (
             SELECT source, lang, count(*) AS cnt
