@@ -74,6 +74,7 @@ def test_bucketed_snapshots_diff_without_exchange(spark):
     plans with NO Exchange on either side — at scale the diff is a
     scan-local sort-merge join. Results identical to the unbucketed
     diff."""
+    from test_bucketing import no_broadcast
     from test_explain_plans import plan_of
 
     from toymapreduce_go_spark.operators.urls import (
@@ -90,15 +91,12 @@ def test_bucketed_snapshots_diff_without_exchange(spark):
         write_bucketed(new, "snap_new_r10", "canon", 4)
         # the join requires hashpartitioning(canon); broadcast would
         # bypass the bucketing claim on the tiny fixture — disable it
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        try:
+        with no_broadcast(spark):
             d = crawl_diff(spark.table("snap_old_r10"),
                            spark.table("snap_new_r10"))
             plan = plan_of(d)
             assert "Exchange" not in plan, plan
             assert sorted(tuple(r) for r in d.collect()) == plain
-        finally:
-            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     finally:
         spark.sql("DROP TABLE IF EXISTS snap_old_r10")
         spark.sql("DROP TABLE IF EXISTS snap_new_r10")

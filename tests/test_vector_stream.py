@@ -34,7 +34,7 @@ def test_streamed_ingest_equals_batch_built_twin(spark, tmp_path):
     equivalence for the whole lifecycle."""
     state = str(tmp_path / "state")
     run_vector_ingest(read_embeddings_stream(spark, SF_DIR, n_splits=3),
-                      state, spark)
+                      state)
     idx = os.path.join(state, VINDEX_SUBDIR)
     posts = _postings(spark, idx)
     batches = sorted({b for b, _c, _v in posts})
@@ -67,7 +67,7 @@ def test_crash_restart_replays_exactly_once(spark, tmp_path,
 
     ref = str(tmp_path / "ref")
     run_vector_ingest(read_embeddings_stream(spark, SF_DIR, n_splits=3),
-                      ref, spark)
+                      ref)
     ref_idx = os.path.join(ref, VINDEX_SUBDIR)
 
     crash = str(tmp_path / "crash")
@@ -84,10 +84,10 @@ def test_crash_restart_replays_exactly_once(spark, tmp_path,
     with _pytest.raises(Exception, match="injected crash"):
         run_vector_ingest(
             read_embeddings_stream(spark, SF_DIR, n_splits=3),
-            crash, spark)
+            crash)
     assert fired["done"]
     run_vector_ingest(read_embeddings_stream(spark, SF_DIR, n_splits=3),
-                      crash, spark)
+                      crash)
     crash_idx = os.path.join(crash, VINDEX_SUBDIR)
     assert _postings(spark, crash_idx) == _postings(spark, ref_idx)
     assert _probe(spark, crash_idx) == _probe(spark, ref_idx)
@@ -99,8 +99,8 @@ def test_empty_first_batch_trains_on_first_nonempty(spark, tmp_path):
     owning its true partition id, and probing works."""
     state = str(tmp_path / "state")
     emb = load_table(spark, SF_DIR, "embeddings")
-    vector_index_batch_step(spark, emb.limit(0), 0, state)
-    vector_index_batch_step(spark, emb, 1, state)
+    vector_index_batch_step(emb.limit(0), 0, state)
+    vector_index_batch_step(emb, 1, state)
     idx = os.path.join(state, VINDEX_SUBDIR)
     posts = _postings(spark, idx)
     assert posts and {b for b, _c, _v in posts} == {1}
@@ -108,5 +108,5 @@ def test_empty_first_batch_trains_on_first_nonempty(spark, tmp_path):
     # replay of the building batch goes through the extend path and
     # overwrites the SAME partition — no duplicate at ingest_batch=0
     before = posts
-    vector_index_batch_step(spark, emb, 1, state)
+    vector_index_batch_step(emb, 1, state)
     assert _postings(spark, idx) == before

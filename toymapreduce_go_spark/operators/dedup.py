@@ -1720,23 +1720,27 @@ def expire_index_batches(path: str, keep_from: int) -> int:
     import re
     import shutil
 
-    # refuse to empty the index: removing EVERY partition leaves
-    # bands/sigs dirs holding only _SUCCESS, and the next probe's
+    # refuse to empty the index: removing EVERY partition leaves a
+    # bands/sigs dir holding only _SUCCESS, and the next probe's
     # parquet read dies on schema inference instead of a clear error —
     # retire the whole index by deleting it, not by expiring past its
-    # newest batch (review r10)
-    local_bands = f"{path}/bands"
-    if local_bands.startswith("file://"):
-        local_bands = local_bands[len("file://"):]
-    batches = sorted(
-        int(m.group(1)) for name in
-        (os.listdir(local_bands) if os.path.isdir(local_bands) else [])
-        if (m := re.fullmatch(r"ingest_batch=(\d+)", name)))
-    if batches and keep_from > batches[-1]:
-        raise ValueError(
-            f"expire_index_batches: keep_from={keep_from} would remove "
-            f"every partition (newest batch is {batches[-1]}) — delete "
-            "the index instead of expiring it empty")
+    # newest batch. Checked PER subdir: a crash between the bands and
+    # sigs writes can leave the two at different newest batches, and
+    # emptying EITHER breaks the probe (review r10 ×2).
+    for sub in ("bands", "sigs"):
+        local = f"{path}/{sub}"
+        if local.startswith("file://"):
+            local = local[len("file://"):]
+        batches = sorted(
+            int(m.group(1)) for name in
+            (os.listdir(local) if os.path.isdir(local) else [])
+            if (m := re.fullmatch(r"ingest_batch=(\d+)", name)))
+        if batches and keep_from > batches[-1]:
+            raise ValueError(
+                f"expire_index_batches: keep_from={keep_from} would "
+                f"remove every {sub} partition (its newest batch is "
+                f"{batches[-1]}) — delete the index instead of "
+                "expiring it empty")
     removed = 0
     for sub in ("bands", "sigs"):
         local = f"{path}/{sub}"

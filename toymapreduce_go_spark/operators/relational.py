@@ -689,7 +689,15 @@ def fuzzy_name_pairs(customer: DataFrame,
                  .agg(F.sum(F.col("m") * (F.col("m") - 1) / 2
                             - F.col("same"))
                       .cast("long").alias("n_cand"),
-                      F.max("m").alias("hottest"))
+                      # hottest by CANDIDATE contribution, not raw row
+                      # count — a long repeated-character name has a
+                      # huge m of same-key rows contributing 0 pairs
+                      # and must not misdirect the diagnosis
+                      F.max(F.struct(
+                          (F.col("m") * (F.col("m") - 1) / 2
+                           - F.col("same")).alias("contrib"),
+                          F.col("m").alias("m")))
+                      .getField("m").alias("hottest"))
                  .collect()[0])
         n_cand = int(stats["n_cand"] or 0)
         if n_cand > max_candidates:

@@ -156,11 +156,25 @@ def _ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ann_query_index, write_vector_index
     emb = load_table(spark, sf_dir, "embeddings")
     # pid-scoped: two concurrent runs (pytest parity + bench) must not
-    # overwrite each other's postings mid-probe (review r10)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"tmrg_vec_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
-        f"_{os.getpid()}")
+    # overwrite each other's postings mid-probe (review r10). GC the
+    # corpus-sized copies DEAD pids left behind (the _stream_src_dir
+    # best-effort-cleanup convention) — live pids are skipped so a
+    # concurrent run's index is never yanked mid-probe.
+    import shutil
+
+    prefix = (f"tmrg_vec_index_"
+              f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_")
+    tmp = tempfile.gettempdir()
+    for stale in os.listdir(tmp):
+        if stale.startswith(prefix) and stale != f"{prefix}{os.getpid()}":
+            try:
+                os.kill(int(stale[len(prefix):]), 0)
+            except (ProcessLookupError, ValueError):
+                shutil.rmtree(os.path.join(tmp, stale),
+                              ignore_errors=True)
+            except PermissionError:
+                pass  # pid alive under another uid — leave it
+    path = os.path.join(tmp, f"{prefix}{os.getpid()}")
     write_vector_index(emb, path)
     return ann_query_index(emb, path)
 

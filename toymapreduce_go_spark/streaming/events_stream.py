@@ -260,20 +260,30 @@ def stream_click_purchase_join(events_stream: DataFrame,
     )
 
 
-def read_documents_stream(spark: SparkSession, sf_dir: str,
-                          max_files_per_trigger: int = 1,
-                          n_splits: int = 1) -> DataFrame:
-    """File-source stream over the documents parquet — the streaming face
-    of the curation pipeline's input (one file per trigger simulates
-    arrival, ``n_splits > 1`` for true multi-batch arrival; production
-    points at the landing directory)."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    src_dir = _stream_src_dir(spark, sf_dir, "documents", n_splits)
+def read_table_stream(spark: SparkSession, sf_dir: str, table: str,
+                      max_files_per_trigger: int = 1,
+                      n_splits: int = 1) -> DataFrame:
+    """Generic file-source stream over a fixture table (one file per
+    trigger simulates arrival, ``n_splits > 1`` for true multi-batch
+    arrival; production points at the landing directory). The shared
+    plumbing behind the documents/embeddings readers — events keeps its
+    own wrapper for the extra event-time normalization."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    src_dir = _stream_src_dir(spark, sf_dir, table, n_splits)
     return (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(src_dir)
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str,
+                          max_files_per_trigger: int = 1,
+                          n_splits: int = 1) -> DataFrame:
+    """File-source stream over the documents parquet — the streaming face
+    of the curation pipeline's input."""
+    return read_table_stream(spark, sf_dir, "documents",
+                             max_files_per_trigger, n_splits)
 
 
 def stream_exact_dedup(documents_stream: DataFrame,

@@ -30,7 +30,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.similarity import extend_vector_index, write_vector_index
-from .events_stream import _stream_src_dir
+from .events_stream import read_table_stream
 from .run import run_available_now
 
 VINDEX_SUBDIR = "vindex"
@@ -39,20 +39,14 @@ VINDEX_SUBDIR = "vindex"
 def read_embeddings_stream(spark: SparkSession, sf_dir: str,
                            max_files_per_trigger: int = 1,
                            n_splits: int = 1) -> DataFrame:
-    """File-source stream over the embeddings parquet (the
-    ``read_documents_stream`` convention: one file per trigger,
-    ``n_splits > 1`` for true multi-batch arrival; production points
-    at the landing directory)."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
-    src_dir = _stream_src_dir(spark, sf_dir, "embeddings", n_splits)
-    return (spark.readStream.schema(raw_schema)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(src_dir))
+    """File-source stream over the embeddings parquet (the shared
+    ``read_table_stream`` plumbing)."""
+    return read_table_stream(spark, sf_dir, "embeddings",
+                             max_files_per_trigger, n_splits)
 
 
-def vector_index_batch_step(spark: SparkSession, batch_df: DataFrame,
-                            batch_id: int, state_dir: str,
-                            n_cells: int = 8) -> None:
+def vector_index_batch_step(batch_df: DataFrame, batch_id: int,
+                            state_dir: str, n_cells: int = 8) -> None:
     """One ``foreachBatch`` step. Model present → extend (assign with
     stored centroids, overwrite own partition). Model absent → this is
     the first non-empty batch: train + build, owning its true
@@ -71,14 +65,13 @@ def vector_index_batch_step(spark: SparkSession, batch_df: DataFrame,
 
 
 def run_vector_ingest(embeddings_stream: DataFrame, state_dir: str,
-                      spark: SparkSession, n_cells: int = 8,
-                      timeout: int = 240):
+                      n_cells: int = 8, timeout: int = 240):
     """Drive the vector ingest over all currently-available input
     (availableNow; production leaves the query running). The index
     lives at ``{state_dir}/vindex`` and is probed with
     ``similarity.ann_query_index`` exactly like a batch-built one."""
     def step(batch_df: DataFrame, batch_id: int) -> None:
-        vector_index_batch_step(spark, batch_df, batch_id, state_dir,
+        vector_index_batch_step(batch_df, batch_id, state_dir,
                                 n_cells=n_cells)
 
     return run_available_now(embeddings_stream, state_dir, step, timeout)
