@@ -315,3 +315,28 @@ def test_pipeline_chunk_long_docs(spark):
     # synthetic ids never collide with surviving real ids
     ids = [r.doc_id for r in rows]
     assert len(ids) == len(set(ids))
+
+
+def test_pipeline_blocklist_stage(spark):
+    """r10: the domain deny list as the pipeline's first gate —
+    exactly the blocked host classes leave the funnel before any other
+    stage sees them, and the stage composes with --from-html (blocked
+    domains never pay extraction)."""
+    from toymapreduce_go_spark.operators.urls import (BLOCKED_HOST_MODS,
+                                                      fixture_blocklist)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    n_blocked = docs.filter(
+        F.expr(f"(doc_id div 4) % 16 in {BLOCKED_HOST_MODS}")).count()
+    assert n_blocked > 0
+    curated, funnel = build_training_corpus(
+        spark, SF_DIR, docs=docs, blocklist=fixture_blocklist(),
+        from_html=True)
+    stages = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    assert stages["0a0_blocklisted"] == n - n_blocked
+    assert stages["0a_html_extracted"] <= stages["0a0_blocklisted"]
+    # no blocked-domain doc survives to the curated corpus
+    kept = {r.doc_id for r in curated.select("doc_id").collect()}
+    assert all((d // 4) % 16 not in BLOCKED_HOST_MODS for d in kept
+               if d >= 0)

@@ -129,6 +129,12 @@ def main(argv: list[str] | None = None) -> None:
                         "curated corpus as WebDataset tar shards "
                         "(deterministic bytes, rename-on-commit, "
                         "manifest parquet) under DIR")
+    p.add_argument("--blocklist", metavar="DOMAINS", default=None,
+                   help="corpus-build: comma-separated canonical-domain "
+                        "deny list applied as the first pipeline gate "
+                        "(scan-side plan-literal filter, no join); the "
+                        "literal 'fixture' uses the synthesized-host "
+                        "deny list")
     p.add_argument("--from-html", action="store_true",
                    help="with --corpus-build: run HTML→text extraction "
                         "(tag strip + entity unescape + line-frequency "
@@ -182,6 +188,14 @@ def main(argv: list[str] | None = None) -> None:
         spark.sparkContext.setLogLevel("ERROR")
         prior = (spark.read.parquet(f"{args.bloom_prior}/documents.parquet")
                  if args.bloom_prior else None)
+        if args.blocklist == "fixture":
+            from .operators.urls import fixture_blocklist
+            deny = fixture_blocklist()
+        elif args.blocklist:
+            deny = [d.strip() for d in args.blocklist.split(",")
+                    if d.strip()]
+        else:
+            deny = None
         curated, funnel = build_training_corpus(
             spark, args.corpus_build, out_path=args.out,
             mask_spans=args.mask_spans, span_k=args.span_k,
@@ -189,7 +203,7 @@ def main(argv: list[str] | None = None) -> None:
             lm_filter=args.lm_filter, dedup_lines=args.dedup_lines,
             dsir_frac=args.dsir_select, prior_docs=prior,
             near_prior=args.near_prior, chunk_long=args.chunk_long,
-            from_html=args.from_html)
+            from_html=args.from_html, blocklist=deny)
         for r in funnel.collect():
             print(f"{r['stage']} {r['n_docs']}")
         if args.wds_out:

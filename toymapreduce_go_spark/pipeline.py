@@ -51,7 +51,8 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
                           prior_docs: DataFrame | None = None,
                           near_prior: bool = False,
                           chunk_long: bool = False,
-                          from_html: bool = False
+                          from_html: bool = False,
+                          blocklist: list[str] | None = None
                           ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation funnel over ``sf_dir``'s documents table
     (or an explicit ``docs`` frame — the hook fault-injection and
@@ -72,6 +73,15 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
     stages: list[tuple[str, int]] = [("0_raw", docs.count())]
+
+    # 0a0 (optional). Domain deny list: the crawl-hygiene gate runs
+    # FIRST — a plan-literal array_contains scan expression (no join,
+    # no shuffle, operators/urls.py), so blocked domains never cost a
+    # single downstream byte of extraction, hashing, or modeling.
+    if blocklist is not None:
+        from .operators.urls import blocklist_filter
+        docs = blocklist_filter(docs, blocklist).drop("canon", "domain")
+        stages.append(("0a0_blocklisted", docs.count()))
 
     # 0a (optional). HTML → text extraction: the crawl front door —
     # tag strip + entity unescape + line-frequency boilerplate removal
