@@ -291,3 +291,58 @@ def test_stream_ingest_cli_front_door(spark, tmp_path, capsys):
     main(["--stream-ingest", SF_DIR, "--out", out, "--n-splits", "2"])
     assert _survivor_ids(spark, out) == surv
     assert _telemetry_multiset(spark, out) == tel
+
+
+def test_stream_ingest_from_html_front_stage(spark, tmp_path,
+                                             monkeypatch):
+    """r10: the crawl extraction front stage composed INTO the
+    streaming ingest — arriving pages are extracted to prose before
+    telemetry, gate, or dedup see a byte; the composed exactly-once
+    contract survives a worst-window crash-restart byte-identically."""
+    import pytest as _pytest
+
+    import toymapreduce_go_spark.streaming.ingest as ingest_mod
+    from toymapreduce_go_spark.streaming.ingest import (
+        read_telemetry, run_curation_ingest)
+
+    ref = str(tmp_path / "ref_html")
+    run_curation_ingest(read_documents_stream(spark, SF_DIR, n_splits=3),
+                        ref, spark, from_html=True)
+    ref_tel = _telemetry_multiset(spark, ref)
+    ref_surv = _survivor_ids(spark, ref)
+    assert len(ref_tel) == 3 and ref_surv
+
+    # extraction really ran: telemetry monitors the EXTRACTED prose —
+    # the synthesized pages carry nav/footer boilerplate the extractor
+    # strips, so every batch's avg_chars differs from the raw-text run
+    plain = str(tmp_path / "plain")
+    run_curation_ingest(read_documents_stream(spark, SF_DIR, n_splits=3),
+                        plain, spark)
+    html_chars = sorted(r["avg_chars"] for r in
+                        read_telemetry(spark, ref).collect())
+    plain_chars = sorted(r["avg_chars"] for r in
+                         read_telemetry(spark, plain).collect())
+    assert html_chars != plain_chars
+
+    # crash between telemetry and dedup at batch 1, restart, replay
+    crash = str(tmp_path / "crash_html")
+    real_step = ingest_mod.near_dedup_batch_step
+    fired = {"done": False}
+
+    def flaky(spark_, batch_df, batch_id, state_dir, **kw):
+        if batch_id == 1 and not fired["done"]:
+            fired["done"] = True
+            raise RuntimeError("injected crash between telemetry and "
+                               "dedup commit")
+        return real_step(spark_, batch_df, batch_id, state_dir, **kw)
+
+    monkeypatch.setattr(ingest_mod, "near_dedup_batch_step", flaky)
+    with _pytest.raises(Exception, match="injected crash"):
+        run_curation_ingest(
+            read_documents_stream(spark, SF_DIR, n_splits=3),
+            crash, spark, from_html=True)
+    assert fired["done"]
+    run_curation_ingest(read_documents_stream(spark, SF_DIR, n_splits=3),
+                        crash, spark, from_html=True)
+    assert _telemetry_multiset(spark, crash) == ref_tel
+    assert _survivor_ids(spark, crash) == ref_surv

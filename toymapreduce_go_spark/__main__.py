@@ -170,7 +170,8 @@ def main(argv: list[str] | None = None) -> None:
         spark.sparkContext.setLogLevel("ERROR")
         stream = read_documents_stream(spark, args.stream_ingest,
                                        n_splits=args.n_splits)
-        run_curation_ingest(stream, args.out, spark)
+        run_curation_ingest(stream, args.out, spark,
+                            from_html=args.from_html)
         for r in (read_telemetry(spark, args.out)
                   .orderBy("batch_id").collect()):
             print(f"batch {r['batch_id']}: {r['n_docs']} docs, "

@@ -58,12 +58,29 @@ def gate_filter(batch: DataFrame) -> DataFrame:
 def ingest_batch_step(spark: SparkSession, batch_df: DataFrame,
                       batch_id: int, state_dir: str, n: int = 3,
                       n_hashes: int = N_HASHES, n_bands: int = N_BANDS,
-                      threshold: float | None = 0.5) -> None:
+                      threshold: float | None = 0.5,
+                      from_html: bool = False) -> None:
     """One composed ``foreachBatch`` step: telemetry on the raw batch,
     then gate-filter, then the incremental near-dedup step. Replaying
     the same (batch rows, batch_id) is a byte-identical no-op for every
-    partition both sub-steps own."""
+    partition both sub-steps own.
+
+    ``from_html`` puts the batch pipeline's crawl front stage
+    (``operators.html_extract``) ahead of everything — arriving pages
+    are extracted to prose BEFORE telemetry, gate, or dedup see a byte.
+    Extraction is deterministic per batch content (the boilerplate
+    threshold is computed WITHIN the batch, mirroring the batch
+    pipeline's per-corpus computation), so replay stays byte-identical
+    and the composed exactly-once contract is untouched."""
     batch = batch_df.select("doc_id", "source", "text")
+    if from_html:
+        from ..operators.html_extract import (extract_html_documents,
+                                              synthesize_html)
+        pages = (batch_df if "html" in batch_df.columns
+                 else synthesize_html(batch))
+        batch = (extract_html_documents(pages)
+                 .filter("length(text) >= 1")
+                 .select("doc_id", "source", "text"))
     quality_batch_step(spark, batch, batch_id, state_dir)
     near_dedup_batch_step(spark, gate_filter(batch), batch_id, state_dir,
                           n=n, n_hashes=n_hashes, n_bands=n_bands,
@@ -74,14 +91,16 @@ def run_curation_ingest(documents_stream: DataFrame, state_dir: str,
                         spark: SparkSession, n: int = 3,
                         n_hashes: int = N_HASHES, n_bands: int = N_BANDS,
                         threshold: float | None = 0.5,
-                        timeout: int = 240):
+                        timeout: int = 240,
+                        from_html: bool = False):
     """Drive the composed ingest over all currently-available input
     (availableNow; production leaves the query running). ONE checkpoint
     under ``state_dir`` governs both tiers, so a crash-restart replays
-    the last uncommitted batch through BOTH idempotent steps."""
+    the last uncommitted batch through BOTH idempotent steps.
+    ``from_html`` prepends the crawl extraction front stage."""
     def step(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch_step(spark, batch_df, batch_id, state_dir, n=n,
                           n_hashes=n_hashes, n_bands=n_bands,
-                          threshold=threshold)
+                          threshold=threshold, from_html=from_html)
 
     return run_available_now(documents_stream, state_dir, step, timeout)
