@@ -1168,7 +1168,7 @@ def contamination_shared_counts(documents: DataFrame, n: int = 5,
                 f"i -> {shingle})"))).alias("shingle"))
         .filter(F.col("shingle").isNotNull())
     )
-    is_eval = F.col("doc_id") % eval_mod == 0
+    is_eval = F.pmod(F.col("doc_id"), F.lit(eval_mod)) == 0
     bench = sh.filter(is_eval).select("shingle").distinct()
     return (
         sh.filter(~is_eval)
@@ -1195,7 +1195,7 @@ def contamination_check(documents: DataFrame, n: int = 5,
     the decontamination pass rides the same scan as the other curation
     filters."""
     shared = contamination_shared_counts(documents, n, eval_mod)
-    is_eval = F.col("doc_id") % eval_mod == 0
+    is_eval = F.pmod(F.col("doc_id"), F.lit(eval_mod)) == 0
     base = documents.filter(~is_eval).select("doc_id", "source")
     return (
         base.join(shared, "doc_id", "left")

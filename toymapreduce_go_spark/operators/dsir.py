@@ -55,7 +55,8 @@ def _doc_features(documents: DataFrame):
     tk = F.transform(tokens("text"), lambda t: F.lower(t))
     with_tk = documents.select(
         "doc_id", "source", tk.alias("tk"),
-        (F.col("doc_id") % DSIR_TARGET_MOD == 0).alias("is_target"))
+        (F.pmod(F.col("doc_id"), F.lit(DSIR_TARGET_MOD)) == 0)
+        .alias("is_target"))
     feats = F.expr(
         "concat(tk, CASE WHEN size(tk) >= 2 THEN "
         "transform(sequence(1, size(tk) - 1), "

@@ -100,11 +100,13 @@ def synthesize_html(documents: DataFrame) -> DataFrame:
 
 def html_to_text(col) -> "F.Column":
     """Tag-strip + entity-unescape expression over an html column.
-    Script/style elements are removed WITH content ((?s) so the block
-    may span lines; lazy .*? so adjacent blocks don't merge), then all
-    remaining tags, then the entity chain."""
-    x = F.regexp_replace(col, r"(?s)<script[^>]*>.*?</script>", "")
-    x = F.regexp_replace(x, r"(?s)<style[^>]*>.*?</style>", "")
+    Script/style elements are removed WITH content ((?is): HTML tag
+    names are case-INSENSITIVE, so uppercase <SCRIPT>/<STYLE> blocks
+    must not leak their code; (?s) so the block may span lines; lazy
+    .*? so adjacent blocks don't merge), then all remaining tags, then
+    the entity chain."""
+    x = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", "")
+    x = F.regexp_replace(x, r"(?is)<style[^>]*>.*?</style>", "")
     x = F.regexp_replace(x, r"<[^>]*>", "")
     for ent, ch in _ENTITIES:
         x = F.replace(x, F.lit(ent), F.lit(ch))
@@ -113,28 +115,43 @@ def html_to_text(col) -> "F.Column":
 
 def _flagged_lines(pages: DataFrame,
                    boilerplate_milli: int) -> DataFrame:
-    """(doc_id, source, pos, line, h, is_boiler) for every non-empty
-    trimmed line of the extracted text; ``pos`` is the 1-based RAW
-    line index (empties included) so downstream checksums/rebuilds
-    need no window. The boilerplate set is the broadcast side."""
+    """(doc_id, source, pos, line, h, is_boiler) for EVERY trimmed
+    line of the extracted text — empty lines ride along with a NULL
+    ``h`` and ``is_boiler=0`` so the stats rollup reads raw counts
+    off the same single pass (one fewer corpus scan, review r10);
+    ``pos`` is the 1-based RAW line index so downstream checksums/
+    rebuilds need no window. The boilerplate set is the broadcast
+    side. posexplode_OUTER keeps NULL-html rows visible (one NULL-line
+    row) so per-source doc counts never lose a document.
+
+    Boilerplate additionally requires ``df >= 2``: a line seen in ONE
+    document is repetition evidence for nothing, and without the floor
+    a small corpus slice (a streaming micro-batch of ≤ 1000/milli
+    docs) makes EVERY line boilerplate — extraction silently empties
+    the whole batch (advice r10). The floor is invisible whenever
+    ``n_docs ≥ 2000/milli`` (the fixture and any real corpus)."""
     lines = (pages
              .select("doc_id", "source",
-                     F.posexplode(F.split(html_to_text(F.col("html")),
-                                          "\n")).alias("pos0", "raw"))
+                     F.posexplode_outer(
+                         F.split(html_to_text(F.col("html")),
+                                 "\n")).alias("pos0", "raw"))
              .select("doc_id", "source",
                      (F.col("pos0") + 1).alias("pos"),
                      F.trim("raw").alias("line")))
-    ne = (lines.filter(F.length("line") > 0)
-          .withColumn("h", F.conv(
-              F.substring(F.md5("line"), 1, 15), 16, 10).cast("long")))
+    hashed = lines.withColumn(
+        "h", F.when(F.length("line") > 0, F.conv(
+            F.substring(F.md5("line"), 1, 15), 16, 10).cast("long")))
+    ne = hashed.filter(F.length("line") > 0)
     nd = pages.agg(F.count_distinct("doc_id").alias("nd"))
     boiler = (ne.groupBy("h")
               .agg(F.count_distinct("doc_id").alias("df"))
               .crossJoin(F.broadcast(nd))
-              .filter(F.col("df") * 1000
-                      >= F.lit(boilerplate_milli) * F.col("nd"))
+              .filter((F.col("df") >= 2)
+                      & (F.col("df") * 1000
+                         >= F.lit(boilerplate_milli) * F.col("nd")))
               .select("h", F.lit(1).alias("is_b")))
-    return (ne.join(F.broadcast(boiler), "h", "left")
+    # NULL h (empty/NULL lines) never matches a join key -> is_boiler 0
+    return (hashed.join(F.broadcast(boiler), "h", "left")
             .withColumn("is_boiler",
                         F.col("is_b").isNotNull().cast("long"))
             .drop("is_b"))
@@ -151,33 +168,26 @@ def html_extract_stats(documents: DataFrame,
     positions, and the exact boilerplate decisions."""
     pages = synthesize_html(documents)
     flagged = _flagged_lines(pages, boilerplate_milli)
-    raw = (pages
-           .select("source", F.col("doc_id"),
-                   F.size(F.split(html_to_text(F.col("html")), "\n"))
-                   .alias("nl"))
-           .groupBy("source")
-           .agg(F.count_distinct("doc_id").alias("n_docs"),
-                F.sum("nl").alias("n_raw_lines")))
+    # ONE groupBy over the single flagged pass: empty lines ride along
+    # (NULL h, is_boiler 0), so raw line counts come off the same scan
+    # instead of re-evaluating synthesis + tag-strip in a second agg
+    # (verdict r10 advisory 2). NULL-html docs surface as one NULL-line
+    # row (posexplode_outer): counted in n_docs, zero raw lines.
+    ne = (F.length("line") > 0).cast("long")
+    kept = F.when((F.length("line") > 0) & (F.col("is_boiler") == 0),
+                  F.lit(1)).otherwise(F.lit(0))
     term = F.pmod(F.col("pos") * F.pmod(F.col("h"), F.lit(CKSUM_MOD)),
                   F.lit(CKSUM_MOD))
-    per = (flagged.groupBy("source")
-           .agg(F.count(F.lit(1)).alias("n_nonempty_lines"),
-                F.sum("is_boiler").alias("n_boiler_dropped"),
-                F.sum(1 - F.col("is_boiler")).alias("n_kept_lines"),
-                F.sum(F.when(F.col("is_boiler") == 0, term)
-                      .otherwise(F.lit(0))).alias("clean_checksum")))
-    # both sides are source-level rollups (metadata-sized); broadcast
-    # so the final stitch never sorts
-    return (raw.join(F.broadcast(per), "source", "left")
-            .select("source", "n_docs", "n_raw_lines",
-                    F.coalesce("n_nonempty_lines", F.lit(0))
-                     .alias("n_nonempty_lines"),
-                    F.coalesce("n_boiler_dropped", F.lit(0))
-                     .alias("n_boiler_dropped"),
-                    F.coalesce("n_kept_lines", F.lit(0))
-                     .alias("n_kept_lines"),
-                    F.coalesce("clean_checksum", F.lit(0))
-                     .alias("clean_checksum"))
+    return (flagged.groupBy("source")
+            .agg(F.count_distinct("doc_id").alias("n_docs"),
+                 F.sum(F.col("line").isNotNull().cast("long"))
+                 .alias("n_raw_lines"),
+                 F.sum(F.coalesce(ne, F.lit(0)))
+                 .alias("n_nonempty_lines"),
+                 F.sum("is_boiler").alias("n_boiler_dropped"),
+                 F.sum(kept).alias("n_kept_lines"),
+                 F.sum(F.when(kept == 1, term).otherwise(F.lit(0)))
+                 .alias("clean_checksum"))
             .orderBy("source"))
 
 
@@ -189,7 +199,16 @@ def extract_html_documents(pages: DataFrame,
     original order (the ``dedup_lines_across_corpus`` rebuild pattern:
     sort collected (pos, line) structs, no window), boilerplate lines
     dropped. Documents whose every line was dropped keep empty text
-    (callers re-gate on length, as the pipeline does)."""
+    (callers re-gate on length, as the pipeline does).
+
+    PRECONDITION: ``doc_id`` is unique in ``pages`` — the rebuild
+    groups lines by doc_id, so two page rows sharing an id would merge
+    into one doubled text. Violations fail LOUDLY: duplicate copies of
+    a page repeat line positions, so ``count(pos) >
+    count_distinct(pos)`` inside the same aggregation raises instead
+    of silently merging (advice r10; the check is free — no extra
+    scan — and cannot false-positive on unique ids, where every pos
+    appears once per document)."""
     flagged = _flagged_lines(pages, boilerplate_milli)
     # ONE aggregation for both the rebuild and the drop count —
     # collect_list skips the NULLs the boiler-line CASE produces, so
@@ -199,10 +218,24 @@ def extract_html_documents(pages: DataFrame,
                .agg(F.array_join(
                    F.transform(
                        F.array_sort(F.collect_list(
-                           F.when(F.col("is_boiler") == 0,
+                           F.when((F.col("is_boiler") == 0)
+                                  & (F.length("line") > 0),
                                   F.struct("pos", "line")))),
                        lambda s: s["line"]), "\n").alias("text"),
-                    F.sum("is_boiler").alias("removed_lines")))
+                    F.sum("is_boiler").alias("removed_lines"),
+                    F.count("pos").alias("_np"),
+                    F.count_distinct("pos").alias("_ndp")))
+    rebuilt = rebuilt.select(
+        "doc_id",
+        F.when(F.col("_np") > F.col("_ndp"),
+               F.raise_error(F.concat(
+                   F.lit("extract_html_documents: duplicate doc_id "),
+                   F.col("doc_id").cast("string"),
+                   F.lit(" in pages — the rebuild would merge both "
+                         "copies' lines into one document")))
+               .cast("string"))
+        .otherwise(F.col("text")).alias("text"),
+        "removed_lines")
     cols = [c for c in ("doc_id", "source", "lang") if c
             in pages.columns]
     return (pages.select(*cols)

@@ -87,24 +87,32 @@ def langid_predict(documents: DataFrame, model: dict[str, list[int]],
     """Score every document against the broadcast weight arrays and
     argmax (ties: ascending language order — the deterministic
     precedence the oracle replays as ``ORDER BY s DESC, cand ASC``).
-    Scan-side only: literal arrays + aggregate folds, no join."""
+    Scan-side only: literal arrays + aggregate folds, no join.
+
+    The whole model rides as ONE nested-array literal and the scores
+    land in ONE array column via ``transform`` — never one unrolled
+    fold per language (the r9 codegen lesson: per-centroid/-language
+    unrolling re-inlines the shared gram array N times and analysis/
+    codegen explodes at fastText-scale language counts; pinned by the
+    64-language plan test). ``array_position`` returns the FIRST
+    maximum = the lowest language index = ascending-order tie-break,
+    exactly the old ``greatest`` + ascending when-chain semantics."""
     langs = sorted(model)
-    scored = documents.withColumn("_b", _gram_buckets(n=n, dim=dim))
-
-    def fold(weights: Column) -> Column:
-        return F.aggregate(F.col("_b"), F.lit(0).cast("long"),
-                           lambda acc, x:
-                           acc + F.element_at(weights, x.cast("int") + 1))
-
-    for lang in langs:
-        scored = scored.withColumn(f"_s_{lang}", fold(F.lit(model[lang])))
-    best = F.greatest(*[F.col(f"_s_{lang}") for lang in langs]) \
-        if len(langs) > 1 else F.col(f"_s_{langs[0]}")
-    pred = F.when(F.size("_b") == 0, "unknown")
-    for lang in langs:
-        pred = pred.when(F.col(f"_s_{lang}") == best, lang)
-    return scored.withColumn("pred_lang", pred).drop(
-        "_b", *[f"_s_{lang}" for lang in langs])
+    weights = F.lit([model[lang] for lang in langs])
+    scored = (documents
+              .withColumn("_b", _gram_buckets(n=n, dim=dim))
+              .withColumn("_sc", F.transform(
+                  weights,
+                  lambda w: F.aggregate(
+                      F.col("_b"), F.lit(0).cast("long"),
+                      lambda acc, x:
+                      acc + F.element_at(w, x.cast("int") + 1)))))
+    pred = F.when(F.size("_b") == 0, F.lit("unknown")).otherwise(
+        F.element_at(
+            F.lit(langs),
+            F.array_position(F.col("_sc"),
+                             F.array_max(F.col("_sc"))).cast("int")))
+    return scored.withColumn("pred_lang", pred).drop("_b", "_sc")
 
 
 def langid_confusion(documents: DataFrame, n: int = NGRAM,
@@ -115,8 +123,12 @@ def langid_confusion(documents: DataFrame, n: int = NGRAM,
     splits drop documents shorter than one gram (same predicate in the
     oracle)."""
     usable = documents.filter(F.length(F.lower("text")) >= n)
-    train = usable.filter(F.col("doc_id") % holdout_mod != 0)
-    hold = usable.filter(F.col("doc_id") % holdout_mod == 0)
+    # pmod, the r10 lesson (ids keying a split/grid) — for a ==0 / !=0
+    # comparison signed % happens to agree, but the convention is pmod
+    # everywhere so the next edit can't reintroduce the signed-% trap
+    split = F.pmod(F.col("doc_id"), F.lit(holdout_mod))
+    train = usable.filter(split != 0)
+    hold = usable.filter(split == 0)
     model = train_langid(train, n=n, dim=dim, scale=scale)
     if not model:
         # no training data -> no model -> nothing scorable (the oracle's

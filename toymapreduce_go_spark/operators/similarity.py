@@ -705,6 +705,17 @@ def write_vector_index(embeddings: DataFrame, path: str,
          .parquet(f"{path}/postings"))
 
 
+class NoVectorIndexModel(ValueError):
+    """Raised by ``extend_vector_index`` when ``{path}/model`` is absent
+    — a DEDICATED sentinel so callers with a train-on-first-batch
+    fallback (``streaming.vector_stream``) can distinguish "no model
+    yet" from any other ValueError: catching bare ValueError there
+    would route an unexpected error into ``write_vector_index``, whose
+    postings write is a full overwrite that silently wipes every
+    previously ingested batch (advice r10). Subclasses ValueError so
+    pre-existing callers keep working."""
+
+
 def extend_vector_index(batch: DataFrame, path: str,
                         batch_id: int) -> None:
     """Incrementally extend a ``write_vector_index`` index with a new
@@ -736,7 +747,7 @@ def extend_vector_index(batch: DataFrame, path: str,
     cents = [(int(r["cent_id"]), [float(x) for x in r["centroid"]])
              for r in cent_rows]
     if not cents:
-        raise ValueError(
+        raise NoVectorIndexModel(
             f"extend_vector_index: no model at {path}/model — build the "
             "index with write_vector_index first (extensions assign with "
             "the STORED centroids; they never train)")
@@ -750,7 +761,8 @@ def extend_vector_index(batch: DataFrame, path: str,
 
 def ann_query_index(probes_df: DataFrame, path: str,
                     n_probe_cells: int = 2, n_probes: int = 5,
-                    k: int = DEFAULT_K) -> DataFrame:
+                    k: int = DEFAULT_K,
+                    before_batch: int | None = None) -> DataFrame:
     """Probe a ``write_vector_index`` index: centroids load as a tiny
     collect, probe routing is driver-side, and the postings scan is
     PARTITION-PRUNED to the routed cells via a literal IN filter on the
@@ -758,7 +770,18 @@ def ann_query_index(probes_df: DataFrame, path: str,
     the corpus is never re-read, re-assigned, or shuffled. Probes come
     from ``probes_df`` (lowest ``n_probes`` vec_ids, the repo's probe
     convention), which need not be the indexed corpus — the
-    build-once/probe-many split."""
+    build-once/probe-many split.
+
+    ``before_batch`` restricts the scan to ``ingest_batch <
+    before_batch`` partitions — the dedup index's snapshot-read
+    contract (``dedup.near_dedup_vs_index``) inherited here (verdict
+    r10 item 2): the returned frame is LAZY, so a probe racing a
+    concurrent ``extend_vector_index`` (or re-evaluated after one)
+    would otherwise see that extension's partial or complete postings.
+    Pass the batch id about to be written and the probe is pinned to
+    the committed snapshot (byte-identity across an extension is
+    pinned in tests/test_vector_index.py). Both filters are partition
+    filters, so old probes also never pay for newer snapshots."""
     spark = probes_df.sparkSession
     cent_rows = (spark.read.parquet(f"{path}/model")
                  .orderBy("cent_id").collect())
@@ -775,6 +798,8 @@ def ann_query_index(probes_df: DataFrame, path: str,
     routed = sorted({int(r["cell"]) for r in probe_cells.collect()})
     postings = (spark.read.parquet(f"{path}/postings")
                 .filter(F.col("cell").isin(routed)))
+    if before_batch is not None:
+        postings = postings.filter(F.col("ingest_batch") < before_batch)
     return _rank_probe_candidates(postings, probe_cells, k)
 
 

@@ -655,8 +655,8 @@ def _html_extract_oracle_sql(boilerplate_milli: int = 20) -> str:
             SELECT doc_id, source,
               replace(replace(replace(replace(replace(replace(replace(
                 regexp_replace(regexp_replace(regexp_replace(html,
-                  '(?s)<script[^>]*>.*?</script>', '', 'g'),
-                  '(?s)<style[^>]*>.*?</style>', '', 'g'),
+                  '(?is)<script[^>]*>.*?</script>', '', 'g'),
+                  '(?is)<style[^>]*>.*?</style>', '', 'g'),
                   '<[^>]*>', '', 'g'),
                 '&copy;', '(c)'), '&nbsp;', ' '), '&quot;', '"'),
                 '&#39;', chr(39)), '&lt;', '<'), '&gt;', '>'),
@@ -674,7 +674,7 @@ def _html_extract_oracle_sql(boilerplate_milli: int = 20) -> str:
         boiler AS (
             SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df
                            FROM ne GROUP BY h)
-            WHERE df * 1000 >= {boilerplate_milli} *
+            WHERE df >= 2 AND df * 1000 >= {boilerplate_milli} *
                   (SELECT count(DISTINCT doc_id) FROM documents)),
         flagged AS (
             SELECT ne.*, CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END

@@ -29,7 +29,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.similarity import extend_vector_index, write_vector_index
+from ..operators.similarity import (NoVectorIndexModel,
+                                    extend_vector_index,
+                                    write_vector_index)
 from .events_stream import read_table_stream
 from .run import run_available_now
 
@@ -56,10 +58,14 @@ def vector_index_batch_step(batch_df: DataFrame, batch_id: int,
     batch = batch_df.select("vec_id", "embedding")
     try:
         extend_vector_index(batch, idx, batch_id=batch_id)
-    except ValueError:
+    except NoVectorIndexModel:
         # no model yet (all prior batches were empty, or this is batch
         # 0) — train on THIS batch; an empty batch writes an empty
-        # model and the next non-empty one trains instead
+        # model and the next non-empty one trains instead. The catch
+        # is the DEDICATED sentinel, never bare ValueError: any other
+        # error must surface, because falling into write_vector_index
+        # (a full postings overwrite) with prior batches present would
+        # silently retrain and wipe them all (advice r10)
         write_vector_index(batch, idx, n_cells=n_cells,
                            batch_id=batch_id)
 
