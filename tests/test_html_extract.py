@@ -120,3 +120,67 @@ def test_pipeline_front_stage(spark):
     # extraction ran before the gates: curated text carries no markup
     sample = curated.select("text").first()["text"]
     assert "<" not in sample and "&amp;" not in sample
+
+
+def test_uppercase_script_style_blocks_are_removed(spark):
+    """HTML tag names are case-insensitive ((?is) strip, advice r10):
+    uppercase <SCRIPT>/<STYLE> content must not leak into the text."""
+    out = _extract_one(
+        spark,
+        '<HTML><STYLE>h1{color:blue}</STYLE>'
+        '<SCRIPT>evil();</SCRIPT><P>prose stays</P></HTML>')
+    assert "prose stays" in out
+    assert "color:blue" not in out
+    assert "evil" not in out
+
+
+def test_small_batch_is_not_emptied_by_boilerplate(spark):
+    """The df >= 2 floor (advice r10): on a tiny corpus slice (a
+    streaming micro-batch of <= 1000/milli docs) every unique line used
+    to clear the frequency threshold at df=1 and extraction emptied the
+    whole batch. Unique prose must survive; genuinely shared lines must
+    still drop."""
+    rows = [(i, "s",
+             f"<p>unique prose line number {i}</p>\n<p>shared footer</p>")
+            for i in range(3)]
+    pages = spark.createDataFrame(
+        rows, "doc_id long, source string, html string")
+    out = {r["doc_id"]: r["text"]
+           for r in extract_html_documents(
+               pages, boilerplate_milli=20).collect()}
+    for i in range(3):
+        assert f"unique prose line number {i}" in out[i]
+        assert "shared footer" not in out[i]  # df=3 still drops
+
+
+def test_duplicate_doc_id_pages_raise(spark):
+    """The rebuild groups lines by doc_id; duplicate page rows would
+    silently merge into one doubled text — they must raise instead
+    (advice r10)."""
+    import pytest
+
+    pages = spark.createDataFrame(
+        [(1, "s", "<p>copy one</p>"), (1, "s", "<p>copy two</p>"),
+         (2, "s", "<p>fine</p>")],
+        "doc_id long, source string, html string")
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        extract_html_documents(pages).collect()
+
+
+def test_stats_single_scan_of_pages(spark):
+    """html_extract_stats reads raw line counts off the same flagged
+    pass (one fewer corpus scan, advice r10): the plan must contain at
+    most two evaluations of the synthesis chain (the boilerplate agg
+    subtree + the flagged join side), never a third raw-count branch."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        html_extract_stats(docs).explain("formatted")
+    plan = buf.getvalue()
+    # three documents scans survive: the boilerplate agg subtree and
+    # the flagged join side (the two synthesis evaluations) plus the
+    # doc_id-only count_distinct denominator (column-pruned, no
+    # synthesis). The removed raw-count branch was a FOURTH, with a
+    # full synthesis+tag-strip re-evaluation. formatted explain
+    # mentions each node twice (tree + details).
+    assert plan.count("Scan parquet") <= 6, plan

@@ -98,3 +98,60 @@ def test_fixture_confusion_is_deterministic_not_linguistic(spark):
     assert sum(r.n_docs for r in conf) == n_hold
     langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
     assert {r.pred_lang for r in conf} <= langs | {"unknown"}
+
+
+def test_predict_many_languages_single_literal(spark):
+    """The r10 advisory: at fastText-scale language counts the model
+    must ride as ONE nested-array literal with scores in ONE array —
+    never one unrolled fold per language (the r9 per-centroid-unroll
+    codegen explosion). 64 synthesized languages over 50 fixture docs
+    must analyze + run in interactive time and stay deterministic."""
+    import time
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .limit(50).select("doc_id", "text"))
+    rng = random.Random(11)
+    model = {f"lang{i:02d}": [rng.randrange(0, 1000) for _ in range(1024)]
+             for i in range(64)}
+    t0 = time.perf_counter()
+    out = langid_predict(docs, model)
+    rows = {r["doc_id"]: r["pred_lang"] for r in out.collect()}
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 30, f"codegen/analysis blow-up: {elapsed:.1f}s"
+    assert len(rows) == 50
+    assert set(rows.values()) <= set(model) | {"unknown"}
+    # deterministic across runs
+    again = {r["doc_id"]: r["pred_lang"]
+             for r in langid_predict(docs, model).collect()}
+    assert again == rows
+
+
+def test_predict_argmax_tiebreak_is_lowest_language(spark):
+    """array_position takes the FIRST maximum = ascending language
+    order — the exact greatest+when-chain / ORDER BY s DESC, cand ASC
+    semantics the oracle replays. Construct a dead tie and a score gap
+    and check both against a driver-side replay."""
+    from toymapreduce_go_spark.operators.langid_model import (
+        _gram_buckets)
+
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "xy")], "doc_id long, text string")
+    buckets = {r["doc_id"]: list(r["b"]) for r in docs.select(
+        "doc_id", _gram_buckets().alias("b")).collect()}
+    # zz ties with aa everywhere (identical weights): aa must win;
+    # ww wins doc 2's buckets outright
+    base = [1] * 1024
+    ww = [1] * 1024
+    for b in buckets[2]:
+        ww[b] = 50
+    model = {"zz": list(base), "aa": list(base), "ww": ww}
+    got = {r["doc_id"]: r["pred_lang"]
+           for r in langid_predict(docs, model).collect()}
+    assert got[2] == "ww"
+    # doc 1: ww has weight 1 on doc 1's buckets unless they collide
+    # with doc 2's — compute the expected winner driver-side
+    scores = {lang: sum(model[lang][b] for b in buckets[1])
+              for lang in model}
+    best = max(scores.values())
+    expect = min(lang for lang, s in scores.items() if s == best)
+    assert got[1] == expect

@@ -112,3 +112,31 @@ def test_extend_equals_one_shot_build(spark, tmp_path):
     # extensions never train: a missing model fails loudly
     with _pytest.raises(ValueError, match="write_vector_index first"):
         extend_vector_index(batch1, str(tmp_path / "nomodel"), 1)
+
+
+def test_probe_before_batch_snapshot_is_stable(spark, tmp_path):
+    """The before_batch read contract (verdict r10 item 2): a probe
+    pinned at before_batch=N is byte-identical before and after batch N
+    lands — probes racing (or lazily re-evaluated across) an extension
+    read a consistent snapshot, exactly the dedup index's semantics."""
+    from toymapreduce_go_spark.operators.similarity import (
+        extend_vector_index)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    batch0 = emb.orderBy("vec_id").limit((n + 1) // 2)
+    ids0 = {r.vec_id for r in batch0.select("vec_id").collect()}
+    batch1 = emb.filter(~emb.vec_id.isin(list(ids0)))
+
+    path = str(tmp_path / "vidx")
+    write_vector_index(batch0, path)
+    before = _rows(ann_query_index(emb, path, before_batch=1))
+    assert before == _rows(ann_query_index(emb, path))
+
+    extend_vector_index(batch1, path, batch_id=1)
+    # the pinned probe still sees ONLY the committed snapshot...
+    assert _rows(ann_query_index(emb, path, before_batch=1)) == before
+    # ...while an unpinned probe sees the grown index
+    grown = _rows(ann_query_index(emb, path))
+    assert grown != before
+    assert _rows(ann_query_index(emb, path, before_batch=2)) == grown

@@ -110,3 +110,24 @@ def test_empty_first_batch_trains_on_first_nonempty(spark, tmp_path):
     before = posts
     vector_index_batch_step(emb, 1, state)
     assert _postings(spark, idx) == before
+
+
+def test_unexpected_errors_are_not_swallowed_into_rebuild(spark,
+                                                          tmp_path,
+                                                          monkeypatch):
+    """Only the dedicated NoVectorIndexModel sentinel may route a batch
+    into the train+build path (advice r10): any other ValueError from
+    the extend step must propagate, because falling through would
+    full-overwrite the postings and wipe every prior batch."""
+    import pytest
+
+    import toymapreduce_go_spark.streaming.vector_stream as vs
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(8)
+
+    def boom(batch, idx, batch_id):
+        raise ValueError("unexpected corruption")
+
+    monkeypatch.setattr(vs, "extend_vector_index", boom)
+    with pytest.raises(ValueError, match="unexpected corruption"):
+        vector_index_batch_step(emb, 1, str(tmp_path / "state"))
