@@ -1781,3 +1781,32 @@ def near_dedup_vs_prior_split(documents: DataFrame, prior_mod: int = 3,
     return near_dedup_vs_prior(documents.filter(~is_prior),
                                documents.filter(is_prior),
                                n=n, threshold=threshold)
+
+
+def retract_index_keys(spark, path: str, prior_ids) -> dict:
+    """Retract pages BY KEY from a persisted ``write_prior_index``
+    archive — the maintenance move ``expire_index_batches`` (whole
+    batches by age) cannot make: a refresh crawl's diff names exactly
+    which pages were removed or changed (``urls.crawl_diff``), and
+    leaving them in the index screens future batches against stale
+    content. Removes every band row and signature whose ``prior_id``
+    is in ``prior_ids`` (list = plan-literal IN filter; DataFrame =
+    broadcast anti-join — the big-delta path), rewriting ONLY the
+    ``ingest_batch`` partitions that contain them via the tmp/old
+    rename protocol (``sources.sinks.retract_keys_from_parquet``) —
+    crash-rerunnable at any point, untouched batches byte-identical.
+
+    Contract pinned in tests/test_index_retract.py: an index grown
+    then retracted equals a fresh build over the surviving corpus
+    (signatures and band rows are per-document, so retraction is
+    exact set difference). ``{path}/meta`` is untouched. Retraction
+    that would empty the index is refused (delete it instead).
+
+    Composes as: ``crawl_diff`` → retract removed+changed →
+    ``write_prior_index(new batch)`` with the re-extracted pages —
+    see ``operators.refresh.refresh_band_index``."""
+    from ..sources.sinks import retract_keys_from_parquet
+
+    return {sub: retract_keys_from_parquet(
+                spark, f"{path}/{sub}", "prior_id", prior_ids)
+            for sub in ("bands", "sigs")}

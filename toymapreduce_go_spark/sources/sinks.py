@@ -118,3 +118,140 @@ def compact_parquet(spark, path: str, target_mb: int = 128) -> tuple[int, int]:
     os.rename(tmp, local)
     shutil.rmtree(old, ignore_errors=True)
     return n_before, n_after
+
+def retract_keys_from_parquet(spark, path: str, key_col: str,
+                              keys) -> dict[str, int]:
+    """Key-level retraction from a hive-partitioned parquet dataset —
+    the maintenance primitive ``compact_parquet`` (file counts) and
+    ``expire_index_batches`` (whole partitions) were missing: remove
+    EXACTLY the rows whose ``key_col`` is in ``keys``, rewriting ONLY
+    the partition directories that contain such rows. Everything else
+    is untouched byte-for-byte — cost is proportional to the affected
+    partitions, never the dataset (verdict r10 item 1: a refresh crawl
+    must retract removed/changed pages from its persisted indexes
+    without rebuilding them).
+
+    ``keys`` is a Python list (metadata-sized deny-list style — rides
+    as ONE plan-literal IN filter, pushed into the parquet scan) or a
+    single-column DataFrame (the scale path for big deltas: affected-
+    partition discovery is a broadcast LEFT SEMI join, the rewrite a
+    broadcast LEFT ANTI — the dataset is never shuffled either way).
+
+    Crash safety (the ``compact_parquet`` convention, per partition):
+    kept rows land under a sibling ``__retract_tmp`` tree first; each
+    affected partition directory is then moved aside to a mirror
+    ``__retract_old`` tree before its rewritten twin swaps in. A crash
+    at ANY point is healed on the next invocation: directories found
+    only in the old tree are restored, stale tmp/old residue is
+    cleared, and the retraction (idempotent by construction — already-
+    retracted partitions simply match no keys) re-runs. Partitions
+    whose every row is retracted are dropped; retracting the ENTIRE
+    dataset is refused (an all-_SUCCESS dir breaks the next reader's
+    schema inference — delete the dataset instead).
+
+    Partition values are reconstructed as ``col=value`` directory
+    names, so partition columns must carry URL-safe scalar values
+    (ints here — both indexes partition on ingest_batch/cell).
+
+    Returns {"partitions_rewritten": n, "rows_removed": m}."""
+    import functools
+    import os
+    import shutil
+
+    local = path[len("file://"):] if path.startswith("file://") else path
+    tmp = local.rstrip("/") + "__retract_tmp"
+    old = local.rstrip("/") + "__retract_old"
+
+    # -- recovery from a prior crashed attempt, before touching anything
+    if os.path.isdir(old):
+        stranded = [dp for dp, _dns, fns in os.walk(old) if fns]
+        for dp in stranded:
+            live_dir = os.path.join(local, os.path.relpath(dp, old))
+            if not os.path.exists(live_dir):
+                os.makedirs(os.path.dirname(live_dir), exist_ok=True)
+                os.rename(dp, live_dir)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+    if isinstance(keys, (list, tuple, set)):
+        keys = sorted(keys)
+        if not keys:
+            return {"partitions_rewritten": 0, "rows_removed": 0}
+
+        def matches(df):
+            return df.filter(F.col(key_col).isin(list(keys)))
+
+        def survivors(df):
+            return df.filter(~F.col(key_col).isin(list(keys)))
+    else:
+        kdf = keys.select(F.col(key_col)).distinct()
+
+        def matches(df):
+            return df.join(F.broadcast(kdf), key_col, "left_semi")
+
+        def survivors(df):
+            return df.join(F.broadcast(kdf), key_col, "left_anti")
+
+    files = [os.path.join(dp, f) for dp, _dn, fn in os.walk(local)
+             for f in fn if f.endswith(".parquet")]
+    if not files:
+        return {"partitions_rewritten": 0, "rows_removed": 0}
+    part_cols = [seg.split("=", 1)[0]
+                 for seg in
+                 os.path.relpath(files[0], local).split(os.sep)[:-1]
+                 if "=" in seg]
+    if not part_cols:
+        raise ValueError(
+            f"retract_keys_from_parquet: {path} is unpartitioned — "
+            "key retraction rewrites per partition; compact or "
+            "partition the dataset first")
+
+    df = spark.read.parquet(path)
+    affected = [tuple(r) for r in
+                matches(df).select(*part_cols).distinct().collect()]
+    if not affected:
+        return {"partitions_rewritten": 0, "rows_removed": 0}
+    rels = [os.path.join(*(f"{c}={v}" for c, v in zip(part_cols, vals)))
+            for vals in sorted(affected)]
+
+    # refuse to empty the dataset (the expire_index_batches contract)
+    live_parts = {os.path.relpath(os.path.dirname(f), local)
+                  for f in files}
+    unaffected = live_parts - set(rels)
+
+    part_filter = functools.reduce(
+        lambda a, b: a | b,
+        [functools.reduce(lambda a, b: a & b,
+                          [F.col(c) == v
+                           for c, v in zip(part_cols, vals)])
+         for vals in affected])
+    touched = df.filter(part_filter)
+    n_removed = matches(touched).count()
+    kept = survivors(touched)
+    kept.write.mode("overwrite").partitionBy(*part_cols).parquet(
+        "file://" + tmp)
+    kept_rels = {os.path.relpath(os.path.dirname(f2), tmp)
+                 for dp, _dn, fn in os.walk(tmp)
+                 for f in fn if f.endswith(".parquet")
+                 for f2 in [os.path.join(dp, f)]}
+    if not unaffected and not kept_rels:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise ValueError(
+            f"retract_keys_from_parquet: retracting these keys would "
+            f"empty {path} entirely — delete the dataset instead of "
+            "retracting it empty")
+
+    # -- swap each affected partition: live -> old mirror, tmp -> live
+    for rel in rels:
+        live_dir = os.path.join(local, rel)
+        if os.path.isdir(live_dir):
+            old_dir = os.path.join(old, rel)
+            os.makedirs(os.path.dirname(old_dir), exist_ok=True)
+            os.rename(live_dir, old_dir)
+        tmp_dir = os.path.join(tmp, rel)
+        if os.path.isdir(tmp_dir):
+            os.makedirs(os.path.dirname(live_dir), exist_ok=True)
+            os.rename(tmp_dir, live_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"partitions_rewritten": len(rels), "rows_removed": n_removed}
