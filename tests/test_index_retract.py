@@ -8,7 +8,6 @@ diff → retract → extend composition (operators/refresh.py)."""
 from __future__ import annotations
 
 import os
-import shutil
 
 import pytest
 from pyspark.sql import functions as F
@@ -235,3 +234,63 @@ def test_refresh_vector_index_composes_with_crawl_diff(spark, tmp_path):
                   spark.read.parquet(f"{fresh}/postings")
                   .select("cell", "vec_id").collect())
     assert got == want and got
+
+
+def test_rebuild_equals_fresh_build_after_drift(spark, tmp_path):
+    """The quantizer-drift lifecycle (verdict r10 item 3): an index
+    built on HIGH vec_ids then extended with LOW ones keeps centroids
+    trained on a sample that is no longer the union's training sample —
+    rebuild_vector_index retrains over the grown index and must equal a
+    fresh build over the same vectors (same deterministic sample rule),
+    while preserving each posting's ingest_batch."""
+    from toymapreduce_go_spark.operators.similarity import (
+        rebuild_vector_index)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    grown = str(tmp_path / "grown")
+    write_vector_index(emb.filter("vec_id >= 250"), grown, batch_id=0)
+    extend_vector_index(emb.filter("vec_id < 250"), grown, batch_id=1)
+    fresh = str(tmp_path / "fresh")
+    write_vector_index(emb, fresh)
+
+    def model(p):
+        return sorted((int(r["cent_id"]), tuple(r["centroid"])) for r in
+                      spark.read.parquet(f"{p}/model").collect())
+
+    def cells(p):
+        return sorted(tuple(r) for r in
+                      spark.read.parquet(f"{p}/postings")
+                      .select("cell", "vec_id").collect())
+
+    assert model(grown) != model(fresh)  # drift is real
+    rebuild_vector_index(spark, grown)
+    assert model(grown) == model(fresh)
+    assert cells(grown) == cells(fresh)
+    # batch lineage survives the rebuild (before_batch stays meaningful)
+    batches = {int(r["ingest_batch"]) for r in
+               spark.read.parquet(f"{grown}/postings")
+               .select("ingest_batch").distinct().collect()}
+    assert batches == {0, 1}
+    probes = emb.orderBy("vec_id").limit(5)
+    assert [tuple(r) for r in ann_query_index(probes, grown).collect()] \
+        == [tuple(r) for r in ann_query_index(probes, fresh).collect()]
+    # idempotent: rebuilding an already-fresh index is a no-op
+    rebuild_vector_index(spark, grown)
+    assert model(grown) == model(fresh) and cells(grown) == cells(fresh)
+
+
+def test_recall_monitor_floor_and_exact_at_full_probe(spark, tmp_path):
+    """vector_index_recall: probing EVERY cell must be exact (recall
+    1.0 — the monitor's own sanity anchor), and the default 2-cell
+    probe reports a sane fraction on the fixture geometry."""
+    from toymapreduce_go_spark.operators.similarity import (
+        vector_index_recall)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "vidx")
+    write_vector_index(emb, path, n_cells=8)
+    full = vector_index_recall(spark, path, n_probe_cells=8)
+    assert full["recall"] == 1.0 and full["total"] == 25
+    part = vector_index_recall(spark, path, n_probe_cells=2)
+    assert 0.0 < part["recall"] <= 1.0
+    assert part["hits"] <= full["hits"]

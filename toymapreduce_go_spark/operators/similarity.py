@@ -518,17 +518,21 @@ def ann_ivf_trained(embeddings: DataFrame, n_cells: int = 8,
 
 
 def _assign_cells(embeddings: DataFrame,
-                  cents: list[tuple[int, list[float]]]) -> DataFrame:
-    """Literal-centroid assignment projection: (vec_id, embedding, cell)
-    with cell = nearest-centroid argmax. Shared by the in-session IVF
-    tiers and the persisted index writer."""
+                  cents: list[tuple[int, list[float]]],
+                  keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Literal-centroid assignment projection: (vec_id, embedding,
+    *keep_cols, cell) with cell = nearest-centroid argmax. Shared by
+    the in-session IVF tiers and the persisted index writer;
+    ``keep_cols`` rides extra columns through (the rebuild path keeps
+    each posting's original ingest_batch)."""
     cent_norms = {cid: _py_norm(emb) for cid, emb in cents}
 
     # One projected corpus-vector norm, reused by every centroid score —
     # inlining cosine_sim n_cells times would recompute it n_cells times
     # per row.
     emb_n = embeddings.select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+        "vec_id", "embedding", *keep_cols,
+        l2_norm(F.col("embedding")).alias("nrm"))
 
     # The whole argmax is assembled as ONE SQL string and parsed JVM-side
     # in a single F.expr call: building ~n_cells*dim literal Column nodes
@@ -557,7 +561,8 @@ def _assign_cells(embeddings: DataFrame,
             for cid, emb in cents
         ) + ").cent_id"
     return emb_n.select(
-        "vec_id", "embedding", F.expr(best_sql).alias("cell"))
+        "vec_id", "embedding", *keep_cols,
+        F.expr(best_sql).alias("cell"))
 
 
 def _route_probes(spark, cents: list[tuple[int, list[float]]],
@@ -1145,3 +1150,116 @@ def load_ivf_pq_model(spark, path: str
     meta = [r for r in rows if r["kind"] == "meta"]
     by_residual = bool(meta and float(meta[0]["vec"][0]) > 0)
     return cents, books, by_residual
+
+
+def retract_vector_index_keys(spark, path: str, vec_ids) -> dict:
+    """Retract vectors BY KEY from a persisted ``write_vector_index``
+    index — the vector twin of ``dedup.retract_index_keys`` (verdict
+    r10 item 1): a refresh crawl re-embeds changed pages and must
+    first remove their stale vectors, and batch-level retention
+    (``expire``) cannot name individual pages. Removes every posting
+    whose ``vec_id`` is in ``vec_ids``, rewriting ONLY the
+    ``(ingest_batch, cell)`` partitions that contain them
+    (``sources.sinks.retract_keys_from_parquet`` — tmp/old rename
+    protocol, crash-rerunnable, untouched partitions byte-identical).
+
+    The coarse-quantizer MODEL is deliberately untouched: extensions
+    assign with stored centroids, so retraction must not retrain (a
+    probe would otherwise route against centroids the survivors were
+    never assigned with). Centroid refresh is ``rebuild_vector_index``.
+    Pinned in tests/test_index_retract.py: grown-then-retracted equals
+    a fresh build over the survivors whenever the retracted ids lie
+    outside the training sample (same sample → same centroids → same
+    assignment); retraction that would empty the postings is refused."""
+    from ..sources.sinks import retract_keys_from_parquet
+
+    return {"postings": retract_keys_from_parquet(
+        spark, f"{path}/postings", "vec_id", vec_ids)}
+
+
+def vector_index_recall(spark, path: str, n_probes: int = 5,
+                        k: int = DEFAULT_K,
+                        n_probe_cells: int = 2) -> dict:
+    """Recall monitor for a persisted vector index (verdict r10 item
+    3): probe the index and compare against the EXACT brute-force
+    top-k over the index's own vectors — the sampled floor a pipeline
+    computes after every extension batch, because quantizer drift is
+    silent (centroids are trained once; as the corpus grows and
+    drifts, cells skew and probe recall decays with no error anywhere).
+    Probes are the ``n_probes`` lowest vec_ids (the repo's probe
+    convention). Returns {"hits", "total", "recall"}.
+
+    Cost: the exact floor is one corpus scan against n_probes
+    broadcast probes (``knn_bruteforce`` shape) — the monitor is a
+    sampled diagnostic, priced like one extra probe batch, not an
+    index operation. When recall sinks below the pipeline's floor,
+    ``rebuild_vector_index`` retrains the quantizer in place."""
+    vectors = (spark.read.parquet(f"{path}/postings")
+               .select("vec_id", "embedding"))
+    exact: dict[int, set[int]] = {}
+    for r in knn_bruteforce(vectors, n_probes=n_probes, k=k).collect():
+        exact.setdefault(int(r["probe_id"]), set()).add(
+            int(r["neighbor_id"]))
+    got: dict[int, set[int]] = {}
+    probes = vectors.orderBy("vec_id").limit(n_probes)
+    for r in ann_query_index(probes, path, n_probe_cells=n_probe_cells,
+                             n_probes=n_probes, k=k).collect():
+        got.setdefault(int(r["probe_id"]), set()).add(
+            int(r["neighbor_id"]))
+    hits = sum(len(exact[p] & got.get(p, set())) for p in exact)
+    total = sum(len(v) for v in exact.values())
+    return {"hits": hits, "total": total,
+            "recall": hits / total if total else 1.0}
+
+
+def rebuild_vector_index(spark, path: str, n_cells: int = 8,
+                         n_iters: int = IVF_TRAIN_ITERS,
+                         sample_size: int = IVF_SAMPLE_SIZE) -> None:
+    """Retrain the coarse quantizer over the GROWN index and re-assign
+    every posting in place — the lifecycle step extensions deliberately
+    skip (they assign with stored centroids so ingest stays cheap;
+    after enough drift the recall monitor says it's time). Training
+    uses the same deterministic rule as a fresh build (lowest
+    ``sample_size`` vec_ids — now of the WHOLE index), so a rebuilt
+    index is pinned EQUAL to ``write_vector_index`` over the same
+    vectors (tests/test_index_retract.py). Each posting keeps its
+    original ``ingest_batch``, so ``before_batch`` snapshot reads stay
+    meaningful across the rebuild (rows unchanged — only their cell
+    routing moves).
+
+    Crash safety: the new model+postings are built complete at a
+    sibling ``__rebuild_tmp`` tree, then swapped in with the tmp/old
+    rename pair (the ``compact_parquet`` protocol) — re-runnable after
+    a crash at any point; readers never see a half-rebuilt index."""
+    import os
+    import shutil
+
+    local = path[len("file://"):] if path.startswith("file://") else path
+    tmp = local.rstrip("/") + "__rebuild_tmp"
+    old = local.rstrip("/") + "__rebuild_old"
+    if not os.path.exists(local) and os.path.exists(old):
+        os.rename(old, local)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+    posts = (spark.read.parquet(f"{path}/postings")
+             .select("vec_id", "embedding", "ingest_batch"))
+    sample_rows = (posts.orderBy("vec_id").limit(sample_size)
+                   .select("vec_id", "embedding").collect())
+    sample = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+              for r in sample_rows]
+    cents = (list(enumerate(train_ivf_centroids(sample, n_cells,
+                                                n_iters)))
+             if sample else [])
+    spark.createDataFrame(
+        [(cid, emb) for cid, emb in cents],
+        "cent_id long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"file://{tmp}/model")
+    if cents:
+        (_assign_cells(posts, cents, keep_cols=("ingest_batch",))
+         .write.mode("overwrite")
+         .partitionBy("ingest_batch", "cell")
+         .parquet(f"file://{tmp}/postings"))
+    os.rename(local, old)
+    os.rename(tmp, local)
+    shutil.rmtree(old, ignore_errors=True)
