@@ -129,3 +129,32 @@ def test_tier2_names_are_registered_and_disjoint():
 
     assert set(TIER2_QUERIES) <= set(QUERIES)
     assert not set(TIER2_QUERIES) & set(DECLARED)
+
+
+def test_tier2_guard_fires_on_planted_regression(tmp_path):
+    """r11 (verdict item 8): this is the first round where a prior
+    tier2 baseline exists — replay the bench's exact guard composition
+    against a doctored prior file and verify the direction: a planted
+    tier2 regression fires; uniform host drift absorbed by the
+    declared-only speed normalization does not."""
+    from bench import SPEED_CAP, machine_speed_ratio
+
+    (tmp_path / "BENCH_r99.json").write_text(json.dumps(
+        {"parsed": {"queries": {"q1": 1.0, "q2": 1.0},
+                    "tier2": {"heavy": 4.0}, "sf": 0.1}}))
+    prior = load_prior_bench(str(tmp_path), sf=0.1)
+    prior.update(load_prior_bench(str(tmp_path), sf=0.1, key="tier2"))
+    assert prior == {"q1": 1.0, "q2": 1.0, "heavy": 4.0}
+
+    # planted: tier2 op 2.25x and +5s slower, declared tier steady
+    timings = {"q1": 1.0, "q2": 1.1}
+    speed = min(machine_speed_ratio(timings, prior), SPEED_CAP)
+    assert find_regressions({**timings, "heavy": 9.0}, prior,
+                            speed=speed) == ["heavy"]
+
+    # whole-host 1.4x drift (declared AND tier2 lift together): the
+    # declared-tier median sets the speed factor and nothing fires
+    drifted = {q: round(v * 1.4, 3) for q, v in timings.items()}
+    speed2 = min(machine_speed_ratio(drifted, prior), SPEED_CAP)
+    assert find_regressions({**drifted, "heavy": 4.0 * 1.4}, prior,
+                            speed=speed2) == []

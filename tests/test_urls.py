@@ -160,3 +160,48 @@ def test_blocklist_filter_paths_agree_and_drop_exactly(spark):
     assert len(lit_ids) + len(blocked_ids) == docs.count()
     plan = plan_of(lit_kept)
     assert "Join" not in plan, plan
+
+
+def test_domain_reputation_direction(spark):
+    """Planted corpus: quads (4 fetches → 1 page → 3 dup fetches),
+    duplicate texts, one short low-alpha doc — every reputation column
+    must come out exactly (r11; oracle parity runs in
+    test_oracle_parity.py)."""
+    from toymapreduce_go_spark.operators.urls import domain_reputation
+
+    # doc_ids 0-3 are one quad (one page on site0); text dups: 0,1
+    # share text; doc 2 is short AND low-alpha; doc 3 is long prose
+    long_prose = "clean alphabetic prose " * 10
+    docs = spark.createDataFrame(
+        [(0, "same text body here"), (1, "same text body here"),
+         (2, "123 456!"), (3, long_prose)],
+        "doc_id long, text string")
+    row = domain_reputation(docs).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["domain"] == "www.site0.example.com"
+    assert r["n_docs"] == 4 and r["n_pages"] == 1
+    assert r["n_dup_fetches"] == 3
+    assert r["n_dup_texts"] == 1          # 4 docs, 3 distinct texts
+    assert r["text_dup_milli"] == 250
+    assert r["n_short_docs"] == 3          # only the prose is >= 100
+    assert r["n_low_alpha_docs"] == 1      # "123 456!" only
+    total = sum(len(t) for t in
+                ("same text body here", "same text body here",
+                 "123 456!", long_prose))
+    assert r["mean_chars"] == total // 4
+
+
+def test_domain_reputation_plan_is_two_rollups_broadcast(spark):
+    """The join stitches two domain-sized rollups: broadcast, never a
+    sort-merge join; no window."""
+    from toymapreduce_go_spark.operators.urls import domain_reputation
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        domain_reputation(docs).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan

@@ -302,6 +302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonical": _q(urls.url_stats),
     "crawl_diff": _q(urls.crawl_diff_stats),
     "domain_blocklist": _q(urls.domain_blocklist_stats),
+    "domain_reputation": _q(urls.domain_reputation),
     "corpus_datasheet": _q(textstats.corpus_datasheet),
     "langid_trained": _q(langid_model.langid_confusion),
     # -- multimodal plumbing (north star) --------------------------------
@@ -369,7 +370,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "fuzzy_name_stats", "event_anomalies", "orders_upsert",
                "html_extract", "url_canonical", "langid_trained",
                "ann_index_probe", "crawl_diff", "corpus_datasheet",
-               "domain_blocklist")
+               "domain_blocklist", "domain_reputation")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -806,6 +807,44 @@ def _url_canonical_oracle_sql() -> str:
                sum(('0x' || substr(md5(canon), 1, 15))::BIGINT
                    % {CKSUM_MOD}) AS canon_checksum
         FROM pc GROUP BY domain ORDER BY domain
+    """
+
+
+def _domain_reputation_oracle_sql() -> str:
+    """Generated DuckDB twin of ``urls.domain_reputation``: the shared
+    synthesis+normalization CTEs, text re-attached by doc_id, then the
+    same two per-domain rollups (URL hygiene; content quality with
+    cross-multiplied integer alpha gate and milli dup rate) joined.
+    Sums are cast to BIGINT (DuckDB widens integer sums to HUGEINT)."""
+    from ..operators.urls import LOW_ALPHA_MILLI, SHORT_DOC_CHARS
+    return f"""
+        WITH {_url_canon_ctes()},
+        dd AS (SELECT d.doc_id, d.canon, d.domain, doc.text
+               FROM d JOIN documents doc ON doc.doc_id = d.doc_id),
+        urlr AS (SELECT domain, count(*) AS n_docs,
+                        count(DISTINCT canon) AS n_pages
+                 FROM dd GROUP BY domain),
+        contr AS (SELECT domain,
+                         count(DISTINCT md5(text)) AS n_distinct_texts,
+                         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                         CAST(sum(CASE WHEN length(text) <
+                                  {SHORT_DOC_CHARS} THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_short_docs,
+                         CAST(sum(CASE WHEN length(regexp_replace(text,
+                                  '[^a-zA-Z]', '', 'g')) * 1000 <
+                                  {LOW_ALPHA_MILLI} * length(text)
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+                              AS n_low_alpha_docs
+                  FROM dd GROUP BY domain)
+        SELECT urlr.domain AS domain, n_docs, n_pages,
+               n_docs - n_pages AS n_dup_fetches,
+               n_docs - n_distinct_texts AS n_dup_texts,
+               ((n_docs - n_distinct_texts) * 1000) // n_docs
+                 AS text_dup_milli,
+               total_chars // n_docs AS mean_chars,
+               n_short_docs, n_low_alpha_docs
+        FROM urlr JOIN contr ON urlr.domain = contr.domain
+        ORDER BY urlr.domain
     """
 
 
@@ -2181,6 +2220,7 @@ ORACLES: dict[str, str] = {
     "url_canonical": _url_canonical_oracle_sql(),
     "crawl_diff": _crawl_diff_oracle_sql(),
     "domain_blocklist": _domain_blocklist_oracle_sql(),
+    "domain_reputation": _domain_reputation_oracle_sql(),
     "corpus_datasheet": r"""
         WITH lt AS (
             SELECT source, lang, count(*) AS cnt
