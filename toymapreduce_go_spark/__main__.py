@@ -141,6 +141,13 @@ def main(argv: list[str] | None = None) -> None:
                         "boilerplate removal) as the front stage; an "
                         "html column is consumed directly, a text-only "
                         "frame gets the synthesized-page fixture path")
+    p.add_argument("--from-pdf", action="store_true",
+                   help="with --corpus-build: run PDF→text extraction "
+                        "(content-stream Tj text + the shared "
+                        "line-frequency boilerplate removal) as the "
+                        "front stage; a pdf column is consumed "
+                        "directly, a text-only frame gets the "
+                        "synthesized-PDF fixture path")
     p.add_argument("--chunk-long", action="store_true",
                    help="with --corpus-build: split documents whose "
                         "token count exceeds the packing budget into "
@@ -204,7 +211,8 @@ def main(argv: list[str] | None = None) -> None:
             lm_filter=args.lm_filter, dedup_lines=args.dedup_lines,
             dsir_frac=args.dsir_select, prior_docs=prior,
             near_prior=args.near_prior, chunk_long=args.chunk_long,
-            from_html=args.from_html, blocklist=deny)
+            from_html=args.from_html, from_pdf=args.from_pdf,
+            blocklist=deny)
         for r in funnel.collect():
             print(f"{r['stage']} {r['n_docs']}")
         if args.wds_out:

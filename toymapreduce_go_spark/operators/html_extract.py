@@ -113,16 +113,20 @@ def html_to_text(col) -> "F.Column":
     return x
 
 
-def _flagged_lines(pages: DataFrame,
-                   boilerplate_milli: int) -> DataFrame:
+def flagged_extracted_lines(pages: DataFrame, extracted,
+                           boilerplate_milli: int) -> DataFrame:
     """(doc_id, source, pos, line, h, is_boiler) for EVERY trimmed
-    line of the extracted text — empty lines ride along with a NULL
-    ``h`` and ``is_boiler=0`` so the stats rollup reads raw counts
-    off the same single pass (one fewer corpus scan, review r10);
-    ``pos`` is the 1-based RAW line index so downstream checksums/
-    rebuilds need no window. The boilerplate set is the broadcast
-    side. posexplode_OUTER keeps NULL-html rows visible (one NULL-line
-    row) so per-source doc counts never lose a document.
+    line of the ``extracted`` text expression — the container-agnostic
+    core of the crawl front stage, shared by the HTML and PDF
+    extractors (r11): the container format changes only the
+    text-extraction expression; line splitting, hashing, and the
+    line-frequency boilerplate pass are identical. Empty lines ride
+    along with a NULL ``h`` and ``is_boiler=0`` so the stats rollup
+    reads raw counts off the same single pass (one fewer corpus scan,
+    review r10); ``pos`` is the 1-based RAW line index so downstream
+    checksums/rebuilds need no window. The boilerplate set is the
+    broadcast side. posexplode_OUTER keeps NULL-container rows visible
+    (one NULL-line row) so per-source doc counts never lose a document.
 
     Boilerplate additionally requires ``df >= 2``: a line seen in ONE
     document is repetition evidence for nothing, and without the floor
@@ -133,7 +137,7 @@ def _flagged_lines(pages: DataFrame,
     lines = (pages
              .select("doc_id", "source",
                      F.posexplode_outer(
-                         F.split(html_to_text(F.col("html")),
+                         F.split(extracted,
                                  "\n")).alias("pos0", "raw"))
              .select("doc_id", "source",
                      (F.col("pos0") + 1).alias("pos"),
@@ -167,12 +171,19 @@ def html_extract_stats(documents: DataFrame,
     value-hash certifies tag stripping, entity unescaping, line
     positions, and the exact boilerplate decisions."""
     pages = synthesize_html(documents)
-    flagged = _flagged_lines(pages, boilerplate_milli)
-    # ONE groupBy over the single flagged pass: empty lines ride along
-    # (NULL h, is_boiler 0), so raw line counts come off the same scan
-    # instead of re-evaluating synthesis + tag-strip in a second agg
-    # (verdict r10 advisory 2). NULL-html docs surface as one NULL-line
-    # row (posexplode_outer): counted in n_docs, zero raw lines.
+    flagged = flagged_extracted_lines(
+        pages, html_to_text(F.col("html")), boilerplate_milli)
+    return extract_stats_rollup(flagged)
+
+
+def extract_stats_rollup(flagged: DataFrame) -> DataFrame:
+    """The shared per-source rollup over a ``flagged_extracted_lines``
+    pass (HTML and PDF front stages emit the same shape): ONE groupBy —
+    empty lines ride along (NULL h, is_boiler 0), so raw line counts
+    come off the same scan instead of re-evaluating synthesis +
+    extraction in a second agg (verdict r10 advisory 2). NULL-container
+    docs surface as one NULL-line row (posexplode_outer): counted in
+    n_docs, zero raw lines."""
     ne = (F.length("line") > 0).cast("long")
     kept = F.when((F.length("line") > 0) & (F.col("is_boiler") == 0),
                   F.lit(1)).otherwise(F.lit(0))
@@ -209,7 +220,17 @@ def extract_html_documents(pages: DataFrame,
     of silently merging (advice r10; the check is free — no extra
     scan — and cannot false-positive on unique ids, where every pos
     appears once per document)."""
-    flagged = _flagged_lines(pages, boilerplate_milli)
+    flagged = flagged_extracted_lines(
+        pages, html_to_text(F.col("html")), boilerplate_milli)
+    return rebuild_extracted_documents(pages, flagged,
+                                       "extract_html_documents")
+
+
+def rebuild_extracted_documents(pages: DataFrame, flagged: DataFrame,
+                                what: str) -> DataFrame:
+    """The shared materializing rebuild over a
+    ``flagged_extracted_lines`` pass (see ``extract_html_documents``
+    for the contract and the duplicate-doc_id guard)."""
     # ONE aggregation for both the rebuild and the drop count —
     # collect_list skips the NULLs the boiler-line CASE produces, so
     # the extraction/boilerplate lineage evaluates once per action and
@@ -229,7 +250,7 @@ def extract_html_documents(pages: DataFrame,
         "doc_id",
         F.when(F.col("_np") > F.col("_ndp"),
                F.raise_error(F.concat(
-                   F.lit("extract_html_documents: duplicate doc_id "),
+                   F.lit(what + ": duplicate doc_id "),
                    F.col("doc_id").cast("string"),
                    F.lit(" in pages — the rebuild would merge both "
                          "copies' lines into one document")))

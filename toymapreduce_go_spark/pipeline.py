@@ -52,6 +52,7 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
                           near_prior: bool = False,
                           chunk_long: bool = False,
                           from_html: bool = False,
+                          from_pdf: bool = False,
                           blocklist: list[str] | None = None
                           ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation funnel over ``sf_dir``'s documents table
@@ -102,6 +103,21 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
                 .filter(F.length("text") >= 1)
                 .drop("removed_lines").localCheckpoint())
         stages.append(("0a_html_extracted", docs.count()))
+
+    # 0a' (optional). PDF → text extraction: the second container
+    # front door (operators/pdf_extract.py) — same contract as the
+    # HTML stage through the shared line/boilerplate machinery; a
+    # ``pdf`` column is consumed directly, a text-only frame gets the
+    # deterministic synthesized-PDF fixture path.
+    if from_pdf:
+        from .operators.pdf_extract import (extract_pdf_documents,
+                                            synthesize_pdf)
+        pdfs = (docs if "pdf" in docs.columns
+                else synthesize_pdf(docs))
+        docs = (extract_pdf_documents(pdfs)
+                .filter(F.length("text") >= 1)
+                .drop("removed_lines").localCheckpoint())
+        stages.append(("0a_pdf_extracted", docs.count()))
 
     # 0b (optional). Prior-snapshot Bloom screen: drop docs already
     # ingested in an earlier corpus build BEFORE any other stage runs —

@@ -22,9 +22,9 @@ from pyspark.sql import functions as F
 from ..mr.api import run_map_reduce, wc_map, wc_reduce
 from ..operators import (bpe, chunking, dedup, dsir, events,
                          html_extract, joins, langid_model, packing,
-                         quality_model, relational, semantic_dedup,
-                         similarity, text_mr, textstats, unigram_tok,
-                         urls)
+                         pdf_extract, quality_model, relational,
+                         semantic_dedup, similarity, text_mr,
+                         textstats, unigram_tok, urls)
 from ..functions.checksum import CKSUM_MOD
 from ..sources.registry import load_table
 
@@ -299,6 +299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_tok": _q(unigram_tok.unigram_tok_stats),
     "semantic_dedup": _q(semantic_dedup.semantic_dedup_pairs),
     "html_extract": _q(html_extract.html_extract_stats),
+    "pdf_extract": _q(pdf_extract.pdf_extract_stats),
     "url_canonical": _q(urls.url_stats),
     "crawl_diff": _q(urls.crawl_diff_stats),
     "domain_blocklist": _q(urls.domain_blocklist_stats),
@@ -370,7 +371,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "fuzzy_name_stats", "event_anomalies", "orders_upsert",
                "html_extract", "url_canonical", "langid_trained",
                "ann_index_probe", "crawl_diff", "corpus_datasheet",
-               "domain_blocklist", "domain_reputation")
+               "domain_blocklist", "domain_reputation", "pdf_extract")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -663,7 +664,18 @@ def _html_extract_oracle_sql(boilerplate_milli: int = 20) -> str:
                 '&#39;', chr(39)), '&lt;', '<'), '&gt;', '>'),
                 '&amp;', '&') AS txt
             FROM page),
-        l0 AS (SELECT doc_id, source,
+        {_extract_stats_tail_sql(boilerplate_milli)}
+    """
+
+
+def _extract_stats_tail_sql(boilerplate_milli: int) -> str:
+    """Shared line/boilerplate/rollup CTE tail over an
+    ``ext(doc_id, source, txt)`` CTE — the DuckDB mirror of
+    ``html_extract.flagged_extracted_lines`` + ``extract_stats_rollup``
+    (container-agnostic by the same argument: the HTML and PDF twins
+    differ only in how ``ext`` is produced). ``df >= 2``: the r10
+    small-batch boilerplate floor, mirrored from the engine."""
+    return f"""l0 AS (SELECT doc_id, source,
                       string_split(txt, chr(10)) AS ls FROM ext),
         lines AS (SELECT doc_id, source,
                          unnest(range(1, len(ls) + 1)) AS pos,
@@ -698,7 +710,88 @@ def _html_extract_oracle_sql(boilerplate_milli: int = 20) -> str:
                coalesce(n_kept_lines, 0) AS n_kept_lines,
                coalesce(clean_checksum, 0) AS clean_checksum
         FROM raw LEFT JOIN per ON raw.source = per.source
-        ORDER BY raw.source
+        ORDER BY raw.source"""
+
+
+def _sql_str(s: str) -> str:
+    """A Python string as a DuckDB single-quoted literal (embedded
+    newlines are legal and literal in SQL strings)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _pdf_extract_oracle_sql(boilerplate_milli: int = 20) -> str:
+    """Generated DuckDB twin of ``pdf_extract.pdf_extract_stats``: the
+    same byte-deterministic minimal-PDF synthesis (constant objects and
+    offsets interpolated from the engine's own module literals; the
+    variable tail — /Length, xref offset 5, startxref — computed per
+    row via strlen/lpad exactly like the engine's octet_length), the
+    same stream → BT/ET → Tj extraction regexes (RE2 and Java agree on
+    (?s), lazy quantifiers, and the escape-aware operand class), the
+    same paren-first/backslash-last unescape chain, then the shared
+    line/boilerplate/rollup tail."""
+    from ..operators.pdf_extract import (PDF_HEADER, PDF_LETTERHEAD,
+                                         PDF_OBJ1, PDF_OBJ2, PDF_OBJ3,
+                                         PDF_OBJ5, PDF_OFF1, PDF_OFF2,
+                                         PDF_OFF3, PDF_OFF4)
+    head = _sql_str(PDF_HEADER + PDF_OBJ1 + PDF_OBJ2 + PDF_OBJ3)
+    xref_const = _sql_str(
+        "xref\n0 6\n0000000000 65535 f \n"
+        + "".join(f"{o:010d} 00000 n \n"
+                  for o in (PDF_OFF1, PDF_OFF2, PDF_OFF3, PDF_OFF4)))
+    return f"""
+        WITH esc AS (
+            SELECT doc_id, source,
+                   replace(replace(replace(text, '\\', '\\\\'),
+                           '(', '\\('), ')', '\\)') AS et
+            FROM documents),
+        st AS (
+            SELECT doc_id, source,
+              'BT' || chr(10) || '/F1 12 Tf' || chr(10) ||
+              '72 720 Td' || chr(10) ||
+              '({PDF_LETTERHEAD}) Tj' || chr(10) ||
+              '0 -14 Td' || chr(10) ||
+              '(' || source || ' document ' ||
+              CAST(doc_id AS VARCHAR) || ') Tj' || chr(10) ||
+              '0 -14 Td' || chr(10) ||
+              '(' || et || ') Tj' || chr(10) ||
+              '0 -14 Td' || chr(10) ||
+              '(Page 1 of 1 - \\(c\\) 2026 ' || source || ') Tj' ||
+              chr(10) || 'ET' AS s
+            FROM esc),
+        o4 AS (
+            SELECT doc_id, source,
+              '4 0 obj' || chr(10) || '<< /Length ' ||
+              CAST(strlen(s) AS VARCHAR) || ' >>' || chr(10) ||
+              'stream' || chr(10) || s || chr(10) ||
+              'endstream' || chr(10) || 'endobj' || chr(10) AS obj4
+            FROM st),
+        page AS (
+            SELECT doc_id, source,
+              {head} || obj4 || {_sql_str(PDF_OBJ5)} || {xref_const} ||
+              lpad(CAST({PDF_OFF4} + strlen(obj4) AS VARCHAR),
+                   10, '0') || ' 00000 n ' || chr(10) ||
+              'trailer' || chr(10) || '<< /Size 6 /Root 1 0 R >>' ||
+              chr(10) || 'startxref' || chr(10) ||
+              CAST({PDF_OFF4} + strlen(obj4) + {len(PDF_OBJ5)}
+                   AS VARCHAR) || chr(10) || '%%EOF' AS pdf
+            FROM o4),
+        ext AS (
+            SELECT doc_id, source,
+              array_to_string(
+                list_transform(
+                  flatten(list_transform(
+                    flatten(list_transform(
+                      regexp_extract_all(pdf,
+                        '(?s)stream\\n(.*?)\\nendstream', 1),
+                      s2 -> regexp_extract_all(s2,
+                        '(?s)BT\\n(.*?)\\nET', 1))),
+                    b -> regexp_extract_all(b,
+                      '\\(((?:[^()\\\\]|\\\\.)*)\\)\\s*Tj', 1))),
+                  t -> replace(replace(replace(t, '\\(', '('),
+                               '\\)', ')'), '\\\\', '\\')),
+                chr(10)) AS txt
+            FROM page),
+        {_extract_stats_tail_sql(boilerplate_milli)}
     """
 
 
@@ -2217,6 +2310,7 @@ ORACLES: dict[str, str] = {
     "near_dedup_vs_prior": _vs_prior_oracle_sql(),
     "chunk_stats": _chunk_stats_oracle_sql(),
     "html_extract": _html_extract_oracle_sql(),
+    "pdf_extract": _pdf_extract_oracle_sql(),
     "url_canonical": _url_canonical_oracle_sql(),
     "crawl_diff": _crawl_diff_oracle_sql(),
     "domain_blocklist": _domain_blocklist_oracle_sql(),
