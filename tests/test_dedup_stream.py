@@ -346,3 +346,24 @@ def test_stream_ingest_from_html_front_stage(spark, tmp_path,
                         crash, spark, from_html=True)
     assert _telemetry_multiset(spark, crash) == ref_tel
     assert _survivor_ids(spark, crash) == ref_surv
+
+
+def test_stream_ingest_tiny_batches_are_not_emptied(spark, tmp_path):
+    """The r10 medium advice, pinned end to end: with n_splits=10 the
+    500-doc fixture arrives in ~50-doc micro-batches, where every df=1
+    line used to clear the per-batch boilerplate threshold (1·1000 >=
+    20·n_docs) — extraction emptied the batch and the length gate
+    silently dropped everything. With the df>=2 floor, unique prose
+    survives and every batch lands survivors-eligible docs."""
+    from toymapreduce_go_spark.streaming.ingest import (
+        read_telemetry, run_curation_ingest)
+
+    state = str(tmp_path / "tiny")
+    run_curation_ingest(read_documents_stream(spark, SF_DIR, n_splits=10),
+                        state, spark, from_html=True)
+    tel = read_telemetry(spark, state).collect()
+    assert len(tel) == 10
+    # every batch kept its documents (the telemetry row is computed on
+    # the EXTRACTED batch; an emptied batch records n_docs=0)
+    assert all(r["n_docs"] > 0 for r in tel)
+    assert _survivor_ids(spark, state)
