@@ -294,3 +294,39 @@ def test_recall_monitor_floor_and_exact_at_full_probe(spark, tmp_path):
     part = vector_index_recall(spark, path, n_probe_cells=2)
     assert 0.0 < part["recall"] <= 1.0
     assert part["hits"] <= full["hits"]
+
+
+def test_retract_list_path_keeps_null_keys(spark, tmp_path):
+    """Review r11: ~isin is NULL for a NULL key — the list path must
+    keep NULL-keyed rows (as the DataFrame anti-join path does), never
+    silently drop them from rewritten partitions."""
+    from toymapreduce_go_spark.sources.sinks import (
+        retract_keys_from_parquet)
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 10), (None, 10)], "k long, p int")
+    path = str(tmp_path / "d")
+    df.write.partitionBy("p").parquet(path)
+    stats = retract_keys_from_parquet(spark, path, "k", [1])
+    assert stats == {"partitions_rewritten": 1, "rows_removed": 1}
+    left = sorted((r["k"] for r in spark.read.parquet(path).collect()),
+                  key=lambda x: (x is None, x))
+    assert left == [2, None]
+
+
+def test_refresh_meta_mismatch_leaves_index_untouched(spark, tmp_path):
+    """Review r11: refresh_band_index validates the index manifest
+    BEFORE retracting — a parameter mismatch must fail with the index
+    bytes untouched, not after the stale pages were already removed."""
+    old_docs, new_docs, diff = _crawl_fixtures(spark)
+    path = str(tmp_path / "idx")
+    write_prior_index(old_docs.drop("canon"), path, batch_id=0,
+                      n_hashes=32, n_bands=8)
+    before = _content(spark, path)
+    with pytest.raises(ValueError, match="manifest"):
+        refresh_band_index(
+            spark, path, diff,
+            old_ids=old_docs.select(
+                "canon", F.col("doc_id").alias("prior_id")),
+            new_docs=new_docs, batch_id=1)  # default 64/16 mismatches
+    assert _content(spark, path) == before

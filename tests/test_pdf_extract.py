@@ -112,3 +112,19 @@ def test_pipeline_front_stage_from_pdf(spark):
     sample = curated.select("text").first()["text"]
     assert " Tj" not in sample and "endstream" not in sample
     assert PDF_LETTERHEAD not in sample
+
+
+def test_multiline_text_with_embedded_markers_roundtrips(spark):
+    """Review r11: the body is written one Tj per text line, so
+    multi-line text — even text containing 'endstream' or 'ET' lines —
+    can never embed the '\\nendstream'/'\\nET' sequences the naive
+    framing regexes stop at; the original line structure round-trips
+    exactly."""
+    body = "first line\nendstream\nET\nlast (line) with \\marks\\"
+    pdf = _pdf_of(spark, [(3, "sx", body)])[3]
+    df = spark.createDataFrame([(pdf,)], "pdf string")
+    lines = df.select(pdf_to_text(F.col("pdf")).alias("t")) \
+        .first()["t"].split("\n")
+    assert lines == ([PDF_LETTERHEAD, "sx document 3"]
+                     + body.split("\n")
+                     + ["Page 1 of 1 - (c) 2026 sx"])

@@ -1,0 +1,133 @@
+"""WARC container front door (operators/warc_extract.py): record
+grammar, lossless parse (the oracle-inheritance pin), Content-Length
+validation, non-response record skipping, and the materializing form.
+Value parity runs in test_oracle_parity.py (``warc_extract``, sharing
+html_extract's twin — justified by the losslessness pinned here)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from toymapreduce_go_spark.operators.html_extract import (
+    html_extract_stats, synthesize_html)
+from toymapreduce_go_spark.operators.warc_extract import (
+    extract_warc_documents, parse_warc_records, synthesize_warc_files,
+    warc_extract_stats)
+
+
+def _docs(spark, n=None):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return d.limit(n) if n else d
+
+
+def test_warc_grammar_is_structurally_real(spark):
+    """Every record: version line, named headers, CRLF CRLF block
+    separators, CRLF CRLF terminator, and a Content-Length that equals
+    the true byte length of its block — checked with an independent
+    driver-side parse."""
+    w = synthesize_warc_files(_docs(spark, 8)).first()["warc"]
+    records = w.split("WARC/1.0\r\n")[1:]
+    assert len(records) >= 2  # warcinfo + responses
+    for r in records:
+        head, rest = r.split("\r\n\r\n", 1)
+        assert rest.endswith("\r\n\r\n")
+        clen = int(re.search(r"Content-Length: (\d+)", head).group(1))
+        assert len(rest[:-4].encode()) == clen
+    assert "WARC-Type: warcinfo" in records[0]
+    assert all("WARC-Type: response" in r for r in records[1:])
+    assert "HTTP/1.1 200 OK" in records[1]
+
+
+def test_parse_is_lossless_and_skips_warcinfo(spark):
+    docs = _docs(spark)
+    parsed = parse_warc_records(synthesize_warc_files(docs))
+    assert parsed.count() == docs.count()  # warcinfo skipped
+    assert parsed.filter("NOT length_ok").count() == 0
+    direct = synthesize_html(docs).select(
+        "doc_id", F.col("html").alias("h2"))
+    assert parsed.join(direct, "doc_id") \
+        .filter("html <> h2").count() == 0
+    # URIs parsed back: every record carries its messy synthesized URL
+    assert parsed.filter(~F.col("uri").rlike(
+        r"^[Hh][Tt][Tt][Pp]://")).count() == 0
+
+
+def test_corrupted_content_length_raises(spark):
+    """The stats path validates Content-Length per record — a
+    corrupted record must raise, never silently truncate."""
+    files = synthesize_warc_files(_docs(spark, 4))
+    bad = files.select(F.regexp_replace(
+        "warc", r"Content-Length: (\d\d\d+)", "Content-Length: 7")
+        .alias("warc"), "source")
+    from toymapreduce_go_spark.operators.html_extract import (
+        extract_stats_rollup, flagged_extracted_lines, html_to_text)
+    pages = parse_warc_records(bad)
+    guarded = F.when(F.col("length_ok"),
+                     html_to_text(F.col("html"))).otherwise(
+        F.raise_error(F.lit("Content-Length mismatch")).cast("string"))
+    with pytest.raises(Exception, match="Content-Length mismatch"):
+        extract_stats_rollup(
+            flagged_extracted_lines(pages, guarded, 20)).collect()
+
+
+def test_stats_equal_html_path_and_materializing_form(spark):
+    """The oracle-inheritance pin: the WARC rollup is value-identical
+    to html_extract_stats (lossless parse + shared machinery), and the
+    materializing form recovers every document's prose."""
+    docs = _docs(spark)
+    a = sorted(tuple(r) for r in warc_extract_stats(docs).collect())
+    b = sorted(tuple(r) for r in html_extract_stats(docs).collect())
+    assert a == b and a
+    out = extract_warc_documents(synthesize_warc_files(docs))
+    assert out.count() == docs.count()
+    row = out.orderBy("doc_id").first()
+    assert "document 0" in row["text"]
+    assert "All rights reserved" not in row["text"]
+    assert "WARC-Type" not in row["text"]
+
+
+def test_null_text_documents_survive_the_warc_roundtrip(spark):
+    """Review r11: a NULL-text document must not vanish from the WARC
+    file (a NULL record is silently dropped by array_join) — it rides
+    as a 204 No Content response and parses back to NULL html, so the
+    rollup stays value-identical to the direct HTML path."""
+    docs = spark.createDataFrame(
+        [(1, "s", "real prose here"), (2, "s", None),
+         (3, "s", "more prose")],
+        "doc_id long, source string, text string")
+    parsed = parse_warc_records(synthesize_warc_files(docs))
+    assert parsed.count() == 3
+    nulls = parsed.filter("doc_id = 2").collect()
+    assert len(nulls) == 1 and nulls[0]["html"] is None
+    assert nulls[0]["length_ok"]
+    a = sorted(tuple(r) for r in warc_extract_stats(docs).collect())
+    b = sorted(tuple(r) for r in html_extract_stats(docs).collect())
+    assert a == b
+    assert a[0][1] == 3  # n_docs counts the NULL-text doc
+
+
+def test_negative_doc_ids_roundtrip(spark):
+    """Review r11: the record-id regex must keep the sign — chunk-long
+    synthetic ids are negative by convention."""
+    docs = spark.createDataFrame(
+        [(-5, "s", "negative id doc"), (5, "s", "positive id doc")],
+        "doc_id long, source string, text string")
+    got = {r["doc_id"] for r in
+           parse_warc_records(synthesize_warc_files(docs)).collect()}
+    assert got == {-5, 5}
+
+
+def test_materializing_form_also_raises_on_corruption(spark):
+    """Review r11: extract_warc_documents shares the Content-Length
+    guard — corrupted records can never silently enter a corpus
+    through the pipeline-facing path either."""
+    files = synthesize_warc_files(_docs(spark, 4))
+    bad = files.select("source", F.regexp_replace(
+        "warc", r"Content-Length: (\d\d\d+)", "Content-Length: 7")
+        .alias("warc"))
+    with pytest.raises(Exception, match="Content-Length mismatch"):
+        extract_warc_documents(bad).collect()

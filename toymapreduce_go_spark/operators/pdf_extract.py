@@ -81,14 +81,27 @@ def synthesize_pdf(documents: DataFrame) -> DataFrame:
     twin builds identical bytes, xref offsets included)."""
     did = F.col("doc_id").cast("string")
     src = F.col("source")
+    # the body is written ONE Tj PER TEXT LINE (real PDF writers emit
+    # a text-positioning op per line) — operands therefore never
+    # contain a raw newline, so multi-line text can never embed a
+    # '\\nendstream' / '\\nET' sequence that would truncate the naive
+    # textual framing regexes (review r11: the writer's correct
+    # /Length couldn't save a lazy regex from an embedded marker, and
+    # both engines truncated identically so the oracle was blind);
+    # extraction rebuilds the original line structure exactly
+    body = F.array_join(
+        F.transform(F.split(F.col("text"), "\n"),
+                    lambda ln: F.concat(F.lit("("), _esc_pdf(ln),
+                                        F.lit(") Tj"))),
+        "\n0 -14 Td\n")
     stream = F.concat(
         F.lit("BT\n/F1 12 Tf\n72 720 Td\n("),
         F.lit(PDF_LETTERHEAD),
         F.lit(") Tj\n0 -14 Td\n("),
         src, F.lit(" document "), did,
-        F.lit(") Tj\n0 -14 Td\n("),
-        _esc_pdf(F.col("text")),
-        F.lit(") Tj\n0 -14 Td\n(Page 1 of 1 - \\(c\\) 2026 "),
+        F.lit(") Tj\n0 -14 Td\n"),
+        body,
+        F.lit("\n0 -14 Td\n(Page 1 of 1 - \\(c\\) 2026 "),
         src, F.lit(") Tj\nET"))
     obj4 = F.concat(
         F.lit("4 0 obj\n<< /Length "),

@@ -73,11 +73,16 @@ def refresh_band_index(spark, index_path: str, diff: DataFrame,
     ``old_ids``: (canon, prior_id) for the indexed corpus.
     ``new_docs``: the new crawl's documents with (doc_id, canon, text).
     Returns the retraction stats plus the extension row count."""
-    from .dedup import N_BANDS, N_HASHES, retract_index_keys, \
-        write_prior_index
+    from .dedup import (N_BANDS, N_HASHES, _check_index_meta,
+                        retract_index_keys, write_prior_index)
 
     n_hashes = N_HASHES if n_hashes is None else n_hashes
     n_bands = N_BANDS if n_bands is None else n_bands
+    # validate against the index manifest BEFORE mutating anything: a
+    # parameter mismatch must fail with the index untouched, not after
+    # the retraction has already removed the changed pages (review r11)
+    _check_index_meta(spark, index_path, n, n_hashes, n_bands,
+                      "refresh_band_index")
     stale = stale_keys_from_diff(diff, old_ids, "prior_id")
     stats = retract_index_keys(spark, index_path, stale)
     fresh = fresh_rows_from_diff(diff, new_docs)

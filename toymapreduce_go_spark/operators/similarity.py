@@ -1231,16 +1231,10 @@ def rebuild_vector_index(spark, path: str, n_cells: int = 8,
     sibling ``__rebuild_tmp`` tree, then swapped in with the tmp/old
     rename pair (the ``compact_parquet`` protocol) — re-runnable after
     a crash at any point; readers never see a half-rebuilt index."""
-    import os
-    import shutil
+    from ..sources.sinks import commit_swap, recover_swap, swap_paths
 
-    local = path[len("file://"):] if path.startswith("file://") else path
-    tmp = local.rstrip("/") + "__rebuild_tmp"
-    old = local.rstrip("/") + "__rebuild_old"
-    if not os.path.exists(local) and os.path.exists(old):
-        os.rename(old, local)
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    local, tmp, old = swap_paths(path, "rebuild")
+    recover_swap(local, tmp, old)
 
     posts = (spark.read.parquet(f"{path}/postings")
              .select("vec_id", "embedding", "ingest_batch"))
@@ -1260,6 +1254,4 @@ def rebuild_vector_index(spark, path: str, n_cells: int = 8,
          .write.mode("overwrite")
          .partitionBy("ingest_batch", "cell")
          .parquet(f"file://{tmp}/postings"))
-    os.rename(local, old)
-    os.rename(tmp, local)
-    shutil.rmtree(old, ignore_errors=True)
+    commit_swap(local, tmp, old)

@@ -1,0 +1,194 @@
+"""WARC → HTML → text — the container format crawl corpora actually
+arrive in (Common Crawl ships WARC 1.0 files: a ``warcinfo`` header
+record followed by one ``response`` record per fetched page, each
+wrapping an HTTP response). This completes the repo's crawl ingest
+chain end to end: WARC file → record split → header parse → HTTP
+strip → HTML payload → the existing tag/entity extraction and shared
+line-frequency boilerplate machinery (``html_extract``).
+
+Reference scope: none (the reference ingests local text files,
+``play.sh:62-99``); this is the third container row next to
+``html_extract`` and ``pdf_extract``, built on the public ISO 28500
+WARC record grammar (version line, named headers, Content-Length,
+CRLF CRLF block separators, CRLF CRLF record terminator).
+
+Synthesis follows the ``multimodal/binary.py`` convention: per SOURCE
+one structurally real WARC file — a ``warcinfo`` record (the parser
+must SKIP non-response records) followed by the source's documents as
+``response`` records in doc_id order, each carrying real WARC headers
+(``WARC-Type``, ``WARC-Record-ID`` = ``urn:doc:<id>``,
+``WARC-Target-URI`` = the messy synthesized URL of ``operators.urls``,
+``WARC-Date``, ``Content-Length`` = the true byte length of the HTTP
+block) and an HTTP/1.1 response wrapping the ``html_extract``
+synthesized page. The payload is LF-only by construction (HTML
+synthesis uses ``\\n``), so the CRLF-based record/block separators are
+unambiguous.
+
+Parsing is scan-side end to end: ONE split on the record boundary +
+posexplode, header fields by regexp, payload by a 3-way block split —
+zero Python, zero joins until the shared boilerplate pass. Correctness
+is the ORACLE-INHERITANCE tier (the r10 convention): the WARC path is
+pinned LOSSLESS in pytest (parsed pages byte-equal the direct
+synthesis; Content-Length validated per record), so
+``warc_extract_stats`` registers with ``html_extract``'s DuckDB twin —
+identical values by construction, full value-hash parity.
+
+100 TB shape: identical to the HTML stage plus one posexplode. At
+cluster scale a WARC file maps to one parquet row (or one
+``wholeTextFiles`` record) and the record split parallelizes per file;
+everything downstream is the shared machinery's cost profile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .html_extract import (HTML_BOILER_MILLI, extract_stats_rollup,
+                           flagged_extracted_lines, html_to_text,
+                           rebuild_extracted_documents,
+                           synthesize_html)
+from .urls import synth_url_expr
+
+CRLF = "\r\n"
+WARCINFO = ("WARC/1.0\r\n"
+            "WARC-Type: warcinfo\r\n"
+            "WARC-Record-ID: urn:warcinfo:0\r\n"
+            "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            "Content-Type: application/warc-fields\r\n"
+            "Content-Length: 28\r\n"
+            "\r\n"
+            "software: toymapreduce-spark\r\n\r\n")
+
+
+def warc_response_record(uri, doc_id, html) -> "F.Column":
+    """One WARC 1.0 ``response`` record wrapping an HTTP/1.1 response
+    around an html payload — Content-Length is the TRUE byte length of
+    the HTTP block (headers + payload), as the spec requires. A NULL
+    html (NULL upstream text) becomes a ``204 No Content`` response
+    with an empty payload — NULL must not erase the record (a NULL
+    concat makes the whole record NULL and ``array_join`` silently
+    drops it from the file, losing the document from every downstream
+    count; review r11); the parser maps 204 back to NULL html, so the
+    round-trip preserves NULL-text documents exactly."""
+    http = F.when(
+        html.isNotNull(),
+        F.concat(F.lit("HTTP/1.1 200 OK\r\n"
+                       "Content-Type: text/html\r\n\r\n"), html)
+    ).otherwise(F.lit("HTTP/1.1 204 No Content\r\n\r\n"))
+    return F.concat(
+        F.lit("WARC/1.0\r\n"
+              "WARC-Type: response\r\n"
+              "WARC-Record-ID: urn:doc:"),
+        doc_id.cast("string"),
+        F.lit("\r\nWARC-Date: 2026-01-0"),
+        (F.pmod(doc_id, F.lit(9)) + 1).cast("string"),
+        F.lit("T00:00:00Z\r\nWARC-Target-URI: "), uri,
+        F.lit("\r\nContent-Type: application/http;msgtype=response"
+              "\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"))
+
+
+def synthesize_warc_files(documents: DataFrame) -> DataFrame:
+    """(source, warc): one WARC file per source — warcinfo record +
+    the source's documents as response records in doc_id order
+    (sort_array on (doc_id, record) structs: deterministic bytes, no
+    window)."""
+    pages = synthesize_html(documents)
+    uri = synth_url_expr()
+    rec = warc_response_record(uri, F.col("doc_id"), F.col("html"))
+    recs = pages.select("source", F.struct(
+        F.col("doc_id"), rec.alias("rec")).alias("s"))
+    return (recs.groupBy("source")
+            .agg(F.concat(
+                F.lit(WARCINFO),
+                F.array_join(F.transform(
+                    F.array_sort(F.collect_list("s")),
+                    lambda s: s["rec"]), "")).alias("warc")))
+
+
+def parse_warc_records(files: DataFrame) -> DataFrame:
+    """(source, doc_id, uri, html, length_ok) for every RESPONSE
+    record of every WARC file: split on the record boundary, skip
+    non-response records (warcinfo), parse the named headers, strip
+    the HTTP block, validate Content-Length against the actual bytes.
+    Pure scan-side split/regexp expressions. A 204 response parses
+    back to NULL html (the writer's NULL-text convention).
+
+    FRAMING CAVEAT (disclosed): records are framed by the textual
+    ``WARC/1.0\\r\\n`` delimiter, not by walking Content-Length byte
+    offsets (sequential offset arithmetic is not expressible as a
+    scan-side projection) — a payload that itself contains the
+    delimiter, or ends in CRLF, mis-frames. The synthesized fixture is
+    delimiter-free by construction (LF-only HTML); for foreign input
+    the per-record Content-Length validation turns every mis-framing
+    into ``length_ok = false``, and BOTH consuming forms raise on it —
+    mis-parsed bytes can never silently enter the corpus."""
+    rec = (files
+           .select("source", F.explode(
+               F.split(F.col("warc"), r"WARC/1\.0\r\n")).alias("r"))
+           .filter(F.col("r").contains("WARC-Type: response\r\n")))
+    blocks = F.split(F.col("r"), "\r\n\r\n", 3)
+    rec = rec.select(
+        "source",
+        F.regexp_extract("r", r"WARC-Record-ID: urn:doc:(-?\d+)\r\n", 1)
+        .cast("long").alias("doc_id"),
+        F.regexp_extract("r", r"WARC-Target-URI: (\S+)\r\n", 1)
+        .alias("uri"),
+        F.regexp_extract("r", r"Content-Length: (\d+)\r\n", 1)
+        .cast("long").alias("clen"),
+        F.element_at(blocks, 2).alias("http_headers"),
+        F.regexp_replace(F.element_at(blocks, 3), r"(\r\n)+$", "")
+        .alias("payload"))
+    http_len = (F.octet_length("http_headers") + F.lit(4)
+                + F.octet_length("payload"))
+    no_content = F.col("http_headers").startswith("HTTP/1.1 204")
+    return rec.select(
+        "source", "doc_id", "uri",
+        F.when(no_content, F.lit(None).cast("string"))
+        .otherwise(F.col("payload")).alias("html"),
+        # one formula for both statuses: the http block is headers +
+        # CRLF CRLF + payload (empty for 204)
+        (F.col("clen") == http_len).alias("length_ok"))
+
+
+def warc_extract_stats(documents: DataFrame,
+                       boilerplate_milli: int = HTML_BOILER_MILLI
+                       ) -> DataFrame:
+    """The registered rollup: synthesize per-source WARC files, parse
+    them back, run the SHARED extraction + boilerplate machinery over
+    the recovered pages. Byte-lossless parsing (pinned in pytest, with
+    per-record Content-Length validation raising loudly) makes this
+    value-identical to ``html_extract_stats`` — the oracle-inheritance
+    tier: it registers with the same DuckDB twin."""
+    pages = parse_warc_records(synthesize_warc_files(documents))
+    flagged = flagged_extracted_lines(pages, _guarded_text("stats"),
+                                      boilerplate_milli)
+    return extract_stats_rollup(flagged)
+
+
+def _guarded_text(what: str) -> "F.Column":
+    """Extraction expression that RAISES on a Content-Length mismatch
+    — shared by BOTH consuming forms, so a truncated/mis-framed record
+    (see the framing caveat on ``parse_warc_records``) can never
+    silently enter a corpus through either path (review r11)."""
+    return F.when(
+        F.col("length_ok"), html_to_text(F.col("html"))).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"warc_extract ({what}): Content-Length mismatch "
+                  "on doc "),
+            F.col("doc_id").cast("string"))).cast("string"))
+
+
+def extract_warc_documents(files: DataFrame,
+                           boilerplate_milli: int = HTML_BOILER_MILLI
+                           ) -> DataFrame:
+    """The materializing form over (source, warc) files: (doc_id,
+    source, text, removed_lines) — the full WARC → prose front door a
+    pipeline composes ahead of every other stage."""
+    pages = parse_warc_records(files)
+    flagged = flagged_extracted_lines(
+        pages, _guarded_text("extract"), boilerplate_milli)
+    return rebuild_extracted_documents(pages, flagged,
+                                       "extract_warc_documents")

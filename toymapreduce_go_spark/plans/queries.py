@@ -24,7 +24,7 @@ from ..operators import (bpe, chunking, dedup, dsir, events,
                          html_extract, joins, langid_model, packing,
                          pdf_extract, quality_model, relational,
                          semantic_dedup, similarity, text_mr,
-                         textstats, unigram_tok, urls)
+                         textstats, unigram_tok, urls, warc_extract)
 from ..functions.checksum import CKSUM_MOD
 from ..sources.registry import load_table
 
@@ -300,6 +300,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": _q(semantic_dedup.semantic_dedup_pairs),
     "html_extract": _q(html_extract.html_extract_stats),
     "pdf_extract": _q(pdf_extract.pdf_extract_stats),
+    "warc_extract": _q(warc_extract.warc_extract_stats),
     "url_canonical": _q(urls.url_stats),
     "crawl_diff": _q(urls.crawl_diff_stats),
     "domain_blocklist": _q(urls.domain_blocklist_stats),
@@ -371,7 +372,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "fuzzy_name_stats", "event_anomalies", "orders_upsert",
                "html_extract", "url_canonical", "langid_trained",
                "ann_index_probe", "crawl_diff", "corpus_datasheet",
-               "domain_blocklist", "domain_reputation", "pdf_extract")
+               "domain_blocklist", "domain_reputation", "pdf_extract",
+               "warc_extract")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -741,8 +743,12 @@ def _pdf_extract_oracle_sql(boilerplate_milli: int = 20) -> str:
     return f"""
         WITH esc AS (
             SELECT doc_id, source,
-                   replace(replace(replace(text, '\\', '\\\\'),
-                           '(', '\\('), ')', '\\)') AS et
+                   array_to_string(list_transform(
+                       string_split(text, chr(10)),
+                       ln -> '(' || replace(replace(replace(ln,
+                             '\\', '\\\\'), '(', '\\('), ')', '\\)')
+                             || ') Tj'),
+                       chr(10) || '0 -14 Td' || chr(10)) AS body
             FROM documents),
         st AS (
             SELECT doc_id, source,
@@ -753,7 +759,7 @@ def _pdf_extract_oracle_sql(boilerplate_milli: int = 20) -> str:
               '(' || source || ' document ' ||
               CAST(doc_id AS VARCHAR) || ') Tj' || chr(10) ||
               '0 -14 Td' || chr(10) ||
-              '(' || et || ') Tj' || chr(10) ||
+              body || chr(10) ||
               '0 -14 Td' || chr(10) ||
               '(Page 1 of 1 - \\(c\\) 2026 ' || source || ') Tj' ||
               chr(10) || 'ET' AS s
@@ -2311,6 +2317,12 @@ ORACLES: dict[str, str] = {
     "chunk_stats": _chunk_stats_oracle_sql(),
     "html_extract": _html_extract_oracle_sql(),
     "pdf_extract": _pdf_extract_oracle_sql(),
+    # oracle-inheritance tier (the r10 convention): the WARC path is
+    # pinned byte-LOSSLESS in tests/test_warc_extract.py (parsed pages
+    # equal the direct synthesis; Content-Length validated per record,
+    # mismatches raise), so its rollup is value-identical to
+    # html_extract's by construction and shares its DuckDB twin
+    "warc_extract": _html_extract_oracle_sql(),
     "url_canonical": _url_canonical_oracle_sql(),
     "crawl_diff": _crawl_diff_oracle_sql(),
     "domain_blocklist": _domain_blocklist_oracle_sql(),

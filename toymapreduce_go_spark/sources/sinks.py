@@ -62,6 +62,42 @@ def write_text_kv(df: DataFrame, path: str, key: str = "key",
     out.write.mode(mode).text(path)
 
 
+def swap_paths(path: str, op: str) -> tuple[str, str, str]:
+    """(local, tmp, old) for a whole-tree rewrite-and-swap named
+    ``op`` — the shared crash-safety protocol (``recover_swap`` /
+    ``commit_swap``) used by compaction and the vector-index rebuild
+    (one implementation, review r11)."""
+    local = path[len("file://"):] if path.startswith("file://") else path
+    base = local.rstrip("/")
+    return local, f"{base}__{op}_tmp", f"{base}__{op}_old"
+
+
+def recover_swap(local: str, tmp: str, old: str) -> None:
+    """Heal a prior crashed swap BEFORE touching anything: a crash
+    between the two renames leaves the data only at ``old`` — restore
+    it; then clear stale tmp/old residue so it never blocks a rerun."""
+    import os
+    import shutil
+
+    if not os.path.exists(local) and os.path.exists(old):
+        os.rename(old, local)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def commit_swap(local: str, tmp: str, old: str) -> None:
+    """Swap a fully-written ``tmp`` tree in for ``local``: old-aside /
+    swap-in rename pair, then drop the old tree. A crash inside the
+    (tiny) window between the renames is healed by ``recover_swap`` on
+    the next invocation."""
+    import os
+    import shutil
+
+    os.rename(local, old)
+    os.rename(tmp, local)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def compact_parquet(spark, path: str, target_mb: int = 128) -> tuple[int, int]:
     """Small-file compaction — the lake-maintenance operation every
     streaming/incremental writer eventually needs (each micro-batch
@@ -83,17 +119,9 @@ def compact_parquet(spark, path: str, target_mb: int = 128) -> tuple[int, int]:
     crash at ANY point, and stale tmp/old residue never blocks it."""
     import math
     import os
-    import shutil
 
-    local = path[len("file://"):] if path.startswith("file://") else path
-    tmp = local.rstrip("/") + "__compact_tmp"
-    old = local.rstrip("/") + "__compact_old"
-    # Recover from a prior crashed attempt before touching anything:
-    # crashed between the two renames -> data lives only at `old`.
-    if not os.path.exists(local) and os.path.exists(old):
-        os.rename(old, local)
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    local, tmp, old = swap_paths(path, "compact")
+    recover_swap(local, tmp, old)
 
     files = [os.path.join(dp, f)
              for dp, _dn, fn in os.walk(local)
@@ -114,9 +142,7 @@ def compact_parquet(spark, path: str, target_mb: int = 128) -> tuple[int, int]:
     if part_cols:
         w = w.partitionBy(*part_cols)
     w.parquet("file://" + tmp)
-    os.rename(local, old)
-    os.rename(tmp, local)
-    shutil.rmtree(old, ignore_errors=True)
+    commit_swap(local, tmp, old)
     return n_before, n_after
 
 def retract_keys_from_parquet(spark, path: str, key_col: str,
@@ -182,7 +208,13 @@ def retract_keys_from_parquet(spark, path: str, key_col: str,
             return df.filter(F.col(key_col).isin(list(keys)))
 
         def survivors(df):
-            return df.filter(~F.col(key_col).isin(list(keys)))
+            # NULL-keyed rows SURVIVE: ~isin is NULL for a NULL key and
+            # a bare filter would silently drop the row from the
+            # rewrite (and never count it in rows_removed) — the
+            # DataFrame-keys anti-join keeps NULLs, and the two paths
+            # must agree (review r11)
+            return df.filter(F.coalesce(
+                ~F.col(key_col).isin(list(keys)), F.lit(True)))
     else:
         kdf = keys.select(F.col(key_col)).distinct()
 
