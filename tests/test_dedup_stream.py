@@ -367,3 +367,24 @@ def test_stream_ingest_tiny_batches_are_not_emptied(spark, tmp_path):
     # the EXTRACTED batch; an emptied batch records n_docs=0)
     assert all(r["n_docs"] > 0 for r in tel)
     assert _survivor_ids(spark, state)
+
+
+def test_stream_ingest_from_pdf_front_stage(spark, tmp_path):
+    """r11: the PDF container front stage composed into the streaming
+    ingest, mirroring --from-html — extraction runs before telemetry
+    (avg_chars differs from the raw-text run) and survivors land."""
+    from toymapreduce_go_spark.streaming.ingest import (
+        read_telemetry, run_curation_ingest)
+
+    pdf_state = str(tmp_path / "pdf")
+    run_curation_ingest(read_documents_stream(spark, SF_DIR, n_splits=2),
+                        pdf_state, spark, from_pdf=True)
+    assert _survivor_ids(spark, pdf_state)
+    plain = str(tmp_path / "plain")
+    run_curation_ingest(read_documents_stream(spark, SF_DIR, n_splits=2),
+                        plain, spark)
+    pdf_chars = sorted(r["avg_chars"] for r in
+                       read_telemetry(spark, pdf_state).collect())
+    plain_chars = sorted(r["avg_chars"] for r in
+                         read_telemetry(spark, plain).collect())
+    assert pdf_chars != plain_chars

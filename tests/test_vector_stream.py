@@ -131,3 +131,26 @@ def test_unexpected_errors_are_not_swallowed_into_rebuild(spark,
     monkeypatch.setattr(vs, "extend_vector_index", boom)
     with pytest.raises(ValueError, match="unexpected corruption"):
         vector_index_batch_step(emb, 1, str(tmp_path / "state"))
+
+
+def test_recall_monitor_rides_the_stream(spark, tmp_path):
+    """r11: monitor_recall records the sampled brute-force recall
+    floor per batch under the same state dir — one row per batch,
+    values sane, and the final row equals an out-of-band monitor run
+    over the finished index (deterministic given state, so the log
+    inherits the ingest's exactly-once contract)."""
+    from toymapreduce_go_spark.operators.similarity import (
+        vector_index_recall)
+    from toymapreduce_go_spark.streaming.vector_stream import (
+        read_recall_log, run_vector_ingest)
+
+    state = str(tmp_path / "state")
+    run_vector_ingest(
+        read_embeddings_stream(spark, SF_DIR, n_splits=3),
+        state, monitor_recall=True)
+    log = {int(r["batch_id"]): r for r in
+           read_recall_log(spark, state).collect()}
+    assert set(log) == {0, 1, 2}
+    assert all(0.0 < r["recall"] <= 1.0 for r in log.values())
+    final = vector_index_recall(spark, f"{state}/{VINDEX_SUBDIR}")
+    assert log[2]["recall"] == final["recall"]

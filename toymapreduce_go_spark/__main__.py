@@ -178,7 +178,8 @@ def main(argv: list[str] | None = None) -> None:
         stream = read_documents_stream(spark, args.stream_ingest,
                                        n_splits=args.n_splits)
         run_curation_ingest(stream, args.out, spark,
-                            from_html=args.from_html)
+                            from_html=args.from_html,
+                            from_pdf=args.from_pdf)
         for r in (read_telemetry(spark, args.out)
                   .orderBy("batch_id").collect()):
             print(f"batch {r['batch_id']}: {r['n_docs']} docs, "

@@ -59,7 +59,8 @@ def ingest_batch_step(spark: SparkSession, batch_df: DataFrame,
                       batch_id: int, state_dir: str, n: int = 3,
                       n_hashes: int = N_HASHES, n_bands: int = N_BANDS,
                       threshold: float | None = 0.5,
-                      from_html: bool = False) -> None:
+                      from_html: bool = False,
+                      from_pdf: bool = False) -> None:
     """One composed ``foreachBatch`` step: telemetry on the raw batch,
     then gate-filter, then the incremental near-dedup step. Replaying
     the same (batch rows, batch_id) is a byte-identical no-op for every
@@ -70,8 +71,10 @@ def ingest_batch_step(spark: SparkSession, batch_df: DataFrame,
     are extracted to prose BEFORE telemetry, gate, or dedup see a byte.
     Extraction is deterministic per batch content (the boilerplate
     threshold is computed WITHIN the batch, mirroring the batch
-    pipeline's per-corpus computation), so replay stays byte-identical
-    and the composed exactly-once contract is untouched."""
+    pipeline's per-corpus computation — with the df>=2 floor so a tiny
+    micro-batch is never emptied), so replay stays byte-identical and
+    the composed exactly-once contract is untouched. ``from_pdf`` is
+    the PDF-container twin (``operators.pdf_extract``), r11."""
     batch = batch_df.select("doc_id", "source", "text")
     if from_html:
         from ..operators.html_extract import (extract_html_documents,
@@ -79,6 +82,14 @@ def ingest_batch_step(spark: SparkSession, batch_df: DataFrame,
         pages = (batch_df if "html" in batch_df.columns
                  else synthesize_html(batch))
         batch = (extract_html_documents(pages)
+                 .filter("length(text) >= 1")
+                 .select("doc_id", "source", "text"))
+    elif from_pdf:
+        from ..operators.pdf_extract import (extract_pdf_documents,
+                                             synthesize_pdf)
+        pdfs = (batch_df if "pdf" in batch_df.columns
+                else synthesize_pdf(batch))
+        batch = (extract_pdf_documents(pdfs)
                  .filter("length(text) >= 1")
                  .select("doc_id", "source", "text"))
     quality_batch_step(spark, batch, batch_id, state_dir)
@@ -92,15 +103,18 @@ def run_curation_ingest(documents_stream: DataFrame, state_dir: str,
                         n_hashes: int = N_HASHES, n_bands: int = N_BANDS,
                         threshold: float | None = 0.5,
                         timeout: int = 240,
-                        from_html: bool = False):
+                        from_html: bool = False,
+                        from_pdf: bool = False):
     """Drive the composed ingest over all currently-available input
     (availableNow; production leaves the query running). ONE checkpoint
     under ``state_dir`` governs both tiers, so a crash-restart replays
     the last uncommitted batch through BOTH idempotent steps.
-    ``from_html`` prepends the crawl extraction front stage."""
+    ``from_html`` / ``from_pdf`` prepend the matching container
+    extraction front stage."""
     def step(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch_step(spark, batch_df, batch_id, state_dir, n=n,
                           n_hashes=n_hashes, n_bands=n_bands,
-                          threshold=threshold, from_html=from_html)
+                          threshold=threshold, from_html=from_html,
+                          from_pdf=from_pdf)
 
     return run_available_now(documents_stream, state_dir, step, timeout)

@@ -47,8 +47,38 @@ def read_embeddings_stream(spark: SparkSession, sf_dir: str,
                              max_files_per_trigger, n_splits)
 
 
+def read_recall_log(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(batch_id, hits, total, recall) — one row per ingested batch
+    when the ingest runs with ``monitor_recall=True``."""
+    return spark.read.parquet(f"{state_dir}/recall_log")
+
+
+def _record_recall(spark: SparkSession, state_dir: str,
+                   batch_id: int) -> None:
+    """Compute the sampled brute-force recall floor over the index as
+    it stands AFTER this batch and dynamic-overwrite this batch's own
+    ``recall_log`` partition — deterministic given the (replayed)
+    index state, so the monitor inherits the ingest's exactly-once
+    contract. Skipped while no postings exist yet (leading empty
+    batches)."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators.similarity import vector_index_recall
+    idx = os.path.join(state_dir, VINDEX_SUBDIR)
+    try:
+        r = vector_index_recall(spark, idx)
+    except AnalysisException:
+        return
+    (spark.createDataFrame(
+        [(batch_id, r["hits"], r["total"], float(r["recall"]))],
+        "batch_id long, hits long, total long, recall double")
+     .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(f"{state_dir}/recall_log"))
+
+
 def vector_index_batch_step(batch_df: DataFrame, batch_id: int,
-                            state_dir: str, n_cells: int = 8) -> None:
+                            state_dir: str, n_cells: int = 8,
+                            monitor_recall: bool = False) -> None:
     """One ``foreachBatch`` step. Model present → extend (assign with
     stored centroids, overwrite own partition). Model absent → this is
     the first non-empty batch: train + build, owning its true
@@ -68,16 +98,28 @@ def vector_index_batch_step(batch_df: DataFrame, batch_id: int,
         # silently retrain and wipe them all (advice r10)
         write_vector_index(batch, idx, n_cells=n_cells,
                            batch_id=batch_id)
+    if monitor_recall:
+        _record_recall(batch_df.sparkSession, state_dir, batch_id)
 
 
 def run_vector_ingest(embeddings_stream: DataFrame, state_dir: str,
-                      n_cells: int = 8, timeout: int = 240):
+                      n_cells: int = 8, timeout: int = 240,
+                      monitor_recall: bool = False):
     """Drive the vector ingest over all currently-available input
     (availableNow; production leaves the query running). The index
     lives at ``{state_dir}/vindex`` and is probed with
-    ``similarity.ann_query_index`` exactly like a batch-built one."""
+    ``similarity.ann_query_index`` exactly like a batch-built one.
+
+    ``monitor_recall`` operationalizes the r11 drift monitor: after
+    every batch, the sampled brute-force recall floor
+    (``similarity.vector_index_recall``) lands in
+    ``{state_dir}/recall_log`` partitioned by batch_id — the
+    time-series an operator alerts on before scheduling
+    ``rebuild_vector_index``. Opt-in: the floor costs one extra
+    index scan per batch."""
     def step(batch_df: DataFrame, batch_id: int) -> None:
         vector_index_batch_step(batch_df, batch_id, state_dir,
-                                n_cells=n_cells)
+                                n_cells=n_cells,
+                                monitor_recall=monitor_recall)
 
     return run_available_now(embeddings_stream, state_dir, step, timeout)
