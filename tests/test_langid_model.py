@@ -115,9 +115,20 @@ def test_predict_many_languages_single_literal(spark):
              for i in range(64)}
     t0 = time.perf_counter()
     out = langid_predict(docs, model)
+    # the load-independent discriminator: the scores column is ONE
+    # transform over ONE literal — the unrolled form carried one
+    # aggregate-fold expression per language (64 here). The analyzed
+    # plan therefore names `aggregate(` O(1) times, not O(langs).
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("aggregate(") <= 4, \
+        f"per-language unrolling is back: " \
+        f"{analyzed.count('aggregate(')} folds"
     rows = {r["doc_id"]: r["pred_lang"] for r in out.collect()}
     elapsed = time.perf_counter() - t0
-    assert elapsed < 30, f"codegen/analysis blow-up: {elapsed:.1f}s"
+    # generous wall backstop only (a loaded 32-thread host showed 31 s
+    # on a 30 s bound with NO regression — r11); the plan assertion
+    # above is the real gate
+    assert elapsed < 120, f"codegen/analysis blow-up: {elapsed:.1f}s"
     assert len(rows) == 50
     assert set(rows.values()) <= set(model) | {"unknown"}
     # deterministic across runs
