@@ -205,3 +205,49 @@ def test_domain_reputation_plan_is_two_rollups_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_robots_longest_match_semantics(spark):
+    """RFC 9309 subset pinned on constructed rules: longest matching
+    prefix wins, Allow wins a length tie, no match -> allowed."""
+    from toymapreduce_go_spark.operators.urls import (parse_robots,
+                                                      robots_allowed)
+
+    txt = ("User-agent: *\n# comment\nDisallow: /a\n"
+           "Allow: /a/b\nDisallow: /a/b/c\n"
+           "Allow: /tie\nDisallow: /tie\n")
+    df = spark.createDataFrame(
+        [("/a/x",), ("/a/b/x",), ("/a/b/c/x",), ("/tie/x",),
+         ("/free",)], "path string")
+    out = {r["path"]: r["ok"] for r in df.select(
+        "path",
+        F.expr(f"'{txt}'").alias("t")).withColumn(
+        "rules", parse_robots("t")).withColumn(
+        "ok", robots_allowed("rules", "path")).collect()}
+    assert out == {"/a/x": False,      # Disallow /a
+                   "/a/b/x": True,     # longer Allow /a/b wins
+                   "/a/b/c/x": False,  # longer Disallow /a/b/c wins
+                   "/tie/x": True,     # equal length: Allow wins
+                   "/free": True}      # no rule matches
+
+
+def test_robots_stats_direction(spark):
+    """Hosts m%4==3 block everything; m%4==1 block item1* except
+    item12*; everyone else is fully allowed."""
+    from toymapreduce_go_spark.operators.urls import robots_stats
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(64 * 4)], "doc_id long")
+    out = {r["domain"]: r for r in robots_stats(docs).collect()}
+    full_block = out["www.site3.example.com"]
+    assert full_block["n_allowed"] == 0
+    assert full_block["n_blocked"] == full_block["n_urls"]
+    free = out["www.site0.example.com"]
+    assert free["n_blocked"] == 0
+    partial = out["www.site1.example.com"]
+    # items on host 1: item = 1 + 16k for k in 0..3 -> 1, 17, 33, 49;
+    # item1 blocks item1*, item12* is re-allowed (none here): item1
+    # and item17-19? items present: 1 (blocked), 17..19 no... items
+    # 17, 33, 49 do not start with 'item1' after the prefix? item17
+    # DOES start with item1 -> blocked; item33/49 allowed.
+    assert 0 < partial["n_blocked"] < partial["n_urls"]

@@ -1,0 +1,119 @@
+"""Link-graph analytics — damped PageRank (Page et al. 1999), the
+canonical MapReduce workload, in the fixed-point INTEGER arithmetic
+this repo uses wherever cross-engine bit-equality matters: ranks are
+held in micro-units (``scale`` = 1e6), every update is
+``base + 85·inflow div 100`` with truncating integer division, and
+every inflow is a SUM of integers — order-independent, so the
+distributed aggregation is bit-deterministic and DuckDB replays all
+iterations exactly (unrolled CTEs, the Lloyd's-twin convention).
+Float PageRank would hash-mismatch on summation order alone.
+
+Reference scope: the reference is a MapReduce engine and PageRank is
+the poster MapReduce application (one join + one reduce per
+iteration); it ships no such app (SURVEY.md §2c), so this is coverage
+of the workload class its own architecture was built for.
+
+Because the fixture carries no link column, the graph is synthesized
+deterministically (the ``multimodal/binary.py`` convention): every
+document links to ``fanout`` targets ``pmod(doc_id·7 + j, n)`` —
+constant out-degree, so a node's contribution is exactly
+``rank div fanout``. PRECONDITION (asserted): doc_ids are the
+contiguous ``0..n-1`` fixture universe, so every synthesized target
+exists and no dangling-mass correction is needed.
+
+100 TB shape: each iteration is ONE corpus-sized equi-join
+(edges ⋈ ranks on the source node — at scale both sides bucket by
+node id and co-locate) plus ONE count-combinable groupBy(target);
+iterations are a fixed small constant (power iteration converges
+geometrically; pipelines run 10-20). Rank frames are
+``localCheckpoint``-ed per iteration — the repo's iterative-loop
+lineage discipline (connected components, Lloyd's). The registered
+rollup is bounded by sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.checksum import CKSUM_MOD
+
+PR_SCALE = 1_000_000   # micro-rank units
+PR_FANOUT = 3          # synthesized out-degree (constant)
+PR_ITERS = 3           # unrolled in the DuckDB twin
+
+
+def synthesize_links(documents: DataFrame, n_docs: int,
+                     fanout: int = PR_FANOUT) -> DataFrame:
+    """(u, v) edge list: doc u links to ``pmod(u·7 + j, n)`` for
+    j = 1..fanout. Scan-side explode — no shuffle."""
+    return documents.select(
+        F.col("doc_id").alias("u"),
+        F.explode(F.array(*[F.lit(j) for j in
+                            range(1, fanout + 1)])).alias("j")
+    ).select("u", F.pmod(F.col("u") * 7 + F.col("j"),
+                         F.lit(n_docs)).alias("v"))
+
+
+def pagerank_ranks(documents: DataFrame, iters: int = PR_ITERS,
+                   fanout: int = PR_FANOUT,
+                   scale: int = PR_SCALE) -> DataFrame:
+    """(v, r): integer micro-unit ranks after ``iters`` damped power
+    iterations. r0 = scale div n for every node;
+    r_{t+1}(w) = (15·scale div 100) div n
+                 + 85·Σ_{u→w}(r_t(u) div fanout) div 100."""
+    n = documents.count()
+    spark = documents.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "v long, r long")
+    ids = documents.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
+        F.count_distinct("doc_id").alias("nd")).collect()[0]
+    if int(ids["lo"]) != 0 or int(ids["hi"]) != n - 1 \
+            or int(ids["nd"]) != n:
+        raise ValueError(
+            "pagerank_ranks: the synthesized graph requires the "
+            "contiguous 0..n-1 doc_id universe (targets are "
+            "pmod(u*7+j, n)); got "
+            f"[{ids['lo']}, {ids['hi']}] with {ids['nd']} distinct "
+            f"ids over n={n}")
+    edges = synthesize_links(documents, n, fanout).localCheckpoint()
+    nodes = documents.select(F.col("doc_id").alias("v"))
+    ranks = nodes.select("v", F.lit(scale // n).cast("long").alias("r"))
+    base = (15 * scale // 100) // n
+    for _ in range(iters):
+        inflow = (edges
+                  .join(ranks.select(F.col("v").alias("u"), "r"), "u")
+                  .groupBy("v")
+                  .agg(F.sum(F.expr(f"r div {fanout}")).alias("inf")))
+        ranks = (nodes.join(inflow, "v", "left")
+                 .select("v", (F.lit(base) + F.expr(
+                     "(85 * coalesce(inf, 0L)) div 100"))
+                     .cast("long").alias("r"))
+                 # iterative-loop lineage discipline: each round's plan
+                 # must not re-analyze the whole prior chain
+                 .localCheckpoint())
+    return ranks
+
+
+def link_pagerank(documents: DataFrame, iters: int = PR_ITERS,
+                  fanout: int = PR_FANOUT,
+                  scale: int = PR_SCALE) -> DataFrame:
+    """The registered rollup: per source — node count, total and max
+    micro-rank, the top-ranked doc (ties → lowest doc_id, the
+    min-struct argmax convention), and a mod-prime (node·rank)
+    checksum pinning every node's exact final rank."""
+    ranks = pagerank_ranks(documents, iters, fanout, scale)
+    term = F.pmod(F.col("v") * F.pmod(F.col("r"), F.lit(CKSUM_MOD)),
+                  F.lit(CKSUM_MOD))
+    return (documents.select(F.col("doc_id").alias("v"), "source")
+            .join(ranks, "v")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.sum("r").alias("total_rank"),
+                 F.max("r").alias("max_rank"),
+                 F.min(F.struct((-F.col("r")).alias("nr"),
+                                F.col("v").alias("v")))["v"]
+                 .alias("top_doc_id"),
+                 F.sum(term).alias("rank_checksum"))
+            .orderBy("source"))

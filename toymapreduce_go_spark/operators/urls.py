@@ -371,3 +371,92 @@ def domain_reputation(documents: DataFrame) -> DataFrame:
                     F.expr("total_chars div n_docs").alias("mean_chars"),
                     "n_short_docs", "n_low_alpha_docs")
             .orderBy("domain"))
+
+
+# ---------------------------------------------------------------------------
+# robots.txt — the frontier-politeness gate (RFC 9309) between URL
+# canonicalization and fetching: a crawler may only fetch a URL its
+# domain's robots rules allow. Implemented as the standard
+# longest-match subset: Allow/Disallow path-prefix rules, the LONGEST
+# matching prefix wins, Allow wins a length tie, no match → allowed.
+# (Wildcards and crawl-delay are out of scope — disclosed.)
+
+
+def synthesize_robots(documents: DataFrame) -> DataFrame:
+    """(domain, robots_txt): one deterministic robots.txt per
+    synthesized host, covering every rule class — a never-matching
+    Disallow on all domains (default-allow exercised), hosts m%4==1
+    get ``Disallow: /articles/item1`` overridden by the LONGER
+    ``Allow: /articles/item12`` (longest-match + tie semantics), and
+    hosts m%4==3 get ``Disallow: /`` (full block). Domain-count-sized
+    frame — the broadcast side."""
+    d = (documents
+         .select(url_domain(canonicalize_url(synth_url_expr()))
+                 .alias("domain")).distinct())
+    m = F.regexp_extract("domain", r"site(\d+)", 1).cast("int")
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.when(F.pmod(m, F.lit(4)) == 1,
+               F.lit("Disallow: /articles/item1\n"
+                     "Allow: /articles/item12\n"))
+        .otherwise(F.lit("")),
+        F.when(F.pmod(m, F.lit(4)) == 3, F.lit("Disallow: /\n"))
+        .otherwise(F.lit("")))
+    return d.select("domain", txt.alias("robots_txt"))
+
+
+def parse_robots(col) -> "F.Column":
+    """robots.txt text → array<struct<p: string, a: boolean>> of
+    path-prefix rules (a = Allow). Scan-side split/regexp transform;
+    lines that are not Allow/Disallow rules (User-agent, comments,
+    blanks) are dropped."""
+    ex = "regexp_extract(ln, '^(Allow|Disallow): (.+)$', {g})"
+    return F.expr(
+        f"""filter(transform(split({col}, '\n'),
+                   ln -> struct({ex.format(g=2)} as p,
+                                {ex.format(g=1)} = 'Allow' as a)),
+                   r -> r.p != '')""")
+
+
+def robots_allowed(rules, path) -> "F.Column":
+    """TRUE when the longest rule prefixing ``path`` allows (Allow
+    wins a length tie; no matching rule → allowed). One scan-side
+    aggregate fold over the (small) rules array."""
+    return F.expr(
+        f"""aggregate(filter({rules}, r -> startswith({path}, r.p)),
+                      struct(-1 as l, true as a),
+                      (acc, r) -> CASE
+                          WHEN length(r.p) > acc.l
+                               OR (length(r.p) = acc.l AND r.a)
+                          THEN struct(length(r.p) as l, r.a as a)
+                          ELSE acc END).a""")
+
+
+def robots_stats(documents: DataFrame) -> DataFrame:
+    """The registered rollup: per domain — URLs checked, allowed,
+    blocked, and an id-sum checksum over the ALLOWED set, so the
+    value-hash pins every per-URL verdict. Plan: scan-side
+    canonicalization + ONE broadcast join against the domain-sized
+    parsed-rules frame + one combinable agg — the corpus is never
+    shuffled before the rollup."""
+    u = documents.select(
+        "doc_id", canonicalize_url(synth_url_expr()).alias("canon"))
+    u = u.select(
+        "doc_id", url_domain(F.col("canon")).alias("domain"),
+        F.regexp_extract(
+            "canon", r"^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)", 1)
+        .alias("path"))
+    rules = synthesize_robots(documents).select(
+        "domain", parse_robots("robots_txt").alias("rules"))
+    ok = robots_allowed("rules", "path")
+    return (u.join(F.broadcast(rules), "domain")
+            .withColumn("ok", ok)
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.sum(F.col("ok").cast("long")).alias("n_allowed"),
+                 F.sum((~F.col("ok")).cast("long")).alias("n_blocked"),
+                 F.sum(F.when(F.col("ok"),
+                              F.pmod(F.col("doc_id"),
+                                     F.lit(CKSUM_MOD)))
+                       .otherwise(F.lit(0))).alias("allowed_checksum"))
+            .orderBy("domain"))

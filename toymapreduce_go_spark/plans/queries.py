@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 from ..mr.api import run_map_reduce, wc_map, wc_reduce
 from ..operators import (bpe, chunking, dedup, dsir, events,
-                         html_extract, joins, langid_model, packing,
+                         html_extract, joins, langid_model, linkgraph,
+                         packing,
                          pdf_extract, quality_model, relational,
                          semantic_dedup, similarity, text_mr,
                          textstats, unigram_tok, urls, warc_extract)
@@ -301,6 +302,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract": _q(html_extract.html_extract_stats),
     "pdf_extract": _q(pdf_extract.pdf_extract_stats),
     "warc_extract": _q(warc_extract.warc_extract_stats),
+    "link_pagerank": _q(linkgraph.link_pagerank),
+    "robots_gate": _q(urls.robots_stats),
     "url_canonical": _q(urls.url_stats),
     "crawl_diff": _q(urls.crawl_diff_stats),
     "domain_blocklist": _q(urls.domain_blocklist_stats),
@@ -373,7 +376,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "html_extract", "url_canonical", "langid_trained",
                "ann_index_probe", "crawl_diff", "corpus_datasheet",
                "domain_blocklist", "domain_reputation", "pdf_extract",
-               "warc_extract")
+               "warc_extract", "link_pagerank", "robots_gate")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1404,6 +1407,121 @@ def _domain_blocklist_oracle_sql() -> str:
     """
 
 
+def _robots_oracle_sql() -> str:
+    """Generated DuckDB twin of ``urls.robots_stats``: the shared URL
+    synthesis CTEs, the same per-domain robots.txt synthesis and
+    line-parse, and the longest-match verdict as an INDEPENDENT
+    formulation (a per-URL window ORDER BY length DESC, allow DESC vs
+    the engine's aggregate fold) — matching it proves the fold
+    implements RFC 9309 longest-match, not just that both engines ran
+    the same code."""
+    mm = "CAST(regexp_extract(domain, 'site(\\d+)', 1) AS INT)"
+    return f"""
+        WITH {_url_canon_ctes()},
+        uu AS (SELECT doc_id, domain,
+                      regexp_extract(canon,
+                        '^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)', 1)
+                      AS path
+               FROM d),
+        doms AS (SELECT DISTINCT domain FROM d),
+        rb AS (SELECT domain,
+                 'User-agent: *' || chr(10) ||
+                 'Disallow: /private' || chr(10) ||
+                 CASE WHEN {mm} % 4 = 1
+                      THEN 'Disallow: /articles/item1' || chr(10) ||
+                           'Allow: /articles/item12' || chr(10)
+                      ELSE '' END ||
+                 CASE WHEN {mm} % 4 = 3
+                      THEN 'Disallow: /' || chr(10) ELSE '' END AS txt
+               FROM doms),
+        rules AS (
+            SELECT domain,
+                   regexp_extract(ln, '^(Allow|Disallow): (.+)$', 2)
+                     AS p,
+                   regexp_extract(ln, '^(Allow|Disallow): (.+)$', 1)
+                     = 'Allow' AS a
+            FROM (SELECT domain,
+                         unnest(string_split(txt, chr(10))) AS ln
+                  FROM rb)
+            WHERE regexp_extract(ln, '^(Allow|Disallow): (.+)$', 2)
+                  <> ''),
+        matched AS (
+            SELECT uu.doc_id, r.a,
+                   row_number() OVER (
+                       PARTITION BY uu.doc_id
+                       ORDER BY length(r.p) DESC, r.a DESC) AS rn
+            FROM uu JOIN rules r
+              ON r.domain = uu.domain AND starts_with(uu.path, r.p)),
+        verdict AS (
+            SELECT uu.doc_id, uu.domain, coalesce(m.a, true) AS ok
+            FROM uu LEFT JOIN
+                 (SELECT doc_id, a FROM matched WHERE rn = 1) m
+              ON m.doc_id = uu.doc_id)
+        SELECT domain, count(*) AS n_urls,
+               CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_allowed,
+               CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_blocked,
+               CAST(sum(CASE WHEN ok THEN doc_id % {CKSUM_MOD}
+                             ELSE 0 END) AS BIGINT)
+                 AS allowed_checksum
+        FROM verdict GROUP BY domain ORDER BY domain
+    """
+
+
+def _link_pagerank_oracle_sql(iters: int = 3, fanout: int = 3,
+                              scale: int = 1_000_000) -> str:
+    """Generated DuckDB twin of ``linkgraph.link_pagerank``: the same
+    deterministic edge synthesis, then every power iteration UNROLLED
+    as an (inflow agg, rank update) CTE pair — the Lloyd's-twin
+    convention. All arithmetic is integer micro-units (``//`` ==
+    Spark ``div`` on non-negatives; integer sums are order-independent
+    so the distributed agg replays bit-for-bit). The per-source top
+    doc uses the oracle-side window (ORDER BY r DESC, v ASC == the
+    engine's min-struct (-r, v) argmax)."""
+    js = ", ".join(str(j) for j in range(1, fanout + 1))
+    ctes = [f"""nn AS (SELECT count(*) AS c FROM documents),
+        e AS (SELECT doc_id AS u, (doc_id * 7 + j.j) % nn.c AS v
+              FROM documents CROSS JOIN nn
+              CROSS JOIN (SELECT unnest([{js}]) AS j) j),
+        r0 AS (SELECT doc_id AS v, ({scale} // nn.c) AS r
+               FROM documents CROSS JOIN nn)"""]
+    prev = "r0"
+    for t in range(1, iters + 1):
+        ctes.append(f"""s{t} AS (
+            SELECT e.v, sum({prev}.r // {fanout}) AS inf
+            FROM e JOIN {prev} ON {prev}.v = e.u GROUP BY e.v),
+        r{t} AS (
+            SELECT d.doc_id AS v,
+                   ((15 * {scale} // 100) // nn.c
+                    + (85 * coalesce(s{t}.inf, 0)) // 100) AS r
+            FROM documents d CROSS JOIN nn
+            LEFT JOIN s{t} ON s{t}.v = d.doc_id)""")
+        prev = f"r{t}"
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body},
+        joined AS (
+            SELECT d.source, r.v, r.r
+            FROM documents d JOIN {prev} r ON r.v = d.doc_id),
+        top AS (
+            SELECT source, v AS top_doc_id,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY r DESC, v ASC) AS rn
+            FROM joined)
+        SELECT j.source AS source, count(*) AS n_nodes,
+               CAST(sum(j.r) AS BIGINT) AS total_rank,
+               max(j.r) AS max_rank,
+               min(t.top_doc_id) AS top_doc_id,
+               CAST(sum((j.v * (j.r % {CKSUM_MOD})) % {CKSUM_MOD})
+                    AS BIGINT) AS rank_checksum
+        FROM joined j
+        JOIN (SELECT source, top_doc_id FROM top WHERE rn = 1) t
+          ON t.source = j.source
+        GROUP BY j.source ORDER BY j.source
+    """
+
+
 def _langid_oracle_sql(n: int = 2, dim: int = 1024,
                        scale: int = 1_000_000, holdout_mod: int = 5) -> str:
     """Generated DuckDB twin of ``langid_model.langid_confusion`` —
@@ -2323,6 +2441,8 @@ ORACLES: dict[str, str] = {
     # mismatches raise), so its rollup is value-identical to
     # html_extract's by construction and shares its DuckDB twin
     "warc_extract": _html_extract_oracle_sql(),
+    "link_pagerank": _link_pagerank_oracle_sql(),
+    "robots_gate": _robots_oracle_sql(),
     "url_canonical": _url_canonical_oracle_sql(),
     "crawl_diff": _crawl_diff_oracle_sql(),
     "domain_blocklist": _domain_blocklist_oracle_sql(),
