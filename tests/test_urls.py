@@ -251,3 +251,31 @@ def test_robots_stats_direction(spark):
     # 17, 33, 49 do not start with 'item1' after the prefix? item17
     # DOES start with item1 -> blocked; item33/49 allowed.
     assert 0 < partial["n_blocked"] < partial["n_urls"]
+
+
+def test_robots_pipeline_composition(spark):
+    """--robots composes the politeness gate into the corpus build:
+    the funnel gains the stage, the kept set equals the stats rollup's
+    allowed count, and full-block hosts contribute nothing."""
+    from toymapreduce_go_spark.operators.urls import (robots_filter_docs,
+                                                      robots_stats,
+                                                      url_domain,
+                                                      canonicalize_url,
+                                                      synth_url_expr)
+    from toymapreduce_go_spark.pipeline import build_training_corpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    kept = robots_filter_docs(docs)
+    want = sum(r["n_allowed"] for r in robots_stats(docs).collect())
+    assert kept.count() == want
+    assert kept.columns == docs.columns
+    doms = {r["d"] for r in kept.select(url_domain(
+        canonicalize_url(synth_url_expr())).alias("d")).distinct()
+        .collect()}
+    assert not any(d.startswith("www.site3.") or d.startswith("www.site7.")
+                   or d.startswith("www.site11.") or
+                   d.startswith("www.site15.") for d in doms)
+
+    _, funnel = build_training_corpus(spark, SF_DIR, robots=True)
+    stages = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    assert stages["0a0b_robots_allowed"] == want

@@ -141,6 +141,11 @@ def main(argv: list[str] | None = None) -> None:
                         "boilerplate removal) as the front stage; an "
                         "html column is consumed directly, a text-only "
                         "frame gets the synthesized-page fixture path")
+    p.add_argument("--robots", action="store_true",
+                   help="with --corpus-build: drop documents whose "
+                        "canonical URL the domain's robots.txt rules "
+                        "disallow (RFC 9309 longest-match gate, after "
+                        "the deny list)")
     p.add_argument("--from-pdf", action="store_true",
                    help="with --corpus-build: run PDF→text extraction "
                         "(content-stream Tj text + the shared "
@@ -213,7 +218,7 @@ def main(argv: list[str] | None = None) -> None:
             dsir_frac=args.dsir_select, prior_docs=prior,
             near_prior=args.near_prior, chunk_long=args.chunk_long,
             from_html=args.from_html, from_pdf=args.from_pdf,
-            blocklist=deny)
+            blocklist=deny, robots=args.robots)
         for r in funnel.collect():
             print(f"{r['stage']} {r['n_docs']}")
         if args.wds_out:

@@ -460,3 +460,26 @@ def robots_stats(documents: DataFrame) -> DataFrame:
                                      F.lit(CKSUM_MOD)))
                        .otherwise(F.lit(0))).alias("allowed_checksum"))
             .orderBy("domain"))
+
+
+def robots_filter_docs(documents: DataFrame) -> DataFrame:
+    """The materializing form of the robots gate: documents whose
+    synthesized canonical URL the domain's robots rules ALLOW (input
+    schema preserved, plus the fetch-layer columns dropped again) —
+    composed into the corpus pipeline as ``--robots``, right after the
+    domain deny list (both are frontier hygiene; robots needs the
+    parse+fold, so the cheaper blocklist runs first). Same plan shape
+    as ``robots_stats`` minus the rollup: scan-side canonicalization,
+    ONE broadcast join against the domain-sized rules frame, a scan-
+    side verdict fold — the corpus is never shuffled."""
+    u = documents.withColumn(
+        "_canon", canonicalize_url(synth_url_expr())).withColumn(
+        "_domain", url_domain(F.col("_canon"))).withColumn(
+        "_path", F.regexp_extract(
+            "_canon", r"^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)", 1))
+    rules = synthesize_robots(documents).select(
+        F.col("domain").alias("_domain"),
+        parse_robots("robots_txt").alias("_rules"))
+    return (u.join(F.broadcast(rules), "_domain")
+            .filter(robots_allowed("_rules", "_path"))
+            .drop("_canon", "_domain", "_path", "_rules"))

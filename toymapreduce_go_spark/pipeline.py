@@ -53,7 +53,8 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
                           chunk_long: bool = False,
                           from_html: bool = False,
                           from_pdf: bool = False,
-                          blocklist: list[str] | None = None
+                          blocklist: list[str] | None = None,
+                          robots: bool = False
                           ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation funnel over ``sf_dir``'s documents table
     (or an explicit ``docs`` frame — the hook fault-injection and
@@ -83,6 +84,16 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
         from .operators.urls import blocklist_filter
         docs = blocklist_filter(docs, blocklist).drop("canon", "domain")
         stages.append(("0a0_blocklisted", docs.count()))
+
+    # 0a0b (optional). robots.txt politeness gate (RFC 9309
+    # longest-match, operators/urls.py): URLs the domain's robots
+    # rules disallow are dropped before extraction — scan-side verdict
+    # fold against a broadcast domain-sized rules frame, no corpus
+    # shuffle. Runs after the (cheaper, plan-literal) deny list.
+    if robots:
+        from .operators.urls import robots_filter_docs
+        docs = robots_filter_docs(docs)
+        stages.append(("0a0b_robots_allowed", docs.count()))
 
     # 0a (optional). HTML → text extraction: the crawl front door —
     # tag strip + entity unescape + line-frequency boilerplate removal
