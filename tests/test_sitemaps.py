@@ -1,0 +1,70 @@
+"""Sitemap front door (operators/sitemaps.py) — round-trip and
+frontier-compose contracts; full DuckDB value-hash parity (against an
+oracle that never parses the XML) runs via test_oracle_parity.py
+(`sitemap_extract`)."""
+
+from __future__ import annotations
+
+import re
+
+from conftest import SF_DIR
+
+from toymapreduce_go_spark.operators.frontier import frontier_schedule
+from toymapreduce_go_spark.operators.sitemaps import (
+    sitemap_entries, sitemap_seeds, synthesize_sitemaps)
+from toymapreduce_go_spark.operators.urls import (
+    canonicalize_url, synth_url_expr)
+from toymapreduce_go_spark.sources.registry import load_table
+from pyspark.sql import functions as F
+
+
+def test_parse_roundtrip_recovers_every_pages_canonical_url(spark):
+    """Parsing the synthesized XML and canonicalizing every escaped
+    loc yields EXACTLY the corpus's canonical URL set per domain —
+    the lossless-container contract (html/pdf/warc convention): no
+    entry lost, none invented, XML escaping round-tripped."""
+    docs = load_table(spark, SF_DIR, "documents")
+    parsed = sitemap_entries(synthesize_sitemaps(docs))
+    got = {(r.domain, r.canon) for r in parsed.collect()}
+    want = {(r.domain, r.canon) for r in docs.select(
+        canonicalize_url(synth_url_expr()).alias("canon")).select(
+        F.regexp_extract(
+            "canon", r"^[a-z]+://([^/]*)", 1).alias("domain"),
+        "canon").collect()}
+    assert got == want
+    # every parsed loc survived escaping: sorted query, no &amp; left
+    for _, canon in got:
+        assert "&amp;" not in canon
+        assert canon.endswith("?a=1&b=2")
+
+
+def test_sitemap_seeds_superset_of_link_frontier_and_find_orphans(spark):
+    """The sitemap enumerates EVERY gated uncrawled page, so the link
+    frontier's canon set is a strict subset: (a) every link-frontier
+    candidate is a sitemap seed (gate consistency — both channels
+    apply deny list + robots identically), and (b) at the fixture
+    size at least one seed has NO crawled in-linker and is therefore
+    invisible to the link frontier — the orphan page that justifies
+    running the sitemap channel at all."""
+    docs = load_table(spark, SF_DIR, "documents")
+    seeds = {r.canon for r in sitemap_seeds(docs).collect()}
+    front = {r.canon for r in frontier_schedule(docs).collect()}
+    assert front, "link frontier empty — fixture broken"
+    assert front < seeds          # strict subset
+    orphans = seeds - front
+    assert orphans
+    # orphans are genuinely uncrawled pages (page % 3 == 0)
+    for c in orphans:
+        assert int(re.search(r"item(\d+)", c).group(1)) % 3 == 0
+
+
+def test_lastmod_rides_the_xml(spark):
+    """Every parsed lastmod equals epoch + (page % 365) days — i.e.
+    the value came back THROUGH the XML, not from the page id."""
+    import datetime
+    docs = load_table(spark, SF_DIR, "documents")
+    epoch = datetime.date(2025, 1, 1)
+    for r in sitemap_entries(synthesize_sitemaps(docs)).collect():
+        page = int(re.search(r"item(\d+)", r.canon).group(1))
+        want = epoch + datetime.timedelta(days=page % 365)
+        assert r.lastmod == want.isoformat(), r.canon

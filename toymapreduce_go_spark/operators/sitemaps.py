@@ -1,0 +1,137 @@
+"""Sitemap front door — the OTHER discovery channel a crawler runs
+next to link extraction (sitemaps.org protocol, RFC-referenced by
+RFC 9309 §6): each host publishes a ``sitemap.xml`` enumerating its
+pages with last-modification dates, and a frontier seeds from it to
+reach ORPHAN pages no crawled page links to (the link frontier in
+``frontier.py`` provably cannot discover a page whose in-linkers are
+all uncrawled — the compose test pins a real such page).
+
+Following the container convention (``html_extract.py`` /
+``pdf_extract.py`` / ``warc_extract.py``): structurally REAL sitemap
+XML is synthesized deterministically — urlset header, one
+``<url><loc>…</loc><lastmod>…</lastmod></url>`` entry per page in
+page order, with the loc carrying the messy variant-0 raw URL
+(``:80`` default port, unsorted query, ``&`` escaped as ``&amp;`` —
+XML requires it, so the parser must unescape before canonicalizing) —
+then parsed BACK scan-side (``regexp_extract_all`` + explode + the
+shared RFC 3986 canonicalization), never trusting the synthesis.
+
+The DuckDB twin is deliberately INDEPENDENT: it never parses XML — it
+derives each page's canonical URL from the URL-quad table and the
+lastmod offset from the page id, so a value-hash match proves the
+whole synthesize → escape → parse → unescape → canonicalize round
+trip, not that two engines ran the same string code.
+
+100 TB shape: sitemaps are host-sized metadata (16 rows on the
+fixture; millions of rows — still metadata — on a real crawl); the
+only corpus-touching step is the one distinct over page ids, which is
+count-combinable. Parsing explodes host-sized XML, canonicalization
+is scan-side, and the rollup groups by host.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.checksum import CKSUM_MOD
+from .frontier import FRONTIER_MOD
+from .urls import (canonicalize_url, fixture_blocklist, parse_robots,
+                   robots_allowed, synthesize_robots, url_domain)
+
+SITEMAP_EPOCH = "2025-01-01"   # lastmod = epoch + (page % 365) days
+_SM_HEADER = ('<?xml version="1.0" encoding="UTF-8"?>\n<urlset '
+              'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n')
+_ENTRY_RE = r"<url><loc>([^<]*)</loc><lastmod>([^<]*)</lastmod></url>"
+_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)"
+
+
+def synthesize_sitemaps(documents: DataFrame) -> DataFrame:
+    """(domain, xml): one structurally real sitemap per host, entries
+    in page order. The page universe is ONE count-combinable distinct
+    over ``doc_id div 4``; everything after is host-sized."""
+    pages = documents.select(
+        F.expr("doc_id div 4").cast("long").alias("page")).distinct()
+    dom = F.concat(F.lit("www.site"),
+                   F.pmod(F.col("page"), F.lit(16)).cast("string"),
+                   F.lit(".example.com"))
+    loc = F.concat(F.lit("http://"), dom, F.lit(":80/articles/item"),
+                   F.col("page").cast("string"), F.lit("?b=2&amp;a=1"))
+    lastmod = F.date_format(
+        F.date_add(F.to_date(F.lit(SITEMAP_EPOCH)),
+                   F.pmod(F.col("page"), F.lit(365)).cast("int")),
+        "yyyy-MM-dd")
+    e = pages.select(dom.alias("domain"), F.col("page"),
+                     F.concat(F.lit("<url><loc>"), loc,
+                              F.lit("</loc><lastmod>"), lastmod,
+                              F.lit("</lastmod></url>")).alias("entry"))
+    return (e.groupBy("domain")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("page", "entry"))).alias("es"))
+            .select("domain", F.concat(
+                F.lit(_SM_HEADER),
+                F.array_join(F.transform("es", lambda s: s["entry"]),
+                             "\n"),
+                F.lit("\n</urlset>\n")).alias("xml")))
+
+
+def sitemap_entries(sitemaps: DataFrame) -> DataFrame:
+    """Parse (domain, xml) → (domain, canon, lastmod): explode the
+    entry regex matches, XML-unescape the loc, canonicalize with the
+    shared RFC 3986 chain. Scan-side over host-sized input."""
+    e = sitemaps.select(
+        "domain",
+        F.explode(F.expr(
+            f"regexp_extract_all(xml, '{_ENTRY_RE}', 0)")).alias("ent"))
+    loc = F.regexp_extract("ent", r"<loc>([^<]*)</loc>", 1)
+    # XML unescape — &amp; LAST so escaped sequences never double-decode
+    loc = F.replace(F.replace(F.replace(loc, F.lit("&lt;"), F.lit("<")),
+                              F.lit("&gt;"), F.lit(">")),
+                    F.lit("&amp;"), F.lit("&"))
+    return e.select(
+        "domain", canonicalize_url(loc).alias("canon"),
+        F.regexp_extract("ent", r"<lastmod>([^<]*)</lastmod>", 1)
+        .alias("lastmod"))
+
+
+def sitemap_seeds(documents: DataFrame) -> DataFrame:
+    """(canon, domain, lastmod): sitemap-discovered UNCRAWLED pages
+    surviving the same gates the link frontier applies (deny list,
+    robots) — the seed set unioned with ``frontier_schedule`` each
+    cycle. Page-sized throughout."""
+    ent = sitemap_entries(synthesize_sitemaps(documents))
+    item = F.regexp_extract("canon", r"/articles/item(\d+)", 1)
+    ent = ent.filter(F.pmod(item.cast("long"),
+                            F.lit(FRONTIER_MOD)) == 0)
+    ent = ent.filter(~F.array_contains(F.lit(fixture_blocklist()),
+                                       F.col("domain")))
+    rules = synthesize_robots(documents).select(
+        "domain", parse_robots("robots_txt").alias("_rules"))
+    ent = ent.withColumn("path", F.regexp_extract("canon", _PATH_RE, 1))
+    return (ent.join(F.broadcast(rules), "domain")
+            .filter(robots_allowed("_rules", "path"))
+            .drop("_rules", "path"))
+
+
+def sitemap_extract_stats(documents: DataFrame) -> DataFrame:
+    """The registered rollup: per host — entry count, distinct pages,
+    uncrawled count, the newest lastmod, and a (canon-hash ×
+    (1 + lastmod-offset)) mod-prime checksum — so the value-hash pins
+    every parsed loc's canonicalization AND every lastmod's round trip
+    through the XML. The twin derives both independently of the XML."""
+    ent = sitemap_entries(synthesize_sitemaps(documents))
+    off = F.datediff(F.to_date("lastmod"),
+                     F.to_date(F.lit(SITEMAP_EPOCH)))
+    item = F.regexp_extract("canon", r"/articles/item(\d+)", 1)
+    canon_h = F.pmod(F.conv(F.substring(F.md5("canon"), 1, 15), 16, 10)
+                     .cast("long"), F.lit(CKSUM_MOD))
+    term = F.pmod(canon_h * (F.lit(1) + off.cast("long")),
+                  F.lit(CKSUM_MOD))
+    return (ent.groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_entries"),
+                 F.count_distinct("canon").alias("n_pages"),
+                 F.sum((F.pmod(item.cast("long"), F.lit(FRONTIER_MOD))
+                        == 0).cast("long")).alias("n_uncrawled"),
+                 F.max("lastmod").alias("max_lastmod"),
+                 F.sum(term).alias("sitemap_checksum"))
+            .orderBy("domain"))

@@ -20,11 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..mr.api import run_map_reduce, wc_map, wc_reduce
-from ..operators import (bpe, chunking, dedup, dsir, events,
+from ..operators import (bpe, chunking, dedup, dsir, events, frontier,
                          html_extract, joins, langid_model, linkgraph,
                          packing,
                          pdf_extract, quality_model, relational,
-                         semantic_dedup, similarity, text_mr,
+                         semantic_dedup, similarity, sitemaps, text_mr,
                          textstats, unigram_tok, urls, warc_extract)
 from ..functions.checksum import CKSUM_MOD
 from ..sources.registry import load_table
@@ -303,6 +303,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_extract": _q(pdf_extract.pdf_extract_stats),
     "warc_extract": _q(warc_extract.warc_extract_stats),
     "link_pagerank": _q(linkgraph.link_pagerank),
+    "crawl_frontier": _q(frontier.crawl_frontier),
+    "sitemap_extract": _q(sitemaps.sitemap_extract_stats),
     "robots_gate": _q(urls.robots_stats),
     "url_canonical": _q(urls.url_stats),
     "crawl_diff": _q(urls.crawl_diff_stats),
@@ -376,7 +378,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "html_extract", "url_canonical", "langid_trained",
                "ann_index_probe", "crawl_diff", "corpus_datasheet",
                "domain_blocklist", "domain_reputation", "pdf_extract",
-               "warc_extract", "link_pagerank", "robots_gate")
+               "warc_extract", "link_pagerank", "robots_gate",
+               "crawl_frontier", "sitemap_extract")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1522,6 +1525,149 @@ def _link_pagerank_oracle_sql(iters: int = 3, fanout: int = 3,
     """
 
 
+def _crawl_frontier_oracle_sql(iters: int = 3, fanout: int = 3,
+                               scale: int = 1_000_000) -> str:
+    """Generated DuckDB twin of ``frontier.crawl_frontier``: the shared
+    URL canonicalization CTEs (``d``) give every link target its
+    canonical URL by doc-id join; PageRank is re-unrolled with
+    ``p``-prefixed CTE names (the ``s1..s5`` slots are taken by the URL
+    chain); the robots verdict uses the INDEPENDENT window formulation
+    from ``_robots_oracle_sql`` (longest prefix, Allow wins ties); the
+    politeness cap and the (canon-hash × priority) checksum replay the
+    engine's integer arithmetic exactly."""
+    from ..operators.frontier import FRONTIER_MOD, FRONTIER_PER_DOMAIN
+    from ..operators.urls import fixture_blocklist
+    js = ", ".join(str(j) for j in range(1, fanout + 1))
+    deny = ", ".join(f"'{b}'" for b in fixture_blocklist())
+    mm = "CAST(regexp_extract(domain, 'site(\\d+)', 1) AS INT)"
+    ctes = [f"""nn AS (SELECT count(*) AS c FROM documents),
+        pe AS (SELECT doc_id AS u, (doc_id * 7 + j.j) % nn.c AS v
+               FROM documents CROSS JOIN nn
+               CROSS JOIN (SELECT unnest([{js}]) AS j) j),
+        pr0 AS (SELECT doc_id AS v, ({scale} // nn.c) AS r
+                FROM documents CROSS JOIN nn)"""]
+    prev = "pr0"
+    for t in range(1, iters + 1):
+        ctes.append(f"""pi{t} AS (
+            SELECT pe.v, sum({prev}.r // {fanout}) AS inf
+            FROM pe JOIN {prev} ON {prev}.v = pe.u GROUP BY pe.v),
+        pr{t} AS (
+            SELECT dd.doc_id AS v,
+                   ((15 * {scale} // 100) // nn.c
+                    + (85 * coalesce(pi{t}.inf, 0)) // 100) AS r
+            FROM documents dd CROSS JOIN nn
+            LEFT JOIN pi{t} ON pi{t}.v = dd.doc_id)""")
+        prev = f"pr{t}"
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {_url_canon_ctes()},
+        {body},
+        fe AS (SELECT u, v FROM pe
+               WHERE (u // 4) % {FRONTIER_MOD} <> 0
+                 AND (v // 4) % {FRONTIER_MOD} = 0),
+        tgt AS (SELECT d.canon, d.domain, fe.u
+                FROM fe JOIN d ON d.doc_id = fe.v
+                WHERE d.domain NOT IN ({deny})),
+        fpri AS (SELECT tgt.canon, tgt.domain,
+                        CAST(sum(r.r) AS BIGINT) AS priority
+                 FROM tgt JOIN {prev} r ON r.v = tgt.u
+                 GROUP BY tgt.canon, tgt.domain),
+        doms AS (SELECT DISTINCT domain FROM d),
+        rb AS (SELECT domain,
+                 'User-agent: *' || chr(10) ||
+                 'Disallow: /private' || chr(10) ||
+                 CASE WHEN {mm} % 4 = 1
+                      THEN 'Disallow: /articles/item1' || chr(10) ||
+                           'Allow: /articles/item12' || chr(10)
+                      ELSE '' END ||
+                 CASE WHEN {mm} % 4 = 3
+                      THEN 'Disallow: /' || chr(10) ELSE '' END AS txt
+               FROM doms),
+        rrules AS (
+            SELECT domain,
+                   regexp_extract(ln, '^(Allow|Disallow): (.+)$', 2)
+                     AS p,
+                   regexp_extract(ln, '^(Allow|Disallow): (.+)$', 1)
+                     = 'Allow' AS a
+            FROM (SELECT domain,
+                         unnest(string_split(txt, chr(10))) AS ln
+                  FROM rb)
+            WHERE regexp_extract(ln, '^(Allow|Disallow): (.+)$', 2)
+                  <> ''),
+        pp AS (SELECT canon, domain, priority,
+                      regexp_extract(canon,
+                        '^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)', 1)
+                        AS path
+               FROM fpri),
+        matched AS (
+            SELECT pp.canon, r.a,
+                   row_number() OVER (
+                       PARTITION BY pp.canon
+                       ORDER BY length(r.p) DESC, r.a DESC) AS rn
+            FROM pp JOIN rrules r
+              ON r.domain = pp.domain AND starts_with(pp.path, r.p)),
+        okd AS (
+            SELECT pp.canon, pp.domain, pp.priority
+            FROM pp LEFT JOIN
+                 (SELECT canon, a FROM matched WHERE rn = 1) m
+              ON m.canon = pp.canon
+            WHERE coalesce(m.a, true)),
+        sched AS (
+            SELECT canon, domain, priority,
+                   row_number() OVER (PARTITION BY domain
+                                      ORDER BY priority DESC,
+                                               canon ASC) AS rn
+            FROM okd)
+        SELECT domain, count(*) AS n_candidates,
+               CAST(sum(CASE WHEN rn <= {FRONTIER_PER_DOMAIN}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_scheduled,
+               CAST(sum(CASE WHEN rn <= {FRONTIER_PER_DOMAIN}
+                             THEN priority ELSE 0 END) AS BIGINT)
+                 AS sched_priority,
+               min(CASE WHEN rn = 1 THEN canon END) AS top_canon,
+               CAST(sum(CASE WHEN rn <= {FRONTIER_PER_DOMAIN}
+                             THEN ((('0x' || substr(md5(canon), 1, 15))
+                                    ::BIGINT % {CKSUM_MOD})
+                                   * (priority % {CKSUM_MOD}))
+                                  % {CKSUM_MOD}
+                             ELSE 0 END) AS BIGINT)
+                 AS frontier_checksum
+        FROM sched GROUP BY domain ORDER BY domain
+    """
+
+
+def _sitemap_oracle_sql() -> str:
+    """Generated DuckDB twin of ``sitemaps.sitemap_extract_stats`` —
+    deliberately INDEPENDENT of the XML: each page's canonical URL
+    comes from the URL-quad table (``d``) and its lastmod offset from
+    the page id, so a value-hash match proves the engine's whole
+    synthesize → XML-escape → parse → unescape → canonicalize round
+    trip against a formulation that never built the XML at all."""
+    from ..operators.frontier import FRONTIER_MOD
+    from ..operators.sitemaps import SITEMAP_EPOCH
+    return f"""
+        WITH {_url_canon_ctes()},
+        pg AS (SELECT DISTINCT (doc_id // 4) AS page FROM documents),
+        pc AS (SELECT pg.page, min(d.canon) AS canon,
+                      min(d.domain) AS domain
+               FROM pg JOIN d ON (d.doc_id // 4) = pg.page
+               GROUP BY pg.page)
+        SELECT domain, count(*) AS n_entries,
+               count(DISTINCT canon) AS n_pages,
+               CAST(sum(CASE WHEN page % {FRONTIER_MOD} = 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_uncrawled,
+               max(strftime(DATE '{SITEMAP_EPOCH}'
+                            + CAST(page % 365 AS INTEGER),
+                            '%Y-%m-%d')) AS max_lastmod,
+               CAST(sum(((('0x' || substr(md5(canon), 1, 15))::BIGINT
+                          % {CKSUM_MOD}) * (1 + page % 365))
+                        % {CKSUM_MOD}) AS BIGINT) AS sitemap_checksum
+        FROM pc GROUP BY domain ORDER BY domain
+    """
+
+
 def _langid_oracle_sql(n: int = 2, dim: int = 1024,
                        scale: int = 1_000_000, holdout_mod: int = 5) -> str:
     """Generated DuckDB twin of ``langid_model.langid_confusion`` —
@@ -2442,6 +2588,8 @@ ORACLES: dict[str, str] = {
     # html_extract's by construction and shares its DuckDB twin
     "warc_extract": _html_extract_oracle_sql(),
     "link_pagerank": _link_pagerank_oracle_sql(),
+    "crawl_frontier": _crawl_frontier_oracle_sql(),
+    "sitemap_extract": _sitemap_oracle_sql(),
     "robots_gate": _robots_oracle_sql(),
     "url_canonical": _url_canonical_oracle_sql(),
     "crawl_diff": _crawl_diff_oracle_sql(),
