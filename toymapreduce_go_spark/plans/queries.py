@@ -25,7 +25,8 @@ from ..operators import (bpe, chunking, dedup, dsir, events, frontier,
                          packing,
                          pdf_extract, quality_model, relational,
                          semantic_dedup, similarity, sitemaps, text_mr,
-                         textstats, unigram_tok, urls, warc_extract)
+                         textfix, textstats, unigram_tok, urls,
+                         warc_extract)
 from ..functions.checksum import CKSUM_MOD
 from ..sources.registry import load_table
 
@@ -305,6 +306,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_pagerank": _q(linkgraph.link_pagerank),
     "crawl_frontier": _q(frontier.crawl_frontier),
     "sitemap_extract": _q(sitemaps.sitemap_extract_stats),
+    "mojibake_repair": _q(textfix.mojibake_stats),
     "robots_gate": _q(urls.robots_stats),
     "url_canonical": _q(urls.url_stats),
     "crawl_diff": _q(urls.crawl_diff_stats),
@@ -379,7 +381,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "ann_index_probe", "crawl_diff", "corpus_datasheet",
                "domain_blocklist", "domain_reputation", "pdf_extract",
                "warc_extract", "link_pagerank", "robots_gate",
-               "crawl_frontier", "sitemap_extract")
+               "crawl_frontier", "sitemap_extract", "mojibake_repair")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1668,6 +1670,43 @@ def _sitemap_oracle_sql() -> str:
     """
 
 
+def _mojibake_oracle_sql() -> str:
+    """Generated DuckDB twin of ``textfix.mojibake_stats`` — replays
+    the suffix synthesis and the FORWARD utf-8-as-cp1252 corruption
+    (chain generated from the same ``moji_pairs()`` table) but NEVER
+    runs the repair: every stat (repaired count, inflation, checksum)
+    is computed from the CLEAN text, so a value-hash match proves the
+    engine's repair chain is the exact inverse on every document."""
+    from ..operators.textfix import CORRUPT_MOD, _SUFFIXES, moji_pairs
+    corrupt = "rich"
+    for ch, moji in moji_pairs():
+        corrupt = f"replace({corrupt}, '{ch}', '{moji}')"
+    sfx = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_SUFFIXES[:3]))
+    return f"""
+        WITH rich AS (
+            SELECT doc_id, source,
+                   text || CASE CAST(doc_id % 4 AS INT)
+                     {sfx} ELSE '{_SUFFIXES[3]}' END AS rich
+            FROM documents),
+        raw AS (
+            SELECT doc_id, source, rich,
+                   CASE WHEN doc_id % {CORRUPT_MOD} = 0
+                        THEN {corrupt} || chr(7) ELSE rich END AS raw
+            FROM rich)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN raw <> rich THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_repaired,
+               CAST(sum(CASE WHEN raw = rich THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clean,
+               CAST(sum(length(raw) - length(rich)) AS BIGINT)
+                 AS chars_inflated,
+               CAST(sum(('0x' || substr(md5(rich), 1, 15))::BIGINT
+                        % {CKSUM_MOD}) AS BIGINT) AS repaired_checksum
+        FROM raw GROUP BY source ORDER BY source
+    """
+
+
 def _langid_oracle_sql(n: int = 2, dim: int = 1024,
                        scale: int = 1_000_000, holdout_mod: int = 5) -> str:
     """Generated DuckDB twin of ``langid_model.langid_confusion`` —
@@ -2590,6 +2629,7 @@ ORACLES: dict[str, str] = {
     "link_pagerank": _link_pagerank_oracle_sql(),
     "crawl_frontier": _crawl_frontier_oracle_sql(),
     "sitemap_extract": _sitemap_oracle_sql(),
+    "mojibake_repair": _mojibake_oracle_sql(),
     "robots_gate": _robots_oracle_sql(),
     "url_canonical": _url_canonical_oracle_sql(),
     "crawl_diff": _crawl_diff_oracle_sql(),
