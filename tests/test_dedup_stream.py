@@ -388,3 +388,51 @@ def test_stream_ingest_from_pdf_front_stage(spark, tmp_path):
     plain_chars = sorted(r["avg_chars"] for r in
                          read_telemetry(spark, plain).collect())
     assert pdf_chars != plain_chars
+
+
+def test_stream_ingest_fix_encoding_front_stage(spark, tmp_path):
+    """r11: --fix-encoding composed into the streaming ingest — a
+    corrupted stream repaired in-flight lands the SAME telemetry and
+    survivor state as the clean stream (mojibake and clean copies of
+    a page hash identically), while without the flag the corruption
+    leaks into telemetry. Single-file sources (n_splits=1) so both
+    streams see one identical batch — the splitter's repartition
+    makes multi-split batch membership layout-dependent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from toymapreduce_go_spark.operators.textfix import (
+        corrupt_mojibake, rich_text_expr)
+    from toymapreduce_go_spark.streaming.ingest import (
+        read_telemetry, run_curation_ingest)
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .withColumn("text", rich_text_expr()))
+    dirty = docs.withColumn(
+        "text", F.when(F.pmod("doc_id", F.lit(3)) == 0,
+                       corrupt_mojibake(F.col("text")))
+        .otherwise(F.col("text")))
+    clean_dir, dirty_dir = tmp_path / "clean_sf", tmp_path / "dirty_sf"
+    for d, frame in ((clean_dir, docs), (dirty_dir, dirty)):
+        d.mkdir()
+        pq.write_table(pa.Table.from_pandas(
+            frame.orderBy("doc_id").toPandas()),
+            str(d / "documents.parquet"))
+
+    ref = str(tmp_path / "ref_state")
+    run_curation_ingest(
+        read_documents_stream(spark, str(clean_dir)), ref, spark)
+    fixed = str(tmp_path / "fixed_state")
+    run_curation_ingest(
+        read_documents_stream(spark, str(dirty_dir)), fixed,
+        spark, fix_encoding=True)
+    assert _telemetry_multiset(spark, fixed) == \
+        _telemetry_multiset(spark, ref)
+    assert _survivor_ids(spark, fixed) == _survivor_ids(spark, ref)
+
+    raw = str(tmp_path / "raw_state")
+    run_curation_ingest(
+        read_documents_stream(spark, str(dirty_dir)), raw, spark)
+    assert _telemetry_multiset(spark, raw) != \
+        _telemetry_multiset(spark, ref)

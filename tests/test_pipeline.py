@@ -340,3 +340,35 @@ def test_pipeline_blocklist_stage(spark):
     kept = {r.doc_id for r in curated.select("doc_id").collect()}
     assert all((d // 4) % 16 not in BLOCKED_HOST_MODS for d in kept
                if d >= 0)
+
+
+def test_pipeline_fix_encoding_stage(spark):
+    """r11: --fix-encoding — a corpus arriving with utf-8-as-cp1252
+    mojibake is repaired BEFORE any hashing stage, so a corrupted and
+    a clean copy of the same text dedup together: the curated output
+    of the corrupted corpus with fix_encoding=True is row-identical
+    (doc_id, text) to the clean corpus's output, and without the flag
+    the mojibake text leaks through to the curated corpus."""
+    from toymapreduce_go_spark.operators.textfix import (
+        corrupt_mojibake, rich_text_expr)
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .limit(200).withColumn("text", rich_text_expr())
+            .localCheckpoint())
+    corrupted = docs.withColumn(
+        "text", F.when(F.pmod("doc_id", F.lit(3)) == 0,
+                       corrupt_mojibake(F.col("text")))
+        .otherwise(F.col("text"))).localCheckpoint()
+
+    clean_out, _ = build_training_corpus(spark, SF_DIR, docs=docs)
+    fixed_out, _ = build_training_corpus(spark, SF_DIR, docs=corrupted,
+                                         fix_encoding=True)
+    raw_out, _ = build_training_corpus(spark, SF_DIR, docs=corrupted)
+
+    def rows(df):
+        return {(r.doc_id, r.text) for r in
+                df.select("doc_id", "text").collect()}
+
+    assert rows(fixed_out) == rows(clean_out)
+    assert any("â€" in t or "Ã" in t for _, t in rows(raw_out))
+    assert not any("â€" in t or "Ã" in t for _, t in rows(fixed_out))

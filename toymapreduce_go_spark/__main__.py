@@ -146,6 +146,11 @@ def main(argv: list[str] | None = None) -> None:
                         "canonical URL the domain's robots.txt rules "
                         "disallow (RFC 9309 longest-match gate, after "
                         "the deny list)")
+    p.add_argument("--fix-encoding", action="store_true",
+                   help="with --corpus-build/--stream-ingest: repair "
+                        "utf-8-as-cp1252 mojibake and strip C0 "
+                        "controls before PII/hashing (scan-side, "
+                        "operators/textfix.py)")
     p.add_argument("--from-pdf", action="store_true",
                    help="with --corpus-build: run PDF→text extraction "
                         "(content-stream Tj text + the shared "
@@ -184,7 +189,8 @@ def main(argv: list[str] | None = None) -> None:
                                        n_splits=args.n_splits)
         run_curation_ingest(stream, args.out, spark,
                             from_html=args.from_html,
-                            from_pdf=args.from_pdf)
+                            from_pdf=args.from_pdf,
+                            fix_encoding=args.fix_encoding)
         for r in (read_telemetry(spark, args.out)
                   .orderBy("batch_id").collect()):
             print(f"batch {r['batch_id']}: {r['n_docs']} docs, "
@@ -218,7 +224,8 @@ def main(argv: list[str] | None = None) -> None:
             dsir_frac=args.dsir_select, prior_docs=prior,
             near_prior=args.near_prior, chunk_long=args.chunk_long,
             from_html=args.from_html, from_pdf=args.from_pdf,
-            blocklist=deny, robots=args.robots)
+            blocklist=deny, robots=args.robots,
+            fix_encoding=args.fix_encoding)
         for r in funnel.collect():
             print(f"{r['stage']} {r['n_docs']}")
         if args.wds_out:

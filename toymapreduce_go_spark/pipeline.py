@@ -54,7 +54,8 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
                           from_html: bool = False,
                           from_pdf: bool = False,
                           blocklist: list[str] | None = None,
-                          robots: bool = False
+                          robots: bool = False,
+                          fix_encoding: bool = False
                           ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation funnel over ``sf_dir``'s documents table
     (or an explicit ``docs`` frame — the hook fault-injection and
@@ -152,6 +153,16 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
         from .operators.dedup import screen_vs_prior
         docs = screen_vs_prior(docs, prior_docs).localCheckpoint()
         stages.append(("0c_near_prior_screened", docs.count()))
+
+    # 0d (optional). Encoding repair (operators/textfix.py): the ftfy
+    # pass — the utf-8-as-cp1252 mojibake inverse map + C0 control
+    # strip — runs before PII and before ANY hashing stage, so dedup
+    # keys, shingles, and models all see clean text (a corrupted and a
+    # clean copy of the same document must dedup together). Pure
+    # scan-side projection; drops nothing, so no funnel row.
+    if fix_encoding:
+        from .operators.textfix import repair_mojibake
+        docs = docs.withColumn("text", repair_mojibake(F.col("text")))
 
     # 1. PII redaction (doesn't drop docs; changes text BEFORE hashing
     # so dedup/contamination operate on what would actually be trained)

@@ -60,7 +60,8 @@ def ingest_batch_step(spark: SparkSession, batch_df: DataFrame,
                       n_hashes: int = N_HASHES, n_bands: int = N_BANDS,
                       threshold: float | None = 0.5,
                       from_html: bool = False,
-                      from_pdf: bool = False) -> None:
+                      from_pdf: bool = False,
+                      fix_encoding: bool = False) -> None:
     """One composed ``foreachBatch`` step: telemetry on the raw batch,
     then gate-filter, then the incremental near-dedup step. Replaying
     the same (batch rows, batch_id) is a byte-identical no-op for every
@@ -92,6 +93,14 @@ def ingest_batch_step(spark: SparkSession, batch_df: DataFrame,
         batch = (extract_pdf_documents(pdfs)
                  .filter("length(text) >= 1")
                  .select("doc_id", "source", "text"))
+    if fix_encoding:
+        # the batch pipeline's 0d stage: scan-side mojibake inverse
+        # map + C0 strip BEFORE telemetry/gate/dedup hash anything; a
+        # pure deterministic projection, so replay stays byte-identical
+        from ..operators.textfix import repair_mojibake
+        from pyspark.sql import functions as F
+        batch = batch.withColumn("text",
+                                 repair_mojibake(F.col("text")))
     quality_batch_step(spark, batch, batch_id, state_dir)
     near_dedup_batch_step(spark, gate_filter(batch), batch_id, state_dir,
                           n=n, n_hashes=n_hashes, n_bands=n_bands,
@@ -104,7 +113,8 @@ def run_curation_ingest(documents_stream: DataFrame, state_dir: str,
                         threshold: float | None = 0.5,
                         timeout: int = 240,
                         from_html: bool = False,
-                        from_pdf: bool = False):
+                        from_pdf: bool = False,
+                        fix_encoding: bool = False):
     """Drive the composed ingest over all currently-available input
     (availableNow; production leaves the query running). ONE checkpoint
     under ``state_dir`` governs both tiers, so a crash-restart replays
@@ -115,6 +125,6 @@ def run_curation_ingest(documents_stream: DataFrame, state_dir: str,
         ingest_batch_step(spark, batch_df, batch_id, state_dir, n=n,
                           n_hashes=n_hashes, n_bands=n_bands,
                           threshold=threshold, from_html=from_html,
-                          from_pdf=from_pdf)
+                          from_pdf=from_pdf, fix_encoding=fix_encoding)
 
     return run_available_now(documents_stream, state_dir, step, timeout)
