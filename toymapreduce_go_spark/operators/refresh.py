@@ -115,3 +115,106 @@ def refresh_vector_index(spark, index_path: str, diff: DataFrame,
                         index_path, batch_id=batch_id)
     stats["extended_vectors"] = fresh.count()
     return stats
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level refresh — the curated-output twin of the index refreshes
+# above: a re-crawl should not re-run the curation funnel over 100 TB
+# of unchanged documents. The prior curated parquet is a partitioned
+# table; retracting stale rows and appending the re-processed delta is
+# the same partition-rewrite economics as the index paths.
+
+CORPUS_RETRACT = ("removed", "changed")
+CORPUS_REPROCESS = ("added", "changed")
+
+
+def corpus_delta(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """(doc_id, status): classify two crawls of the same id space as
+    added / removed / changed / unchanged — ONE full-outer join on the
+    document key with md5(text) content fingerprints and explicit
+    presence markers (the ``crawl_diff`` convention: fp nullness must
+    never stand in for absence — a NULL-text row is still present).
+    At 100 TB both crawls are written bucketed by doc_id and the join
+    co-locates with no exchange."""
+    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    o = old_docs.select("doc_id", fp.alias("fp_old"),
+                        F.lit(1).alias("_o"))
+    n = new_docs.select("doc_id", fp.alias("fp_new"),
+                        F.lit(1).alias("_n"))
+    j = o.join(n, "doc_id", "full_outer")
+    status = (F.when(F.col("_o").isNull(), "added")
+              .when(F.col("_n").isNull(), "removed")
+              .when(F.col("fp_old").eqNullSafe(F.col("fp_new")),
+                    "unchanged")
+              .otherwise("changed"))
+    return j.select("doc_id", status.alias("status"))
+
+
+def refresh_training_corpus(spark, sf_dir: str, old_docs: DataFrame,
+                            new_docs: DataFrame,
+                            prior_curated: DataFrame,
+                            **pipeline_knobs
+                            ) -> tuple[DataFrame, DataFrame]:
+    """Delta-driven re-curation: given the prior crawl, the new crawl,
+    and the prior run's curated output, produce the new curated corpus
+    by (1) RETRACTING every removed/changed doc's rows from the prior
+    output, (2) running the full curation funnel over ONLY the
+    added/changed docs, with the kept corpus riding along as the
+    prior-screen archive (Bloom exact screen + band-index near-dup
+    screen — so a delta doc that duplicates a kept doc is dropped
+    without ever re-scanning the kept corpus), and (3) unioning kept
+    rows with the curated delta, delta bin ids shifted past the kept
+    maximum so packing bins never collide across generations.
+
+    Returns ``(curated, report)``; the report is the funnel-frame
+    shape ``(stage, n_docs)`` with the delta-status counts first.
+
+    Divergences from a from-scratch rebuild, by design (disclosed):
+    - survivor preference: a delta doc that near-dups a KEPT doc is
+      always the one dropped, where a full rebuild would keep the
+      min-id cluster member;
+    - no resurrection: retracting a changed/removed doc that was a
+      dedup survivor does NOT revive its previously-dropped cluster
+      mates (they return on their own next re-crawl, or on the
+      periodic full rebuild a production pipeline schedules anyway);
+    - corpus-relative stages (the contamination eval slice, optional
+      LM/ccnet cutoffs) are computed over the DELTA pool, not the
+      union — production passes a fixed benchmark frame / frozen
+      model, which removes the difference.
+    Everything else is pinned equal to the full rebuild in
+    tests/test_refresh_corpus.py on a cluster-disjoint construction.
+
+    100 TB shape: cost scales with the DELTA, not the corpus — the
+    kept output is never read beyond one metadata agg (max bin id)
+    and the broadcast-sized screens derived from it."""
+    from ..pipeline import build_training_corpus
+
+    d = corpus_delta(old_docs, new_docs).persist()
+    counts = {r["status"]: r["n"] for r in
+              d.groupBy("status").agg(F.count("*").alias("n"))
+              .collect()}
+    stale = (d.filter(F.col("status").isin(*CORPUS_RETRACT))
+             .select("doc_id"))
+    kept = prior_curated.join(stale, "doc_id", "left_anti").persist()
+    n_kept = kept.count()
+    delta = new_docs.join(
+        d.filter(F.col("status").isin(*CORPUS_REPROCESS))
+        .select("doc_id"), "doc_id", "left_semi")
+    curated_delta, _ = build_training_corpus(
+        spark, sf_dir, docs=delta,
+        prior_docs=kept.select("doc_id", "text"), near_prior=True,
+        **pipeline_knobs)
+    max_bin = kept.agg(F.max("bin_id")).first()[0]
+    shift = (max_bin + 1) if max_bin is not None else 0
+    curated_delta = curated_delta.withColumn(
+        "bin_id", F.col("bin_id") + F.lit(shift))
+    curated = kept.unionByName(curated_delta)
+    n_delta = curated_delta.count()
+    d.unpersist()
+    rows = ([(f"0_delta_{s}", int(counts.get(s, 0)))
+             for s in ("added", "removed", "changed", "unchanged")]
+            + [("1_kept_rows", int(n_kept)),
+               ("2_delta_curated", int(n_delta)),
+               ("3_total", int(n_kept + n_delta))])
+    report = spark.createDataFrame(rows, "stage string, n_docs long")
+    return curated, report
