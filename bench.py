@@ -38,7 +38,11 @@ BENCH_QUERIES = list(DECLARED)
 # declared total so cross-round value comparisons stay apples-to-apples
 # — and guarded against the prior round exactly like the declared tier.
 TIER2_QUERIES = ["image_phash", "audio_fingerprint", "video_fingerprint",
-                 "heavy_hitters", "semantic_dedup"]
+                 "heavy_hitters", "semantic_dedup",
+                 # r11: the crawl-scheduling capstone — PageRank
+                 # iterations + the per-domain window make it the one
+                 # multi-second r11 addition (5.9 s at sf0.1)
+                 "crawl_frontier"]
 
 
 def materialize(df) -> None:
