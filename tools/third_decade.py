@@ -63,7 +63,16 @@ VARIANTS = {
         lambda d, dedup, ts, mm: _afp().audio_fingerprint_pairs(d),
     "video_fingerprint":
         lambda d, dedup, ts, mm: _vfp().video_fingerprint_pairs(d),
+    # r11 crawl-scheduling capstone: the one join-bearing r11 addition
+    # over 2 s at sf0.1 (PageRank iterations + the politeness window)
+    "crawl_frontier":
+        lambda d, dedup, ts, mm: _frontier().crawl_frontier(d),
 }
+
+
+def _frontier():
+    from toymapreduce_go_spark.operators import frontier
+    return frontier
 
 
 def _phash():
