@@ -490,3 +490,52 @@ def test_dataset_split_is_scan_side_projection_plus_one_agg(spark):
     # partial + final aggregate pair, and nothing else heavy
     assert plan.count("HashAggregate") == 4      # 2 nodes × 2 prints
     assert "PushedFilters" in plan or "ReadSchema" in plan
+
+
+def test_mojibake_repair_is_scan_side_before_rollup(spark):
+    """The repair chain is a pure projection: no join, no window, and
+    exactly the one exchange the per-source rollup needs."""
+    from toymapreduce_go_spark.operators.textfix import mojibake_stats
+    plan = plan_of(mojibake_stats(load_table(spark, SF_DIR,
+                                             "documents")))
+    import re
+    assert "Join" not in plan and "Window" not in plan, plan
+    # exactly the agg exchange + the presentation-sort exchange
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    assert plan.count("HashAggregate") >= 2   # partial + final
+
+
+def test_crawl_frontier_deny_gate_runs_below_the_rank_join(spark):
+    """The plan-literal deny list must filter edge rows BEFORE the one
+    corpus-sized shuffle (the rank join): in the analyzed plan the
+    array_contains filter sits strictly below every join. Robots rules
+    ride a broadcast join (no SMJ anywhere)."""
+    from toymapreduce_go_spark.operators.frontier import (
+        frontier_candidates)
+    df = frontier_candidates(load_table(spark, SF_DIR, "documents"))
+    plan = plan_of(df, "extended")
+    analyzed = (plan.split("== Analyzed Logical Plan ==")[1]
+                .split("== Optimized Logical Plan ==")[0])
+    lines = analyzed.splitlines()
+    filt = min(i for i, ln in enumerate(lines)
+               if "array_contains" in ln)
+    joins = [i for i, ln in enumerate(lines) if "Join" in ln]
+    # deeper in the tree = later lines; the gate must be BELOW (after)
+    # every join line in the analyzed dump
+    assert joins and all(filt > j for j in joins), plan
+    phys = plan_of(df)
+    assert "SortMergeJoin" not in phys, phys
+    assert "BroadcastHashJoin" in phys
+
+
+def test_sitemap_parse_touches_the_corpus_once(spark):
+    """The only corpus-sized work is the page-universe distinct: ONE
+    scan of the documents table feeds the whole synthesize→parse→
+    rollup chain (everything downstream is host-sized)."""
+    from toymapreduce_go_spark.operators.sitemaps import (
+        sitemap_extract_stats)
+    import re
+    plan = plan_of(sitemap_extract_stats(load_table(spark, SF_DIR,
+                                                    "documents")))
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
