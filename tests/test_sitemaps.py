@@ -68,3 +68,33 @@ def test_lastmod_rides_the_xml(spark):
         page = int(re.search(r"item(\d+)", r.canon).group(1))
         want = epoch + datetime.timedelta(days=page % 365)
         assert r.lastmod == want.isoformat(), r.canon
+
+
+def test_recrawl_schedule_staleness_is_exact_and_nonvacuous(spark):
+    """Every (page, verdict) matches the strict lastmod-vs-fetch-day
+    comparison recomputed driver-side, both verdict classes occur, and
+    uncrawled pages (the frontier's job) never appear."""
+    from toymapreduce_go_spark.operators.frontier import FRONTIER_MOD
+    from toymapreduce_go_spark.operators.sitemaps import (
+        FETCH_DAY_MULT, recrawl_schedule, sitemap_entries)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    roll = recrawl_schedule(docs).collect()
+    assert roll
+    assert sum(r.n_stale for r in roll) > 0
+    assert sum(r.n_fresh for r in roll) > 0
+    # per-domain totals recomputed driver-side from the parsed sitemap
+    # with the strict staleness comparison — pins every verdict AND
+    # the crawled-only exclusion
+    dom_pages: dict[str, int] = {}
+    dom_stale: dict[str, int] = {}
+    for r in sitemap_entries(synthesize_sitemaps(docs)).collect():
+        page = int(re.search(r"item(\d+)", r.canon).group(1))
+        if page % FRONTIER_MOD == 0:
+            continue
+        dom_pages[r.domain] = dom_pages.get(r.domain, 0) + 1
+        if (page % 365) > (page * FETCH_DAY_MULT) % 365:
+            dom_stale[r.domain] = dom_stale.get(r.domain, 0) + 1
+    assert {r.domain: r.n_crawled_pages for r in roll} == dom_pages
+    assert {r.domain: r.n_stale for r in roll} == \
+        {d: dom_stale.get(d, 0) for d in dom_pages}

@@ -135,3 +135,51 @@ def sitemap_extract_stats(documents: DataFrame) -> DataFrame:
                  F.max("lastmod").alias("max_lastmod"),
                  F.sum(term).alias("sitemap_checksum"))
             .orderBy("domain"))
+
+
+# ---------------------------------------------------------------------------
+# Recrawl scheduling — the freshness channel: the frontier decides
+# which UNCRAWLED pages to fetch (frontier.py); this decides which
+# already-crawled pages to RE-fetch. The sitemaps.org contract: a
+# <lastmod> newer than the page's last fetch means the copy is stale.
+# (crawl_diff then verifies what actually changed AFTER the refetch,
+# and refresh_training_corpus re-curates only that delta — this
+# operator closes the front of that loop.)
+
+FETCH_DAY_MULT = 7   # fixture fetch day = (page * 7) % 365
+
+
+def fetched_day_expr(page) -> "F.Column":
+    """The fixture's deterministic last-fetch day offset for a crawled
+    page (production reads this from the crawl log). Spread with a
+    multiplier so lastmod (page % 365) lands on BOTH sides of it
+    across the page universe — staleness is exercised, not vacuous."""
+    return F.pmod(page * FETCH_DAY_MULT, F.lit(365))
+
+
+def recrawl_schedule(documents: DataFrame) -> DataFrame:
+    """The registered rollup: per host — crawled pages listed in the
+    sitemap, stale pages (lastmod strictly newer than the last fetch),
+    fresh pages, and a (canon-hash × (1 + lastmod-offset)) mod-prime
+    checksum over the STALE set, so the value-hash pins every
+    staleness verdict. Everything runs on the host-sized parsed
+    sitemap (the corpus is touched once for the page universe);
+    uncrawled pages are the frontier's job and are excluded here."""
+    ent = sitemap_entries(synthesize_sitemaps(documents))
+    item = F.regexp_extract("canon", r"/articles/item(\d+)", 1) \
+        .cast("long")
+    ent = (ent.withColumn("page", item)
+           .filter(F.pmod(F.col("page"), F.lit(FRONTIER_MOD)) != 0))
+    off = F.datediff(F.to_date("lastmod"),
+                     F.to_date(F.lit(SITEMAP_EPOCH))).cast("long")
+    stale = off > fetched_day_expr(F.col("page"))
+    canon_h = F.pmod(F.conv(F.substring(F.md5("canon"), 1, 15), 16, 10)
+                     .cast("long"), F.lit(CKSUM_MOD))
+    term = F.pmod(canon_h * (F.lit(1) + off), F.lit(CKSUM_MOD))
+    return (ent.groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_crawled_pages"),
+                 F.sum(stale.cast("long")).alias("n_stale"),
+                 F.sum((~stale).cast("long")).alias("n_fresh"),
+                 F.sum(F.when(stale, term).otherwise(F.lit(0)))
+                 .alias("stale_checksum"))
+            .orderBy("domain"))

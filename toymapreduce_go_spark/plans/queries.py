@@ -307,6 +307,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_frontier": _q(frontier.crawl_frontier),
     "sitemap_extract": _q(sitemaps.sitemap_extract_stats),
     "mojibake_repair": _q(textfix.mojibake_stats),
+    "recrawl_schedule": _q(sitemaps.recrawl_schedule),
     "robots_gate": _q(urls.robots_stats),
     "url_canonical": _q(urls.url_stats),
     "crawl_diff": _q(urls.crawl_diff_stats),
@@ -381,7 +382,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "ann_index_probe", "crawl_diff", "corpus_datasheet",
                "domain_blocklist", "domain_reputation", "pdf_extract",
                "warc_extract", "link_pagerank", "robots_gate",
-               "crawl_frontier", "sitemap_extract", "mojibake_repair")
+               "crawl_frontier", "sitemap_extract", "mojibake_repair",
+               "recrawl_schedule")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1670,6 +1672,38 @@ def _sitemap_oracle_sql() -> str:
     """
 
 
+def _recrawl_oracle_sql() -> str:
+    """Generated DuckDB twin of ``sitemaps.recrawl_schedule`` — like
+    the sitemap twin, it never builds or parses XML: canon from the
+    URL-quad table, lastmod offset and fetch day from the page id, the
+    same strict staleness comparison."""
+    from ..operators.frontier import FRONTIER_MOD
+    from ..operators.sitemaps import FETCH_DAY_MULT
+    return f"""
+        WITH {_url_canon_ctes()},
+        pg AS (SELECT DISTINCT (doc_id // 4) AS page FROM documents
+               WHERE (doc_id // 4) % {FRONTIER_MOD} <> 0),
+        pc AS (SELECT pg.page, min(d.canon) AS canon,
+                      min(d.domain) AS domain
+               FROM pg JOIN d ON (d.doc_id // 4) = pg.page
+               GROUP BY pg.page),
+        v AS (SELECT canon, domain, page % 365 AS off,
+                     (page * {FETCH_DAY_MULT}) % 365 AS fday
+              FROM pc)
+        SELECT domain, count(*) AS n_crawled_pages,
+               CAST(sum(CASE WHEN off > fday THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_stale,
+               CAST(sum(CASE WHEN off > fday THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_fresh,
+               CAST(sum(CASE WHEN off > fday
+                             THEN ((('0x' || substr(md5(canon), 1, 15))
+                                    ::BIGINT % {CKSUM_MOD})
+                                   * (1 + off)) % {CKSUM_MOD}
+                             ELSE 0 END) AS BIGINT) AS stale_checksum
+        FROM v GROUP BY domain ORDER BY domain
+    """
+
+
 def _mojibake_oracle_sql() -> str:
     """Generated DuckDB twin of ``textfix.mojibake_stats`` — replays
     the suffix synthesis and the FORWARD utf-8-as-cp1252 corruption
@@ -2630,6 +2664,7 @@ ORACLES: dict[str, str] = {
     "crawl_frontier": _crawl_frontier_oracle_sql(),
     "sitemap_extract": _sitemap_oracle_sql(),
     "mojibake_repair": _mojibake_oracle_sql(),
+    "recrawl_schedule": _recrawl_oracle_sql(),
     "robots_gate": _robots_oracle_sql(),
     "url_canonical": _url_canonical_oracle_sql(),
     "crawl_diff": _crawl_diff_oracle_sql(),
