@@ -372,3 +372,28 @@ def test_pipeline_fix_encoding_stage(spark):
     assert rows(fixed_out) == rows(clean_out)
     assert any("â€" in t or "Ã" in t for _, t in rows(raw_out))
     assert not any("â€" in t or "Ã" in t for _, t in rows(fixed_out))
+
+
+def test_fix_encoding_runs_before_the_prior_screens(spark):
+    """r11 review finding, pinned: a corrupted RE-INGEST of a prior
+    snapshot's page must hash like the prior page and be dropped by
+    the Bloom screen — so the repair stage must run BEFORE the prior
+    screens, not after. Every corrupted copy of a prior doc leaves at
+    0b, and nothing re-enters the curated corpus."""
+    from toymapreduce_go_spark.operators.textfix import (
+        corrupt_mojibake, rich_text_expr)
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .limit(120).withColumn("text", rich_text_expr())
+            .localCheckpoint())
+    # today's crawl: the SAME pages, one third arriving mojibaked
+    recrawl = docs.withColumn(
+        "text", F.when(F.pmod("doc_id", F.lit(3)) == 0,
+                       corrupt_mojibake(F.col("text")))
+        .otherwise(F.col("text"))).localCheckpoint()
+    curated, funnel = build_training_corpus(
+        spark, SF_DIR, docs=recrawl, prior_docs=docs,
+        fix_encoding=True)
+    stages = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    assert stages["0b_prior_screened"] == 0     # ALL copies dropped
+    assert curated.count() == 0

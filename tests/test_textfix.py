@@ -48,3 +48,14 @@ def test_mapping_table_covers_classic_cases(spark):
     got = [r.f for r in
            df.select(repair_mojibake(F.col("t")).alias("f")).collect()]
     assert got == ["it’s a éclair — yes", "already clean ’ é —"]
+
+
+def test_repair_normalizes_crlf_and_lone_cr(spark):
+    """r11 review finding, pinned: a CRLF document and its LF twin
+    must repair to the same bytes (newline normalization is part of
+    the dedup-key hygiene contract)."""
+    df = spark.createDataFrame(
+        [("a\r\nb\rc\n",), ("a\nb\nc\n",)], "t string")
+    got = [r.f for r in
+           df.select(repair_mojibake(F.col("t")).alias("f")).collect()]
+    assert got[0] == got[1] == "a\nb\nc\n"

@@ -50,23 +50,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.checksum import CKSUM_MOD
-from .linkgraph import PR_FANOUT, PR_ITERS, pagerank_ranks, synthesize_links
-from .urls import (canonicalize_url, fixture_blocklist, parse_robots,
-                   robots_allowed, synth_url_expr, synthesize_robots,
-                   url_domain)
+from .linkgraph import PR_FANOUT, PR_ITERS, pagerank_state
+from .urls import (canonicalize_url, deny_gate, robots_gate_frame,
+                   synth_url_expr, url_domain)
 
 FRONTIER_MOD = 3          # crawled pages: page % 3 != 0
 FRONTIER_PER_DOMAIN = 2   # politeness cap per host per cycle
-_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)"
 
 
 def frontier_candidates(documents: DataFrame, iters: int = PR_ITERS,
                         fanout: int = PR_FANOUT) -> DataFrame:
-    """(canon, domain, path, priority): gated, prioritized, pre-cap
-    frontier candidates. See the module docstring for the contract."""
-    n = documents.count()
-    ranks = pagerank_ranks(documents, iters, fanout)
-    edges = synthesize_links(documents, n, fanout)
+    """(canon, domain, priority): gated, prioritized, pre-cap frontier
+    candidates. See the module docstring for the contract. The gates
+    are the SHARED channel gates (``urls.deny_gate`` /
+    ``urls.robots_gate_frame``) — structurally identical to the
+    sitemap channel's, not a hand-kept copy."""
+    _, edges, ranks = pagerank_state(documents, iters, fanout)
     e = (edges
          .filter(F.pmod(F.expr("u div 4"), F.lit(FRONTIER_MOD)) != 0)
          .filter(F.pmod(F.expr("v div 4"), F.lit(FRONTIER_MOD)) == 0))
@@ -76,17 +75,11 @@ def frontier_candidates(documents: DataFrame, iters: int = PR_ITERS,
     t = e.select(F.col("v").alias("doc_id"), "u")
     t = t.select("u", canonicalize_url(synth_url_expr()).alias("canon"))
     t = t.withColumn("domain", url_domain(F.col("canon")))
-    t = t.filter(~F.array_contains(F.lit(fixture_blocklist()),
-                                   F.col("domain")))
+    t = deny_gate(t)
     pri = (t.join(ranks.select(F.col("v").alias("u"), "r"), "u")
            .groupBy("canon", "domain")
            .agg(F.sum("r").alias("priority")))
-    rules = synthesize_robots(documents).select(
-        "domain", parse_robots("robots_txt").alias("_rules"))
-    pri = pri.withColumn("path", F.regexp_extract("canon", _PATH_RE, 1))
-    return (pri.join(F.broadcast(rules), "domain")
-            .filter(robots_allowed("_rules", "path"))
-            .drop("_rules"))
+    return robots_gate_frame(pri, documents)
 
 
 def frontier_schedule(documents: DataFrame, iters: int = PR_ITERS,

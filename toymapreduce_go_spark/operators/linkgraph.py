@@ -59,13 +59,28 @@ def pagerank_ranks(documents: DataFrame, iters: int = PR_ITERS,
                    fanout: int = PR_FANOUT,
                    scale: int = PR_SCALE) -> DataFrame:
     """(v, r): integer micro-unit ranks after ``iters`` damped power
-    iterations. r0 = scale div n for every node;
+    iterations. See ``pagerank_state`` for the full contract."""
+    return pagerank_state(documents, iters, fanout, scale)[2]
+
+
+def pagerank_state(documents: DataFrame, iters: int = PR_ITERS,
+                   fanout: int = PR_FANOUT,
+                   scale: int = PR_SCALE
+                   ) -> tuple[int, DataFrame, DataFrame]:
+    """(n, edges, ranks): the full PageRank state — node count, the
+    checkpointed synthesized edge list, and the final integer ranks.
+    Consumers that need the graph alongside the ranks (the crawl
+    frontier) take this form so the corpus is counted once and the
+    edge synthesis is built once (r11 review: the frontier used to
+    re-count and re-synthesize).
+    r0 = scale div n for every node;
     r_{t+1}(w) = (15·scale div 100) div n
                  + 85·Σ_{u→w}(r_t(u) div fanout) div 100."""
     n = documents.count()
     spark = documents.sparkSession
     if n == 0:
-        return spark.createDataFrame([], "v long, r long")
+        empty = spark.createDataFrame([], "v long, r long")
+        return 0, spark.createDataFrame([], "u long, v long"), empty
     ids = documents.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
         F.count_distinct("doc_id").alias("nd")).collect()[0]
@@ -93,7 +108,7 @@ def pagerank_ranks(documents: DataFrame, iters: int = PR_ITERS,
                  # iterative-loop lineage discipline: each round's plan
                  # must not re-analyze the whole prior chain
                  .localCheckpoint())
-    return ranks
+    return n, edges, ranks
 
 
 def link_pagerank(documents: DataFrame, iters: int = PR_ITERS,

@@ -36,14 +36,12 @@ from pyspark.sql import functions as F
 
 from ..functions.checksum import CKSUM_MOD
 from .frontier import FRONTIER_MOD
-from .urls import (canonicalize_url, fixture_blocklist, parse_robots,
-                   robots_allowed, synthesize_robots, url_domain)
+from .urls import canonicalize_url, deny_gate, robots_gate_frame
 
 SITEMAP_EPOCH = "2025-01-01"   # lastmod = epoch + (page % 365) days
 _SM_HEADER = ('<?xml version="1.0" encoding="UTF-8"?>\n<urlset '
               'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n')
 _ENTRY_RE = r"<url><loc>([^<]*)</loc><lastmod>([^<]*)</lastmod></url>"
-_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)"
 
 
 def synthesize_sitemaps(documents: DataFrame) -> DataFrame:
@@ -96,21 +94,14 @@ def sitemap_entries(sitemaps: DataFrame) -> DataFrame:
 
 def sitemap_seeds(documents: DataFrame) -> DataFrame:
     """(canon, domain, lastmod): sitemap-discovered UNCRAWLED pages
-    surviving the same gates the link frontier applies (deny list,
-    robots) — the seed set unioned with ``frontier_schedule`` each
-    cycle. Page-sized throughout."""
+    surviving the same gates the link frontier applies — structurally
+    the SAME gates (``urls.deny_gate`` / ``urls.robots_gate_frame``),
+    so the two channels cannot silently diverge. Page-sized."""
     ent = sitemap_entries(synthesize_sitemaps(documents))
     item = F.regexp_extract("canon", r"/articles/item(\d+)", 1)
     ent = ent.filter(F.pmod(item.cast("long"),
                             F.lit(FRONTIER_MOD)) == 0)
-    ent = ent.filter(~F.array_contains(F.lit(fixture_blocklist()),
-                                       F.col("domain")))
-    rules = synthesize_robots(documents).select(
-        "domain", parse_robots("robots_txt").alias("_rules"))
-    ent = ent.withColumn("path", F.regexp_extract("canon", _PATH_RE, 1))
-    return (ent.join(F.broadcast(rules), "domain")
-            .filter(robots_allowed("_rules", "path"))
-            .drop("_rules", "path"))
+    return robots_gate_frame(deny_gate(ent), documents)
 
 
 def sitemap_extract_stats(documents: DataFrame) -> DataFrame:

@@ -45,11 +45,25 @@ CORRUPT_MOD = 3
 
 def moji_pairs() -> list[tuple[str, str]]:
     """(clean, mojibake) pairs, longest mojibake first — the one
-    table both the engine and the DuckDB twin are generated from."""
+    table both the engine and the DuckDB twin are generated from.
+
+    ORDER IS LOAD-BEARING for the forward direction: a mojibake
+    string can CONTAIN a later source char (the real case: '–' →
+    'â€<U+201C>', whose third char is '“'), and a later rule would
+    re-corrupt it, producing sequences the repair cannot invert. The
+    ordering is therefore asserted, not assumed: every pair's
+    mojibake must be free of all LATER pairs' source chars."""
     pairs = [(c, c.encode("utf-8").decode("cp1252")) for c in _CHARS]
     for c, m in pairs:
         assert m.encode("cp1252").decode("utf-8") == c, c
-    return sorted(pairs, key=lambda p: -len(p[1]))
+    pairs = sorted(pairs, key=lambda p: -len(p[1]))
+    for i, (_, m) in enumerate(pairs):
+        for later, _ in pairs[i + 1:]:
+            assert later not in m, (
+                f"moji_pairs: {later!r} appears inside the mojibake "
+                f"{m!r} of an earlier pair — reorder _CHARS so the "
+                "contained char's rule runs first")
+    return pairs
 
 
 _SUFFIXES = (" — café touché…",
@@ -70,9 +84,10 @@ def rich_text_expr() -> Column:
 
 
 def corrupt_mojibake(col: Column) -> Column:
-    """Forward corruption: clean char → its UTF-8-as-CP1252 bytes.
-    Source chars are distinct single characters and no mojibake output
-    contains a source char, so application order is irrelevant."""
+    """Forward corruption: clean char → its UTF-8-as-CP1252 bytes,
+    applied in ``moji_pairs()`` order — which matters: '–'-mojibake
+    embeds a literal '“', so the '“' rule must already have run (the
+    order is asserted in ``moji_pairs``, see there)."""
     c = col
     for ch, moji in moji_pairs():
         c = F.replace(c, F.lit(ch), F.lit(moji))
@@ -81,10 +96,13 @@ def corrupt_mojibake(col: Column) -> Column:
 
 def repair_mojibake(col: Column) -> Column:
     """The inverse: mojibake sequence → clean char (longest first),
-    then strip C0 controls except tab/newline. Pure scan-side."""
+    then newline normalization (CRLF and lone CR → LF — a CRLF
+    document and its LF twin must dedup together), then strip the
+    remaining C0 controls except tab/newline. Pure scan-side."""
     c = col
     for ch, moji in moji_pairs():
         c = F.replace(c, F.lit(moji), F.lit(ch))
+    c = F.regexp_replace(c, "\\r\\n?", "\n")
     return F.regexp_replace(
         c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
 

@@ -43,6 +43,12 @@ from ..functions.checksum import CKSUM_MOD
 # the DuckDB oracle through TRACKING_RE — one literal, two engines)
 TRACKING_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid)="
 
+# the canonical-URL path extractor the robots machinery matches
+# prefix rules against — ONE literal shared by robots_stats,
+# robots_filter_docs, the link frontier, and the sitemap channel
+# (r11 review: four hand-kept copies desynchronize verdicts)
+ROBOTS_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)"
+
 
 def synth_url_expr() -> "F.Column":
     """The messy-URL synthesis as a bare column expression over
@@ -443,9 +449,7 @@ def robots_stats(documents: DataFrame) -> DataFrame:
         "doc_id", canonicalize_url(synth_url_expr()).alias("canon"))
     u = u.select(
         "doc_id", url_domain(F.col("canon")).alias("domain"),
-        F.regexp_extract(
-            "canon", r"^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)", 1)
-        .alias("path"))
+        F.regexp_extract("canon", ROBOTS_PATH_RE, 1).alias("path"))
     rules = synthesize_robots(documents).select(
         "domain", parse_robots("robots_txt").alias("rules"))
     ok = robots_allowed("rules", "path")
@@ -475,11 +479,39 @@ def robots_filter_docs(documents: DataFrame) -> DataFrame:
     u = documents.withColumn(
         "_canon", canonicalize_url(synth_url_expr())).withColumn(
         "_domain", url_domain(F.col("_canon"))).withColumn(
-        "_path", F.regexp_extract(
-            "_canon", r"^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)", 1))
+        "_path", F.regexp_extract("_canon", ROBOTS_PATH_RE, 1))
     rules = synthesize_robots(documents).select(
         F.col("domain").alias("_domain"),
         parse_robots("robots_txt").alias("_rules"))
     return (u.join(F.broadcast(rules), "_domain")
             .filter(robots_allowed("_rules", "_path"))
             .drop("_canon", "_domain", "_path", "_rules"))
+
+
+def deny_gate(frame: DataFrame,
+              blocked: list[str] | None = None) -> DataFrame:
+    """The plan-literal deny-list gate over any frame carrying a
+    ``domain`` column — scan-side ``array_contains``, shareable ahead
+    of a shuffle (the frontier applies it to raw edge rows BEFORE the
+    rank join). One definition for every discovery channel (r11
+    review: the frontier and the sitemap channel each hand-kept a
+    copy; their gates are contractually identical)."""
+    blocked = fixture_blocklist() if blocked is None else blocked
+    return frame.filter(~F.array_contains(
+        F.lit([str(b) for b in blocked]), F.col("domain")))
+
+
+def robots_gate_frame(frame: DataFrame,
+                      documents: DataFrame) -> DataFrame:
+    """The robots longest-match gate over any frame carrying
+    (``canon``, ``domain``): broadcast the domain-sized parsed-rules
+    frame, fold the verdict per row, keep the allowed rows (input
+    schema preserved). The shared second half of the discovery-channel
+    gate sequence."""
+    rules = synthesize_robots(documents).select(
+        "domain", parse_robots("robots_txt").alias("_rules"))
+    gated = frame.withColumn(
+        "_path", F.regexp_extract("canon", ROBOTS_PATH_RE, 1))
+    return (gated.join(F.broadcast(rules), "domain")
+            .filter(robots_allowed("_rules", "_path"))
+            .drop("_rules", "_path"))

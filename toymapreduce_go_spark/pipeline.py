@@ -131,6 +131,19 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
                 .drop("removed_lines").localCheckpoint())
         stages.append(("0a_pdf_extracted", docs.count()))
 
+    # 0a'' (optional). Encoding repair (operators/textfix.py): the
+    # ftfy pass — the utf-8-as-cp1252 mojibake inverse map + newline
+    # normalization + C0 control strip — runs right after extraction
+    # and BEFORE the first hashing stage (the prior screens below!),
+    # so prior-screen keys, dedup keys, shingles, and models all see
+    # clean text: a corrupted re-ingest of yesterday's page must hash
+    # like yesterday's page to be dropped (r11 review finding — placed
+    # after the screens, corrupted re-ingests sailed through). Pure
+    # scan-side projection; drops nothing, so no funnel row.
+    if fix_encoding:
+        from .operators.textfix import repair_mojibake
+        docs = docs.withColumn("text", repair_mojibake(F.col("text")))
+
     # 0b (optional). Prior-snapshot Bloom screen: drop docs already
     # ingested in an earlier corpus build BEFORE any other stage runs —
     # the bitmap is a plan literal, so this is the cheapest possible
@@ -153,16 +166,6 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
         from .operators.dedup import screen_vs_prior
         docs = screen_vs_prior(docs, prior_docs).localCheckpoint()
         stages.append(("0c_near_prior_screened", docs.count()))
-
-    # 0d (optional). Encoding repair (operators/textfix.py): the ftfy
-    # pass — the utf-8-as-cp1252 mojibake inverse map + C0 control
-    # strip — runs before PII and before ANY hashing stage, so dedup
-    # keys, shingles, and models all see clean text (a corrupted and a
-    # clean copy of the same document must dedup together). Pure
-    # scan-side projection; drops nothing, so no funnel row.
-    if fix_encoding:
-        from .operators.textfix import repair_mojibake
-        docs = docs.withColumn("text", repair_mojibake(F.col("text")))
 
     # 1. PII redaction (doesn't drop docs; changes text BEFORE hashing
     # so dedup/contamination operate on what would actually be trained)
