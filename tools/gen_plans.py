@@ -180,6 +180,16 @@ SHOWCASE: dict[str, str] = {
         "per block triple, same decomposition as image_phash) into the "
         "bucket-key equi-join and one codegen'd bit_count(xor) Filter "
         "per candidate — never an all-pairs product."),
+    "crawl_frontier": (
+        "The crawl-scheduling capstone (r11). Look for: the plan-"
+        "literal deny `Filter` (array_contains) BELOW the rank equi-"
+        "join — blocked targets never reach the shuffle; "
+        "`BroadcastHashJoin` for the domain-sized robots rules (no "
+        "SortMergeJoin anywhere); the politeness `Window` running "
+        "AFTER the page-sized groupBy(canon) aggregate, never over "
+        "corpus-sized input; and the PageRank iterations appearing as "
+        "checkpointed `ExistingRDD` scans (per-iteration lineage "
+        "cuts)."),
     "dataset_split": (
         "Content-keyed holdout split (r9). Look for: a scan-side "
         "Project (md5 + pmod + CASE — the whole assignment), ONE "
