@@ -24,6 +24,7 @@ from ..operators import (bpe, chunking, dedup, dsir, events, frontier,
                          html_extract, joins, langid_model, linkgraph,
                          packing,
                          pdf_extract, quality_model, relational,
+                         scheduling,
                          semantic_dedup, similarity, sitemaps, text_mr,
                          textfix, textstats, unigram_tok, urls,
                          warc_extract)
@@ -308,6 +309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_extract": _q(sitemaps.sitemap_extract_stats),
     "mojibake_repair": _q(textfix.mojibake_stats),
     "recrawl_schedule": _q(sitemaps.recrawl_schedule),
+    "fetch_list": _q(scheduling.fetch_list),
     "robots_gate": _q(urls.robots_stats),
     "url_canonical": _q(urls.url_stats),
     "crawl_diff": _q(urls.crawl_diff_stats),
@@ -383,7 +385,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "domain_blocklist", "domain_reputation", "pdf_extract",
                "warc_extract", "link_pagerank", "robots_gate",
                "crawl_frontier", "sitemap_extract", "mojibake_repair",
-               "recrawl_schedule")
+               "recrawl_schedule", "fetch_list")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1529,17 +1531,16 @@ def _link_pagerank_oracle_sql(iters: int = 3, fanout: int = 3,
     """
 
 
-def _crawl_frontier_oracle_sql(iters: int = 3, fanout: int = 3,
-                               scale: int = 1_000_000) -> str:
-    """Generated DuckDB twin of ``frontier.crawl_frontier``: the shared
-    URL canonicalization CTEs (``d``) give every link target its
-    canonical URL by doc-id join; PageRank is re-unrolled with
-    ``p``-prefixed CTE names (the ``s1..s5`` slots are taken by the URL
-    chain); the robots verdict uses the INDEPENDENT window formulation
-    from ``_robots_oracle_sql`` (longest prefix, Allow wins ties); the
-    politeness cap and the (canon-hash × priority) checksum replay the
-    engine's integer arithmetic exactly."""
-    from ..operators.frontier import FRONTIER_MOD, FRONTIER_PER_DOMAIN
+def _frontier_common_ctes(iters: int = 3, fanout: int = 3,
+                          scale: int = 1_000_000) -> str:
+    """The CTE block shared by the frontier and fetch-list twins (to
+    be appended after ``_url_canon_ctes()``): PageRank re-unrolled
+    with ``p``-prefixed names (the ``s1..s5`` slots are taken by the
+    URL chain), the deny-gated link targets with their rank-inflow
+    priorities (``fpri``), and the parsed robots rules (``rrules``) —
+    the same independent longest-match machinery as
+    ``_robots_oracle_sql``."""
+    from ..operators.frontier import FRONTIER_MOD
     from ..operators.urls import fixture_blocklist
     js = ", ".join(str(j) for j in range(1, fanout + 1))
     deny = ", ".join(f"'{b}'" for b in fixture_blocklist())
@@ -1563,9 +1564,7 @@ def _crawl_frontier_oracle_sql(iters: int = 3, fanout: int = 3,
             LEFT JOIN pi{t} ON pi{t}.v = dd.doc_id)""")
         prev = f"pr{t}"
     body = ",\n        ".join(ctes)
-    return f"""
-        WITH {_url_canon_ctes()},
-        {body},
+    return f"""{body},
         fe AS (SELECT u, v FROM pe
                WHERE (u // 4) % {FRONTIER_MOD} <> 0
                  AND (v // 4) % {FRONTIER_MOD} = 0),
@@ -1597,7 +1596,23 @@ def _crawl_frontier_oracle_sql(iters: int = 3, fanout: int = 3,
                          unnest(string_split(txt, chr(10))) AS ln
                   FROM rb)
             WHERE regexp_extract(ln, '^(Allow|Disallow): (.+)$', 2)
-                  <> ''),
+                  <> '')"""
+
+
+def _crawl_frontier_oracle_sql(iters: int = 3, fanout: int = 3,
+                               scale: int = 1_000_000) -> str:
+    """Generated DuckDB twin of ``frontier.crawl_frontier``: the shared
+    URL canonicalization CTEs (``d``) give every link target its
+    canonical URL by doc-id join; PageRank, the deny-gated priorities,
+    and the robots rules come from ``_frontier_common_ctes``; the
+    robots verdict uses the INDEPENDENT window formulation (longest
+    prefix, Allow wins ties); the politeness cap and the (canon-hash ×
+    priority) checksum replay the engine's integer arithmetic
+    exactly."""
+    from ..operators.frontier import FRONTIER_PER_DOMAIN
+    return f"""
+        WITH {_url_canon_ctes()},
+        {_frontier_common_ctes(iters, fanout, scale)},
         pp AS (SELECT canon, domain, priority,
                       regexp_extract(canon,
                         '^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)', 1)
@@ -1638,6 +1653,82 @@ def _crawl_frontier_oracle_sql(iters: int = 3, fanout: int = 3,
                              ELSE 0 END) AS BIGINT)
                  AS frontier_checksum
         FROM sched GROUP BY domain ORDER BY domain
+    """
+
+
+def _fetch_list_oracle_sql(iters: int = 3, fanout: int = 3,
+                           scale: int = 1_000_000) -> str:
+    """Generated DuckDB twin of ``scheduling.fetch_list``: one verdict
+    table (deny + independent robots window) over the whole page
+    universe gates all three channels; the link channel joins the
+    frontier's rank-inflow priorities, the sitemap-only channel is the
+    gated uncrawled remainder, the recrawl channel is the stale
+    crawled pages with the staleness gap as priority; then the unified
+    per-host budget window and the channel-weighted checksum."""
+    from ..operators.frontier import FRONTIER_MOD
+    from ..operators.scheduling import FETCH_BUDGET
+    from ..operators.sitemaps import FETCH_DAY_MULT
+    from ..operators.urls import fixture_blocklist
+    deny = ", ".join(f"'{b}'" for b in fixture_blocklist())
+    return f"""
+        WITH {_url_canon_ctes()},
+        {_frontier_common_ctes(iters, fanout, scale)},
+        pgu AS (SELECT DISTINCT (doc_id // 4) AS page FROM documents),
+        pcu AS (SELECT pgu.page, min(d.canon) AS canon,
+                       min(d.domain) AS domain
+                FROM pgu JOIN d ON (d.doc_id // 4) = pgu.page
+                WHERE d.domain NOT IN ({deny})
+                GROUP BY pgu.page),
+        pthu AS (SELECT *, regexp_extract(canon,
+                   '^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)', 1) AS path
+                 FROM pcu),
+        mtu AS (SELECT pthu.canon, r.a,
+                       row_number() OVER (
+                           PARTITION BY pthu.canon
+                           ORDER BY length(r.p) DESC, r.a DESC) AS rn
+                FROM pthu JOIN rrules r
+                  ON r.domain = pthu.domain
+                 AND starts_with(pthu.path, r.p)),
+        pok AS (SELECT pthu.page, pthu.canon, pthu.domain
+                FROM pthu LEFT JOIN
+                     (SELECT canon, a FROM mtu WHERE rn = 1) m
+                  ON m.canon = pthu.canon
+                WHERE coalesce(m.a, true)),
+        chA AS (SELECT fpri.canon, fpri.domain, fpri.priority, 0 AS ch
+                FROM fpri JOIN pok ON pok.canon = fpri.canon),
+        chB AS (SELECT canon, domain, CAST(0 AS BIGINT) AS priority,
+                       1 AS ch
+                FROM pok WHERE page % {FRONTIER_MOD} = 0
+                  AND canon NOT IN (SELECT canon FROM chA)),
+        chC AS (SELECT canon, domain,
+                       CAST(page % 365
+                            - (page * {FETCH_DAY_MULT}) % 365
+                            AS BIGINT) AS priority, 2 AS ch
+                FROM pok WHERE page % {FRONTIER_MOD} <> 0
+                  AND page % 365 > (page * {FETCH_DAY_MULT}) % 365),
+        un AS (SELECT * FROM chA UNION ALL SELECT * FROM chB
+               UNION ALL SELECT * FROM chC),
+        bud AS (SELECT *, row_number() OVER (
+                    PARTITION BY domain
+                    ORDER BY ch ASC, priority DESC, canon ASC) AS rn
+                FROM un)
+        SELECT domain,
+               CAST(sum(CASE WHEN ch = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_link_cand,
+               CAST(sum(CASE WHEN ch = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_sitemap_only,
+               CAST(sum(CASE WHEN ch = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_recrawl,
+               CAST(sum(CASE WHEN rn <= {FETCH_BUDGET}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_scheduled,
+               min(CASE WHEN rn = 1 THEN canon END) AS top_canon,
+               CAST(sum(CASE WHEN rn <= {FETCH_BUDGET}
+                             THEN ((('0x' || substr(md5(canon), 1, 15))
+                                    ::BIGINT % {CKSUM_MOD})
+                                   * (1 + ch)) % {CKSUM_MOD}
+                             ELSE 0 END) AS BIGINT) AS fetch_checksum
+        FROM bud GROUP BY domain ORDER BY domain
     """
 
 
@@ -2665,6 +2756,7 @@ ORACLES: dict[str, str] = {
     "sitemap_extract": _sitemap_oracle_sql(),
     "mojibake_repair": _mojibake_oracle_sql(),
     "recrawl_schedule": _recrawl_oracle_sql(),
+    "fetch_list": _fetch_list_oracle_sql(),
     "robots_gate": _robots_oracle_sql(),
     "url_canonical": _url_canonical_oracle_sql(),
     "crawl_diff": _crawl_diff_oracle_sql(),
