@@ -39,10 +39,12 @@ BENCH_QUERIES = list(DECLARED)
 # — and guarded against the prior round exactly like the declared tier.
 TIER2_QUERIES = ["image_phash", "audio_fingerprint", "video_fingerprint",
                  "heavy_hitters", "semantic_dedup",
-                 # r11: the crawl-scheduling capstone — PageRank
-                 # iterations + the per-domain window make it the one
-                 # multi-second r11 addition (5.9 s at sf0.1)
-                 "crawl_frontier"]
+                 # r11: the crawl-scheduling capstone — the unified
+                 # fetch list SUPERSETS crawl_frontier (PageRank
+                 # iterations + both discovery channels + the recrawl
+                 # channel + the budget window), so benching it covers
+                 # the whole multi-second r11 scheduling family once
+                 "fetch_list"]
 
 
 def materialize(df) -> None:
