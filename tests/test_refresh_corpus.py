@@ -52,10 +52,17 @@ def test_refresh_matches_full_rebuild_up_to_survivor_preference(spark):
       near-dups kept doc 30 — the full rebuild keeps min-id 10, the
       refresh keeps the prior survivor 30. Everything else is
       row-identical (bin_id excluded: packing bins are
-      generation-local, pinned disjoint instead)."""
+      generation-local, pinned disjoint instead);
+    - decontamination runs against a FIXED benchmark frame
+      (``eval_docs`` — the production form), so a contaminated ADDED
+      doc (108 overlaps the benchmark text) is dropped by the refresh
+      delta run and the full rebuild alike: with a corpus-independent
+      eval set there is no decontamination divergence to disclose."""
     old_rows = [(i, _text(i)) for i in range(1, 61)]
     old = _docs(spark, old_rows).localCheckpoint()
-    prior_curated, _ = build_training_corpus(spark, SF, docs=old)
+    ev = _docs(spark, [(0, _text(999))]).select("text").localCheckpoint()
+    prior_curated, _ = build_training_corpus(spark, SF, docs=old,
+                                             eval_docs=ev)
     prior_curated = prior_curated.localCheckpoint()
     assert prior_curated.count() == 60   # cluster-disjoint by design
 
@@ -65,21 +72,23 @@ def test_refresh_matches_full_rebuild_up_to_survivor_preference(spark):
                 + [(10, txt[30] + " extra words here"),
                    (11, txt[11] + " refreshed edition text"),
                    (106, txt[20] + " extra words here"),
-                   (107, txt[21])]
+                   (107, txt[21]),
+                   (108, _text(999) + " benchmark leak")]
                 + [(i, _text(i)) for i in range(101, 106)])
     new = _docs(spark, new_rows).localCheckpoint()
 
     curated, report = refresh_training_corpus(
-        spark, SF, old, new, prior_curated)
+        spark, SF, old, new, prior_curated, eval_docs=ev)
     got = {r.doc_id: (r.source, r.lang, r.text)
            for r in curated.collect()}
-    full, _ = build_training_corpus(spark, SF, docs=new)
+    full, _ = build_training_corpus(spark, SF, docs=new, eval_docs=ev)
     want = {r.doc_id: (r.source, r.lang, r.text)
             for r in full.collect()}
 
     # the planted interaction outcomes
     assert 107 not in got and 106 not in got        # screened
     assert 107 not in want and 106 not in want      # deduped
+    assert 108 not in got and 108 not in want       # decontaminated
     assert 10 in want and 30 not in want            # min-id survivor
     assert 30 in got and 10 not in got              # prior survivor
     # everything else row-identical
@@ -88,7 +97,7 @@ def test_refresh_matches_full_rebuild_up_to_survivor_preference(spark):
 
     # report: exact delta classification
     rep = {r.stage: r.n_docs for r in report.collect()}
-    assert rep["0_delta_added"] == 7        # 101-105, 106, 107
+    assert rep["0_delta_added"] == 8        # 101-105, 106, 107, 108
     assert rep["0_delta_removed"] == 3
     assert rep["0_delta_changed"] == 2
     assert rep["0_delta_unchanged"] == 55

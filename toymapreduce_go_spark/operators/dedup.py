@@ -1148,17 +1148,13 @@ def dedup_lines_within_doc(documents: DataFrame,
 # 6. Benchmark decontamination
 
 
-def contamination_shared_counts(documents: DataFrame, n: int = 5,
-                                eval_mod: int = 97) -> DataFrame:
-    """Per-document benchmark-overlap counts: ``(doc_id, n_shared)`` for
-    every non-eval document sharing >= 1 distinct word ``n``-gram with
-    the eval slice (``doc_id % eval_mod == 0``). Shared base of the
-    ``contamination_check`` rollup and the corpus-build pipeline's
-    per-doc drop gate; the benchmark shingle set is BROADCAST, so the
-    corpus side rides the scan without a shuffle."""
+def _word_shingles(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, source, shingle): each document's DISTINCT word
+    ``n``-grams — the shared projection under every contamination
+    form. Scan-side."""
     shingle = "concat_ws(' ', " + ", ".join(
         f"element_at(toks, i + {j})" for j in range(n)) + ")"
-    sh = (
+    return (
         documents.select("doc_id", "source", tokens("text").alias("toks"))
         .filter(F.size("toks") >= n)
         .select(
@@ -1168,11 +1164,44 @@ def contamination_shared_counts(documents: DataFrame, n: int = 5,
                 f"i -> {shingle})"))).alias("shingle"))
         .filter(F.col("shingle").isNotNull())
     )
-    is_eval = F.pmod(F.col("doc_id"), F.lit(eval_mod)) == 0
-    bench = sh.filter(is_eval).select("shingle").distinct()
+
+
+def contamination_shared_counts(documents: DataFrame, n: int = 5,
+                                eval_mod: int = 97,
+                                eval_docs: DataFrame | None = None
+                                ) -> DataFrame:
+    """Per-document benchmark-overlap counts: ``(doc_id, n_shared)``
+    for every candidate document sharing >= 1 distinct word ``n``-gram
+    with the evaluation set. Shared base of the ``contamination_check``
+    rollup and the corpus-build pipeline's per-doc drop gate; the
+    benchmark shingle set is BROADCAST, so the corpus side rides the
+    scan without a shuffle.
+
+    Two eval-set forms:
+    - ``eval_docs=None`` (the fixture default): the deterministic
+      slice ``doc_id % eval_mod == 0`` of the INPUT plays the
+      benchmark, and the non-eval rows are the candidates.
+    - ``eval_docs`` given (the production form — a real benchmark
+      frame with a ``text`` column): its shingles are the benchmark
+      and EVERY input doc is a candidate. Because the eval set no
+      longer depends on the candidate pool, decontamination becomes
+      corpus-independent — a delta-driven refresh
+      (``refresh.refresh_training_corpus``) that passes the same
+      frame drops exactly the docs a full rebuild drops (r11: this
+      retires the refresh path's documented eval-slice divergence)."""
+    sh = _word_shingles(documents, n)
+    if eval_docs is not None:
+        bench = (_word_shingles(
+            eval_docs.select(F.lit(-1).alias("doc_id"),
+                             F.lit("eval").alias("source"), "text"), n)
+            .select("shingle").distinct())
+        cand = sh
+    else:
+        is_eval = F.pmod(F.col("doc_id"), F.lit(eval_mod)) == 0
+        bench = sh.filter(is_eval).select("shingle").distinct()
+        cand = sh.filter(~is_eval)
     return (
-        sh.filter(~is_eval)
-        .join(F.broadcast(bench), "shingle")
+        cand.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared"))
     )
 

@@ -177,10 +177,14 @@ def refresh_training_corpus(spark, sf_dir: str, old_docs: DataFrame,
       dedup survivor does NOT revive its previously-dropped cluster
       mates (they return on their own next re-crawl, or on the
       periodic full rebuild a production pipeline schedules anyway);
-    - corpus-relative stages (the contamination eval slice, optional
+    - corpus-relative stages (the fixture's eval slice, optional
       LM/ccnet cutoffs) are computed over the DELTA pool, not the
-      union — production passes a fixed benchmark frame / frozen
-      model, which removes the difference.
+      union. For decontamination this is fully retired by passing a
+      fixed benchmark frame (``eval_docs=...`` rides through to
+      ``contamination_shared_counts`` — corpus-independent, so the
+      refresh drops exactly what a full rebuild drops; pinned with a
+      planted contaminated ADDED doc in the equality test); the LM
+      knobs would need a frozen model the same way.
     Everything else is pinned equal to the full rebuild in
     tests/test_refresh_corpus.py on a cluster-disjoint construction.
 

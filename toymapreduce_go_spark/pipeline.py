@@ -55,7 +55,8 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
                           from_pdf: bool = False,
                           blocklist: list[str] | None = None,
                           robots: bool = False,
-                          fix_encoding: bool = False
+                          fix_encoding: bool = False,
+                          eval_docs: DataFrame | None = None
                           ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation funnel over ``sf_dir``'s documents table
     (or an explicit ``docs`` frame — the hook fault-injection and
@@ -276,8 +277,12 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
         # for the rest of the session
         pre_mask.unpersist()
 
-    # 4. decontamination vs the eval slice
-    contaminated = (contamination_shared_counts(deduped)
+    # 4. decontamination — vs a caller-supplied benchmark frame (the
+    # production form: corpus-independent, so incremental refreshes
+    # drop exactly what a full rebuild drops) or, by default, the
+    # fixture's deterministic eval slice
+    contaminated = (contamination_shared_counts(deduped,
+                                                eval_docs=eval_docs)
                     .filter(F.col("n_shared") >= min_shared_contamination)
                     .select("doc_id"))
     clean = deduped.join(contaminated, "doc_id", "left_anti").persist()
