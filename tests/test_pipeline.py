@@ -397,3 +397,29 @@ def test_fix_encoding_runs_before_the_prior_screens(spark):
     stages = {r["stage"]: r["n_docs"] for r in funnel.collect()}
     assert stages["0b_prior_screened"] == 0     # ALL copies dropped
     assert curated.count() == 0
+
+
+def test_cli_eval_docs_benchmark_frame(spark, tmp_path, capsys):
+    """--eval-docs: a parquet benchmark frame reaches the pipeline's
+    decontamination stage as the production eval form — corpus copies
+    of a benchmark doc are dropped (the fixture slice form RETAINS its
+    eval docs, so the drop proves the frame path ran)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from toymapreduce_go_spark.__main__ import main
+
+    ev = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+          .filter("doc_id % 97 = 0").select("text").toPandas())
+    assert len(ev) > 0
+    bench = str(tmp_path / "bench.parquet")
+    pq.write_table(pa.Table.from_pandas(ev), bench)
+
+    out = str(tmp_path / "cli_eval_out")
+    main(["--corpus-build", SF_DIR, "--out", out, "--eval-docs", bench])
+    stages = dict(ln.split() for ln in
+                  capsys.readouterr().out.strip().splitlines()[-5:])
+    # the benchmark's corpus twins were dropped: decontamination
+    # removed at least one doc (slice form removes none — pinned by
+    # test_corpus_build_funnel_and_output's equal-count funnel)
+    assert int(stages["3_decontaminated"]) < int(stages["2_deduped"])

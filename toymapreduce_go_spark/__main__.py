@@ -146,6 +146,12 @@ def main(argv: list[str] | None = None) -> None:
                         "canonical URL the domain's robots.txt rules "
                         "disallow (RFC 9309 longest-match gate, after "
                         "the deny list)")
+    p.add_argument("--eval-docs", metavar="PARQUET", default=None,
+                   help="with --corpus-build: decontaminate against "
+                        "this benchmark frame (parquet with a text "
+                        "column) instead of the fixture's doc_id-mod "
+                        "eval slice — the corpus-independent "
+                        "production form")
     p.add_argument("--fix-encoding", action="store_true",
                    help="with --corpus-build/--stream-ingest: repair "
                         "utf-8-as-cp1252 mojibake and strip C0 "
@@ -225,7 +231,9 @@ def main(argv: list[str] | None = None) -> None:
             near_prior=args.near_prior, chunk_long=args.chunk_long,
             from_html=args.from_html, from_pdf=args.from_pdf,
             blocklist=deny, robots=args.robots,
-            fix_encoding=args.fix_encoding)
+            fix_encoding=args.fix_encoding,
+            eval_docs=(spark.read.parquet(args.eval_docs)
+                       if args.eval_docs else None))
         for r in funnel.collect():
             print(f"{r['stage']} {r['n_docs']}")
         if args.wds_out:
