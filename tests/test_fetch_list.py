@@ -42,14 +42,13 @@ def test_channels_partition_and_agree_with_their_modules(spark):
     # driver-side with explicit deny + robots rules
     n_pages = docs.count() // 4 + (docs.count() % 4 > 0)
     want: dict[str, int] = {}
+    from robots_ref import fixture_allowed
     for page in range(n_pages):
         m = page % 16
-        if page % 3 == 0 or m in (3, 7) or m % 4 == 3:
-            continue                       # uncrawled / deny / robots
-        path = f"/articles/item{page}"
-        if m % 4 == 1 and path.startswith("/articles/item1") \
-                and not path.startswith("/articles/item12"):
-            continue                       # robots longest-match block
+        if page % 3 == 0 or m in (3, 7):
+            continue                       # uncrawled / deny-listed
+        if not fixture_allowed(page):
+            continue                       # robots most-specific block
         if (page % 365) > (page * 7) % 365:
             dom = f"www.site{m}.example.com"
             want[dom] = want.get(dom, 0) + 1

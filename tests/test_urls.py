@@ -231,6 +231,104 @@ def test_robots_longest_match_semantics(spark):
                    "/free": True}      # no rule matches
 
 
+def _verdicts(spark, txt: str, paths: list[str]) -> dict[str, bool]:
+    from toymapreduce_go_spark.operators.urls import (parse_robots,
+                                                      robots_allowed)
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    return {r["path"]: r["ok"] for r in df.select(
+        "path", F.lit(txt).alias("t")).withColumn(
+        "rules", parse_robots("t")).withColumn(
+        "ok", robots_allowed("rules", "path")).collect()}
+
+
+def test_robots_wildcard_semantics(spark):
+    """RFC 9309 §2.2.3 specials pinned on constructed rules: `*`
+    spans any character run (a `/*?sessionid=` rule blocks every
+    query-bearing URL carrying the parameter, wherever it sits), a
+    trailing `$` anchors (the anchored rule blocks the exact page but
+    NOT its extensions — the discrimination an unanchored rule cannot
+    make), regex metacharacters in rule text are LITERAL (`/a.b`
+    must not block `/aXb`), and a longer wildcard rule out-ranks a
+    shorter one."""
+    txt = ("User-agent: *\n"
+           "Disallow: /*?*sessionid=\n"      # * both sides
+           "Disallow: /print/*.pdf$\n"       # * and $ together
+           "Disallow: /a.b\n"                # literal dot
+           "Disallow: /cat*\n"
+           "Allow: /cat*alog\n")             # longer wildcard wins
+    out = _verdicts(spark, txt, [
+        "/page?sessionid=7", "/x/y?a=1&sessionid=9&b=2", "/page?sid=7",
+        "/print/doc.pdf", "/print/doc.pdf.html", "/print/sub/d.pdf",
+        "/a.b", "/aXb",
+        "/cat/x", "/catalog", "/cat/old/alog"])
+    assert out == {
+        "/page?sessionid=7": False,
+        "/x/y?a=1&sessionid=9&b=2": False,
+        "/page?sid=7": True,            # parameter name must match
+        "/print/doc.pdf": False,
+        "/print/doc.pdf.html": True,    # $ anchored: extension free
+        "/print/sub/d.pdf": False,      # * spans path segments
+        "/a.b": False,
+        "/aXb": True,                   # dot is literal, not regex-any
+        "/cat/x": False,
+        "/catalog": True,               # Allow /cat*alog (len 10) wins
+        "/cat/old/alog": True}          # * spans into the Allow too
+
+
+def test_robots_wildcard_tie_allow_wins(spark):
+    """Equal raw-pattern length between a matching wildcard Allow and
+    a matching wildcard Disallow -> Allow wins (the prefix tie rule
+    extends to §2.2.3 rules)."""
+    txt = "User-agent: *\nAllow: /a*6?\nDisallow: /*66?\n"
+    out = _verdicts(spark, txt, ["/articles/item66?a=1&b=2",
+                                 "/b66?x"])
+    assert out["/articles/item66?a=1&b=2"] is True   # tie at len 5
+    assert out["/b66?x"] is False   # only the Disallow matches
+
+
+def test_robots_fixture_wildcards_and_python_reference_agree(spark):
+    """The engine's per-page verdicts on the fixture rules equal the
+    pure-Python RFC reference (tests/robots_ref.py) for every page in
+    a universe covering all host classes — including the wildcard
+    hosts' block (item ends in 2/4), re-allow (item*14), and tie
+    (item66) cases."""
+    from robots_ref import fixture_allowed
+    from toymapreduce_go_spark.operators.urls import robots_stats
+
+    n_pages = 128
+    docs = spark.createDataFrame(
+        [(i,) for i in range(n_pages * 4)], "doc_id long")
+    out = {r["domain"]: r for r in robots_stats(docs).collect()}
+    want_blocked: dict[str, int] = {}
+    for page in range(n_pages):
+        if not fixture_allowed(page):
+            dom = f"www.site{page % 16}.example.com"
+            want_blocked[dom] = want_blocked.get(dom, 0) + 4
+    assert {d: r["n_blocked"] for d, r in out.items()
+            if r["n_blocked"]} == want_blocked
+    # the wildcard host exercises all three outcomes
+    site2 = out["www.site2.example.com"]
+    assert 0 < site2["n_blocked"] < site2["n_urls"]
+
+
+def test_robots_gate_default_allows_missing_domains(spark):
+    """A frame row whose domain has NO robots.txt row must PASS the
+    gate (RFC 9309 §2.3.1.2: unreachable/absent robots.txt is
+    allow-all), not silently disappear into an inner join."""
+    from toymapreduce_go_spark.operators.urls import robots_gate_frame
+
+    frame = spark.createDataFrame(
+        [("http://www.site3.example.com/articles/item3?a=1",
+          "www.site3.example.com"),          # m%4==3: Disallow /
+         ("http://nowhere.example.org/anything?q=1",
+          "nowhere.example.org")],           # no rules row exists
+        "canon string, domain string")
+    docs = spark.createDataFrame([(i,) for i in range(64)],
+                                 "doc_id long")
+    kept = robots_gate_frame(frame, docs).collect()
+    assert [r["domain"] for r in kept] == ["nowhere.example.org"]
+
+
 def test_robots_stats_direction(spark):
     """Hosts m%4==3 block everything; m%4==1 block item1* except
     item12*; everyone else is fully allowed."""

@@ -43,11 +43,19 @@ from ..functions.checksum import CKSUM_MOD
 # the DuckDB oracle through TRACKING_RE — one literal, two engines)
 TRACKING_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid)="
 
-# the canonical-URL path extractor the robots machinery matches
-# prefix rules against — ONE literal shared by robots_stats,
-# robots_filter_docs, the link frontier, and the sitemap channel
-# (r11 review: four hand-kept copies desynchronize verdicts)
-ROBOTS_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)"
+# the canonical-URL match-target extractor the robots machinery
+# matches rules against — RFC 9309 §2.2.2 matches the PATH PLUS QUERY
+# (a `Disallow: /*?sessionid=` rule must see the query) — ONE literal
+# shared by robots_stats, robots_filter_docs, the link frontier, and
+# the sitemap channel (r11 review: four hand-kept copies
+# desynchronize verdicts)
+ROBOTS_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?]*(/.*)$"
+
+# regex metacharacters escaped when a robots rule compiles to a match
+# regex (`*` deliberately absent — it becomes `.*`; a trailing `$` is
+# stripped first and re-emitted as the end anchor). ONE literal shared
+# with the DuckDB twin so both engines compile identical regexes.
+ROBOTS_RX_META = r"([\\\[\]().^$|?+{}])"
 
 
 def synth_url_expr() -> "F.Column":
@@ -382,54 +390,97 @@ def domain_reputation(documents: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # robots.txt — the frontier-politeness gate (RFC 9309) between URL
 # canonicalization and fetching: a crawler may only fetch a URL its
-# domain's robots rules allow. Implemented as the standard
-# longest-match subset: Allow/Disallow path-prefix rules, the LONGEST
-# matching prefix wins, Allow wins a length tie, no match → allowed.
-# (Wildcards and crawl-delay are out of scope — disclosed.)
+# domain's robots rules allow. Full §2.2.3 special-character support:
+# `*` matches any character sequence, a trailing `$` anchors the end
+# of the match target (path + query, §2.2.2); the MOST SPECIFIC
+# matching rule wins — specificity = octet length of the raw rule
+# pattern (the reference-parser convention, google/robotstxt), Allow
+# wins a length tie, no match → allowed. (Crawl-delay is out of
+# scope — disclosed; it is a non-standard extension RFC 9309 §2.2.4
+# leaves to implementers, and `fetch_list` budgets politeness
+# separately.)
 
 
 def synthesize_robots(documents: DataFrame) -> DataFrame:
     """(domain, robots_txt): one deterministic robots.txt per
     synthesized host, covering every rule class — a never-matching
-    Disallow on all domains (default-allow exercised), hosts m%4==1
-    get ``Disallow: /articles/item1`` overridden by the LONGER
-    ``Allow: /articles/item12`` (longest-match + tie semantics), and
-    hosts m%4==3 get ``Disallow: /`` (full block). Domain-count-sized
-    frame — the broadcast side."""
+    prefix Disallow and a never-matching wildcard+anchor Disallow on
+    all domains (default-allow and `*`/`$` parsing exercised
+    everywhere), hosts m%4==1 get ``Disallow: /articles/item1``
+    overridden by the LONGER ``Allow: /articles/item12``
+    (longest-match + tie semantics on prefix rules), hosts m%4==2 get
+    the wildcard battery — ``Disallow: /*4?`` / ``Disallow: /*2?``
+    (block item numbers ending in 4 or 2), ``Allow:
+    /articles/item*14?*`` (a LONGER wildcard re-allows item14/item114
+    over ``/*4?``), and the equal-length pair ``Allow: /a*6?`` vs
+    ``Disallow: /*66?`` (a wildcard TIE — Allow wins, item66 stays
+    fetchable) — and hosts m%4==3 get ``Disallow: /`` (full block).
+    Domain-count-sized frame — the broadcast side."""
     d = (documents
          .select(url_domain(canonicalize_url(synth_url_expr()))
                  .alias("domain")).distinct())
     m = F.regexp_extract("domain", r"site(\d+)", 1).cast("int")
     txt = F.concat(
-        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.lit("User-agent: *\nDisallow: /private\n"
+              "Disallow: /*.php$\n"),
         F.when(F.pmod(m, F.lit(4)) == 1,
                F.lit("Disallow: /articles/item1\n"
                      "Allow: /articles/item12\n"))
+        .otherwise(F.lit("")),
+        F.when(F.pmod(m, F.lit(4)) == 2,
+               F.lit("Disallow: /*4?\n"
+                     "Disallow: /*2?\n"
+                     "Allow: /articles/item*14?*\n"
+                     "Allow: /a*6?\n"
+                     "Disallow: /*66?\n"))
         .otherwise(F.lit("")),
         F.when(F.pmod(m, F.lit(4)) == 3, F.lit("Disallow: /\n"))
         .otherwise(F.lit("")))
     return d.select("domain", txt.alias("robots_txt"))
 
 
+def _rule_rx(p) -> "F.Column":
+    """Compile one robots rule pattern to a match regex (RFC 9309
+    §2.2.3): strip a trailing ``$`` (end anchor), escape every other
+    regex metacharacter (``ROBOTS_RX_META`` — shared with the DuckDB
+    twin), turn ``*`` into ``.*``, re-anchor. A mid-pattern ``$`` is
+    literal (the reference-parser convention)."""
+    anchored = p.endswith("$")
+    body = F.regexp_replace(p, r"\$$", "")
+    esc = F.regexp_replace(body, ROBOTS_RX_META, "\\\\$1")
+    star = F.replace(esc, F.lit("*"), F.lit(".*"))
+    return F.concat(F.lit("^"), star,
+                    F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+
+
 def parse_robots(col) -> "F.Column":
-    """robots.txt text → array<struct<p: string, a: boolean>> of
-    path-prefix rules (a = Allow). Scan-side split/regexp transform;
+    """robots.txt text → array<struct<p: string, a: boolean,
+    rx: string>> of rules (a = Allow; rx = the compiled match regex,
+    built ONCE per rule on the domain-sized frame — the corpus-sized
+    verdict fold only executes it). Scan-side split/regexp transform;
     lines that are not Allow/Disallow rules (User-agent, comments,
     blanks) are dropped."""
     ex = "regexp_extract(ln, '^(Allow|Disallow): (.+)$', {g})"
-    return F.expr(
+    base = F.expr(
         f"""filter(transform(split({col}, '\n'),
                    ln -> struct({ex.format(g=2)} as p,
                                 {ex.format(g=1)} = 'Allow' as a)),
                    r -> r.p != '')""")
+    return F.transform(base, lambda r: F.struct(
+        r["p"].alias("p"), r["a"].alias("a"),
+        _rule_rx(r["p"]).alias("rx")))
 
 
 def robots_allowed(rules, path) -> "F.Column":
-    """TRUE when the longest rule prefixing ``path`` allows (Allow
-    wins a length tie; no matching rule → allowed). One scan-side
-    aggregate fold over the (small) rules array."""
+    """TRUE when the most specific rule matching ``path`` allows
+    (specificity = raw-pattern octet length; Allow wins a length tie;
+    no matching rule → allowed; NULL rules — a domain with no
+    robots.txt row — fold to NULL, which every gate coalesces to
+    allow-all per RFC 9309 §2.3.1.2/2.3.1.3). One scan-side aggregate
+    fold over the (small) rules array; each rule's regex was compiled
+    once on the broadcast side."""
     return F.expr(
-        f"""aggregate(filter({rules}, r -> startswith({path}, r.p)),
+        f"""aggregate(filter({rules}, r -> {path} rlike r.rx),
                       struct(-1 as l, true as a),
                       (acc, r) -> CASE
                           WHEN length(r.p) > acc.l
@@ -452,8 +503,10 @@ def robots_stats(documents: DataFrame) -> DataFrame:
         F.regexp_extract("canon", ROBOTS_PATH_RE, 1).alias("path"))
     rules = synthesize_robots(documents).select(
         "domain", parse_robots("robots_txt").alias("rules"))
-    ok = robots_allowed("rules", "path")
-    return (u.join(F.broadcast(rules), "domain")
+    # LEFT join + coalesce(…, true): a domain with no robots.txt row
+    # is allow-all (RFC 9309 §2.3.1.2 — absence of rules never blocks)
+    ok = F.coalesce(robots_allowed("rules", "path"), F.lit(True))
+    return (u.join(F.broadcast(rules), "domain", "left")
             .withColumn("ok", ok)
             .groupBy("domain")
             .agg(F.count(F.lit(1)).alias("n_urls"),
@@ -483,8 +536,9 @@ def robots_filter_docs(documents: DataFrame) -> DataFrame:
     rules = synthesize_robots(documents).select(
         F.col("domain").alias("_domain"),
         parse_robots("robots_txt").alias("_rules"))
-    return (u.join(F.broadcast(rules), "_domain")
-            .filter(robots_allowed("_rules", "_path"))
+    return (u.join(F.broadcast(rules), "_domain", "left")
+            .filter(F.coalesce(robots_allowed("_rules", "_path"),
+                               F.lit(True)))
             .drop("_canon", "_domain", "_path", "_rules"))
 
 
@@ -506,12 +560,15 @@ def robots_gate_frame(frame: DataFrame,
     """The robots longest-match gate over any frame carrying
     (``canon``, ``domain``): broadcast the domain-sized parsed-rules
     frame, fold the verdict per row, keep the allowed rows (input
-    schema preserved). The shared second half of the discovery-channel
-    gate sequence."""
+    schema preserved). A frame domain with NO rules row passes —
+    absence of robots.txt means allow-all (RFC 9309 §2.3.1.2), never
+    silent disappearance. The shared second half of the
+    discovery-channel gate sequence."""
     rules = synthesize_robots(documents).select(
         "domain", parse_robots("robots_txt").alias("_rules"))
     gated = frame.withColumn(
         "_path", F.regexp_extract("canon", ROBOTS_PATH_RE, 1))
-    return (gated.join(F.broadcast(rules), "domain")
-            .filter(robots_allowed("_rules", "_path"))
+    return (gated.join(F.broadcast(rules), "domain", "left")
+            .filter(F.coalesce(robots_allowed("_rules", "_path"),
+                               F.lit(True)))
             .drop("_rules", "_path"))

@@ -1416,51 +1416,81 @@ def _domain_blocklist_oracle_sql() -> str:
     """
 
 
-def _robots_oracle_sql() -> str:
-    """Generated DuckDB twin of ``urls.robots_stats``: the shared URL
-    synthesis CTEs, the same per-domain robots.txt synthesis and
-    line-parse, and the longest-match verdict as an INDEPENDENT
-    formulation (a per-URL window ORDER BY length DESC, allow DESC vs
-    the engine's aggregate fold) — matching it proves the fold
-    implements RFC 9309 longest-match, not just that both engines ran
-    the same code."""
+def _robots_rules_ctes() -> str:
+    """``rdoms``/``rb``/``rrules``: the per-domain robots.txt
+    synthesis, line parse, and per-rule regex compile (RFC 9309
+    §2.2.3: trailing ``$`` → end anchor, ``ROBOTS_RX_META`` escaped —
+    the SAME shared literal the engine compiles with — ``*`` → ``.*``)
+    — ONE generator consumed by every robots-gated twin
+    (``robots_gate``, ``crawl_frontier``, ``fetch_list``), so the
+    three oracles cannot keep divergent hand copies of the rules.
+    Assumes the URL CTEs' ``d`` is in scope."""
+    from ..operators.urls import ROBOTS_RX_META
     mm = "CAST(regexp_extract(domain, 'site(\\d+)', 1) AS INT)"
-    return f"""
-        WITH {_url_canon_ctes()},
-        uu AS (SELECT doc_id, domain,
-                      regexp_extract(canon,
-                        '^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)', 1)
-                      AS path
-               FROM d),
-        doms AS (SELECT DISTINCT domain FROM d),
+    rx = ("'^' || replace(regexp_replace("
+          "CASE WHEN p LIKE '%$' THEN substr(p, 1, length(p) - 1) "
+          "ELSE p END, "
+          f"'{ROBOTS_RX_META}', '\\\\\\1', 'g'), '*', '.*') "
+          "|| CASE WHEN p LIKE '%$' THEN '$' ELSE '' END")
+    return f"""rdoms AS (SELECT DISTINCT domain FROM d),
         rb AS (SELECT domain,
                  'User-agent: *' || chr(10) ||
                  'Disallow: /private' || chr(10) ||
+                 'Disallow: /*.php$' || chr(10) ||
                  CASE WHEN {mm} % 4 = 1
                       THEN 'Disallow: /articles/item1' || chr(10) ||
                            'Allow: /articles/item12' || chr(10)
                       ELSE '' END ||
+                 CASE WHEN {mm} % 4 = 2
+                      THEN 'Disallow: /*4?' || chr(10) ||
+                           'Disallow: /*2?' || chr(10) ||
+                           'Allow: /articles/item*14?*' || chr(10) ||
+                           'Allow: /a*6?' || chr(10) ||
+                           'Disallow: /*66?' || chr(10)
+                      ELSE '' END ||
                  CASE WHEN {mm} % 4 = 3
                       THEN 'Disallow: /' || chr(10) ELSE '' END AS txt
-               FROM doms),
-        rules AS (
-            SELECT domain,
-                   regexp_extract(ln, '^(Allow|Disallow): (.+)$', 2)
-                     AS p,
-                   regexp_extract(ln, '^(Allow|Disallow): (.+)$', 1)
-                     = 'Allow' AS a
+               FROM rdoms),
+        rrules AS (
+            SELECT domain, p, a, {rx} AS rx
             FROM (SELECT domain,
-                         unnest(string_split(txt, chr(10))) AS ln
-                  FROM rb)
-            WHERE regexp_extract(ln, '^(Allow|Disallow): (.+)$', 2)
-                  <> ''),
+                     regexp_extract(ln, '^(Allow|Disallow): (.+)$', 2)
+                       AS p,
+                     regexp_extract(ln, '^(Allow|Disallow): (.+)$', 1)
+                       = 'Allow' AS a
+                  FROM (SELECT domain,
+                               unnest(string_split(txt, chr(10))) AS ln
+                        FROM rb)
+                  WHERE regexp_extract(ln,
+                        '^(Allow|Disallow): (.+)$', 2) <> ''))"""
+
+
+def _robots_oracle_sql() -> str:
+    """Generated DuckDB twin of ``urls.robots_stats``: the shared URL
+    synthesis CTEs, the shared robots-rules CTEs
+    (``_robots_rules_ctes``), and the most-specific-match verdict as
+    an INDEPENDENT formulation (a per-URL window ORDER BY raw-pattern
+    length DESC, allow DESC over ``regexp_matches`` hits vs the
+    engine's aggregate fold) — matching it proves the fold implements
+    RFC 9309 §2.2.2/§2.2.3 most-specific-match over wildcard rules,
+    not just that two engines ran the same code."""
+    from ..operators.urls import ROBOTS_PATH_RE
+    return f"""
+        WITH {_url_canon_ctes()},
+        uu AS (SELECT doc_id, domain,
+                      regexp_extract(canon,
+                        '{ROBOTS_PATH_RE}', 1)
+                      AS path
+               FROM d),
+        {_robots_rules_ctes()},
         matched AS (
             SELECT uu.doc_id, r.a,
                    row_number() OVER (
                        PARTITION BY uu.doc_id
                        ORDER BY length(r.p) DESC, r.a DESC) AS rn
-            FROM uu JOIN rules r
-              ON r.domain = uu.domain AND starts_with(uu.path, r.p)),
+            FROM uu JOIN rrules r
+              ON r.domain = uu.domain
+             AND regexp_matches(uu.path, r.rx)),
         verdict AS (
             SELECT uu.doc_id, uu.domain, coalesce(m.a, true) AS ok
             FROM uu LEFT JOIN
@@ -1544,7 +1574,6 @@ def _frontier_common_ctes(iters: int = 3, fanout: int = 3,
     from ..operators.urls import fixture_blocklist
     js = ", ".join(str(j) for j in range(1, fanout + 1))
     deny = ", ".join(f"'{b}'" for b in fixture_blocklist())
-    mm = "CAST(regexp_extract(domain, 'site(\\d+)', 1) AS INT)"
     ctes = [f"""nn AS (SELECT count(*) AS c FROM documents),
         pe AS (SELECT doc_id AS u, (doc_id * 7 + j.j) % nn.c AS v
                FROM documents CROSS JOIN nn
@@ -1575,28 +1604,7 @@ def _frontier_common_ctes(iters: int = 3, fanout: int = 3,
                         CAST(sum(r.r) AS BIGINT) AS priority
                  FROM tgt JOIN {prev} r ON r.v = tgt.u
                  GROUP BY tgt.canon, tgt.domain),
-        doms AS (SELECT DISTINCT domain FROM d),
-        rb AS (SELECT domain,
-                 'User-agent: *' || chr(10) ||
-                 'Disallow: /private' || chr(10) ||
-                 CASE WHEN {mm} % 4 = 1
-                      THEN 'Disallow: /articles/item1' || chr(10) ||
-                           'Allow: /articles/item12' || chr(10)
-                      ELSE '' END ||
-                 CASE WHEN {mm} % 4 = 3
-                      THEN 'Disallow: /' || chr(10) ELSE '' END AS txt
-               FROM doms),
-        rrules AS (
-            SELECT domain,
-                   regexp_extract(ln, '^(Allow|Disallow): (.+)$', 2)
-                     AS p,
-                   regexp_extract(ln, '^(Allow|Disallow): (.+)$', 1)
-                     = 'Allow' AS a
-            FROM (SELECT domain,
-                         unnest(string_split(txt, chr(10))) AS ln
-                  FROM rb)
-            WHERE regexp_extract(ln, '^(Allow|Disallow): (.+)$', 2)
-                  <> '')"""
+        {_robots_rules_ctes()}"""
 
 
 def _crawl_frontier_oracle_sql(iters: int = 3, fanout: int = 3,
@@ -1615,7 +1623,7 @@ def _crawl_frontier_oracle_sql(iters: int = 3, fanout: int = 3,
         {_frontier_common_ctes(iters, fanout, scale)},
         pp AS (SELECT canon, domain, priority,
                       regexp_extract(canon,
-                        '^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)', 1)
+                        '^[a-z][a-z0-9+.-]*://[^/?]*(/.*)$', 1)
                         AS path
                FROM fpri),
         matched AS (
@@ -1624,7 +1632,8 @@ def _crawl_frontier_oracle_sql(iters: int = 3, fanout: int = 3,
                        PARTITION BY pp.canon
                        ORDER BY length(r.p) DESC, r.a DESC) AS rn
             FROM pp JOIN rrules r
-              ON r.domain = pp.domain AND starts_with(pp.path, r.p)),
+              ON r.domain = pp.domain
+             AND regexp_matches(pp.path, r.rx)),
         okd AS (
             SELECT pp.canon, pp.domain, pp.priority
             FROM pp LEFT JOIN
@@ -1680,7 +1689,7 @@ def _fetch_list_oracle_sql(iters: int = 3, fanout: int = 3,
                 WHERE d.domain NOT IN ({deny})
                 GROUP BY pgu.page),
         pthu AS (SELECT *, regexp_extract(canon,
-                   '^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)', 1) AS path
+                   '^[a-z][a-z0-9+.-]*://[^/?]*(/.*)$', 1) AS path
                  FROM pcu),
         mtu AS (SELECT pthu.canon, r.a,
                        row_number() OVER (
@@ -1688,7 +1697,7 @@ def _fetch_list_oracle_sql(iters: int = 3, fanout: int = 3,
                            ORDER BY length(r.p) DESC, r.a DESC) AS rn
                 FROM pthu JOIN rrules r
                   ON r.domain = pthu.domain
-                 AND starts_with(pthu.path, r.p)),
+                 AND regexp_matches(pthu.path, r.rx)),
         pok AS (SELECT pthu.page, pthu.canon, pthu.domain
                 FROM pthu LEFT JOIN
                      (SELECT canon, a FROM mtu WHERE rn = 1) m
