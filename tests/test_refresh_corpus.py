@@ -39,6 +39,24 @@ def test_corpus_delta_statuses_and_null_text(spark):
                    4: "unchanged", 5: "added"}
 
 
+def test_corpus_delta_metadata_change_is_changed(spark):
+    """Same text, re-labeled lang/source -> 'changed' (the kept
+    curated row must not retain stale metadata); frames lacking the
+    metadata columns fall back to text-only fingerprints."""
+    old = _docs(spark, [(1, "a"), (2, "b")])
+    new = (_docs(spark, [(1, "a"), (2, "b")])
+           .withColumn("lang", F.when(F.col("doc_id") == 2,
+                                      F.lit("fr")).otherwise("en")))
+    got = {r.doc_id: r.status for r in corpus_delta(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed"}
+    # text-only frames: metadata folding degrades gracefully
+    bare_old = old.select("doc_id", "text")
+    bare_new = new.select("doc_id", "text")
+    got = {r.doc_id: r.status
+           for r in corpus_delta(bare_old, bare_new).collect()}
+    assert got == {1: "unchanged", 2: "unchanged"}
+
+
 def test_refresh_matches_full_rebuild_up_to_survivor_preference(spark):
     """The equality contract on a cluster-disjoint construction, with
     every interaction class planted:
@@ -112,3 +130,60 @@ def test_refresh_matches_full_rebuild_up_to_survivor_preference(spark):
         .select("bin_id").distinct().collect()}
     assert delta_bins and kept_bins
     assert not kept_bins & delta_bins
+
+
+def _long_text(i: int) -> str:
+    rng = random.Random(1000 + i)
+    return f"long doc {i} " + " ".join(rng.sample(_VOCAB, 400))
+
+
+def test_refresh_retracts_chunked_long_docs(spark):
+    """chunk_long on the refresh path: a changed long doc's PRIOR
+    chunk rows (negative synthetic ids -(doc*2^24 + chunk + 1)) leave
+    with it — the refresh must retract by ORIGINATING document, not
+    raw id, or stale chunks persist beside the re-chunked new rows —
+    a removed long doc's chunks vanish, an unchanged long doc's
+    chunks survive, and the refreshed corpus equals the full rebuild
+    row-for-row INCLUDING ids (chunk ids are deterministic)."""
+    old_rows = ([(i, _text(i)) for i in range(1, 11)]
+                + [(i, _long_text(i)) for i in (50, 51, 52)])
+    old = _docs(spark, old_rows).localCheckpoint()
+    prior_curated, _ = build_training_corpus(spark, SF, docs=old,
+                                             chunk_long=True)
+    prior_curated = prior_curated.localCheckpoint()
+    prior_ids = {r.doc_id for r in prior_curated.select("doc_id")
+                 .collect()}
+    assert any(i < 0 for i in prior_ids)     # chunks actually exist
+    assert 50 not in prior_ids               # long docs ride as chunks
+
+    # 50 changes (prefix edit so every chunk's text shifts), 51 is
+    # removed, 52 unchanged, 60 added short
+    new_rows = ([(i, _text(i)) for i in range(1, 11)]
+                + [(50, "now refreshed " + _long_text(50)),
+                   (52, _long_text(52)),
+                   (60, _text(60))])
+    new = _docs(spark, new_rows).localCheckpoint()
+
+    curated, report = refresh_training_corpus(
+        spark, SF, old, new, prior_curated, chunk_long=True)
+    curated = curated.localCheckpoint()
+    full, _ = build_training_corpus(spark, SF, docs=new,
+                                    chunk_long=True)
+    got = {r.doc_id: r.text for r in curated.collect()}
+    want = {r.doc_id: r.text for r in full.collect()}
+    assert curated.count() == len(got)       # no duplicate ids
+    assert got == want                       # ids AND texts identical
+    rep = {r.stage: r.n_docs for r in report.collect()}
+    assert rep["0_delta_changed"] == 1 and rep["0_delta_removed"] == 1
+
+
+def test_refresh_rejects_managed_pipeline_knobs(spark):
+    """prior_docs/near_prior/docs are driven by the refresh protocol
+    itself; passing them through pipeline_knobs must fail loudly, not
+    as a duplicate-keyword TypeError deep in the funnel."""
+    import pytest
+
+    old = _docs(spark, [(1, "a")])
+    with pytest.raises(TypeError, match="prior_docs"):
+        refresh_training_corpus(spark, SF, old, old, old,
+                                prior_docs=old)

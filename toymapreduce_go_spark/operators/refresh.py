@@ -131,12 +131,20 @@ CORPUS_REPROCESS = ("added", "changed")
 def corpus_delta(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
     """(doc_id, status): classify two crawls of the same id space as
     added / removed / changed / unchanged — ONE full-outer join on the
-    document key with md5(text) content fingerprints and explicit
-    presence markers (the ``crawl_diff`` convention: fp nullness must
-    never stand in for absence — a NULL-text row is still present).
-    At 100 TB both crawls are written bucketed by doc_id and the join
-    co-locates with no exchange."""
-    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    document key with content fingerprints and explicit presence
+    markers (the ``crawl_diff`` convention: fp nullness must never
+    stand in for absence — a NULL-text row is still present). The
+    fingerprint folds in whichever of source/lang BOTH frames carry
+    (NUL-separated fields, so no concat ambiguity): a doc whose text
+    is unchanged but whose metadata was re-labeled classifies as
+    ``changed`` and gets re-curated — the kept curated row must never
+    retain stale metadata. At 100 TB both crawls are written bucketed
+    by doc_id and the join co-locates with no exchange."""
+    meta = [c for c in ("source", "lang")
+            if c in old_docs.columns and c in new_docs.columns]
+    fp = F.md5(F.concat_ws(
+        "\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("\x01"))
+                  for c in ("text", *meta)]))
     o = old_docs.select("doc_id", fp.alias("fp_old"),
                         F.lit(1).alias("_o"))
     n = new_docs.select("doc_id", fp.alias("fp_new"),
@@ -191,15 +199,33 @@ def refresh_training_corpus(spark, sf_dir: str, old_docs: DataFrame,
     100 TB shape: cost scales with the DELTA, not the corpus — the
     kept output is never read beyond one metadata agg (max bin id)
     and the broadcast-sized screens derived from it."""
-    from ..pipeline import build_training_corpus
+    from ..pipeline import CHUNK_ID_MULT, build_training_corpus
 
+    for k in ("docs", "prior_docs", "near_prior"):
+        if k in pipeline_knobs:
+            raise TypeError(
+                f"refresh_training_corpus drives '{k}' itself (the "
+                "delta is the docs frame, the kept corpus is the "
+                "prior screen); passing it as a pipeline knob would "
+                "silently fight the refresh protocol")
     d = corpus_delta(old_docs, new_docs).persist()
     counts = {r["status"]: r["n"] for r in
               d.groupBy("status").agg(F.count("*").alias("n"))
               .collect()}
     stale = (d.filter(F.col("status").isin(*CORPUS_RETRACT))
              .select("doc_id"))
-    kept = prior_curated.join(stale, "doc_id", "left_anti").persist()
+    # retract by the ORIGINATING document: a chunk_long row carries a
+    # negative synthetic id -(doc*CHUNK_ID_MULT + chunk + 1), so a
+    # changed/removed long doc must take its chunk rows with it —
+    # anti-join on the inverted mapping, one expression, no extra join
+    orig = F.when(
+        F.col("doc_id") < 0,
+        F.expr(f"(-doc_id - 1) div {CHUNK_ID_MULT}")
+    ).otherwise(F.col("doc_id"))
+    kept = (prior_curated.withColumn("_orig", orig)
+            .join(stale.select(F.col("doc_id").alias("_orig")),
+                  "_orig", "left_anti")
+            .drop("_orig").persist())
     n_kept = kept.count()
     delta = new_docs.join(
         d.filter(F.col("status").isin(*CORPUS_REPROCESS))

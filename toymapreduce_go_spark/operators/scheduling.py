@@ -38,9 +38,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.checksum import CKSUM_MOD
-from .frontier import FRONTIER_MOD, frontier_candidates
-from .sitemaps import (SITEMAP_EPOCH, fetched_day_expr, sitemap_entries,
-                       sitemap_seeds, synthesize_sitemaps)
+from .frontier import frontier_candidates
+from .sitemaps import recrawl_gaps, sitemap_seeds
 from .urls import deny_gate, robots_gate_frame
 
 FETCH_BUDGET = 3   # per-host slots per cycle, across ALL channels
@@ -57,16 +56,9 @@ def fetch_channels(documents: DataFrame) -> DataFrame:
          .join(a.select("canon"), "canon", "left_anti")
          .withColumn("priority", F.lit(0).cast("long"))
          .withColumn("ch", F.lit(1)))
-    ent = sitemap_entries(synthesize_sitemaps(documents))
-    item = F.regexp_extract("canon", r"/articles/item(\d+)", 1) \
-        .cast("long")
-    off = F.datediff(F.to_date("lastmod"),
-                     F.to_date(F.lit(SITEMAP_EPOCH))).cast("long")
-    c = (ent.withColumn("page", item)
-         .filter(F.pmod(F.col("page"), F.lit(FRONTIER_MOD)) != 0)
-         .withColumn("priority",
-                     (off - fetched_day_expr(F.col("page"))))
-         .filter(F.col("priority") > 0))
+    c = (recrawl_gaps(documents)
+         .filter(F.col("gap") > 0)
+         .withColumnRenamed("gap", "priority"))
     c = (robots_gate_frame(deny_gate(c), documents)
          .select("canon", "domain", "priority")
          .withColumn("ch", F.lit(2)))

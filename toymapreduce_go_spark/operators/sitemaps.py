@@ -148,6 +148,27 @@ def fetched_day_expr(page) -> "F.Column":
     return F.pmod(page * FETCH_DAY_MULT, F.lit(365))
 
 
+def recrawl_gaps(documents: DataFrame) -> DataFrame:
+    """(canon, domain, page, off, gap): every CRAWLED page listed in
+    the parsed sitemaps with its lastmod day offset (``off``) and
+    staleness gap (``gap`` = off − last-fetch day; strictly positive
+    means stale). THE single definition of the recrawl staleness
+    logic — ``recrawl_schedule`` rolls it up, the fetch list's
+    recrawl channel filters ``gap > 0`` and ranks by it (r11 ADVICE:
+    the two hand-kept copies were the same desync hazard the gates
+    had). Host-sized after the one corpus distinct."""
+    ent = sitemap_entries(synthesize_sitemaps(documents))
+    item = F.regexp_extract("canon", r"/articles/item(\d+)", 1) \
+        .cast("long")
+    ent = (ent.withColumn("page", item)
+           .filter(F.pmod(F.col("page"), F.lit(FRONTIER_MOD)) != 0))
+    off = F.datediff(F.to_date("lastmod"),
+                     F.to_date(F.lit(SITEMAP_EPOCH))).cast("long")
+    return ent.select(
+        "canon", "domain", "page", off.alias("off"),
+        (off - fetched_day_expr(F.col("page"))).alias("gap"))
+
+
 def recrawl_schedule(documents: DataFrame) -> DataFrame:
     """The registered rollup: per host — crawled pages listed in the
     sitemap, stale pages (lastmod strictly newer than the last fetch),
@@ -156,14 +177,9 @@ def recrawl_schedule(documents: DataFrame) -> DataFrame:
     staleness verdict. Everything runs on the host-sized parsed
     sitemap (the corpus is touched once for the page universe);
     uncrawled pages are the frontier's job and are excluded here."""
-    ent = sitemap_entries(synthesize_sitemaps(documents))
-    item = F.regexp_extract("canon", r"/articles/item(\d+)", 1) \
-        .cast("long")
-    ent = (ent.withColumn("page", item)
-           .filter(F.pmod(F.col("page"), F.lit(FRONTIER_MOD)) != 0))
-    off = F.datediff(F.to_date("lastmod"),
-                     F.to_date(F.lit(SITEMAP_EPOCH))).cast("long")
-    stale = off > fetched_day_expr(F.col("page"))
+    ent = recrawl_gaps(documents)
+    off = F.col("off")
+    stale = F.col("gap") > 0
     canon_h = F.pmod(F.conv(F.substring(F.md5("canon"), 1, 15), 16, 10)
                      .cast("long"), F.lit(CKSUM_MOD))
     term = F.pmod(canon_h * (F.lit(1) + off), F.lit(CKSUM_MOD))

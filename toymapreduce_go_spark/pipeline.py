@@ -36,6 +36,13 @@ from .operators.textstats import (MIN_ALPHA_RATIO, MIN_CHARS,
                                   repetition_features, repetition_flag)
 from .sources.registry import load_table
 
+# chunk_long synthetic-id namespace: a long document d's chunk c gets
+# doc_id -(d*CHUNK_ID_MULT + c + 1) — negative, disjoint from every
+# real id, and invertible (orig doc = (-id - 1) div CHUNK_ID_MULT, the
+# mapping refresh_training_corpus uses to retract a changed/removed
+# long doc's chunk rows along with it)
+CHUNK_ID_MULT = 1 << 24
+
 
 def build_training_corpus(spark: SparkSession, sf_dir: str,
                           out_path: str | None = None,
@@ -306,17 +313,16 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
     if chunk_long:
         from .operators.chunking import chunk_documents
         from .operators.packing import bpe_ish_token_count
-        _CHUNK_ID_MULT = 1 << 24
         n_tok = F.coalesce(bpe_ish_token_count(F.col("text")), F.lit(0))
         long_docs = clean.filter(n_tok > max_tokens)
         short_docs = clean.join(long_docs.select("doc_id"),
                                 "doc_id", "left_anti")
         synth_id = F.when(
-            F.col("chunk_id") < _CHUNK_ID_MULT,
-            -(F.col("doc_id") * _CHUNK_ID_MULT + F.col("chunk_id") + 1)
+            F.col("chunk_id") < CHUNK_ID_MULT,
+            -(F.col("doc_id") * CHUNK_ID_MULT + F.col("chunk_id") + 1)
         ).otherwise(F.raise_error(F.concat(
             F.lit("chunk_long: document "), F.col("doc_id"),
-            F.lit(f" produced >= {_CHUNK_ID_MULT} chunks — synthetic "
+            F.lit(f" produced >= {CHUNK_ID_MULT} chunks — synthetic "
                   "ids would collide across documents"))))
         chunks = (chunk_documents(long_docs,
                                   chunk_tokens=max(1, max_tokens // 2),
