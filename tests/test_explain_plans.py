@@ -539,3 +539,17 @@ def test_sitemap_parse_touches_the_corpus_once(spark):
                                                     "documents")))
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) == 1, plan
+
+
+def test_fetch_list_runs_the_rank_join_exactly_once(spark):
+    """fetch_channels references the frontier channel twice (union as
+    ch 0, anti-join for the sitemap-only remainder); the page-sized
+    channel is localCheckpoint-ed so the corpus-sized edge ⋈ rank
+    join and its priority groupBy run ONCE — the fetch_list physical
+    plan must contain ZERO rank aggregates (they already executed)
+    and reference the checkpointed channel at least twice."""
+    from toymapreduce_go_spark.operators.scheduling import fetch_list
+    plan = plan_of(fetch_list(load_table(spark, SF_DIR, "documents")))
+    import re
+    assert not re.findall(r"sum\(r[)#]", plan), plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan

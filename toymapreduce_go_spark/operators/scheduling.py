@@ -48,10 +48,18 @@ FETCH_BUDGET = 3   # per-host slots per cycle, across ALL channels
 def fetch_channels(documents: DataFrame) -> DataFrame:
     """(canon, domain, priority, ch): the three channels, gated,
     pre-budget. Canons are disjoint across channels by construction
-    (ch 0/1 partition the uncrawled pages; ch 2 is crawled pages)."""
+    (ch 0/1 partition the uncrawled pages; ch 2 is crawled pages).
+
+    The frontier channel is referenced TWICE in one plan (unioned as
+    ch 0 AND anti-joined to carve the sitemap-only remainder), so its
+    page-sized result is ``localCheckpoint``-ed: the corpus-sized
+    edge ⋈ rank join and its groupBy execute exactly once, whatever
+    the optimizer decides about exchange reuse (r11 verdict: relying
+    on ReuseExchange here let the rank join run twice)."""
     a = (frontier_candidates(documents)
          .select("canon", "domain", "priority")
-         .withColumn("ch", F.lit(0)))
+         .withColumn("ch", F.lit(0))
+         .localCheckpoint())
     b = (sitemap_seeds(documents).select("canon", "domain")
          .join(a.select("canon"), "canon", "left_anti")
          .withColumn("priority", F.lit(0).cast("long"))
