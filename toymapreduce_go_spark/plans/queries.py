@@ -304,6 +304,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract": _q(html_extract.html_extract_stats),
     "pdf_extract": _q(pdf_extract.pdf_extract_stats),
     "warc_extract": _q(warc_extract.warc_extract_stats),
+    "warc_extract_gz": _q(warc_extract.warc_gz_extract_stats),
     "link_pagerank": _q(linkgraph.link_pagerank),
     "crawl_frontier": _q(frontier.crawl_frontier),
     "sitemap_extract": _q(sitemaps.sitemap_extract_stats),
@@ -383,7 +384,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "html_extract", "url_canonical", "langid_trained",
                "ann_index_probe", "crawl_diff", "corpus_datasheet",
                "domain_blocklist", "domain_reputation", "pdf_extract",
-               "warc_extract", "link_pagerank", "robots_gate",
+               "warc_extract", "warc_extract_gz",
+               "link_pagerank", "robots_gate",
                "crawl_frontier", "sitemap_extract", "mojibake_repair",
                "recrawl_schedule", "fetch_list")
 
@@ -2760,6 +2762,10 @@ ORACLES: dict[str, str] = {
     # mismatches raise), so its rollup is value-identical to
     # html_extract's by construction and shares its DuckDB twin
     "warc_extract": _html_extract_oracle_sql(),
+    # gzip-member WARC: the gzip round trip is pinned byte-equal and
+    # the inner parse lossless (tests/test_warc_extract.py), so the
+    # compressed front door inherits the same twin
+    "warc_extract_gz": _html_extract_oracle_sql(),
     "link_pagerank": _link_pagerank_oracle_sql(),
     "crawl_frontier": _crawl_frontier_oracle_sql(),
     "sitemap_extract": _sitemap_oracle_sql(),
