@@ -98,3 +98,66 @@ def test_recrawl_schedule_staleness_is_exact_and_nonvacuous(spark):
     assert {r.domain: r.n_crawled_pages for r in roll} == dom_pages
     assert {r.domain: r.n_stale for r in roll} == \
         {d: dom_stale.get(d, 0) for d in dom_pages}
+
+
+def test_sitemap_index_two_level_round_trip_equals_flat(spark):
+    """The <sitemapindex> → gzipped-children parse yields exactly the
+    flat urlset's entries (domain, canon, lastmod) — the equality pin
+    that lets sitemap_index_stats inherit the XML-free twin — and the
+    miniature 50k-cap stand-in BINDS: every host splits into more
+    than one child, no child exceeds SITEMAP_CHILD_CAP entries."""
+    from toymapreduce_go_spark.operators.sitemaps import (
+        SITEMAP_CHILD_CAP, sitemap_entries, sitemap_index_entries,
+        sitemap_index_stats, synthesize_sitemap_children,
+        synthesize_sitemap_index, synthesize_sitemaps)
+    docs = load_table(spark, SF_DIR, "documents")
+    flat = {tuple(r) for r in
+            sitemap_entries(synthesize_sitemaps(docs)).collect()}
+    idx = {tuple(r) for r in sitemap_index_entries(
+        synthesize_sitemap_index(docs),
+        synthesize_sitemap_children(docs)).collect()}
+    assert idx == flat and flat
+    # the cap binds and is respected
+    ch = synthesize_sitemap_children(docs)
+    per = {(r["domain"], r["child"]) for r in ch.collect()}
+    n_children = {}
+    for d, c in per:
+        n_children[d] = n_children.get(d, 0) + 1
+    assert all(v > 1 for v in n_children.values())
+    import gzip
+    for r in ch.collect():
+        xml = gzip.decompress(bytes(r["xml_gz"])).decode()
+        assert xml.count("<url><loc>") <= SITEMAP_CHILD_CAP
+    # and the registered rollup equals the flat one
+    a = {tuple(r) for r in sitemap_index_stats(docs).collect()}
+    b = {tuple(r) for r in
+         __import__("toymapreduce_go_spark.operators.sitemaps",
+                    fromlist=["sitemap_extract_stats"])
+         .sitemap_extract_stats(docs).collect()}
+    assert a == b
+
+
+def test_sitemap_index_corrupt_gz_child_raises(spark):
+    """A corrupted gzip child sitemap fails loudly (CRC trailer),
+    naming the child — never a partial parse."""
+    import pytest
+
+    from toymapreduce_go_spark.operators.sitemaps import (
+        sitemap_index_entries, synthesize_sitemap_children,
+        synthesize_sitemap_index)
+    docs = load_table(spark, SF_DIR, "documents")
+    ch = synthesize_sitemap_children(docs)
+
+    def corrupt(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["xml_gz"] = [
+                bytes(g[:-6]) + bytes([g[-6] ^ 0xFF]) + bytes(g[-5:])
+                for g in pdf["xml_gz"]]
+            yield pdf
+
+    bad = ch.mapInPandas(corrupt,
+                         "domain string, child long, xml_gz binary")
+    with pytest.raises(Exception, match="sitemap_index"):
+        sitemap_index_entries(synthesize_sitemap_index(docs),
+                              bad).collect()

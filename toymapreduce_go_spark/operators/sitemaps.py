@@ -45,32 +45,18 @@ _ENTRY_RE = r"<url><loc>([^<]*)</loc><lastmod>([^<]*)</lastmod></url>"
 
 
 def synthesize_sitemaps(documents: DataFrame) -> DataFrame:
-    """(domain, xml): one structurally real sitemap per host, entries
-    in page order. The page universe is ONE count-combinable distinct
-    over ``doc_id div 4``; everything after is host-sized."""
-    pages = documents.select(
-        F.expr("doc_id div 4").cast("long").alias("page")).distinct()
-    dom = F.concat(F.lit("www.site"),
-                   F.pmod(F.col("page"), F.lit(16)).cast("string"),
-                   F.lit(".example.com"))
-    loc = F.concat(F.lit("http://"), dom, F.lit(":80/articles/item"),
-                   F.col("page").cast("string"), F.lit("?b=2&amp;a=1"))
-    lastmod = F.date_format(
-        F.date_add(F.to_date(F.lit(SITEMAP_EPOCH)),
-                   F.pmod(F.col("page"), F.lit(365)).cast("int")),
-        "yyyy-MM-dd")
-    e = pages.select(dom.alias("domain"), F.col("page"),
-                     F.concat(F.lit("<url><loc>"), loc,
-                              F.lit("</loc><lastmod>"), lastmod,
-                              F.lit("</lastmod></url>")).alias("entry"))
+    """(domain, xml): one structurally real flat sitemap per host,
+    entries in page order — the shared page/entry builders
+    (``_host_pages`` / ``_page_entry`` / ``_urlset_xml``) grouped per
+    host instead of per (host, child). The page universe is ONE
+    count-combinable distinct over ``doc_id div 4``; everything after
+    is host-sized."""
+    e = _host_pages(documents).select(
+        "domain",
+        F.struct("page", _page_entry().alias("entry")).alias("s"))
     return (e.groupBy("domain")
-            .agg(F.array_sort(F.collect_list(
-                F.struct("page", "entry"))).alias("es"))
-            .select("domain", F.concat(
-                F.lit(_SM_HEADER),
-                F.array_join(F.transform("es", lambda s: s["entry"]),
-                             "\n"),
-                F.lit("\n</urlset>\n")).alias("xml")))
+            .agg(_urlset_xml(F.array_sort(F.collect_list("s")))
+                 .alias("xml")))
 
 
 def sitemap_entries(sitemaps: DataFrame) -> DataFrame:
@@ -92,6 +78,156 @@ def sitemap_entries(sitemaps: DataFrame) -> DataFrame:
         .alias("lastmod"))
 
 
+# ---------------------------------------------------------------------------
+# Sitemap INDEX files — the production shape: the protocol caps a
+# urlset at 50,000 entries / 50 MB (sitemaps.org §"Using sitemap index
+# files"), so any real host publishes a <sitemapindex> whose
+# <sitemap><loc> entries point at child sitemaps, usually gzipped.
+# Synthesized in miniature (SITEMAP_CHILD_CAP entries per child so the
+# cap BINDS on the fixture), children gzip-compressed (RFC 1952, CRC
+# validated on inflate — corruption raises, never parses partially),
+# and parsed back through a genuine two-level round trip: index XML →
+# child locs → join to the child files ON THE PARSED LOC — a mis-built
+# or mis-parsed loc loses its child and the equality-with-flat pin
+# catches it.
+
+SITEMAP_CHILD_CAP = 4   # miniature stand-in for the 50k-entry cap
+_SI_HEADER = ('<?xml version="1.0" encoding="UTF-8"?>\n<sitemapindex '
+              'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n')
+_SI_ENTRY_RE = r"<sitemap><loc>([^<]*)</loc></sitemap>"
+
+
+def _host_pages(documents: DataFrame) -> DataFrame:
+    """(domain, page, child): the page universe with its host and
+    child-sitemap assignment — pages on one host are m, m+16, m+32, …
+    so ``(page div 16) div CAP`` chunks them in page order without a
+    window (scan-side; the distinct is the one corpus touch)."""
+    pages = documents.select(
+        F.expr("doc_id div 4").cast("long").alias("page")).distinct()
+    dom = F.concat(F.lit("www.site"),
+                   F.pmod(F.col("page"), F.lit(16)).cast("string"),
+                   F.lit(".example.com"))
+    return pages.select(
+        dom.alias("domain"), "page",
+        F.expr(f"(page div 16) div {SITEMAP_CHILD_CAP}").alias("child"))
+
+
+def _urlset_xml(entries_col) -> "F.Column":
+    """urlset XML from a sorted array of (page, entry) structs — the
+    ONE body shared by the flat synthesis and the index children."""
+    return F.concat(
+        F.lit(_SM_HEADER),
+        F.array_join(F.transform(entries_col, lambda s: s["entry"]),
+                     "\n"),
+        F.lit("\n</urlset>\n"))
+
+
+def _page_entry() -> "F.Column":
+    """One <url> entry for the current (page) row — messy variant-0
+    loc (&amp;-escaped), lastmod from the page id."""
+    loc = F.concat(F.lit("http://"), F.col("domain"),
+                   F.lit(":80/articles/item"),
+                   F.col("page").cast("string"), F.lit("?b=2&amp;a=1"))
+    lastmod = F.date_format(
+        F.date_add(F.to_date(F.lit(SITEMAP_EPOCH)),
+                   F.pmod(F.col("page"), F.lit(365)).cast("int")),
+        "yyyy-MM-dd")
+    return F.concat(F.lit("<url><loc>"), loc,
+                    F.lit("</loc><lastmod>"), lastmod,
+                    F.lit("</lastmod></url>"))
+
+
+def _gzip_xml(batches):
+    import gzip
+    for pdf in batches:
+        pdf = pdf.copy()
+        pdf["xml_gz"] = [gzip.compress(x.encode(), 6, mtime=0)
+                         for x in pdf["xml"]]
+        yield pdf[["domain", "child", "xml_gz"]]
+
+
+def _gunzip_xml(batches):
+    import gzip
+    import zlib
+    for pdf in batches:
+        pdf = pdf.copy()
+        xs = []
+        for d, c, g in zip(pdf["domain"], pdf["child"], pdf["xml_gz"]):
+            try:
+                xs.append(gzip.decompress(bytes(g)).decode())
+            except (OSError, zlib.error, EOFError) as e:
+                # gzip.BadGzipFile (bad magic / CRC) is an OSError
+                raise ValueError(
+                    f"sitemap_index: corrupt gzip child sitemap "
+                    f"{c} of {d}: {e}") from None
+        pdf["xml"] = xs
+        yield pdf[["domain", "child", "xml"]]
+
+
+def synthesize_sitemap_children(documents: DataFrame) -> DataFrame:
+    """(domain, child, xml_gz): the gzipped child sitemaps, at most
+    ``SITEMAP_CHILD_CAP`` entries each, entries in page order (the
+    urlset body is ``_urlset_xml`` — shared with the flat form)."""
+    e = _host_pages(documents).select(
+        "domain", "child", F.struct("page", _page_entry().alias("entry"))
+        .alias("s"))
+    xml = (e.groupBy("domain", "child")
+           .agg(_urlset_xml(F.array_sort(F.collect_list("s")))
+                .alias("xml")))
+    return xml.mapInPandas(
+        _gzip_xml, "domain string, child long, xml_gz binary")
+
+
+def synthesize_sitemap_index(documents: DataFrame) -> DataFrame:
+    """(domain, xml): one <sitemapindex> per host enumerating its
+    child sitemap locs (``http://<host>/sitemaps/sitemap-<k>.xml.gz``)
+    in child order."""
+    ch = _host_pages(documents).select("domain", "child").distinct()
+    ent = F.concat(F.lit("<sitemap><loc>http://"), F.col("domain"),
+                   F.lit("/sitemaps/sitemap-"),
+                   F.col("child").cast("string"),
+                   F.lit(".xml.gz</loc></sitemap>"))
+    e = ch.select("domain", F.struct("child", ent.alias("entry"))
+                  .alias("s"))
+    return (e.groupBy("domain")
+            .agg(F.concat(
+                F.lit(_SI_HEADER),
+                F.array_join(F.transform(
+                    F.array_sort(F.collect_list("s")),
+                    lambda s: s["entry"]), "\n"),
+                F.lit("\n</sitemapindex>\n")).alias("xml")))
+
+
+def sitemap_index_entries(index: DataFrame,
+                          children: DataFrame) -> DataFrame:
+    """The two-level parse: explode the index's <sitemap><loc> hits,
+    recover (host, child) FROM THE PARSED LOC, join to the gzipped
+    child files on that parsed key (host-sized both sides — the join
+    is metadata-scale), inflate, and run the shared urlset parser.
+    Output = ``sitemap_entries``'s (domain, canon, lastmod)."""
+    locs = index.select(F.explode(F.expr(
+        f"regexp_extract_all(xml, '{_SI_ENTRY_RE}', 1)")).alias("loc"))
+    locs = locs.select(
+        F.regexp_extract("loc", r"^http://([^/]*)/", 1).alias("domain"),
+        F.regexp_extract("loc", r"/sitemap-(\d+)\.xml\.gz$", 1)
+        .cast("long").alias("child"))
+    j = locs.join(children, ["domain", "child"])
+    xml = j.mapInPandas(_gunzip_xml,
+                        "domain string, child long, xml string")
+    return sitemap_entries(xml.select("domain", "xml"))
+
+
+def sitemap_index_stats(documents: DataFrame) -> DataFrame:
+    """The registered rollup over the INDEX form: identical output to
+    ``sitemap_extract_stats`` (the child split is transparent to every
+    downstream value — pinned in pytest along with the cap binding and
+    the loc round trip), so it inherits the same XML-free DuckDB
+    twin."""
+    ent = sitemap_index_entries(synthesize_sitemap_index(documents),
+                                synthesize_sitemap_children(documents))
+    return _sitemap_rollup(ent)
+
+
 def sitemap_seeds(documents: DataFrame) -> DataFrame:
     """(canon, domain, lastmod): sitemap-discovered UNCRAWLED pages
     surviving the same gates the link frontier applies — structurally
@@ -110,7 +246,13 @@ def sitemap_extract_stats(documents: DataFrame) -> DataFrame:
     (1 + lastmod-offset)) mod-prime checksum — so the value-hash pins
     every parsed loc's canonicalization AND every lastmod's round trip
     through the XML. The twin derives both independently of the XML."""
-    ent = sitemap_entries(synthesize_sitemaps(documents))
+    return _sitemap_rollup(sitemap_entries(synthesize_sitemaps(documents)))
+
+
+def _sitemap_rollup(ent: DataFrame) -> DataFrame:
+    """The per-host rollup over parsed (domain, canon, lastmod)
+    entries — ONE definition shared by the flat and the sitemapindex
+    forms (their equality is the index round trip's pin)."""
     off = F.datediff(F.to_date("lastmod"),
                      F.to_date(F.lit(SITEMAP_EPOCH)))
     item = F.regexp_extract("canon", r"/articles/item(\d+)", 1)

@@ -308,6 +308,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_pagerank": _q(linkgraph.link_pagerank),
     "crawl_frontier": _q(frontier.crawl_frontier),
     "sitemap_extract": _q(sitemaps.sitemap_extract_stats),
+    "sitemap_index": _q(sitemaps.sitemap_index_stats),
     "mojibake_repair": _q(textfix.mojibake_stats),
     "recrawl_schedule": _q(sitemaps.recrawl_schedule),
     "fetch_list": _q(scheduling.fetch_list),
@@ -386,7 +387,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "domain_blocklist", "domain_reputation", "pdf_extract",
                "warc_extract", "warc_extract_gz",
                "link_pagerank", "robots_gate",
-               "crawl_frontier", "sitemap_extract", "mojibake_repair",
+               "crawl_frontier", "sitemap_extract", "sitemap_index",
+               "mojibake_repair",
                "recrawl_schedule", "fetch_list")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
@@ -2769,6 +2771,10 @@ ORACLES: dict[str, str] = {
     "link_pagerank": _link_pagerank_oracle_sql(),
     "crawl_frontier": _crawl_frontier_oracle_sql(),
     "sitemap_extract": _sitemap_oracle_sql(),
+    # sitemapindex form: the two-level (index -> gzipped children)
+    # round trip is pinned equal to the flat parse in
+    # tests/test_sitemaps.py, so it inherits the same XML-free twin
+    "sitemap_index": _sitemap_oracle_sql(),
     "mojibake_repair": _mojibake_oracle_sql(),
     "recrawl_schedule": _recrawl_oracle_sql(),
     "fetch_list": _fetch_list_oracle_sql(),
