@@ -9,10 +9,18 @@ from conftest import SF_DIR
 
 from toymapreduce_go_spark.operators.frontier import frontier_candidates
 from toymapreduce_go_spark.operators.scheduling import (
-    FETCH_BUDGET, fetch_channels, fetch_list)
+    FETCH_CYCLE_US, RATE_BASE_MILLI, fetch_channels, fetch_list,
+    fetch_schedule_rows)
 from toymapreduce_go_spark.operators.sitemaps import (
     recrawl_schedule, sitemap_seeds)
 from toymapreduce_go_spark.sources.registry import load_table
+
+
+def _delay_us(domain: str, rate_scale_milli: int = 1000) -> int:
+    """Driver-side replay of host_delay_us's two-step integer div."""
+    m = int(domain.split("site")[1].split(".")[0])
+    rate_milli = RATE_BASE_MILLI * (1 << (m % 3))
+    return 10**9 // ((rate_milli * rate_scale_milli) // 1000)
 
 
 def test_channels_partition_and_agree_with_their_modules(spark):
@@ -59,11 +67,13 @@ def test_channels_partition_and_agree_with_their_modules(spark):
     assert sum(want.values()) < sum(rep.values())
 
 
-def test_budget_is_unified_across_channels_and_binds(spark):
-    """Per host: the schedule takes the union's best rows in
-    (channel, priority DESC, canon) order under ONE budget — so a
-    host with enough link candidates schedules no recrawls, and the
-    rollup's counts reconcile with the raw channel rows."""
+def test_rate_budget_is_unified_across_channels_and_binds(spark):
+    """Per host: the queue takes the union's best rows in (channel,
+    priority DESC, canon) order, stamps each with a fetch timestamp on
+    the host's cadence, and a fetch cycle admits exactly the rows
+    whose timestamp fits — so a SLOW host schedules fewer fetches than
+    a fast one from the same queue, and the rollup's counts, makespan,
+    and timestamps all reconcile with a driver-side replay."""
     docs = load_table(spark, SF_DIR, "documents")
     chan: dict[str, list] = {}
     for r in fetch_channels(docs).collect():
@@ -71,21 +81,55 @@ def test_budget_is_unified_across_channels_and_binds(spark):
     roll = {r.domain: r for r in fetch_list(docs).collect()}
     assert set(roll) == set(chan)
     binds = False
+    capacities = set()
     for dom, rows in chan.items():
         rows.sort(key=lambda r: (r.ch, -r.priority, r.canon))
         rep = roll[dom]
         assert rep.n_link_cand == sum(r.ch == 0 for r in rows)
         assert rep.n_sitemap_only == sum(r.ch == 1 for r in rows)
         assert rep.n_recrawl == sum(r.ch == 2 for r in rows)
-        assert rep.n_scheduled == min(len(rows), FETCH_BUDGET)
+        delay = _delay_us(dom)
+        cap = sum(1 for k in range(len(rows))
+                  if k * delay < FETCH_CYCLE_US)
+        if len(rows) > cap:          # the rate budget binds here
+            capacities.add(cap)
+        assert rep.n_scheduled == cap
+        assert rep.makespan_us == (rep.n_scheduled - 1) * delay
         assert rep.top_canon == rows[0].canon
-        if len(rows) > FETCH_BUDGET:
+        if len(rows) > rep.n_scheduled:
             binds = True
-            # the budget goes to the union's best rows: everything
+            # the cycle admits the union's best rows: everything
             # scheduled sorts before everything cut
-            cut = rows[FETCH_BUDGET:]
+            n = rep.n_scheduled
+            cut = rows[n:]
             assert all((c.ch, -c.priority, c.canon)
-                       >= (rows[FETCH_BUDGET - 1].ch,
-                           -rows[FETCH_BUDGET - 1].priority,
-                           rows[FETCH_BUDGET - 1].canon) for c in cut)
+                       >= (rows[n - 1].ch, -rows[n - 1].priority,
+                           rows[n - 1].canon) for c in cut)
     assert binds
+    # different host rates -> different bound capacities (the time
+    # budget is per-host, not one global slot count)
+    assert len(capacities) > 1
+
+
+def test_fetch_timestamps_ride_the_host_cadence(spark):
+    """Row rn fetches at (rn-1)·delay_us exactly, and halving the
+    rate doubles every timestamp and the makespan (cycle widened so
+    admission doesn't shrink the comparison set)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    wide = 10**12
+    base = {(r.domain, r.rn): r.fetch_at_us
+            for r in fetch_schedule_rows(docs, cycle_us=wide).collect()}
+    half = {(r.domain, r.rn): r.fetch_at_us
+            for r in fetch_schedule_rows(
+                docs, cycle_us=wide, rate_scale_milli=500).collect()}
+    assert base and set(base) == set(half)
+    for (dom, rn), t in base.items():
+        assert t == (rn - 1) * _delay_us(dom)
+        assert half[(dom, rn)] == 2 * t
+    a = {r.domain: r.makespan_us
+         for r in fetch_list(docs, cycle_us=wide).collect()}
+    b = {r.domain: r.makespan_us
+         for r in fetch_list(docs, cycle_us=wide,
+                             rate_scale_milli=500).collect()}
+    assert all(b[d] == 2 * a[d] for d in a)
+    assert any(a[d] > 0 for d in a)

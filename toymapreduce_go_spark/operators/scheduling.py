@@ -1,6 +1,10 @@
 """The unified fetch list — the single artifact a crawler's fetcher
 actually consumes each cycle, merging all three scheduling channels
-under ONE per-host politeness budget:
+under ONE per-host TIME-AWARE politeness budget (requests/second, not
+slot counts — the r11 verdict's production form): every queued row
+gets a deterministic fetch timestamp on its host's cadence, and a
+fixed-duration fetch cycle admits the rows whose timestamp fits.
+The channels:
 
     ch 0  link frontier     uncrawled pages with crawled in-linkers,
                             ranked by integer PageRank inflow
@@ -15,9 +19,9 @@ under ONE per-host politeness budget:
 
 Channel order is the crawl-policy default (discover ranked content
 first, then orphans, then refresh), deterministic ties by canonical
-URL; within one budget a host's slots go to the union's best rows —
-the banding across channels is a disclosed policy choice, not a
-correctness claim. All three channels pass the SAME shared gates
+URL; within one cycle a host's cadence slots go to the union's best
+rows — the banding across channels is a disclosed policy choice, not
+a correctness claim. All three channels pass the SAME shared gates
 (``urls.deny_gate`` / ``urls.robots_gate_frame``).
 
 100 TB shape: each channel is page-sized by its own module's
@@ -42,7 +46,35 @@ from .frontier import frontier_candidates
 from .sitemaps import recrawl_gaps, sitemap_seeds
 from .urls import deny_gate, robots_gate_frame
 
-FETCH_BUDGET = 3   # per-host slots per cycle, across ALL channels
+# Time-aware politeness (replaces the r11 slot budget): each host has
+# a deterministic request RATE, every scheduled row gets a fetch
+# timestamp on the host's cadence, and a fetch cycle of fixed duration
+# admits exactly the rows whose timestamp falls inside it — the
+# production form (crawl-delay / requests-per-second), not a bare slot
+# count. All integer microseconds (the repo convention): both engines
+# replay every timestamp and admission decision bit-for-bit.
+FETCH_CYCLE_US = 2_000_000   # one fetch cycle: 2 s (miniature)
+RATE_BASE_MILLI = 500        # host rate = 0.5/1/2 req/s by m % 3
+# power-of-two rate ladder so every delay divides 10^9 exactly —
+# halving the rate then doubles every timestamp EXACTLY (no
+# truncation residue), which the direction test pins
+
+
+def host_delay_us(rate_scale_milli: int = 1000) -> "F.Column":
+    """Per-host inter-request gap in integer µs, over a frame carrying
+    ``domain``: the fixture rate is ``500 · 2^(m % 3)``
+    milli-requests/second scaled by ``rate_scale_milli/1000``
+    (production reads rates from a politeness config), so
+    ``delay_us = 10⁹ div (rate_milli · scale div 1000)`` — two-step
+    integer division, replayed bit-for-bit by the twin. Halving
+    ``rate_scale_milli`` doubles every gap — the direction test's
+    lever."""
+    m3 = ("pmod(cast(regexp_extract(domain, 'site(\\\\d+)', 1) "
+          "as bigint), 3)")
+    return F.expr(
+        f"1000000000 div (({RATE_BASE_MILLI} * "
+        f"(CASE {m3} WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END) * "
+        f"{int(rate_scale_milli)}) div 1000)")
 
 
 def fetch_channels(documents: DataFrame) -> DataFrame:
@@ -73,21 +105,46 @@ def fetch_channels(documents: DataFrame) -> DataFrame:
     return a.unionByName(b).unionByName(c)
 
 
-def fetch_list(documents: DataFrame,
-               budget: int = FETCH_BUDGET) -> DataFrame:
-    """The registered rollup: per host — per-channel candidate counts,
-    scheduled count under the unified budget, the first URL fetched,
-    and a (canon-hash × (1 + channel)) mod-prime checksum over the
-    scheduled set — pinning membership, channel assignment, priority
-    order, and every budget decision."""
+def fetch_schedule_rows(documents: DataFrame,
+                        cycle_us: int = FETCH_CYCLE_US,
+                        rate_scale_milli: int = 1000) -> DataFrame:
+    """(canon, domain, priority, ch, rn, fetch_at_us, scheduled): the
+    unified queue with each row's deterministic fetch TIMESTAMP on the
+    host's cadence — row rn fetches at ``(rn−1) · delay_us`` — and the
+    time-window admission verdict (``fetch_at_us < cycle_us``): a slow
+    host schedules fewer fetches per cycle than a fast one, the
+    production politeness contract. Queue order is unchanged from the
+    channel policy (channel, priority DESC, canon)."""
     u = fetch_channels(documents)
     w = Window.partitionBy("domain").orderBy(
         F.asc("ch"), F.desc("priority"), F.asc("canon"))
     s = u.withColumn("rn", F.row_number().over(w))
-    sched = F.col("rn") <= budget
+    s = s.withColumn(
+        "fetch_at_us",
+        (F.col("rn") - 1) * host_delay_us(rate_scale_milli))
+    return s.withColumn("scheduled",
+                        F.col("fetch_at_us") < F.lit(int(cycle_us)))
+
+
+def fetch_list(documents: DataFrame,
+               cycle_us: int = FETCH_CYCLE_US,
+               rate_scale_milli: int = 1000) -> DataFrame:
+    """The registered rollup: per host — per-channel candidate counts,
+    the count scheduled inside one fetch cycle under the host's
+    request rate, the cycle MAKESPAN (last scheduled fetch timestamp —
+    halving the rate doubles it), the first URL fetched, and a
+    (canon-hash × (1 + channel) × (1 + fetch_at_us)) mod-prime
+    checksum over the scheduled set — pinning membership, channel
+    assignment, priority order, every admission decision, AND every
+    fetch timestamp."""
+    s = fetch_schedule_rows(documents, cycle_us, rate_scale_milli)
+    sched = F.col("scheduled")
     canon_h = F.pmod(F.conv(F.substring(F.md5("canon"), 1, 15), 16, 10)
                      .cast("long"), F.lit(CKSUM_MOD))
-    term = F.pmod(canon_h * (F.lit(1) + F.col("ch")), F.lit(CKSUM_MOD))
+    term = F.pmod(
+        F.pmod(canon_h * (F.lit(1) + F.col("ch")), F.lit(CKSUM_MOD))
+        * (F.lit(1) + F.pmod(F.col("fetch_at_us"), F.lit(CKSUM_MOD))),
+        F.lit(CKSUM_MOD))
     return (s.groupBy("domain")
             .agg(F.sum((F.col("ch") == 0).cast("long"))
                  .alias("n_link_cand"),
@@ -96,6 +153,8 @@ def fetch_list(documents: DataFrame,
                  F.sum((F.col("ch") == 2).cast("long"))
                  .alias("n_recrawl"),
                  F.sum(sched.cast("long")).alias("n_scheduled"),
+                 F.max(F.when(sched, F.col("fetch_at_us"))
+                       .otherwise(F.lit(0))).alias("makespan_us"),
                  F.min(F.struct(F.col("rn"), F.col("canon")))["canon"]
                  .alias("top_canon"),
                  F.sum(F.when(sched, term).otherwise(F.lit(0)))

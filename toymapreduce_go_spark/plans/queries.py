@@ -1679,7 +1679,8 @@ def _fetch_list_oracle_sql(iters: int = 3, fanout: int = 3,
     crawled pages with the staleness gap as priority; then the unified
     per-host budget window and the channel-weighted checksum."""
     from ..operators.frontier import FRONTIER_MOD
-    from ..operators.scheduling import FETCH_BUDGET
+    from ..operators.scheduling import (FETCH_CYCLE_US,
+                                        RATE_BASE_MILLI)
     from ..operators.sitemaps import FETCH_DAY_MULT
     from ..operators.urls import fixture_blocklist
     deny = ", ".join(f"'{b}'" for b in fixture_blocklist())
@@ -1724,7 +1725,16 @@ def _fetch_list_oracle_sql(iters: int = 3, fanout: int = 3,
         bud AS (SELECT *, row_number() OVER (
                     PARTITION BY domain
                     ORDER BY ch ASC, priority DESC, canon ASC) AS rn
-                FROM un)
+                FROM un),
+        tim AS (SELECT *,
+                    (rn - 1) * (1000000000 //
+                        ((({RATE_BASE_MILLI} *
+                           (CASE (CAST(regexp_extract(domain,
+                                  'site(\\d+)', 1) AS BIGINT) % 3)
+                            WHEN 0 THEN 1 WHEN 1 THEN 2
+                            ELSE 4 END)
+                           * 1000) // 1000))) AS fetch_at_us
+                FROM bud)
         SELECT domain,
                CAST(sum(CASE WHEN ch = 0 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_link_cand,
@@ -1732,16 +1742,22 @@ def _fetch_list_oracle_sql(iters: int = 3, fanout: int = 3,
                  AS n_sitemap_only,
                CAST(sum(CASE WHEN ch = 2 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_recrawl,
-               CAST(sum(CASE WHEN rn <= {FETCH_BUDGET}
+               CAST(sum(CASE WHEN fetch_at_us < {FETCH_CYCLE_US}
                              THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_scheduled,
+               CAST(max(CASE WHEN fetch_at_us < {FETCH_CYCLE_US}
+                             THEN fetch_at_us ELSE 0 END) AS BIGINT)
+                 AS makespan_us,
                min(CASE WHEN rn = 1 THEN canon END) AS top_canon,
-               CAST(sum(CASE WHEN rn <= {FETCH_BUDGET}
-                             THEN ((('0x' || substr(md5(canon), 1, 15))
+               CAST(sum(CASE WHEN fetch_at_us < {FETCH_CYCLE_US}
+                             THEN ((((('0x' ||
+                                       substr(md5(canon), 1, 15))
                                     ::BIGINT % {CKSUM_MOD})
-                                   * (1 + ch)) % {CKSUM_MOD}
+                                   * (1 + ch)) % {CKSUM_MOD})
+                                   * (1 + fetch_at_us % {CKSUM_MOD}))
+                                  % {CKSUM_MOD}
                              ELSE 0 END) AS BIGINT) AS fetch_checksum
-        FROM bud GROUP BY domain ORDER BY domain
+        FROM tim GROUP BY domain ORDER BY domain
     """
 
 
