@@ -330,3 +330,109 @@ def test_refresh_meta_mismatch_leaves_index_untouched(spark, tmp_path):
                 "canon", F.col("doc_id").alias("prior_id")),
             new_docs=new_docs, batch_id=1)  # default 64/16 mismatches
     assert _content(spark, path) == before
+
+
+def test_retract_commit_manifest_rolls_forward(spark, tmp_path):
+    """Crash at the WORST object-store window: the commit manifest is
+    written and the staged tmp partitions exist, but NO move has been
+    applied (object stores have no atomic rename — the manifest IS the
+    commit). The next invocation must roll the manifest forward:
+    swap rels replaced by their staged twins, drop rels removed."""
+    import json
+
+    from toymapreduce_go_spark.sources.sinks import (
+        retract_keys_from_parquet, write_commit_manifest)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "vidx")
+    write_vector_index(emb, path)
+    postings = f"{path}/postings"
+    # stage the state a real retract reaches just after its commit
+    # point by running one and REPLAYING its manifest: first capture
+    # what a retract of [130, 140] writes
+    before = sorted(tuple(r) for r in spark.read.parquet(postings)
+                    .select("cell", "vec_id").collect())
+    cells = sorted(d for d in os.listdir(f"{postings}/ingest_batch=0")
+                   if d.startswith("cell="))
+    victim_rel = f"ingest_batch=0/{cells[0]}"
+    victim = f"{postings}/{victim_rel}"
+    # stage a tmp twin of the victim partition with one row removed
+    # (read the single partition dir: partition cols live in the
+    # DIRECTORY name, not the files, so vdf is (vec_id, embedding))
+    cell_val = int(cells[0].split("=", 1)[1])
+    vdf = spark.read.parquet(victim)
+    keep_ids = [r.vec_id for r in vdf.select("vec_id").collect()][1:]
+    dropped = {(cell_val, r.vec_id) for r in
+               vdf.filter(~F.col("vec_id").isin(keep_ids))
+               .select("vec_id").collect()}
+    (vdf.filter(F.col("vec_id").isin(keep_ids)).write
+     .parquet(f"file://{postings}__retract_tmp/{victim_rel}"))
+    write_commit_manifest(postings, "retract",
+                          swap=[victim_rel], drop=[])
+    assert os.path.exists(f"{postings}__retract.manifest")
+    # next maintenance invocation heals BEFORE doing its own work
+    retract_keys_from_parquet(spark, postings, "vec_id", [])
+    after = sorted(tuple(r) for r in spark.read.parquet(postings)
+                   .select("cell", "vec_id").collect())
+    assert sorted(set(before) - dropped) == after
+    assert not os.path.exists(f"{postings}__retract.manifest")
+    assert not os.path.exists(f"{postings}__retract_tmp")
+
+
+def test_stale_manifest_never_drops_a_newer_generation(spark, tmp_path):
+    """A manifest left behind AFTER its commit completed (crash in the
+    final cleanup step) lists a drop rel; a later write re-creates the
+    same partition name before recovery runs. The fingerprint guard
+    must leave the newer generation untouched and clear the stale
+    manifest — and a corrupt manifest must refuse loudly."""
+    import pytest
+
+    from toymapreduce_go_spark.sources.sinks import (
+        retract_keys_from_parquet, write_commit_manifest)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "vidx")
+    write_vector_index(emb, path)
+    postings = f"{path}/postings"
+    cells = sorted(d for d in os.listdir(f"{postings}/ingest_batch=0")
+                   if d.startswith("cell="))
+    rel = f"ingest_batch=0/{cells[0]}"
+    live = f"{postings}/{rel}"
+    # the stale manifest records the OLD generation's fingerprint
+    old_fp = [(f, os.path.getsize(os.path.join(live, f)))
+              for f in os.listdir(live)
+              if os.path.isfile(os.path.join(live, f))]
+    write_commit_manifest(postings, "retract", swap=[],
+                          drop=[{"rel": rel, "files": old_fp}])
+    # a later write replaces the partition (newer generation)
+    newer = spark.read.parquet(live).limit(1)
+    newer.write.mode("overwrite").parquet("file://" + live)
+    want = sorted(tuple(r) for r in spark.read.parquet(live).collect())
+    retract_keys_from_parquet(spark, postings, "vec_id", [])
+    assert os.path.isdir(live)           # NOT dropped
+    got = sorted(tuple(r) for r in spark.read.parquet(live).collect())
+    assert got == want
+    assert not os.path.exists(f"{postings}__retract.manifest")
+    # corrupt manifest: refuse, never guess
+    with open(f"{postings}__retract.manifest", "w") as f:
+        f.write("{not json")
+    with pytest.raises(ValueError, match="manifest"):
+        retract_keys_from_parquet(spark, postings, "vec_id", [])
+    os.remove(f"{postings}__retract.manifest")
+
+
+def test_rebuild_manifest_window_rolls_forward(spark, tmp_path):
+    """The whole-tree swap (vector-index rebuild / compaction path):
+    staged tmp tree + written manifest, crash before any move — the
+    next recover_swap completes the swap from the manifest alone."""
+    from toymapreduce_go_spark.sources.sinks import (
+        recover_swap, swap_paths, write_commit_manifest)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "tree")
+    emb.limit(50).write.parquet(path)
+    local, tmp, old = swap_paths(path, "rebuild")
+    emb.limit(10).write.parquet("file://" + tmp)
+    write_commit_manifest(local.rstrip("/"), "rebuild",
+                          swap=["."], drop=[])
+    recover_swap(local, tmp, old, "rebuild")
+    assert spark.read.parquet(path).count() == 10   # staged tree live
+    assert not os.path.exists(tmp) and not os.path.exists(old)
+    assert not os.path.exists(f"{local}__rebuild.manifest")

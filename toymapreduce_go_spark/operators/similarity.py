@@ -1234,7 +1234,7 @@ def rebuild_vector_index(spark, path: str, n_cells: int = 8,
     from ..sources.sinks import commit_swap, recover_swap, swap_paths
 
     local, tmp, old = swap_paths(path, "rebuild")
-    recover_swap(local, tmp, old)
+    recover_swap(local, tmp, old, "rebuild")
 
     posts = (spark.read.parquet(f"{path}/postings")
              .select("vec_id", "embedding", "ingest_batch"))
@@ -1254,4 +1254,4 @@ def rebuild_vector_index(spark, path: str, n_cells: int = 8,
          .write.mode("overwrite")
          .partitionBy("ingest_batch", "cell")
          .parquet(f"file://{tmp}/postings"))
-    commit_swap(local, tmp, old)
+    commit_swap(local, tmp, old, "rebuild")
