@@ -154,3 +154,66 @@ def test_recall_monitor_rides_the_stream(spark, tmp_path):
     assert all(0.0 < r["recall"] <= 1.0 for r in log.values())
     final = vector_index_recall(spark, f"{state}/{VINDEX_SUBDIR}")
     assert log[2]["recall"] == final["recall"]
+
+
+def test_monitor_rebuild_loop_restores_recall_mid_stream(spark,
+                                                         tmp_path):
+    """The CLOSED monitor→rebuild loop on the engineered drift case
+    (RECALL.md): batch 0 trains on the high-id half, batch 1 extends
+    with the low-id half — the stored quantizer no longer fits the
+    union and the monitored recall collapses below the floor, so the
+    policy retrains in place DURING the stream. Pinned: the rebuild
+    fires exactly once (batch 1), recall_before is the drifted value,
+    recall_after equals a fresh one-shot build's recall over the same
+    vectors, and a checkpoint-style REPLAY of batch 1 re-lands the
+    same log row (no duplicates) and the same index."""
+    from toymapreduce_go_spark.operators.similarity import (
+        vector_index_recall)
+    from toymapreduce_go_spark.streaming.vector_stream import (
+        read_rebuild_log, read_recall_log)
+
+    state = str(tmp_path / "state")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    mid = emb.count() // 2
+    high = emb.filter(f"vec_id >= {mid}")
+    low = emb.filter(f"vec_id < {mid}")
+    floor = 0.6
+    vector_index_batch_step(high, 0, state, monitor_recall=True,
+                            rebuild_floor=floor)
+    vector_index_batch_step(low, 1, state, monitor_recall=True,
+                            rebuild_floor=floor)
+    idx = os.path.join(state, VINDEX_SUBDIR)
+
+    rlog = {r.batch_id: r for r in
+            read_recall_log(spark, state).collect()}
+    blog = {r.batch_id: r for r in
+            read_rebuild_log(spark, state).collect()}
+    assert set(blog) == {1}                 # fired once, at the drift
+    assert rlog[0].recall >= floor          # fresh build: no trigger
+    assert rlog[1].recall < floor           # the engineered collapse
+    assert blog[1].recall_before == rlog[1].recall
+
+    fresh = str(tmp_path / "fresh")
+    write_vector_index(emb, fresh)
+    want = vector_index_recall(spark, fresh)["recall"]
+    assert blog[1].recall_after == want     # rebuild == fresh quality
+    assert vector_index_recall(spark, idx)["recall"] == want
+
+    # checkpoint replay of batch 1: same decision, same single log
+    # row, same index bytes
+    posts_before = _postings(spark, idx)
+    vector_index_batch_step(low, 1, state, monitor_recall=True,
+                            rebuild_floor=floor)
+    assert _postings(spark, idx) == posts_before
+    assert [(r.batch_id, r.recall_before, r.recall_after) for r in
+            read_rebuild_log(spark, state).collect()] == \
+           [(1, blog[1].recall_before, blog[1].recall_after)]
+
+
+def test_rebuild_floor_requires_monitor(spark, tmp_path):
+    import pytest
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="monitor_recall"):
+        vector_index_batch_step(emb, 0, str(tmp_path / "s"),
+                                rebuild_floor=0.5)

@@ -53,14 +53,21 @@ def read_recall_log(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(f"{state_dir}/recall_log")
 
 
+def read_rebuild_log(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(batch_id, recall_before, recall_after) — one row per batch
+    whose monitored recall breached the rebuild floor and triggered an
+    in-place ``rebuild_vector_index``."""
+    return spark.read.parquet(f"{state_dir}/rebuild_log")
+
+
 def _record_recall(spark: SparkSession, state_dir: str,
-                   batch_id: int) -> None:
+                   batch_id: int) -> float | None:
     """Compute the sampled brute-force recall floor over the index as
     it stands AFTER this batch and dynamic-overwrite this batch's own
     ``recall_log`` partition — deterministic given the (replayed)
     index state, so the monitor inherits the ingest's exactly-once
-    contract. Skipped while no postings exist yet (leading empty
-    batches)."""
+    contract. Skipped (returns None) while no postings exist yet
+    (leading empty batches)."""
     from pyspark.errors import AnalysisException
 
     from ..operators.similarity import vector_index_recall
@@ -68,22 +75,55 @@ def _record_recall(spark: SparkSession, state_dir: str,
     try:
         r = vector_index_recall(spark, idx)
     except AnalysisException:
-        return
+        return None
     (spark.createDataFrame(
         [(batch_id, r["hits"], r["total"], float(r["recall"]))],
         "batch_id long, hits long, total long, recall double")
      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
      .partitionBy("batch_id").parquet(f"{state_dir}/recall_log"))
+    return float(r["recall"])
+
+
+def _rebuild_on_drift(spark: SparkSession, state_dir: str,
+                      batch_id: int, recall_before: float,
+                      n_cells: int) -> None:
+    """The monitor→rebuild policy arm (r11 verdict item 8): retrain
+    the quantizer in place and log (batch_id, recall_before,
+    recall_after) by dynamic-overwriting this batch's own
+    ``rebuild_log`` partition. Exactly-once under the checkpoint
+    contract the same way every other per-batch write is: a replayed
+    batch recomputes the SAME deterministic recall, makes the same
+    decision, re-runs the (value-idempotent — rebuilt == fresh build
+    is pinned) rebuild, and overwrites its own log partition; a crash
+    mid-rebuild heals through the manifest-commit protocol before the
+    rebuild re-runs."""
+    from ..operators.similarity import (rebuild_vector_index,
+                                        vector_index_recall)
+    idx = os.path.join(state_dir, VINDEX_SUBDIR)
+    rebuild_vector_index(spark, idx, n_cells=n_cells)
+    after = vector_index_recall(spark, idx)
+    (spark.createDataFrame(
+        [(batch_id, float(recall_before), float(after["recall"]))],
+        "batch_id long, recall_before double, recall_after double")
+     .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(f"{state_dir}/rebuild_log"))
 
 
 def vector_index_batch_step(batch_df: DataFrame, batch_id: int,
                             state_dir: str, n_cells: int = 8,
-                            monitor_recall: bool = False) -> None:
+                            monitor_recall: bool = False,
+                            rebuild_floor: float | None = None) -> None:
     """One ``foreachBatch`` step. Model present → extend (assign with
     stored centroids, overwrite own partition). Model absent → this is
     the first non-empty batch: train + build, owning its true
     partition id (see module docstring for why replay stays
-    exactly-once either way)."""
+    exactly-once either way). With ``rebuild_floor`` set (requires
+    ``monitor_recall``), a batch whose monitored recall lands BELOW
+    the floor triggers the in-place quantizer rebuild — the closed
+    monitor→rebuild loop."""
+    if rebuild_floor is not None and not monitor_recall:
+        raise ValueError("rebuild_floor requires monitor_recall=True "
+                         "(the policy reads the monitor's floor)")
     idx = os.path.join(state_dir, VINDEX_SUBDIR)
     batch = batch_df.select("vec_id", "embedding")
     try:
@@ -99,12 +139,17 @@ def vector_index_batch_step(batch_df: DataFrame, batch_id: int,
         write_vector_index(batch, idx, n_cells=n_cells,
                            batch_id=batch_id)
     if monitor_recall:
-        _record_recall(batch_df.sparkSession, state_dir, batch_id)
+        r = _record_recall(batch_df.sparkSession, state_dir, batch_id)
+        if (rebuild_floor is not None and r is not None
+                and r < rebuild_floor):
+            _rebuild_on_drift(batch_df.sparkSession, state_dir,
+                              batch_id, r, n_cells)
 
 
 def run_vector_ingest(embeddings_stream: DataFrame, state_dir: str,
                       n_cells: int = 8, timeout: int = 240,
-                      monitor_recall: bool = False):
+                      monitor_recall: bool = False,
+                      rebuild_floor: float | None = None):
     """Drive the vector ingest over all currently-available input
     (availableNow; production leaves the query running). The index
     lives at ``{state_dir}/vindex`` and is probed with
@@ -116,10 +161,17 @@ def run_vector_ingest(embeddings_stream: DataFrame, state_dir: str,
     ``{state_dir}/recall_log`` partitioned by batch_id — the
     time-series an operator alerts on before scheduling
     ``rebuild_vector_index``. Opt-in: the floor costs one extra
-    index scan per batch."""
+    index scan per batch.
+
+    ``rebuild_floor`` CLOSES that loop: any batch whose monitored
+    recall lands below the floor retrains the quantizer in place
+    (``_rebuild_on_drift``) and logs before/after recall to
+    ``{state_dir}/rebuild_log`` — alert threshold → scheduled rebuild,
+    as a tested policy instead of an operator runbook."""
     def step(batch_df: DataFrame, batch_id: int) -> None:
         vector_index_batch_step(batch_df, batch_id, state_dir,
                                 n_cells=n_cells,
-                                monitor_recall=monitor_recall)
+                                monitor_recall=monitor_recall,
+                                rebuild_floor=rebuild_floor)
 
     return run_available_now(embeddings_stream, state_dir, step, timeout)
