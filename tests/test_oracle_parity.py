@@ -123,3 +123,37 @@ def test_readme_coverage_matrix_mentions_every_query():
         readme = f.read()
     missing = sorted(q for q in QUERIES if q not in readme)
     assert not missing, f"README coverage matrix is missing: {missing}"
+
+
+def test_survey_counts_match_registry():
+    """SURVEY.md §2's status paragraph documents the registry's size
+    (N registered = 50 declared + M PYTEST_ONLY, K DuckDB oracles);
+    the numbers drifted in r11 when a query landed after the paragraph
+    was written — parse the paragraph and pin every count against
+    plans/queries.py so a surface change without the doc edit fails
+    loudly (r11 verdict item 9)."""
+    import os
+    import re
+
+    from toymapreduce_go_spark.plans import queries as q
+
+    survey = open(os.path.join(os.path.dirname(__file__), "..",
+                               "SURVEY.md")).read()
+    m = re.search(
+        r"(\d+) registered queries = (\d+) declared \(frozen against"
+        r".*?(\d+) DuckDB-oracled \+ (\d+) rows-only\) \+ (\d+)\s*"
+        r"PYTEST_ONLY.*?\((\d+) DuckDB oracles\s*"
+        r"total, (\d+) invariant-tier", survey, re.S)
+    assert m, "SURVEY.md status paragraph not found / reformatted"
+    (n_reg, n_decl, n_decl_oracled, n_rows_only, n_pytest,
+     n_oracles, n_invariant) = map(int, m.groups())
+    assert n_reg == len(q.QUERIES)
+    assert n_decl == len(q.DECLARED)
+    assert n_decl_oracled == len([k for k in q.DECLARED
+                                  if k in q.ORACLES])
+    assert n_rows_only == len([k for k in q.DECLARED
+                               if k not in q.ORACLES])
+    assert n_pytest == len(q.PYTEST_ONLY)
+    assert n_oracles == len(q.ORACLES)
+    assert n_invariant == len(q.PYTEST_INVARIANT_ONLY)
+    assert n_reg == n_decl + n_pytest
