@@ -61,21 +61,95 @@ WARCINFO = ("WARC/1.0\r\n"
             "software: toymapreduce-spark\r\n\r\n")
 
 
+CHUNK_CHARS = 120   # Transfer-Encoding: chunked — chars per chunk
+
+
+def chunked_http_body(html) -> "F.Column":
+    """RFC 9112 §7.1 chunked framing of an (LF-only) body: the body is
+    cut every ``CHUNK_CHARS`` CHARACTERS (never splitting a multi-byte
+    code point) while each chunk-size line carries the chunk's BYTE
+    length in lowercase hex, exactly as the wire format requires —
+    then the terminal ``0`` chunk. Scan-side sequence/transform."""
+    n = F.greatest(
+        F.ceil(F.length(html) / F.lit(CHUNK_CHARS)).cast("int"),
+        F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.substring(html, i * CHUNK_CHARS + 1,
+                              F.lit(CHUNK_CHARS)))
+    framed = F.transform(chunks, lambda c: F.concat(
+        F.lower(F.hex(F.octet_length(c))), F.lit(CRLF), c, F.lit(CRLF)))
+    return F.concat(F.array_join(framed, ""), F.lit("0\r\n\r\n"))
+
+
+def dechunk_http_body(payload) -> "F.Column":
+    """Decode a chunked body: ONE aggregate fold over the CRLF-split
+    pieces, alternating size-line / data states, validating every
+    chunk's hex size against the actual byte length and requiring the
+    terminal ``0`` chunk — a real parser with per-chunk validation,
+    never a trust-the-synthesis regex. Returns struct(out, ok): ``ok``
+    is false on any malformed size line, length mismatch, missing
+    terminator, or trailing garbage. (Chunk data containing CRLF
+    cannot occur on LF-only payloads — the module's disclosed framing
+    caveat.)"""
+    return F.expr(
+        f"""aggregate(split({payload}, '\r\n'),
+            struct(cast(-1 as bigint) as sz, '' as out,
+                   true as ok, false as fin),
+            (acc, p) -> CASE
+                WHEN NOT acc.ok THEN acc
+                WHEN acc.fin THEN
+                    struct(acc.sz as sz, acc.out as out,
+                           p = '' as ok, acc.fin as fin)
+                WHEN acc.sz = -1 THEN CASE
+                    WHEN p = '0' THEN
+                        struct(cast(-1 as bigint) as sz,
+                               acc.out as out, acc.ok as ok,
+                               true as fin)
+                    WHEN p rlike '^[0-9a-fA-F]+$' THEN
+                        struct(cast(conv(p, 16, 10) as bigint) as sz,
+                               acc.out as out, acc.ok as ok,
+                               false as fin)
+                    ELSE struct(acc.sz as sz, acc.out as out,
+                                false as ok, acc.fin as fin) END
+                ELSE CASE
+                    WHEN octet_length(p) = acc.sz THEN
+                        struct(cast(-1 as bigint) as sz,
+                               concat(acc.out, p) as out,
+                               acc.ok as ok, acc.fin as fin)
+                    ELSE struct(acc.sz as sz, acc.out as out,
+                                false as ok, acc.fin as fin) END
+            END,
+            acc -> struct(acc.out as out,
+                          acc.ok AND acc.fin AND acc.sz = -1 as ok))""")
+
+
 def warc_response_record(uri, doc_id, html) -> "F.Column":
     """One WARC 1.0 ``response`` record wrapping an HTTP/1.1 response
     around an html payload — Content-Length is the TRUE byte length of
-    the HTTP block (headers + payload), as the spec requires. A NULL
-    html (NULL upstream text) becomes a ``204 No Content`` response
-    with an empty payload — NULL must not erase the record (a NULL
-    concat makes the whole record NULL and ``array_join`` silently
-    drops it from the file, losing the document from every downstream
-    count; review r11); the parser maps 204 back to NULL html, so the
-    round-trip preserves NULL-text documents exactly."""
+    the HTTP block (headers + payload), as the spec requires. Pages
+    with ``doc_id % 3 == 1`` arrive ``Transfer-Encoding: chunked``
+    (HTTP/1.1 servers stream dynamic pages chunked — the parser must
+    handle both identity and chunked framing; the WARC-level
+    Content-Length covers the chunked bytes as written, per ISO
+    28500). A NULL html (NULL upstream text) becomes a ``204 No
+    Content`` response with an empty payload — NULL must not erase
+    the record (a NULL concat makes the whole record NULL and
+    ``array_join`` silently drops it from the file, losing the
+    document from every downstream count; review r11); the parser
+    maps 204 back to NULL html, so the round-trip preserves NULL-text
+    documents exactly."""
     http = F.when(
-        html.isNotNull(),
+        html.isNull(), F.lit("HTTP/1.1 204 No Content\r\n\r\n")
+    ).when(
+        F.pmod(doc_id, F.lit(3)) == 1,
         F.concat(F.lit("HTTP/1.1 200 OK\r\n"
-                       "Content-Type: text/html\r\n\r\n"), html)
-    ).otherwise(F.lit("HTTP/1.1 204 No Content\r\n\r\n"))
+                       "Content-Type: text/html\r\n"
+                       "Transfer-Encoding: chunked\r\n\r\n"),
+                 chunked_http_body(html))
+    ).otherwise(
+        F.concat(F.lit("HTTP/1.1 200 OK\r\n"
+                       "Content-Type: text/html\r\n\r\n"), html))
     return F.concat(
         F.lit("WARC/1.0\r\n"
               "WARC-Type: response\r\n"
@@ -138,19 +212,39 @@ def parse_warc_records(files: DataFrame) -> DataFrame:
         .alias("uri"),
         F.regexp_extract("r", r"Content-Length: (\d+)\r\n", 1)
         .cast("long").alias("clen"),
-        F.element_at(blocks, 2).alias("http_headers"),
-        F.regexp_replace(F.element_at(blocks, 3), r"(\r\n)+$", "")
+        # try_element_at, not element_at: whole-stage codegen's
+        # common-subexpression elimination may hoist these into the
+        # record filter's predicate, where the file's leading split
+        # fragment (one block, filtered out anyway) would make a
+        # strict index error fatal
+        F.try_element_at(blocks, F.lit(2)).alias("http_headers"),
+        F.regexp_replace(F.try_element_at(blocks, F.lit(3)),
+                         r"(\r\n)+$", "")
         .alias("payload"))
+    is_chunked = F.col("http_headers").contains(
+        "Transfer-Encoding: chunked")
+    # the trailing-CRLF strip removed the record terminator — and, for
+    # chunked responses, the body's own `0␍␊␍␊` trailer's final CRLF
+    # pair with it — so the on-wire payload length restores 4 bytes on
+    # the chunked path
     http_len = (F.octet_length("http_headers") + F.lit(4)
-                + F.octet_length("payload"))
+                + F.octet_length("payload")
+                + F.when(is_chunked, F.lit(4)).otherwise(F.lit(0)))
     no_content = F.col("http_headers").startswith("HTTP/1.1 204")
+    dechunked = dechunk_http_body("payload")
     return rec.select(
         "source", "doc_id", "uri",
         F.when(no_content, F.lit(None).cast("string"))
+        .when(is_chunked, dechunked["out"])
         .otherwise(F.col("payload")).alias("html"),
-        # one formula for both statuses: the http block is headers +
-        # CRLF CRLF + payload (empty for 204)
-        (F.col("clen") == http_len).alias("length_ok"))
+        # one formula for all statuses: the http block is headers +
+        # CRLF CRLF + payload (empty for 204; chunk-framed for
+        # chunked) — AND chunk framing must validate (every size line
+        # against actual bytes, terminal 0 present), so a mis-framed
+        # chunked body trips the same loud guard a length lie does
+        ((F.col("clen") == http_len)
+         & F.when(is_chunked & ~no_content, dechunked["ok"])
+         .otherwise(F.lit(True))).alias("length_ok"))
 
 
 # ---------------------------------------------------------------------------
