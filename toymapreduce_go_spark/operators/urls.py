@@ -455,19 +455,27 @@ def _rule_rx(p) -> "F.Column":
 
 def parse_robots(col) -> "F.Column":
     """robots.txt text → array<struct<p: string, a: boolean,
-    rx: string>> of rules (a = Allow; rx = the compiled match regex,
-    built ONCE per rule on the domain-sized frame — the corpus-sized
-    verdict fold only executes it). Scan-side split/regexp transform;
-    lines that are not Allow/Disallow rules (User-agent, comments,
-    blanks) are dropped."""
+    w: boolean, rx: string>> of rules (a = Allow; w = the pattern
+    carries `*`/`$` and needs the regex engine; rx = the compiled
+    match regex, built ONCE per rule on the domain-sized frame — the
+    corpus-sized verdict fold executes it only for wildcard rules and
+    matches plain prefixes with startswith). Scan-side split/regexp
+    transform; lines that are not Allow/Disallow rules (User-agent,
+    comments, blanks) are dropped."""
     ex = "regexp_extract(ln, '^(Allow|Disallow): (.+)$', {g})"
     base = F.expr(
         f"""filter(transform(split({col}, '\n'),
                    ln -> struct({ex.format(g=2)} as p,
                                 {ex.format(g=1)} = 'Allow' as a)),
                    r -> r.p != '')""")
+    # w marks rules that actually NEED the regex engine; plain-prefix
+    # rules (the overwhelming majority of real robots.txt lines) match
+    # with startswith in the verdict fold — no per-row regex compile
+    # on the corpus-sized side (r12 scaling: the all-regex fold bent
+    # the decade ratio from 1.24x to 1.79x)
     return F.transform(base, lambda r: F.struct(
         r["p"].alias("p"), r["a"].alias("a"),
+        (r["p"].contains("*") | r["p"].endswith("$")).alias("w"),
         _rule_rx(r["p"]).alias("rx")))
 
 
@@ -480,7 +488,9 @@ def robots_allowed(rules, path) -> "F.Column":
     fold over the (small) rules array; each rule's regex was compiled
     once on the broadcast side."""
     return F.expr(
-        f"""aggregate(filter({rules}, r -> {path} rlike r.rx),
+        f"""aggregate(filter({rules},
+                      r -> CASE WHEN r.w THEN {path} rlike r.rx
+                                ELSE startswith({path}, r.p) END),
                       struct(-1 as l, true as a),
                       (acc, r) -> CASE
                           WHEN length(r.p) > acc.l
