@@ -272,3 +272,50 @@ def test_corrupt_chunk_size_raises(spark):
         F.col("warc").contains("chunked\r\n\r\n79\r\n")).count() > 0
     with pytest.raises(Exception, match="Content-Length mismatch"):
         extract_warc_documents(corrupted).collect()
+
+
+def test_pipeline_front_stage_from_warc_equals_from_html(spark):
+    """--from-warc composes the WARC container as stage 0a3; since the
+    synthesized WARC wraps exactly the synthesized HTML pages and the
+    parse is byte-lossless, the curated corpus is ROW-IDENTICAL to a
+    --from-html build — container transparency end to end (lang labels
+    re-attached by doc_id on the fixture path)."""
+    from toymapreduce_go_spark.pipeline import build_training_corpus
+    curated_w, funnel_w = build_training_corpus(spark, SF_DIR,
+                                                from_warc=True)
+    stages = {r["stage"]: r["n_docs"] for r in funnel_w.collect()}
+    assert stages.get("0a_warc_extracted", 0) > 0
+    curated_h, _ = build_training_corpus(spark, SF_DIR, from_html=True)
+    got = {(r.doc_id, r.source, r.lang, r.text)
+           for r in curated_w.collect()}
+    want = {(r.doc_id, r.source, r.lang, r.text)
+            for r in curated_h.collect()}
+    assert got == want and got
+
+
+def test_stream_ingest_from_warc_front_stage(spark, tmp_path):
+    """The WARC container front stage composed into the streaming
+    ingest, mirroring --from-html/--from-pdf: per micro-batch the
+    pages ride one synthesized per-source WARC file, and because the
+    parse is lossless the telemetry equals the HTML front stage's
+    batch for batch (single-file source so both streams see one
+    identical batch), while differing from the raw-text run."""
+    from toymapreduce_go_spark.streaming.events_stream import (
+        read_table_stream)
+    from toymapreduce_go_spark.streaming.ingest import (
+        read_telemetry, run_curation_ingest)
+
+    def stream():
+        return read_table_stream(spark, SF_DIR, "documents",
+                                 max_files_per_trigger=1, n_splits=1)
+
+    states = {}
+    for mode, kw in (("warc", {"from_warc": True}),
+                     ("html", {"from_html": True}), ("plain", {})):
+        states[mode] = str(tmp_path / mode)
+        run_curation_ingest(stream(), states[mode], spark, **kw)
+    tel = {m: sorted(tuple(r) for r in
+                     read_telemetry(spark, states[m]).collect())
+           for m in states}
+    assert tel["warc"] == tel["html"] and tel["warc"]
+    assert tel["warc"] != tel["plain"]

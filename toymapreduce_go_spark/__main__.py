@@ -164,6 +164,14 @@ def main(argv: list[str] | None = None) -> None:
                         "front stage; a pdf column is consumed "
                         "directly, a text-only frame gets the "
                         "synthesized-PDF fixture path")
+    p.add_argument("--from-warc", action="store_true",
+                   help="with --corpus-build/--stream-ingest: run "
+                        "WARC→text extraction (record split, HTTP "
+                        "strip incl. chunked transfer decoding, the "
+                        "shared boilerplate removal) as the front "
+                        "stage; a warc files column is consumed "
+                        "directly, a text-only frame gets the "
+                        "synthesized-WARC fixture path")
     p.add_argument("--chunk-long", action="store_true",
                    help="with --corpus-build: split documents whose "
                         "token count exceeds the packing budget into "
@@ -196,6 +204,7 @@ def main(argv: list[str] | None = None) -> None:
         run_curation_ingest(stream, args.out, spark,
                             from_html=args.from_html,
                             from_pdf=args.from_pdf,
+                            from_warc=args.from_warc,
                             fix_encoding=args.fix_encoding)
         for r in (read_telemetry(spark, args.out)
                   .orderBy("batch_id").collect()):
@@ -230,6 +239,7 @@ def main(argv: list[str] | None = None) -> None:
             dsir_frac=args.dsir_select, prior_docs=prior,
             near_prior=args.near_prior, chunk_long=args.chunk_long,
             from_html=args.from_html, from_pdf=args.from_pdf,
+            from_warc=args.from_warc,
             blocklist=deny, robots=args.robots,
             fix_encoding=args.fix_encoding,
             eval_docs=(spark.read.parquet(args.eval_docs)

@@ -60,6 +60,7 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
                           chunk_long: bool = False,
                           from_html: bool = False,
                           from_pdf: bool = False,
+                          from_warc: bool = False,
                           blocklist: list[str] | None = None,
                           robots: bool = False,
                           fix_encoding: bool = False,
@@ -138,6 +139,28 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
                 .filter(F.length("text") >= 1)
                 .drop("removed_lines").localCheckpoint())
         stages.append(("0a_pdf_extracted", docs.count()))
+
+    # 0a3 (optional). WARC → text: the third container front door
+    # (operators/warc_extract.py — record split, header parse, HTTP
+    # strip incl. chunked transfer decoding, then the shared
+    # line/boilerplate machinery). A ``warc`` files column is consumed
+    # directly (the production path — per-file rows with no doc-level
+    # metadata, so lang lands 'und' for the langid stage to re-derive);
+    # a text-only frame gets the deterministic synthesized-WARC fixture
+    # path with its lang labels re-attached by doc_id.
+    if from_warc:
+        from .operators.warc_extract import (extract_warc_documents,
+                                             synthesize_warc_files)
+        if "warc" in docs.columns:
+            extracted = extract_warc_documents(docs).withColumn(
+                "lang", F.lit("und"))
+        else:
+            extracted = extract_warc_documents(
+                synthesize_warc_files(docs)).join(
+                docs.select("doc_id", "lang"), "doc_id")
+        docs = (extracted.filter(F.length("text") >= 1)
+                .drop("removed_lines").localCheckpoint())
+        stages.append(("0a_warc_extracted", docs.count()))
 
     # 0a'' (optional). Encoding repair (operators/textfix.py): the
     # ftfy pass — the utf-8-as-cp1252 mojibake inverse map + newline

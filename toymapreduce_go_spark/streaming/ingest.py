@@ -61,6 +61,7 @@ def ingest_batch_step(spark: SparkSession, batch_df: DataFrame,
                       threshold: float | None = 0.5,
                       from_html: bool = False,
                       from_pdf: bool = False,
+                      from_warc: bool = False,
                       fix_encoding: bool = False) -> None:
     """One composed ``foreachBatch`` step: telemetry on the raw batch,
     then gate-filter, then the incremental near-dedup step. Replaying
@@ -75,7 +76,10 @@ def ingest_batch_step(spark: SparkSession, batch_df: DataFrame,
     pipeline's per-corpus computation — with the df>=2 floor so a tiny
     micro-batch is never emptied), so replay stays byte-identical and
     the composed exactly-once contract is untouched. ``from_pdf`` is
-    the PDF-container twin (``operators.pdf_extract``), r11."""
+    the PDF-container twin (``operators.pdf_extract``), r11;
+    ``from_warc`` the WARC twin (``operators.warc_extract`` — the
+    batch's pages ride one synthesized per-source WARC file each
+    micro-batch, parsed back record-split + chunked-decode), r12."""
     batch = batch_df.select("doc_id", "source", "text")
     if from_html:
         from ..operators.html_extract import (extract_html_documents,
@@ -91,6 +95,14 @@ def ingest_batch_step(spark: SparkSession, batch_df: DataFrame,
         pdfs = (batch_df if "pdf" in batch_df.columns
                 else synthesize_pdf(batch))
         batch = (extract_pdf_documents(pdfs)
+                 .filter("length(text) >= 1")
+                 .select("doc_id", "source", "text"))
+    elif from_warc:
+        from ..operators.warc_extract import (extract_warc_documents,
+                                              synthesize_warc_files)
+        files = (batch_df if "warc" in batch_df.columns
+                 else synthesize_warc_files(batch))
+        batch = (extract_warc_documents(files)
                  .filter("length(text) >= 1")
                  .select("doc_id", "source", "text"))
     if fix_encoding:
@@ -114,17 +126,20 @@ def run_curation_ingest(documents_stream: DataFrame, state_dir: str,
                         timeout: int = 240,
                         from_html: bool = False,
                         from_pdf: bool = False,
+                        from_warc: bool = False,
                         fix_encoding: bool = False):
     """Drive the composed ingest over all currently-available input
     (availableNow; production leaves the query running). ONE checkpoint
     under ``state_dir`` governs both tiers, so a crash-restart replays
     the last uncommitted batch through BOTH idempotent steps.
-    ``from_html`` / ``from_pdf`` prepend the matching container
+    ``from_html`` / ``from_pdf`` / ``from_warc`` prepend the matching
+    container
     extraction front stage."""
     def step(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch_step(spark, batch_df, batch_id, state_dir, n=n,
                           n_hashes=n_hashes, n_bands=n_bands,
                           threshold=threshold, from_html=from_html,
-                          from_pdf=from_pdf, fix_encoding=fix_encoding)
+                          from_pdf=from_pdf, from_warc=from_warc,
+                          fix_encoding=fix_encoding)
 
     return run_available_now(documents_stream, state_dir, step, timeout)
