@@ -1469,6 +1469,26 @@ def _robots_rules_ctes() -> str:
                         '^(Allow|Disallow): (.+)$', 2) <> ''))"""
 
 
+def _robots_matched_cte(name: str, src: str, key: str) -> str:
+    """The INDEPENDENT most-specific-match window over ``rrules`` —
+    per {key}: every matching rule ranked by raw-pattern length DESC,
+    Allow DESC; row 1 is the verdict (coalesced to allow when no rule
+    matches). ONE generator for all three robots-gated twins (the
+    window formulation must stay independent of the engine's fold,
+    but the three twins must not keep hand-copies of it). The oracle
+    deliberately runs EVERY rule through its compiled regex — the
+    engine's prefix fast path is an optimization the equality must
+    not depend on."""
+    return f"""{name} AS (
+            SELECT {src}.{key}, r.a,
+                   row_number() OVER (
+                       PARTITION BY {src}.{key}
+                       ORDER BY length(r.p) DESC, r.a DESC) AS rn
+            FROM {src} JOIN rrules r
+              ON r.domain = {src}.domain
+             AND regexp_matches({src}.path, r.rx))"""
+
+
 def _robots_oracle_sql() -> str:
     """Generated DuckDB twin of ``urls.robots_stats``: the shared URL
     synthesis CTEs, the shared robots-rules CTEs
@@ -1487,14 +1507,7 @@ def _robots_oracle_sql() -> str:
                       AS path
                FROM d),
         {_robots_rules_ctes()},
-        matched AS (
-            SELECT uu.doc_id, r.a,
-                   row_number() OVER (
-                       PARTITION BY uu.doc_id
-                       ORDER BY length(r.p) DESC, r.a DESC) AS rn
-            FROM uu JOIN rrules r
-              ON r.domain = uu.domain
-             AND regexp_matches(uu.path, r.rx)),
+        {_robots_matched_cte("matched", "uu", "doc_id")},
         verdict AS (
             SELECT uu.doc_id, uu.domain, coalesce(m.a, true) AS ok
             FROM uu LEFT JOIN
@@ -1630,14 +1643,7 @@ def _crawl_frontier_oracle_sql(iters: int = 3, fanout: int = 3,
                         '^[a-z][a-z0-9+.-]*://[^/?]*(/.*)$', 1)
                         AS path
                FROM fpri),
-        matched AS (
-            SELECT pp.canon, r.a,
-                   row_number() OVER (
-                       PARTITION BY pp.canon
-                       ORDER BY length(r.p) DESC, r.a DESC) AS rn
-            FROM pp JOIN rrules r
-              ON r.domain = pp.domain
-             AND regexp_matches(pp.path, r.rx)),
+        {_robots_matched_cte("matched", "pp", "canon")},
         okd AS (
             SELECT pp.canon, pp.domain, pp.priority
             FROM pp LEFT JOIN
@@ -1696,13 +1702,7 @@ def _fetch_list_oracle_sql(iters: int = 3, fanout: int = 3,
         pthu AS (SELECT *, regexp_extract(canon,
                    '^[a-z][a-z0-9+.-]*://[^/?]*(/.*)$', 1) AS path
                  FROM pcu),
-        mtu AS (SELECT pthu.canon, r.a,
-                       row_number() OVER (
-                           PARTITION BY pthu.canon
-                           ORDER BY length(r.p) DESC, r.a DESC) AS rn
-                FROM pthu JOIN rrules r
-                  ON r.domain = pthu.domain
-                 AND regexp_matches(pthu.path, r.rx)),
+        {_robots_matched_cte("mtu", "pthu", "canon")},
         pok AS (SELECT pthu.page, pthu.canon, pthu.domain
                 FROM pthu LEFT JOIN
                      (SELECT canon, a FROM mtu WHERE rn = 1) m
