@@ -20,7 +20,7 @@ def _delay_us(domain: str, rate_scale_milli: int = 1000) -> int:
     """Driver-side replay of host_delay_us's two-step integer div."""
     m = int(domain.split("site")[1].split(".")[0])
     rate_milli = RATE_BASE_MILLI * (1 << (m % 3))
-    return 10**9 // ((rate_milli * rate_scale_milli) // 1000)
+    return 10**9 // max((rate_milli * rate_scale_milli) // 1000, 1)
 
 
 def test_channels_partition_and_agree_with_their_modules(spark):
@@ -133,3 +133,22 @@ def test_fetch_timestamps_ride_the_host_cadence(spark):
                              rate_scale_milli=500).collect()}
     assert all(b[d] == 2 * a[d] for d in a)
     assert any(a[d] > 0 for d in a)
+
+
+def test_tiny_rate_scale_floors_instead_of_nulling(spark):
+    """Review r12: a scale small enough to collapse the integer rate
+    to zero must floor at 1 milli-req/s (delay caps at 1e9 µs), never
+    divide by zero into NULL timestamps."""
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = fetch_schedule_rows(docs, cycle_us=10**12,
+                               rate_scale_milli=1).collect()
+    assert rows
+    floored = False
+    for r in rows:
+        assert r.fetch_at_us is not None and r.fetch_at_us >= 0
+        assert r.fetch_at_us == (r.rn - 1) * _delay_us(r.domain, 1)
+        m = int(r.domain.split("site")[1].split(".")[0])
+        if (RATE_BASE_MILLI * (1 << (m % 3))) // 1000 == 0:
+            floored = True       # this tier WOULD have divided by 0
+            assert _delay_us(r.domain, 1) == 10**9
+    assert floored

@@ -366,8 +366,11 @@ def test_retract_commit_manifest_rolls_forward(spark, tmp_path):
                .select("vec_id").collect()}
     (vdf.filter(F.col("vec_id").isin(keep_ids)).write
      .parquet(f"file://{postings}__retract_tmp/{victim_rel}"))
-    write_commit_manifest(postings, "retract",
-                          swap=[victim_rel], drop=[])
+    from toymapreduce_go_spark.sources.sinks import _dir_fingerprint
+    write_commit_manifest(
+        postings, "retract",
+        swap=[{"rel": victim_rel, "live": _dir_fingerprint(victim)}],
+        drop=[])
     assert os.path.exists(f"{postings}__retract.manifest")
     # next maintenance invocation heals BEFORE doing its own work
     retract_keys_from_parquet(spark, postings, "vec_id", [])
@@ -428,11 +431,46 @@ def test_rebuild_manifest_window_rolls_forward(spark, tmp_path):
     emb = load_table(spark, SF_DIR, "embeddings")
     path = str(tmp_path / "tree")
     emb.limit(50).write.parquet(path)
+    from toymapreduce_go_spark.sources.sinks import _dir_fingerprint
     local, tmp, old = swap_paths(path, "rebuild")
     emb.limit(10).write.parquet("file://" + tmp)
-    write_commit_manifest(local.rstrip("/"), "rebuild",
-                          swap=["."], drop=[])
+    write_commit_manifest(
+        local.rstrip("/"), "rebuild",
+        swap=[{"rel": ".", "live": _dir_fingerprint(local)}], drop=[])
     recover_swap(local, tmp, old, "rebuild")
     assert spark.read.parquet(path).count() == 10   # staged tree live
     assert not os.path.exists(tmp) and not os.path.exists(old)
     assert not os.path.exists(f"{local}__rebuild.manifest")
+
+
+def test_stale_swap_never_reverts_a_newer_generation(spark, tmp_path):
+    """Review r12: a stale commit manifest whose SWAP rel's live dir
+    was rewritten by a LATER operation (e.g. a rebuild between the
+    crash and the recovery) must not revert the newer generation to
+    the stale staged tree — the live fingerprint recorded at commit
+    time gates the move."""
+    from toymapreduce_go_spark.sources.sinks import (
+        _dir_fingerprint, retract_keys_from_parquet,
+        write_commit_manifest)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "vidx")
+    write_vector_index(emb, path)
+    postings = f"{path}/postings"
+    cells = sorted(d for d in os.listdir(f"{postings}/ingest_batch=0")
+                   if d.startswith("cell="))
+    rel = f"ingest_batch=0/{cells[0]}"
+    live = f"{postings}/{rel}"
+    # stage a stale tmp twin + a manifest recording the CURRENT live
+    vdf = spark.read.parquet(live)
+    vdf.limit(1).write.parquet(f"file://{postings}__retract_tmp/{rel}")
+    write_commit_manifest(
+        postings, "retract",
+        swap=[{"rel": rel, "live": _dir_fingerprint(live)}], drop=[])
+    # a later operation rewrites the partition (newer generation)
+    vdf.limit(2).write.mode("overwrite").parquet("file://" + live)
+    want = sorted(tuple(r) for r in spark.read.parquet(live).collect())
+    retract_keys_from_parquet(spark, postings, "vec_id", [])
+    got = sorted(tuple(r) for r in spark.read.parquet(live).collect())
+    assert got == want and len(got) == 2      # NOT the stale 1-row tmp
+    assert not os.path.exists(f"{postings}__retract.manifest")
+    assert not os.path.exists(f"{postings}__retract_tmp")

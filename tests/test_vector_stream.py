@@ -217,3 +217,39 @@ def test_rebuild_floor_requires_monitor(spark, tmp_path):
     with pytest.raises(ValueError, match="monitor_recall"):
         vector_index_batch_step(emb, 0, str(tmp_path / "s"),
                                 rebuild_floor=0.5)
+
+
+def test_rebuild_log_heals_after_crash_inside_rebuild_window(
+        spark, tmp_path):
+    """Review r12: crash AFTER the in-place rebuild but BEFORE the
+    rebuild_log completion write. The two-phase log leaves a
+    (recall_before, NULL) row; the replayed batch measures the rebuilt
+    index (above the floor, no re-trigger) and HEALS the row with the
+    post-rebuild recall — the drifted recall_before is never lost and
+    the index stays byte-identical."""
+    from toymapreduce_go_spark.streaming.vector_stream import (
+        _write_rebuild_row, read_rebuild_log)
+
+    state = str(tmp_path / "state")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    mid = emb.count() // 2
+    floor = 0.6
+    vector_index_batch_step(emb.filter(f"vec_id >= {mid}"), 0, state,
+                            monitor_recall=True, rebuild_floor=floor)
+    vector_index_batch_step(emb.filter(f"vec_id < {mid}"), 1, state,
+                            monitor_recall=True, rebuild_floor=floor)
+    idx = os.path.join(state, VINDEX_SUBDIR)
+    done = {r.batch_id: r for r in
+            read_rebuild_log(spark, state).collect()}
+    assert done[1].recall_after is not None
+    # reconstruct the crash state: index rebuilt, phase-B write lost
+    _write_rebuild_row(spark, state, 1, done[1].recall_before, None)
+    posts = _postings(spark, idx)
+    # replay batch 1
+    vector_index_batch_step(emb.filter(f"vec_id < {mid}"), 1, state,
+                            monitor_recall=True, rebuild_floor=floor)
+    healed = {r.batch_id: r for r in
+              read_rebuild_log(spark, state).collect()}
+    assert healed[1].recall_before == done[1].recall_before
+    assert healed[1].recall_after == done[1].recall_after
+    assert _postings(spark, idx) == posts

@@ -319,3 +319,53 @@ def test_stream_ingest_from_warc_front_stage(spark, tmp_path):
            for m in states}
     assert tel["warc"] == tel["html"] and tel["warc"]
     assert tel["warc"] != tel["plain"]
+
+
+def test_dechunk_accepts_rfc_variants_and_rejects_garbage(spark):
+    """RFC 9112 §7.1 framing variants a foreign WARC legally carries
+    (review r12): chunk extensions on size lines, a zero chunk with
+    leading zeros or an extension, trailer FIELD lines after the
+    terminator — all accepted; bad hex, size lies, missing
+    terminator, and post-terminator garbage still fail."""
+    from toymapreduce_go_spark.operators.warc_extract import (
+        dechunk_http_body)
+    cases = [
+        ("5\r\nhello\r\n0", True, "hello"),
+        ("5;ext=1\r\nhello\r\n0", True, "hello"),          # chunk ext
+        ("5\r\nhello\r\n00", True, "hello"),               # 00 terminal
+        ("5\r\nhello\r\n0;done", True, "hello"),           # 0 with ext
+        ("5\r\nhello\r\n0\r\nx-sum: abc", True, "hello"),  # trailer
+        ("5\r\nhello\r\n0\r\nnot a field", False, None),   # garbage
+        ("G\r\nhello\r\n0", False, None),                  # bad hex
+        ("6\r\nhello\r\n0", False, None),                  # size lie
+        ("5\r\nhello", False, None),                       # no 0 chunk
+    ]
+    df = spark.createDataFrame([(p,) for p, _, _ in cases],
+                               "payload string")
+    got = {r["payload"]: (r["d"]["ok"], r["d"]["out"]) for r in
+           df.select("payload",
+                     dechunk_http_body("payload").alias("d")).collect()}
+    for p, ok, out in cases:
+        assert got[p][0] is ok, p
+        if ok:
+            assert got[p][1] == out, p
+
+
+def test_chunked_empty_body_frames_and_round_trips(spark):
+    """An empty body frames as JUST the terminal chunk (a zero-size
+    data chunk would be a second terminator the parser rejects) and
+    round-trips to '' (review r12)."""
+    from toymapreduce_go_spark.operators.warc_extract import (
+        chunked_http_body, dechunk_http_body)
+    df = spark.createDataFrame([("",), ("x" * 300,)], "html string")
+    rows = {len(r["html"]): r for r in df.select(
+        "html", chunked_http_body(F.col("html")).alias("c")).collect()}
+    assert rows[0]["c"] == "0\r\n\r\n"
+    # round trip through the parser's stripped form
+    stripped = spark.createDataFrame(
+        [(r["c"][:-4] if r["c"].endswith("\r\n\r\n") else r["c"],
+          r["html"]) for r in rows.values()],
+        "payload string, want string")
+    for r in stripped.select(
+            "want", dechunk_http_body("payload").alias("d")).collect():
+        assert r["d"]["ok"] and r["d"]["out"] == r["want"]

@@ -71,10 +71,14 @@ def host_delay_us(rate_scale_milli: int = 1000) -> "F.Column":
     lever."""
     m3 = ("pmod(cast(regexp_extract(domain, 'site(\\\\d+)', 1) "
           "as bigint), 3)")
+    # greatest(…, 1): the scaled rate floors at 1 milli-req/s (delay
+    # caps at 10⁹ µs) — without it a small enough scale collapses the
+    # integer rate to 0 and the division NULLs every timestamp with
+    # ANSI off (review r12)
     return F.expr(
-        f"1000000000 div (({RATE_BASE_MILLI} * "
+        f"1000000000 div greatest(({RATE_BASE_MILLI} * "
         f"(CASE {m3} WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END) * "
-        f"{int(rate_scale_milli)}) div 1000)")
+        f"{int(rate_scale_milli)}) div 1000, 1)")
 
 
 def fetch_channels(documents: DataFrame) -> DataFrame:

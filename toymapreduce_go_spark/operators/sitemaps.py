@@ -164,11 +164,16 @@ def _gunzip_xml(batches):
         yield pdf[["domain", "child", "xml"]]
 
 
-def synthesize_sitemap_children(documents: DataFrame) -> DataFrame:
+def synthesize_sitemap_children(documents: DataFrame,
+                                pages: DataFrame | None = None
+                                ) -> DataFrame:
     """(domain, child, xml_gz): the gzipped child sitemaps, at most
     ``SITEMAP_CHILD_CAP`` entries each, entries in page order (the
-    urlset body is ``_urlset_xml`` — shared with the flat form)."""
-    e = _host_pages(documents).select(
+    urlset body is ``_urlset_xml`` — shared with the flat form).
+    ``pages`` (a ``_host_pages`` frame) lets the caller share ONE
+    corpus-distinct across the index and the children."""
+    e = (pages if pages is not None
+         else _host_pages(documents)).select(
         "domain", "child", F.struct("page", _page_entry().alias("entry"))
         .alias("s"))
     xml = (e.groupBy("domain", "child")
@@ -178,11 +183,15 @@ def synthesize_sitemap_children(documents: DataFrame) -> DataFrame:
         _gzip_xml, "domain string, child long, xml_gz binary")
 
 
-def synthesize_sitemap_index(documents: DataFrame) -> DataFrame:
+def synthesize_sitemap_index(documents: DataFrame,
+                             pages: DataFrame | None = None
+                             ) -> DataFrame:
     """(domain, xml): one <sitemapindex> per host enumerating its
     child sitemap locs (``http://<host>/sitemaps/sitemap-<k>.xml.gz``)
-    in child order."""
-    ch = _host_pages(documents).select("domain", "child").distinct()
+    in child order. ``pages`` as in ``synthesize_sitemap_children``."""
+    ch = (pages if pages is not None
+          else _host_pages(documents)).select("domain",
+                                              "child").distinct()
     ent = F.concat(F.lit("<sitemap><loc>http://"), F.col("domain"),
                    F.lit("/sitemaps/sitemap-"),
                    F.col("child").cast("string"),
@@ -222,9 +231,14 @@ def sitemap_index_stats(documents: DataFrame) -> DataFrame:
     ``sitemap_extract_stats`` (the child split is transparent to every
     downstream value — pinned in pytest along with the cap binding and
     the loc round trip), so it inherits the same XML-free DuckDB
-    twin."""
-    ent = sitemap_index_entries(synthesize_sitemap_index(documents),
-                                synthesize_sitemap_children(documents))
+    twin. The page universe is computed ONCE and localCheckpoint-ed
+    (page-sized) so the corpus-distinct — the module's one corpus
+    touch — does not run twice for the two synthesizers (review
+    r12)."""
+    hp = _host_pages(documents).localCheckpoint()
+    ent = sitemap_index_entries(
+        synthesize_sitemap_index(documents, pages=hp),
+        synthesize_sitemap_children(documents, pages=hp))
     return _sitemap_rollup(ent)
 
 

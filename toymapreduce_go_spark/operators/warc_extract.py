@@ -73,10 +73,16 @@ def chunked_http_body(html) -> "F.Column":
     n = F.greatest(
         F.ceil(F.length(html) / F.lit(CHUNK_CHARS)).cast("int"),
         F.lit(1))
-    chunks = F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.substring(html, i * CHUNK_CHARS + 1,
-                              F.lit(CHUNK_CHARS)))
+    # the post-transform empty-chunk filter (not the sequence floor)
+    # owns the empty-body case: '' frames as just the terminal chunk —
+    # a bare zero-size data chunk would be a SECOND terminator the
+    # parser rightly rejects (review r12)
+    chunks = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.substring(html, i * CHUNK_CHARS + 1,
+                                  F.lit(CHUNK_CHARS))),
+        lambda c: F.length(c) > 0)
     framed = F.transform(chunks, lambda c: F.concat(
         F.lower(F.hex(F.octet_length(c))), F.lit(CRLF), c, F.lit(CRLF)))
     return F.concat(F.array_join(framed, ""), F.lit("0\r\n\r\n"))
@@ -86,12 +92,19 @@ def dechunk_http_body(payload) -> "F.Column":
     """Decode a chunked body: ONE aggregate fold over the CRLF-split
     pieces, alternating size-line / data states, validating every
     chunk's hex size against the actual byte length and requiring the
-    terminal ``0`` chunk — a real parser with per-chunk validation,
-    never a trust-the-synthesis regex. Returns struct(out, ok): ``ok``
-    is false on any malformed size line, length mismatch, missing
-    terminator, or trailing garbage. (Chunk data containing CRLF
-    cannot occur on LF-only payloads — the module's disclosed framing
-    caveat.)"""
+    terminal zero chunk — a real parser with per-chunk validation,
+    never a trust-the-synthesis regex. RFC 9112 §7.1 variants foreign
+    WARCs legally carry are accepted (review r12): chunk extensions
+    on any size line (``a2;ext=1``), a zero chunk written with
+    leading zeros or an extension (``00``, ``0;ext``), and trailer
+    FIELD lines after the terminator (``name: value`` — anything else
+    there is garbage and fails). Returns struct(out, ok): ``ok`` is
+    false on any malformed size line, length mismatch, missing
+    terminator, or post-terminator garbage. (Chunk data containing
+    CRLF cannot occur on LF-only payloads — the module's disclosed
+    framing caveat.)"""
+    size_re = "'^([0-9a-fA-F]+)(;.*)?$'"
+    field_re = r"'^[0-9A-Za-z!#$%&*+.^_`|~-]+:'"
     return F.expr(
         f"""aggregate(split({payload}, '\r\n'),
             struct(cast(-1 as bigint) as sz, '' as out,
@@ -100,18 +113,23 @@ def dechunk_http_body(payload) -> "F.Column":
                 WHEN NOT acc.ok THEN acc
                 WHEN acc.fin THEN
                     struct(acc.sz as sz, acc.out as out,
-                           p = '' as ok, acc.fin as fin)
+                           p = '' OR p rlike {field_re} as ok,
+                           acc.fin as fin)
                 WHEN acc.sz = -1 THEN CASE
-                    WHEN p = '0' THEN
+                    WHEN regexp_extract(p, {size_re}, 1) = '' THEN
+                        struct(acc.sz as sz, acc.out as out,
+                               false as ok, acc.fin as fin)
+                    WHEN cast(conv(regexp_extract(p, {size_re}, 1),
+                                   16, 10) as bigint) = 0 THEN
                         struct(cast(-1 as bigint) as sz,
                                acc.out as out, acc.ok as ok,
                                true as fin)
-                    WHEN p rlike '^[0-9a-fA-F]+$' THEN
-                        struct(cast(conv(p, 16, 10) as bigint) as sz,
+                    ELSE
+                        struct(cast(conv(regexp_extract(p, {size_re},
+                                                        1), 16, 10)
+                                    as bigint) as sz,
                                acc.out as out, acc.ok as ok,
-                               false as fin)
-                    ELSE struct(acc.sz as sz, acc.out as out,
-                                false as ok, acc.fin as fin) END
+                               false as fin) END
                 ELSE CASE
                     WHEN octet_length(p) = acc.sz THEN
                         struct(cast(-1 as bigint) as sz,

@@ -1635,12 +1635,13 @@ def _crawl_frontier_oracle_sql(iters: int = 3, fanout: int = 3,
     priority) checksum replay the engine's integer arithmetic
     exactly."""
     from ..operators.frontier import FRONTIER_PER_DOMAIN
+    from ..operators.urls import ROBOTS_PATH_RE
     return f"""
         WITH {_url_canon_ctes()},
         {_frontier_common_ctes(iters, fanout, scale)},
         pp AS (SELECT canon, domain, priority,
                       regexp_extract(canon,
-                        '^[a-z][a-z0-9+.-]*://[^/?]*(/.*)$', 1)
+                        '{ROBOTS_PATH_RE}', 1)
                         AS path
                FROM fpri),
         {_robots_matched_cte("matched", "pp", "canon")},
@@ -1687,6 +1688,7 @@ def _fetch_list_oracle_sql(iters: int = 3, fanout: int = 3,
     from ..operators.frontier import FRONTIER_MOD
     from ..operators.scheduling import (FETCH_CYCLE_US,
                                         RATE_BASE_MILLI)
+    from ..operators.urls import ROBOTS_PATH_RE
     from ..operators.sitemaps import FETCH_DAY_MULT
     from ..operators.urls import fixture_blocklist
     deny = ", ".join(f"'{b}'" for b in fixture_blocklist())
@@ -1700,7 +1702,7 @@ def _fetch_list_oracle_sql(iters: int = 3, fanout: int = 3,
                 WHERE d.domain NOT IN ({deny})
                 GROUP BY pgu.page),
         pthu AS (SELECT *, regexp_extract(canon,
-                   '^[a-z][a-z0-9+.-]*://[^/?]*(/.*)$', 1) AS path
+                   '{ROBOTS_PATH_RE}', 1) AS path
                  FROM pcu),
         {_robots_matched_cte("mtu", "pthu", "canon")},
         pok AS (SELECT pthu.page, pthu.canon, pthu.domain

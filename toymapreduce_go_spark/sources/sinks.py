@@ -90,23 +90,27 @@ def _manifest_file(base: str, op: str) -> str:
     return f"{base}__{op}.manifest"
 
 
-def write_commit_manifest(base: str, op: str, swap: list[str],
+def write_commit_manifest(base: str, op: str, swap: list[dict],
                           drop: list[dict]) -> None:
     """THE commit point: one small-file write (atomic PUT on object
     stores; write-then-``os.replace`` here) recording the rel-paths
-    the staged tmp tree swaps in and the rel-paths that drop. Drop
-    entries carry a content fingerprint of the live directory at
-    commit time (sorted file names + sizes): recovery drops a rel
-    ONLY while the fingerprint still matches, so a stale manifest
-    replayed after a later write re-created the same partition name
-    can never delete the newer generation."""
+    the staged tmp tree swaps in and the rel-paths that drop. BOTH
+    entry kinds carry a content fingerprint of the live directory at
+    commit time (recursive rel-path + size listing): recovery applies
+    a swap / drop ONLY while the live dir is absent (mid-move crash)
+    or still matches that fingerprint, so a stale manifest replayed
+    after a LATER operation rewrote the same paths can neither delete
+    the newer generation (drop) nor revert it to the stale staged
+    tree (swap) — review r12. Swap entries: {"rel", "live"}; drop
+    entries: {"rel", "files"}."""
     import json
     import os
 
     p = _manifest_file(base, op)
     staging = p + ".writing"
     with open(staging, "w") as f:
-        json.dump({"op": op, "swap": sorted(swap),
+        json.dump({"op": op,
+                   "swap": sorted(swap, key=lambda d: d["rel"]),
                    "drop": sorted(drop, key=lambda d: d["rel"])}, f)
     os.replace(staging, p)
 
@@ -124,6 +128,8 @@ def read_commit_manifest(base: str, op: str) -> dict | None:
         if not (isinstance(m, dict) and isinstance(m.get("swap"), list)
                 and isinstance(m.get("drop"), list)
                 and all(isinstance(d, dict) and "rel" in d
+                        and "live" in d for d in m["swap"])
+                and all(isinstance(d, dict) and "rel" in d
                         and "files" in d for d in m["drop"])):
             raise ValueError("missing swap/drop lists")
         return m
@@ -135,13 +141,20 @@ def read_commit_manifest(base: str, op: str) -> dict | None:
 
 
 def _dir_fingerprint(path: str) -> list[tuple[str, int]]:
-    """Sorted (file, size) pairs of a partition leaf dir — the drop
-    guard's identity for "the directory the commit intended"."""
+    """Sorted (relative file path, size) pairs of a directory TREE —
+    the staleness guard's identity for "the directory the commit
+    intended" (recursive, so whole-tree swap roots with nested
+    partition dirs get a real identity, not just their top-level
+    _SUCCESS)."""
     import os
 
-    return sorted((f, os.path.getsize(os.path.join(path, f)))
-                  for f in os.listdir(path)
-                  if os.path.isfile(os.path.join(path, f)))
+    out = []
+    for dp, _dn, fns in os.walk(path):
+        for f in fns:
+            fp = os.path.join(dp, f)
+            out.append((os.path.relpath(fp, path),
+                        os.path.getsize(fp)))
+    return sorted(out)
 
 
 def _apply_manifest(local: str, tmp: str, old: str, op: str,
@@ -151,12 +164,19 @@ def _apply_manifest(local: str, tmp: str, old: str, op: str,
     import os
     import shutil
 
-    for rel in manifest["swap"]:
+    for d in manifest["swap"]:
+        rel = d["rel"]
         tmp_dir = os.path.normpath(os.path.join(tmp, rel))
         live_dir = os.path.normpath(os.path.join(local, rel))
         if not os.path.isdir(tmp_dir):
             continue                      # this rel already applied
         if os.path.isdir(live_dir):
+            if _dir_fingerprint(live_dir) != sorted(
+                    tuple(x) for x in d["live"]):
+                # live was rewritten by a LATER operation after this
+                # commit — never revert it to the stale staged tree
+                # (the stale tmp is discarded with the tree below)
+                continue
             old_dir = os.path.normpath(os.path.join(old, rel))
             os.makedirs(os.path.dirname(old_dir), exist_ok=True)
             shutil.rmtree(old_dir, ignore_errors=True)
@@ -217,8 +237,12 @@ def commit_swap(local: str, tmp: str, old: str, op: str) -> None:
     manifest write is completed forward by ``recover_swap`` on the
     next invocation; a crash before it leaves the live tree
     untouched."""
-    write_commit_manifest(local.rstrip("/"), op, swap=["."], drop=[])
-    _apply_manifest(local, tmp, old, op, {"swap": ["."], "drop": []})
+    import os
+
+    live_fp = (_dir_fingerprint(local) if os.path.isdir(local) else [])
+    swap = [{"rel": ".", "live": live_fp}]
+    write_commit_manifest(local.rstrip("/"), op, swap=swap, drop=[])
+    _apply_manifest(local, tmp, old, op, {"swap": swap, "drop": []})
 
 
 def compact_parquet(spark, path: str, target_mb: int = 128) -> tuple[int, int]:
@@ -408,7 +432,11 @@ def retract_keys_from_parquet(spark, path: str, key_col: str,
     # -- commit: the manifest write is the atomic commit point; the
     # per-partition moves after it are idempotent and re-entrant
     # (crash anywhere → recovery rolls the manifest forward)
-    swap_rels = [rel for rel in rels
+    swap_rels = [{"rel": rel,
+                  "live": (_dir_fingerprint(os.path.join(local, rel))
+                           if os.path.isdir(os.path.join(local, rel))
+                           else [])}
+                 for rel in rels
                  if os.path.isdir(os.path.join(tmp, rel))]
     drop_rels = [{"rel": rel,
                   "files": _dir_fingerprint(os.path.join(local, rel))}

@@ -84,29 +84,63 @@ def _record_recall(spark: SparkSession, state_dir: str,
     return float(r["recall"])
 
 
-def _rebuild_on_drift(spark: SparkSession, state_dir: str,
-                      batch_id: int, recall_before: float,
-                      n_cells: int) -> None:
-    """The monitor→rebuild policy arm (r11 verdict item 8): retrain
-    the quantizer in place and log (batch_id, recall_before,
-    recall_after) by dynamic-overwriting this batch's own
-    ``rebuild_log`` partition. Exactly-once under the checkpoint
-    contract the same way every other per-batch write is: a replayed
-    batch recomputes the SAME deterministic recall, makes the same
-    decision, re-runs the (value-idempotent — rebuilt == fresh build
-    is pinned) rebuild, and overwrites its own log partition; a crash
-    mid-rebuild heals through the manifest-commit protocol before the
-    rebuild re-runs."""
-    from ..operators.similarity import (rebuild_vector_index,
-                                        vector_index_recall)
-    idx = os.path.join(state_dir, VINDEX_SUBDIR)
-    rebuild_vector_index(spark, idx, n_cells=n_cells)
-    after = vector_index_recall(spark, idx)
+def _write_rebuild_row(spark: SparkSession, state_dir: str,
+                       batch_id: int, before: float,
+                       after: float | None) -> None:
     (spark.createDataFrame(
-        [(batch_id, float(recall_before), float(after["recall"]))],
+        [(batch_id, float(before),
+          None if after is None else float(after))],
         "batch_id long, recall_before double, recall_after double")
      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
      .partitionBy("batch_id").parquet(f"{state_dir}/rebuild_log"))
+
+
+def _rebuild_on_drift(spark: SparkSession, state_dir: str,
+                      batch_id: int, recall_before: float,
+                      n_cells: int) -> None:
+    """The monitor→rebuild policy arm (r11 verdict item 8), TWO-PHASE
+    so the log survives a crash anywhere inside the rebuild window
+    (review r12): phase A records (batch_id, recall_before, NULL) in
+    this batch's own ``rebuild_log`` partition BEFORE the in-place
+    rebuild mutates the index; phase B completes the row with the
+    post-rebuild recall. A replayed batch whose crash fell AFTER the
+    rebuild measures the rebuilt index (recall back above the floor,
+    so the trigger doesn't re-fire) and HEALS the phase-A row instead
+    (``_heal_rebuild_log``) — the drifted ``recall_before`` is never
+    lost, and the index state itself is exactly-once because the
+    rebuild is value-idempotent (rebuilt == fresh build is pinned)
+    and crash-safe under the manifest-commit protocol. The one
+    disclosed observability nuance: ``recall_log``'s row for the
+    batch reflects the index as of its LAST evaluation, so a replay
+    after the rebuild records the recovered recall there — the
+    drifted value lives in ``rebuild_log.recall_before``."""
+    from ..operators.similarity import (rebuild_vector_index,
+                                        vector_index_recall)
+    idx = os.path.join(state_dir, VINDEX_SUBDIR)
+    _write_rebuild_row(spark, state_dir, batch_id, recall_before, None)
+    rebuild_vector_index(spark, idx, n_cells=n_cells)
+    after = vector_index_recall(spark, idx)
+    _write_rebuild_row(spark, state_dir, batch_id, recall_before,
+                       float(after["recall"]))
+
+
+def _heal_rebuild_log(spark: SparkSession, state_dir: str,
+                      batch_id: int, recall_now: float) -> None:
+    """Complete a phase-A rebuild_log row left by a crash between the
+    rebuild and its phase-B write: the replayed batch's measured
+    recall IS the post-rebuild recall (same ``vector_index_recall``
+    over the same rebuilt index)."""
+    from pyspark.errors import AnalysisException
+
+    from pyspark.sql import functions as F
+    try:
+        log = spark.read.parquet(f"{state_dir}/rebuild_log")
+    except AnalysisException:
+        return
+    rows = log.filter(F.col("batch_id") == batch_id).collect()
+    if rows and rows[0]["recall_after"] is None:
+        _write_rebuild_row(spark, state_dir, batch_id,
+                           float(rows[0]["recall_before"]), recall_now)
 
 
 def vector_index_batch_step(batch_df: DataFrame, batch_id: int,
@@ -140,10 +174,13 @@ def vector_index_batch_step(batch_df: DataFrame, batch_id: int,
                            batch_id=batch_id)
     if monitor_recall:
         r = _record_recall(batch_df.sparkSession, state_dir, batch_id)
-        if (rebuild_floor is not None and r is not None
-                and r < rebuild_floor):
-            _rebuild_on_drift(batch_df.sparkSession, state_dir,
-                              batch_id, r, n_cells)
+        if rebuild_floor is not None and r is not None:
+            if r < rebuild_floor:
+                _rebuild_on_drift(batch_df.sparkSession, state_dir,
+                                  batch_id, r, n_cells)
+            else:
+                _heal_rebuild_log(batch_df.sparkSession, state_dir,
+                                  batch_id, r)
 
 
 def run_vector_ingest(embeddings_stream: DataFrame, state_dir: str,
