@@ -17,10 +17,61 @@ from toymapreduce_go_spark.sources.registry import load_table
 
 
 def _delay_us(domain: str, rate_scale_milli: int = 1000) -> int:
-    """Driver-side replay of host_delay_us's two-step integer div."""
+    """Driver-side replay of effective_delay_us: robots-declared
+    Crawl-delay first (r13), rate-ladder fallback (two-step integer
+    div)."""
+    from robots_ref import fixture_delay
     m = int(domain.split("site")[1].split(".")[0])
+    cd = fixture_delay(m)
+    if cd is not None:
+        return (cd * 10**9) // rate_scale_milli
     rate_milli = RATE_BASE_MILLI * (1 << (m % 3))
     return 10**9 // max((rate_milli * rate_scale_milli) // 1000, 1)
+
+
+def _ladder_us(domain: str) -> int:
+    m = int(domain.split("site")[1].split(".")[0])
+    return 10**9 // (RATE_BASE_MILLI * (1 << (m % 3)))
+
+
+def test_robots_crawl_delay_overrides_rate_ladder(spark):
+    """r12 verdict item 5: a host whose robots.txt declares a
+    Crawl-delay schedules on THAT cadence, not the ladder's — host 2
+    (selected * group, Crawl-delay: 3) admits one fetch per 2 s cycle
+    where its ladder rate (2 req/s) would admit four; host 5's delay
+    comes from the selected TOYBOT group (4 s), never the decoy
+    group's 9 or the out-ranked * group's absence."""
+    from robots_ref import fixture_delay
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = fetch_schedule_rows(docs, cycle_us=10**12).collect()
+    doms = {r.domain for r in rows}
+    robots_doms = {d for d in doms
+                   if fixture_delay(int(d.split("site")[1]
+                                        .split(".")[0])) is not None}
+    assert robots_doms                      # the fixture exercises it
+    for r in rows:
+        cd = fixture_delay(int(r.domain.split("site")[1].split(".")[0]))
+        if cd is not None:
+            assert r.fetch_at_us == (r.rn - 1) * cd * 10**6
+        else:
+            assert r.fetch_at_us == (r.rn - 1) * _ladder_us(r.domain)
+    # direction: the robots cadence BINDS (admits fewer than the
+    # ladder would) for every robots-delayed host with a deep queue
+    roll = {r.domain: r for r in fetch_list(docs).collect()}
+    bound = 0
+    for d in robots_doms:
+        cd = fixture_delay(int(d.split("site")[1].split(".")[0]))
+        robots_cap = (FETCH_CYCLE_US + cd * 10**6 - 1) // (cd * 10**6)
+        ladder_cap = ((FETCH_CYCLE_US + _ladder_us(d) - 1)
+                      // _ladder_us(d))
+        n_cand = (roll[d].n_link_cand + roll[d].n_sitemap_only
+                  + roll[d].n_recrawl)
+        assert roll[d].n_scheduled == min(n_cand, robots_cap)
+        if n_cand >= ladder_cap > robots_cap:
+            assert roll[d].n_scheduled < ladder_cap
+            bound += 1
+    assert bound > 0
 
 
 def test_channels_partition_and_agree_with_their_modules(spark):
@@ -143,12 +194,14 @@ def test_tiny_rate_scale_floors_instead_of_nulling(spark):
     rows = fetch_schedule_rows(docs, cycle_us=10**12,
                                rate_scale_milli=1).collect()
     assert rows
+    from robots_ref import fixture_delay
     floored = False
     for r in rows:
         assert r.fetch_at_us is not None and r.fetch_at_us >= 0
         assert r.fetch_at_us == (r.rn - 1) * _delay_us(r.domain, 1)
         m = int(r.domain.split("site")[1].split(".")[0])
-        if (RATE_BASE_MILLI * (1 << (m % 3))) // 1000 == 0:
+        if fixture_delay(m) is None \
+                and (RATE_BASE_MILLI * (1 << (m % 3))) // 1000 == 0:
             floored = True       # this tier WOULD have divided by 0
             assert _delay_us(r.domain, 1) == 10**9
     assert floored

@@ -59,3 +59,113 @@ def test_rollup_shape_on_fixture(spark):
     assert len(out) == 20  # one row per source
     assert all(r["max_rank"] <= r["total_rank"] for r in out)
     assert all(r["n_nodes"] > 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# r13: warm-start / incremental PageRank (pagerank_converge)
+
+
+def _py_converge(n, edges, init, tol, max_iters=64, scale=PR_SCALE):
+    """Pure-Python replay of pagerank_converge — integer sums are
+    order-independent, so every iterate and the stopping iteration
+    must match the engine bit-for-bit."""
+    base = (15 * scale // 100) // n
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    r = dict(init)
+    for i in range(1, max_iters + 1):
+        inflow = {}
+        for u, v in edges:
+            inflow[v] = inflow.get(v, 0) + r[u] // outdeg[u]
+        nxt = {v: base + 85 * inflow.get(v, 0) // 100 for v in range(n)}
+        d = max(abs(nxt[v] - r[v]) for v in range(n))
+        r = nxt
+        if d <= tol:
+            return r, i
+    raise AssertionError("python reference did not converge")
+
+
+def _skewed_edges_py(n, relink=False):
+    from toymapreduce_go_spark.operators.linkgraph import PR_HUB
+    es = []
+    for u in range(n):
+        m = 11 if (relink and u % 40 == 0) else 7
+        es += [(u, (u * m + 1) % n), (u, (u * m + 2) % n),
+               (u, u % PR_HUB)]
+    return es
+
+
+def test_pagerank_converge_bit_matches_python_reference(spark):
+    """The engine's converged ranks AND iteration count equal the
+    pure-Python replay exactly (integer arithmetic end to end)."""
+    from toymapreduce_go_spark.operators.linkgraph import (
+        PR_TOL_MICRO, pagerank_converge, synthesize_links_skewed)
+
+    n = 400
+    docs = _docs(spark, n)
+    nodes = docs.select(F.col("doc_id").alias("v"))
+    edges = synthesize_links_skewed(docs, n)
+    got_e = sorted((r["u"], r["v"]) for r in edges.collect())
+    assert got_e == sorted(_skewed_edges_py(n))
+    ranks, iters = pagerank_converge(nodes, edges)
+    want, want_iters = _py_converge(
+        n, _skewed_edges_py(n), {v: PR_SCALE // n for v in range(n)},
+        PR_TOL_MICRO)
+    assert iters == want_iters
+    assert {r["v"]: r["r"] for r in ranks.collect()} == want
+
+
+def test_pagerank_warm_start_converges_faster_within_bound(spark):
+    """The refresh-cycle contract (r12 verdict item 6): on a
+    recrawl-shaped delta (5% of pages re-linked), warm-starting from
+    the previous cycle's converged ranks reaches convergence in
+    STRICTLY fewer iterations than the cold run, and lands within the
+    disclosed truncation bound of the cold run's ranks."""
+    from toymapreduce_go_spark.operators.linkgraph import (
+        PR_WARM_BOUND_MICRO, pagerank_converge, synthesize_links_skewed)
+
+    n = 400
+    docs = _docs(spark, n)
+    nodes = docs.select(F.col("doc_id").alias("v"))
+    old_edges = synthesize_links_skewed(docs, n)
+    new_edges = synthesize_links_skewed(docs, n, relink=True)
+    prior, _ = pagerank_converge(nodes, old_edges)
+    cold, cold_iters = pagerank_converge(nodes, new_edges)
+    warm, warm_iters = pagerank_converge(nodes, new_edges,
+                                         prior_ranks=prior)
+    assert warm_iters < cold_iters, (warm_iters, cold_iters)
+    c = {r["v"]: r["r"] for r in cold.collect()}
+    w = {r["v"]: r["r"] for r in warm.collect()}
+    worst = max(abs(c[v] - w[v]) for v in c)
+    assert worst <= PR_WARM_BOUND_MICRO, worst
+    # the delta actually changed the fixed point (non-vacuous)
+    p = {r["v"]: r["r"] for r in prior.collect()}
+    assert any(abs(c[v] - p[v]) > PR_WARM_BOUND_MICRO for v in c)
+
+
+def test_pagerank_warm_start_handles_added_and_removed_nodes(spark):
+    """A prior ranks frame from a DIFFERENT page universe warm-starts
+    cleanly: new nodes initialize at the uniform base, departed nodes'
+    rows are dropped (never poison the join), and the result still
+    lands within the disclosed bound of the cold run."""
+    from toymapreduce_go_spark.operators.linkgraph import (
+        PR_WARM_BOUND_MICRO, pagerank_converge, synthesize_links_skewed)
+
+    n_old, n_new = 360, 400
+    old_docs, new_docs = _docs(spark, n_old), _docs(spark, n_new)
+    old_nodes = old_docs.select(F.col("doc_id").alias("v"))
+    new_nodes = new_docs.select(F.col("doc_id").alias("v"))
+    prior, _ = pagerank_converge(
+        old_nodes, synthesize_links_skewed(old_docs, n_old))
+    # poison pill: the prior also carries a node that no longer exists
+    prior = prior.unionByName(
+        prior.sparkSession.createDataFrame([(10**6, 123)],
+                                           "v long, r long"))
+    new_edges = synthesize_links_skewed(new_docs, n_new)
+    cold, _ = pagerank_converge(new_nodes, new_edges)
+    warm, _ = pagerank_converge(new_nodes, new_edges, prior_ranks=prior)
+    c = {r["v"]: r["r"] for r in cold.collect()}
+    w = {r["v"]: r["r"] for r in warm.collect()}
+    assert set(w) == set(c) and 10**6 not in w
+    assert max(abs(c[v] - w[v]) for v in c) <= PR_WARM_BOUND_MICRO

@@ -161,3 +161,44 @@ def test_sitemap_index_corrupt_gz_child_raises(spark):
     with pytest.raises(Exception, match="sitemap_index"):
         sitemap_index_entries(synthesize_sitemap_index(docs),
                               bad).collect()
+
+
+def test_sitemap_discovery_rides_the_robots_declared_loc(spark):
+    """r12 verdict item 5: the index fetch starts from the robots.txt
+    ``Sitemap:`` line — a host whose robots declares no sitemap (or a
+    loc nothing serves) contributes NOTHING to the discovered index
+    set, and the discovered set equals the synthesized files exactly
+    when every host declares (the fixture case)."""
+    from pyspark.sql import functions as F
+
+    from toymapreduce_go_spark.operators.sitemaps import (
+        discovered_sitemap_indexes, robots_sitemap_locs,
+        synthesize_sitemap_index)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    disc = discovered_sitemap_indexes(docs)
+    want = {tuple(r) for r in
+            synthesize_sitemap_index(docs).collect()}
+    assert {tuple(r) for r in disc.collect()} == want and want
+
+    # drop one host's Sitemap line -> that host's index is never
+    # fetched (simulate by filtering the loc frame the join consumes)
+    locs = robots_sitemap_locs(docs)
+    assert locs.count() == 16
+    files = synthesize_sitemap_index(docs).withColumn(
+        "_loc", F.concat(F.lit("http://"), F.col("domain"),
+                         F.lit("/sitemaps/index.xml")))
+    kept_locs = locs.filter(~F.col("domain").contains("site0.")).select(
+        F.col("sitemap_loc").alias("_loc"))
+    got = files.join(F.broadcast(kept_locs), "_loc").select("domain")
+    doms = {r["domain"] for r in got.collect()}
+    assert "www.site0.example.com" not in doms and len(doms) == 15
+
+    # a declared loc nothing serves fetches nothing (join on the loc,
+    # not the domain)
+    bogus = locs.withColumn(
+        "sitemap_loc", F.concat(F.col("sitemap_loc"), F.lit(".nope")))
+    got2 = files.join(
+        F.broadcast(bogus.select(F.col("sitemap_loc").alias("_loc"))),
+        "_loc")
+    assert got2.count() == 0

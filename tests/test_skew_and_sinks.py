@@ -380,3 +380,32 @@ def test_merge_snapshot_semantics(spark):
     assert len(got) == 5
     plan = plan_of(merge_snapshot(base, upd))
     assert "Window" not in plan, plan
+
+
+def test_dir_fingerprint_boundary_rests_on_writer_naming(spark, tmp_path):
+    """r12 verdict advisory 3, pinned both ways: (a) two Spark-written
+    generations of the SAME rows never fingerprint-collide (part-file
+    names embed a per-write UUID — the naming convention the manifest
+    staleness guard rests on); (b) the disclosed boundary is real — a
+    hand-rolled writer reusing exact names AND sizes fools the
+    (name, size) fingerprint, and differing sizes do not."""
+    from toymapreduce_go_spark.sources.sinks import _dir_fingerprint
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS x")
+    a, b = str(tmp_path / "gen_a"), str(tmp_path / "gen_b")
+    df.coalesce(2).write.parquet(a)
+    df.coalesce(2).write.parquet(b)
+    fa, fb = _dir_fingerprint(a), _dir_fingerprint(b)
+    assert fa != fb                      # UUID names: no collision
+    parts_a = {n for n, _ in fa if n.startswith("part-")}
+    parts_b = {n for n, _ in fb if n.startswith("part-")}
+    assert parts_a and parts_b and parts_a.isdisjoint(parts_b)
+
+    # the boundary: fixed names + equal sizes collide (disclosed)
+    c, d = tmp_path / "hand_a", tmp_path / "hand_b"
+    for p, payload in ((c, b"aaaa"), (d, b"bbbb")):
+        p.mkdir()
+        (p / "data.bin").write_bytes(payload)
+    assert _dir_fingerprint(str(c)) == _dir_fingerprint(str(d))
+    (d / "data.bin").write_bytes(b"bbbbb")     # size differs -> caught
+    assert _dir_fingerprint(str(c)) != _dir_fingerprint(str(d))

@@ -286,6 +286,146 @@ def test_robots_wildcard_tie_allow_wins(spark):
     assert out["/b66?x"] is False   # only the Disallow matches
 
 
+def test_robots_group_selection_semantics(spark):
+    """RFC 9309 §2.2.1 on constructed multi-group files: the most
+    specific matching ``User-agent`` group REPLACES the ``*`` group
+    (its rules, not the union, decide); specificity = longest
+    case-insensitive prefix of the product token; equally specific
+    groups COMBINE; a UA token that is not a prefix of ours never
+    gates us; multiple UA lines head one shared group; and a file
+    whose groups all miss (no ``*``) allows everything."""
+    specific_beats_star = ("User-agent: *\nDisallow: /a\n"
+                           "User-agent: toybot\nDisallow: /b\n")
+    out = _verdicts(spark, specific_beats_star, ["/a/x", "/b/x"])
+    assert out == {"/a/x": True,    # *'s Disallow ignored for toybot
+                   "/b/x": False}   # the selected group's rule binds
+
+    longest_prefix = ("User-agent: toy\nDisallow: /a\n"
+                      "USER-AGENT: TOYBOT\nDisallow: /b\n"
+                      "User-agent: toybot-news\nDisallow: /c\n"
+                      "User-agent: *\nDisallow: /d\n")
+    out = _verdicts(spark, longest_prefix, ["/a", "/b", "/c", "/d"])
+    assert out == {"/a": True,      # 'toy' matches but is shorter
+                   "/b": False,     # case-insensitive exact token
+                   "/c": True,      # 'toybot-news' is not our prefix
+                   "/d": True}      # * out-ranked by the toybot group
+
+    combined_tie = ("User-agent: toybot\nDisallow: /a\n"
+                    "User-agent: other\nDisallow: /x\n"
+                    "User-agent: toybot\nDisallow: /b\n")
+    out = _verdicts(spark, combined_tie, ["/a", "/b", "/x"])
+    assert out == {"/a": False, "/b": False,   # tied groups combine
+                   "/x": True}
+
+    multi_ua = ("User-agent: megabot\nUser-agent: toybot\n"
+                "Disallow: /a\nUser-agent: *\nDisallow: /b\n")
+    out = _verdicts(spark, multi_ua, ["/a", "/b"])
+    assert out == {"/a": False,     # toybot heads the shared group
+                   "/b": True}
+
+    no_match = "User-agent: megabot\nDisallow: /\n"
+    out = _verdicts(spark, no_match, ["/a"])
+    assert out == {"/a": True}      # no matching group -> allow-all
+
+    # a UA line AFTER rules opens a NEW group (it must not merge into
+    # the previous one and inherit its rules)
+    new_group = ("User-agent: toybot\nDisallow: /a\n"
+                 "User-agent: megabot\nDisallow: /b\n")
+    out = _verdicts(spark, new_group, ["/a", "/b"])
+    assert out == {"/a": False, "/b": True}
+
+
+def test_robots_union_vs_group_direction(spark):
+    """The decade-old union reading (apply every group's rules) and
+    RFC group selection must DISAGREE on the fixture — in both
+    directions on the m%8==5 hosts: the decoy megabot group's
+    ``Disallow: /`` would block everything under union; and on host 5
+    the selected toybot group allows item1-prefixed pages the ``*``
+    group disallows while blocking items ending in 5 the ``*`` group
+    allows."""
+    from robots_ref import (allowed_py, fixture_robots_txt,
+                            parse_groups, rule_matches)
+    from toymapreduce_go_spark.operators.urls import robots_stats
+
+    docs = spark.createDataFrame([(i,) for i in range(2048)],
+                                 "doc_id long")
+    st = {r["domain"]: r for r in robots_stats(docs).collect()}
+    # union semantics would allow NOTHING anywhere (megabot Disallow /)
+    def union_allowed(m: int, path: str) -> bool:
+        best = None
+        for g in parse_groups(fixture_robots_txt(m)):
+            for p, a in g.rules:
+                if rule_matches(p, path):
+                    key = (len(p), a)
+                    best = key if best is None or key > best else best
+        return True if best is None else best[1]
+    assert all(not union_allowed(m, "/articles/item99?a=1&b=2")
+               for m in range(16))
+    assert st["www.site0.example.com"]["n_blocked"] == 0
+
+    # host 5, page 117 (item117): * group blocks (item1-prefix, no
+    # item12), selected toybot group ALLOWS (Allow: /articles/item1)
+    t5 = fixture_robots_txt(5)
+    assert allowed_py(t5, "/articles/item117?a=1&b=2") is True
+    assert allowed_py(t5, "/articles/item117?a=1&b=2",
+                      agent="unknownbot") is False   # falls to *
+    # host 5, page 85 (item85): * group allows, toybot group blocks
+    # (Disallow: /*5? — and no longer Allow matches: item85 is not
+    # item1-prefixed, unlike item165 where Allow /articles/item1 wins)
+    assert allowed_py(t5, "/articles/item85?a=1&b=2") is False
+    assert allowed_py(t5, "/articles/item85?a=1&b=2",
+                      agent="unknownbot") is True
+    assert allowed_py(t5, "/articles/item165?a=1&b=2") is True
+    # and the ENGINE verdict agrees with both flips: doc_ids of pages
+    # 117 and 85 are 468..471 and 340..343
+    from toymapreduce_go_spark.operators.urls import robots_filter_docs
+    kept = {r.doc_id for r in
+            robots_filter_docs(docs).select("doc_id").collect()}
+    assert 468 in kept and 340 not in kept
+    # combined toybot groups: BOTH selected groups' rules bind on the
+    # same host (Disallow: /articles/item12 from group 1 -> page 125
+    # on host 13; Disallow: /*5? from group 2 -> page 45 on host 13)
+    t13 = fixture_robots_txt(13)
+    assert allowed_py(t13, "/articles/item125?a=1&b=2") is False
+    assert allowed_py(t13, "/articles/item45?a=1&b=2") is False
+    assert 125 * 4 not in kept and 45 * 4 not in kept
+
+
+def test_robots_crawl_delay_and_sitemap_parsing(spark):
+    """``parse_crawl_delay`` returns the SELECTED group's delay (the
+    decoy group's 9 and the out-ranked * group's 3 must never leak
+    into a toybot-group host), NULL when the selected group declares
+    none; ``parse_sitemap_locs`` collects the global Sitemap lines
+    regardless of group structure."""
+    from robots_ref import fixture_delay
+    from toymapreduce_go_spark.operators.urls import (
+        parse_crawl_delay, parse_sitemap_locs, synthesize_robots)
+
+    docs = spark.createDataFrame([(i,) for i in range(1024)],
+                                 "doc_id long")
+    rows = synthesize_robots(docs).select(
+        "domain", parse_crawl_delay("robots_txt").alias("cd"),
+        parse_sitemap_locs("robots_txt").alias("sm")).collect()
+    assert len(rows) == 16
+    for r in rows:
+        m = int(r["domain"].split("site")[1].split(".")[0])
+        assert r["cd"] == fixture_delay(m), (m, r["cd"])
+        assert list(r["sm"]) == \
+            [f"http://{r['domain']}/sitemaps/index.xml"]
+    by_m = {int(r["domain"].split("site")[1].split(".")[0]): r["cd"]
+            for r in rows}
+    assert by_m[5] == 4 and by_m[13] == 4     # toybot group's delay
+    assert by_m[2] == 3 and by_m[6] == 3      # * group's delay
+    assert by_m[0] is None and by_m[1] is None  # no delay declared
+
+    # constructed: delay in a non-selected group only -> NULL
+    df = spark.createDataFrame(
+        [("User-agent: megabot\nCrawl-delay: 7\n"
+          "User-agent: *\nDisallow: /x\n",)], "t string")
+    got = df.select(parse_crawl_delay("t").alias("cd")).first()
+    assert got["cd"] is None
+
+
 def test_robots_fixture_wildcards_and_python_reference_agree(spark):
     """The engine's per-page verdicts on the fixture rules equal the
     pure-Python RFC reference (tests/robots_ref.py) for every page in

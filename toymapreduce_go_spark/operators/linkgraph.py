@@ -111,6 +111,109 @@ def pagerank_state(documents: DataFrame, iters: int = PR_ITERS,
     return n, edges, ranks
 
 
+# ---------------------------------------------------------------------------
+# Warm-start / incremental PageRank across refresh cycles (r12 verdict
+# item 6). The crawl loop's index and corpus refreshes are
+# delta-driven; rank recomputation was the remaining from-scratch
+# stage. ``pagerank_converge`` iterates a GENERAL graph (explicit
+# edge frame, arbitrary out-degrees — contribution is
+# ``r div outdeg(u)``) from any initial ranks frame until successive
+# iterates differ by at most ``tol_micro`` anywhere, so a refresh
+# cycle re-iterates from the PREVIOUS cycle's ranks instead of
+# uniform. DISCLOSED divergence bound (the refresh_training_corpus
+# convention): integer truncation gives the damped map a noise floor,
+# so two runs stopping at successive-delta ≤ tol land within
+# ~2·tol/(1−0.85) µ-units of each other, NOT bit-equal — the test
+# pins |warm − cold| ≤ PR_WARM_BOUND_MICRO and that warm-start takes
+# strictly fewer iterations on a recrawl-shaped delta. Bit-exactness
+# is pinned where it is true: the whole trajectory (every iterate AND
+# the stopping iteration) replays bit-for-bit in a pure-Python
+# reference (integer sums are order-independent).
+#
+# 100 TB shape: per iteration ONE corpus-sized equi-join (edges ⋈
+# ranks, bucket-colocatable on u) + ONE count-combinable groupBy +
+# one max-agg for the stopping test; ranks localCheckpoint-ed per
+# iteration (the repo's iterative-loop lineage discipline). Warm-start
+# converts the refresh cycle's rank stage from ~20 iterations to the
+# few the delta actually needs.
+
+PR_TOL_MICRO = 2          # successive-delta stopping tolerance
+PR_WARM_BOUND_MICRO = 20  # disclosed warm-vs-cold landing bound
+PR_HUB = 64               # skewed-fixture hub modulus
+
+
+def synthesize_links_skewed(documents: DataFrame, n_docs: int,
+                            relink: bool = False) -> DataFrame:
+    """(u, v): the SKEWED fixture graph for warm-start tests — two
+    shift edges ``(u·7+j) mod n`` plus one hub edge ``u mod PR_HUB``
+    (hub in-degree ~n/64, so the fixed point is far from uniform; the
+    regular ``synthesize_links`` graph has in-degree == out-degree
+    everywhere and uniform IS its fixed point, which makes warm-start
+    vacuous there). ``relink=True`` is the recrawl delta: pages
+    ``u % 40 == 0`` re-point their shift edges to ``(u·11+j) mod n``
+    — a local change, the production refresh shape."""
+    mult = (F.when(F.pmod(F.col("u"), F.lit(40)) == 0, F.lit(11))
+            .otherwise(F.lit(7)) if relink else F.lit(7))
+    base = documents.select(F.col("doc_id").alias("u"))
+    shifts = base.select(
+        "u", F.explode(F.array(F.lit(1), F.lit(2))).alias("j")
+    ).select("u", F.pmod(F.col("u") * mult + F.col("j"),
+                         F.lit(n_docs)).alias("v"))
+    hub = base.select("u", F.pmod(F.col("u"), F.lit(PR_HUB)).alias("v"))
+    return shifts.unionByName(hub)
+
+
+def pagerank_converge(nodes: DataFrame, edges: DataFrame,
+                      prior_ranks: DataFrame | None = None,
+                      tol_micro: int = PR_TOL_MICRO,
+                      max_iters: int = 64,
+                      scale: int = PR_SCALE
+                      ) -> tuple[DataFrame, int]:
+    """(ranks, n_iters): damped integer PageRank over an EXPLICIT
+    graph — ``nodes`` (v), ``edges`` (u, v), arbitrary out-degrees —
+    iterated from ``prior_ranks`` (v, r; nodes it misses start at the
+    uniform base, nodes it has that left the graph are dropped — the
+    added/removed handling a crawl_diff delta needs) or uniform when
+    None, until no node's rank moves by more than ``tol_micro``
+    between iterations. Raises loudly when ``max_iters`` is exhausted
+    (a truncation cycle wider than the tolerance), never returns an
+    unconverged frame silently."""
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank_converge: empty node set")
+    base = (15 * scale // 100) // n
+    uni = scale // n
+    outdeg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
+    ed = edges.join(outdeg, "u").localCheckpoint()
+    if prior_ranks is None:
+        ranks = nodes.select(
+            "v", F.lit(uni).cast("long").alias("r")).localCheckpoint()
+    else:
+        ranks = (nodes.join(prior_ranks.select("v", "r"), "v", "left")
+                 .select("v", F.coalesce("r", F.lit(uni))
+                         .cast("long").alias("r"))
+                 .localCheckpoint())
+    for i in range(1, max_iters + 1):
+        inflow = (ed.join(ranks.select(F.col("v").alias("u"), "r"), "u")
+                  .groupBy("v")
+                  .agg(F.sum(F.expr("r div od")).alias("inf")))
+        nxt = (nodes.join(inflow, "v", "left")
+               .select("v", (F.lit(base) + F.expr(
+                   "(85 * coalesce(inf, 0L)) div 100"))
+                   .cast("long").alias("r"))
+               .localCheckpoint())
+        delta = (ranks.select("v", F.col("r").alias("r0"))
+                 .join(nxt, "v")
+                 .agg(F.max(F.abs(F.col("r") - F.col("r0")))
+                      .alias("d")).collect()[0]["d"])
+        ranks = nxt
+        if delta is not None and delta <= tol_micro:
+            return ranks, i
+    raise ValueError(
+        f"pagerank_converge: no fixed point within {max_iters} "
+        f"iterations (last successive delta {delta} > {tol_micro})")
+
+
 def link_pagerank(documents: DataFrame, iters: int = PR_ITERS,
                   fanout: int = PR_FANOUT,
                   scale: int = PR_SCALE) -> DataFrame:

@@ -44,15 +44,20 @@ from pyspark.sql import functions as F
 from ..functions.checksum import CKSUM_MOD
 from .frontier import frontier_candidates
 from .sitemaps import recrawl_gaps, sitemap_seeds
-from .urls import deny_gate, robots_gate_frame
+from .urls import (deny_gate, parse_crawl_delay, robots_gate_frame,
+                   synthesize_robots)
 
 # Time-aware politeness (replaces the r11 slot budget): each host has
 # a deterministic request RATE, every scheduled row gets a fetch
 # timestamp on the host's cadence, and a fetch cycle of fixed duration
 # admits exactly the rows whose timestamp falls inside it — the
 # production form (crawl-delay / requests-per-second), not a bare slot
-# count. All integer microseconds (the repo convention): both engines
-# replay every timestamp and admission decision bit-for-bit.
+# count. The rate source is robots.txt FIRST (r12 verdict item 5: the
+# selected group's ``Crawl-delay`` line, parsed by
+# ``urls.parse_crawl_delay``), falling back to the configured rate
+# ladder for hosts that declare none — exactly a production crawler's
+# precedence. All integer microseconds (the repo convention): both
+# engines replay every timestamp and admission decision bit-for-bit.
 FETCH_CYCLE_US = 2_000_000   # one fetch cycle: 2 s (miniature)
 RATE_BASE_MILLI = 500        # host rate = 0.5/1/2 req/s by m % 3
 # power-of-two rate ladder so every delay divides 10^9 exactly —
@@ -61,8 +66,9 @@ RATE_BASE_MILLI = 500        # host rate = 0.5/1/2 req/s by m % 3
 
 
 def host_delay_us(rate_scale_milli: int = 1000) -> "F.Column":
-    """Per-host inter-request gap in integer µs, over a frame carrying
-    ``domain``: the fixture rate is ``500 · 2^(m % 3)``
+    """The rate-LADDER inter-request gap in integer µs, over a frame
+    carrying ``domain`` — the fallback for hosts whose robots.txt
+    declares no Crawl-delay: the fixture rate is ``500 · 2^(m % 3)``
     milli-requests/second scaled by ``rate_scale_milli/1000``
     (production reads rates from a politeness config), so
     ``delay_us = 10⁹ div (rate_milli · scale div 1000)`` — two-step
@@ -79,6 +85,31 @@ def host_delay_us(rate_scale_milli: int = 1000) -> "F.Column":
         f"1000000000 div greatest(({RATE_BASE_MILLI} * "
         f"(CASE {m3} WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END) * "
         f"{int(rate_scale_milli)}) div 1000, 1)")
+
+
+def effective_delay_us(delay_col_sql: str,
+                       rate_scale_milli: int = 1000) -> "F.Column":
+    """The per-host cadence actually scheduled, over a frame carrying
+    ``domain`` and the robots-declared Crawl-delay column named by
+    ``delay_col_sql``: the robots delay (seconds →
+    ``cd · 10⁹ div rate_scale_milli`` µs, so the scale lever doubles
+    robots-derived gaps exactly like ladder gaps) when the selected
+    group declares one, else the rate ladder. One integer
+    expression — the delay frame is domain-sized and broadcast."""
+    return F.coalesce(
+        F.expr(f"({delay_col_sql} * 1000000000) "
+               f"div {int(rate_scale_milli)}"),
+        host_delay_us(rate_scale_milli))
+
+
+def robots_delay_frame(documents: DataFrame) -> DataFrame:
+    """(domain, crawl_delay_s): the robots-declared per-host
+    Crawl-delay for our product token (NULL where the selected group
+    declares none) — domain-sized, the broadcast side of the
+    scheduler's cadence join."""
+    return synthesize_robots(documents).select(
+        "domain",
+        parse_crawl_delay("robots_txt").alias("crawl_delay_s"))
 
 
 def fetch_channels(documents: DataFrame) -> DataFrame:
@@ -114,7 +145,9 @@ def fetch_schedule_rows(documents: DataFrame,
                         rate_scale_milli: int = 1000) -> DataFrame:
     """(canon, domain, priority, ch, rn, fetch_at_us, scheduled): the
     unified queue with each row's deterministic fetch TIMESTAMP on the
-    host's cadence — row rn fetches at ``(rn−1) · delay_us`` — and the
+    host's cadence — row rn fetches at ``(rn−1) · delay_us``, where
+    the cadence is the robots-declared Crawl-delay when present and
+    the rate ladder otherwise (``effective_delay_us``) — and the
     time-window admission verdict (``fetch_at_us < cycle_us``): a slow
     host schedules fewer fetches per cycle than a fast one, the
     production politeness contract. Queue order is unchanged from the
@@ -122,12 +155,15 @@ def fetch_schedule_rows(documents: DataFrame,
     u = fetch_channels(documents)
     w = Window.partitionBy("domain").orderBy(
         F.asc("ch"), F.desc("priority"), F.asc("canon"))
-    s = u.withColumn("rn", F.row_number().over(w))
+    s = u.join(F.broadcast(robots_delay_frame(documents)),
+               "domain", "left")
+    s = s.withColumn("rn", F.row_number().over(w))
     s = s.withColumn(
         "fetch_at_us",
-        (F.col("rn") - 1) * host_delay_us(rate_scale_milli))
-    return s.withColumn("scheduled",
-                        F.col("fetch_at_us") < F.lit(int(cycle_us)))
+        (F.col("rn") - 1)
+        * effective_delay_us("crawl_delay_s", rate_scale_milli))
+    return s.drop("crawl_delay_s").withColumn(
+        "scheduled", F.col("fetch_at_us") < F.lit(int(cycle_us)))
 
 
 def fetch_list(documents: DataFrame,

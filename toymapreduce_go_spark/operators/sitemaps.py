@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 
 from ..functions.checksum import CKSUM_MOD
 from .frontier import FRONTIER_MOD
-from .urls import canonicalize_url, deny_gate, robots_gate_frame
+from .urls import (canonicalize_url, deny_gate, parse_sitemap_locs,
+                   robots_gate_frame, synthesize_robots)
 
 SITEMAP_EPOCH = "2025-01-01"   # lastmod = epoch + (page % 365) days
 _SM_HEADER = ('<?xml version="1.0" encoding="UTF-8"?>\n<urlset '
@@ -226,18 +227,54 @@ def sitemap_index_entries(index: DataFrame,
     return sitemap_entries(xml.select("domain", "xml"))
 
 
+ROBOTS_INDEX_LOC_SUFFIX = "/sitemaps/index.xml"
+
+
+def robots_sitemap_locs(documents: DataFrame) -> DataFrame:
+    """(domain, sitemap_loc): sitemap locations DISCOVERED from each
+    host's robots.txt ``Sitemap:`` lines (sitemaps.org / RFC 9309 §6 —
+    the production discovery channel; a host whose robots declares no
+    sitemap is simply never fetched). Domain-sized."""
+    return synthesize_robots(documents).select(
+        "domain",
+        F.explode(parse_sitemap_locs("robots_txt"))
+        .alias("sitemap_loc"))
+
+
+def discovered_sitemap_indexes(documents: DataFrame,
+                               pages: DataFrame | None = None
+                               ) -> DataFrame:
+    """(domain, xml): the sitemap-index files a crawler actually
+    FETCHES — the robots-declared locations joined to the synthesized
+    index files ON THE LOC (the index file's address is
+    ``http://<host>{ROBOTS_INDEX_LOC_SUFFIX}``): a host whose robots
+    omits the Sitemap line, or declares a loc nothing serves, fetches
+    nothing — discovery is load-bearing, not decorative. Both sides
+    are host-sized metadata."""
+    files = synthesize_sitemap_index(documents, pages=pages).withColumn(
+        "_loc", F.concat(F.lit("http://"), F.col("domain"),
+                         F.lit(ROBOTS_INDEX_LOC_SUFFIX)))
+    locs = robots_sitemap_locs(documents).select(
+        F.col("sitemap_loc").alias("_loc"))
+    return (files.join(F.broadcast(locs), "_loc")
+            .select("domain", "xml"))
+
+
 def sitemap_index_stats(documents: DataFrame) -> DataFrame:
-    """The registered rollup over the INDEX form: identical output to
-    ``sitemap_extract_stats`` (the child split is transparent to every
-    downstream value — pinned in pytest along with the cap binding and
-    the loc round trip), so it inherits the same XML-free DuckDB
-    twin. The page universe is computed ONCE and localCheckpoint-ed
-    (page-sized) so the corpus-distinct — the module's one corpus
-    touch — does not run twice for the two synthesizers (review
-    r12)."""
+    """The registered rollup over the INDEX form, now discovered via
+    robots.txt (r12 verdict item 5): robots ``Sitemap:`` lines name
+    each host's index loc, the fetch joins ON THAT PARSED LOC, then
+    the two-level index → gzipped-children parse. Output identical to
+    ``sitemap_extract_stats`` (the discovery hop and child split are
+    transparent to every downstream value — pinned in pytest along
+    with the cap binding and the loc round trip), so it inherits the
+    same XML-free DuckDB twin. The page universe is computed ONCE and
+    localCheckpoint-ed (page-sized) so the corpus-distinct — the
+    module's one corpus touch — does not run twice for the two
+    synthesizers (review r12)."""
     hp = _host_pages(documents).localCheckpoint()
     ent = sitemap_index_entries(
-        synthesize_sitemap_index(documents, pages=hp),
+        discovered_sitemap_indexes(documents, pages=hp),
         synthesize_sitemap_children(documents, pages=hp))
     return _sitemap_rollup(ent)
 

@@ -395,48 +395,96 @@ def domain_reputation(documents: DataFrame) -> DataFrame:
 # of the match target (path + query, §2.2.2); the MOST SPECIFIC
 # matching rule wins — specificity = octet length of the raw rule
 # pattern (the reference-parser convention, google/robotstxt), Allow
-# wins a length tie, no match → allowed. (Crawl-delay is out of
-# scope — disclosed; it is a non-standard extension RFC 9309 §2.2.4
-# leaves to implementers, and `fetch_list` budgets politeness
-# separately.)
+# wins a length tie, no match → allowed.
+#
+# GROUP SELECTION (RFC 9309 §2.2.1): rules belong to GROUPS, each
+# introduced by one or more ``User-agent:`` lines; a crawler applies
+# ONLY the most specific matching group for its product token —
+# a group matches when one of its UA tokens is a case-insensitive
+# PREFIX of the crawler's token (the google/robotstxt convention:
+# group ``foo`` matches crawler ``foobot``), specificity = token
+# length, ``*`` matches everything at specificity 0, and every group
+# tied at the best specificity combines (§2.2.1: "the matching
+# groups' rules MUST be combined"). No matching group → allow-all.
+#
+# Crawl-delay (the de-facto politeness extension RFC 9309 §2.2.4
+# leaves to implementers) is parsed per-group and the SELECTED
+# group's delay feeds ``scheduling.host_delay_us``; ``Sitemap:``
+# lines (sitemaps.org discovery) are global, not group-scoped.
+
+# the crawler's product token — group selection is relative to it
+ROBOTS_AGENT = "toybot"
+
+# line grammar — ONE literal per line kind, shared with the DuckDB
+# twins (field names case-insensitive per RFC 9309 §2.1; values for
+# UA/delay/sitemap are space-trimmed)
+ROBOTS_UA_RE = r"(?i)^user-agent: *(.+?) *$"
+ROBOTS_RULE_RE = r"(?i)^(allow|disallow): (.+)$"
+ROBOTS_DELAY_RE = r"(?i)^crawl-delay: *([0-9]+) *$"
+ROBOTS_SITEMAP_RE = r"(?i)^sitemap: *(.+?) *$"
+
+# The fixture robots.txt, as (condition, text-block) pairs — the ONE
+# structure all three implementations render (the Spark synthesis,
+# the DuckDB ``rb`` CTE, and tests/robots_ref.py), so the fixture can
+# never desynchronize across engines. Conditions: None = every host,
+# "m4_K" = host class m % 4 == K, "m8_5" = m % 8 == 5. ``{domain}``
+# interpolates the host. Coverage per block:
+#   - a decoy group (megabot/ultrabot, multi-UA-line) that must be
+#     IGNORED for our token — under pre-r13 union semantics its
+#     ``Disallow: /`` would block every page on every host
+#   - a global Sitemap: line between groups (discovery, not a rule)
+#   - the `*` group with the r12 rule battery (prefix, wildcard,
+#     anchor, tie, full-block classes) + Crawl-delay on m4_2
+#   - on m%8==5 hosts: a shorter-prefix group (``toy``), a
+#     non-matching longer token (``toybot-news``), and TWO exact
+#     ``toybot`` groups (upper/lower case) whose rules must COMBINE
+#     and REPLACE the `*` group entirely
+ROBOTS_FIXTURE_BLOCKS: list[tuple[str | None, str]] = [
+    (None, "User-agent: megabot\nUser-agent: ultrabot\n"
+           "Disallow: /\nCrawl-delay: 9\n"),
+    (None, "Sitemap: http://{domain}/sitemaps/index.xml\n"),
+    (None, "User-agent: *\nDisallow: /private\nDisallow: /*.php$\n"),
+    ("m4_1", "Disallow: /articles/item1\nAllow: /articles/item12\n"),
+    ("m4_2", "Disallow: /*4?\nDisallow: /*2?\n"
+             "Allow: /articles/item*14?*\nAllow: /a*6?\n"
+             "Disallow: /*66?\nCrawl-delay: 3\n"),
+    ("m4_3", "Disallow: /\n"),
+    ("m8_5", "User-agent: toy\nDisallow: /\n"
+             "User-agent: toybot-news\nDisallow: /\n"
+             "USER-AGENT: TOYBOT\nAllow: /articles/item1\n"
+             "Disallow: /articles/item12\nCrawl-delay: 4\n"
+             "User-agent: toybot\nDisallow: /*5?\n"),
+]
+
+
+def _fixture_cond(cond: str | None, m) -> "F.Column":
+    if cond is None:
+        return F.lit(True)
+    if cond == "m8_5":
+        return F.pmod(m, F.lit(8)) == 5
+    return F.pmod(m, F.lit(4)) == int(cond.split("_")[1])
 
 
 def synthesize_robots(documents: DataFrame) -> DataFrame:
     """(domain, robots_txt): one deterministic robots.txt per
-    synthesized host, covering every rule class — a never-matching
-    prefix Disallow and a never-matching wildcard+anchor Disallow on
-    all domains (default-allow and `*`/`$` parsing exercised
-    everywhere), hosts m%4==1 get ``Disallow: /articles/item1``
-    overridden by the LONGER ``Allow: /articles/item12``
-    (longest-match + tie semantics on prefix rules), hosts m%4==2 get
-    the wildcard battery — ``Disallow: /*4?`` / ``Disallow: /*2?``
-    (block item numbers ending in 4 or 2), ``Allow:
-    /articles/item*14?*`` (a LONGER wildcard re-allows item14/item114
-    over ``/*4?``), and the equal-length pair ``Allow: /a*6?`` vs
-    ``Disallow: /*66?`` (a wildcard TIE — Allow wins, item66 stays
-    fetchable) — and hosts m%4==3 get ``Disallow: /`` (full block).
-    Domain-count-sized frame — the broadcast side."""
+    synthesized host, rendered from ``ROBOTS_FIXTURE_BLOCKS`` (see
+    there for the group/rule coverage map). Domain-count-sized frame —
+    the broadcast side."""
     d = (documents
          .select(url_domain(canonicalize_url(synth_url_expr()))
                  .alias("domain")).distinct())
     m = F.regexp_extract("domain", r"site(\d+)", 1).cast("int")
-    txt = F.concat(
-        F.lit("User-agent: *\nDisallow: /private\n"
-              "Disallow: /*.php$\n"),
-        F.when(F.pmod(m, F.lit(4)) == 1,
-               F.lit("Disallow: /articles/item1\n"
-                     "Allow: /articles/item12\n"))
-        .otherwise(F.lit("")),
-        F.when(F.pmod(m, F.lit(4)) == 2,
-               F.lit("Disallow: /*4?\n"
-                     "Disallow: /*2?\n"
-                     "Allow: /articles/item*14?*\n"
-                     "Allow: /a*6?\n"
-                     "Disallow: /*66?\n"))
-        .otherwise(F.lit("")),
-        F.when(F.pmod(m, F.lit(4)) == 3, F.lit("Disallow: /\n"))
-        .otherwise(F.lit("")))
-    return d.select("domain", txt.alias("robots_txt"))
+    parts = []
+    for cond, text in ROBOTS_FIXTURE_BLOCKS:
+        chunks = text.split("{domain}")
+        body = F.lit(chunks[0]) if len(chunks) == 1 else F.concat(
+            *[c for pair in
+              [(F.lit(chunks[i]), F.col("domain"))
+               for i in range(len(chunks) - 1)]
+              for c in pair] + [F.lit(chunks[-1])])
+        parts.append(F.when(_fixture_cond(cond, m), body)
+                     .otherwise(F.lit("")))
+    return d.select("domain", F.concat(*parts).alias("robots_txt"))
 
 
 def _rule_rx(p) -> "F.Column":
@@ -453,21 +501,80 @@ def _rule_rx(p) -> "F.Column":
                     F.when(anchored, F.lit("$")).otherwise(F.lit("")))
 
 
-def parse_robots(col) -> "F.Column":
+def _ua_score_sql(agent: str) -> str:
+    """SQL for one UA token's match specificity against ``agent``:
+    ``*`` → 0, a case-insensitive prefix of the agent token → token
+    length, otherwise −1 (no match). Shared shape with the DuckDB
+    twin (queries._robots_rules_ctes) and tests/robots_ref.py."""
+    if not agent or not all(c.isalnum() or c in "-_" for c in agent):
+        raise ValueError(f"parse_robots: agent must be a bare product "
+                         f"token, got {agent!r}")
+    ua = f"regexp_extract(ln, '{ROBOTS_UA_RE}', 1)"
+    return (f"CASE WHEN {ua} = '*' THEN 0 "
+            f"WHEN startswith('{agent.lower()}', lower({ua})) "
+            f"THEN length({ua}) ELSE -1 END")
+
+
+def _group_fold_sql(col, agent: str, entry_type: str, entry_case: str,
+                    finish: str) -> str:
+    """The shared group-structure fold over robots.txt lines: walks
+    the file once tracking the current group's best UA-match score
+    (``g`` — consecutive UA lines accumulate via greatest; a UA line
+    after group BODY starts a new group), the file-wide best group
+    score (``gm``), and an array of collected entries (``es`` —
+    rules or delays, each stamped with its group's score). ``nw``
+    flags that the current group has body, so the next UA line opens
+    a new group; both rule AND delay lines count as body (a UA line
+    after either must not merge into the previous group). Selection
+    happens in ``finish``: keep entries whose group score equals the
+    file best and matched at all (g >= 0) — RFC 9309 §2.2.1
+    most-specific group, ties combined."""
+    ua = f"regexp_extract(ln, '{ROBOTS_UA_RE}', 1)"
+    score = _ua_score_sql(agent)
+    body = (f"(regexp_extract(ln, '{ROBOTS_RULE_RE}', 2) != '' OR "
+            f"regexp_extract(ln, '{ROBOTS_DELAY_RE}', 1) != '')")
+    return f"""aggregate(split({col}, '\n'),
+        struct(cast(-1 as int) as g, true as nw, cast(-1 as int) as gm,
+               cast(array() as array<{entry_type}>) as es),
+        (acc, ln) -> CASE
+            WHEN {ua} != '' THEN
+                struct(CASE WHEN acc.nw THEN {score}
+                       ELSE greatest(acc.g, {score}) END as g,
+                       false as nw,
+                       greatest(acc.gm,
+                                CASE WHEN acc.nw THEN {score}
+                                ELSE greatest(acc.g, {score}) END) as gm,
+                       acc.es as es)
+            WHEN {body} THEN
+                struct(acc.g as g, true as nw, acc.gm as gm,
+                       {entry_case} as es)
+            ELSE acc END,
+        acc -> {finish})"""
+
+
+def parse_robots(col, agent: str = ROBOTS_AGENT) -> "F.Column":
     """robots.txt text → array<struct<p: string, a: boolean,
-    w: boolean, rx: string>> of rules (a = Allow; w = the pattern
-    carries `*`/`$` and needs the regex engine; rx = the compiled
-    match regex, built ONCE per rule on the domain-sized frame — the
-    corpus-sized verdict fold executes it only for wildcard rules and
-    matches plain prefixes with startswith). Scan-side split/regexp
-    transform; lines that are not Allow/Disallow rules (User-agent,
-    comments, blanks) are dropped."""
-    ex = "regexp_extract(ln, '^(Allow|Disallow): (.+)$', {g})"
-    base = F.expr(
-        f"""filter(transform(split({col}, '\n'),
-                   ln -> struct({ex.format(g=2)} as p,
-                                {ex.format(g=1)} = 'Allow' as a)),
-                   r -> r.p != '')""")
+    w: boolean, rx: string>> of the rules in the group(s) SELECTED
+    for ``agent`` per RFC 9309 §2.2.1 (most specific matching
+    ``User-agent:`` token — longest case-insensitive prefix of the
+    agent token, else the ``*`` group; equal-specificity groups
+    combine; no matching group → empty array → allow-all). Fields:
+    a = Allow; w = the pattern carries `*`/`$` and needs the regex
+    engine; rx = the compiled match regex, built ONCE per rule on the
+    domain-sized frame — the corpus-sized verdict fold executes it
+    only for wildcard rules and matches plain prefixes with
+    startswith. One scan-side fold; comments/blank/unknown lines are
+    structural no-ops (they neither close a group nor join one)."""
+    verb = f"lower(regexp_extract(ln, '{ROBOTS_RULE_RE}', 1))"
+    pat = f"regexp_extract(ln, '{ROBOTS_RULE_RE}', 2)"
+    entry_case = (f"""CASE WHEN {pat} != '' THEN
+            acc.es || array(struct({pat} as p, {verb} = 'allow' as a,
+                                   acc.g as g))
+        ELSE acc.es END""")
+    base = F.expr(_group_fold_sql(
+        col, agent,
+        "struct<p: string, a: boolean, g: int>", entry_case,
+        "filter(acc.es, r -> r.g >= 0 AND r.g = acc.gm)"))
     # w marks rules that actually NEED the regex engine; plain-prefix
     # rules (the overwhelming majority of real robots.txt lines) match
     # with startswith in the verdict fold — no per-row regex compile
@@ -477,6 +584,35 @@ def parse_robots(col) -> "F.Column":
         r["p"].alias("p"), r["a"].alias("a"),
         (r["p"].contains("*") | r["p"].endswith("$")).alias("w"),
         _rule_rx(r["p"]).alias("rx")))
+
+
+def parse_crawl_delay(col, agent: str = ROBOTS_AGENT) -> "F.Column":
+    """robots.txt text → the SELECTED group's ``Crawl-delay`` in
+    integer seconds, NULL when the selected group declares none (the
+    scheduler falls back to its rate ladder). Group selection is the
+    same §2.2.1 walk as ``parse_robots`` (one shared fold generator);
+    several delay lines across combined tied groups resolve to the
+    slowest (max — the conservative politeness reading)."""
+    cd = f"regexp_extract(ln, '{ROBOTS_DELAY_RE}', 1)"
+    entry_case = (f"""CASE WHEN {cd} != '' THEN
+            acc.es || array(struct(cast({cd} as bigint) as d,
+                                   acc.g as g))
+        ELSE acc.es END""")
+    return F.expr(_group_fold_sql(
+        col, agent, "struct<d: bigint, g: int>", entry_case,
+        "array_max(transform("
+        "filter(acc.es, e -> e.g >= 0 AND e.g = acc.gm), e -> e.d))"))
+
+
+def parse_sitemap_locs(col) -> "F.Column":
+    """robots.txt text → array of declared ``Sitemap:`` locations, in
+    file order. Sitemap lines are GLOBAL (sitemaps.org / RFC 9309 §6:
+    not group-scoped), so no selection walk — one scan-side
+    split/transform/filter."""
+    return F.expr(
+        f"""filter(transform(split({col}, '\n'),
+                   ln -> regexp_extract(ln, '{ROBOTS_SITEMAP_RE}', 1)),
+                   s -> s != '')""")
 
 
 def robots_allowed(rules, path) -> "F.Column":

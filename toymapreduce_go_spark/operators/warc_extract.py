@@ -387,18 +387,290 @@ def gunzip_warc_files(gz: DataFrame) -> DataFrame:
     return gz.mapInPandas(_gunzip_members, "source string, warc string")
 
 
+# ---------------------------------------------------------------------------
+# Per-MEMBER record framing + HTTP body encodings (r12 verdict items
+# 2+3). In the gzip-member format each member IS one record (ISO
+# 28500 annex C), so the production read path parses members
+# INDIVIDUALLY at the byte level: Content-Length walks the record by
+# offset arithmetic — exactly what the textual-split path cannot
+# express scan-side — which retires the disclosed framing caveat (a
+# payload containing ``WARC/1.0\r\n`` parses correctly) and never
+# materializes a full inflated file string. Byte-level records also
+# unlock real BINARY response bodies: ``Content-Encoding: gzip``
+# (what most real servers send, RFC 9110 §8.4.1) and the
+# chunked+gzipped composition (dechunk FIRST, then inflate — transfer
+# coding wraps content coding, RFC 9112 §6.1) ride this path; binary
+# bodies cannot ride the string-typed plain-text WARC column at all
+# (disclosed: the uncompressed fixture stays identity/chunked-only).
+# Fixture body-encoding classes: doc_id % 3 == 1 → chunked
+# (inherited), and WITHIN it doc_id % 9 == 4 → chunked + gzipped;
+# doc_id % 3 == 2 → gzipped identity.
+
+CHUNK_BYTES = 120   # member-path chunk size (bytes — binary-safe)
+
+
+def _chunk_body(body: bytes) -> bytes:
+    """RFC 9112 §7.1 chunked framing over BYTES (lowercase-hex sizes,
+    terminal 0 chunk) — the binary-safe twin of the scan-side
+    ``chunked_http_body``."""
+    out = []
+    for i in range(0, len(body), CHUNK_BYTES):
+        c = body[i:i + CHUNK_BYTES]
+        out.append(format(len(c), "x").encode() + b"\r\n" + c + b"\r\n")
+    return b"".join(out) + b"0\r\n\r\n"
+
+
+def _dechunk_body(b: bytes) -> tuple[bytes, bool]:
+    """Validating byte-level dechunker — same acceptance surface as
+    the SQL fold (hex sizes vs actual lengths, extensions, leading-
+    zero/extension terminators, RFC 9112 trailer fields), returning
+    (body, ok) instead of raising so a mis-framed chunked body trips
+    the same loud ``length_ok`` guard a length lie does."""
+    import re as _re
+
+    out, pos = [], 0
+    while True:
+        nl = b.find(b"\r\n", pos)
+        if nl < 0:
+            return b"", False
+        m = _re.match(rb"^([0-9a-fA-F]+)(;.*)?$", b[pos:nl])
+        if not m:
+            return b"", False
+        sz = int(m.group(1), 16)
+        pos = nl + 2
+        if sz == 0:
+            rest = b[pos:]
+            if rest == b"" or rest == b"\r\n":
+                return b"".join(out), True
+            # trailer fields: token lines, each CRLF-terminated
+            for ln in rest.split(b"\r\n")[:-1]:
+                if ln != b"" and not _re.match(
+                        rb"^[0-9A-Za-z!#$%&*+.^_`|~-]+:", ln):
+                    return b"", False
+            return b"".join(out), True
+        if len(b) < pos + sz + 2 or b[pos + sz:pos + sz + 2] != b"\r\n":
+            return b"", False
+        out.append(b[pos:pos + sz])
+        pos += sz + 2
+
+
+def _http_block(doc_id: int, html: str | None) -> bytes:
+    """One HTTP/1.1 response as bytes, body-encoded per the fixture
+    class map (see the section comment)."""
+    import gzip
+
+    if html is None:
+        return b"HTTP/1.1 204 No Content\r\n\r\n"
+    raw = html.encode()
+    if doc_id % 9 == 4:
+        return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Encoding: gzip\r\n"
+                b"Transfer-Encoding: chunked\r\n\r\n"
+                + _chunk_body(gzip.compress(raw, 6, mtime=0)))
+    if doc_id % 3 == 1:
+        return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Transfer-Encoding: chunked\r\n\r\n"
+                + _chunk_body(raw))
+    if doc_id % 3 == 2:
+        return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Encoding: gzip\r\n\r\n"
+                + gzip.compress(raw, 6, mtime=0))
+    return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + raw)
+
+
+def _gz_member_records(batches):
+    # per-RECORD rows: the ~60 µs/member deflate-init floor spreads
+    # over every core (the r12 scaling rule, same as _gzip_each_record)
+    import gzip
+
+    for pdf in batches:
+        pdf = pdf.copy()
+        gz = []
+        for doc_id, uri, html in zip(pdf["doc_id"], pdf["uri"],
+                                     pdf["html"]):
+            did = int(doc_id)
+            http = _http_block(did, None if html is None else str(html))
+            rec = (b"WARC/1.0\r\n"
+                   b"WARC-Type: response\r\n"
+                   b"WARC-Record-ID: urn:doc:" + str(did).encode()
+                   + b"\r\nWARC-Date: 2026-01-0"
+                   + str(did % 9 + 1).encode()
+                   + b"T00:00:00Z\r\nWARC-Target-URI: "
+                   + str(uri).encode()
+                   + b"\r\nContent-Type: application/http;"
+                   b"msgtype=response\r\nContent-Length: "
+                   + str(len(http)).encode()
+                   + b"\r\n\r\n" + http + b"\r\n\r\n")
+            gz.append(gzip.compress(rec, 6, mtime=0))
+        pdf["gz"] = gz
+        yield pdf[["source", "idx", "gz"]]
+
+
+def _warcinfo_members(batches):
+    import gzip
+
+    info = gzip.compress(WARCINFO.encode(), 6, mtime=0)
+    for pdf in batches:
+        pdf = pdf.copy()
+        pdf["idx"] = [-1] * len(pdf)
+        pdf["gz"] = [info] * len(pdf)
+        yield pdf[["source", "idx", "gz"]]
+
+
+def warc_gz_members_from_pages(pages: DataFrame) -> DataFrame:
+    """(source, idx, gz): one gzip member per record from a (source,
+    doc_id, uri, html) pages frame — exposed so tests can feed foreign
+    payloads (e.g. html containing the ``WARC/1.0`` delimiter) through
+    the real member builder."""
+    rec = pages.select("source", F.col("doc_id").alias("idx"),
+                       "doc_id", "uri", "html")
+    return rec.mapInPandas(_gz_member_records,
+                           "source string, idx long, gz binary")
+
+
+def synthesize_warc_gz_files(documents: DataFrame) -> DataFrame:
+    """(source, warc_gz): the production container — one gzip member
+    per record (warcinfo first), response bodies encoded per the
+    fixture class map (identity / chunked / gzipped /
+    chunked+gzipped). Member compression runs at per-RECORD
+    parallelism; one sort_array/collect_list per file and a linear
+    byte-join assemble the stream."""
+    pages = synthesize_html(documents).select(
+        "source", "doc_id", synth_url_expr().alias("uri"), "html")
+    members = warc_gz_members_from_pages(pages).unionByName(
+        documents.select("source").distinct()
+        .mapInPandas(_warcinfo_members,
+                     "source string, idx long, gz binary"))
+    per_file = (members.groupBy("source")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "gz"))),
+                    lambda s: s["gz"]).alias("members")))
+    return per_file.mapInPandas(_join_members,
+                                "source string, warc_gz binary")
+
+
+def _walk_members(src: str, data: bytes) -> list[bytes]:
+    """The fixed-window multi-member walk of ``_gunzip_members``,
+    yielding each member's inflated bytes SEPARATELY (one member = one
+    record — the format's framing contract). CRC32/ISIZE validated by
+    zlib per member; corruption or truncation raises with the member
+    index and source."""
+    import io
+    import zlib
+
+    CH = 1 << 18
+    members: list[bytes] = []
+    bio = io.BytesIO(bytes(data))
+    leftover, n = b"", 0
+    while True:
+        head = leftover if leftover else bio.read(CH)
+        if not head:
+            break
+        d = zlib.decompressobj(wbits=31)
+        out = []
+        try:
+            out.append(d.decompress(head))
+            while not d.eof:
+                chunk = bio.read(CH)
+                if not chunk:
+                    raise ValueError(
+                        f"warc_gz: truncated gzip member {n} in "
+                        f"source {src}")
+                out.append(d.decompress(chunk))
+        except zlib.error as e:
+            raise ValueError(
+                f"warc_gz: corrupt gzip member {n} in source "
+                f"{src}: {e}") from None
+        members.append(b"".join(out))
+        leftover, n = d.unused_data, n + 1
+    return members
+
+
+def _parse_member_record(src: str, n: int, rec: bytes):
+    """Parse ONE inflated member as ONE record (byte-offset framing:
+    Content-Length slices the http block exactly; the payload may
+    contain anything, including the textual record delimiter).
+    Returns None for non-response records (warcinfo), else (source,
+    doc_id, uri, html, length_ok)."""
+    import gzip
+    import re as _re
+    import zlib
+
+    head_end = rec.find(b"\r\n\r\n")
+    if head_end < 0 or not rec.startswith(b"WARC/1.0\r\n"):
+        raise ValueError(f"warc_gz: member {n} in source {src} is "
+                         f"not a WARC/1.0 record")
+    head = rec[:head_end].decode()
+    if "\r\nWARC-Type: response\r\n" not in head + "\r\n":
+        return None
+    doc_id = int(_re.search(
+        r"WARC-Record-ID: urn:doc:(-?\d+)", head).group(1))
+    uri = _re.search(r"WARC-Target-URI: (\S+)", head).group(1)
+    clen = int(_re.search(r"Content-Length: (\d+)", head).group(1))
+    block = rec[head_end + 4:]
+    # exact framing: clen http bytes + the CRLF CRLF record terminator
+    length_ok = (len(block) == clen + 4
+                 and block.endswith(b"\r\n\r\n"))
+    http = block[:clen]
+    hdr_end = http.find(b"\r\n\r\n")
+    hdrs = http[:hdr_end].decode() if hdr_end >= 0 else ""
+    payload = http[hdr_end + 4:] if hdr_end >= 0 else b""
+    if hdrs.startswith("HTTP/1.1 204"):
+        return (src, doc_id, uri, None, length_ok and payload == b"")
+    body = payload
+    if "Transfer-Encoding: chunked" in hdrs:
+        body, ok = _dechunk_body(body)
+        length_ok = length_ok and ok
+    if "Content-Encoding: gzip" in hdrs:
+        try:
+            body = gzip.decompress(body)
+        except (OSError, zlib.error, EOFError) as e:
+            raise ValueError(
+                f"warc_gz: corrupt gzip response body on doc "
+                f"{doc_id} in source {src}: {e}") from None
+    return (src, doc_id, uri, body.decode(), length_ok)
+
+
+def _parse_members_udf(batches):
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for src, gz in zip(pdf["source"], pdf["warc_gz"]):
+            for n, rec in enumerate(_walk_members(str(src), bytes(gz))):
+                parsed = _parse_member_record(str(src), n, rec)
+                if parsed is not None:
+                    rows.append(parsed)
+        yield pd.DataFrame(
+            rows, columns=["source", "doc_id", "uri", "html",
+                           "length_ok"])
+
+
+def parse_warc_gz_records(gz: DataFrame) -> DataFrame:
+    """(source, doc_id, uri, html, length_ok) — one record per gzip
+    member, framed by BYTE OFFSETS (no textual split anywhere), body
+    decodings applied per the HTTP headers (dechunk → gunzip).
+    Per-file parallelism (a .warc.gz maps to one row; the member walk
+    within it is the linear read the format forces)."""
+    return gz.mapInPandas(
+        _parse_members_udf,
+        "source string, doc_id long, uri string, html string, "
+        "length_ok boolean")
+
+
 def warc_gz_extract_stats(documents: DataFrame,
                           boilerplate_milli: int = HTML_BOILER_MILLI
                           ) -> DataFrame:
-    """The registered rollup over the COMPRESSED container: synthesize
-    WARC files, gzip record-per-member, inflate, then the shared
-    parse + extraction machinery. The gzip round trip is pinned
-    byte-equal in pytest and the inner parse is pinned lossless, so
-    this inherits ``html_extract``'s DuckDB twin — identical values by
-    construction (the oracle-inheritance tier)."""
-    files = gunzip_warc_files(gzip_warc_files(
-        synthesize_warc_files(documents)))
-    pages = parse_warc_records(files)
+    """The registered rollup over the COMPRESSED container, on the
+    per-member path (r13): synthesize one gzip member per record with
+    the body-encoding class mix, walk members back individually, and
+    run the shared extraction machinery. The member round trip is
+    pinned lossless in pytest (every body encoding decodes back to
+    the direct synthesis byte-for-byte), so this inherits
+    ``html_extract``'s DuckDB twin — identical values by construction
+    (the oracle-inheritance tier)."""
+    pages = parse_warc_gz_records(synthesize_warc_gz_files(documents))
     flagged = flagged_extracted_lines(pages, _guarded_text("gz_stats"),
                                       boilerplate_milli)
     return extract_stats_rollup(flagged)

@@ -1420,53 +1420,112 @@ def _domain_blocklist_oracle_sql() -> str:
     """
 
 
-def _robots_rules_ctes() -> str:
-    """``rdoms``/``rb``/``rrules``: the per-domain robots.txt
-    synthesis, line parse, and per-rule regex compile (RFC 9309
-    §2.2.3: trailing ``$`` → end anchor, ``ROBOTS_RX_META`` escaped —
-    the SAME shared literal the engine compiles with — ``*`` → ``.*``)
-    — ONE generator consumed by every robots-gated twin
-    (``robots_gate``, ``crawl_frontier``, ``fetch_list``), so the
-    three oracles cannot keep divergent hand copies of the rules.
-    Assumes the URL CTEs' ``d`` is in scope."""
-    from ..operators.urls import ROBOTS_RX_META
+def _rb_text_sql() -> str:
+    """The fixture robots.txt as ONE DuckDB expression over
+    ``domain``, rendered from the SAME ``ROBOTS_FIXTURE_BLOCKS``
+    structure the engine's synthesis renders — the fixture text
+    cannot desynchronize between engines."""
+    from ..operators.urls import ROBOTS_FIXTURE_BLOCKS
     mm = "CAST(regexp_extract(domain, 'site(\\d+)', 1) AS INT)"
+    out = []
+    for cond, text in ROBOTS_FIXTURE_BLOCKS:
+        parts = []
+        for i, chunk in enumerate(text.split("{domain}")):
+            if i:
+                parts.append("domain")
+            if chunk:
+                lit = chunk.replace("\n", "' || chr(10) || '")
+                lit = f"'{lit}'".replace(" || ''", "")
+                parts.append(lit)
+        body = " || ".join(parts)
+        if cond is None:
+            out.append(f"({body})")
+        elif cond == "m8_5":
+            out.append(f"(CASE WHEN {mm} % 8 = 5 THEN {body} "
+                       f"ELSE '' END)")
+        else:
+            k = int(cond.split("_")[1])
+            out.append(f"(CASE WHEN {mm} % 4 = {k} THEN {body} "
+                       f"ELSE '' END)")
+    return " || ".join(out)
+
+
+def _robots_rules_ctes() -> str:
+    """``rdoms``/``rb``/…/``rrules``/``rdelay``: the per-domain
+    robots.txt synthesis (rendered from the shared fixture blocks),
+    line parse, RFC 9309 §2.2.1 GROUP SELECTION, and per-rule regex
+    compile (§2.2.3: trailing ``$`` → end anchor, ``ROBOTS_RX_META``
+    escaped — the SAME shared literal the engine compiles with —
+    ``*`` → ``.*``) — ONE generator consumed by every robots-gated
+    twin (``robots_gate``, ``crawl_frontier``, ``fetch_list``), so
+    the oracles cannot keep divergent hand copies of the rules.
+
+    The group selection is an INDEPENDENT formulation (deliberately
+    unlike the engine's single fold): lines are numbered, a UA line
+    ``u`` is "in force" for a body line ``b`` iff no (body, UA) pair
+    sits between them — the declarative statement of "a User-agent
+    line after group body opens a new group, consecutive UA lines
+    accumulate" — each body line's group score is the max over its
+    in-force UA tokens' match specificities, and the kept entries are
+    those whose group score equals the file-wide best (``rbest``) and
+    matched at all. ``rdelay`` applies the same selection to
+    Crawl-delay lines (max across combined tied groups). Assumes the
+    URL CTEs' ``d`` is in scope."""
+    from ..operators.urls import (ROBOTS_AGENT, ROBOTS_DELAY_RE,
+                                  ROBOTS_RULE_RE, ROBOTS_RX_META,
+                                  ROBOTS_UA_RE)
     rx = ("'^' || replace(regexp_replace("
           "CASE WHEN p LIKE '%$' THEN substr(p, 1, length(p) - 1) "
           "ELSE p END, "
           f"'{ROBOTS_RX_META}', '\\\\\\1', 'g'), '*', '.*') "
           "|| CASE WHEN p LIKE '%$' THEN '$' ELSE '' END")
     return f"""rdoms AS (SELECT DISTINCT domain FROM d),
-        rb AS (SELECT domain,
-                 'User-agent: *' || chr(10) ||
-                 'Disallow: /private' || chr(10) ||
-                 'Disallow: /*.php$' || chr(10) ||
-                 CASE WHEN {mm} % 4 = 1
-                      THEN 'Disallow: /articles/item1' || chr(10) ||
-                           'Allow: /articles/item12' || chr(10)
-                      ELSE '' END ||
-                 CASE WHEN {mm} % 4 = 2
-                      THEN 'Disallow: /*4?' || chr(10) ||
-                           'Disallow: /*2?' || chr(10) ||
-                           'Allow: /articles/item*14?*' || chr(10) ||
-                           'Allow: /a*6?' || chr(10) ||
-                           'Disallow: /*66?' || chr(10)
-                      ELSE '' END ||
-                 CASE WHEN {mm} % 4 = 3
-                      THEN 'Disallow: /' || chr(10) ELSE '' END AS txt
-               FROM rdoms),
+        rb AS (SELECT domain, {_rb_text_sql()} AS txt FROM rdoms),
+        rlines AS (
+            SELECT domain, unnest(range(1, len(ls) + 1)) AS i, ls
+            FROM (SELECT domain, string_split(txt, chr(10)) AS ls
+                  FROM rb)),
+        rkind AS (
+            SELECT domain, i,
+                   regexp_extract(ls[i], '{ROBOTS_UA_RE}', 1) AS ua,
+                   lower(regexp_extract(ls[i], '{ROBOTS_RULE_RE}', 1))
+                     AS verb,
+                   regexp_extract(ls[i], '{ROBOTS_RULE_RE}', 2) AS p,
+                   regexp_extract(ls[i], '{ROBOTS_DELAY_RE}', 1) AS cd
+            FROM rlines),
+        ruas AS (SELECT domain, i,
+                   CASE WHEN ua = '*' THEN 0
+                        WHEN starts_with('{ROBOTS_AGENT.lower()}',
+                                         lower(ua)) THEN length(ua)
+                        ELSE -1 END AS sc
+                 FROM rkind WHERE ua <> ''),
+        rbody AS (SELECT domain, i FROM rkind
+                  WHERE p <> '' OR cd <> ''),
+        rgrp AS (
+            SELECT b.domain, b.i, max(u.sc) AS g
+            FROM rbody b JOIN ruas u
+              ON u.domain = b.domain AND u.i < b.i
+            WHERE NOT EXISTS (
+                SELECT 1 FROM rbody k JOIN ruas u2
+                  ON u2.domain = k.domain AND u2.i > k.i
+                WHERE k.domain = u.domain AND k.i > u.i
+                  AND u2.i < b.i)
+            GROUP BY b.domain, b.i),
+        rbest AS (SELECT domain, max(sc) AS gm FROM ruas
+                  GROUP BY domain),
         rrules AS (
-            SELECT domain, p, a, {rx} AS rx
-            FROM (SELECT domain,
-                     regexp_extract(ln, '^(Allow|Disallow): (.+)$', 2)
-                       AS p,
-                     regexp_extract(ln, '^(Allow|Disallow): (.+)$', 1)
-                       = 'Allow' AS a
-                  FROM (SELECT domain,
-                               unnest(string_split(txt, chr(10))) AS ln
-                        FROM rb)
-                  WHERE regexp_extract(ln,
-                        '^(Allow|Disallow): (.+)$', 2) <> ''))"""
+            SELECT k.domain, k.p, k.verb = 'allow' AS a, {rx} AS rx
+            FROM rkind k
+            JOIN rgrp g ON g.domain = k.domain AND g.i = k.i
+            JOIN rbest b ON b.domain = k.domain
+            WHERE k.p <> '' AND g.g >= 0 AND g.g = b.gm),
+        rdelay AS (
+            SELECT k.domain, max(CAST(k.cd AS BIGINT)) AS cd
+            FROM rkind k
+            JOIN rgrp g ON g.domain = k.domain AND g.i = k.i
+            JOIN rbest b ON b.domain = k.domain
+            WHERE k.cd <> '' AND g.g >= 0 AND g.g = b.gm
+            GROUP BY k.domain)"""
 
 
 def _robots_matched_cte(name: str, src: str, key: str) -> str:
@@ -1728,15 +1787,18 @@ def _fetch_list_oracle_sql(iters: int = 3, fanout: int = 3,
                     PARTITION BY domain
                     ORDER BY ch ASC, priority DESC, canon ASC) AS rn
                 FROM un),
-        tim AS (SELECT *,
-                    (rn - 1) * (1000000000 //
+        tim AS (SELECT bud.*,
+                    (rn - 1) * coalesce(
+                        (rd.cd * 1000000000) // 1000,
+                        1000000000 //
                         ((({RATE_BASE_MILLI} *
-                           (CASE (CAST(regexp_extract(domain,
+                           (CASE (CAST(regexp_extract(bud.domain,
                                   'site(\\d+)', 1) AS BIGINT) % 3)
                             WHEN 0 THEN 1 WHEN 1 THEN 2
                             ELSE 4 END)
                            * 1000) // 1000))) AS fetch_at_us
-                FROM bud)
+                FROM bud LEFT JOIN rdelay rd
+                  ON rd.domain = bud.domain)
         SELECT domain,
                CAST(sum(CASE WHEN ch = 0 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_link_cand,

@@ -145,7 +145,18 @@ def _dir_fingerprint(path: str) -> list[tuple[str, int]]:
     the staleness guard's identity for "the directory the commit
     intended" (recursive, so whole-tree swap roots with nested
     partition dirs get a real identity, not just their top-level
-    _SUCCESS)."""
+    _SUCCESS).
+
+    CONTRACT (r12 verdict advisory 3): these are (name, size) pairs,
+    NOT content hashes, so the guard's soundness rests on the
+    WRITER's naming convention — Spark part-files embed a per-write
+    UUID (``part-00000-<uuid>…``), so two generations of the same
+    directory can never collide on names. A writer that reuses exact
+    file names AND sizes across generations (hand-rolled fixed-name
+    files) would fool the guard into treating a newer generation as
+    the fingerprinted one; every sink in this repo writes through
+    Spark, which cannot produce that collision
+    (tests/test_skew_and_sinks.py pins the boundary both ways)."""
     import os
 
     out = []
