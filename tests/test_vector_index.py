@@ -140,3 +140,138 @@ def test_probe_before_batch_snapshot_is_stable(spark, tmp_path):
     grown = _rows(ann_query_index(emb, path))
     assert grown != before
     assert _rows(ann_query_index(emb, path, before_batch=2)) == grown
+
+
+# ---------------------------------------------------------------------------
+# r13: PQ-coded persisted index (write_vector_index_pq / ann_query_index_pq)
+
+
+def test_pq_probe_equals_flat_index_when_refine_covers(spark, tmp_path):
+    """The sharp pin: the PQ index trains its coarse quantizer with
+    the SAME rule as the flat index, so probes route identically —
+    and at the fixture sizes refine × k covers every routed cell's
+    contents, so ADC-shortlist + exact refine returns EXACTLY the
+    flat index's answer (same rows, same cosines). Non-vacuity: the
+    routed cells hold more than k candidates, so the top-k choice is
+    real."""
+    from toymapreduce_go_spark.operators.similarity import (
+        ann_query_index_pq, write_vector_index_pq)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    flat, pq = str(tmp_path / "flat"), str(tmp_path / "pq")
+    write_vector_index(emb, flat)
+    write_vector_index_pq(emb, pq)
+    want = _rows(ann_query_index(emb, flat))
+    got = _rows(ann_query_index_pq(emb, emb, pq))
+    assert got == want and got
+    assert len({r[1] for r in want}) > 10      # > k distinct neighbors
+
+
+def test_pq_postings_are_materially_smaller(spark, tmp_path):
+    """The reason this tier exists: code postings (m ints + one norm)
+    undercut the flat index's float vectors by a wide margin on disk —
+    the difference between an index that fits hot storage at 100 TB
+    and one that doesn't."""
+    import os
+
+    from toymapreduce_go_spark.operators.similarity import (
+        write_vector_index_pq)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    flat, pq = str(tmp_path / "flat"), str(tmp_path / "pq")
+    write_vector_index(emb, flat)
+    write_vector_index_pq(emb, pq)
+
+    def tree_bytes(p):
+        return sum(os.path.getsize(os.path.join(dp, f))
+                   for dp, _d, fs in os.walk(p) for f in fs
+                   if f.endswith(".parquet"))
+
+    fb, pb = tree_bytes(f"{flat}/postings"), tree_bytes(f"{pq}/postings")
+    assert fb > 4 * pb, (fb, pb)
+
+
+def test_pq_index_lifecycle_extend_snapshot_retract(spark, tmp_path):
+    """The flat tier's lifecycle carries over unchanged: extension
+    encodes with the STORED model and lands in its own ingest_batch
+    partition (extend-batch-by-batch probe == one-shot-build probe);
+    before_batch pins the committed snapshot; keyed retraction removes
+    exactly the named vectors; extending with no model raises the
+    sentinel."""
+    import pytest
+
+    from toymapreduce_go_spark.operators.similarity import (
+        NoVectorIndexModel, ann_query_index_pq, extend_vector_index_pq,
+        retract_vector_index_keys, write_vector_index_pq)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    cut = ids[len(ids) // 2]
+    first = emb.filter(f"vec_id < {cut}")
+    rest = emb.filter(f"vec_id >= {cut}")
+
+    grown, oneshot = str(tmp_path / "grown"), str(tmp_path / "oneshot")
+    write_vector_index_pq(first, grown, batch_id=0)
+    snap_before = _rows(ann_query_index_pq(emb, emb, grown,
+                                           before_batch=1))
+    extend_vector_index_pq(rest, grown, batch_id=1)
+    write_vector_index_pq(emb, oneshot, batch_id=0)
+    # one-shot trains on the lowest ids = exactly `first`'s sample,
+    # so the models agree and the probes must be identical
+    assert _rows(ann_query_index_pq(emb, emb, grown)) \
+        == _rows(ann_query_index_pq(emb, emb, oneshot))
+    # the snapshot read still sees only batch 0 after the extension
+    assert _rows(ann_query_index_pq(emb, emb, grown,
+                                    before_batch=1)) == snap_before
+
+    # keyed retraction: drop two known neighbors, they vanish
+    full = _rows(ann_query_index_pq(emb, emb, grown))
+    victims = sorted({r[1] for r in full})[:2]
+    retract_vector_index_keys(spark, grown, victims)
+    after = _rows(ann_query_index_pq(emb, emb, grown))
+    assert after and not ({r[1] for r in after} & set(victims))
+
+    with pytest.raises(NoVectorIndexModel):
+        extend_vector_index_pq(rest, str(tmp_path / "nomodel"),
+                               batch_id=1)
+
+
+def test_pq_index_recall_and_rebuild(spark, tmp_path):
+    """The monitor + drift answer on the PQ tier: recall against the
+    brute-force floor matches the flat tier's at covering refine;
+    rebuild over the grown corpus re-trains + re-encodes in place and
+    the rebuilt probe equals a fresh build's; a rebuild whose corpus
+    lost postings' vectors refuses loudly."""
+    import pytest
+
+    from toymapreduce_go_spark.operators.similarity import (
+        ann_query_index_pq, extend_vector_index_pq,
+        rebuild_vector_index_pq, vector_index_recall,
+        vector_index_recall_pq, write_vector_index, write_vector_index_pq)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    cut = ids[len(ids) // 2]
+    first = emb.filter(f"vec_id < {cut}")
+    rest = emb.filter(f"vec_id >= {cut}")
+
+    pq, flat = str(tmp_path / "pq"), str(tmp_path / "flat")
+    write_vector_index_pq(emb, pq)
+    write_vector_index(emb, flat)
+    r_pq = vector_index_recall_pq(spark, pq, emb)
+    r_flat = vector_index_recall(spark, flat)
+    assert r_pq["total"] and r_pq["recall"] == r_flat["recall"]
+
+    # grown index, rebuilt: model retrains on the union's lowest ids
+    # (== the fresh build's sample), so probes agree
+    grown = str(tmp_path / "grown")
+    write_vector_index_pq(first, grown, batch_id=0)
+    extend_vector_index_pq(rest, grown, batch_id=1)
+    rebuild_vector_index_pq(spark, grown, emb)
+    fresh = str(tmp_path / "fresh")
+    write_vector_index_pq(emb, fresh)
+    assert _rows(ann_query_index_pq(emb, emb, grown)) \
+        == _rows(ann_query_index_pq(emb, emb, fresh))
+
+    with pytest.raises(ValueError, match="retract them first"):
+        rebuild_vector_index_pq(spark, grown, first)

@@ -40,7 +40,27 @@ APPROX = {
         lambda emb: similarity.ann_ivf_pq(emb, k=K, refine=0, m=16),
     "ann_ivf_pq (m=8 ksub=64, residual, refine 32k exact — default)":
         lambda emb: similarity.ann_ivf_pq(emb, k=K),
+    "ann_index_probe_pq (persisted codes, refine 32k exact, r13)":
+        lambda emb: _persisted_pq_probe(emb),
 }
+
+
+def _persisted_pq_probe(emb):
+    """Build the PQ-coded persisted index in a temp dir and probe it —
+    the r13 on-disk tier (coarse quantizer = the flat index's rule, so
+    routing matches `ann_query_index`; codes shortlist, corpus parquet
+    refines)."""
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="tmrg_recall_pq_")
+    try:
+        similarity.write_vector_index_pq(emb, path)
+        out = similarity.ann_query_index_pq(emb, emb, path, k=K)
+        out = out.localCheckpoint()   # materialize before cleanup
+        return out
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def topk_sets(df) -> dict[int, set[int]]:

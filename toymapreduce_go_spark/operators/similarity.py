@@ -1002,11 +1002,24 @@ def ann_ivf_pq(embeddings: DataFrame, n_cells: int = 8,
         pq_residuals(vecs, [c for _, c in cents]) if by_residual
         else vecs, m, ksub)
     probes = sample[:n_probes]
-    cent_norms = {cid: _py_norm(emb) for cid, emb in cents}
+    assigned = _pq_assign(embeddings, cents, books, by_residual)
+    probe_df = _pq_probe_frame(embeddings.sparkSession, cents, books,
+                               probes, n_probe_cells, by_residual)
+    return _adc_rank(assigned, probe_df, k, refine,
+                     embeddings.select("vec_id", "embedding"),
+                     out_col="approx_cos")
 
-    # encode = coarse cell + PQ codes, one projection (residual mode
-    # adds a broadcast join against the model-sized centroid table so
-    # the code expression can subtract the row's own centroid)
+
+def _pq_assign(embeddings: DataFrame,
+               cents: list[tuple[int, list[float]]],
+               books: list[list[list[float]]],
+               by_residual: bool) -> DataFrame:
+    """(vec_id, codes, vnorm, cell): coarse cell + PQ codes + stored
+    norm — ONE encode projection (residual mode adds a broadcast join
+    against the model-sized centroid table so the code expression can
+    subtract the row's own centroid). Shared by the in-session
+    ``ann_ivf_pq`` and the persisted PQ index writer/extender."""
+    cent_norms = {cid: _py_norm(emb) for cid, emb in cents}
     encoded = embeddings.select(
         "vec_id", "embedding",
         l2_norm(F.col("embedding")).alias("vnorm"))
@@ -1029,22 +1042,33 @@ def ann_ivf_pq(embeddings: DataFrame, n_cells: int = 8,
     if by_residual:
         cents_df = embeddings.sparkSession.createDataFrame(
             [(cid, c) for cid, c in cents], "cell long, cvec array<double>")
-        assigned = (with_cell.join(broadcast(cents_df), "cell")
-                    .select("vec_id", F.expr(
-                        _pq_codes_sql(books, residual_col="cvec"))
-                        .alias("codes"), "vnorm", "cell"))
-    else:
-        assigned = with_cell.select(
-            "vec_id", F.expr(_pq_codes_sql(books)).alias("codes"),
-            "vnorm", "cell")
+        return (with_cell.join(broadcast(cents_df), "cell")
+                .select("vec_id", F.expr(
+                    _pq_codes_sql(books, residual_col="cvec"))
+                    .alias("codes"), "vnorm", "cell"))
+    return with_cell.select(
+        "vec_id", F.expr(_pq_codes_sql(books)).alias("codes"),
+        "vnorm", "cell")
 
-    # probe side: cell routing + ADC LUT, both model-sized driver work
+
+def _pq_probe_frame(spark, cents: list[tuple[int, list[float]]],
+                    books: list[list[list[float]]],
+                    probes: list[tuple[int, list[float]]],
+                    n_probe_cells: int, by_residual: bool) -> DataFrame:
+    """(probe_id, probe_emb, pnorm, lut, cell, qc): probe→cell routing
+    + the per-probe ADC LUT (LUT[j][c] = <probe_subj, centroid_jc>) —
+    all model-sized driver work, shipped as one literal broadcast
+    frame. Residual mode carries the exact <q, c_cell> term (``qc``)
+    the quantized residual rides on."""
+    cent_norms = {cid: _py_norm(emb) for cid, emb in cents}
+
     def top_cells(emb):
         pn = _py_norm(emb)
         scored = [(-_py_cos(cemb, emb, cent_norms[cid], pn), cid)
                   for cid, cemb in cents]
         return [cid for _, cid in sorted(scored)[:n_probe_cells]]
 
+    m = len(books)
     dsub = len(books[0][0])
     cent_by_id = dict(cents)
     probe_rows = []
@@ -1053,15 +1077,25 @@ def ann_ivf_pq(embeddings: DataFrame, n_cells: int = 8,
         lut = [[_py_dot(emb[j * dsub:(j + 1) * dsub], c)
                 for c in books[j]] for j in range(m)]
         for cell in top_cells(emb):
-            # residual mode: the exact <q, c_cell> term the quantized
-            # residual rides on; raw mode contributes nothing
             qc = _py_dot(emb, cent_by_id[cell]) if by_residual else 0.0
             probe_rows.append((pid, emb, pn, lut, cell, qc))
-    probe_df = embeddings.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         probe_rows,
         "probe_id long, probe_emb array<double>, pnorm double, "
         "lut array<array<double>>, cell long, qc double")
 
+
+def _adc_rank(assigned: DataFrame, probe_df: DataFrame, k: int,
+              refine: int, fetch_vectors: DataFrame,
+              out_col: str = "cos_sim") -> DataFrame:
+    """ADC scoring + optional exact refine: broadcast bucket join on
+    cell, approximate cosine from m LUT lookups, per-probe top-k —
+    and with ``refine > 0`` the two-stage finish: ADC picks a
+    ``refine × k`` shortlist from the codes alone, then ONLY the
+    shortlist re-ranks by exact cosine against ``fetch_vectors``
+    (vec_id, embedding) — the full-precision source the codes spare
+    (at 100 TB: probes × refine × k row fetches instead of a corpus
+    scan)."""
     adc = F.aggregate(
         F.zip_with("codes", "lut", lambda c, row: F.element_at(row, c + 1)),
         F.lit(0.0), lambda a, x: a + x)
@@ -1078,14 +1112,14 @@ def ann_ivf_pq(embeddings: DataFrame, n_cells: int = 8,
         return (cand.withColumn("rank", F.row_number().over(w_adc))
                 .filter(F.col("rank") <= k)
                 .select("probe_id", F.col("vec_id").alias("neighbor_id"),
-                        "rank", F.round("approx", 4).alias("approx_cos"))
+                        "rank", F.round("approx", 4).alias(out_col))
                 .orderBy("probe_id", "rank"))
     shortlist = (cand.withColumn("arank", F.row_number().over(w_adc))
                  .filter(F.col("arank") <= refine * k)
                  .select("probe_id", "probe_emb", "vec_id"))
     # exact re-rank touches only the shortlist's full vectors
     exact = (shortlist
-             .join(embeddings.select("vec_id", "embedding"), "vec_id")
+             .join(fetch_vectors.select("vec_id", "embedding"), "vec_id")
              .withColumn("cos", cosine_sim(F.col("probe_emb"),
                                            F.col("embedding"))))
     w_x = Window.partitionBy("probe_id").orderBy(
@@ -1093,7 +1127,7 @@ def ann_ivf_pq(embeddings: DataFrame, n_cells: int = 8,
     return (exact.withColumn("rank", F.row_number().over(w_x))
             .filter(F.col("rank") <= k)
             .select("probe_id", F.col("vec_id").alias("neighbor_id"),
-                    "rank", F.round("cos", 4).alias("approx_cos"))
+                    "rank", F.round("cos", 4).alias(out_col))
             .orderBy("probe_id", "rank"))
 
 
@@ -1251,6 +1285,230 @@ def rebuild_vector_index(spark, path: str, n_cells: int = 8,
     ).coalesce(1).write.mode("overwrite").parquet(f"file://{tmp}/model")
     if cents:
         (_assign_cells(posts, cents, keep_cols=("ingest_batch",))
+         .write.mode("overwrite")
+         .partitionBy("ingest_batch", "cell")
+         .parquet(f"file://{tmp}/postings"))
+    commit_swap(local, tmp, old, "rebuild")
+
+
+# ---------------------------------------------------------------------------
+# PQ-coded persisted vector index (r12 verdict item 4). The flat
+# ``write_vector_index`` postings carry full float vectors — ~D·8
+# bytes each — so at 100 TB the index is corpus-sized and cannot live
+# in hot storage. This tier persists the m-byte PQ codes instead
+# (m ints + one norm per vector: ~32× smaller at dim 64), keeps the
+# same (ingest_batch, cell) partition layout so every lifecycle
+# operation carries over unchanged (extension = encode-with-stored-
+# model + dynamic partition overwrite; retraction = the same keyed
+# partition rewrite; snapshot reads = the same before_batch partition
+# filter), and probes via ADC + the standard exact-refine finish
+# AGAINST THE FULL-PRECISION CORPUS PARQUET — the codes shortlist,
+# the parquet re-ranks probes × refine × k rows, and the corpus is
+# touched for exactly that shortlist.
+#
+# The coarse quantizer trains with the SAME deterministic rule as the
+# flat index (lowest IVF_SAMPLE_SIZE vec_ids), so the two tiers route
+# probes IDENTICALLY — which is what makes the correctness pin sharp:
+# whenever refine × k covers the routed cells' contents (true at the
+# fixture sizes), the PQ-refined top-k EQUALS the flat index's probe
+# answer exactly (tests/test_vector_index.py); RECALL.md carries the
+# measured floors where refine binds.
+
+PQ_REFINE = 32
+
+
+def write_vector_index_pq(embeddings: DataFrame, path: str,
+                          n_cells: int = 8, m: int = PQ_M,
+                          ksub: int = PQ_KSUB,
+                          n_iters: int = IVF_TRAIN_ITERS,
+                          sample_size: int = IVF_SAMPLE_SIZE,
+                          pq_sample_size: int = PQ_SAMPLE_SIZE,
+                          batch_id: int = 0,
+                          by_residual: bool = True) -> None:
+    """Build the PQ-coded persisted index: ``{path}/pq_model`` holds
+    the coarse centroids + per-subspace codebooks + residual flag (the
+    ``save_ivf_pq_model`` row layout, read back by
+    ``load_ivf_pq_model``), ``{path}/postings`` holds (vec_id, codes,
+    vnorm) partitioned by (ingest_batch, cell). Coarse training =
+    the flat index's rule (lowest ``sample_size`` ids); codebooks
+    train on ``pq_sample_size`` coarse residuals."""
+    spark = embeddings.sparkSession
+    sample_rows = (embeddings.orderBy("vec_id").limit(
+        max(sample_size, pq_sample_size))
+        .select("vec_id", "embedding").collect())
+    sample = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+              for r in sample_rows]
+    coarse = train_ivf_centroids(
+        sample[:sample_size], n_cells, n_iters) if sample else []
+    cents = list(enumerate(coarse))
+    vecs = [v for _, v in sample[:pq_sample_size]]
+    books = (_train_pq_codebooks(
+        pq_residuals(vecs, coarse) if by_residual else vecs, m, ksub)
+        if sample else [])
+    rows = [("meta", 0, 0, [1.0 if by_residual else 0.0])]
+    rows += [("coarse", i, 0, c) for i, c in cents]
+    rows += [("pq", ci, j, c)
+             for j, book in enumerate(books)
+             for ci, c in enumerate(book)]
+    spark.createDataFrame(
+        rows, "kind string, idx long, sub long, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_model")
+    if cents:
+        (_pq_assign(embeddings, cents, books, by_residual)
+         .withColumn("ingest_batch", F.lit(batch_id))
+         .write.mode("overwrite")
+         .partitionBy("ingest_batch", "cell")
+         .parquet(f"{path}/postings"))
+
+
+def extend_vector_index_pq(batch: DataFrame, path: str,
+                           batch_id: int) -> None:
+    """Extend a PQ index with a new batch: encode with the STORED
+    model (never retrain — same contract as ``extend_vector_index``)
+    and dynamic-partition-overwrite only ``ingest_batch=<id>``.
+    Raises ``NoVectorIndexModel`` when the model is absent."""
+    from pyspark.errors import AnalysisException
+    spark = batch.sparkSession
+    try:
+        cents, books, by_residual = load_ivf_pq_model(
+            spark, f"{path}/pq_model")
+    except AnalysisException:
+        cents, books = [], []
+    if not cents or not books:
+        raise NoVectorIndexModel(
+            f"extend_vector_index_pq: no model at {path}/pq_model — "
+            "build the index with write_vector_index_pq first "
+            "(extensions encode with the STORED model; they never "
+            "train)")
+    (_pq_assign(batch, cents, books, by_residual)
+     .withColumn("ingest_batch", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("ingest_batch", "cell")
+     .parquet(f"{path}/postings"))
+
+
+def ann_query_index_pq(probes_df: DataFrame, corpus: DataFrame,
+                       path: str, n_probe_cells: int = 2,
+                       n_probes: int = 5, k: int = DEFAULT_K,
+                       refine: int = PQ_REFINE,
+                       before_batch: int | None = None) -> DataFrame:
+    """Probe a PQ index: model loads as a tiny collect, probe routing
+    and the ADC LUTs are driver-side, the postings scan is
+    partition-pruned to the routed cells, ADC picks the refine × k
+    shortlist from codes alone, and ONLY the shortlist joins
+    ``corpus`` (vec_id, embedding — the full-precision parquet) for
+    the exact re-rank. ``before_batch`` = the flat tier's snapshot
+    contract (a partition filter). Output schema matches
+    ``ann_query_index`` (cos_sim = exact cosine after refine), which
+    is what the equality pin compares."""
+    spark = probes_df.sparkSession
+    cents, books, by_residual = load_ivf_pq_model(
+        spark, f"{path}/pq_model")
+    probe_rows = (probes_df.orderBy("vec_id").limit(n_probes)
+                  .select("vec_id", "embedding").collect())
+    probes = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+              for r in probe_rows]
+    if not cents or not books or not probes:
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, rank int, "
+                "cos_sim double")
+    probe_df = _pq_probe_frame(spark, cents, books, probes,
+                               n_probe_cells, by_residual)
+    routed = sorted({int(r["cell"]) for r in
+                     probe_df.select("cell").distinct().collect()})
+    postings = (spark.read.parquet(f"{path}/postings")
+                .filter(F.col("cell").isin(routed)))
+    if before_batch is not None:
+        postings = postings.filter(F.col("ingest_batch") < before_batch)
+    return _adc_rank(postings, probe_df, k, refine,
+                     corpus.select("vec_id", "embedding"))
+
+
+def vector_index_recall_pq(spark, path: str, corpus: DataFrame,
+                           n_probes: int = 5, k: int = DEFAULT_K,
+                           n_probe_cells: int = 2,
+                           refine: int = PQ_REFINE) -> dict:
+    """The recall monitor, PQ tier: the exact floor comes from
+    brute-force over the full-precision CORPUS (the index holds codes,
+    not vectors); probes are the lowest ``n_probes`` corpus ids.
+    Returns {"hits", "total", "recall"} like ``vector_index_recall``."""
+    exact: dict[int, set[int]] = {}
+    for r in knn_bruteforce(corpus, n_probes=n_probes, k=k).collect():
+        exact.setdefault(int(r["probe_id"]), set()).add(
+            int(r["neighbor_id"]))
+    got: dict[int, set[int]] = {}
+    probes = corpus.orderBy("vec_id").limit(n_probes)
+    for r in ann_query_index_pq(probes, corpus, path,
+                                n_probe_cells=n_probe_cells,
+                                n_probes=n_probes, k=k,
+                                refine=refine).collect():
+        got.setdefault(int(r["probe_id"]), set()).add(
+            int(r["neighbor_id"]))
+    hits = sum(len(exact[p] & got.get(p, set())) for p in exact)
+    total = sum(len(v) for v in exact.values())
+    return {"hits": hits, "total": total,
+            "recall": hits / total if total else 1.0}
+
+
+def rebuild_vector_index_pq(spark, path: str, corpus: DataFrame,
+                            n_cells: int = 8, m: int = PQ_M,
+                            ksub: int = PQ_KSUB,
+                            n_iters: int = IVF_TRAIN_ITERS,
+                            sample_size: int = IVF_SAMPLE_SIZE,
+                            pq_sample_size: int = PQ_SAMPLE_SIZE
+                            ) -> None:
+    """Retrain the PQ index over the grown corpus and re-encode every
+    posting in place — the drift answer for the PQ tier. The index
+    stores codes only, so the rebuild joins the postings' (vec_id,
+    ingest_batch) against the full-precision ``corpus`` for the
+    vectors to re-encode (each posting keeps its ingest_batch, so
+    snapshot reads stay meaningful). Same tmp/old swap protocol as
+    ``rebuild_vector_index`` — crash-rerunnable, readers never see a
+    half-rebuilt index. A posting whose vec_id the corpus no longer
+    carries is a retraction the caller skipped — it raises rather
+    than silently dropping rows."""
+    from ..sources.sinks import commit_swap, recover_swap, swap_paths
+
+    local, tmp, old = swap_paths(path, "rebuild")
+    recover_swap(local, tmp, old, "rebuild")
+
+    keys = (spark.read.parquet(f"{path}/postings")
+            .select("vec_id", "ingest_batch"))
+    posts = keys.join(corpus.select("vec_id", "embedding"), "vec_id",
+                      "left")
+    n_lost = posts.filter(F.col("embedding").isNull()).count()
+    if n_lost:
+        raise ValueError(
+            f"rebuild_vector_index_pq: {n_lost} postings have no "
+            f"corpus vector — retract them first "
+            "(retract_vector_index_keys), the rebuild never drops "
+            "rows silently")
+    sample_rows = (posts.orderBy("vec_id").limit(
+        max(sample_size, pq_sample_size))
+        .select("vec_id", "embedding").collect())
+    sample = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+              for r in sample_rows]
+    coarse = train_ivf_centroids(
+        sample[:sample_size], n_cells, n_iters) if sample else []
+    cents = list(enumerate(coarse))
+    vecs = [v for _, v in sample[:pq_sample_size]]
+    books = (_train_pq_codebooks(pq_residuals(vecs, coarse), m, ksub)
+             if sample else [])
+    rows = [("meta", 0, 0, [1.0])]
+    rows += [("coarse", i, 0, c) for i, c in cents]
+    rows += [("pq", ci, j, c)
+             for j, book in enumerate(books)
+             for ci, c in enumerate(book)]
+    spark.createDataFrame(
+        rows, "kind string, idx long, sub long, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"file://{tmp}/pq_model")
+    if cents:
+        (_pq_assign(posts.select("vec_id", "embedding"), cents, books,
+                    True)
+         .join(keys, "vec_id")
+         .select("vec_id", "codes", "vnorm", "ingest_batch", "cell")
          .write.mode("overwrite")
          .partitionBy("ingest_batch", "cell")
          .parquet(f"file://{tmp}/postings"))

@@ -307,46 +307,14 @@ def _join_members(batches):
 
 
 def _gunzip_members(batches):
-    import io
-    import zlib
-
-    CH = 1 << 18   # streaming window: 256 KiB per read
-
-    def walk(src: str, data: bytes) -> str:
-        # stream the buffer through each member in fixed-size windows:
-        # feeding the WHOLE remaining tail per member and restarting
-        # from `unused_data` copies the tail once per member — an
-        # O(members × file) memcpy that went 4.9× at ×3 data (r12
-        # scaling) — whereas here every byte is read and copied once
-        # and the carried leftover is bounded by the window
-        out, n = [], 0
-        bio = io.BytesIO(bytes(data))
-        leftover = b""
-        while True:
-            head = leftover if leftover else bio.read(CH)
-            if not head:
-                break
-            d = zlib.decompressobj(wbits=31)
-            try:
-                out.append(d.decompress(head))
-                while not d.eof:
-                    chunk = bio.read(CH)
-                    if not chunk:
-                        raise ValueError(
-                            f"warc_gz: truncated gzip member {n} in "
-                            f"source {src}")
-                    out.append(d.decompress(chunk))
-            except zlib.error as e:     # CRC/ISIZE/stream corruption
-                raise ValueError(
-                    f"warc_gz: corrupt gzip member {n} in source "
-                    f"{src}: {e}") from None
-            leftover, n = d.unused_data, n + 1
-        return b"".join(out).decode()
-
+    # one shared member walk (_walk_members) for both read paths: here
+    # the members re-join into the file's record text (the string
+    # parser's input); the per-member path parses each one separately
     for pdf in batches:
         pdf = pdf.copy()
-        pdf["warc"] = [walk(s, bytes(g))
-                       for s, g in zip(pdf["source"], pdf["warc_gz"])]
+        pdf["warc"] = [
+            b"".join(_walk_members(str(s), bytes(g))).decode()
+            for s, g in zip(pdf["source"], pdf["warc_gz"])]
         yield pdf[["source", "warc"]]
 
 
@@ -551,11 +519,17 @@ def synthesize_warc_gz_files(documents: DataFrame) -> DataFrame:
 
 
 def _walk_members(src: str, data: bytes) -> list[bytes]:
-    """The fixed-window multi-member walk of ``_gunzip_members``,
+    """The ONE fixed-window multi-member gzip walk (shared by the
+    per-member record parser and ``_gunzip_members``' rejoin path),
     yielding each member's inflated bytes SEPARATELY (one member = one
-    record — the format's framing contract). CRC32/ISIZE validated by
-    zlib per member; corruption or truncation raises with the member
-    index and source."""
+    record — the format's framing contract). Fixed 256 KiB windows:
+    feeding the whole remaining tail per member and restarting from
+    ``unused_data`` copies the tail once per member — an O(members ×
+    file) memcpy that went 4.9× at ×3 data (r12 scaling) — whereas
+    here every byte is read and copied once and the carried leftover
+    is bounded by the window. CRC32/ISIZE validated by zlib per
+    member; corruption or truncation raises with the member index and
+    source."""
     import io
     import zlib
 

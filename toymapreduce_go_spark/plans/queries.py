@@ -145,27 +145,19 @@ def _video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_stats_query(load_table(spark, sf_dir, "documents"))
 
 
-def _ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build the PERSISTED vector index (model + cell-partitioned
-    posting lists) into a session temp dir, then probe it — result
-    bit-identical to ann_ivf_trained (same deterministic training,
-    doubles round-trip parquet exactly), so it shares that oracle.
-    The probe's postings scan is partition-pruned to the routed cells
-    (tests/test_vector_index.py plan assertion)."""
+def _session_index_dir(sf_dir: str, tag: str) -> str:
+    """A pid-scoped temp dir for a session-built persisted index: two
+    concurrent runs (pytest parity + bench) must not overwrite each
+    other's postings mid-probe (review r10). GCs the corpus-sized
+    copies DEAD pids left behind (the _stream_src_dir
+    best-effort-cleanup convention) — live pids are skipped so a
+    concurrent run's index is never yanked mid-probe."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
-    from ..operators.similarity import ann_query_index, write_vector_index
-    emb = load_table(spark, sf_dir, "embeddings")
-    # pid-scoped: two concurrent runs (pytest parity + bench) must not
-    # overwrite each other's postings mid-probe (review r10). GC the
-    # corpus-sized copies DEAD pids left behind (the _stream_src_dir
-    # best-effort-cleanup convention) — live pids are skipped so a
-    # concurrent run's index is never yanked mid-probe.
-    import shutil
-
-    prefix = (f"tmrg_vec_index_"
+    prefix = (f"tmrg_{tag}_"
               f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_")
     tmp = tempfile.gettempdir()
     for stale in os.listdir(tmp):
@@ -177,9 +169,37 @@ def _ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ignore_errors=True)
             except PermissionError:
                 pass  # pid alive under another uid — leave it
-    path = os.path.join(tmp, f"{prefix}{os.getpid()}")
+    return os.path.join(tmp, f"{prefix}{os.getpid()}")
+
+
+def _ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the PERSISTED vector index (model + cell-partitioned
+    posting lists) into a session temp dir, then probe it — result
+    bit-identical to ann_ivf_trained (same deterministic training,
+    doubles round-trip parquet exactly), so it shares that oracle.
+    The probe's postings scan is partition-pruned to the routed cells
+    (tests/test_vector_index.py plan assertion)."""
+    from ..operators.similarity import ann_query_index, write_vector_index
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _session_index_dir(sf_dir, "vec_index")
     write_vector_index(emb, path)
     return ann_query_index(emb, path)
+
+
+def _ann_index_probe_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the PQ-CODED persisted index (r13: m-byte codes in the
+    cell-partitioned postings — ~32× smaller than the flat tier's
+    float vectors) and probe it via ADC + exact refine against the
+    full-precision corpus. Invariant tier (a lossy code has no SQL
+    twin); its pinned contract is equality with the FLAT index's
+    probe whenever refine × k covers the routed cells
+    (tests/test_vector_index.py) plus the recall floor."""
+    from ..operators.similarity import (ann_query_index_pq,
+                                        write_vector_index_pq)
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _session_index_dir(sf_dir, "vec_index_pq")
+    write_vector_index_pq(emb, path)
+    return ann_query_index_pq(emb, emb, path)
 
 
 def _approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,6 +274,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_filtered": _q(similarity.ann_ivf_filtered),
     "ann_ivf_trained": _q(similarity.ann_ivf_trained),
     "ann_index_probe": _ann_index_probe,
+    "ann_index_probe_pq": _ann_index_probe_pq,
     "ann_ivf_pq": _q(similarity.ann_ivf_pq),
     "knn_label_vote": _q(similarity.knn_label_vote),
     "ann_label_vote": _q(similarity.ann_label_vote),
@@ -383,7 +404,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "user_retention", "top_docs_per_source",
                "fuzzy_name_stats", "event_anomalies", "orders_upsert",
                "html_extract", "url_canonical", "langid_trained",
-               "ann_index_probe", "crawl_diff", "corpus_datasheet",
+               "ann_index_probe", "ann_index_probe_pq",
+               "crawl_diff", "corpus_datasheet",
                "domain_blocklist", "domain_reputation", "pdf_extract",
                "warc_extract", "warc_extract_gz",
                "link_pagerank", "robots_gate",
@@ -409,7 +431,8 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
 # exact agreement with independent reference trainers, tests/test_bpe.py
 # and tests/test_unigram_tok.py.)
 PYTEST_INVARIANT_ONLY = ("sequence_packing", "audio_stats", "video_stats",
-                         "ann_ivf_pq", "ann_label_vote",
+                         "ann_ivf_pq", "ann_index_probe_pq",
+                         "ann_label_vote",
                          "quality_distill", "bpe_stats", "unigram_tok",
                          "image_phash", "audio_fingerprint",
                          "video_fingerprint")
