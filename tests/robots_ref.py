@@ -22,9 +22,12 @@ def fixture_robots_txt(m: int) -> str:
     dom = f"www.site{m}.example.com"
     out = []
     for cond, text in ROBOTS_FIXTURE_BLOCKS:
+        if cond not in (None, "m8_5", "m4_1", "m4_2", "m4_3"):
+            raise ValueError(
+                f"unknown ROBOTS_FIXTURE_BLOCKS condition {cond!r}")
         if cond is None or \
                 (cond == "m8_5" and m % 8 == 5) or \
-                (cond and cond.startswith("m4_")
+                (cond.startswith("m4_")
                  and m % 4 == int(cond.split("_")[1])):
             out.append(text.replace("{domain}", dom))
     return "".join(out)

@@ -23,7 +23,7 @@ def _delay_us(domain: str, rate_scale_milli: int = 1000) -> int:
     from robots_ref import fixture_delay
     m = int(domain.split("site")[1].split(".")[0])
     cd = fixture_delay(m)
-    if cd is not None:
+    if cd:         # Crawl-delay: 0 carries no constraint (ladder)
         return (cd * 10**9) // rate_scale_milli
     rate_milli = RATE_BASE_MILLI * (1 << (m % 3))
     return 10**9 // max((rate_milli * rate_scale_milli) // 1000, 1)
@@ -72,6 +72,17 @@ def test_robots_crawl_delay_overrides_rate_ladder(spark):
             assert roll[d].n_scheduled < ladder_cap
             bound += 1
     assert bound > 0
+    # review r13: `Crawl-delay: 0` carries no constraint — it must
+    # fall back to the ladder, never produce a 0 µs cadence that
+    # admits a host's whole queue in one cycle
+    from toymapreduce_go_spark.operators.scheduling import (
+        effective_delay_us, host_delay_us)
+    df = spark.createDataFrame(
+        [("www.site1.example.com", 0), ("www.site1.example.com", None)],
+        "domain string, cd int")
+    out = df.select(effective_delay_us("cd").alias("d"),
+                    host_delay_us().alias("l")).collect()
+    assert out and all(r["d"] == r["l"] and r["d"] > 0 for r in out)
 
 
 def test_channels_partition_and_agree_with_their_modules(spark):

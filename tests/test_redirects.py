@@ -1,0 +1,117 @@
+"""HTTP redirect resolution (operators/redirects.py) — bounded-follow
+semantics, loop flagging, re-keying composition; full DuckDB
+value-hash parity runs via test_oracle_parity.py (`redirect_resolve`)."""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+from pyspark.sql import functions as F
+
+from toymapreduce_go_spark.operators.redirects import (
+    REDIRECT_MAX_HOPS, apply_redirects, redirect_stats,
+    redirected_url_dedup, resolve_redirects, synthesize_redirects)
+from toymapreduce_go_spark.sources.registry import load_table
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_resolve_chains_loops_and_budget(spark):
+    """Constructed edge classes: 1/2/3-hop chains terminate with exact
+    hop counts; a 2-cycle and a self-loop FLAG (never resolve, never
+    hang); a chain longer than the budget flags as unresolved — the
+    RFC 9110 §15.4 client obligations, each observable."""
+    assert REDIRECT_MAX_HOPS == 4
+    pairs = [("a1", "t1"),                              # 1 hop
+             ("b1", "b2"), ("b2", "t2"),                # 2 hops
+             ("c1", "c2"), ("c2", "c3"), ("c3", "t3"),  # 3 hops
+             ("la", "lb"), ("lb", "la"),                # 2-cycle
+             ("self", "self"),                          # self-loop
+             # 5-hop chain: exceeds the 4-hop budget
+             ("d1", "d2"), ("d2", "d3"), ("d3", "d4"),
+             ("d4", "d5"), ("d5", "t4")]
+    out = {r["src"]: r for r in
+           resolve_redirects(_edges(spark, pairs)).collect()}
+    assert (out["a1"]["final"], out["a1"]["hops"],
+            out["a1"]["looped"]) == ("t1", 1, False)
+    assert (out["b1"]["final"], out["b1"]["hops"],
+            out["b1"]["looped"]) == ("t2", 2, False)
+    assert (out["c1"]["final"], out["c1"]["hops"],
+            out["c1"]["looped"]) == ("t3", 3, False)
+    assert out["la"]["looped"] and out["lb"]["looped"]
+    assert out["self"]["looped"]
+    assert out["d1"]["looped"]          # budget exhausted -> flagged
+    assert not out["d2"]["looped"]      # 4 hops from d2 DOES terminate
+    assert out["d2"]["final"] == "t4" and out["d2"]["hops"] == 4
+
+
+def test_fixture_classes_and_rollup_direction(spark):
+    """The synthesized fixture exercises every class: moved hosts
+    (m%8==6) only; even pages chain twice, odd once; exactly the two
+    planted loop URLs flag per moved host; non-moved hosts have no
+    redirect rows at all."""
+    docs = load_table(spark, SF_DIR, "documents")
+    st = {r["domain"]: r for r in redirect_stats(docs).collect()}
+    moved = {d for d in st if ".example.com" in d}
+    assert all("site6" in d or "site14" in d for d in moved)
+    for m in (6, 14):
+        src = st[f"www.site{m}.example.com"]
+        mid = st[f"www.site{m}m.example.com"]
+        assert src["n_loops"] == 2                  # /loop/a, /loop/b
+        assert src["max_hops"] == 2                 # even pages
+        assert src["n_resolved"] == src["n_redirected"] - 2
+        assert mid["n_loops"] == 0 and mid["max_hops"] == 1
+    import re
+
+    rows = resolve_redirects(synthesize_redirects(docs)).collect()
+    for r in rows:
+        if r["looped"]:
+            assert "/loop/" in r["src"]
+            continue
+        g = re.match(r"http://www\.site\d+(m*)\.example\.com"
+                     r"/articles/item(\d+)", r["src"])
+        suffix, page = g.group(1), int(g.group(2))
+        if suffix == "" and page % 2 == 0:
+            assert r["hops"] == 2 and "mm.example.com" in r["final"]
+        elif suffix == "":
+            assert r["hops"] == 1 and "m.example.com" in r["final"]
+        else:       # the intermediate host's own hop-2 edge
+            assert suffix == "m" and r["hops"] == 1 \
+                and "mm.example.com" in r["final"]
+
+
+def test_apply_redirects_rekeys_and_dedups_across_the_move(spark):
+    """The composition: fetches of a moved page through the OLD host
+    and fetches through the NEW host collapse into one key after
+    re-keying (plain canon dedup keeps them apart); looped sources
+    keep their original key; untouched canons pass through."""
+    resolved = resolve_redirects(_edges(spark, [
+        ("http://old/a", "http://new/a"),
+        ("http://loop/x", "http://loop/y"),
+        ("http://loop/y", "http://loop/x")]))
+    frame = spark.createDataFrame(
+        [("http://old/a", 1), ("http://new/a", 2),
+         ("http://loop/x", 3), ("http://other/z", 4)],
+        "canon string, doc_id long")
+    out = {r["doc_id"]: r["canon"]
+           for r in apply_redirects(frame, resolved).collect()}
+    assert out[1] == out[2] == "http://new/a"     # collapsed
+    assert out[3] == "http://loop/x"              # loop: key unmoved
+    assert out[4] == "http://other/z"
+
+    # fixture-level: the dedup keyed on the FINAL url preserves group
+    # sizes (no group splits/merges on the synthetic corpus) and every
+    # moved host's pages key at the moved-to host
+    docs = load_table(spark, SF_DIR, "documents")
+    from toymapreduce_go_spark.operators.urls import url_dedup_docs, \
+        synthesize_urls
+    plain = url_dedup_docs(synthesize_urls(docs)).collect()
+    rekeyed = redirected_url_dedup(docs).collect()
+    assert sorted(r["doc_id"] for r in plain) \
+        == sorted(r["doc_id"] for r in rekeyed)
+    moved_keys = [r["canon"] for r in rekeyed
+                  if "site6." in r["canon"] or "site14." in r["canon"]]
+    assert not [k for k in moved_keys if "/articles/" in k]
+    assert any("site6m" in r["canon"] or "site6mm" in r["canon"]
+               for r in rekeyed)

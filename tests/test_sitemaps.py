@@ -202,3 +202,41 @@ def test_sitemap_discovery_rides_the_robots_declared_loc(spark):
         F.broadcast(bogus.select(F.col("sitemap_loc").alias("_loc"))),
         "_loc")
     assert got2.count() == 0
+
+
+def test_revalidation_reconciles_with_recrawl_and_saves_bytes(spark):
+    """r13: conditional-request accounting — the 304/200 split is
+    exactly recrawl_schedule's fresh/stale split per host, byte
+    totals reconcile against a driver-side replay (page body size =
+    min doc byte length over the quad), and the fixture exercises
+    both outcomes with real bytes on each side."""
+    from toymapreduce_go_spark.operators.sitemaps import (
+        recrawl_revalidation, recrawl_schedule)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rev = {r["domain"]: r for r in recrawl_revalidation(docs).collect()}
+    sch = {r["domain"]: r for r in recrawl_schedule(docs).collect()}
+    assert set(rev) == set(sch)
+    sizes: dict[int, int] = {}
+    for r in docs.select("doc_id", "text").collect():
+        p = r["doc_id"] // 4
+        b = len(r["text"].encode()) if r["text"] is not None else 0
+        sizes[p] = min(sizes.get(p, 1 << 60), b)
+    want_saved: dict[str, int] = {}
+    want_moved: dict[str, int] = {}
+    for p, b in sizes.items():
+        if p % 3 == 0:                      # uncrawled: no recrawl row
+            continue
+        dom = f"www.site{p % 16}.example.com"
+        if (p % 365) > (p * 7) % 365:
+            want_moved[dom] = want_moved.get(dom, 0) + b
+        else:
+            want_saved[dom] = want_saved.get(dom, 0) + b
+    for d, r in rev.items():
+        assert r["n_304"] == sch[d]["n_fresh"]
+        assert r["n_200"] == sch[d]["n_stale"]
+        assert r["n_conditional"] == sch[d]["n_crawled_pages"]
+        assert r["bytes_saved"] == want_saved.get(d, 0)
+        assert r["bytes_transferred"] == want_moved.get(d, 0)
+    assert sum(r["bytes_saved"] for r in rev.values()) > 0
+    assert sum(r["bytes_transferred"] for r in rev.values()) > 0

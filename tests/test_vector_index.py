@@ -275,3 +275,25 @@ def test_pq_index_recall_and_rebuild(spark, tmp_path):
 
     with pytest.raises(ValueError, match="retract them first"):
         rebuild_vector_index_pq(spark, grown, first)
+
+
+def test_pq_rebuild_preserves_raw_code_mode(spark, tmp_path):
+    """review r13: rebuilding a by_residual=False index must keep raw
+    codes (meta flag preserved, probe equal to a fresh raw-code
+    build), never silently flip the encoding mode."""
+    from toymapreduce_go_spark.operators.similarity import (
+        ann_query_index_pq, load_ivf_pq_model, rebuild_vector_index_pq,
+        write_vector_index_pq)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    raw = str(tmp_path / "raw")
+    write_vector_index_pq(emb, raw, by_residual=False)
+    _, _, flag0 = load_ivf_pq_model(spark, f"{raw}/pq_model")
+    assert flag0 is False
+    rebuild_vector_index_pq(spark, raw, emb)
+    _, _, flag1 = load_ivf_pq_model(spark, f"{raw}/pq_model")
+    assert flag1 is False
+    fresh = str(tmp_path / "fresh_raw")
+    write_vector_index_pq(emb, fresh, by_residual=False)
+    assert _rows(ann_query_index_pq(emb, emb, raw)) \
+        == _rows(ann_query_index_pq(emb, emb, fresh))

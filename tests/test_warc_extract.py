@@ -529,3 +529,44 @@ def test_member_path_guards_raise_loudly():
 
     with pytest.raises(ValueError, match="not a WARC/1.0 record"):
         _parse_member_record("sX", 3, b"not a record at all")
+
+
+def test_member_dechunker_matches_the_sql_folds_acceptance():
+    """review r13: the byte dechunker's post-terminator surface equals
+    the SQL fold's — trailer field lines (terminated or not) pass,
+    anything else after the 0 chunk is garbage and flags; the old
+    split()[:-1] silently dropped an unterminated garbage tail."""
+    from toymapreduce_go_spark.operators.warc_extract import (
+        _dechunk_body)
+
+    ok = lambda b: _dechunk_body(b)[1]  # noqa: E731
+    assert ok(b"5\r\nhello\r\n0\r\n\r\n") is True
+    assert ok(b"5\r\nhello\r\n0\r\nX-T: v\r\n\r\n") is True
+    assert ok(b"5\r\nhello\r\n0\r\nX-T: v") is True    # fold-equal
+    assert ok(b"5\r\nhello\r\n0\r\njunk") is False
+    assert ok(b"5\r\nhello\r\n0\r\nX-T: v\r\njunk no colon") is False
+    assert _dechunk_body(b"5\r\nhello\r\n0\r\n\r\n")[0] == b"hello"
+
+
+def test_member_parser_names_missing_foreign_headers():
+    """review r13: a spec-valid foreign record (urn:uuid record id, or
+    a missing Content-Length) raises the module's descriptive
+    ValueError naming the member and source — never an opaque
+    AttributeError from inside the pandas UDF."""
+    import pytest
+
+    from toymapreduce_go_spark.operators.warc_extract import (
+        _parse_member_record)
+
+    uuid_rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Record-ID: <urn:uuid:1234>\r\n"
+                b"WARC-Target-URI: http://h/x\r\n"
+                b"Content-Length: 5\r\n\r\nhello\r\n\r\n")
+    with pytest.raises(ValueError,
+                       match="member 3 in source sX.*WARC-Record-ID"):
+        _parse_member_record("sX", 3, uuid_rec)
+    no_len = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+              b"WARC-Record-ID: urn:doc:1\r\n"
+              b"WARC-Target-URI: http://h/x\r\n\r\nhello\r\n\r\n")
+    with pytest.raises(ValueError, match="Content-Length"):
+        _parse_member_record("sX", 0, no_len)

@@ -178,6 +178,11 @@ def pagerank_converge(nodes: DataFrame, edges: DataFrame,
     between iterations. Raises loudly when ``max_iters`` is exhausted
     (a truncation cycle wider than the tolerance), never returns an
     unconverged frame silently."""
+    if max_iters < 1:
+        raise ValueError(
+            f"pagerank_converge: max_iters must be >= 1, got "
+            f"{max_iters} (review r13: the exhaustion path would "
+            "otherwise reference an unbound delta)")
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank_converge: empty node set")

@@ -94,10 +94,14 @@ def effective_delay_us(delay_col_sql: str,
     ``delay_col_sql``: the robots delay (seconds →
     ``cd · 10⁹ div rate_scale_milli`` µs, so the scale lever doubles
     robots-derived gaps exactly like ladder gaps) when the selected
-    group declares one, else the rate ladder. One integer
-    expression — the delay frame is domain-sized and broadcast."""
+    group declares one, else the rate ladder. ``Crawl-delay: 0``
+    carries no constraint and falls back to the ladder (review r13: a
+    literal 0 cadence would admit a host's whole queue in one cycle —
+    the degenerate case the ladder branch already floors against).
+    One integer expression — the delay frame is domain-sized and
+    broadcast."""
     return F.coalesce(
-        F.expr(f"({delay_col_sql} * 1000000000) "
+        F.expr(f"(nullif({delay_col_sql}, 0) * 1000000000) "
                f"div {int(rate_scale_milli)}"),
         host_delay_us(rate_scale_milli))
 

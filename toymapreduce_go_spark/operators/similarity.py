@@ -565,24 +565,38 @@ def _assign_cells(embeddings: DataFrame,
         F.expr(best_sql).alias("cell"))
 
 
+def _top_probe_cells(cents: list[tuple[int, list[float]]],
+                     probes: list[tuple[int, list[float]]],
+                     n_probe_cells: int
+                     ) -> list[tuple[int, list[float], list[int]]]:
+    """(probe_id, probe_emb, routed cells) per probe — THE probe→cell
+    routing rule (max cosine, deterministic ties), model-sized driver
+    work. One definition shared by the flat index path and the PQ
+    path: the PQ-equals-flat probe pin rests on the two tiers routing
+    identically, so the routing must be mechanically shared, not
+    copied (review r13)."""
+    cent_norms = {cid: _py_norm(emb) for cid, emb in cents}
+    out = []
+    for pid, emb in probes:
+        pn = _py_norm(emb)
+        scored = [(-_py_cos(cemb, emb, cent_norms[cid], pn), cid)
+                  for cid, cemb in cents]
+        out.append((pid, emb,
+                    [cid for _, cid in sorted(scored)[:n_probe_cells]]))
+    return out
+
+
 def _route_probes(spark, cents: list[tuple[int, list[float]]],
                   probes: list[tuple[int, list[float]]],
                   n_probe_cells: int) -> DataFrame:
     """Probe→cell routing is model-sized work (|probes| × n_cells
-    scores): computed driver-side, shipped as a literal broadcast
-    frame (probe_id, probe_emb, cell)."""
-    cent_norms = {cid: _py_norm(emb) for cid, emb in cents}
-
-    def top_cells(emb):
-        pn = _py_norm(emb)
-        scored = [(-_py_cos(cemb, emb, cent_norms[cid], pn), cid)
-                  for cid, cemb in cents]
-        return [cid for _, cid in sorted(scored)[:n_probe_cells]]
-
+    scores): computed driver-side (``_top_probe_cells``), shipped as a
+    literal broadcast frame (probe_id, probe_emb, cell)."""
     return spark.createDataFrame(
         [(pid, emb, cell)
-         for pid, emb in probes
-         for cell in top_cells(emb)],
+         for pid, emb, cells in _top_probe_cells(cents, probes,
+                                                 n_probe_cells)
+         for cell in cells],
         "probe_id long, probe_emb array<double>, cell long",
     )
 
@@ -1059,24 +1073,19 @@ def _pq_probe_frame(spark, cents: list[tuple[int, list[float]]],
     + the per-probe ADC LUT (LUT[j][c] = <probe_subj, centroid_jc>) —
     all model-sized driver work, shipped as one literal broadcast
     frame. Residual mode carries the exact <q, c_cell> term (``qc``)
-    the quantized residual rides on."""
-    cent_norms = {cid: _py_norm(emb) for cid, emb in cents}
-
-    def top_cells(emb):
-        pn = _py_norm(emb)
-        scored = [(-_py_cos(cemb, emb, cent_norms[cid], pn), cid)
-                  for cid, cemb in cents]
-        return [cid for _, cid in sorted(scored)[:n_probe_cells]]
-
+    the quantized residual rides on. Routing is ``_top_probe_cells``
+    — the SAME rule the flat index probes with (the PQ-equals-flat
+    pin's precondition)."""
     m = len(books)
     dsub = len(books[0][0])
     cent_by_id = dict(cents)
     probe_rows = []
-    for pid, emb in probes:
+    for pid, emb, cells in _top_probe_cells(cents, probes,
+                                            n_probe_cells):
         pn = _py_norm(emb)
         lut = [[_py_dot(emb[j * dsub:(j + 1) * dsub], c)
                 for c in books[j]] for j in range(m)]
-        for cell in top_cells(emb):
+        for cell in cells:
             qc = _py_dot(emb, cent_by_id[cell]) if by_residual else 0.0
             probe_rows.append((pid, emb, pn, lut, cell, qc))
     return spark.createDataFrame(
@@ -1473,6 +1482,10 @@ def rebuild_vector_index_pq(spark, path: str, corpus: DataFrame,
     local, tmp, old = swap_paths(path, "rebuild")
     recover_swap(local, tmp, old, "rebuild")
 
+    # the rebuild preserves the index's stored encoding mode (review
+    # r13: hardcoding residual would silently flip a raw-code index's
+    # ADC semantics on rebuild)
+    _, _, by_residual = load_ivf_pq_model(spark, f"{path}/pq_model")
     keys = (spark.read.parquet(f"{path}/postings")
             .select("vec_id", "ingest_batch"))
     posts = keys.join(corpus.select("vec_id", "embedding"), "vec_id",
@@ -1493,9 +1506,10 @@ def rebuild_vector_index_pq(spark, path: str, corpus: DataFrame,
         sample[:sample_size], n_cells, n_iters) if sample else []
     cents = list(enumerate(coarse))
     vecs = [v for _, v in sample[:pq_sample_size]]
-    books = (_train_pq_codebooks(pq_residuals(vecs, coarse), m, ksub)
-             if sample else [])
-    rows = [("meta", 0, 0, [1.0])]
+    books = (_train_pq_codebooks(
+        pq_residuals(vecs, coarse) if by_residual else vecs, m, ksub)
+        if sample else [])
+    rows = [("meta", 0, 0, [1.0 if by_residual else 0.0])]
     rows += [("coarse", i, 0, c) for i, c in cents]
     rows += [("pq", ci, j, c)
              for j, book in enumerate(books)
@@ -1506,7 +1520,7 @@ def rebuild_vector_index_pq(spark, path: str, corpus: DataFrame,
         f"file://{tmp}/pq_model")
     if cents:
         (_pq_assign(posts.select("vec_id", "embedding"), cents, books,
-                    True)
+                    by_residual)
          .join(keys, "vec_id")
          .select("vec_id", "codes", "vnorm", "ingest_batch", "cell")
          .write.mode("overwrite")

@@ -254,8 +254,11 @@ def discovered_sitemap_indexes(documents: DataFrame,
     files = synthesize_sitemap_index(documents, pages=pages).withColumn(
         "_loc", F.concat(F.lit("http://"), F.col("domain"),
                          F.lit(ROBOTS_INDEX_LOC_SUFFIX)))
+    # distinct: a robots.txt may declare the same Sitemap line twice
+    # (review r13 — a duplicate loc must not fetch/count the host's
+    # entries twice); host-sized frame, free
     locs = robots_sitemap_locs(documents).select(
-        F.col("sitemap_loc").alias("_loc"))
+        F.col("sitemap_loc").alias("_loc")).distinct()
     return (files.join(F.broadcast(locs), "_loc")
             .select("domain", "xml"))
 
@@ -360,6 +363,46 @@ def recrawl_gaps(documents: DataFrame) -> DataFrame:
     return ent.select(
         "canon", "domain", "page", off.alias("off"),
         (off - fetched_day_expr(F.col("page"))).alias("gap"))
+
+
+def recrawl_revalidation(documents: DataFrame) -> DataFrame:
+    """Conditional-request accounting for the recrawl channel — the
+    bandwidth story behind HTTP revalidation (RFC 9110 §13.2.1 /
+    §15.4.5): the fetcher re-requests every crawled sitemap page with
+    ``If-Modified-Since: <last fetch>``; pages whose lastmod is not
+    newer answer ``304 Not Modified`` (headers only — the body never
+    crosses the wire), stale pages answer ``200`` with the full body.
+    Per host: conditional requests issued, 304 vs 200 split,
+    ``bytes_transferred`` (stale bodies actually fetched) and
+    ``bytes_saved`` (fresh bodies the 304s avoided — at 100 TB this is
+    most of a refresh cycle's bandwidth), plus a (canon-hash ×
+    (1 + body-size)) checksum over the 304 set pinning every verdict
+    AND every page's byte size. Page body size = the page's minimum
+    document byte length (deterministic, min over the fetched
+    variants — one count-combinable corpus agg, the module's second
+    corpus touch; everything after is host-sized)."""
+    gaps = recrawl_gaps(documents)
+    sizes = (documents
+             .groupBy(F.expr("doc_id div 4").cast("long").alias("page"))
+             .agg(F.min(F.coalesce(F.octet_length("text"), F.lit(0)))
+                  .alias("body_bytes")))
+    g = gaps.join(sizes, "page")
+    fresh = F.col("gap") <= 0
+    canon_h = F.pmod(F.conv(F.substring(F.md5("canon"), 1, 15), 16, 10)
+                     .cast("long"), F.lit(CKSUM_MOD))
+    term = F.pmod(canon_h * (F.lit(1) + F.col("body_bytes")),
+                  F.lit(CKSUM_MOD))
+    return (g.groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_conditional"),
+                 F.sum(fresh.cast("long")).alias("n_304"),
+                 F.sum((~fresh).cast("long")).alias("n_200"),
+                 F.sum(F.when(~fresh, F.col("body_bytes"))
+                       .otherwise(F.lit(0))).alias("bytes_transferred"),
+                 F.sum(F.when(fresh, F.col("body_bytes"))
+                       .otherwise(F.lit(0))).alias("bytes_saved"),
+                 F.sum(F.when(fresh, term).otherwise(F.lit(0)))
+                 .alias("reval_checksum"))
+            .orderBy("domain"))
 
 
 def recrawl_schedule(documents: DataFrame) -> DataFrame:

@@ -462,17 +462,30 @@ def _fixture_cond(cond: str | None, m) -> "F.Column":
         return F.lit(True)
     if cond == "m8_5":
         return F.pmod(m, F.lit(8)) == 5
-    return F.pmod(m, F.lit(4)) == int(cond.split("_")[1])
+    if cond in ("m4_1", "m4_2", "m4_3"):
+        return F.pmod(m, F.lit(4)) == int(cond.split("_")[1])
+    # unknown tags must fail in EVERY renderer (review r13: a silent
+    # fall-through here while robots_ref skipped the block would
+    # desynchronize the three fixture copies the shared structure
+    # exists to keep in lockstep)
+    raise ValueError(f"unknown ROBOTS_FIXTURE_BLOCKS condition {cond!r}")
 
 
 def synthesize_robots(documents: DataFrame) -> DataFrame:
-    """(domain, robots_txt): one deterministic robots.txt per
-    synthesized host, rendered from ``ROBOTS_FIXTURE_BLOCKS`` (see
-    there for the group/rule coverage map). Domain-count-sized frame —
-    the broadcast side."""
-    d = (documents
-         .select(url_domain(canonicalize_url(synth_url_expr()))
-                 .alias("domain")).distinct())
+    """(domain, robots_txt): one deterministic robots.txt per fixture
+    host class, rendered from ``ROBOTS_FIXTURE_BLOCKS`` (see there for
+    the group/rule coverage map). The frame is built STRUCTURALLY from
+    the 16 host classes (``range(16)``), never by scanning the corpus
+    for its domains (review r13: the old corpus-distinct made every
+    robots consumer — gates, delay frame, sitemap discovery — pay a
+    full corpus scan for a 16-row broadcast side; production loads
+    robots.txt from the domain-keyed fetch log, which is exactly this
+    shape). Host classes absent from a small corpus get an unused
+    rules row — harmless, every consumer LEFT-joins from the corpus
+    side. Domain-class-sized — the broadcast side."""
+    d = documents.sparkSession.range(16).select(
+        F.concat(F.lit("www.site"), F.col("id").cast("string"),
+                 F.lit(".example.com")).alias("domain"))
     m = F.regexp_extract("domain", r"site(\d+)", 1).cast("int")
     parts = []
     for cond, text in ROBOTS_FIXTURE_BLOCKS:

@@ -410,8 +410,12 @@ def _dechunk_body(b: bytes) -> tuple[bytes, bool]:
             rest = b[pos:]
             if rest == b"" or rest == b"\r\n":
                 return b"".join(out), True
-            # trailer fields: token lines, each CRLF-terminated
-            for ln in rest.split(b"\r\n")[:-1]:
+            # trailer fields: EVERY CRLF-split piece after the
+            # terminator must be empty or a field line — the SQL
+            # fold's exact acceptance surface (review r13: the old
+            # split()[:-1] silently DROPPED an unterminated garbage
+            # tail, accepting bodies the fold rejects)
+            for ln in rest.split(b"\r\n"):
                 if ln != b"" and not _re.match(
                         rb"^[0-9A-Za-z!#$%&*+.^_`|~-]+:", ln):
                     return b"", False
@@ -578,10 +582,23 @@ def _parse_member_record(src: str, n: int, rec: bytes):
     head = rec[:head_end].decode()
     if "\r\nWARC-Type: response\r\n" not in head + "\r\n":
         return None
-    doc_id = int(_re.search(
-        r"WARC-Record-ID: urn:doc:(-?\d+)", head).group(1))
-    uri = _re.search(r"WARC-Target-URI: (\S+)", head).group(1)
-    clen = int(_re.search(r"Content-Length: (\d+)", head).group(1))
+    # descriptive errors on foreign header shapes (review r13): a
+    # record id outside the fixture's urn:doc namespace (e.g. the
+    # urn:uuid form ISO 28500 prescribes for real crawls) or a missing
+    # Content-Length must raise the module's named ValueError, never
+    # an opaque AttributeError from inside the pandas UDF
+    mid = _re.search(r"WARC-Record-ID: urn:doc:(-?\d+)", head)
+    muri = _re.search(r"WARC-Target-URI: (\S+)", head)
+    mlen = _re.search(r"Content-Length: (\d+)", head)
+    if not (mid and muri and mlen):
+        missing = ("WARC-Record-ID (urn:doc:<n>)" if not mid
+                   else "WARC-Target-URI" if not muri
+                   else "Content-Length")
+        raise ValueError(
+            f"warc_gz: member {n} in source {src} lacks a parseable "
+            f"{missing} header")
+    doc_id, uri, clen = int(mid.group(1)), muri.group(1), \
+        int(mlen.group(1))
     block = rec[head_end + 4:]
     # exact framing: clen http bytes + the CRLF CRLF record terminator
     length_ok = (len(block) == clen + 4

@@ -23,7 +23,8 @@ from ..mr.api import run_map_reduce, wc_map, wc_reduce
 from ..operators import (bpe, chunking, dedup, dsir, events, frontier,
                          html_extract, joins, langid_model, linkgraph,
                          packing,
-                         pdf_extract, quality_model, relational,
+                         pdf_extract, quality_model, redirects,
+                         relational,
                          scheduling,
                          semantic_dedup, similarity, sitemaps, text_mr,
                          textfix, textstats, unigram_tok, urls,
@@ -332,10 +333,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_index": _q(sitemaps.sitemap_index_stats),
     "mojibake_repair": _q(textfix.mojibake_stats),
     "recrawl_schedule": _q(sitemaps.recrawl_schedule),
+    "recrawl_revalidation": _q(sitemaps.recrawl_revalidation),
     "fetch_list": _q(scheduling.fetch_list),
     "robots_gate": _q(urls.robots_stats),
     "url_canonical": _q(urls.url_stats),
     "crawl_diff": _q(urls.crawl_diff_stats),
+    "redirect_resolve": _q(redirects.redirect_stats),
     "domain_blocklist": _q(urls.domain_blocklist_stats),
     "domain_reputation": _q(urls.domain_reputation),
     "corpus_datasheet": _q(textstats.corpus_datasheet),
@@ -405,13 +408,14 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "fuzzy_name_stats", "event_anomalies", "orders_upsert",
                "html_extract", "url_canonical", "langid_trained",
                "ann_index_probe", "ann_index_probe_pq",
-               "crawl_diff", "corpus_datasheet",
+               "crawl_diff", "redirect_resolve",
+               "corpus_datasheet",
                "domain_blocklist", "domain_reputation", "pdf_extract",
                "warc_extract", "warc_extract_gz",
                "link_pagerank", "robots_gate",
                "crawl_frontier", "sitemap_extract", "sitemap_index",
                "mojibake_repair",
-               "recrawl_schedule", "fetch_list")
+               "recrawl_schedule", "recrawl_revalidation", "fetch_list")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1466,10 +1470,13 @@ def _rb_text_sql() -> str:
         elif cond == "m8_5":
             out.append(f"(CASE WHEN {mm} % 8 = 5 THEN {body} "
                        f"ELSE '' END)")
-        else:
+        elif cond in ("m4_1", "m4_2", "m4_3"):
             k = int(cond.split("_")[1])
             out.append(f"(CASE WHEN {mm} % 4 = {k} THEN {body} "
                        f"ELSE '' END)")
+        else:
+            raise ValueError(
+                f"unknown ROBOTS_FIXTURE_BLOCKS condition {cond!r}")
     return " || ".join(out)
 
 
@@ -1812,7 +1819,7 @@ def _fetch_list_oracle_sql(iters: int = 3, fanout: int = 3,
                 FROM un),
         tim AS (SELECT bud.*,
                     (rn - 1) * coalesce(
-                        (rd.cd * 1000000000) // 1000,
+                        (nullif(rd.cd, 0) * 1000000000) // 1000,
                         1000000000 //
                         ((({RATE_BASE_MILLI} *
                            (CASE (CAST(regexp_extract(bud.domain,
@@ -1845,6 +1852,90 @@ def _fetch_list_oracle_sql(iters: int = 3, fanout: int = 3,
                                   % {CKSUM_MOD}
                              ELSE 0 END) AS BIGINT) AS fetch_checksum
         FROM tim GROUP BY domain ORDER BY domain
+    """
+
+
+def _redirect_oracle_sql() -> str:
+    """Generated DuckDB twin of ``redirects.redirect_stats``: the same
+    deterministic moved-host edge synthesis, the bounded follow
+    UNROLLED hop by hop (the Lloyd's/PageRank-twin convention — each
+    hop replays the engine's exact rules: final keeps following,
+    hops freezes once looped, a revisit of the source flags), then the
+    budget-exhaustion EXISTS and the per-source-domain rollup with the
+    shared checksum arithmetic."""
+    from ..operators.redirects import MOVED_HOST_MOD, REDIRECT_MAX_HOPS
+    h = ("(('0x' || substr(md5({c}), 1, 15))::BIGINT % "
+         f"{CKSUM_MOD})")
+    hops_ctes = []
+    prev = "r1"
+    for t in range(2, REDIRECT_MAX_HOPS + 1):
+        hops_ctes.append(f"""r{t} AS (
+            SELECT {prev}.src,
+                   coalesce(e.dst, {prev}.final) AS final,
+                   CASE WHEN e.dst IS NOT NULL AND NOT {prev}.looped
+                        THEN {prev}.hops + 1 ELSE {prev}.hops END
+                     AS hops,
+                   ({prev}.looped OR
+                    coalesce(e.dst = {prev}.src, false)) AS looped
+            FROM {prev} LEFT JOIN e ON e.src = {prev}.final)""")
+        prev = f"r{t}"
+    body = ",\n        ".join(hops_ctes)
+    return f"""
+        WITH pg AS (SELECT DISTINCT (doc_id // 4) AS page
+                    FROM documents),
+        mp AS (SELECT page, page % 16 AS m FROM pg
+               WHERE (page % 16) % 8 = {MOVED_HOST_MOD}),
+        e AS (
+            SELECT 'http://www.site' || m ||
+                     '.example.com/articles/item' || page ||
+                     '?a=1&b=2' AS src,
+                   'http://www.site' || m ||
+                     'm.example.com/articles/item' || page ||
+                     '?a=1&b=2' AS dst
+            FROM mp
+            UNION ALL
+            SELECT 'http://www.site' || m ||
+                     'm.example.com/articles/item' || page ||
+                     '?a=1&b=2',
+                   'http://www.site' || m ||
+                     'mm.example.com/articles/item' || page ||
+                     '?a=1&b=2'
+            FROM mp WHERE page % 2 = 0
+            UNION ALL
+            SELECT DISTINCT
+                   'http://www.site' || m || '.example.com/loop/a',
+                   'http://www.site' || m || '.example.com/loop/b'
+            FROM mp
+            UNION ALL
+            SELECT DISTINCT
+                   'http://www.site' || m || '.example.com/loop/b',
+                   'http://www.site' || m || '.example.com/loop/a'
+            FROM mp),
+        r1 AS (SELECT src, dst AS final, 1 AS hops,
+                      (dst = src) AS looped FROM e),
+        {body},
+        rr AS (SELECT {prev}.src, {prev}.final, {prev}.hops,
+                      ({prev}.looped OR EXISTS(
+                          SELECT 1 FROM e WHERE e.src = {prev}.final))
+                        AS looped
+               FROM {prev})
+        SELECT regexp_extract(src,
+                 '^[a-z][a-z0-9+.-]*://(?:[^/?]*@)?([^/:?]*)', 1)
+                 AS domain,
+               count(*) AS n_redirected,
+               CAST(sum(CASE WHEN looped THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_resolved,
+               CAST(sum(CASE WHEN looped THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_loops,
+               CAST(max(CASE WHEN looped THEN 0 ELSE hops END)
+                    AS INTEGER) AS max_hops,
+               CAST(sum(((({h.format(c='src')} * (1 + hops))
+                          % {CKSUM_MOD})
+                         * (CASE WHEN looped THEN 1
+                            ELSE {h.format(c='final')} + 1 END))
+                        % {CKSUM_MOD}) AS BIGINT)
+                 AS redirect_checksum
+        FROM rr GROUP BY domain ORDER BY domain
     """
 
 
@@ -1907,6 +1998,48 @@ def _recrawl_oracle_sql() -> str:
                                     ::BIGINT % {CKSUM_MOD})
                                    * (1 + off)) % {CKSUM_MOD}
                              ELSE 0 END) AS BIGINT) AS stale_checksum
+        FROM v GROUP BY domain ORDER BY domain
+    """
+
+
+def _revalidation_oracle_sql() -> str:
+    """Generated DuckDB twin of ``sitemaps.recrawl_revalidation`` —
+    the recrawl twin's XML-free derivation (canon from the quad table,
+    staleness from the page id) joined with the per-page body size
+    (min document byte length over the page's fetched variants,
+    straight off the documents table)."""
+    from ..operators.frontier import FRONTIER_MOD
+    from ..operators.sitemaps import FETCH_DAY_MULT
+    return f"""
+        WITH {_url_canon_ctes()},
+        pg AS (SELECT DISTINCT (doc_id // 4) AS page FROM documents
+               WHERE (doc_id // 4) % {FRONTIER_MOD} <> 0),
+        pc AS (SELECT pg.page, min(d.canon) AS canon,
+                      min(d.domain) AS domain
+               FROM pg JOIN d ON (d.doc_id // 4) = pg.page
+               GROUP BY pg.page),
+        sz AS (SELECT (doc_id // 4) AS page,
+                      min(coalesce(strlen(text), 0))
+                        AS body_bytes
+               FROM documents GROUP BY page),
+        v AS (SELECT pc.canon, pc.domain, sz.body_bytes,
+                     (pc.page % 365) <= (pc.page * {FETCH_DAY_MULT})
+                       % 365 AS fresh
+              FROM pc JOIN sz ON sz.page = pc.page)
+        SELECT domain, count(*) AS n_conditional,
+               CAST(sum(CASE WHEN fresh THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_304,
+               CAST(sum(CASE WHEN fresh THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_200,
+               CAST(sum(CASE WHEN fresh THEN 0 ELSE body_bytes END)
+                    AS BIGINT) AS bytes_transferred,
+               CAST(sum(CASE WHEN fresh THEN body_bytes ELSE 0 END)
+                    AS BIGINT) AS bytes_saved,
+               CAST(sum(CASE WHEN fresh
+                             THEN ((('0x' || substr(md5(canon), 1, 15))
+                                    ::BIGINT % {CKSUM_MOD})
+                                   * (1 + body_bytes)) % {CKSUM_MOD}
+                             ELSE 0 END) AS BIGINT) AS reval_checksum
         FROM v GROUP BY domain ORDER BY domain
     """
 
@@ -2882,6 +3015,8 @@ ORACLES: dict[str, str] = {
     "recrawl_schedule": _recrawl_oracle_sql(),
     "fetch_list": _fetch_list_oracle_sql(),
     "robots_gate": _robots_oracle_sql(),
+    "redirect_resolve": _redirect_oracle_sql(),
+    "recrawl_revalidation": _revalidation_oracle_sql(),
     "url_canonical": _url_canonical_oracle_sql(),
     "crawl_diff": _crawl_diff_oracle_sql(),
     "domain_blocklist": _domain_blocklist_oracle_sql(),
