@@ -12,8 +12,15 @@ from __future__ import annotations
 
 import re
 
-from toymapreduce_go_spark.operators.urls import (ROBOTS_AGENT,
+from toymapreduce_go_spark.operators.urls import (ROBOTS_5XX_MODS,
+                                                  ROBOTS_AGENT,
                                                   ROBOTS_FIXTURE_BLOCKS)
+
+
+def fixture_status(m: int) -> int:
+    """The robots.txt fetch's HTTP status for host class ``m`` (the
+    ``urls.synthesize_robots`` transport outcome)."""
+    return 503 if m in ROBOTS_5XX_MODS else 200
 
 
 def fixture_robots_txt(m: int) -> str:
@@ -123,7 +130,10 @@ def crawl_delay_py(txt: str, agent: str = ROBOTS_AGENT) -> int | None:
 
 def robots_allowed_py(m: int, path_q: str) -> bool:
     """Verdict for the fixture host class ``m`` on match target
-    ``path_q``."""
+    ``path_q`` — transport outcome first (RFC 9309 §2.3.1.3: a 5xx
+    robots fetch is full disallow, the rules never apply)."""
+    if fixture_status(m) >= 500:
+        return False
     return allowed_py(fixture_robots_txt(m), path_q)
 
 
@@ -135,5 +145,8 @@ def fixture_allowed(page: int) -> bool:
 
 def fixture_delay(m: int) -> int | None:
     """The fixture host class's robots-declared Crawl-delay (None →
-    the scheduler's rate ladder applies)."""
+    the scheduler's rate ladder applies; a 5xx robots fetch declared
+    nothing readable)."""
+    if fixture_status(m) >= 500:
+        return None
     return crawl_delay_py(fixture_robots_txt(m))

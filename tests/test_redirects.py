@@ -50,7 +50,9 @@ def test_fixture_classes_and_rollup_direction(spark):
     """The synthesized fixture exercises every class: moved hosts
     (m%8==6) only; even pages chain twice, odd once; exactly the two
     planted loop URLs flag per moved host; non-moved hosts have no
-    redirect rows at all."""
+    redirect rows at all; the permanence split reconciles (resolved =
+    permanent + temporary, and fully-permanent / fully-temporary /
+    MIXED chains all occur)."""
     docs = load_table(spark, SF_DIR, "documents")
     st = {r["domain"]: r for r in redirect_stats(docs).collect()}
     moved = {d for d in st if ".example.com" in d}
@@ -61,10 +63,14 @@ def test_fixture_classes_and_rollup_direction(spark):
         assert src["n_loops"] == 2                  # /loop/a, /loop/b
         assert src["max_hops"] == 2                 # even pages
         assert src["n_resolved"] == src["n_redirected"] - 2
+        assert src["n_resolved"] == src["n_permanent"] \
+            + src["n_temporary"]
+        assert src["n_temporary"] > 0               # 302 class present
         assert mid["n_loops"] == 0 and mid["max_hops"] == 1
     import re
 
     rows = resolve_redirects(synthesize_redirects(docs)).collect()
+    classes = set()
     for r in rows:
         if r["looped"]:
             assert "/loop/" in r["src"]
@@ -74,18 +80,69 @@ def test_fixture_classes_and_rollup_direction(spark):
         suffix, page = g.group(1), int(g.group(2))
         if suffix == "" and page % 2 == 0:
             assert r["hops"] == 2 and "mm.example.com" in r["final"]
+            # chain perm = hop1 perm AND hop2 perm (RFC 9110: a chain
+            # broken by a temporary hop establishes no new identity)
+            want = page % 5 != 1 and page % 5 != 2
+            assert r["perm"] == want
+            if page % 5 == 2:
+                classes.add("mixed_pt")     # 301 into a 302
+            elif page % 5 == 1:
+                classes.add("mixed_tp")     # 302 into a 301
+            else:
+                classes.add("perm2")
         elif suffix == "":
-            assert r["hops"] == 1 and "m.example.com" in r["final"]
+            # moved pages are p ≡ 6/14 (mod 16) — always even, so
+            # every source chain is the 2-hop form; reaching here
+            # means the fixture shape changed
+            raise AssertionError(f"unexpected 1-hop source {r['src']}")
         else:       # the intermediate host's own hop-2 edge
             assert suffix == "m" and r["hops"] == 1 \
                 and "mm.example.com" in r["final"]
+            assert r["perm"] == (page % 5 != 2)
+            classes.add("perm1" if page % 5 != 2 else "temp1")
+    assert {"mixed_pt", "mixed_tp", "perm1", "perm2", "temp1"} \
+        <= classes
+
+
+def test_permanence_and_duplicate_src_semantics(spark):
+    """Constructed-edge contracts: (a) perm propagates as the AND of
+    followed hops — a permanent hop into a temporary hop resolves
+    temporary; (b) a frame without a perm column resolves
+    all-permanent (the pre-r14 behavior); (c) conflicting Location
+    entries for one src dedupe to ONE deterministic edge (min (dst,
+    perm)) instead of multiplying rows through the hop joins."""
+    mixed = spark.createDataFrame(
+        [("a", "b", True), ("b", "c", False),    # mixed -> temp
+         ("p", "q", True), ("q", "r", True),     # all-perm
+         ("t", "u", False)],                     # 1-hop temp
+        "src string, dst string, perm boolean")
+    out = {r["src"]: r for r in resolve_redirects(mixed).collect()}
+    assert not out["a"]["perm"] and out["a"]["final"] == "c"
+    assert out["p"]["perm"] and out["p"]["final"] == "r"
+    assert not out["t"]["perm"]
+    # b went through only its own (temporary) hop
+    assert not out["b"]["perm"] and out["b"]["final"] == "c"
+    noperm = spark.createDataFrame([("x", "y")], "src string, dst string")
+    assert resolve_redirects(noperm).collect()[0]["perm"] is True
+    dup = spark.createDataFrame(
+        [("s", "b", True), ("s", "a", False), ("a", "z", True)],
+        "src string, dst string, perm boolean")
+    rows = resolve_redirects(dup).collect()
+    got = {r["src"]: r for r in rows}
+    assert len([r for r in rows if r["src"] == "s"]) == 1
+    # min (dst, perm) winner: ('a', false) < ('b', true)
+    assert got["s"]["final"] == "z" and got["s"]["hops"] == 2
+    assert not got["s"]["perm"]
 
 
 def test_apply_redirects_rekeys_and_dedups_across_the_move(spark):
-    """The composition: fetches of a moved page through the OLD host
-    and fetches through the NEW host collapse into one key after
-    re-keying (plain canon dedup keeps them apart); looped sources
-    keep their original key; untouched canons pass through."""
+    """The composition: fetches of a PERMANENTLY moved page through
+    the OLD host and fetches through the NEW host collapse into one
+    key after re-keying (plain canon dedup keeps them apart); looped
+    sources keep their original key; TEMPORARILY redirected sources
+    keep their original key (§15.4.3); a non-canonical Location
+    (uppercase host, default port) re-keys to its CANONICAL form;
+    untouched canons pass through."""
     resolved = resolve_redirects(_edges(spark, [
         ("http://old/a", "http://new/a"),
         ("http://loop/x", "http://loop/y"),
@@ -100,9 +157,24 @@ def test_apply_redirects_rekeys_and_dedups_across_the_move(spark):
     assert out[3] == "http://loop/x"              # loop: key unmoved
     assert out[4] == "http://other/z"
 
+    # a 302'd source keeps its key; a messy permanent Location lands
+    # as the canonical key (ADVICE r13)
+    resolved2 = resolve_redirects(spark.createDataFrame(
+        [("http://a/1", "http://b/1", False),
+         ("http://a/2", "HTTP://B.example.COM:80/2?utm_source=x&k=1",
+          True)],
+        "src string, dst string, perm boolean"))
+    frame2 = spark.createDataFrame(
+        [("http://a/1", 1), ("http://a/2", 2)], "canon string, doc_id long")
+    out2 = {r["doc_id"]: r["canon"]
+            for r in apply_redirects(frame2, resolved2).collect()}
+    assert out2[1] == "http://a/1"               # temporary: unmoved
+    assert out2[2] == "http://b.example.com/2?k=1"
+
     # fixture-level: the dedup keyed on the FINAL url preserves group
-    # sizes (no group splits/merges on the synthetic corpus) and every
-    # moved host's pages key at the moved-to host
+    # sizes (no group splits/merges on the synthetic corpus); every
+    # PERMANENT chain's pages key at the moved-to host while
+    # temporary/mixed-chain pages stay keyed at the original
     docs = load_table(spark, SF_DIR, "documents")
     from toymapreduce_go_spark.operators.urls import url_dedup_docs, \
         synthesize_urls
@@ -110,8 +182,18 @@ def test_apply_redirects_rekeys_and_dedups_across_the_move(spark):
     rekeyed = redirected_url_dedup(docs).collect()
     assert sorted(r["doc_id"] for r in plain) \
         == sorted(r["doc_id"] for r in rekeyed)
-    moved_keys = [r["canon"] for r in rekeyed
-                  if "site6." in r["canon"] or "site14." in r["canon"]]
-    assert not [k for k in moved_keys if "/articles/" in k]
+    import re
+    stayed = set()
+    for r in rekeyed:
+        g = re.match(r"http://www\.site(\d+)\.example\.com"
+                     r"/articles/item(\d+)", r["canon"])
+        if g and int(g.group(1)) % 8 == 6:
+            stayed.add(int(g.group(2)))
+    # exactly the non-fully-permanent chains stay at the old host
+    n_pages = (docs.count() + 3) // 4
+    want_stay = {p for p in range(n_pages)
+                 if p % 16 % 8 == 6
+                 and (p % 5 == 1 or (p % 2 == 0 and p % 5 == 2))}
+    assert stayed == want_stay and stayed
     assert any("site6m" in r["canon"] or "site6mm" in r["canon"]
                for r in rekeyed)

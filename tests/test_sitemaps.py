@@ -128,12 +128,18 @@ def test_sitemap_index_two_level_round_trip_equals_flat(spark):
     for r in ch.collect():
         xml = gzip.decompress(bytes(r["xml_gz"])).decode()
         assert xml.count("<url><loc>") <= SITEMAP_CHILD_CAP
-    # and the registered rollup equals the flat one
+    # and the registered rollup equals the flat one MINUS the
+    # 5xx-robots hosts (r14: the index form discovers via robots.txt,
+    # and an unreadable robots.txt discovers nothing — RFC 9309
+    # §2.3.1.3; the flat form models a direct fetch and keeps them)
+    from toymapreduce_go_spark.operators.urls import ROBOTS_5XX_MODS
+    gone = {f"www.site{m}.example.com" for m in ROBOTS_5XX_MODS}
     a = {tuple(r) for r in sitemap_index_stats(docs).collect()}
-    b = {tuple(r) for r in
-         __import__("toymapreduce_go_spark.operators.sitemaps",
-                    fromlist=["sitemap_extract_stats"])
-         .sitemap_extract_stats(docs).collect()}
+    ball = __import__("toymapreduce_go_spark.operators.sitemaps",
+                      fromlist=["sitemap_extract_stats"]) \
+        .sitemap_extract_stats(docs).collect()
+    assert {r["domain"] for r in ball} & gone     # the class is live
+    b = {tuple(r) for r in ball if r["domain"] not in gone}
     assert a == b
 
 
@@ -175,16 +181,22 @@ def test_sitemap_discovery_rides_the_robots_declared_loc(spark):
         discovered_sitemap_indexes, robots_sitemap_locs,
         synthesize_sitemap_index)
 
+    from toymapreduce_go_spark.operators.urls import ROBOTS_5XX_MODS
+    gone = {f"www.site{m}.example.com" for m in ROBOTS_5XX_MODS}
     docs = load_table(spark, SF_DIR, "documents")
     disc = discovered_sitemap_indexes(docs)
+    # r14: a host whose robots.txt fetch answered 5xx declared
+    # nothing readable — its sitemap is never discovered
     want = {tuple(r) for r in
-            synthesize_sitemap_index(docs).collect()}
+            synthesize_sitemap_index(docs).collect()
+            if r["domain"] not in gone}
     assert {tuple(r) for r in disc.collect()} == want and want
 
     # drop one host's Sitemap line -> that host's index is never
     # fetched (simulate by filtering the loc frame the join consumes)
     locs = robots_sitemap_locs(docs)
-    assert locs.count() == 16
+    assert locs.count() == 16 - len(gone)
+    assert not {r["domain"] for r in locs.collect()} & gone
     files = synthesize_sitemap_index(docs).withColumn(
         "_loc", F.concat(F.lit("http://"), F.col("domain"),
                          F.lit("/sitemaps/index.xml")))
@@ -192,7 +204,8 @@ def test_sitemap_discovery_rides_the_robots_declared_loc(spark):
         F.col("sitemap_loc").alias("_loc"))
     got = files.join(F.broadcast(kept_locs), "_loc").select("domain")
     doms = {r["domain"] for r in got.collect()}
-    assert "www.site0.example.com" not in doms and len(doms) == 15
+    assert "www.site0.example.com" not in doms \
+        and len(doms) == 15 - len(gone)
 
     # a declared loc nothing serves fetches nothing (join on the loc,
     # not the domain)

@@ -552,3 +552,52 @@ def test_canonicalize_is_idempotent_on_fixture_and_edge_urls(spark):
             .collect())
     for r in rows:
         assert r.c1 == r.c2, r
+
+
+def test_robots_5xx_is_full_disallow_and_4xx_allows(spark):
+    """RFC 9309 §2.3.1 fetch-failure semantics (r14): a host whose
+    robots.txt fetch answered 5xx is FULL DISALLOW — every page
+    blocked by the gate, no Crawl-delay, no Sitemap discovery — while
+    absence/4xx stays allow-all, and the blocked outcome is
+    attributable to the STATUS: the same host's would-be rules (the
+    plain `*` group) would have allowed its article pages."""
+    from robots_ref import (allowed_py, fixture_robots_txt,
+                            fixture_status)
+    from toymapreduce_go_spark.operators.scheduling import \
+        robots_delay_frame
+    from toymapreduce_go_spark.operators.urls import (ROBOTS_5XX_MODS,
+                                                      robots_filter_docs,
+                                                      robots_stats,
+                                                      synthesize_robots)
+
+    assert all(fixture_status(m) == 503 for m in ROBOTS_5XX_MODS)
+    docs = spark.createDataFrame([(i,) for i in range(64 * 4)],
+                                 "doc_id long")
+    out = {r["domain"]: r for r in robots_stats(docs).collect()}
+    for m in ROBOTS_5XX_MODS:
+        dom = f"www.site{m}.example.com"
+        assert out[dom]["n_allowed"] == 0
+        assert out[dom]["n_blocked"] == out[dom]["n_urls"] > 0
+        # attributable to status, not rules: the text itself allows
+        assert allowed_py(fixture_robots_txt(m),
+                          f"/articles/item{m}?a=1&b=2") is True
+    # the materializing gate agrees: no 5xx-host doc survives
+    kept = robots_filter_docs(docs)
+    from pyspark.sql import functions as F
+    from toymapreduce_go_spark.operators.urls import (canonicalize_url,
+                                                      synth_url_expr,
+                                                      url_domain)
+    doms = {r["d"] for r in kept.select(url_domain(canonicalize_url(
+        synth_url_expr())).alias("d")).distinct().collect()}
+    assert not {f"www.site{m}.example.com"
+                for m in ROBOTS_5XX_MODS} & doms
+    # the delay frame declares nothing for a 5xx host
+    delays = {r["domain"]: r["crawl_delay_s"]
+              for r in robots_delay_frame(docs).collect()}
+    for m in ROBOTS_5XX_MODS:
+        assert delays[f"www.site{m}.example.com"] is None
+    # and the status column is exactly the 5xx class
+    st = {r["domain"]: r["status"]
+          for r in synthesize_robots(docs).collect()}
+    assert {d for d, s in st.items() if s >= 500} == \
+        {f"www.site{m}.example.com" for m in ROBOTS_5XX_MODS}

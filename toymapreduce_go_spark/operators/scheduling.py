@@ -109,11 +109,16 @@ def effective_delay_us(delay_col_sql: str,
 def robots_delay_frame(documents: DataFrame) -> DataFrame:
     """(domain, crawl_delay_s): the robots-declared per-host
     Crawl-delay for our product token (NULL where the selected group
-    declares none) — domain-sized, the broadcast side of the
-    scheduler's cadence join."""
+    declares none, and NULL where the robots.txt fetch answered 5xx —
+    an unreadable file declares nothing; such a host's pages are
+    fully disallowed by the gate anyway, RFC 9309 §2.3.1.3) —
+    domain-sized, the broadcast side of the scheduler's cadence
+    join."""
     return synthesize_robots(documents).select(
         "domain",
-        parse_crawl_delay("robots_txt").alias("crawl_delay_s"))
+        F.when(F.col("status") >= 500, F.lit(None).cast("bigint"))
+        .otherwise(parse_crawl_delay("robots_txt"))
+        .alias("crawl_delay_s"))
 
 
 def fetch_channels(documents: DataFrame) -> DataFrame:

@@ -234,11 +234,15 @@ def robots_sitemap_locs(documents: DataFrame) -> DataFrame:
     """(domain, sitemap_loc): sitemap locations DISCOVERED from each
     host's robots.txt ``Sitemap:`` lines (sitemaps.org / RFC 9309 §6 —
     the production discovery channel; a host whose robots declares no
-    sitemap is simply never fetched). Domain-sized."""
-    return synthesize_robots(documents).select(
-        "domain",
-        F.explode(parse_sitemap_locs("robots_txt"))
-        .alias("sitemap_loc"))
+    sitemap is simply never fetched, and a host whose robots.txt
+    fetch answered 5xx declared nothing readable — its sitemap is
+    never discovered). Domain-sized."""
+    return (synthesize_robots(documents)
+            .filter(F.col("status") < 500)
+            .select(
+                "domain",
+                F.explode(parse_sitemap_locs("robots_txt"))
+                .alias("sitemap_loc")))
 
 
 def discovered_sitemap_indexes(documents: DataFrame,

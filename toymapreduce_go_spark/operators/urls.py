@@ -439,6 +439,20 @@ ROBOTS_SITEMAP_RE = r"(?i)^sitemap: *(.+?) *$"
 #     non-matching longer token (``toybot-news``), and TWO exact
 #     ``toybot`` groups (upper/lower case) whose rules must COMBINE
 #     and REPLACE the `*` group entirely
+# robots.txt FETCH-FAILURE semantics (RFC 9309 §2.3.1): what a host's
+# robots.txt *transport* outcome means for the gate —
+#   2xx        → parse and apply the rules (the normal path)
+#   4xx/absent → "unavailable": allow-all (§2.3.1.2 — every consumer
+#                LEFT-joins and coalesces to allow; exercised by frame
+#                domains with no rules row, e.g. redirect-target hosts)
+#   5xx        → "unreachable": assume COMPLETE DISALLOW (§2.3.1.3);
+#                the text is also unreadable, so no Crawl-delay and no
+#                Sitemap discovery come from it
+# Fixture: hosts m ∈ ROBOTS_5XX_MODS answer 503 (site8 — its would-be
+# text is the plain `*` group, so the blocked outcome is attributable
+# to the STATUS, not to any rule).
+ROBOTS_5XX_MODS = (8,)
+
 ROBOTS_FIXTURE_BLOCKS: list[tuple[str | None, str]] = [
     (None, "User-agent: megabot\nUser-agent: ultrabot\n"
            "Disallow: /\nCrawl-delay: 9\n"),
@@ -482,7 +496,12 @@ def synthesize_robots(documents: DataFrame) -> DataFrame:
     robots.txt from the domain-keyed fetch log, which is exactly this
     shape). Host classes absent from a small corpus get an unused
     rules row — harmless, every consumer LEFT-joins from the corpus
-    side. Domain-class-sized — the broadcast side."""
+    side. Domain-class-sized — the broadcast side.
+
+    ``status`` is the robots.txt fetch's HTTP status (the transport
+    outcome a production fetch log records next to the body): 200
+    except the ``ROBOTS_5XX_MODS`` classes (503). Consumers must gate
+    on it per RFC 9309 §2.3.1 (see the constant's comment)."""
     d = documents.sparkSession.range(16).select(
         F.concat(F.lit("www.site"), F.col("id").cast("string"),
                  F.lit(".example.com")).alias("domain"))
@@ -497,7 +516,11 @@ def synthesize_robots(documents: DataFrame) -> DataFrame:
               for c in pair] + [F.lit(chunks[-1])])
         parts.append(F.when(_fixture_cond(cond, m), body)
                      .otherwise(F.lit("")))
-    return d.select("domain", F.concat(*parts).alias("robots_txt"))
+    status = (F.when(m.isin(*[int(k) for k in ROBOTS_5XX_MODS]),
+                     F.lit(503))
+              .otherwise(F.lit(200)))
+    return d.select("domain", F.concat(*parts).alias("robots_txt"),
+                    status.alias("status"))
 
 
 def _rule_rx(p) -> "F.Column":
@@ -661,10 +684,15 @@ def robots_stats(documents: DataFrame) -> DataFrame:
         "doc_id", url_domain(F.col("canon")).alias("domain"),
         F.regexp_extract("canon", ROBOTS_PATH_RE, 1).alias("path"))
     rules = synthesize_robots(documents).select(
-        "domain", parse_robots("robots_txt").alias("rules"))
+        "domain", parse_robots("robots_txt").alias("rules"),
+        (F.col("status") >= 500).alias("r5xx"))
     # LEFT join + coalesce(…, true): a domain with no robots.txt row
-    # is allow-all (RFC 9309 §2.3.1.2 — absence of rules never blocks)
-    ok = F.coalesce(robots_allowed("rules", "path"), F.lit(True))
+    # is allow-all (RFC 9309 §2.3.1.2 — absence of rules never
+    # blocks); a 5xx robots fetch is FULL DISALLOW (§2.3.1.3 — the
+    # rules are unreadable, so the crawler must assume the worst)
+    ok = F.when(F.coalesce("r5xx", F.lit(False)), F.lit(False)) \
+        .otherwise(F.coalesce(robots_allowed("rules", "path"),
+                              F.lit(True)))
     return (u.join(F.broadcast(rules), "domain", "left")
             .withColumn("ok", ok)
             .groupBy("domain")
@@ -694,11 +722,14 @@ def robots_filter_docs(documents: DataFrame) -> DataFrame:
         "_path", F.regexp_extract("_canon", ROBOTS_PATH_RE, 1))
     rules = synthesize_robots(documents).select(
         F.col("domain").alias("_domain"),
-        parse_robots("robots_txt").alias("_rules"))
+        parse_robots("robots_txt").alias("_rules"),
+        (F.col("status") >= 500).alias("_r5xx"))
     return (u.join(F.broadcast(rules), "_domain", "left")
-            .filter(F.coalesce(robots_allowed("_rules", "_path"),
-                               F.lit(True)))
-            .drop("_canon", "_domain", "_path", "_rules"))
+            .filter(F.when(F.coalesce("_r5xx", F.lit(False)),
+                           F.lit(False))
+                    .otherwise(F.coalesce(
+                        robots_allowed("_rules", "_path"), F.lit(True))))
+            .drop("_canon", "_domain", "_path", "_rules", "_r5xx"))
 
 
 def deny_gate(frame: DataFrame,
@@ -721,13 +752,17 @@ def robots_gate_frame(frame: DataFrame,
     frame, fold the verdict per row, keep the allowed rows (input
     schema preserved). A frame domain with NO rules row passes —
     absence of robots.txt means allow-all (RFC 9309 §2.3.1.2), never
-    silent disappearance. The shared second half of the
-    discovery-channel gate sequence."""
+    silent disappearance — while a domain whose robots.txt fetch
+    answered 5xx is FULL DISALLOW (§2.3.1.3). The shared second half
+    of the discovery-channel gate sequence."""
     rules = synthesize_robots(documents).select(
-        "domain", parse_robots("robots_txt").alias("_rules"))
+        "domain", parse_robots("robots_txt").alias("_rules"),
+        (F.col("status") >= 500).alias("_r5xx"))
     gated = frame.withColumn(
         "_path", F.regexp_extract("canon", ROBOTS_PATH_RE, 1))
     return (gated.join(F.broadcast(rules), "domain", "left")
-            .filter(F.coalesce(robots_allowed("_rules", "_path"),
-                               F.lit(True)))
-            .drop("_rules", "_path"))
+            .filter(F.when(F.coalesce("_r5xx", F.lit(False)),
+                           F.lit(False))
+                    .otherwise(F.coalesce(
+                        robots_allowed("_rules", "_path"), F.lit(True))))
+            .drop("_rules", "_path", "_r5xx"))

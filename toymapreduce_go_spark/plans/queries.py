@@ -1499,8 +1499,11 @@ def _robots_rules_ctes() -> str:
     in-force UA tokens' match specificities, and the kept entries are
     those whose group score equals the file-wide best (``rbest``) and
     matched at all. ``rdelay`` applies the same selection to
-    Crawl-delay lines (max across combined tied groups). Assumes the
-    URL CTEs' ``d`` is in scope."""
+    Crawl-delay lines (max across combined tied groups). ``rb`` also
+    carries the fetch's transport ``status`` (RFC 9309 §2.3.1 — r14):
+    ``r5xx`` lists the full-disallow hosts, every verdict consumer
+    blocks them, and ``rdelay`` excludes them (an unreadable file
+    declares nothing). Assumes the URL CTEs' ``d`` is in scope."""
     from ..operators.urls import (ROBOTS_AGENT, ROBOTS_DELAY_RE,
                                   ROBOTS_RULE_RE, ROBOTS_RX_META,
                                   ROBOTS_UA_RE)
@@ -1509,8 +1512,15 @@ def _robots_rules_ctes() -> str:
           "ELSE p END, "
           f"'{ROBOTS_RX_META}', '\\\\\\1', 'g'), '*', '.*') "
           "|| CASE WHEN p LIKE '%$' THEN '$' ELSE '' END")
+    from ..operators.urls import ROBOTS_5XX_MODS
+    mods_5xx = ", ".join(str(int(k)) for k in ROBOTS_5XX_MODS)
     return f"""rdoms AS (SELECT DISTINCT domain FROM d),
-        rb AS (SELECT domain, {_rb_text_sql()} AS txt FROM rdoms),
+        rb AS (SELECT domain, {_rb_text_sql()} AS txt,
+                      CASE WHEN CAST(regexp_extract(domain,
+                             'site(\\d+)', 1) AS INT) IN ({mods_5xx})
+                           THEN 503 ELSE 200 END AS status
+               FROM rdoms),
+        r5xx AS (SELECT domain FROM rb WHERE status >= 500),
         rlines AS (
             SELECT domain, unnest(range(1, len(ls) + 1)) AS i, ls
             FROM (SELECT domain, string_split(txt, chr(10)) AS ls
@@ -1555,6 +1565,7 @@ def _robots_rules_ctes() -> str:
             JOIN rgrp g ON g.domain = k.domain AND g.i = k.i
             JOIN rbest b ON b.domain = k.domain
             WHERE k.cd <> '' AND g.g >= 0 AND g.g = b.gm
+              AND k.domain NOT IN (SELECT domain FROM r5xx)
             GROUP BY k.domain)"""
 
 
@@ -1598,7 +1609,9 @@ def _robots_oracle_sql() -> str:
         {_robots_rules_ctes()},
         {_robots_matched_cte("matched", "uu", "doc_id")},
         verdict AS (
-            SELECT uu.doc_id, uu.domain, coalesce(m.a, true) AS ok
+            SELECT uu.doc_id, uu.domain,
+                   CASE WHEN uu.domain IN (SELECT domain FROM r5xx)
+                        THEN false ELSE coalesce(m.a, true) END AS ok
             FROM uu LEFT JOIN
                  (SELECT doc_id, a FROM matched WHERE rn = 1) m
               ON m.doc_id = uu.doc_id)
@@ -1739,7 +1752,8 @@ def _crawl_frontier_oracle_sql(iters: int = 3, fanout: int = 3,
             FROM pp LEFT JOIN
                  (SELECT canon, a FROM matched WHERE rn = 1) m
               ON m.canon = pp.canon
-            WHERE coalesce(m.a, true)),
+            WHERE CASE WHEN pp.domain IN (SELECT domain FROM r5xx)
+                       THEN false ELSE coalesce(m.a, true) END),
         sched AS (
             SELECT canon, domain, priority,
                    row_number() OVER (PARTITION BY domain
@@ -1798,7 +1812,10 @@ def _fetch_list_oracle_sql(iters: int = 3, fanout: int = 3,
                 FROM pthu LEFT JOIN
                      (SELECT canon, a FROM mtu WHERE rn = 1) m
                   ON m.canon = pthu.canon
-                WHERE coalesce(m.a, true)),
+                WHERE CASE WHEN pthu.domain IN
+                                (SELECT domain FROM r5xx)
+                           THEN false
+                           ELSE coalesce(m.a, true) END),
         chA AS (SELECT fpri.canon, fpri.domain, fpri.priority, 0 AS ch
                 FROM fpri JOIN pok ON pok.canon = fpri.canon),
         chB AS (SELECT canon, domain, CAST(0 AS BIGINT) AS priority,
@@ -1855,102 +1872,143 @@ def _fetch_list_oracle_sql(iters: int = 3, fanout: int = 3,
     """
 
 
-def _redirect_oracle_sql() -> str:
-    """Generated DuckDB twin of ``redirects.redirect_stats``: the same
-    deterministic moved-host edge synthesis, the bounded follow
-    UNROLLED hop by hop (the Lloyd's/PageRank-twin convention — each
-    hop replays the engine's exact rules: final keeps following,
-    hops freezes once looped, a revisit of the source flags), then the
-    budget-exhaustion EXISTS and the per-source-domain rollup with the
-    shared checksum arithmetic."""
-    from ..operators.redirects import MOVED_HOST_MOD, REDIRECT_MAX_HOPS
-    h = ("(('0x' || substr(md5({c}), 1, 15))::BIGINT % "
-         f"{CKSUM_MOD})")
+def _redirect_ctes() -> str:
+    """The redirect CTE block shared by the ``redirect_resolve`` twin
+    and the redirect-composed frontier/fetch twins: the deterministic
+    moved-host edge synthesis WITH the permanence class, the bounded
+    follow UNROLLED hop by hop (the Lloyd's/PageRank-twin convention —
+    each hop replays the engine's exact rules: final keeps following,
+    hops and perm freeze once looped, a revisit of the source flags),
+    the budget-exhaustion EXISTS (``rerr``), and the permanent-chain
+    re-key mapping (``remap`` — what ``apply_redirects`` consumes).
+    Names are ``re``-prefixed to coexist with the URL/frontier CTE
+    families."""
+    from ..operators.redirects import (MOVED_HOST_MOD,
+                                       REDIRECT_MAX_HOPS,
+                                       TEMP_HOP1_MOD, TEMP_HOP2_MOD)
     hops_ctes = []
-    prev = "r1"
+    prev = "rew1"
     for t in range(2, REDIRECT_MAX_HOPS + 1):
-        hops_ctes.append(f"""r{t} AS (
+        hops_ctes.append(f"""rew{t} AS (
             SELECT {prev}.src,
-                   coalesce(e.dst, {prev}.final) AS final,
-                   CASE WHEN e.dst IS NOT NULL AND NOT {prev}.looped
+                   coalesce(ree.dst, {prev}.final) AS final,
+                   CASE WHEN ree.dst IS NOT NULL AND NOT {prev}.looped
                         THEN {prev}.hops + 1 ELSE {prev}.hops END
                      AS hops,
                    ({prev}.looped OR
-                    coalesce(e.dst = {prev}.src, false)) AS looped
-            FROM {prev} LEFT JOIN e ON e.src = {prev}.final)""")
-        prev = f"r{t}"
+                    coalesce(ree.dst = {prev}.src, false)) AS looped,
+                   CASE WHEN ree.dst IS NOT NULL AND NOT {prev}.looped
+                        THEN {prev}.perm AND ree.perm
+                        ELSE {prev}.perm END AS perm
+            FROM {prev} LEFT JOIN ree ON ree.src = {prev}.final)""")
+        prev = f"rew{t}"
     body = ",\n        ".join(hops_ctes)
-    return f"""
-        WITH pg AS (SELECT DISTINCT (doc_id // 4) AS page
+    return f"""repg AS (SELECT DISTINCT (doc_id // 4) AS page
                     FROM documents),
-        mp AS (SELECT page, page % 16 AS m FROM pg
-               WHERE (page % 16) % 8 = {MOVED_HOST_MOD}),
-        e AS (
+        remp AS (SELECT page, page % 16 AS m FROM repg
+                 WHERE (page % 16) % 8 = {MOVED_HOST_MOD}),
+        ree AS (
             SELECT 'http://www.site' || m ||
                      '.example.com/articles/item' || page ||
                      '?a=1&b=2' AS src,
                    'http://www.site' || m ||
                      'm.example.com/articles/item' || page ||
-                     '?a=1&b=2' AS dst
-            FROM mp
+                     '?a=1&b=2' AS dst,
+                   page % 5 <> {TEMP_HOP1_MOD} AS perm
+            FROM remp
             UNION ALL
             SELECT 'http://www.site' || m ||
                      'm.example.com/articles/item' || page ||
                      '?a=1&b=2',
                    'http://www.site' || m ||
                      'mm.example.com/articles/item' || page ||
-                     '?a=1&b=2'
-            FROM mp WHERE page % 2 = 0
+                     '?a=1&b=2',
+                   page % 5 <> {TEMP_HOP2_MOD}
+            FROM remp WHERE page % 2 = 0
             UNION ALL
             SELECT DISTINCT
                    'http://www.site' || m || '.example.com/loop/a',
-                   'http://www.site' || m || '.example.com/loop/b'
-            FROM mp
+                   'http://www.site' || m || '.example.com/loop/b',
+                   true
+            FROM remp
             UNION ALL
             SELECT DISTINCT
                    'http://www.site' || m || '.example.com/loop/b',
-                   'http://www.site' || m || '.example.com/loop/a'
-            FROM mp),
-        r1 AS (SELECT src, dst AS final, 1 AS hops,
-                      (dst = src) AS looped FROM e),
+                   'http://www.site' || m || '.example.com/loop/a',
+                   true
+            FROM remp),
+        rew1 AS (SELECT src, dst AS final, 1 AS hops,
+                        (dst = src) AS looped, perm FROM ree),
         {body},
-        rr AS (SELECT {prev}.src, {prev}.final, {prev}.hops,
-                      ({prev}.looped OR EXISTS(
-                          SELECT 1 FROM e WHERE e.src = {prev}.final))
-                        AS looped
-               FROM {prev})
+        rerr AS (SELECT {prev}.src, {prev}.final, {prev}.hops,
+                        ({prev}.looped OR EXISTS(
+                            SELECT 1 FROM ree
+                            WHERE ree.src = {prev}.final)) AS looped,
+                        {prev}.perm
+                 FROM {prev}),
+        remap AS (SELECT src, final FROM rerr
+                  WHERE NOT looped AND perm)"""
+
+
+def _redirect_oracle_sql() -> str:
+    """Generated DuckDB twin of ``redirects.redirect_stats`` over the
+    shared redirect CTE block (``_redirect_ctes``), with the
+    per-source-domain rollup, the permanent/temporary split, and the
+    shared checksum arithmetic extended by the perm-class factor."""
+    h = ("(('0x' || substr(md5({c}), 1, 15))::BIGINT % "
+         f"{CKSUM_MOD})")
+    return f"""
+        WITH {_redirect_ctes()}
         SELECT regexp_extract(src,
                  '^[a-z][a-z0-9+.-]*://(?:[^/?]*@)?([^/:?]*)', 1)
                  AS domain,
                count(*) AS n_redirected,
                CAST(sum(CASE WHEN looped THEN 0 ELSE 1 END) AS BIGINT)
                  AS n_resolved,
+               CAST(sum(CASE WHEN looped OR NOT perm THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_permanent,
+               CAST(sum(CASE WHEN NOT looped AND NOT perm THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_temporary,
                CAST(sum(CASE WHEN looped THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_loops,
                CAST(max(CASE WHEN looped THEN 0 ELSE hops END)
                     AS INTEGER) AS max_hops,
-               CAST(sum(((({h.format(c='src')} * (1 + hops))
-                          % {CKSUM_MOD})
-                         * (CASE WHEN looped THEN 1
-                            ELSE {h.format(c='final')} + 1 END))
+               CAST(sum((((({h.format(c='src')} * (1 + hops))
+                           % {CKSUM_MOD})
+                          * (CASE WHEN looped THEN 1
+                             ELSE {h.format(c='final')} + 1 END))
+                         % {CKSUM_MOD}
+                         * (CASE WHEN perm THEN 1 ELSE 2 END))
                         % {CKSUM_MOD}) AS BIGINT)
                  AS redirect_checksum
-        FROM rr GROUP BY domain ORDER BY domain
+        FROM rerr GROUP BY domain ORDER BY domain
     """
 
 
-def _sitemap_oracle_sql() -> str:
+def _sitemap_oracle_sql(discovered: bool = False) -> str:
     """Generated DuckDB twin of ``sitemaps.sitemap_extract_stats`` —
     deliberately INDEPENDENT of the XML: each page's canonical URL
     comes from the URL-quad table (``d``) and its lastmod offset from
     the page id, so a value-hash match proves the engine's whole
     synthesize → XML-escape → parse → unescape → canonicalize round
-    trip against a formulation that never built the XML at all."""
+    trip against a formulation that never built the XML at all.
+
+    ``discovered=True`` is the ``sitemap_index`` form: discovery runs
+    through robots.txt ``Sitemap:`` lines, so hosts whose robots
+    fetch answered 5xx (``ROBOTS_5XX_MODS`` — unreadable file,
+    RFC 9309 §2.3.1.3) never have their sitemap discovered and drop
+    out entirely."""
     from ..operators.frontier import FRONTIER_MOD
     from ..operators.sitemaps import SITEMAP_EPOCH
+    from ..operators.urls import ROBOTS_5XX_MODS
+    gate = ""
+    if discovered:
+        mods = ", ".join(str(int(k)) for k in ROBOTS_5XX_MODS)
+        gate = f" WHERE (page % 16) NOT IN ({mods})"
     return f"""
         WITH {_url_canon_ctes()},
-        pg AS (SELECT DISTINCT (doc_id // 4) AS page FROM documents),
+        pg AS (SELECT DISTINCT (doc_id // 4) AS page
+               FROM documents{gate}),
         pc AS (SELECT pg.page, min(d.canon) AS canon,
                       min(d.domain) AS domain
                FROM pg JOIN d ON (d.doc_id // 4) = pg.page
@@ -3010,7 +3068,9 @@ ORACLES: dict[str, str] = {
     # sitemapindex form: the two-level (index -> gzipped children)
     # round trip is pinned equal to the flat parse in
     # tests/test_sitemaps.py, so it inherits the same XML-free twin
-    "sitemap_index": _sitemap_oracle_sql(),
+    # the index form discovers via robots.txt: 5xx-robots hosts are
+    # never discovered (r14) — the twin drops them the same way
+    "sitemap_index": _sitemap_oracle_sql(discovered=True),
     "mojibake_repair": _mojibake_oracle_sql(),
     "recrawl_schedule": _recrawl_oracle_sql(),
     "fetch_list": _fetch_list_oracle_sql(),
