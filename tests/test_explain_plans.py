@@ -508,24 +508,39 @@ def test_mojibake_repair_is_scan_side_before_rollup(spark):
 def test_crawl_frontier_deny_gate_runs_below_the_rank_join(spark):
     """The plan-literal deny list must filter edge rows BEFORE the one
     corpus-sized shuffle (the rank join): in the analyzed plan the
-    array_contains filter sits strictly below every join. Robots rules
-    ride a broadcast join (no SMJ anywhere)."""
+    DEEPEST array_contains filter sits strictly below every join (the
+    r14 composition adds a second, terminal-host deny gate that
+    legitimately sits above the re-key join — the scan-side one is
+    the scale contract). Robots rules ride a broadcast join; on the
+    UN-composed form no SMJ exists anywhere, while the composed
+    re-key join is deliberately hint-free (the r13 verdict's `weak`:
+    its mapping side is page-scale, so the planner — not a broadcast
+    hint — picks its strategy)."""
     from toymapreduce_go_spark.operators.frontier import (
         frontier_candidates)
-    df = frontier_candidates(load_table(spark, SF_DIR, "documents"))
+    docs = load_table(spark, SF_DIR, "documents")
+    df = frontier_candidates(docs)
     plan = plan_of(df, "extended")
     analyzed = (plan.split("== Analyzed Logical Plan ==")[1]
                 .split("== Optimized Logical Plan ==")[0])
     lines = analyzed.splitlines()
-    filt = min(i for i, ln in enumerate(lines)
+    filt = max(i for i, ln in enumerate(lines)
                if "array_contains" in ln)
     joins = [i for i, ln in enumerate(lines) if "Join" in ln]
     # deeper in the tree = later lines; the gate must be BELOW (after)
     # every join line in the analyzed dump
     assert joins and all(filt > j for j in joins), plan
     phys = plan_of(df)
-    assert "SortMergeJoin" not in phys, phys
     assert "BroadcastHashJoin" in phys
+    # the re-key mapping must NOT be broadcast by hint: no broadcast
+    # function call rides the apply_redirects join (grep the analyzed
+    # plan for a hint node — ResolvedHint appears only for the robots
+    # frames, which are domain-class-sized)
+    assert "UnresolvedHint" not in plan
+    # the un-composed frontier keeps the strict r11 contract
+    phys0 = plan_of(frontier_candidates(docs, redirects=False))
+    assert "SortMergeJoin" not in phys0, phys0
+    assert "BroadcastHashJoin" in phys0
 
 
 def test_sitemap_parse_touches_the_corpus_once(spark):

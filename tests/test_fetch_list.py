@@ -16,22 +16,43 @@ from toymapreduce_go_spark.operators.sitemaps import (
 from toymapreduce_go_spark.sources.registry import load_table
 
 
+def _host_m(domain: str) -> int:
+    """The digits prefix of the host class — redirect-terminal hosts
+    (site6m/site6mm, r14) share their origin's ladder digits, exactly
+    as both engines' ``regexp_extract(domain, 'site(\\d+)')`` do."""
+    import re
+    return int(re.search(r"site(\d+)", domain).group(1))
+
+
+def _moved(domain: str) -> bool:
+    """A redirect-terminal host (m/mm suffix) — no robots.txt row
+    exists for it, so no Crawl-delay ever applies."""
+    import re
+    return re.search(r"site\d+m+\.", domain) is not None
+
+
+def _domain_cd(domain: str) -> int | None:
+    """The robots-declared Crawl-delay governing ``domain``'s cadence
+    (None → the rate ladder)."""
+    from robots_ref import fixture_delay
+    if _moved(domain):
+        return None
+    return fixture_delay(_host_m(domain))
+
+
 def _delay_us(domain: str, rate_scale_milli: int = 1000) -> int:
     """Driver-side replay of effective_delay_us: robots-declared
     Crawl-delay first (r13), rate-ladder fallback (two-step integer
     div)."""
-    from robots_ref import fixture_delay
-    m = int(domain.split("site")[1].split(".")[0])
-    cd = fixture_delay(m)
+    cd = _domain_cd(domain)
     if cd:         # Crawl-delay: 0 carries no constraint (ladder)
         return (cd * 10**9) // rate_scale_milli
-    rate_milli = RATE_BASE_MILLI * (1 << (m % 3))
+    rate_milli = RATE_BASE_MILLI * (1 << (_host_m(domain) % 3))
     return 10**9 // max((rate_milli * rate_scale_milli) // 1000, 1)
 
 
 def _ladder_us(domain: str) -> int:
-    m = int(domain.split("site")[1].split(".")[0])
-    return 10**9 // (RATE_BASE_MILLI * (1 << (m % 3)))
+    return 10**9 // (RATE_BASE_MILLI * (1 << (_host_m(domain) % 3)))
 
 
 def test_robots_crawl_delay_overrides_rate_ladder(spark):
@@ -41,17 +62,15 @@ def test_robots_crawl_delay_overrides_rate_ladder(spark):
     where its ladder rate (2 req/s) would admit four; host 5's delay
     comes from the selected TOYBOT group (4 s), never the decoy
     group's 9 or the out-ranked * group's absence."""
-    from robots_ref import fixture_delay
-
     docs = load_table(spark, SF_DIR, "documents")
     rows = fetch_schedule_rows(docs, cycle_us=10**12).collect()
     doms = {r.domain for r in rows}
-    robots_doms = {d for d in doms
-                   if fixture_delay(int(d.split("site")[1]
-                                        .split(".")[0])) is not None}
+    robots_doms = {d for d in doms if _domain_cd(d) is not None}
     assert robots_doms                      # the fixture exercises it
+    # r14: redirect-terminal hosts appear in the queue and ladder
+    assert any(_moved(d) for d in doms)
     for r in rows:
-        cd = fixture_delay(int(r.domain.split("site")[1].split(".")[0]))
+        cd = _domain_cd(r.domain)
         if cd is not None:
             assert r.fetch_at_us == (r.rn - 1) * cd * 10**6
         else:
@@ -61,7 +80,7 @@ def test_robots_crawl_delay_overrides_rate_ladder(spark):
     roll = {r.domain: r for r in fetch_list(docs).collect()}
     bound = 0
     for d in robots_doms:
-        cd = fixture_delay(int(d.split("site")[1].split(".")[0]))
+        cd = _domain_cd(d)
         robots_cap = (FETCH_CYCLE_US + cd * 10**6 - 1) // (cd * 10**6)
         ladder_cap = ((FETCH_CYCLE_US + _ladder_us(d) - 1)
                       // _ladder_us(d))
@@ -109,7 +128,9 @@ def test_channels_partition_and_agree_with_their_modules(spark):
     # expected = recrawl_schedule's stale pages MINUS the gates ch2
     # applies (recrawl_schedule reports per-host freshness including
     # blocked hosts; the fetch list must not schedule them): recompute
-    # driver-side with explicit deny + robots rules
+    # driver-side with explicit deny + robots rules + the r14 redirect
+    # re-key (a permanently moved page recrawls AT ITS TERMINAL HOST;
+    # moved pages are all even, so perm = page % 5 not in {1, 2})
     n_pages = docs.count() // 4 + (docs.count() % 4 > 0)
     want: dict[str, int] = {}
     from robots_ref import fixture_allowed
@@ -120,13 +141,24 @@ def test_channels_partition_and_agree_with_their_modules(spark):
         if not fixture_allowed(page):
             continue                       # robots most-specific block
         if (page % 365) > (page * 7) % 365:
-            dom = f"www.site{m}.example.com"
+            if m % 8 == 6 and page % 5 not in (1, 2):
+                dom = f"www.site{m}mm.example.com"
+            else:
+                dom = f"www.site{m}.example.com"
             want[dom] = want.get(dom, 0) + 1
     assert ch2_by_dom == want
+    # the re-key is live in the expectation itself
+    assert any(_moved(d) for d in want)
     # and it is a strict subset of the ungated freshness report
+    # (terminal-host keys fold back to their origin, which is where
+    # recrawl_schedule — un-composed by design — reports them)
     rep = {r.domain: r.n_stale for r in recrawl_schedule(docs).collect()}
-    assert all(want[d] <= rep[d] for d in want)
-    assert sum(want.values()) < sum(rep.values())
+    fold: dict[str, int] = {}
+    for d, n in want.items():
+        origin = f"www.site{_host_m(d)}.example.com"
+        fold[origin] = fold.get(origin, 0) + n
+    assert all(fold[d] <= rep[d] for d in fold)
+    assert sum(fold.values()) < sum(rep.values())
 
 
 def test_rate_budget_is_unified_across_channels_and_binds(spark):
@@ -205,14 +237,68 @@ def test_tiny_rate_scale_floors_instead_of_nulling(spark):
     rows = fetch_schedule_rows(docs, cycle_us=10**12,
                                rate_scale_milli=1).collect()
     assert rows
-    from robots_ref import fixture_delay
     floored = False
     for r in rows:
         assert r.fetch_at_us is not None and r.fetch_at_us >= 0
         assert r.fetch_at_us == (r.rn - 1) * _delay_us(r.domain, 1)
-        m = int(r.domain.split("site")[1].split(".")[0])
-        if fixture_delay(m) is None \
+        m = _host_m(r.domain)
+        if _domain_cd(r.domain) is None \
                 and (RATE_BASE_MILLI * (1 << (m % 3))) // 1000 == 0:
             floored = True       # this tier WOULD have divided by 0
             assert _delay_us(r.domain, 1) == 10**9
     assert floored
+
+
+def test_redirect_composition_keys_moved_pages_at_terminal_host(spark):
+    """r13 verdict item 1 (the composition): a permanently moved
+    page appears EXACTLY ONCE in the unified queue, keyed and
+    budgeted at its terminal host; a temporarily (or mixed-chain)
+    redirected page keeps its original key; the un-composed form
+    (redirects=False) keys everything at the discovered host — the
+    direction lever. Gates compose on BOTH hops: a page blocked at
+    the discovered host never reaches the terminal key."""
+    import re
+
+    from robots_ref import fixture_allowed
+    from toymapreduce_go_spark.operators.scheduling import (
+        fetch_channels)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = fetch_channels(docs).collect()
+    off = fetch_channels(docs, redirects=False).collect()
+
+    def keyed(rs):
+        out: dict[int, list[str]] = {}
+        for r in rs:
+            g = re.search(r"/articles/item(\d+)", r.canon)
+            if g:
+                out.setdefault(int(g.group(1)), []).append(r.domain)
+        return out
+
+    on_k, off_k = keyed(rows), keyed(off)
+    moved_pages = {p for p in off_k if p % 16 % 8 == 6}
+    assert moved_pages
+    seen_perm = seen_keep = 0
+    for p in moved_pages:
+        m = p % 16
+        assert len(on_k[p]) == 1 and len(off_k[p]) == 1   # exactly once
+        assert off_k[p] == [f"www.site{m}.example.com"]
+        if p % 5 in (1, 2):     # temporary / mixed chain: key unmoved
+            assert on_k[p] == [f"www.site{m}.example.com"]
+            seen_keep += 1
+        else:                   # permanent chain: terminal host key
+            assert on_k[p] == [f"www.site{m}mm.example.com"]
+            seen_perm += 1
+    assert seen_perm and seen_keep
+    # discovered-host gate composes: a moved page blocked by the OLD
+    # host's rules (site6/site14 are the m4_2 wildcard battery) is in
+    # NEITHER form — it never fetches, so it never redirects
+    n_pages = docs.count() // 4 + (docs.count() % 4 > 0)
+    blocked_moved = {p for p in range(n_pages)
+                     if p % 16 % 8 == 6 and not fixture_allowed(p)}
+    assert blocked_moved
+    assert not blocked_moved & set(on_k)
+    # and the rollup's terminal hosts carry real budget rows
+    roll = {r.domain: r for r in fetch_list(docs).collect()}
+    term = [d for d in roll if _moved(d)]
+    assert term and all(roll[d].n_scheduled > 0 for d in term)

@@ -197,3 +197,94 @@ def test_apply_redirects_rekeys_and_dedups_across_the_move(spark):
     assert stayed == want_stay and stayed
     assert any("site6m" in r["canon"] or "site6mm" in r["canon"]
                for r in rekeyed)
+
+
+def _page_of(canon: str) -> int:
+    import re
+    return int(re.search(r"/articles/item(\d+)", canon).group(1))
+
+
+def test_redirect_aware_diff_is_move_transparent(spark):
+    """The refresh-crawl composition (r13 verdict item 1): with the
+    new crawl recording permanently moved pages at their terminal
+    URL, the NAIVE diff classifies every such page removed+added —
+    while the redirect-aware diff's per-page statuses EQUAL the
+    unmoved diff's (the move is transparent to the delta), keyed at
+    the terminal host."""
+    from toymapreduce_go_spark.operators.redirects import (
+        fixture_resolved_redirects, redirect_aware_crawl_diff,
+        rekey_on_final)
+    from toymapreduce_go_spark.operators.urls import (
+        CHANGED_MODS, NEW_EXCLUDE, OLD_EXCLUDE, crawl_diff,
+        synthesize_snapshot)
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents")
+    resolved = fixture_resolved_redirects(docs)
+    old = synthesize_snapshot(docs, exclude_page_mod=OLD_EXCLUDE)
+    new_unmoved = synthesize_snapshot(docs, exclude_page_mod=NEW_EXCLUDE,
+                                      change_mods=CHANGED_MODS)
+    new_moved = (rekey_on_final(new_unmoved, resolved)
+                 .groupBy("canon")
+                 .agg(F.min("domain").alias("domain"),
+                      F.min("fp").alias("fp")))
+
+    def by_page(rows):
+        return {_page_of(r["canon"]): r["status"] for r in rows
+                if "/articles/" in r["canon"]}
+
+    naive = by_page(crawl_diff(old, new_moved).collect())
+    aware = by_page(redirect_aware_crawl_diff(
+        old, new_moved, resolved).collect())
+    base = by_page(crawl_diff(old, new_unmoved).collect())
+
+    n_pages = docs.count() // 4 + (docs.count() % 4 > 0)
+    perm_moved = {p for p in range(n_pages)
+                  if p % 16 % 8 == 6 and p % 5 not in (1, 2)}
+    assert perm_moved
+    # naive: a moved page present in both crawls splits into
+    # removed (old key) + added (new key) unless excluded
+    split = {p for p in perm_moved
+             if base.get(p) in ("unchanged", "changed")}
+    assert split
+    for p in split:
+        assert naive[p] in ("removed", "added")
+    # aware: page-for-page equal to the unmoved diff — the move is
+    # invisible to the delta
+    assert aware == base
+
+
+def test_pure_move_refresh_retracts_nothing_with_aware_diff(spark):
+    """A recrawl that ONLY observes permanent moves (same content,
+    new hosts) must drive a no-op refresh: the aware diff classifies
+    everything unchanged, so stale_keys_from_diff retracts zero index
+    keys — where the naive diff would retract and re-process every
+    permanently moved page (the 100 TB waste)."""
+    from toymapreduce_go_spark.operators.redirects import (
+        fixture_resolved_redirects, redirect_aware_crawl_diff,
+        rekey_on_final)
+    from toymapreduce_go_spark.operators.refresh import \
+        stale_keys_from_diff
+    from toymapreduce_go_spark.operators.urls import (crawl_diff,
+                                                      synthesize_snapshot)
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents")
+    resolved = fixture_resolved_redirects(docs)
+    old = synthesize_snapshot(docs)
+    new = (rekey_on_final(old, resolved)
+           .groupBy("canon")
+           .agg(F.min("domain").alias("domain"),
+                F.min("fp").alias("fp")))
+    aware = redirect_aware_crawl_diff(old, new, resolved)
+    assert aware.filter(F.col("status") != "unchanged").count() == 0
+    # old_keys: the crawl's canon -> id table (ids = pages here)
+    old_keys = old.select(
+        "canon", F.monotonically_increasing_id().alias("prior_id"))
+    assert stale_keys_from_diff(aware, old_keys, "prior_id").count() == 0
+    naive = crawl_diff(old, new)
+    n_naive = stale_keys_from_diff(naive, old_keys, "prior_id").count()
+    n_pages = docs.count() // 4 + (docs.count() % 4 > 0)
+    perm_moved = {p for p in range(n_pages)
+                  if p % 16 % 8 == 6 and p % 5 not in (1, 2)}
+    assert n_naive == len(perm_moved) > 0

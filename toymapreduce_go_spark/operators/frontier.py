@@ -59,12 +59,26 @@ FRONTIER_PER_DOMAIN = 2   # politeness cap per host per cycle
 
 
 def frontier_candidates(documents: DataFrame, iters: int = PR_ITERS,
-                        fanout: int = PR_FANOUT) -> DataFrame:
+                        fanout: int = PR_FANOUT,
+                        redirects: "DataFrame | bool" = True
+                        ) -> DataFrame:
     """(canon, domain, priority): gated, prioritized, pre-cap frontier
     candidates. See the module docstring for the contract. The gates
     are the SHARED channel gates (``urls.deny_gate`` /
     ``urls.robots_gate_frame``) — structurally identical to the
-    sitemap channel's, not a hand-kept copy."""
+    sitemap channel's, not a hand-kept copy.
+
+    ``redirects`` composes redirect resolution (r13 verdict item 1):
+    candidates are gated at the DISCOVERED url's host (the request
+    that observes the 301 must itself be deny/robots-clean), then
+    permanently-moved canons re-key to the terminal URL, priorities
+    re-aggregate on the new key (two old canons collapsing onto one
+    final sum their inflow), and the terminal host's gates apply to
+    the fetch that actually lands there. True synthesizes + resolves
+    the fixture edges; pass a pre-resolved frame (the
+    ``fixture_resolved_redirects`` artifact) to share one resolution
+    across channels; False is the un-composed form the algebra tests
+    use."""
     _, edges, ranks = pagerank_state(documents, iters, fanout)
     e = (edges
          .filter(F.pmod(F.expr("u div 4"), F.lit(FRONTIER_MOD)) != 0)
@@ -79,16 +93,28 @@ def frontier_candidates(documents: DataFrame, iters: int = PR_ITERS,
     pri = (t.join(ranks.select(F.col("v").alias("u"), "r"), "u")
            .groupBy("canon", "domain")
            .agg(F.sum("r").alias("priority")))
-    return robots_gate_frame(pri, documents)
+    cand = robots_gate_frame(pri, documents)
+    if redirects is not False:
+        from .redirects import fixture_resolved_redirects, rekey_on_final
+        resolved = (fixture_resolved_redirects(documents)
+                    if redirects is True else redirects)
+        cand = (rekey_on_final(cand, resolved)
+                .groupBy("canon", "domain")
+                .agg(F.sum("priority").alias("priority")))
+        cand = robots_gate_frame(deny_gate(cand), documents)
+    return cand
 
 
 def frontier_schedule(documents: DataFrame, iters: int = PR_ITERS,
-                      fanout: int = PR_FANOUT) -> DataFrame:
+                      fanout: int = PR_FANOUT,
+                      redirects: "DataFrame | bool" = True) -> DataFrame:
     """Candidates with their per-domain politeness rank ``rn``
     (1 = fetch first); rows with ``rn <= FRONTIER_PER_DOMAIN`` are
     this cycle's fetch list. Window input is page-sized and
-    partition-bounded by a single host's candidates."""
-    cand = frontier_candidates(documents, iters, fanout)
+    partition-bounded by a single host's candidates (the TERMINAL
+    host once redirects compose — a permanently moved page spends the
+    budget of the host actually fetched)."""
+    cand = frontier_candidates(documents, iters, fanout, redirects)
     w = Window.partitionBy("domain").orderBy(F.desc("priority"),
                                              F.asc("canon"))
     return cand.withColumn("rn", F.row_number().over(w))

@@ -121,10 +121,22 @@ def robots_delay_frame(documents: DataFrame) -> DataFrame:
         .alias("crawl_delay_s"))
 
 
-def fetch_channels(documents: DataFrame) -> DataFrame:
+def fetch_channels(documents: DataFrame,
+                   redirects: "DataFrame | bool" = True) -> DataFrame:
     """(canon, domain, priority, ch): the three channels, gated,
     pre-budget. Canons are disjoint across channels by construction
-    (ch 0/1 partition the uncrawled pages; ch 2 is crawled pages).
+    (ch 0/1 partition the uncrawled pages; ch 2 is crawled pages —
+    and redirect re-keying preserves the page, so the partition
+    survives composition).
+
+    Redirect composition (r13 verdict item 1): the resolved mapping
+    is computed ONCE (``fixture_resolved_redirects`` — page-sized,
+    localCheckpoint-ed) and threaded through all three channels, so
+    the resolution's one corpus distinct never multiplies. Every
+    channel gates at the discovered host, re-keys permanent chains to
+    the terminal URL, and gates again at the terminal host — a moved
+    page appears exactly once, keyed and budgeted at the host that
+    actually serves it.
 
     The frontier channel is referenced TWICE in one plan (unioned as
     ch 0 AND anti-joined to carve the sitemap-only remainder), so its
@@ -132,26 +144,38 @@ def fetch_channels(documents: DataFrame) -> DataFrame:
     edge ⋈ rank join and its groupBy execute exactly once, whatever
     the optimizer decides about exchange reuse (r11 verdict: relying
     on ReuseExchange here let the rank join run twice)."""
-    a = (frontier_candidates(documents)
+    from .redirects import fixture_resolved_redirects, rekey_on_final
+    resolved: "DataFrame | bool" = redirects
+    if redirects is True:
+        resolved = fixture_resolved_redirects(documents)
+    a = (frontier_candidates(documents, redirects=resolved)
          .select("canon", "domain", "priority")
          .withColumn("ch", F.lit(0))
          .localCheckpoint())
-    b = (sitemap_seeds(documents).select("canon", "domain")
+    b = (sitemap_seeds(documents, redirects=resolved)
+         .select("canon", "domain")
          .join(a.select("canon"), "canon", "left_anti")
          .withColumn("priority", F.lit(0).cast("long"))
          .withColumn("ch", F.lit(1)))
     c = (recrawl_gaps(documents)
          .filter(F.col("gap") > 0)
          .withColumnRenamed("gap", "priority"))
-    c = (robots_gate_frame(deny_gate(c), documents)
-         .select("canon", "domain", "priority")
+    c = robots_gate_frame(deny_gate(c), documents)
+    if resolved is not False:
+        c = (rekey_on_final(c, resolved)
+             .groupBy("canon", "domain")
+             .agg(F.max("priority").alias("priority")))
+        c = robots_gate_frame(deny_gate(c), documents)
+    c = (c.select("canon", "domain", "priority")
          .withColumn("ch", F.lit(2)))
     return a.unionByName(b).unionByName(c)
 
 
 def fetch_schedule_rows(documents: DataFrame,
                         cycle_us: int = FETCH_CYCLE_US,
-                        rate_scale_milli: int = 1000) -> DataFrame:
+                        rate_scale_milli: int = 1000,
+                        redirects: "DataFrame | bool" = True
+                        ) -> DataFrame:
     """(canon, domain, priority, ch, rn, fetch_at_us, scheduled): the
     unified queue with each row's deterministic fetch TIMESTAMP on the
     host's cadence — row rn fetches at ``(rn−1) · delay_us``, where
@@ -160,8 +184,11 @@ def fetch_schedule_rows(documents: DataFrame,
     time-window admission verdict (``fetch_at_us < cycle_us``): a slow
     host schedules fewer fetches per cycle than a fast one, the
     production politeness contract. Queue order is unchanged from the
-    channel policy (channel, priority DESC, canon)."""
-    u = fetch_channels(documents)
+    channel policy (channel, priority DESC, canon). With redirects
+    composed, a moved page's cadence and admission belong to its
+    TERMINAL host (the one actually fetched); terminal hosts absent
+    from the robots frame fall to the rate ladder."""
+    u = fetch_channels(documents, redirects)
     w = Window.partitionBy("domain").orderBy(
         F.asc("ch"), F.desc("priority"), F.asc("canon"))
     s = u.join(F.broadcast(robots_delay_frame(documents)),
@@ -177,7 +204,8 @@ def fetch_schedule_rows(documents: DataFrame,
 
 def fetch_list(documents: DataFrame,
                cycle_us: int = FETCH_CYCLE_US,
-               rate_scale_milli: int = 1000) -> DataFrame:
+               rate_scale_milli: int = 1000,
+               redirects: "DataFrame | bool" = True) -> DataFrame:
     """The registered rollup: per host — per-channel candidate counts,
     the count scheduled inside one fetch cycle under the host's
     request rate, the cycle MAKESPAN (last scheduled fetch timestamp —
@@ -186,7 +214,8 @@ def fetch_list(documents: DataFrame,
     checksum over the scheduled set — pinning membership, channel
     assignment, priority order, every admission decision, AND every
     fetch timestamp."""
-    s = fetch_schedule_rows(documents, cycle_us, rate_scale_milli)
+    s = fetch_schedule_rows(documents, cycle_us, rate_scale_milli,
+                            redirects)
     sched = F.col("scheduled")
     canon_h = F.pmod(F.conv(F.substring(F.md5("canon"), 1, 15), 16, 10)
                      .cast("long"), F.lit(CKSUM_MOD))

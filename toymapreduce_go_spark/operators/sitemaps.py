@@ -286,16 +286,33 @@ def sitemap_index_stats(documents: DataFrame) -> DataFrame:
     return _sitemap_rollup(ent)
 
 
-def sitemap_seeds(documents: DataFrame) -> DataFrame:
+def sitemap_seeds(documents: DataFrame,
+                  redirects: "DataFrame | bool" = True) -> DataFrame:
     """(canon, domain, lastmod): sitemap-discovered UNCRAWLED pages
     surviving the same gates the link frontier applies — structurally
     the SAME gates (``urls.deny_gate`` / ``urls.robots_gate_frame``),
-    so the two channels cannot silently diverge. Page-sized."""
+    so the two channels cannot silently diverge. Page-sized.
+
+    ``redirects`` composes redirect resolution exactly like the link
+    channel (``frontier.frontier_candidates``): the sitemap lists the
+    OLD loc, the fetch of it is gated at the discovered host, a
+    permanent chain re-keys the seed to the terminal URL, and the
+    terminal host's gates apply — so a moved orphan page seeds the
+    frontier ONCE, at the host that actually serves it."""
     ent = sitemap_entries(synthesize_sitemaps(documents))
     item = F.regexp_extract("canon", r"/articles/item(\d+)", 1)
     ent = ent.filter(F.pmod(item.cast("long"),
                             F.lit(FRONTIER_MOD)) == 0)
-    return robots_gate_frame(deny_gate(ent), documents)
+    seeds = robots_gate_frame(deny_gate(ent), documents)
+    if redirects is not False:
+        from .redirects import fixture_resolved_redirects, rekey_on_final
+        resolved = (fixture_resolved_redirects(documents)
+                    if redirects is True else redirects)
+        seeds = (rekey_on_final(seeds, resolved)
+                 .groupBy("canon", "domain")
+                 .agg(F.min("lastmod").alias("lastmod")))
+        seeds = robots_gate_frame(deny_gate(seeds), documents)
+    return seeds
 
 
 def sitemap_extract_stats(documents: DataFrame) -> DataFrame:
@@ -406,6 +423,77 @@ def recrawl_revalidation(documents: DataFrame) -> DataFrame:
                        .otherwise(F.lit(0))).alias("bytes_saved"),
                  F.sum(F.when(fresh, term).otherwise(F.lit(0)))
                  .alias("reval_checksum"))
+            .orderBy("domain"))
+
+
+def etag_revalidation(documents: DataFrame) -> DataFrame:
+    """Fingerprint-validator revalidation (r13 verdict item 3) — the
+    ``If-None-Match`` tier where the validator is the page's CONTENT
+    fingerprint (exactly what a production ETag is), not the sitemap
+    ``<lastmod>`` that ``recrawl_revalidation`` trusts — and real
+    lastmod lies notoriously. The fetcher re-requests every page of
+    the OLD crawl (the standard ``crawl_diff`` snapshot fixture) with
+    the stored fingerprint; the server's verdict is definitionally
+    ``crawl_diff``'s content partition (RFC 9110 §8.8.3 + §13.1.2:
+    a strong validator matches iff the representation is the same):
+
+        304  fingerprints equal   (diff: unchanged) — headers only
+        200  fingerprints differ  (diff: changed)   — full body
+        410  page no longer served (diff: removed)  — nothing held
+
+    Per domain, next to the request/bytes split the rollup pins the
+    two LASTMOD-DISAGREEMENT classes on the crawled pages where both
+    validators exist: ``n_lastmod_lied`` (lastmod claims stale, the
+    fingerprint says unchanged — bandwidth the lastmod validator
+    wastes) and ``n_lastmod_missed`` (lastmod claims fresh while the
+    content CHANGED — staleness the lastmod validator would serve).
+    The fingerprint wins both by construction.
+
+    100 TB shape: one full-outer diff on the page key (both
+    snapshots bucket by canon at scale) + the page-size agg the
+    module's 304 accounting already pays; everything after is
+    host-sized."""
+    from .urls import (CHANGED_MODS, NEW_EXCLUDE, OLD_EXCLUDE,
+                       crawl_diff, synthesize_snapshot)
+    old = synthesize_snapshot(documents, exclude_page_mod=OLD_EXCLUDE)
+    new = synthesize_snapshot(documents, exclude_page_mod=NEW_EXCLUDE,
+                              change_mods=CHANGED_MODS)
+    # conditional requests go out for pages WE hold (the old crawl);
+    # 'added' rows are discovery's job, not revalidation's
+    d = crawl_diff(old, new).filter(F.col("status") != "added")
+    page = F.regexp_extract("canon", r"/articles/item(\d+)", 1) \
+        .cast("long")
+    d = d.withColumn("page", page)
+    sizes = (documents
+             .groupBy(F.expr("doc_id div 4").cast("long").alias("page"))
+             .agg(F.min(F.coalesce(F.octet_length("text"), F.lit(0)))
+                  .alias("body_bytes")))
+    g = d.join(sizes, "page")
+    is_304 = F.col("status") == "unchanged"
+    is_200 = F.col("status") == "changed"
+    is_gone = F.col("status") == "removed"
+    crawled = F.pmod(F.col("page"), F.lit(FRONTIER_MOD)) != 0
+    lastmod_stale = (F.pmod(F.col("page"), F.lit(365))
+                     > fetched_day_expr(F.col("page")))
+    canon_h = F.pmod(F.conv(F.substring(F.md5("canon"), 1, 15), 16, 10)
+                     .cast("long"), F.lit(CKSUM_MOD))
+    term = F.pmod(canon_h * (F.lit(1) + F.col("body_bytes")),
+                  F.lit(CKSUM_MOD))
+    return (g.groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_conditional"),
+                 F.sum(is_304.cast("long")).alias("n_304"),
+                 F.sum(is_200.cast("long")).alias("n_200"),
+                 F.sum(is_gone.cast("long")).alias("n_gone"),
+                 F.sum((is_304 & crawled & lastmod_stale).cast("long"))
+                 .alias("n_lastmod_lied"),
+                 F.sum((is_200 & crawled & ~lastmod_stale).cast("long"))
+                 .alias("n_lastmod_missed"),
+                 F.sum(F.when(is_200, F.col("body_bytes"))
+                       .otherwise(F.lit(0))).alias("bytes_transferred"),
+                 F.sum(F.when(is_304, F.col("body_bytes"))
+                       .otherwise(F.lit(0))).alias("bytes_saved"),
+                 F.sum(F.when(is_304, term).otherwise(F.lit(0)))
+                 .alias("etag_checksum"))
             .orderBy("domain"))
 
 

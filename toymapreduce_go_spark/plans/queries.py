@@ -334,11 +334,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mojibake_repair": _q(textfix.mojibake_stats),
     "recrawl_schedule": _q(sitemaps.recrawl_schedule),
     "recrawl_revalidation": _q(sitemaps.recrawl_revalidation),
+    "etag_revalidation": _q(sitemaps.etag_revalidation),
     "fetch_list": _q(scheduling.fetch_list),
     "robots_gate": _q(urls.robots_stats),
     "url_canonical": _q(urls.url_stats),
     "crawl_diff": _q(urls.crawl_diff_stats),
     "redirect_resolve": _q(redirects.redirect_stats),
+    "redirect_aware_diff": _q(redirects.redirect_aware_diff_stats),
     "domain_blocklist": _q(urls.domain_blocklist_stats),
     "domain_reputation": _q(urls.domain_reputation),
     "corpus_datasheet": _q(textstats.corpus_datasheet),
@@ -408,14 +410,15 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "fuzzy_name_stats", "event_anomalies", "orders_upsert",
                "html_extract", "url_canonical", "langid_trained",
                "ann_index_probe", "ann_index_probe_pq",
-               "crawl_diff", "redirect_resolve",
+               "crawl_diff", "redirect_resolve", "redirect_aware_diff",
                "corpus_datasheet",
                "domain_blocklist", "domain_reputation", "pdf_extract",
                "warc_extract", "warc_extract_gz",
                "link_pagerank", "robots_gate",
                "crawl_frontier", "sitemap_extract", "sitemap_index",
                "mojibake_repair",
-               "recrawl_schedule", "recrawl_revalidation", "fetch_list")
+               "recrawl_schedule", "recrawl_revalidation",
+               "etag_revalidation", "fetch_list")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -1015,6 +1018,69 @@ def _crawl_diff_oracle_sql() -> str:
             SELECT canon, min(domain) AS domain, min(h) AS fp0,
                    min(page) AS page
             FROM pages WHERE page % {SNAPSHOT_MOD} <> {NEW_EXCLUDE}
+            GROUP BY canon),
+        new AS (
+            SELECT canon, domain,
+                   CASE WHEN page % {SNAPSHOT_MOD} IN ({changed})
+                        THEN md5(fp0 || ':recrawl') ELSE fp0 END AS fp
+            FROM new0),
+        diff AS (
+            SELECT coalesce(old.canon, new.canon) AS canon,
+                   coalesce(old.domain, new.domain) AS domain,
+                   CASE WHEN old.canon IS NULL THEN 'added'
+                        WHEN new.canon IS NULL THEN 'removed'
+                        WHEN old.fp IS NOT DISTINCT FROM new.fp
+                             THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old FULL OUTER JOIN new ON old.canon = new.canon)
+        SELECT domain, status, count(*) AS n_pages,
+               sum(('0x' || substr(md5(canon), 1, 15))::BIGINT
+                   % {CKSUM_MOD}) AS canon_checksum
+        FROM diff GROUP BY domain, status ORDER BY domain, status
+    """
+
+
+def _redirect_aware_diff_oracle_sql() -> str:
+    """Generated DuckDB twin of ``redirects.redirect_aware_diff_stats``
+    — the crawl-diff twin with BOTH snapshots keyed at the permanent
+    redirect terminal, derived INDEPENDENTLY from page arithmetic
+    (moved hosts are m%8==6, all their pages are even, so a chain is
+    permanent iff page%5 ∉ {1,2} and its terminal is the ``mm``
+    host) — never the engine's remap join, so a value-hash match
+    proves the re-key semantics, not shared code."""
+    from ..operators.redirects import (MOVED_HOST_MOD, TEMP_HOP1_MOD,
+                                       TEMP_HOP2_MOD)
+    from ..operators.urls import (CHANGED_MODS, NEW_EXCLUDE, OLD_EXCLUDE,
+                                  SNAPSHOT_MOD)
+    changed = ", ".join(str(m) for m in CHANGED_MODS)
+    mv = (f"(page % 16) % 8 = {MOVED_HOST_MOD} AND "
+          f"page % 5 NOT IN ({TEMP_HOP1_MOD}, {TEMP_HOP2_MOD})")
+    return f"""
+        WITH {_url_canon_ctes()},
+        pages AS (
+            SELECT d.canon, d.domain, (d.doc_id // 4) AS page,
+                   md5(doc.text) AS h
+            FROM d JOIN documents doc ON doc.doc_id = d.doc_id),
+        mvp AS (
+            SELECT page, h,
+                   CASE WHEN {mv}
+                        THEN 'http://www.site' || (page % 16) ||
+                             'mm.example.com/articles/item' || page ||
+                             '?a=1&b=2'
+                        ELSE canon END AS canon,
+                   CASE WHEN {mv}
+                        THEN 'www.site' || (page % 16) ||
+                             'mm.example.com'
+                        ELSE domain END AS domain
+            FROM pages),
+        old AS (
+            SELECT canon, min(domain) AS domain, min(h) AS fp
+            FROM mvp WHERE page % {SNAPSHOT_MOD} <> {OLD_EXCLUDE}
+            GROUP BY canon),
+        new0 AS (
+            SELECT canon, min(domain) AS domain, min(h) AS fp0,
+                   min(page) AS page
+            FROM mvp WHERE page % {SNAPSHOT_MOD} <> {NEW_EXCLUDE}
             GROUP BY canon),
         new AS (
             SELECT canon, domain,
@@ -1733,14 +1799,20 @@ def _crawl_frontier_oracle_sql(iters: int = 3, fanout: int = 3,
     canonical URL by doc-id join; PageRank, the deny-gated priorities,
     and the robots rules come from ``_frontier_common_ctes``; the
     robots verdict uses the INDEPENDENT window formulation (longest
-    prefix, Allow wins ties); the politeness cap and the (canon-hash ×
-    priority) checksum replay the engine's integer arithmetic
-    exactly."""
+    prefix, Allow wins ties) — applied TWICE around the redirect
+    re-key (r14: gate at the discovered host, re-key permanent chains
+    to the terminal URL via the shared unrolled-hop ``remap``,
+    re-aggregate priorities on the new key, gate at the terminal
+    host); the politeness cap and the (canon-hash × priority)
+    checksum replay the engine's integer arithmetic exactly."""
     from ..operators.frontier import FRONTIER_PER_DOMAIN
-    from ..operators.urls import ROBOTS_PATH_RE
+    from ..operators.urls import ROBOTS_PATH_RE, fixture_blocklist
+    deny = ", ".join(f"'{b}'" for b in fixture_blocklist())
+    dom_re = "'^[a-z][a-z0-9+.-]*://(?:[^/?]*@)?([^/:?]*)'"
     return f"""
         WITH {_url_canon_ctes()},
         {_frontier_common_ctes(iters, fanout, scale)},
+        {_redirect_ctes()},
         pp AS (SELECT canon, domain, priority,
                       regexp_extract(canon,
                         '{ROBOTS_PATH_RE}', 1)
@@ -1754,12 +1826,32 @@ def _crawl_frontier_oracle_sql(iters: int = 3, fanout: int = 3,
               ON m.canon = pp.canon
             WHERE CASE WHEN pp.domain IN (SELECT domain FROM r5xx)
                        THEN false ELSE coalesce(m.a, true) END),
+        rk AS (SELECT coalesce(rm.final, okd.canon) AS canon,
+                      CAST(sum(okd.priority) AS BIGINT) AS priority
+               FROM okd LEFT JOIN remap rm ON rm.src = okd.canon
+               GROUP BY 1),
+        rkg AS (SELECT canon,
+                       regexp_extract(canon, {dom_re}, 1) AS domain,
+                       priority,
+                       regexp_extract(canon,
+                         '{ROBOTS_PATH_RE}', 1) AS path
+                FROM rk
+                WHERE regexp_extract(canon, {dom_re}, 1)
+                      NOT IN ({deny})),
+        {_robots_matched_cte("matched2", "rkg", "canon")},
+        okd2 AS (
+            SELECT rkg.canon, rkg.domain, rkg.priority
+            FROM rkg LEFT JOIN
+                 (SELECT canon, a FROM matched2 WHERE rn = 1) m2
+              ON m2.canon = rkg.canon
+            WHERE CASE WHEN rkg.domain IN (SELECT domain FROM r5xx)
+                       THEN false ELSE coalesce(m2.a, true) END),
         sched AS (
             SELECT canon, domain, priority,
                    row_number() OVER (PARTITION BY domain
                                       ORDER BY priority DESC,
                                                canon ASC) AS rn
-            FROM okd)
+            FROM okd2)
         SELECT domain, count(*) AS n_candidates,
                CAST(sum(CASE WHEN rn <= {FRONTIER_PER_DOMAIN}
                              THEN 1 ELSE 0 END) AS BIGINT)
@@ -1783,11 +1875,16 @@ def _fetch_list_oracle_sql(iters: int = 3, fanout: int = 3,
                            scale: int = 1_000_000) -> str:
     """Generated DuckDB twin of ``scheduling.fetch_list``: one verdict
     table (deny + independent robots window) over the whole page
-    universe gates all three channels; the link channel joins the
-    frontier's rank-inflow priorities, the sitemap-only channel is the
-    gated uncrawled remainder, the recrawl channel is the stale
-    crawled pages with the staleness gap as priority; then the unified
-    per-host budget window and the channel-weighted checksum."""
+    universe gates all three channels at the DISCOVERED host; the
+    page universe then re-keys permanent redirect chains to the
+    terminal URL (the shared unrolled-hop ``remap``) and a SECOND
+    verdict pass gates the terminal host (r14 — the engine's
+    gate → re-key → gate sequence); the link channel joins the
+    frontier's re-keyed rank-inflow priorities, the sitemap-only
+    channel is the gated uncrawled remainder, the recrawl channel is
+    the stale crawled pages with the staleness gap as priority; then
+    the unified per-host budget window (now on the TERMINAL host) and
+    the channel-weighted checksum."""
     from ..operators.frontier import FRONTIER_MOD
     from ..operators.scheduling import (FETCH_CYCLE_US,
                                         RATE_BASE_MILLI)
@@ -1795,9 +1892,11 @@ def _fetch_list_oracle_sql(iters: int = 3, fanout: int = 3,
     from ..operators.sitemaps import FETCH_DAY_MULT
     from ..operators.urls import fixture_blocklist
     deny = ", ".join(f"'{b}'" for b in fixture_blocklist())
+    dom_re = "'^[a-z][a-z0-9+.-]*://(?:[^/?]*@)?([^/:?]*)'"
     return f"""
         WITH {_url_canon_ctes()},
         {_frontier_common_ctes(iters, fanout, scale)},
+        {_redirect_ctes()},
         pgu AS (SELECT DISTINCT (doc_id // 4) AS page FROM documents),
         pcu AS (SELECT pgu.page, min(d.canon) AS canon,
                        min(d.domain) AS domain
@@ -1816,17 +1915,40 @@ def _fetch_list_oracle_sql(iters: int = 3, fanout: int = 3,
                                 (SELECT domain FROM r5xx)
                            THEN false
                            ELSE coalesce(m.a, true) END),
-        chA AS (SELECT fpri.canon, fpri.domain, fpri.priority, 0 AS ch
-                FROM fpri JOIN pok ON pok.canon = fpri.canon),
+        rpok AS (SELECT pok.page,
+                        coalesce(rm.final, pok.canon) AS canon
+                 FROM pok LEFT JOIN remap rm ON rm.src = pok.canon),
+        rpd AS (SELECT page, canon,
+                       regexp_extract(canon, {dom_re}, 1) AS domain,
+                       regexp_extract(canon,
+                         '{ROBOTS_PATH_RE}', 1) AS path
+                FROM rpok
+                WHERE regexp_extract(canon, {dom_re}, 1)
+                      NOT IN ({deny})),
+        {_robots_matched_cte("mtu2", "rpd", "canon")},
+        pok2 AS (SELECT rpd.page, rpd.canon, rpd.domain
+                 FROM rpd LEFT JOIN
+                      (SELECT canon, a FROM mtu2 WHERE rn = 1) m2
+                   ON m2.canon = rpd.canon
+                 WHERE CASE WHEN rpd.domain IN
+                                 (SELECT domain FROM r5xx)
+                            THEN false
+                            ELSE coalesce(m2.a, true) END),
+        fpri2 AS (SELECT coalesce(rm.final, fpri.canon) AS canon,
+                         CAST(sum(fpri.priority) AS BIGINT) AS priority
+                  FROM fpri LEFT JOIN remap rm ON rm.src = fpri.canon
+                  GROUP BY 1),
+        chA AS (SELECT pok2.canon, pok2.domain, fpri2.priority, 0 AS ch
+                FROM fpri2 JOIN pok2 ON pok2.canon = fpri2.canon),
         chB AS (SELECT canon, domain, CAST(0 AS BIGINT) AS priority,
                        1 AS ch
-                FROM pok WHERE page % {FRONTIER_MOD} = 0
+                FROM pok2 WHERE page % {FRONTIER_MOD} = 0
                   AND canon NOT IN (SELECT canon FROM chA)),
         chC AS (SELECT canon, domain,
                        CAST(page % 365
                             - (page * {FETCH_DAY_MULT}) % 365
                             AS BIGINT) AS priority, 2 AS ch
-                FROM pok WHERE page % {FRONTIER_MOD} <> 0
+                FROM pok2 WHERE page % {FRONTIER_MOD} <> 0
                   AND page % 365 > (page * {FETCH_DAY_MULT}) % 365),
         un AS (SELECT * FROM chA UNION ALL SELECT * FROM chB
                UNION ALL SELECT * FROM chC),
@@ -2098,6 +2220,78 @@ def _revalidation_oracle_sql() -> str:
                                     ::BIGINT % {CKSUM_MOD})
                                    * (1 + body_bytes)) % {CKSUM_MOD}
                              ELSE 0 END) AS BIGINT) AS reval_checksum
+        FROM v GROUP BY domain ORDER BY domain
+    """
+
+
+def _etag_revalidation_oracle_sql() -> str:
+    """Generated DuckDB twin of ``sitemaps.etag_revalidation``: the
+    crawl-diff twin's snapshot fingerprints (min md5(text), the NEW
+    crawl re-stamping the CHANGED_MODS pages), the per-page body size,
+    and the lastmod-disagreement classes from pure page arithmetic —
+    the whole fingerprint-vs-lastmod story replayed without any
+    shared code."""
+    from ..operators.frontier import FRONTIER_MOD
+    from ..operators.sitemaps import FETCH_DAY_MULT
+    from ..operators.urls import (CHANGED_MODS, NEW_EXCLUDE, OLD_EXCLUDE,
+                                  SNAPSHOT_MOD)
+    changed = ", ".join(str(m) for m in CHANGED_MODS)
+    return f"""
+        WITH {_url_canon_ctes()},
+        pages AS (
+            SELECT d.canon, d.domain, (d.doc_id // 4) AS page,
+                   md5(doc.text) AS h
+            FROM d JOIN documents doc ON doc.doc_id = d.doc_id),
+        old AS (
+            SELECT canon, min(domain) AS domain, min(page) AS page,
+                   min(h) AS fp
+            FROM pages WHERE page % {SNAPSHOT_MOD} <> {OLD_EXCLUDE}
+            GROUP BY canon),
+        new0 AS (
+            SELECT canon, min(h) AS fp0, min(page) AS page
+            FROM pages WHERE page % {SNAPSHOT_MOD} <> {NEW_EXCLUDE}
+            GROUP BY canon),
+        new AS (
+            SELECT canon,
+                   CASE WHEN page % {SNAPSHOT_MOD} IN ({changed})
+                        THEN md5(fp0 || ':recrawl') ELSE fp0 END AS fp
+            FROM new0),
+        sz AS (SELECT (doc_id // 4) AS page,
+                      min(coalesce(strlen(text), 0)) AS body_bytes
+               FROM documents GROUP BY page),
+        v AS (
+            SELECT old.canon, old.domain, old.page, sz.body_bytes,
+                   CASE WHEN new.canon IS NULL THEN 'gone'
+                        WHEN old.fp IS NOT DISTINCT FROM new.fp
+                             THEN '304' ELSE '200' END AS verdict,
+                   old.page % {FRONTIER_MOD} <> 0 AS crawled,
+                   (old.page % 365)
+                     > (old.page * {FETCH_DAY_MULT}) % 365 AS lm_stale
+            FROM old LEFT JOIN new ON new.canon = old.canon
+            JOIN sz ON sz.page = old.page)
+        SELECT domain, count(*) AS n_conditional,
+               CAST(sum(CASE WHEN verdict = '304' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_304,
+               CAST(sum(CASE WHEN verdict = '200' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_200,
+               CAST(sum(CASE WHEN verdict = 'gone' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_gone,
+               CAST(sum(CASE WHEN verdict = '304' AND crawled
+                              AND lm_stale THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_lastmod_lied,
+               CAST(sum(CASE WHEN verdict = '200' AND crawled
+                              AND NOT lm_stale THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_lastmod_missed,
+               CAST(sum(CASE WHEN verdict = '200' THEN body_bytes
+                             ELSE 0 END) AS BIGINT)
+                 AS bytes_transferred,
+               CAST(sum(CASE WHEN verdict = '304' THEN body_bytes
+                             ELSE 0 END) AS BIGINT) AS bytes_saved,
+               CAST(sum(CASE WHEN verdict = '304'
+                             THEN ((('0x' || substr(md5(canon), 1, 15))
+                                    ::BIGINT % {CKSUM_MOD})
+                                   * (1 + body_bytes)) % {CKSUM_MOD}
+                             ELSE 0 END) AS BIGINT) AS etag_checksum
         FROM v GROUP BY domain ORDER BY domain
     """
 
@@ -3076,7 +3270,9 @@ ORACLES: dict[str, str] = {
     "fetch_list": _fetch_list_oracle_sql(),
     "robots_gate": _robots_oracle_sql(),
     "redirect_resolve": _redirect_oracle_sql(),
+    "redirect_aware_diff": _redirect_aware_diff_oracle_sql(),
     "recrawl_revalidation": _revalidation_oracle_sql(),
+    "etag_revalidation": _etag_revalidation_oracle_sql(),
     "url_canonical": _url_canonical_oracle_sql(),
     "crawl_diff": _crawl_diff_oracle_sql(),
     "domain_blocklist": _domain_blocklist_oracle_sql(),
