@@ -140,3 +140,129 @@ def test_train_bpe_max_vocab_caps_the_collect(spark):
     want = _reference_bpe(top, 60)
     got = train_bpe(docs, n_merges=60, max_vocab=50)
     assert got == want and len(got) >= 10
+
+
+def test_bpe_ids_round_trip_losslessly(spark):
+    """r13 verdict item 7 pin 1: encode → ids → decode reproduces the
+    tokenizer's normalized word sequence EXACTLY for every document
+    (lowercased letter runs — the engine's tokenizer contract), and
+    the id count equals the token count from the same pass."""
+    import re
+
+    from toymapreduce_go_spark.operators.bpe import (
+        bpe_decode_ids, bpe_encode_ids, bpe_vocab, train_bpe)
+    from toymapreduce_go_spark.sources.registry import load_table
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    merges = train_bpe(docs, n_merges=40)
+    vocab = bpe_vocab(merges)
+    assert len(vocab) == 26 + 1 + len(merges)
+    enc = bpe_encode_ids(docs, merges)
+    dec = {r["doc_id"]: list(r["words"])
+           for r in bpe_decode_ids(enc, merges).collect()}
+    splitter = re.compile(r"[^a-zA-Z]+")
+    base = {r["doc_id"]: [w.lower() for w in splitter.split(r["text"])
+                          if w] if r["text"] is not None else []
+            for r in docs.collect()}
+    assert dec == base
+    for r in enc.collect():
+        assert r["n_tokens"] == len(r["token_ids"])
+
+
+def test_token_packing_budgets_bind_on_real_counts(spark):
+    """r13 verdict item 7 pin 2: packing the id sequences budgets on
+    REAL trained-tokenizer counts — every multi-doc bin's fill is
+    ≤ max_tokens as measured by the actual id lengths (only
+    single-doc oversize bins exceed), and the real counts genuinely
+    differ from the heuristic (the direction that makes the re-pack
+    worth running)."""
+    from pyspark.sql import functions as F
+
+    from toymapreduce_go_spark.functions.text import bpe_ish_token_count
+    from toymapreduce_go_spark.operators.bpe import (bpe_encode_ids,
+                                                     train_bpe)
+    from toymapreduce_go_spark.operators.packing import pack_by_counts
+    from toymapreduce_go_spark.sources.registry import load_table
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(300)
+    merges = train_bpe(docs, n_merges=40)
+    ids = bpe_encode_ids(docs, merges)
+    max_tokens = 256
+    bins = pack_by_counts(
+        ids.select("doc_id", F.col("n_tokens").alias("n_tok")),
+        max_tokens=max_tokens)
+    rows = bins.collect()
+    real = {r["doc_id"]: r["n_tokens"] for r in
+            ids.select("doc_id", "n_tokens").collect()}
+    fills: dict[int, list[int]] = {}
+    for r in rows:
+        assert r["n_tok"] == real[r["doc_id"]]     # real counts bind
+        fills.setdefault(r["bin_id"], []).append(real[r["doc_id"]])
+    assert fills
+    for b, sizes in fills.items():
+        if len(sizes) > 1:
+            assert sum(sizes) <= max_tokens, (b, sizes)
+        else:
+            assert sizes[0] <= max_tokens or len(sizes) == 1
+    heur = {r["doc_id"]: r["h"] for r in docs.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("h"))
+        .collect()}
+    assert any(heur[d] != real[d] for d in real)
+
+
+def test_tokenized_webdataset_round_trip_and_pipeline_flag(
+        spark, tmp_path):
+    """r13 verdict item 7 pin 3: the tokenized tar sink round-trips id
+    sequences byte-exactly (manifest-driven, sha256-verified), keeps
+    every bin inside ONE shard, and the pipeline flag wires the whole
+    train → encode → re-pack → shard chain with a funnel stage."""
+    from pyspark.sql import functions as F
+
+    from toymapreduce_go_spark.operators.bpe import (bpe_encode_ids,
+                                                     train_bpe)
+    from toymapreduce_go_spark.operators.packing import pack_by_counts
+    from toymapreduce_go_spark.pipeline import build_training_corpus
+    from toymapreduce_go_spark.sources.registry import load_table
+    from toymapreduce_go_spark.sources.wds import (
+        read_tokenized_webdataset, write_tokenized_webdataset)
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    merges = train_bpe(docs, n_merges=30)
+    ids = bpe_encode_ids(docs, merges)
+    tok = ids.join(
+        pack_by_counts(ids.select("doc_id",
+                                  F.col("n_tokens").alias("n_tok")))
+        .select("doc_id", "bin_id"), "doc_id") \
+        .select("doc_id", "bin_id", "token_ids")
+    out = str(tmp_path / "tokshards")
+    mf = write_tokenized_webdataset(tok, out, bins_per_shard=10)
+    assert mf.count() >= 1
+    back = read_tokenized_webdataset(spark, out)
+    want = {(r["doc_id"], r["bin_id"], tuple(r["token_ids"]))
+            for r in tok.collect()}
+    got = {(r["doc_id"], r["bin_id"], tuple(r["token_ids"]))
+           for r in back.collect()}
+    assert got == want and got
+    # a bin never straddles shards: recompute each bin's shard from
+    # the member keys inside each tar
+    import os
+    import tarfile
+    bin_shards: dict[int, set] = {}
+    for name in os.listdir(out):
+        if name.endswith(".tar"):
+            with tarfile.open(os.path.join(out, name)) as tar:
+                for m in tar.getmembers():
+                    b = int(m.name.split(".")[0])
+                    bin_shards.setdefault(b, set()).add(name)
+    assert bin_shards and all(len(s) == 1 for s in bin_shards.values())
+    # the pipeline flag
+    pdir = str(tmp_path / "pipeshards")
+    _, funnel = build_training_corpus(
+        spark, SF_DIR, tokenized_shards_dir=pdir, tokenizer_merges=20)
+    stages = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    assert stages.get("4b_tokenized_shards", 0) > 0
+    assert read_tokenized_webdataset(spark, pdir).count() \
+        == stages["4b_tokenized_shards"]

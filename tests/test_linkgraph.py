@@ -169,3 +169,63 @@ def test_pagerank_warm_start_handles_added_and_removed_nodes(spark):
     w = {r["v"]: r["r"] for r in warm.collect()}
     assert set(w) == set(c) and 10**6 not in w
     assert max(abs(c[v] - w[v]) for v in c) <= PR_WARM_BOUND_MICRO
+
+
+def test_rank_store_cycles_warm_start_and_survive_crashes(spark, tmp_path):
+    """r13 verdict item 5 (the composition): cycle 0 cold-starts and
+    PERSISTS its converged ranks through the manifest-commit protocol;
+    cycle 1 (a recrawl-shaped delta) warm-starts FROM THE STORE in
+    strictly fewer iterations, lands within the disclosed truncation
+    bound of a cold run, and persists back with the cycle counter
+    advanced; a writer crash mid-protocol (staged tmp + committed
+    manifest left behind) heals forward on the next read — the store
+    is never torn."""
+    import os
+
+    from toymapreduce_go_spark.operators.linkgraph import (
+        PR_WARM_BOUND_MICRO, crawl_cycle_ranks, pagerank_converge,
+        read_rank_store, synthesize_links_skewed)
+
+    n = 400
+    docs = _docs(spark, n)
+    nodes = docs.select(F.col("doc_id").alias("v"))
+    old_edges = synthesize_links_skewed(docs, n)
+    new_edges = synthesize_links_skewed(docs, n, relink=True)
+    path = str(tmp_path / "rankstore")
+
+    r0, it0, warm0 = crawl_cycle_ranks(spark, path, nodes, old_edges)
+    assert not warm0
+    stored, meta = read_rank_store(spark, path)
+    assert meta == {"cycle_id": 0, "n_iters": it0}
+    assert {(r["v"], r["r"]) for r in stored.collect()} \
+        == {(r["v"], r["r"]) for r in r0.collect()}
+
+    r1, it1, warm1 = crawl_cycle_ranks(spark, path, nodes, new_edges)
+    assert warm1
+    cold, cold_iters = pagerank_converge(nodes, new_edges)
+    assert it1 < cold_iters
+    c = {r["v"]: r["r"] for r in cold.collect()}
+    w = {r["v"]: r["r"] for r in r1.collect()}
+    assert max(abs(c[v] - w[v]) for v in c) <= PR_WARM_BOUND_MICRO
+    _, meta1 = read_rank_store(spark, path)
+    assert meta1["cycle_id"] == 1 and meta1["n_iters"] == it1
+
+    # crash simulation: stage a junk tmp tree + a committed manifest
+    # pointing at it, then read — recovery must roll FORWARD (the
+    # manifest is the commit) and the next cycle still works
+    from toymapreduce_go_spark.sources.sinks import (
+        swap_paths, write_commit_manifest, _dir_fingerprint)
+    local, tmp, old = swap_paths(path, "rankstore")
+    spark.read.parquet(os.path.join(local, "ranks")) \
+        .write.parquet(os.path.join(tmp, "ranks"))
+    spark.read.parquet(os.path.join(local, "meta")) \
+        .write.parquet(os.path.join(tmp, "meta"))
+    write_commit_manifest(local.rstrip("/"), "rankstore",
+                          swap=[{"rel": ".",
+                                 "live": _dir_fingerprint(local)}],
+                          drop=[])
+    healed, meta2 = read_rank_store(spark, path)
+    assert meta2 == meta1
+    assert {(r["v"], r["r"]) for r in healed.collect()} \
+        == {(r["v"], r["r"]) for r in r1.collect()}
+    assert not os.path.exists(tmp)

@@ -297,3 +297,24 @@ def test_pq_rebuild_preserves_raw_code_mode(spark, tmp_path):
     write_vector_index_pq(emb, fresh, by_residual=False)
     assert _rows(ann_query_index_pq(emb, emb, raw)) \
         == _rows(ann_query_index_pq(emb, emb, fresh))
+
+
+def test_pq_rebuild_preserves_rows_under_duplicate_vec_ids(spark,
+                                                           tmp_path):
+    """ADVICE r13: a vec_id present in TWO ingest batches must not
+    square through the rebuild's key re-join (2 postings in, 4 out) —
+    the rebuild encodes each distinct vector once and re-attaches the
+    batch keys row-preservingly."""
+    from toymapreduce_go_spark.operators.similarity import (
+        extend_vector_index_pq, rebuild_vector_index_pq,
+        write_vector_index_pq)
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(64)
+    dup = emb.limit(8)                      # re-ingested in batch 1
+    path = str(tmp_path / "dup")
+    write_vector_index_pq(emb, path, batch_id=0)
+    extend_vector_index_pq(dup, path, batch_id=1)
+    before = spark.read.parquet(f"{path}/postings").count()
+    rebuild_vector_index_pq(spark, path, emb)
+    after = spark.read.parquet(f"{path}/postings").count()
+    assert before == after == emb.count() + dup.count()

@@ -570,3 +570,83 @@ def test_member_parser_names_missing_foreign_headers():
               b"WARC-Target-URI: http://h/x\r\n\r\nhello\r\n\r\n")
     with pytest.raises(ValueError, match="Content-Length"):
         _parse_member_record("sX", 0, no_len)
+
+
+def test_revisit_cycle_round_trip_and_rebuild_equality(spark):
+    """ISO 28500 §6.7.2 revisit records (r13 verdict item 4): the
+    refetch cycle stores unchanged pages as revisit records (refers-to
+    + payload digest, headers-only block) and changed pages as full
+    responses; parsing back recovers both classes losslessly; and
+    rebuilding the corpus from responses₁ + cycle-2 records EQUALS the
+    re-store-everything corpus — the container form of the 304
+    accounting. The legacy 5-column parser skips revisit records the
+    way it skips warcinfo."""
+    from toymapreduce_go_spark.operators.sitemaps import FETCH_DAY_MULT
+    from toymapreduce_go_spark.operators.warc_extract import (
+        _payload_digest, parse_warc_gz_records, parse_warc_gz_records_full,
+        rebuild_from_revisits, synthesize_warc_gz_files,
+        synthesize_warc_gz_refetch)
+    from toymapreduce_go_spark.sources.registry import load_table
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    cycle1 = parse_warc_gz_records(synthesize_warc_gz_files(docs))
+    refetch_gz = synthesize_warc_gz_refetch(docs)
+    cycle2 = parse_warc_gz_records_full(refetch_gz)
+    rows = cycle2.collect()
+    assert rows and all(r["length_ok"] for r in rows)
+    base = {r["doc_id"]: r["html"] for r in cycle1.collect()}
+    seen = set()
+    n_rev = n_resp = 0
+    for r in rows:
+        seen.add(r["doc_id"])
+        page = r["doc_id"] // 4
+        changed = (page % 365) > (page * FETCH_DAY_MULT) % 365
+        if changed:
+            assert r["record_type"] == "response"
+            assert r["html"] == base[r["doc_id"]]
+            assert r["refers_to"] is None and r["digest"] is None
+            n_resp += 1
+        else:
+            assert r["record_type"] == "revisit"
+            assert r["html"] is None
+            assert r["refers_to"] == r["doc_id"]
+            assert r["digest"] == _payload_digest(base[r["doc_id"]])
+            n_rev += 1
+    assert seen == set(base) and n_rev > 0 and n_resp > 0
+    # the legacy parser sees ONLY the full responses
+    legacy = parse_warc_gz_records(refetch_gz).collect()
+    assert {r["doc_id"] for r in legacy} \
+        == {r["doc_id"] for r in rows if r["record_type"] == "response"}
+    # rebuild equality: resolving revisits against the prior archive
+    # reproduces the full corpus byte-for-byte
+    rebuilt = {r["doc_id"]: r["html"] for r in
+               rebuild_from_revisits(cycle1, cycle2).collect()}
+    assert rebuilt == base
+
+
+def test_revisit_digest_mismatch_raises(spark):
+    """A revisit whose stored payload digest does not match the
+    referred record's actual body raises loudly inside the rebuild —
+    wrong content can never silently substitute."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from toymapreduce_go_spark.operators.warc_extract import (
+        parse_warc_gz_records, parse_warc_gz_records_full,
+        rebuild_from_revisits, synthesize_warc_gz_files,
+        synthesize_warc_gz_refetch)
+    from toymapreduce_go_spark.sources.registry import load_table
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(64)
+    cycle1 = parse_warc_gz_records(synthesize_warc_gz_files(docs))
+    cycle2 = parse_warc_gz_records_full(
+        synthesize_warc_gz_refetch(docs))
+    bad = cycle2.withColumn(
+        "digest",
+        F.when(F.col("record_type") == "revisit",
+               F.lit("sha1:0000000000000000000000000000000000000000"))
+        .otherwise(F.col("digest")))
+    with pytest.raises(Exception, match="payload digest mismatch"):
+        rebuild_from_revisits(cycle1, bad).collect()

@@ -221,6 +221,70 @@ def bpe_tokenize(documents: DataFrame,
                                 "bpe_tokens", "n_bpe_tokens")
 
 
+def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """The deterministic id table a trained merge list induces: ids
+    0..25 are the letter alphabet (the engine's tokenizer contract
+    lowercases letter runs, so the base alphabet is closed), 26 the
+    end-of-word marker, then one id per merge in training order — the
+    standard BPE vocab layout, reproducible from the merge list alone
+    (a checkpointed merges file IS the tokenizer)."""
+    syms = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [END]
+    syms += [a + b for a, b in merges]
+    return {s: i for i, s in enumerate(syms)}
+
+
+def bpe_encode_ids(documents: DataFrame,
+                   merges: list[tuple[str, str]]) -> DataFrame:
+    """Corpus-wide apply of a TRAINED tokenizer to integer token ids
+    (r13 verdict item 7 — downstream packing/sharding must budget on
+    real token counts, not the ``bpe_ish_token_count`` heuristic):
+    the Arrow-batched merge walk produces the token strings, then the
+    string→id map rides a JVM-side ``create_map`` literal (the vocab
+    is model-sized), with an unknown-symbol guard that RAISES — an id
+    table that silently dropped or nulled a token would corrupt every
+    downstream sequence. Emits (doc_id, source, token_ids array<int>,
+    n_tokens, n_words)."""
+    vocab = bpe_vocab(merges)
+    vmap = F.create_map(*[F.lit(x) for s, i in vocab.items()
+                          for x in (s, i)])
+    toked = bpe_tokenize(documents, merges)
+    ids = F.transform(
+        "bpe_tokens",
+        lambda t: F.when(
+            vmap[t].isNull(),
+            F.raise_error(F.concat(
+                F.lit("bpe_encode_ids: token outside the trained "
+                      "vocab: "), t)).cast("int"))
+        .otherwise(vmap[t].cast("int")))
+    return toked.select(
+        "doc_id", "source", ids.alias("token_ids"),
+        F.col("n_bpe_tokens").alias("n_tokens"), "n_words")
+
+
+def bpe_decode_ids(frame: DataFrame,
+                   merges: list[tuple[str, str]],
+                   ids_col: str = "token_ids") -> DataFrame:
+    """Lossless detokenization: ids → symbols → words (split on the
+    end-of-word marker). Inverse of ``bpe_encode_ids`` with respect to
+    the tokenizer's normalization (lowercased letter runs) — the
+    pytest pin. Adds ``words array<string>``; id→symbol is the same
+    JVM-side map literal, inverted."""
+    vocab = bpe_vocab(merges)
+    inv = F.create_map(*[F.lit(x) for s, i in vocab.items()
+                         for x in (i, s)])
+    sym = F.transform(
+        ids_col,
+        lambda t: F.when(
+            inv[t].isNull(),
+            F.raise_error(F.concat(
+                F.lit("bpe_decode_ids: id outside the trained "
+                      "vocab: "), t.cast("string"))).cast("string"))
+        .otherwise(inv[t]))
+    words = F.filter(
+        F.split(F.array_join(sym, ""), END, -1), lambda w: w != "")
+    return frame.withColumn("words", words)
+
+
 def bpe_stats(documents: DataFrame, n_merges: int = 50,
               min_count: int = 1,
               max_vocab: int | None = None) -> DataFrame:

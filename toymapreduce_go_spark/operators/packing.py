@@ -60,21 +60,36 @@ def _pack_shard(pdf):
     })
 
 
-def pack_sequences(documents: DataFrame, max_tokens: int = 256,
+def pack_by_counts(counts: DataFrame, max_tokens: int = 256,
                    n_shards: int = 64) -> DataFrame:
-    """(doc_id, n_tok, shard, bin_id): every document assigned to exactly
-    one packing bin of budget ``max_tokens``."""
-    slim = documents.select(
+    """(doc_id, n_tok, shard, bin_id) over an explicit (doc_id, n_tok)
+    frame — the generalized packer: callers with REAL token counts (a
+    trained tokenizer's ``bpe_encode_ids``, r14) and the heuristic
+    path share one FFD/sharding implementation, so bin semantics can
+    never diverge between them."""
+    slim = counts.select(
         "doc_id",
-        # null text (dirty data) packs as a zero-token doc — the bin
-        # assignment must never crash on it
-        F.coalesce(bpe_ish_token_count(F.col("text")).cast("long"),
-                   F.lit(0)).alias("n_tok"),
+        F.coalesce(F.col("n_tok").cast("long"), F.lit(0)).alias("n_tok"),
         (F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)))
         .cast("int").alias("shard"),
         F.lit(max_tokens).alias("cap"),
     )
     return slim.groupBy("shard").applyInPandas(_pack_shard, PACK_SCHEMA)
+
+
+def pack_sequences(documents: DataFrame, max_tokens: int = 256,
+                   n_shards: int = 64) -> DataFrame:
+    """(doc_id, n_tok, shard, bin_id): every document assigned to exactly
+    one packing bin of budget ``max_tokens``. Counts come from the
+    JVM-side ``bpe_ish_token_count`` heuristic (null text — dirty data
+    — packs as a zero-token doc); pipelines with a trained tokenizer
+    pack id sequences through ``pack_by_counts`` on real counts
+    instead."""
+    return pack_by_counts(
+        documents.select(
+            "doc_id",
+            bpe_ish_token_count(F.col("text")).alias("n_tok")),
+        max_tokens, n_shards)
 
 
 def packing_stats(documents: DataFrame, max_tokens: int = 256,

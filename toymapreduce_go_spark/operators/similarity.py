@@ -1519,7 +1519,13 @@ def rebuild_vector_index_pq(spark, path: str, corpus: DataFrame,
     ).coalesce(1).write.mode("overwrite").parquet(
         f"file://{tmp}/pq_model")
     if cents:
-        (_pq_assign(posts.select("vec_id", "embedding"), cents, books,
+        # encode each DISTINCT vec_id once before re-attaching batch
+        # keys (ADVICE r13: a vec_id present in two ingest_batches
+        # would otherwise square through this join — 2 postings in, 4
+        # out — unlike the row-preserving flat rebuild; latent only
+        # because refresh retracts before extending)
+        (_pq_assign(posts.select("vec_id", "embedding")
+                    .dropDuplicates(["vec_id"]), cents, books,
                     by_residual)
          .join(keys, "vec_id")
          .select("vec_id", "codes", "vnorm", "ingest_batch", "cell")

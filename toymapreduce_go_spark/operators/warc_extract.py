@@ -522,6 +522,170 @@ def synthesize_warc_gz_files(documents: DataFrame) -> DataFrame:
                                 "source string, warc_gz binary")
 
 
+# ---------------------------------------------------------------------------
+# WARC `revisit` records (ISO 28500 §6.7.2 — r13 verdict item 4): the
+# on-disk form of the 304/dedup outcome. A refetch cycle stores an
+# UNCHANGED page as a revisit record carrying ``WARC-Refers-To`` (the
+# original response's record id), ``WARC-Payload-Digest``, and the
+# headers-only HTTP block — the body never re-enters the archive —
+# while changed pages store full response records. Rebuilding a corpus
+# from responses + revisits resolves each revisit through its referred
+# record WITH digest validation, and equals the re-store-everything
+# corpus (the equality pin). Digest convention (documented): sha1 over
+# the DECODED body bytes (transfer+content codings removed), so the
+# digest is stable across the fixture's body-encoding classes; a NULL
+# body (204) digests the empty string.
+
+REVISIT_PROFILE = ("http://netpreserve.org/warc/1.0/revisit/"
+                   "identical-payload-digest")
+
+
+def _payload_digest(html: str | None) -> str:
+    import hashlib
+    raw = b"" if html is None else str(html).encode()
+    return "sha1:" + hashlib.sha1(raw).hexdigest()
+
+
+def _revisit_record(doc_id: int, uri: str, digest: str) -> bytes:
+    http = b"HTTP/1.1 304 Not Modified\r\n\r\n"
+    return (b"WARC/1.0\r\n"
+            b"WARC-Type: revisit\r\n"
+            b"WARC-Record-ID: urn:doc:" + str(doc_id).encode()
+            + b":revisit\r\nWARC-Refers-To: urn:doc:"
+            + str(doc_id).encode()
+            + b"\r\nWARC-Profile: " + REVISIT_PROFILE.encode()
+            + b"\r\nWARC-Payload-Digest: " + digest.encode()
+            + b"\r\nWARC-Date: 2026-02-0" + str(doc_id % 9 + 1).encode()
+            + b"T00:00:00Z\r\nWARC-Target-URI: " + str(uri).encode()
+            + b"\r\nContent-Type: application/http;msgtype=response"
+            b"\r\nContent-Length: " + str(len(http)).encode()
+            + b"\r\n\r\n" + http + b"\r\n\r\n")
+
+
+def _gz_refetch_members(batches):
+    # one gzip member per record, exactly like _gz_member_records —
+    # unchanged pages emit revisit records, changed pages full
+    # responses (the fixture's recrawl-staleness class)
+    import gzip
+
+    for pdf in batches:
+        pdf = pdf.copy()
+        gz = []
+        for doc_id, uri, html, changed in zip(
+                pdf["doc_id"], pdf["uri"], pdf["html"], pdf["changed"]):
+            did = int(doc_id)
+            h = None if html is None else str(html)
+            if bool(changed):
+                http = _http_block(did, h)
+                rec = (b"WARC/1.0\r\n"
+                       b"WARC-Type: response\r\n"
+                       b"WARC-Record-ID: urn:doc:" + str(did).encode()
+                       + b"\r\nWARC-Date: 2026-02-0"
+                       + str(did % 9 + 1).encode()
+                       + b"T00:00:00Z\r\nWARC-Target-URI: "
+                       + str(uri).encode()
+                       + b"\r\nContent-Type: application/http;"
+                       b"msgtype=response\r\nContent-Length: "
+                       + str(len(http)).encode()
+                       + b"\r\n\r\n" + http + b"\r\n\r\n")
+            else:
+                rec = _revisit_record(did, str(uri), _payload_digest(h))
+            gz.append(gzip.compress(rec, 6, mtime=0))
+        pdf["gz"] = gz
+        yield pdf[["source", "idx", "gz"]]
+
+
+def synthesize_warc_gz_refetch(documents: DataFrame) -> DataFrame:
+    """(source, warc_gz): the REFETCH cycle's .warc.gz — per document,
+    a full response record when the recrawl-staleness class says the
+    content changed (``page % 365 > (page·7) % 365``, the shared
+    ``sitemaps.FETCH_DAY_MULT`` fixture), else a revisit record
+    pointing at the original response. Same member framing and
+    per-record parallelism as ``synthesize_warc_gz_files``."""
+    from .sitemaps import FETCH_DAY_MULT
+    page = F.expr("doc_id div 4").cast("long")
+    pages = synthesize_html(documents).select(
+        "source", "doc_id", synth_url_expr().alias("uri"), "html",
+        (F.pmod(page, F.lit(365))
+         > F.pmod(page * FETCH_DAY_MULT, F.lit(365))).alias("changed"))
+    rec = pages.select("source", F.col("doc_id").alias("idx"),
+                       "doc_id", "uri", "html", "changed")
+    members = rec.mapInPandas(
+        _gz_refetch_members,
+        "source string, idx long, gz binary").unionByName(
+        documents.select("source").distinct()
+        .mapInPandas(_warcinfo_members,
+                     "source string, idx long, gz binary"))
+    per_file = (members.groupBy("source")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "gz"))),
+                    lambda s: s["gz"]).alias("members")))
+    return per_file.mapInPandas(_join_members,
+                                "source string, warc_gz binary")
+
+
+def _parse_members_full_udf(batches):
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for src, gz in zip(pdf["source"], pdf["warc_gz"]):
+            for n, rec in enumerate(_walk_members(str(src), bytes(gz))):
+                parsed = _parse_member_record(str(src), n, rec,
+                                              full=True)
+                if parsed is not None:
+                    rows.append(parsed)
+        yield pd.DataFrame(
+            rows, columns=["source", "doc_id", "uri", "html",
+                           "length_ok", "record_type", "refers_to",
+                           "digest"])
+
+
+def parse_warc_gz_records_full(gz: DataFrame) -> DataFrame:
+    """The revisit-aware member parser: (source, doc_id, uri, html,
+    length_ok, record_type, refers_to, digest) — response records as
+    in ``parse_warc_gz_records`` (record_type='response', refers_to/
+    digest NULL), revisit records with a NULL html, the referred
+    record id, and the stored payload digest."""
+    return gz.mapInPandas(
+        _parse_members_full_udf,
+        "source string, doc_id long, uri string, html string, "
+        "length_ok boolean, record_type string, refers_to long, "
+        "digest string")
+
+
+def rebuild_from_revisits(responses: DataFrame,
+                          refetch: DataFrame) -> DataFrame:
+    """Resolve a refetch cycle against the prior archive: response
+    records carry their own body; revisit records pull the referred
+    response's body, with the stored ``WARC-Payload-Digest`` checked
+    against the referred body's actual sha1 INSIDE the join (a stale
+    or corrupt reference raises loudly, never silently substitutes
+    the wrong content). Returns (doc_id, html) — pinned equal to the
+    re-store-everything corpus in pytest. One metadata-sized equi-join
+    on the record id; at 100 TB both sides bucket by doc_id."""
+    resp = responses.select(F.col("doc_id").alias("refers_to"),
+                            F.col("html").alias("_ref_html"))
+    rev = refetch.filter(F.col("record_type") == "revisit")
+    actual = F.concat(F.lit("sha1:"),
+                      F.sha1(F.encode(F.coalesce("_ref_html", F.lit("")),
+                                      "UTF-8")))
+    resolved = (rev.join(resp, "refers_to", "left")
+                .select(
+                    F.col("refers_to").alias("doc_id"),
+                    F.when(actual.eqNullSafe(F.col("digest")),
+                           F.col("_ref_html"))
+                    .otherwise(F.raise_error(F.concat(
+                        F.lit("warc_revisit: payload digest mismatch "
+                              "on doc "),
+                        F.col("refers_to").cast("string"),
+                        F.lit(" (stored "), F.col("digest"),
+                        F.lit(")"))).cast("string")).alias("html")))
+    fresh = (refetch.filter(F.col("record_type") == "response")
+             .select("doc_id", "html"))
+    return resolved.unionByName(fresh)
+
+
 def _walk_members(src: str, data: bytes) -> list[bytes]:
     """The ONE fixed-window multi-member gzip walk (shared by the
     per-member record parser and ``_gunzip_members``' rejoin path),
@@ -565,12 +729,16 @@ def _walk_members(src: str, data: bytes) -> list[bytes]:
     return members
 
 
-def _parse_member_record(src: str, n: int, rec: bytes):
+def _parse_member_record(src: str, n: int, rec: bytes,
+                         full: bool = False):
     """Parse ONE inflated member as ONE record (byte-offset framing:
     Content-Length slices the http block exactly; the payload may
     contain anything, including the textual record delimiter).
-    Returns None for non-response records (warcinfo), else (source,
-    doc_id, uri, html, length_ok)."""
+    Returns None for records neither path consumes (warcinfo), else
+    (source, doc_id, uri, html, length_ok) — extended by
+    (record_type, refers_to, digest) when ``full`` (the revisit-aware
+    form; the 5-column path skips revisit records the way it skips
+    warcinfo)."""
     import gzip
     import re as _re
     import zlib
@@ -579,7 +747,34 @@ def _parse_member_record(src: str, n: int, rec: bytes):
     if head_end < 0 or not rec.startswith(b"WARC/1.0\r\n"):
         raise ValueError(f"warc_gz: member {n} in source {src} is "
                          f"not a WARC/1.0 record")
-    head = rec[:head_end].decode()
+    try:
+        head = rec[:head_end].decode()
+    except UnicodeDecodeError as e:
+        # descriptive error on foreign bytes (ADVICE r13): never an
+        # opaque UnicodeDecodeError from inside the pandas UDF
+        raise ValueError(
+            f"warc_gz: member {n} in source {src} has a non-UTF-8 "
+            f"record head: {e}") from None
+    is_revisit = "\r\nWARC-Type: revisit\r\n" in head + "\r\n"
+    if is_revisit:
+        if not full:
+            return None
+        mref = _re.search(r"WARC-Refers-To: urn:doc:(-?\d+)", head)
+        mdig = _re.search(r"WARC-Payload-Digest: (\S+)", head)
+        mid = _re.search(r"WARC-Record-ID: urn:doc:(-?\d+)", head)
+        muri = _re.search(r"WARC-Target-URI: (\S+)", head)
+        mlen = _re.search(r"Content-Length: (\d+)", head)
+        if not (mref and mdig and mid and muri and mlen):
+            raise ValueError(
+                f"warc_gz: revisit member {n} in source {src} lacks "
+                f"a parseable WARC-Refers-To/Payload-Digest/Record-ID/"
+                f"Target-URI/Content-Length header")
+        clen = int(mlen.group(1))
+        block = rec[head_end + 4:]
+        ok = (len(block) == clen + 4 and block.endswith(b"\r\n\r\n")
+              and block[:clen].startswith(b"HTTP/1.1 304"))
+        return (src, int(mid.group(1)), muri.group(1), None, ok,
+                "revisit", int(mref.group(1)), mdig.group(1))
     if "\r\nWARC-Type: response\r\n" not in head + "\r\n":
         return None
     # descriptive errors on foreign header shapes (review r13): a
@@ -605,10 +800,17 @@ def _parse_member_record(src: str, n: int, rec: bytes):
                  and block.endswith(b"\r\n\r\n"))
     http = block[:clen]
     hdr_end = http.find(b"\r\n\r\n")
-    hdrs = http[:hdr_end].decode() if hdr_end >= 0 else ""
+    try:
+        hdrs = http[:hdr_end].decode() if hdr_end >= 0 else ""
+    except UnicodeDecodeError as e:
+        raise ValueError(
+            f"warc_gz: non-UTF-8 http headers on doc {doc_id} in "
+            f"source {src}: {e}") from None
     payload = http[hdr_end + 4:] if hdr_end >= 0 else b""
+    tail = ("response", None, None) if full else ()
     if hdrs.startswith("HTTP/1.1 204"):
-        return (src, doc_id, uri, None, length_ok and payload == b"")
+        return (src, doc_id, uri, None,
+                length_ok and payload == b"", *tail)
     body = payload
     if "Transfer-Encoding: chunked" in hdrs:
         body, ok = _dechunk_body(body)
@@ -620,7 +822,13 @@ def _parse_member_record(src: str, n: int, rec: bytes):
             raise ValueError(
                 f"warc_gz: corrupt gzip response body on doc "
                 f"{doc_id} in source {src}: {e}") from None
-    return (src, doc_id, uri, body.decode(), length_ok)
+    try:
+        text = body.decode()
+    except UnicodeDecodeError as e:
+        raise ValueError(
+            f"warc_gz: non-UTF-8 response body on doc {doc_id} in "
+            f"source {src}: {e}") from None
+    return (src, doc_id, uri, text, length_ok, *tail)
 
 
 def _parse_members_udf(batches):

@@ -64,7 +64,9 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
                           blocklist: list[str] | None = None,
                           robots: bool = False,
                           fix_encoding: bool = False,
-                          eval_docs: DataFrame | None = None
+                          eval_docs: DataFrame | None = None,
+                          tokenized_shards_dir: str | None = None,
+                          tokenizer_merges: int = 50
                           ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation funnel over ``sf_dir``'s documents table
     (or an explicit ``docs`` frame — the hook fault-injection and
@@ -365,6 +367,27 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
     curated = clean.select("doc_id", "source", "lang", "text").join(
         bins.select("doc_id", "bin_id"), "doc_id")
     stages.append(("4_packed", curated.count()))
+
+    # 5b (optional). Tokenized training shards (r14): train the BPE
+    # tokenizer on the CURATED corpus, apply it corpus-wide to token
+    # IDS, re-pack the id sequences on REAL token counts (the
+    # heuristic bins above budget pre-tokenizer), and deliver through
+    # the tokenized WebDataset sink — the artifact a pretraining
+    # loader mounts directly.
+    if tokenized_shards_dir is not None:
+        from .operators.bpe import bpe_encode_ids, train_bpe
+        from .operators.packing import pack_by_counts
+        from .sources.wds import write_tokenized_webdataset
+        merges = train_bpe(clean, tokenizer_merges)
+        ids = bpe_encode_ids(clean, merges)
+        tbins = pack_by_counts(
+            ids.select("doc_id", F.col("n_tokens").alias("n_tok")),
+            max_tokens=max_tokens)
+        tok = ids.join(tbins.select("doc_id", "bin_id"), "doc_id")
+        write_tokenized_webdataset(
+            tok.select("doc_id", "bin_id", "token_ids"),
+            tokenized_shards_dir)
+        stages.append(("4b_tokenized_shards", tok.count()))
 
     if out_path is not None:
         from .sources.fs import split_scheme
