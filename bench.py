@@ -43,7 +43,10 @@ TIER2_QUERIES = ["image_phash", "audio_fingerprint", "video_fingerprint",
                  # fetch list SUPERSETS crawl_frontier (PageRank
                  # iterations + both discovery channels + the recrawl
                  # channel + the budget window), so benching it covers
-                 # the whole multi-second r11 scheduling family once
+                 # the whole multi-second r11 scheduling family once;
+                 # since r14 it also covers the composed redirect
+                 # resolution (edge synthesis + hop walk + re-key +
+                 # terminal-host gates on every channel)
                  "fetch_list"]
 
 

@@ -143,6 +143,9 @@ def test_channels_partition_and_agree_with_their_modules(spark):
         if (page % 365) > (page * 7) % 365:
             if m % 8 == 6 and page % 5 not in (1, 2):
                 dom = f"www.site{m}mm.example.com"
+            elif m % 8 == 6 and page % 5 == 2:
+                # 301 into a 302: identity at the intermediate (r14)
+                dom = f"www.site{m}m.example.com"
             else:
                 dom = f"www.site{m}.example.com"
             want[dom] = want.get(dom, 0) + 1
@@ -283,10 +286,13 @@ def test_redirect_composition_keys_moved_pages_at_terminal_host(spark):
         m = p % 16
         assert len(on_k[p]) == 1 and len(off_k[p]) == 1   # exactly once
         assert off_k[p] == [f"www.site{m}.example.com"]
-        if p % 5 in (1, 2):     # temporary / mixed chain: key unmoved
+        if p % 5 == 1:          # temp-first chain: key unmoved
             assert on_k[p] == [f"www.site{m}.example.com"]
             seen_keep += 1
-        else:                   # permanent chain: terminal host key
+        elif p % 5 == 2:        # 301 into 302: the intermediate (r14)
+            assert on_k[p] == [f"www.site{m}m.example.com"]
+            seen_perm += 1
+        else:                   # fully permanent: terminal host key
             assert on_k[p] == [f"www.site{m}mm.example.com"]
             seen_perm += 1
     assert seen_perm and seen_keep

@@ -80,15 +80,20 @@ def test_fixture_classes_and_rollup_direction(spark):
         suffix, page = g.group(1), int(g.group(2))
         if suffix == "" and page % 2 == 0:
             assert r["hops"] == 2 and "mm.example.com" in r["final"]
-            # chain perm = hop1 perm AND hop2 perm (RFC 9110: a chain
-            # broken by a temporary hop establishes no new identity)
+            # chain perm = hop1 perm AND hop2 perm; identity follows
+            # the permanent PREFIX (review r14): 301 into a 302 lands
+            # at the intermediate, 302 into a 301 stays home
             want = page % 5 != 1 and page % 5 != 2
             assert r["perm"] == want
             if page % 5 == 2:
+                assert r["perm_final"].split("/articles")[0] \
+                    .endswith(f"site{page % 16}m.example.com")
                 classes.add("mixed_pt")     # 301 into a 302
             elif page % 5 == 1:
+                assert r["perm_final"] == r["src"]
                 classes.add("mixed_tp")     # 302 into a 301
             else:
+                assert r["perm_final"] == r["final"]
                 classes.add("perm2")
         elif suffix == "":
             # moved pages are p ≡ 6/14 (mod 16) — always even, so
@@ -118,12 +123,18 @@ def test_permanence_and_duplicate_src_semantics(spark):
         "src string, dst string, perm boolean")
     out = {r["src"]: r for r in resolve_redirects(mixed).collect()}
     assert not out["a"]["perm"] and out["a"]["final"] == "c"
+    # review r14 (permanent prefix): a's 301 moved identity to b even
+    # though b 302s onward — perm_final is the intermediate
+    assert out["a"]["perm_final"] == "b"
     assert out["p"]["perm"] and out["p"]["final"] == "r"
-    assert not out["t"]["perm"]
+    assert out["p"]["perm_final"] == "r"
+    assert not out["t"]["perm"] and out["t"]["perm_final"] == "t"
     # b went through only its own (temporary) hop
     assert not out["b"]["perm"] and out["b"]["final"] == "c"
+    assert out["b"]["perm_final"] == "b"
     noperm = spark.createDataFrame([("x", "y")], "src string, dst string")
-    assert resolve_redirects(noperm).collect()[0]["perm"] is True
+    row0 = resolve_redirects(noperm).collect()[0]
+    assert row0["perm"] is True and row0["perm_final"] == "y"
     dup = spark.createDataFrame(
         [("s", "b", True), ("s", "a", False), ("a", "z", True)],
         "src string, dst string, perm boolean")
@@ -132,7 +143,7 @@ def test_permanence_and_duplicate_src_semantics(spark):
     assert len([r for r in rows if r["src"] == "s"]) == 1
     # min (dst, perm) winner: ('a', false) < ('b', true)
     assert got["s"]["final"] == "z" and got["s"]["hops"] == 2
-    assert not got["s"]["perm"]
+    assert not got["s"]["perm"] and got["s"]["perm_final"] == "s"
 
 
 def test_apply_redirects_rekeys_and_dedups_across_the_move(spark):
@@ -183,20 +194,21 @@ def test_apply_redirects_rekeys_and_dedups_across_the_move(spark):
     assert sorted(r["doc_id"] for r in plain) \
         == sorted(r["doc_id"] for r in rekeyed)
     import re
-    stayed = set()
+    by_host: dict[str, set] = {"": set(), "m": set(), "mm": set()}
     for r in rekeyed:
-        g = re.match(r"http://www\.site(\d+)\.example\.com"
+        g = re.match(r"http://www\.site(\d+)(m*)\.example\.com"
                      r"/articles/item(\d+)", r["canon"])
         if g and int(g.group(1)) % 8 == 6:
-            stayed.add(int(g.group(2)))
-    # exactly the non-fully-permanent chains stay at the old host
+            by_host[g.group(2)].add(int(g.group(3)))
+    # permanent-prefix identity: temp-first chains stay home, 301→302
+    # lands at the intermediate host, fully-permanent at the terminal
     n_pages = (docs.count() + 3) // 4
-    want_stay = {p for p in range(n_pages)
-                 if p % 16 % 8 == 6
-                 and (p % 5 == 1 or (p % 2 == 0 and p % 5 == 2))}
-    assert stayed == want_stay and stayed
-    assert any("site6m" in r["canon"] or "site6mm" in r["canon"]
-               for r in rekeyed)
+    moved = {p for p in range(n_pages) if p % 16 % 8 == 6}
+    assert by_host[""] == {p for p in moved if p % 5 == 1}
+    assert by_host["m"] == {p for p in moved if p % 5 == 2}
+    assert by_host["mm"] == {p for p in moved
+                             if p % 5 not in (1, 2)}
+    assert by_host[""] and by_host["m"] and by_host["mm"]
 
 
 def _page_of(canon: str) -> int:
@@ -240,7 +252,7 @@ def test_redirect_aware_diff_is_move_transparent(spark):
 
     n_pages = docs.count() // 4 + (docs.count() % 4 > 0)
     perm_moved = {p for p in range(n_pages)
-                  if p % 16 % 8 == 6 and p % 5 not in (1, 2)}
+                  if p % 16 % 8 == 6 and p % 5 != 1}
     assert perm_moved
     # naive: a moved page present in both crawls splits into
     # removed (old key) + added (new key) unless excluded
@@ -285,6 +297,6 @@ def test_pure_move_refresh_retracts_nothing_with_aware_diff(spark):
     naive = crawl_diff(old, new)
     n_naive = stale_keys_from_diff(naive, old_keys, "prior_id").count()
     n_pages = docs.count() // 4 + (docs.count() % 4 > 0)
-    perm_moved = {p for p in range(n_pages)
-                  if p % 16 % 8 == 6 and p % 5 not in (1, 2)}
-    assert n_naive == len(perm_moved) > 0
+    rekeyed = {p for p in range(n_pages)
+               if p % 16 % 8 == 6 and p % 5 != 1}
+    assert n_naive == len(rekeyed) > 0

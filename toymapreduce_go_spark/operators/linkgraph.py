@@ -243,13 +243,17 @@ def write_rank_store(ranks: DataFrame, path: str, n_iters: int,
     local, tmp, old = swap_paths(path, "rankstore")
     recover_swap(local, tmp, old, "rankstore")
     spark = ranks.sparkSession
+    # explicit file:// like every other swap-protocol writer (review
+    # r14): the staged tree MUST land on the local filesystem the
+    # os.rename-based commit operates on, whatever the session's
+    # default filesystem is
     ranks.select("v", "r").write.mode("overwrite") \
-        .parquet(os.path.join(tmp, "ranks"))
+        .parquet(f"file://{os.path.join(tmp, 'ranks')}")
     spark.createDataFrame(
         [(int(cycle_id), int(n_iters))],
         "cycle_id long, n_iters long",
     ).coalesce(1).write.mode("overwrite") \
-        .parquet(os.path.join(tmp, "meta"))
+        .parquet(f"file://{os.path.join(tmp, 'meta')}")
     commit_swap(local, tmp, old, "rankstore")
 
 
@@ -264,8 +268,9 @@ def read_rank_store(spark, path: str):
     recover_swap(local, tmp, old, "rankstore")
     if not os.path.isdir(os.path.join(local, "ranks")):
         return None, None
-    meta = spark.read.parquet(os.path.join(local, "meta")).first()
-    return (spark.read.parquet(os.path.join(local, "ranks")),
+    meta = spark.read.parquet(
+        f"file://{os.path.join(local, 'meta')}").first()
+    return (spark.read.parquet(f"file://{os.path.join(local, 'ranks')}"),
             {"cycle_id": int(meta["cycle_id"]),
              "n_iters": int(meta["n_iters"])})
 
@@ -281,7 +286,7 @@ def crawl_cycle_ranks(spark, path: str, nodes: DataFrame,
     by the converge contract), persist the converged ranks back, and
     return (ranks, n_iters, warm). On a recrawl-shaped delta the warm
     iteration count is strictly below cold (pinned in
-    tests/test_crawl_cycle.py) — the refresh cycle's rank stage costs
+    tests/test_linkgraph.py) — the refresh cycle's rank stage costs
     what the delta needs, not the cold power-iteration budget."""
     prior, meta = read_rank_store(spark, path)
     ranks, n_iters = pagerank_converge(

@@ -22,15 +22,22 @@ exist. One loop is planted per moved host (``/loop/a`` ↔ ``/loop/b``)
 silently resolve.
 
 PERMANENCE (r13 verdict item 2 — RFC 9110 §15.4.2/.3/.8/.9): each
-edge carries a ``perm`` flag (301/308 vs 302/307). A chain is
-permanent only if EVERY followed hop is; ``apply_redirects`` re-keys
-ONLY permanent chains — a temporarily-redirected page's fetch lands
-at the target, but its identity and all keyed state stay at the
-original URL (§15.4.3: "the client SHOULD continue to use the target
-URI for future requests" applies to 301/308 only). Fixture classes:
-hop-1 edges are temporary on pages ``p % 5 == 1``, hop-2 edges on
-``p % 5 == 2`` — so fully-permanent, fully-temporary, AND mixed
-(permanent hop into a temporary hop) chains all exist.
+edge carries a ``perm`` flag (301/308 vs 302/307). Identity moves
+along the chain's PERMANENT PREFIX: every 301 re-points identity at
+its own target, so a 301 into a 302 moves identity to the
+INTERMEDIATE (the fetch continues to the temporal final, but keyed
+state must land where the last permanent hop pointed — §15.4.2
+applies per response, and §15.4.3 says a 302's target must NOT
+re-key). ``resolve_redirects`` therefore reports both the temporal
+``final`` and ``perm_final`` (the last node reached while every hop
+so far was permanent); ``apply_redirects`` re-keys on
+``perm_final``. ``perm`` still reports whether the WHOLE chain was
+permanent (perm_final == final for unlooped chains). Fixture
+classes: hop-1 edges are temporary on pages ``p % 5 == 1``, hop-2
+edges on ``p % 5 == 2`` — so fully-permanent, fully-temporary, AND
+both mixed directions exist (301→302 re-keys to the intermediate;
+302→301 keeps the original key — a later permanent hop cannot
+re-establish a prefix a temporary hop broke).
 
 100 TB shape: the redirect edge set is page-sized metadata (a crawl
 log column, never the corpus); resolution is ``REDIRECT_MAX_HOPS``
@@ -112,14 +119,18 @@ def synthesize_redirects(documents: DataFrame) -> DataFrame:
 
 def resolve_redirects(edges: DataFrame,
                       max_hops: int = REDIRECT_MAX_HOPS) -> DataFrame:
-    """(src, final, hops, looped, perm): every redirect SOURCE
-    followed to its terminal URL (one with no outgoing edge) within
-    ``max_hops``. ``looped`` marks sources that revisit themselves or
-    exhaust the budget — flagged, never silently dropped or
-    half-resolved (the RFC 9110 §15.4 client obligation). ``perm`` is
-    the CHAIN class: true iff every followed hop was permanent (an
-    edge frame without a ``perm`` column resolves as all-permanent —
-    the pre-r14 behavior). A crawl log may carry conflicting
+    """(src, final, hops, looped, perm, perm_final): every redirect
+    SOURCE followed to its terminal URL (one with no outgoing edge)
+    within ``max_hops``. ``looped`` marks sources that revisit
+    themselves or exhaust the budget — flagged, never silently
+    dropped or half-resolved (the RFC 9110 §15.4 client obligation).
+    ``perm`` is the CHAIN class (every followed hop permanent);
+    ``perm_final`` is the IDENTITY target — the last node reached
+    while the hop prefix was all-permanent (== ``src`` when the first
+    hop is temporary, == ``final`` when the whole chain is permanent;
+    review r14: a 301 into a 302 moves identity to the intermediate).
+    An edge frame without a ``perm`` column resolves as all-permanent
+    — the pre-r14 behavior. A crawl log may carry conflicting
     ``Location`` values for one source (ADVICE r13: duplicate srcs
     would multiply rows at every hop join); edges dedupe to ONE
     deterministic edge per src first (min (dst, perm) struct). Each
@@ -136,7 +147,9 @@ def resolve_redirects(edges: DataFrame,
         "src", F.col("dst").alias("final"),
         F.lit(1).alias("hops"),
         (F.col("dst") == F.col("src")).alias("looped"),
-        "perm")
+        "perm",
+        F.when(F.col("perm"), F.col("dst")).otherwise(F.col("src"))
+        .alias("perm_final"))
     for _ in range(1, max_hops):
         nxt = edges.select(F.col("src").alias("final"),
                            F.col("dst").alias("nxt"),
@@ -152,7 +165,12 @@ def resolve_redirects(edges: DataFrame,
                     | (F.col("nxt").eqNullSafe(F.col("src"))))
                    .alias("looped"),
                    F.when(followed, F.col("perm") & F.col("_nperm"))
-                   .otherwise(F.col("perm")).alias("perm"))
+                   .otherwise(F.col("perm")).alias("perm"),
+                   # the identity prefix extends only while it is
+                   # STILL all-permanent at the hop being taken
+                   F.when(followed & F.col("perm") & F.col("_nperm"),
+                          F.col("nxt"))
+                   .otherwise(F.col("perm_final")).alias("perm_final"))
                .localCheckpoint())
     # budget exhaustion: a final that STILL has an outgoing edge never
     # terminated within max_hops — flag it like a loop
@@ -161,27 +179,30 @@ def resolve_redirects(edges: DataFrame,
     return (cur.join(more.distinct(), "final", "left")
             .select("src", "final", "hops",
                     (F.col("looped") | F.coalesce("_more", F.lit(False)))
-                    .alias("looped"), "perm"))
+                    .alias("looped"), "perm", "perm_final"))
 
 
 def apply_redirects(frame: DataFrame,
                     resolved: DataFrame) -> DataFrame:
     """Re-key any frame carrying ``canon`` on the redirect-resolved
-    FINAL url, for PERMANENT chains only (RFC 9110 §15.4.2: only
-    301/308 moves identity; a 302/307 source keeps its key — and a
-    chain broken by a temporary hop establishes no stable new
-    identity). Non-redirected canons pass through; looped sources are
-    left on their original canon — a crawler refuses to follow them,
-    so their state keys must not move. The final is canonicalized
-    before it becomes a key (ADVICE r13: a production ``Location``
-    with an uppercase host or default port must not inject
-    non-canonical keys into the canon keyspace). ONE left join with
-    NO broadcast hint — the mapping is page-scale (the r13 verdict's
-    ``weak``): AQE picks the local strategy, and at cluster scale
-    both sides bucket by ``canon`` and co-locate."""
-    mapping = (resolved.filter(~F.col("looped") & F.col("perm"))
+    PERMANENT-PREFIX target (RFC 9110 §15.4.2: only 301/308 moves
+    identity; a 302/307 source keeps its key; a 301 INTO a 302 moves
+    identity exactly to the intermediate the 301 named — review r14).
+    Non-redirected canons pass through; looped sources are left on
+    their original canon — a crawler refuses to follow them, so their
+    state keys must not move. The target is canonicalized before it
+    becomes a key (ADVICE r13: a production ``Location`` with an
+    uppercase host or default port must not inject non-canonical keys
+    into the canon keyspace). ONE left join with NO broadcast hint —
+    the mapping is page-scale (the r13 verdict's ``weak``): AQE picks
+    the local strategy, and at cluster scale both sides bucket by
+    ``canon`` and co-locate."""
+    mapping = (resolved
+               .filter(~F.col("looped")
+                       & (F.col("perm_final") != F.col("src")))
                .select(F.col("src").alias("canon"),
-                       canonicalize_url(F.col("final")).alias("_final")))
+                       canonicalize_url(F.col("perm_final"))
+                       .alias("_final")))
     return (frame.join(mapping, "canon", "left")
             .withColumn("canon", F.coalesce("_final", "canon"))
             .drop("_final"))
@@ -210,22 +231,29 @@ def rekey_on_final(frame: DataFrame, resolved: DataFrame) -> DataFrame:
 
 def redirect_stats(documents: DataFrame) -> DataFrame:
     """The registered rollup: per SOURCE domain — redirected URLs,
-    resolved-within-budget count, the permanent/temporary chain split
-    (re-keyable vs fetch-only moves), loop count, the longest chain,
-    and a (src-hash × (1 + hops) × final-hash × perm-class) mod-prime
-    checksum pinning every source's exact terminal URL, hop count,
-    loop verdict, AND permanence class. Bounded by domains."""
+    resolved-within-budget count, the permanent/temporary chain split,
+    the RE-KEYED count (sources whose identity moved — the
+    permanent-prefix target differs from the source), loop count, the
+    longest chain, and a (src-hash × (1 + hops) × final-hash ×
+    perm-class × perm-final-hash) mod-prime checksum pinning every
+    source's exact terminal URL, hop count, loop verdict, permanence
+    class, AND identity target. Bounded by domains."""
     r = resolve_redirects(synthesize_redirects(documents))
     h = lambda c: F.pmod(  # noqa: E731 — local twin of the shared hash
         F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
         F.lit(CKSUM_MOD))
+    rekeyed = ~F.col("looped") & (F.col("perm_final") != F.col("src"))
     term = F.pmod(
         F.pmod(
-            F.pmod(h("src") * (F.lit(1) + F.col("hops")),
-                   F.lit(CKSUM_MOD))
-            * F.when(F.col("looped"), F.lit(1)).otherwise(h("final") + 1),
+            F.pmod(
+                F.pmod(h("src") * (F.lit(1) + F.col("hops")),
+                       F.lit(CKSUM_MOD))
+                * F.when(F.col("looped"), F.lit(1))
+                .otherwise(h("final") + 1),
+                F.lit(CKSUM_MOD))
+            * F.when(F.col("perm"), F.lit(1)).otherwise(F.lit(2)),
             F.lit(CKSUM_MOD))
-        * F.when(F.col("perm"), F.lit(1)).otherwise(F.lit(2)),
+        * F.when(rekeyed, h("perm_final") + 1).otherwise(F.lit(1)),
         F.lit(CKSUM_MOD))
     return (r.withColumn("domain", url_domain(F.col("src")))
             .groupBy("domain")
@@ -236,6 +264,7 @@ def redirect_stats(documents: DataFrame) -> DataFrame:
                  .alias("n_permanent"),
                  F.sum((~F.col("looped") & ~F.col("perm")).cast("long"))
                  .alias("n_temporary"),
+                 F.sum(rekeyed.cast("long")).alias("n_rekeyed"),
                  F.sum(F.col("looped").cast("long")).alias("n_loops"),
                  F.max(F.when(~F.col("looped"), F.col("hops"))
                        .otherwise(F.lit(0))).alias("max_hops"),

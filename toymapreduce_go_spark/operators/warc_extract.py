@@ -451,6 +451,25 @@ def _http_block(doc_id: int, html: str | None) -> bytes:
             + raw)
 
 
+def _warc_record(rtype: bytes, rec_id: bytes, date: bytes, uri: str,
+                 http: bytes, extra: bytes = b"") -> bytes:
+    """The ONE WARC/1.0 record envelope (byte-offset-critical framing:
+    Content-Length over the http block, CRLF CRLF terminator) shared
+    by the first-cycle member writer, the refetch writer, and the
+    revisit writer — review r14: three hand-kept copies of
+    load-bearing framing would drift. ``extra`` carries the
+    record-type-specific headers (Refers-To/Profile/Digest), already
+    CRLF-terminated."""
+    return (b"WARC/1.0\r\n"
+            b"WARC-Type: " + rtype + b"\r\n"
+            b"WARC-Record-ID: " + rec_id + b"\r\n" + extra
+            + b"WARC-Date: " + date
+            + b"\r\nWARC-Target-URI: " + str(uri).encode()
+            + b"\r\nContent-Type: application/http;msgtype=response"
+            b"\r\nContent-Length: " + str(len(http)).encode()
+            + b"\r\n\r\n" + http + b"\r\n\r\n")
+
+
 def _gz_member_records(batches):
     # per-RECORD rows: the ~60 µs/member deflate-init floor spreads
     # over every core (the r12 scaling rule, same as _gzip_each_record)
@@ -463,17 +482,10 @@ def _gz_member_records(batches):
                                      pdf["html"]):
             did = int(doc_id)
             http = _http_block(did, None if html is None else str(html))
-            rec = (b"WARC/1.0\r\n"
-                   b"WARC-Type: response\r\n"
-                   b"WARC-Record-ID: urn:doc:" + str(did).encode()
-                   + b"\r\nWARC-Date: 2026-01-0"
-                   + str(did % 9 + 1).encode()
-                   + b"T00:00:00Z\r\nWARC-Target-URI: "
-                   + str(uri).encode()
-                   + b"\r\nContent-Type: application/http;"
-                   b"msgtype=response\r\nContent-Length: "
-                   + str(len(http)).encode()
-                   + b"\r\n\r\n" + http + b"\r\n\r\n")
+            rec = _warc_record(
+                b"response", b"urn:doc:" + str(did).encode(),
+                b"2026-01-0" + str(did % 9 + 1).encode()
+                + b"T00:00:00Z", str(uri), http)
             gz.append(gzip.compress(rec, 6, mtime=0))
         pdf["gz"] = gz
         yield pdf[["source", "idx", "gz"]]
@@ -540,6 +552,13 @@ REVISIT_PROFILE = ("http://netpreserve.org/warc/1.0/revisit/"
                    "identical-payload-digest")
 
 
+def _REFETCH_DATE(doc_id: int) -> bytes:
+    """The refetch cycle's deterministic WARC-Date (one month after
+    the first cycle's)."""
+    return (b"2026-02-0" + str(doc_id % 9 + 1).encode()
+            + b"T00:00:00Z")
+
+
 def _payload_digest(html: str | None) -> str:
     import hashlib
     raw = b"" if html is None else str(html).encode()
@@ -548,18 +567,13 @@ def _payload_digest(html: str | None) -> str:
 
 def _revisit_record(doc_id: int, uri: str, digest: str) -> bytes:
     http = b"HTTP/1.1 304 Not Modified\r\n\r\n"
-    return (b"WARC/1.0\r\n"
-            b"WARC-Type: revisit\r\n"
-            b"WARC-Record-ID: urn:doc:" + str(doc_id).encode()
-            + b":revisit\r\nWARC-Refers-To: urn:doc:"
-            + str(doc_id).encode()
-            + b"\r\nWARC-Profile: " + REVISIT_PROFILE.encode()
-            + b"\r\nWARC-Payload-Digest: " + digest.encode()
-            + b"\r\nWARC-Date: 2026-02-0" + str(doc_id % 9 + 1).encode()
-            + b"T00:00:00Z\r\nWARC-Target-URI: " + str(uri).encode()
-            + b"\r\nContent-Type: application/http;msgtype=response"
-            b"\r\nContent-Length: " + str(len(http)).encode()
-            + b"\r\n\r\n" + http + b"\r\n\r\n")
+    extra = (b"WARC-Refers-To: urn:doc:" + str(doc_id).encode()
+             + b"\r\nWARC-Profile: " + REVISIT_PROFILE.encode()
+             + b"\r\nWARC-Payload-Digest: " + digest.encode()
+             + b"\r\n")
+    return _warc_record(
+        b"revisit", b"urn:doc:" + str(doc_id).encode() + b":revisit",
+        _REFETCH_DATE(doc_id), str(uri), http, extra)
 
 
 def _gz_refetch_members(batches):
@@ -576,18 +590,10 @@ def _gz_refetch_members(batches):
             did = int(doc_id)
             h = None if html is None else str(html)
             if bool(changed):
-                http = _http_block(did, h)
-                rec = (b"WARC/1.0\r\n"
-                       b"WARC-Type: response\r\n"
-                       b"WARC-Record-ID: urn:doc:" + str(did).encode()
-                       + b"\r\nWARC-Date: 2026-02-0"
-                       + str(did % 9 + 1).encode()
-                       + b"T00:00:00Z\r\nWARC-Target-URI: "
-                       + str(uri).encode()
-                       + b"\r\nContent-Type: application/http;"
-                       b"msgtype=response\r\nContent-Length: "
-                       + str(len(http)).encode()
-                       + b"\r\n\r\n" + http + b"\r\n\r\n")
+                rec = _warc_record(
+                    b"response", b"urn:doc:" + str(did).encode(),
+                    _REFETCH_DATE(did), str(uri),
+                    _http_block(did, h))
             else:
                 rec = _revisit_record(did, str(uri), _payload_digest(h))
             gz.append(gzip.compress(rec, 6, mtime=0))
@@ -665,19 +671,28 @@ def rebuild_from_revisits(responses: DataFrame,
     re-store-everything corpus in pytest. One metadata-sized equi-join
     on the record id; at 100 TB both sides bucket by doc_id."""
     resp = responses.select(F.col("doc_id").alias("refers_to"),
-                            F.col("html").alias("_ref_html"))
+                            F.col("html").alias("_ref_html"),
+                            F.lit(True).alias("_present"))
     rev = refetch.filter(F.col("record_type") == "revisit")
     actual = F.concat(F.lit("sha1:"),
                       F.sha1(F.encode(F.coalesce("_ref_html", F.lit("")),
                                       "UTF-8")))
+    # presence is an EXPLICIT marker, never inferred from _ref_html
+    # nullness (review r14): a missing referent whose stored digest is
+    # the empty-body sha1 (the legitimate 204/NULL-html class) would
+    # otherwise hash-match coalesce(NULL, '') and silently emit a row
+    ok = F.coalesce("_present", F.lit(False)) \
+        & actual.eqNullSafe(F.col("digest"))
     resolved = (rev.join(resp, "refers_to", "left")
                 .select(
                     F.col("refers_to").alias("doc_id"),
-                    F.when(actual.eqNullSafe(F.col("digest")),
-                           F.col("_ref_html"))
+                    F.when(ok, F.col("_ref_html"))
                     .otherwise(F.raise_error(F.concat(
-                        F.lit("warc_revisit: payload digest mismatch "
-                              "on doc "),
+                        F.lit("warc_revisit: "),
+                        F.when(F.col("_present").isNull(),
+                               F.lit("no response record for"))
+                        .otherwise(F.lit("payload digest mismatch on")),
+                        F.lit(" doc "),
                         F.col("refers_to").cast("string"),
                         F.lit(" (stored "), F.col("digest"),
                         F.lit(")"))).cast("string")).alias("html")))

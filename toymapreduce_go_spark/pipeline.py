@@ -379,15 +379,23 @@ def build_training_corpus(spark: SparkSession, sf_dir: str,
         from .operators.packing import pack_by_counts
         from .sources.wds import write_tokenized_webdataset
         merges = train_bpe(clean, tokenizer_merges)
-        ids = bpe_encode_ids(clean, merges)
+        # the Arrow-batched encode is the funnel's most expensive
+        # Python stage and feeds THREE consumers (the pack join, the
+        # sink's bin count, the shard write) — checkpoint it once
+        # (review r14: un-checkpointed it re-executed ~5-6×)
+        ids = bpe_encode_ids(clean, merges).localCheckpoint()
         tbins = pack_by_counts(
             ids.select("doc_id", F.col("n_tokens").alias("n_tok")),
             max_tokens=max_tokens)
         tok = ids.join(tbins.select("doc_id", "bin_id"), "doc_id")
-        write_tokenized_webdataset(
+        mf = write_tokenized_webdataset(
             tok.select("doc_id", "bin_id", "token_ids"),
             tokenized_shards_dir)
-        stages.append(("4b_tokenized_shards", tok.count()))
+        # the stage count comes from the manifest already collected
+        # for the sweep — no extra corpus pass
+        n_tok = sum(int(r["n_docs"]) for r in
+                    mf.select("n_docs").collect())
+        stages.append(("4b_tokenized_shards", n_tok))
 
     if out_path is not None:
         from .sources.fs import split_scheme

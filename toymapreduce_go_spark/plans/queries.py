@@ -1044,17 +1044,21 @@ def _redirect_aware_diff_oracle_sql() -> str:
     """Generated DuckDB twin of ``redirects.redirect_aware_diff_stats``
     — the crawl-diff twin with BOTH snapshots keyed at the permanent
     redirect terminal, derived INDEPENDENTLY from page arithmetic
-    (moved hosts are m%8==6, all their pages are even, so a chain is
-    permanent iff page%5 ∉ {1,2} and its terminal is the ``mm``
-    host) — never the engine's remap join, so a value-hash match
-    proves the re-key semantics, not shared code."""
+    (moved hosts are m%8==6, all their pages are even; identity moves
+    along the permanent PREFIX — page%5 ∉ {1,2} lands at the ``mm``
+    terminal, page%5 == 2 at the intermediate ``m`` host the 301
+    named, page%5 == 1 stays home) — never the engine's remap join,
+    so a value-hash match proves the re-key semantics, not shared
+    code."""
     from ..operators.redirects import (MOVED_HOST_MOD, TEMP_HOP1_MOD,
                                        TEMP_HOP2_MOD)
     from ..operators.urls import (CHANGED_MODS, NEW_EXCLUDE, OLD_EXCLUDE,
                                   SNAPSHOT_MOD)
     changed = ", ".join(str(m) for m in CHANGED_MODS)
-    mv = (f"(page % 16) % 8 = {MOVED_HOST_MOD} AND "
-          f"page % 5 NOT IN ({TEMP_HOP1_MOD}, {TEMP_HOP2_MOD})")
+    mv_full = (f"(page % 16) % 8 = {MOVED_HOST_MOD} AND "
+               f"page % 5 NOT IN ({TEMP_HOP1_MOD}, {TEMP_HOP2_MOD})")
+    mv_half = (f"(page % 16) % 8 = {MOVED_HOST_MOD} AND "
+               f"page % 5 = {TEMP_HOP2_MOD}")
     return f"""
         WITH {_url_canon_ctes()},
         pages AS (
@@ -1063,14 +1067,21 @@ def _redirect_aware_diff_oracle_sql() -> str:
             FROM d JOIN documents doc ON doc.doc_id = d.doc_id),
         mvp AS (
             SELECT page, h,
-                   CASE WHEN {mv}
+                   CASE WHEN {mv_full}
                         THEN 'http://www.site' || (page % 16) ||
                              'mm.example.com/articles/item' || page ||
                              '?a=1&b=2'
+                        WHEN {mv_half}
+                        THEN 'http://www.site' || (page % 16) ||
+                             'm.example.com/articles/item' || page ||
+                             '?a=1&b=2'
                         ELSE canon END AS canon,
-                   CASE WHEN {mv}
+                   CASE WHEN {mv_full}
                         THEN 'www.site' || (page % 16) ||
                              'mm.example.com'
+                        WHEN {mv_half}
+                        THEN 'www.site' || (page % 16) ||
+                             'm.example.com'
                         ELSE domain END AS domain
             FROM pages),
         old AS (
@@ -2001,8 +2012,10 @@ def _redirect_ctes() -> str:
     follow UNROLLED hop by hop (the Lloyd's/PageRank-twin convention —
     each hop replays the engine's exact rules: final keeps following,
     hops and perm freeze once looped, a revisit of the source flags),
-    the budget-exhaustion EXISTS (``rerr``), and the permanent-chain
-    re-key mapping (``remap`` — what ``apply_redirects`` consumes).
+    the budget-exhaustion EXISTS (``rerr``), and the permanent-PREFIX
+    re-key mapping (``remap`` — what ``apply_redirects`` consumes:
+    ``pfinal``, the last node reached while every hop so far was
+    permanent, for sources whose identity actually moved).
     Names are ``re``-prefixed to coexist with the URL/frontier CTE
     families."""
     from ..operators.redirects import (MOVED_HOST_MOD,
@@ -2021,7 +2034,10 @@ def _redirect_ctes() -> str:
                     coalesce(ree.dst = {prev}.src, false)) AS looped,
                    CASE WHEN ree.dst IS NOT NULL AND NOT {prev}.looped
                         THEN {prev}.perm AND ree.perm
-                        ELSE {prev}.perm END AS perm
+                        ELSE {prev}.perm END AS perm,
+                   CASE WHEN ree.dst IS NOT NULL AND NOT {prev}.looped
+                             AND {prev}.perm AND ree.perm
+                        THEN ree.dst ELSE {prev}.pfinal END AS pfinal
             FROM {prev} LEFT JOIN ree ON ree.src = {prev}.final)""")
         prev = f"rew{t}"
     body = ",\n        ".join(hops_ctes)
@@ -2060,16 +2076,18 @@ def _redirect_ctes() -> str:
                    true
             FROM remp),
         rew1 AS (SELECT src, dst AS final, 1 AS hops,
-                        (dst = src) AS looped, perm FROM ree),
+                        (dst = src) AS looped, perm,
+                        CASE WHEN perm THEN dst ELSE src END AS pfinal
+                 FROM ree),
         {body},
         rerr AS (SELECT {prev}.src, {prev}.final, {prev}.hops,
                         ({prev}.looped OR EXISTS(
                             SELECT 1 FROM ree
                             WHERE ree.src = {prev}.final)) AS looped,
-                        {prev}.perm
+                        {prev}.perm, {prev}.pfinal
                  FROM {prev}),
-        remap AS (SELECT src, final FROM rerr
-                  WHERE NOT looped AND perm)"""
+        remap AS (SELECT src, pfinal AS final FROM rerr
+                  WHERE NOT looped AND pfinal <> src)"""
 
 
 def _redirect_oracle_sql() -> str:
@@ -2091,16 +2109,22 @@ def _redirect_oracle_sql() -> str:
                     AS BIGINT) AS n_permanent,
                CAST(sum(CASE WHEN NOT looped AND NOT perm THEN 1
                              ELSE 0 END) AS BIGINT) AS n_temporary,
+               CAST(sum(CASE WHEN NOT looped AND pfinal <> src THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_rekeyed,
                CAST(sum(CASE WHEN looped THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_loops,
                CAST(max(CASE WHEN looped THEN 0 ELSE hops END)
                     AS INTEGER) AS max_hops,
-               CAST(sum((((({h.format(c='src')} * (1 + hops))
-                           % {CKSUM_MOD})
-                          * (CASE WHEN looped THEN 1
-                             ELSE {h.format(c='final')} + 1 END))
+               CAST(sum(((((({h.format(c='src')} * (1 + hops))
+                            % {CKSUM_MOD})
+                           * (CASE WHEN looped THEN 1
+                              ELSE {h.format(c='final')} + 1 END))
+                          % {CKSUM_MOD}
+                          * (CASE WHEN perm THEN 1 ELSE 2 END))
                          % {CKSUM_MOD}
-                         * (CASE WHEN perm THEN 1 ELSE 2 END))
+                         * (CASE WHEN NOT looped AND pfinal <> src
+                            THEN {h.format(c='pfinal')} + 1
+                            ELSE 1 END))
                         % {CKSUM_MOD}) AS BIGINT)
                  AS redirect_checksum
         FROM rerr GROUP BY domain ORDER BY domain

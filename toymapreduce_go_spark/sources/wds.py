@@ -44,52 +44,120 @@ from pyspark.sql import functions as F
 MANIFEST_SCHEMA = ("shard int, n_docs long, n_bytes long, sha256 string")
 
 
+def _commit_shard_tar(out_dir: str, shard: int, n_docs: int,
+                      members) -> dict:
+    """The ONE shard-commit implementation shared by the text and the
+    tokenized sinks (review r14: two copies of the exactly-once and
+    byte-determinism logic would drift): build the tar in memory from
+    ``members`` — an ordered iterable of (name, payload bytes) —
+    with pinned USTAR metadata, write ``*.tmp-<uuid>``, atomically
+    rename over the final shard name (idempotent on rerun: identical
+    bytes replace identical bytes), and return the manifest row.
+
+    Executors write directly: out_dir must be task-visible shared
+    storage (trivially true on local[N]; NFS / a FUSE-mounted object
+    store on a cluster — or route a registered scheme through
+    sources/fs.py)."""
+    os.makedirs(out_dir, exist_ok=True)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tar:
+        for name, payload in members:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            tar.addfile(info, io.BytesIO(payload))
+    data = buf.getvalue()
+    final = os.path.join(out_dir, f"shard-{shard:06d}.tar")
+    tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, final)  # atomic commit, idempotent on rerun
+    return {"shard": shard, "n_docs": n_docs, "n_bytes": len(data),
+            "sha256": hashlib.sha256(data).hexdigest()}
+
+
+def _commit_manifest_and_sweep(manifest, out_dir: str):
+    """Persist the manifest parquet next to the shards, read the
+    committed copy back, and sweep stale finals / orphaned tmps from
+    a prior larger run (a glob reader would resurrect deleted
+    documents from them) — shared by both sinks."""
+    (manifest.coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(out_dir, "_manifest")))
+    committed = manifest.sparkSession.read.parquet(
+        os.path.join(out_dir, "_manifest")).orderBy("shard")
+    written = {f"shard-{int(r['shard']):06d}.tar"
+               for r in committed.select("shard").collect()}
+    for name in os.listdir(out_dir):
+        stale_final = (name.startswith("shard-") and name.endswith(".tar")
+                       and name not in written)
+        orphan_tmp = name.startswith("shard-") and ".tar.tmp-" in name
+        if stale_final or orphan_tmp:
+            os.remove(os.path.join(out_dir, name))
+    return committed
+
+
+def _read_verified_tars(spark, out_dir: str, parse_tar, schema: str):
+    """Manifest-driven, sha256-verified shard reader core shared by
+    both sinks: the file LIST comes from ``_manifest`` (never a glob),
+    every shard's bytes verify against the manifest digest before
+    parsing, and ``parse_tar(tar) -> list[dict]`` extracts the
+    samples."""
+    mf = spark.read.parquet(os.path.join(out_dir, "_manifest"))
+    expected = {f"shard-{int(r['shard']):06d}.tar": r["sha256"]
+                for r in mf.select("shard", "sha256").collect()}
+    cols = [c.strip().split(" ")[0] for c in schema.split(",")]
+
+    def parse(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            out = []
+            for _, row in pdf.iterrows():
+                name = os.path.basename(str(row["path"]))
+                digest = hashlib.sha256(bytes(row["content"])).hexdigest()
+                if digest != expected.get(name):
+                    raise ValueError(
+                        f"webdataset shard {name} does not match the "
+                        f"manifest sha256 — stale, torn, or foreign "
+                        f"shard file under {out_dir}")
+                with tarfile.open(
+                        fileobj=io.BytesIO(row["content"])) as tar:
+                    out.extend(parse_tar(name, tar))
+            yield pd.DataFrame(out, columns=cols)
+
+    files = (spark.read.format("binaryFile")
+             .load([os.path.join(out_dir, name)
+                    for name in sorted(expected)])
+             .select("path", "content"))
+    return files.mapInPandas(parse, schema)
+
+
 def _build_shard(out_dir: str):
     """Per-shard tar builder (runs once per shard key). Deterministic
-    bytes: members sorted by key, USTAR format, zeroed metadata."""
+    bytes: members sorted by key, USTAR format, zeroed metadata. Keys
+    assume the curated-corpus contract of unique doc_ids."""
 
     def build(pdf):
         import pandas as pd
 
-        # executors write directly: out_dir must be task-visible shared
-        # storage (trivially true on local[N]; NFS / a FUSE-mounted
-        # object store on a cluster — or route a registered scheme
-        # through sources/fs.py). Keys assume the curated-corpus
-        # contract of unique doc_ids.
-        os.makedirs(out_dir, exist_ok=True)
         shard = int(pdf["shard"].iloc[0])
         rows = sorted(
             (int(r.doc_id), ("" if r.text is None else str(r.text)),
              ("" if r.source is None else str(r.source)),
              ("" if r.lang is None else str(r.lang)))
             for r in pdf.itertuples(index=False))
-        buf = io.BytesIO()
-        with tarfile.open(fileobj=buf, mode="w",
-                          format=tarfile.USTAR_FORMAT) as tar:
-            for doc_id, text, source, lang in rows:
-                key = f"{doc_id:012d}"
-                for ext, payload in (
-                        ("txt", text.encode("utf-8")),
-                        ("json", json.dumps(
-                            {"doc_id": doc_id, "source": source,
-                             "lang": lang},
-                            sort_keys=True).encode("utf-8"))):
-                    info = tarfile.TarInfo(name=f"{key}.{ext}")
-                    info.size = len(payload)
-                    info.mtime = 0
-                    info.uid = info.gid = 0
-                    info.uname = info.gname = ""
-                    tar.addfile(info, io.BytesIO(payload))
-        data = buf.getvalue()
-        final = os.path.join(out_dir, f"shard-{shard:06d}.tar")
-        tmp = f"{final}.tmp-{uuid.uuid4().hex}"
-        with open(tmp, "wb") as f:
-            f.write(data)
-        os.replace(tmp, final)  # atomic commit, idempotent on rerun
-        return pd.DataFrame(
-            [{"shard": shard, "n_docs": len(rows),
-              "n_bytes": len(data),
-              "sha256": hashlib.sha256(data).hexdigest()}])
+        members = []
+        for doc_id, text, source, lang in rows:
+            key = f"{doc_id:012d}"
+            members.append((f"{key}.txt", text.encode("utf-8")))
+            members.append((f"{key}.json", json.dumps(
+                {"doc_id": doc_id, "source": source, "lang": lang},
+                sort_keys=True).encode("utf-8")))
+        return pd.DataFrame([_commit_shard_tar(
+            out_dir, shard, len(rows), members)])
 
     return build
 
@@ -114,25 +182,7 @@ def write_webdataset(documents: DataFrame, out_dir: str,
     manifest = (slim.groupBy("shard")
                 .applyInPandas(_build_shard(out_dir), MANIFEST_SCHEMA)
                 .orderBy("shard"))
-    # materialize (runs the writes), then persist the manifest next to
-    # the shards for readers
-    (manifest.coalesce(1).write.mode("overwrite")
-     .parquet(os.path.join(out_dir, "_manifest")))
-    committed = manifest.sparkSession.read.parquet(
-        os.path.join(out_dir, "_manifest")).orderBy("shard")
-    # defense-in-depth next to the manifest-driven reader: a rewrite
-    # with fewer shards must not leave the old run's extra shard-*.tar
-    # (or orphaned .tmp-*) files behind — stale finals would resurrect
-    # deleted documents for any non-manifest consumer
-    written = {f"shard-{int(r['shard']):06d}.tar"
-               for r in committed.select("shard").collect()}
-    for name in os.listdir(out_dir):
-        stale_final = (name.startswith("shard-") and name.endswith(".tar")
-                       and name not in written)
-        orphan_tmp = name.startswith("shard-") and ".tar.tmp-" in name
-        if stale_final or orphan_tmp:
-            os.remove(os.path.join(out_dir, name))
-    return committed
+    return _commit_manifest_and_sweep(manifest, out_dir)
 
 
 def read_webdataset(spark, out_dir: str) -> DataFrame:
@@ -147,48 +197,23 @@ def read_webdataset(spark, out_dir: str) -> DataFrame:
     would silently read them back, resurrecting deleted documents.
     Every shard's bytes are also verified against the manifest sha256
     before parsing, so a stale or torn shard fails LOUD."""
-    mf = spark.read.parquet(os.path.join(out_dir, "_manifest"))
-    expected = {f"shard-{int(r['shard']):06d}.tar": r["sha256"]
-                for r in mf.select("shard", "sha256").collect()}
+    def parse_tar(_name, tar):
+        texts: dict[str, str] = {}
+        metas: dict[str, dict] = {}
+        for m in tar.getmembers():
+            key, ext = m.name.rsplit(".", 1)
+            payload = tar.extractfile(m).read()
+            if ext == "txt":
+                texts[key] = payload.decode("utf-8")
+            elif ext == "json":
+                metas[key] = json.loads(payload)
+        return [{"doc_id": meta["doc_id"], "source": meta["source"],
+                 "lang": meta["lang"], "text": texts.get(key, "")}
+                for key, meta in metas.items()]
 
-    def parse(iterator):
-        import pandas as pd
-
-        for pdf in iterator:
-            out = []
-            for _, row in pdf.iterrows():
-                name = os.path.basename(str(row["path"]))
-                digest = hashlib.sha256(bytes(row["content"])).hexdigest()
-                if digest != expected.get(name):
-                    raise ValueError(
-                        f"webdataset shard {name} does not match the "
-                        f"manifest sha256 — stale, torn, or foreign "
-                        f"shard file under {out_dir}")
-                with tarfile.open(
-                        fileobj=io.BytesIO(row["content"])) as tar:
-                    texts: dict[str, str] = {}
-                    metas: dict[str, dict] = {}
-                    for m in tar.getmembers():
-                        key, ext = m.name.rsplit(".", 1)
-                        payload = tar.extractfile(m).read()
-                        if ext == "txt":
-                            texts[key] = payload.decode("utf-8")
-                        elif ext == "json":
-                            metas[key] = json.loads(payload)
-                    for key, meta in metas.items():
-                        out.append({"doc_id": meta["doc_id"],
-                                    "source": meta["source"],
-                                    "lang": meta["lang"],
-                                    "text": texts.get(key, "")})
-            yield pd.DataFrame(
-                out, columns=["doc_id", "source", "lang", "text"])
-
-    files = (spark.read.format("binaryFile")
-             .load([os.path.join(out_dir, name)
-                    for name in sorted(expected)])
-             .select("path", "content"))
-    return files.mapInPandas(
-        parse, "doc_id long, source string, lang string, text string")
+    return _read_verified_tars(
+        spark, out_dir, parse_tar,
+        "doc_id long, source string, lang string, text string")
 
 
 # ---------------------------------------------------------------------------
@@ -209,39 +234,21 @@ def _build_token_shard(out_dir: str):
     def build(pdf):
         import pandas as pd
 
-        os.makedirs(out_dir, exist_ok=True)
         shard = int(pdf["shard"].iloc[0])
         rows = sorted((int(r.bin_id), int(r.doc_id),
                        [int(t) for t in r.token_ids])
                       for r in pdf.itertuples(index=False))
-        buf = io.BytesIO()
-        with tarfile.open(fileobj=buf, mode="w",
-                          format=tarfile.USTAR_FORMAT) as tar:
-            for bin_id, doc_id, ids in rows:
-                key = f"{bin_id:012d}.{doc_id:012d}"
-                payload_ids = struct.pack(f">{len(ids)}I", *ids)
-                meta = json.dumps(
-                    {"doc_id": doc_id, "bin_id": bin_id,
-                     "n_tokens": len(ids)},
-                    sort_keys=True).encode("utf-8")
-                for ext, payload in (("ids", payload_ids),
-                                     ("json", meta)):
-                    info = tarfile.TarInfo(name=f"{key}.{ext}")
-                    info.size = len(payload)
-                    info.mtime = 0
-                    info.uid = info.gid = 0
-                    info.uname = info.gname = ""
-                    tar.addfile(info, io.BytesIO(payload))
-        data = buf.getvalue()
-        final = os.path.join(out_dir, f"shard-{shard:06d}.tar")
-        tmp = f"{final}.tmp-{uuid.uuid4().hex}"
-        with open(tmp, "wb") as f:
-            f.write(data)
-        os.replace(tmp, final)
-        return pd.DataFrame(
-            [{"shard": shard, "n_docs": len(rows),
-              "n_bytes": len(data),
-              "sha256": hashlib.sha256(data).hexdigest()}])
+        members = []
+        for bin_id, doc_id, ids in rows:
+            key = f"{bin_id:012d}.{doc_id:012d}"
+            members.append((f"{key}.ids",
+                            struct.pack(f">{len(ids)}I", *ids)))
+            members.append((f"{key}.json", json.dumps(
+                {"doc_id": doc_id, "bin_id": bin_id,
+                 "n_tokens": len(ids)},
+                sort_keys=True).encode("utf-8")))
+        return pd.DataFrame([_commit_shard_tar(
+            out_dir, shard, len(rows), members)])
 
     return build
 
@@ -266,19 +273,7 @@ def write_tokenized_webdataset(tokenized: DataFrame, out_dir: str,
                 .applyInPandas(_build_token_shard(out_dir),
                                MANIFEST_SCHEMA)
                 .orderBy("shard"))
-    (manifest.coalesce(1).write.mode("overwrite")
-     .parquet(os.path.join(out_dir, "_manifest")))
-    committed = manifest.sparkSession.read.parquet(
-        os.path.join(out_dir, "_manifest")).orderBy("shard")
-    written = {f"shard-{int(r['shard']):06d}.tar"
-               for r in committed.select("shard").collect()}
-    for name in os.listdir(out_dir):
-        stale_final = (name.startswith("shard-")
-                       and name.endswith(".tar") and name not in written)
-        orphan_tmp = name.startswith("shard-") and ".tar.tmp-" in name
-        if stale_final or orphan_tmp:
-            os.remove(os.path.join(out_dir, name))
-    return committed
+    return _commit_manifest_and_sweep(manifest, out_dir)
 
 
 def read_tokenized_webdataset(spark, out_dir: str) -> DataFrame:
@@ -287,51 +282,29 @@ def read_tokenized_webdataset(spark, out_dir: str) -> DataFrame:
     reader's contract on the id form."""
     import struct
 
-    mf = spark.read.parquet(os.path.join(out_dir, "_manifest"))
-    expected = {f"shard-{int(r['shard']):06d}.tar": r["sha256"]
-                for r in mf.select("shard", "sha256").collect()}
+    def parse_tar(name, tar):
+        ids: dict[str, list[int]] = {}
+        metas: dict[str, dict] = {}
+        for m in tar.getmembers():
+            key, ext = m.name.rsplit(".", 1)
+            payload = tar.extractfile(m).read()
+            if ext == "ids":
+                ids[key] = list(struct.unpack(
+                    f">{len(payload) // 4}I", payload))
+            elif ext == "json":
+                metas[key] = json.loads(payload)
+        out = []
+        for key, meta in metas.items():
+            got = ids.get(key, [])
+            if len(got) != meta["n_tokens"]:
+                raise ValueError(
+                    f"tokenized webdataset member {key} in {name}: "
+                    f"ids length {len(got)} != manifest n_tokens "
+                    f"{meta['n_tokens']}")
+            out.append({"doc_id": meta["doc_id"],
+                        "bin_id": meta["bin_id"], "token_ids": got})
+        return out
 
-    def parse(iterator):
-        import pandas as pd
-
-        for pdf in iterator:
-            out = []
-            for _, row in pdf.iterrows():
-                name = os.path.basename(str(row["path"]))
-                digest = hashlib.sha256(bytes(row["content"])).hexdigest()
-                if digest != expected.get(name):
-                    raise ValueError(
-                        f"tokenized webdataset shard {name} does not "
-                        f"match the manifest sha256 — stale, torn, or "
-                        f"foreign shard file under {out_dir}")
-                with tarfile.open(
-                        fileobj=io.BytesIO(row["content"])) as tar:
-                    ids: dict[str, list[int]] = {}
-                    metas: dict[str, dict] = {}
-                    for m in tar.getmembers():
-                        key, ext = m.name.rsplit(".", 1)
-                        payload = tar.extractfile(m).read()
-                        if ext == "ids":
-                            ids[key] = list(struct.unpack(
-                                f">{len(payload) // 4}I", payload))
-                        elif ext == "json":
-                            metas[key] = json.loads(payload)
-                    for key, meta in metas.items():
-                        got = ids.get(key, [])
-                        if len(got) != meta["n_tokens"]:
-                            raise ValueError(
-                                f"tokenized webdataset member {key} in "
-                                f"{name}: ids length {len(got)} != "
-                                f"manifest n_tokens {meta['n_tokens']}")
-                        out.append({"doc_id": meta["doc_id"],
-                                    "bin_id": meta["bin_id"],
-                                    "token_ids": got})
-            yield pd.DataFrame(
-                out, columns=["doc_id", "bin_id", "token_ids"])
-
-    files = (spark.read.format("binaryFile")
-             .load([os.path.join(out_dir, name)
-                    for name in sorted(expected)])
-             .select("path", "content"))
-    return files.mapInPandas(
-        parse, "doc_id long, bin_id long, token_ids array<int>")
+    return _read_verified_tars(
+        spark, out_dir, parse_tar,
+        "doc_id long, bin_id long, token_ids array<int>")
