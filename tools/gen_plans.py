@@ -181,14 +181,19 @@ SHOWCASE: dict[str, str] = {
         "bucket-key equi-join and one codegen'd bit_count(xor) Filter "
         "per candidate — never an all-pairs product."),
     "crawl_frontier": (
-        "The crawl-scheduling capstone (r11). Look for: the plan-"
-        "literal deny `Filter` (array_contains) BELOW the rank equi-"
-        "join — blocked targets never reach the shuffle; "
-        "`BroadcastHashJoin` for the domain-sized robots rules (no "
-        "SortMergeJoin anywhere); the politeness `Window` running "
+        "The crawl-scheduling capstone (r11; redirect-composed r14). "
+        "Look for: the plan-literal deny `Filter` (array_contains) "
+        "BELOW the rank equi-join — blocked targets never reach the "
+        "shuffle; `BroadcastHashJoin` for the domain-sized robots "
+        "rules; the r14 re-key join against the checkpointed redirect "
+        "artifact deliberately HINT-FREE (its mapping side is "
+        "page-scale — SortMergeJoin/shuffle here is the correct "
+        "100 TB shape, and both sides bucket by canon at cluster "
+        "scale; the UN-composed form keeps the strict no-SMJ "
+        "contract, plan-asserted); the politeness `Window` running "
         "AFTER the page-sized groupBy(canon) aggregate, never over "
-        "corpus-sized input; and the PageRank iterations appearing as "
-        "checkpointed `ExistingRDD` scans (per-iteration lineage "
+        "corpus-sized input; and the PageRank iterations appearing "
+        "as checkpointed `ExistingRDD` scans (per-iteration lineage "
         "cuts)."),
     "dataset_split": (
         "Content-keyed holdout split (r9). Look for: a scan-side "

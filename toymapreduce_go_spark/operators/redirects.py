@@ -41,14 +41,18 @@ re-establish a prefix a temporary hop broke).
 
 100 TB shape: the redirect edge set is page-sized metadata (a crawl
 log column, never the corpus); resolution is ``REDIRECT_MAX_HOPS``
-self-joins of that page-sized frame (each hop one equi-join of two
-page-sized metadata frames, localCheckpoint between hops — the
-iterative-loop lineage discipline), and ``apply_redirects`` re-keys
-any canon-carrying frame with ONE left join — NO broadcast hint: the
-mapping side is page-scale (tens of GB at 100 TB — the r13 verdict's
-one ``weak``), so AQE picks the strategy, and at cluster scale both
-sides bucket by ``canon`` and co-locate. The only corpus touch is
-the shared page-universe distinct.
+self-joins of that page-sized frame — a small CONSTANT, so plan depth
+is bounded by construction and no per-hop lineage truncation is
+needed (r14 measurement: three localCheckpoints cost ~0.8 s of pure
+job-scheduling overhead at sf0.1; ``fixture_resolved_redirects``
+checkpoints the final artifact once for cross-channel reuse).
+``apply_redirects`` re-keys any canon-carrying frame with ONE left
+join — NO broadcast hint: the mapping side is page-scale (tens of GB
+at 100 TB — the r13 verdict's one ``weak``), so AQE picks the
+strategy, and at cluster scale both sides bucket by ``canon`` and
+co-locate. The fixture synthesis touches no corpus data at all
+(structural ``range`` page universe; ``count()`` is parquet
+metadata).
 """
 
 from __future__ import annotations
@@ -80,14 +84,20 @@ def synthesize_redirects(documents: DataFrame) -> DataFrame:
     moved hosts' pages redirect to ``site<m>m`` (all) and on to
     ``site<m>mm`` (even pages), plus the planted 2-cycle per moved
     host. ``perm`` is the 301/308-vs-302/307 class (see the module
-    docstring for the fixture split). Page-sized (one corpus
-    distinct, the sitemap convention). The hop-1 src is built as the
-    raw canonical-form literal — the twin builds the identical string,
-    so neither side depends on canonicalization being a fixed point
-    here (r13 advisory 2)."""
-    pages = (documents
-             .select(F.expr("doc_id div 4").cast("long").alias("page"))
-             .distinct()
+    docstring for the fixture split). The moved-page universe is
+    built STRUCTURALLY — ``range(ceil(n/4))`` filtered to the moved
+    host classes — never by scanning the corpus for its pages (the
+    r13 ``synthesize_robots`` lesson: a fixture-synthesis distinct
+    makes every consumer pay a full corpus scan for a page-sized
+    frame; ``documents.count()`` is parquet-metadata-cheap, and the
+    contiguous 0..n-1 doc_id universe is already the fixture contract
+    ``pagerank_state`` asserts). The hop-1 src is built as the raw
+    canonical-form literal — the twin builds the identical string, so
+    neither side depends on canonicalization being a fixed point here
+    (r13 advisory 2)."""
+    n_pages = (documents.count() + 3) // 4
+    pages = (documents.sparkSession.range(n_pages)
+             .select(F.col("id").alias("page"))
              .withColumn("m", F.pmod(F.col("page"), F.lit(16)))
              .filter(F.pmod(F.col("m"), F.lit(8)) == MOVED_HOST_MOD))
     hop1 = pages.select(
@@ -170,8 +180,14 @@ def resolve_redirects(edges: DataFrame,
                    # STILL all-permanent at the hop being taken
                    F.when(followed & F.col("perm") & F.col("_nperm"),
                           F.col("nxt"))
-                   .otherwise(F.col("perm_final")).alias("perm_final"))
-               .localCheckpoint())
+                   .otherwise(F.col("perm_final")).alias("perm_final")))
+        # no per-hop localCheckpoint (r14 measurement): max_hops is a
+        # small CONSTANT, so plan depth is bounded by construction —
+        # unlike the data-dependent iterative loops (PageRank, Lloyd's)
+        # this walk needs no lineage truncation, and each checkpoint
+        # cost an eager job (~0.8 s of pure scheduling at sf0.1 for
+        # three page-sized frames). fixture_resolved_redirects
+        # checkpoints the FINAL artifact once for cross-channel reuse.
     # budget exhaustion: a final that STILL has an outgoing edge never
     # terminated within max_hops — flag it like a loop
     more = edges.select(F.col("src").alias("final"),
