@@ -60,7 +60,8 @@ FRONTIER_PER_DOMAIN = 2   # politeness cap per host per cycle
 
 def frontier_candidates(documents: DataFrame, iters: int = PR_ITERS,
                         fanout: int = PR_FANOUT,
-                        redirects: "DataFrame | bool" = True
+                        redirects: "DataFrame | bool" = True,
+                        ranks: "DataFrame | None" = None
                         ) -> DataFrame:
     """(canon, domain, priority): gated, prioritized, pre-cap frontier
     candidates. See the module docstring for the contract. The gates
@@ -78,8 +79,16 @@ def frontier_candidates(documents: DataFrame, iters: int = PR_ITERS,
     the fixture edges; pass a pre-resolved frame (the
     ``fixture_resolved_redirects`` artifact) to share one resolution
     across channels; False is the un-composed form the algebra tests
-    use."""
-    _, edges, ranks = pagerank_state(documents, iters, fanout)
+    use.
+
+    ``ranks`` feeds a PRE-COMPUTED (v, r) frame — the warm-cycle
+    composition (r14): a production cycle passes the persisted rank
+    store's warm-started converged ranks (``crawl_cycle_ranks``)
+    instead of paying the cold fixed-iteration build; the declared
+    query keeps the fixed-iteration default (the DuckDB twin unrolls
+    it bit-for-bit)."""
+    _, edges, ranks = pagerank_state(documents, iters, fanout,
+                                     ranks=ranks)
     e = (edges
          .filter(F.pmod(F.expr("u div 4"), F.lit(FRONTIER_MOD)) != 0)
          .filter(F.pmod(F.expr("v div 4"), F.lit(FRONTIER_MOD)) == 0))
@@ -107,14 +116,16 @@ def frontier_candidates(documents: DataFrame, iters: int = PR_ITERS,
 
 def frontier_schedule(documents: DataFrame, iters: int = PR_ITERS,
                       fanout: int = PR_FANOUT,
-                      redirects: "DataFrame | bool" = True) -> DataFrame:
+                      redirects: "DataFrame | bool" = True,
+                      ranks: "DataFrame | None" = None) -> DataFrame:
     """Candidates with their per-domain politeness rank ``rn``
     (1 = fetch first); rows with ``rn <= FRONTIER_PER_DOMAIN`` are
     this cycle's fetch list. Window input is page-sized and
     partition-bounded by a single host's candidates (the TERMINAL
     host once redirects compose — a permanently moved page spends the
     budget of the host actually fetched)."""
-    cand = frontier_candidates(documents, iters, fanout, redirects)
+    cand = frontier_candidates(documents, iters, fanout, redirects,
+                               ranks)
     w = Window.partitionBy("domain").orderBy(F.desc("priority"),
                                              F.asc("canon"))
     return cand.withColumn("rn", F.row_number().over(w))

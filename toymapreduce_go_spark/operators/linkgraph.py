@@ -65,7 +65,8 @@ def pagerank_ranks(documents: DataFrame, iters: int = PR_ITERS,
 
 def pagerank_state(documents: DataFrame, iters: int = PR_ITERS,
                    fanout: int = PR_FANOUT,
-                   scale: int = PR_SCALE
+                   scale: int = PR_SCALE,
+                   ranks: DataFrame | None = None
                    ) -> tuple[int, DataFrame, DataFrame]:
     """(n, edges, ranks): the full PageRank state — node count, the
     checkpointed synthesized edge list, and the final integer ranks.
@@ -73,6 +74,13 @@ def pagerank_state(documents: DataFrame, iters: int = PR_ITERS,
     frontier) take this form so the corpus is counted once and the
     edge synthesis is built once (r11 review: the frontier used to
     re-count and re-synthesize).
+
+    ``ranks`` short-circuits the iteration loop with a PRE-COMPUTED
+    (v, r) frame — the r14 warm-cycle composition: a fetch cycle
+    feeds the persisted rank store's warm-started converged ranks
+    (``crawl_cycle_ranks``) through the frontier instead of paying
+    the cold fixed-iteration build; the contiguity guard and edge
+    synthesis still run (the frontier needs the graph either way).
     r0 = scale div n for every node;
     r_{t+1}(w) = (15·scale div 100) div n
                  + 85·Σ_{u→w}(r_t(u) div fanout) div 100."""
@@ -93,6 +101,8 @@ def pagerank_state(documents: DataFrame, iters: int = PR_ITERS,
             f"[{ids['lo']}, {ids['hi']}] with {ids['nd']} distinct "
             f"ids over n={n}")
     edges = synthesize_links(documents, n, fanout).localCheckpoint()
+    if ranks is not None:
+        return n, edges, ranks.select("v", "r")
     nodes = documents.select(F.col("doc_id").alias("v"))
     ranks = nodes.select("v", F.lit(scale // n).cast("long").alias("r"))
     base = (15 * scale // 100) // n

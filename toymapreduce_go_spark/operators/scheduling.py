@@ -122,7 +122,8 @@ def robots_delay_frame(documents: DataFrame) -> DataFrame:
 
 
 def fetch_channels(documents: DataFrame,
-                   redirects: "DataFrame | bool" = True) -> DataFrame:
+                   redirects: "DataFrame | bool" = True,
+                   ranks: "DataFrame | None" = None) -> DataFrame:
     """(canon, domain, priority, ch): the three channels, gated,
     pre-budget. Canons are disjoint across channels by construction
     (ch 0/1 partition the uncrawled pages; ch 2 is crawled pages —
@@ -148,7 +149,8 @@ def fetch_channels(documents: DataFrame,
     resolved: "DataFrame | bool" = redirects
     if redirects is True:
         resolved = fixture_resolved_redirects(documents)
-    a = (frontier_candidates(documents, redirects=resolved)
+    a = (frontier_candidates(documents, redirects=resolved,
+                             ranks=ranks)
          .select("canon", "domain", "priority")
          .withColumn("ch", F.lit(0))
          .localCheckpoint())
@@ -174,7 +176,8 @@ def fetch_channels(documents: DataFrame,
 def fetch_schedule_rows(documents: DataFrame,
                         cycle_us: int = FETCH_CYCLE_US,
                         rate_scale_milli: int = 1000,
-                        redirects: "DataFrame | bool" = True
+                        redirects: "DataFrame | bool" = True,
+                        ranks: "DataFrame | None" = None
                         ) -> DataFrame:
     """(canon, domain, priority, ch, rn, fetch_at_us, scheduled): the
     unified queue with each row's deterministic fetch TIMESTAMP on the
@@ -188,7 +191,7 @@ def fetch_schedule_rows(documents: DataFrame,
     composed, a moved page's cadence and admission belong to its
     TERMINAL host (the one actually fetched); terminal hosts absent
     from the robots frame fall to the rate ladder."""
-    u = fetch_channels(documents, redirects)
+    u = fetch_channels(documents, redirects, ranks)
     w = Window.partitionBy("domain").orderBy(
         F.asc("ch"), F.desc("priority"), F.asc("canon"))
     s = u.join(F.broadcast(robots_delay_frame(documents)),
@@ -205,7 +208,8 @@ def fetch_schedule_rows(documents: DataFrame,
 def fetch_list(documents: DataFrame,
                cycle_us: int = FETCH_CYCLE_US,
                rate_scale_milli: int = 1000,
-               redirects: "DataFrame | bool" = True) -> DataFrame:
+               redirects: "DataFrame | bool" = True,
+               ranks: "DataFrame | None" = None) -> DataFrame:
     """The registered rollup: per host — per-channel candidate counts,
     the count scheduled inside one fetch cycle under the host's
     request rate, the cycle MAKESPAN (last scheduled fetch timestamp —
@@ -215,7 +219,7 @@ def fetch_list(documents: DataFrame,
     assignment, priority order, every admission decision, AND every
     fetch timestamp."""
     s = fetch_schedule_rows(documents, cycle_us, rate_scale_milli,
-                            redirects)
+                            redirects, ranks)
     sched = F.col("scheduled")
     canon_h = F.pmod(F.conv(F.substring(F.md5("canon"), 1, 15), 16, 10)
                      .cast("long"), F.lit(CKSUM_MOD))
