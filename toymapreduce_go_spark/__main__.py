@@ -124,6 +124,14 @@ def main(argv: list[str] | None = None) -> None:
                         "documents table (prior-snapshot Bloom screen, "
                         "scan-side plan-literal bitmap — runs before "
                         "every other stage)")
+    p.add_argument("--tokenized-shards", metavar="DIR", default=None,
+                   help="with --corpus-build: additionally train the "
+                        "BPE tokenizer on the curated corpus, encode "
+                        "it to token ids, re-pack on real token "
+                        "counts, and write tokenized WebDataset tar "
+                        "shards to DIR (r14)")
+    p.add_argument("--tokenizer-merges", type=int, default=50,
+                   help="BPE merge count for --tokenized-shards")
     p.add_argument("--wds-out", metavar="DIR", default=None,
                    help="with --corpus-build: also materialize the "
                         "curated corpus as WebDataset tar shards "
@@ -243,7 +251,9 @@ def main(argv: list[str] | None = None) -> None:
             blocklist=deny, robots=args.robots,
             fix_encoding=args.fix_encoding,
             eval_docs=(spark.read.parquet(args.eval_docs)
-                       if args.eval_docs else None))
+                       if args.eval_docs else None),
+            tokenized_shards_dir=args.tokenized_shards,
+            tokenizer_merges=args.tokenizer_merges)
         for r in funnel.collect():
             print(f"{r['stage']} {r['n_docs']}")
         if args.wds_out:
