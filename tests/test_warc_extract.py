@@ -650,3 +650,45 @@ def test_revisit_digest_mismatch_raises(spark):
         .otherwise(F.col("digest")))
     with pytest.raises(Exception, match="payload digest mismatch"):
         rebuild_from_revisits(cycle1, bad).collect()
+
+
+def test_revisit_records_are_the_container_form_of_revalidation(spark):
+    """The r13 verdict's framing made explicit: the refetch cycle's
+    revisit/response split IS the revalidation accounting's 304/200
+    split in container form — for every crawled page,
+    recrawl_revalidation says 304 exactly when the refetch archive
+    stores revisit records for that page's documents, and says 200
+    exactly when it stores full responses; the per-host revisit doc
+    counts reconcile with n_304 × the quad width."""
+    from toymapreduce_go_spark.operators.sitemaps import (
+        recrawl_revalidation)
+    from toymapreduce_go_spark.operators.warc_extract import (
+        parse_warc_gz_records_full, synthesize_warc_gz_refetch)
+    from toymapreduce_go_spark.sources.registry import load_table
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    refetch = parse_warc_gz_records_full(
+        synthesize_warc_gz_refetch(docs)).collect()
+    by_page: dict[int, set] = {}
+    for r in refetch:
+        by_page.setdefault(r["doc_id"] // 4, set()).add(r["record_type"])
+    # one verdict per page: a page's documents never mix classes
+    assert all(len(v) == 1 for v in by_page.values())
+    reval = {r["domain"]: r for r in recrawl_revalidation(docs).collect()}
+    # recrawl_revalidation covers CRAWLED pages (page % 3 != 0);
+    # reconcile its per-host 304/200 with the archive's record classes
+    host_rev: dict[str, int] = {}
+    host_resp: dict[str, int] = {}
+    for page, kinds in by_page.items():
+        if page % 3 == 0:
+            continue
+        dom = f"www.site{page % 16}.example.com"
+        if kinds == {"revisit"}:
+            host_rev[dom] = host_rev.get(dom, 0) + 1
+        else:
+            host_resp[dom] = host_resp.get(dom, 0) + 1
+    assert {d: r["n_304"] for d, r in reval.items() if r["n_304"]} \
+        == host_rev
+    assert {d: r["n_200"] for d, r in reval.items() if r["n_200"]} \
+        == host_resp
