@@ -286,16 +286,14 @@ def minhash_signatures(documents: DataFrame, n: int = 3,
     join. (Each intermediate array is projected in its own select so
     Catalyst never duplicates the token-hash pass per permutation.)"""
     h0 = _shingle_hashes(documents, n)
-
-    def perm_min(i: int):
-        # NB: must stay a ONE-arg lambda — F.transform treats a two-arg
-        # lambda as (element, index), so an `i=i` default would be
-        # silently shadowed by the array index.
-        return F.array_min(F.transform("h0s", lambda h: F.xxhash64(F.lit(i), h)))
-
-    return h0.select(
-        "doc_id",
-        F.array(*[perm_min(i) for i in range(n_hashes)]).alias("sig"))
+    # ONE parsed expression for the whole signature array (the r14
+    # driver-side rule: n_hashes separate F.transform lambdas cost a
+    # py4j round trip per Column op; the identical tree parses from
+    # text in ~2 ms). Same xxhash64(seed, h) per permutation.
+    perms = ",".join(
+        f"array_min(transform(h0s, h -> xxhash64({i}, h)))"
+        for i in range(n_hashes))
+    return h0.select("doc_id", F.expr(f"array({perms})").alias("sig"))
 
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1, the classic universal-hash modulus
@@ -333,29 +331,32 @@ def minhash_signatures_portable(documents: DataFrame, n: int = 3,
             f"cast(conv(substring(md5({shingle}), 1, 8), 16, 10) as bigint)"
             f" % {MINHASH_PRIME}L)").alias("xs"))
 
-    def perm_min(a: int, b: int):
-        return F.array_min(F.transform(
-            "xs", lambda x: (x * a + b) % MINHASH_PRIME))
+    # The 64-permutation array is built as ONE parsed expression, not 64
+    # F.transform lambdas: each Python-side Column op is a py4j round
+    # trip, and 64 × (transform + array_min + mul/add/mod) cost ~0.8 s
+    # of pure driver time per construction (r14 measurement) — the same
+    # Catalyst tree parses from text in ~2 ms. Arithmetic is unchanged
+    # ((x·a + b) % p over bigints), so signatures stay bit-identical.
+    perms = ",".join(
+        f"array_min(transform(xs, x -> (x * {a}L + {b}L) % "
+        f"{MINHASH_PRIME}L))"
+        for a, b in minhash_perm_params(n_hashes))
+    return xs.select("doc_id", F.expr(f"array({perms})").alias("sig"))
 
-    return xs.select(
-        "doc_id",
-        F.array(*[perm_min(a, b)
-                  for a, b in minhash_perm_params(n_hashes)]).alias("sig"))
 
-
-def _banded(sig: DataFrame, band_key, n_bands: int) -> DataFrame:
+def _banded(sig: DataFrame, band_key_sql, n_bands: int) -> DataFrame:
     """Explode a signature frame into (doc_id, band_id, band_hash) rows —
     one explode, band-key expressions evaluated inside the same
-    projection (no per-band passes over the signature array)."""
+    projection (no per-band passes over the signature array).
+    ``band_key_sql(b)`` returns the band-b key as SQL TEXT: the whole
+    array-of-structs is one F.expr parse instead of ~10 py4j Column ops
+    per band (the r14 driver-side construction rule)."""
+    structs = ",".join(
+        f"named_struct('band_id', {b}, 'band_hash', {band_key_sql(b)})"
+        for b in range(n_bands))
     return sig.select(
         "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"),
-                         band_key(b).alias("band_hash"))
-                for b in range(n_bands)
-            ])
-        ).alias("band"),
+        F.expr(f"explode(array({structs}))").alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
 
 
@@ -368,11 +369,12 @@ def band_rows(sig: DataFrame, n_hashes: int = N_HASHES,
     agree bit-for-bit on what a candidate bucket is."""
     rows_per_band = n_hashes // n_bands
 
-    def band_key(b: int):
-        return F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
-                            for r in range(rows_per_band)])
+    def band_key_sql(b: int) -> str:
+        cols = ",".join(f"sig[{b * rows_per_band + r}]"
+                        for r in range(rows_per_band))
+        return f"xxhash64({cols})"
 
-    return _banded(sig, band_key, n_bands)
+    return _banded(sig, band_key_sql, n_bands)
 
 
 def portable_band_rows(sig: DataFrame, n_hashes: int = N_HASHES,
@@ -386,12 +388,12 @@ def portable_band_rows(sig: DataFrame, n_hashes: int = N_HASHES,
     stays bit-identical across all three and the generated oracles."""
     rows_per_band = n_hashes // n_bands
 
-    def band_key(b: int):
-        return F.concat_ws(",", *[
-            F.col("sig")[b * rows_per_band + r].cast("string")
-            for r in range(rows_per_band)])
+    def band_key_sql(b: int) -> str:
+        cols = ",".join(f"cast(sig[{b * rows_per_band + r}] as string)"
+                        for r in range(rows_per_band))
+        return f"concat_ws(',', {cols})"
 
-    return _banded(sig, band_key, n_bands)
+    return _banded(sig, band_key_sql, n_bands)
 
 
 def minhash_band_pairs(documents: DataFrame, n: int = 3,
@@ -538,8 +540,6 @@ def simhash_signatures(documents: DataFrame, bits: int = 64,
       DuckDB computes identically (('0x'||substr(md5,1,15))::BIGINT), so
       simhash queries get real value-hash oracles.
     """
-    import functools
-
     if portable:
         bits = min(bits, PORTABLE_SIMHASH_BITS)
         th = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
@@ -548,26 +548,33 @@ def simhash_signatures(documents: DataFrame, bits: int = 64,
     tok = documents.select(
         "doc_id", F.explode(tokens("text")).alias("token")
     ).select("doc_id", th.alias("th"))
+    # The per-bit vote aggregates and the sign-fold mask are built as
+    # parsed SQL text: `bits` separate Column chains cost ~7 py4j round
+    # trips each (~1.3 s of pure driver time per construction at
+    # bits=60, r14 measurement) for a tree that parses from text in
+    # ~2 ms. Semantics unchanged: vote j = Σ ±1 on bit j of the token
+    # hash, simhash = OR of 1<<j where the vote is positive.
     votes = tok.groupBy("doc_id").agg(*[
-        F.sum(F.when(F.shiftright("th", j).bitwiseAND(F.lit(1)) == 1, 1)
-               .otherwise(-1)).alias(f"v{j}")
+        F.expr(f"sum(CASE WHEN (shiftright(th, {j}) & 1) = 1 "
+               f"THEN 1 ELSE -1 END) AS v{j}")
         for j in range(bits)
     ])
 
-    def mask(j: int):
-        # bit 63 is the two's-complement sign bit
-        return F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+    def mask(j: int) -> str:
+        # bit 63 is the two's-complement sign bit; Long.MinValue has no
+        # direct SQL literal (the parser sees unary minus over an
+        # out-of-range positive), so spell it arithmetically
+        return f"{1 << j}L" if j < 63 else "(-9223372036854775807L - 1L)"
 
-    simhash_col = functools.reduce(
-        lambda a, b: a.bitwiseOR(b),
-        [F.when(F.col(f"v{j}") > 0, mask(j)).otherwise(F.lit(0).cast("long"))
-         for j in range(bits)],
-    )
+    simhash_sql = " | ".join(
+        f"(CASE WHEN v{j} > 0 THEN {mask(j)} ELSE 0L END)"
+        for j in range(bits))
     # One persisted (doc_id, simhash) frame serves simhash_buckets AND
     # simhash_hamming_pairs (and the hamming self-join's two sides): the
     # 'bits'-aggregate vote pass — the family's dominant cost — runs once
     # per corpus, not once per consumer.
-    return persist_shared(votes.select("doc_id", simhash_col.alias("simhash")))
+    return persist_shared(votes.select(
+        "doc_id", F.expr(simhash_sql).alias("simhash")))
 
 
 def simhash_buckets(documents: DataFrame, bits: int = 64,
@@ -644,9 +651,8 @@ def hamming_block_pairs(sigs: DataFrame, sig_col: str, bits: int,
     t = n_blocks - max_hamming
     block_mask = (1 << width) - 1
 
-    def block_val(b: int):
-        return (F.shiftright(sig_col, b * width)
-                .bitwiseAND(F.lit(block_mask)))
+    def block_val_sql(b: int) -> str:
+        return f"(shiftright({sig_col}, {b * width}) & {block_mask}L)"
 
     # one packed BIGINT key per t-combination of blocks:
     # combo_id · 2^(t·width) + v_b1 · 2^((t-1)·width) + ... + v_bt
@@ -661,16 +667,19 @@ def hamming_block_pairs(sigs: DataFrame, sig_col: str, bits: int,
         raise ValueError(
             f"packed bucket key needs {key_bits} bits (> 63); choose a "
             "smaller n_blocks")
+    # the whole key array is ONE parsed expression: the image/video tier
+    # runs C(9,3)=84 combos × t=3 shift/or chains — ~840 py4j Column ops
+    # (~1.2 s of driver time per construction, r14 measurement) for a
+    # tree that parses from text in ~3 ms
     keys = []
     for cid, combo in enumerate(combos):
-        key = F.lit(cid).cast("long")
+        key = f"cast({cid} as bigint)"
         for b in combo:
-            key = F.call_function(
-                "shiftleft", key, F.lit(width)).bitwiseOR(block_val(b))
+            key = f"(shiftleft({key}, {width}) | {block_val_sql(b)})"
         keys.append(key)
     blocks = sigs.select(
         "doc_id", sig_col,
-        F.explode(F.array(*keys)).alias("bucket_key"))
+        F.expr(f"explode(array({','.join(keys)}))").alias("bucket_key"))
     a, b = blocks.alias("a"), blocks.alias("b")
     pairs = (
         a.join(b, (F.col("a.bucket_key") == F.col("b.bucket_key"))

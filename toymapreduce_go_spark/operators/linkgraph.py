@@ -100,7 +100,17 @@ def pagerank_state(documents: DataFrame, iters: int = PR_ITERS,
             "pmod(u*7+j, n)); got "
             f"[{ids['lo']}, {ids['hi']}] with {ids['nd']} distinct "
             f"ids over n={n}")
-    edges = synthesize_links(documents, n, fanout).localCheckpoint()
+    # eager=False (r14, guide §2.4/§2.6): the lineage cut is what bounds
+    # plan depth, and a LAZY checkpoint cuts lineage exactly like an
+    # eager one — but defers execution into the consumer's ONE action,
+    # so the iteration stages pipeline inside a single job instead of
+    # paying a driver-blocking job per checkpoint (measured ~5 s of
+    # serialized scheduling in crawl_frontier/fetch_list construction
+    # at sf0.1; on a cluster the same barriers serialize real stages).
+    # The fixed-iteration loop has no driver-side reads, so nothing
+    # forces materialization before the consuming action.
+    edges = synthesize_links(documents, n, fanout).localCheckpoint(
+        eager=False)
     if ranks is not None:
         return n, edges, ranks.select("v", "r")
     nodes = documents.select(F.col("doc_id").alias("v"))
@@ -117,7 +127,7 @@ def pagerank_state(documents: DataFrame, iters: int = PR_ITERS,
                      .cast("long").alias("r"))
                  # iterative-loop lineage discipline: each round's plan
                  # must not re-analyze the whole prior chain
-                 .localCheckpoint())
+                 .localCheckpoint(eager=False))
     return n, edges, ranks
 
 

@@ -231,7 +231,7 @@ def fixture_resolved_redirects(documents: DataFrame) -> DataFrame:
     multiplies corpus scans; production reads the resolved mapping
     from the crawl log exactly once per cycle)."""
     return resolve_redirects(
-        synthesize_redirects(documents)).localCheckpoint()
+        synthesize_redirects(documents)).localCheckpoint(eager=False)
 
 
 def rekey_on_final(frame: DataFrame, resolved: DataFrame) -> DataFrame:

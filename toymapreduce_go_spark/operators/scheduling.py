@@ -153,7 +153,11 @@ def fetch_channels(documents: DataFrame,
                              ranks=ranks)
          .select("canon", "domain", "priority")
          .withColumn("ch", F.lit(0))
-         .localCheckpoint())
+         # eager=False: same lineage cut / same compute-once guarantee
+         # for the two consumers, but the channel materializes inside
+         # the consuming action instead of a separate driver-blocking
+         # job (r14 — see linkgraph.pagerank_state)
+         .localCheckpoint(eager=False))
     b = (sitemap_seeds(documents, redirects=resolved)
          .select("canon", "domain")
          .join(a.select("canon"), "canon", "left_anti")

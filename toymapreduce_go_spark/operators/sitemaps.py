@@ -279,7 +279,7 @@ def sitemap_index_stats(documents: DataFrame) -> DataFrame:
     localCheckpoint-ed (page-sized) so the corpus-distinct — the
     module's one corpus touch — does not run twice for the two
     synthesizers (review r12)."""
-    hp = _host_pages(documents).localCheckpoint()
+    hp = _host_pages(documents).localCheckpoint(eager=False)
     ent = sitemap_index_entries(
         discovered_sitemap_indexes(documents, pages=hp),
         synthesize_sitemap_children(documents, pages=hp))

@@ -11,7 +11,7 @@ boilerplate-token diagnostics at corpus scale).
 EXACTLY, without ever shuffling the full vocabulary:
 
 1. build a Count-Min Sketch (Cormode & Muthukrishnan 2005) over token
-   occurrences — d=4 salted md5 rows × w=4096 counters. The groupBy
+   occurrences — d=4 seeded xxhash64 rows × w=4096 counters. The groupBy
    key space is d·w = 16384 regardless of vocabulary, so map-side
    combine bounds the shuffle at ~16k rows per partition even on a
    100 TB crawl whose raw vocabulary is hundreds of millions;
@@ -47,13 +47,14 @@ CMS_WIDTH = 4096         # counters per row — d·w = 16k shuffle keys
 
 
 def _cms_pos(salt: int, col):
-    """Counter index of a token under one salted md5 row — the same
-    '0x'+15-hex-digit construction every oracle in this repo replays
-    (< 2^60, so pmod == DuckDB %)."""
-    salted = F.md5(F.concat(F.lit(str(salt)), col))
-    return F.pmod(
-        F.conv(F.substring(salted, 1, 15), 16, 10).cast("long"),
-        F.lit(CMS_WIDTH))
+    """Counter index of a token under one salted hash row. xxhash64 —
+    native, codegen'd — not the md5+conv+substring chain the ORACLED
+    portable signatures must use: the sketch is provably invisible to
+    the result (CMS never underestimates under ANY hash; the final
+    exact HAVING removes impostors), so it takes the cheapest hash.
+    r14 measurement: 8 md5 chains per token occurrence (4 per pass)
+    were pure per-task overhead — guide §1.2 step 2 (per-task work)."""
+    return F.pmod(F.xxhash64(F.lit(salt), col), F.lit(CMS_WIDTH))
 
 
 def heavy_hitters(documents: DataFrame,
@@ -86,9 +87,15 @@ def heavy_hitters(documents: DataFrame,
         cms[int(r["d"])][int(r["p"])] = int(r["count"])
     n_total = sum(cms[0])
     min_count = -(-n_total * threshold_milli // 1000) if n_total else 1
-    # ONE array Literal per row (not 4096 Literal nodes each — a
-    # single ArrayType literal keeps analysis/codegen cost flat)
-    counters = [F.lit(row) for row in cms]
+    # ONE array literal per row, built by a single F.expr PARSE — not
+    # F.lit(<python list>), which round-trips py4j once per element
+    # (r14 measurement: F.lit on a 4096-long list costs ~2 s of pure
+    # driver time vs 2 ms for the parsed text; 4 rows made query
+    # CONSTRUCTION 8 s against 0.6 s of actual execution). The parsed
+    # plan is the identical ArrayType literal.
+    counters = [
+        F.expr("array(" + ",".join(f"{v}L" for v in row) + ")")
+        for row in cms]
 
     # pass 2: scan-side estimate (least over the d plan-literal rows)
     # gates which tokens reach the exact count — CMS overestimates, so
