@@ -61,7 +61,8 @@ FRONTIER_PER_DOMAIN = 2   # politeness cap per host per cycle
 def frontier_candidates(documents: DataFrame, iters: int = PR_ITERS,
                         fanout: int = PR_FANOUT,
                         redirects: "DataFrame | bool" = True,
-                        ranks: "DataFrame | None" = None
+                        ranks: "DataFrame | None" = None,
+                        rules: "DataFrame | None" = None
                         ) -> DataFrame:
     """(canon, domain, priority): gated, prioritized, pre-cap frontier
     candidates. See the module docstring for the contract. The gates
@@ -86,7 +87,9 @@ def frontier_candidates(documents: DataFrame, iters: int = PR_ITERS,
     store's warm-started converged ranks (``crawl_cycle_ranks``)
     instead of paying the cold fixed-iteration build; the declared
     query keeps the fixed-iteration default (the DuckDB twin unrolls
-    it bit-for-bit)."""
+    it bit-for-bit). ``rules`` — a ``urls.shared_robots_rules``
+    frame — lets a multi-channel plan (fetch_list) parse the robots
+    fold once instead of once per gate."""
     _, edges, ranks = pagerank_state(documents, iters, fanout,
                                      ranks=ranks)
     e = (edges
@@ -102,7 +105,7 @@ def frontier_candidates(documents: DataFrame, iters: int = PR_ITERS,
     pri = (t.join(ranks.select(F.col("v").alias("u"), "r"), "u")
            .groupBy("canon", "domain")
            .agg(F.sum("r").alias("priority")))
-    cand = robots_gate_frame(pri, documents)
+    cand = robots_gate_frame(pri, documents, rules=rules)
     if redirects is not False:
         from .redirects import fixture_resolved_redirects, rekey_on_final
         resolved = (fixture_resolved_redirects(documents)
@@ -110,7 +113,7 @@ def frontier_candidates(documents: DataFrame, iters: int = PR_ITERS,
         cand = (rekey_on_final(cand, resolved)
                 .groupBy("canon", "domain")
                 .agg(F.sum("priority").alias("priority")))
-        cand = robots_gate_frame(deny_gate(cand), documents)
+        cand = robots_gate_frame(deny_gate(cand), documents, rules=rules)
     return cand
 
 

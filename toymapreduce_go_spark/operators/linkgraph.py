@@ -84,14 +84,19 @@ def pagerank_state(documents: DataFrame, iters: int = PR_ITERS,
     r0 = scale div n for every node;
     r_{t+1}(w) = (15·scale div 100) div n
                  + 85·Σ_{u→w}(r_t(u) div fanout) div 100."""
-    n = documents.count()
+    # ONE corpus scan collects the row count and the contiguity probe
+    # together (r14: count() + a second agg paid two driver-blocking
+    # jobs per consumer — the fetch list builds this state once per
+    # cycle, so every extra action is a serialized corpus pass)
+    ids = documents.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
+        F.count_distinct("doc_id").alias("nd")).collect()[0]
+    n = int(ids["n"])
     spark = documents.sparkSession
     if n == 0:
         empty = spark.createDataFrame([], "v long, r long")
         return 0, spark.createDataFrame([], "u long, v long"), empty
-    ids = documents.agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
-        F.count_distinct("doc_id").alias("nd")).collect()[0]
     if int(ids["lo"]) != 0 or int(ids["hi"]) != n - 1 \
             or int(ids["nd"]) != n:
         raise ValueError(

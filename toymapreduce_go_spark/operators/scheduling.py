@@ -43,9 +43,10 @@ from pyspark.sql import functions as F
 
 from ..functions.checksum import CKSUM_MOD
 from .frontier import frontier_candidates
-from .sitemaps import recrawl_gaps, sitemap_seeds
+from .sitemaps import (recrawl_gaps, sitemap_entries, sitemap_seeds,
+                       synthesize_sitemaps)
 from .urls import (deny_gate, parse_crawl_delay, robots_gate_frame,
-                   synthesize_robots)
+                   shared_robots_rules, synthesize_robots)
 
 # Time-aware politeness (replaces the r11 slot budget): each host has
 # a deterministic request RATE, every scheduled row gets a fetch
@@ -149,8 +150,17 @@ def fetch_channels(documents: DataFrame,
     resolved: "DataFrame | bool" = redirects
     if redirects is True:
         resolved = fixture_resolved_redirects(documents)
+    # shared per-plan artifacts (r14): ONE parsed robots frame feeds
+    # all six gates (the multi-KB group-selection fold is analyzed
+    # once, not per gate) and ONE parsed sitemap-entries frame feeds
+    # channels 1 and 2 (the module's corpus distinct runs once per
+    # cycle, not once per channel). Both are metadata-sized lazy
+    # lineage cuts.
+    rules = shared_robots_rules(documents)
+    entries = sitemap_entries(
+        synthesize_sitemaps(documents)).localCheckpoint(eager=False)
     a = (frontier_candidates(documents, redirects=resolved,
-                             ranks=ranks)
+                             ranks=ranks, rules=rules)
          .select("canon", "domain", "priority")
          .withColumn("ch", F.lit(0))
          # eager=False: same lineage cut / same compute-once guarantee
@@ -158,20 +168,21 @@ def fetch_channels(documents: DataFrame,
          # the consuming action instead of a separate driver-blocking
          # job (r14 — see linkgraph.pagerank_state)
          .localCheckpoint(eager=False))
-    b = (sitemap_seeds(documents, redirects=resolved)
+    b = (sitemap_seeds(documents, redirects=resolved, rules=rules,
+                       entries=entries)
          .select("canon", "domain")
          .join(a.select("canon"), "canon", "left_anti")
          .withColumn("priority", F.lit(0).cast("long"))
          .withColumn("ch", F.lit(1)))
-    c = (recrawl_gaps(documents)
+    c = (recrawl_gaps(documents, entries=entries)
          .filter(F.col("gap") > 0)
          .withColumnRenamed("gap", "priority"))
-    c = robots_gate_frame(deny_gate(c), documents)
+    c = robots_gate_frame(deny_gate(c), documents, rules=rules)
     if resolved is not False:
         c = (rekey_on_final(c, resolved)
              .groupBy("canon", "domain")
              .agg(F.max("priority").alias("priority")))
-        c = robots_gate_frame(deny_gate(c), documents)
+        c = robots_gate_frame(deny_gate(c), documents, rules=rules)
     c = (c.select("canon", "domain", "priority")
          .withColumn("ch", F.lit(2)))
     return a.unionByName(b).unionByName(c)

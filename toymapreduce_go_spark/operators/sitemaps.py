@@ -287,7 +287,9 @@ def sitemap_index_stats(documents: DataFrame) -> DataFrame:
 
 
 def sitemap_seeds(documents: DataFrame,
-                  redirects: "DataFrame | bool" = True) -> DataFrame:
+                  redirects: "DataFrame | bool" = True,
+                  rules: "DataFrame | None" = None,
+                  entries: "DataFrame | None" = None) -> DataFrame:
     """(canon, domain, lastmod): sitemap-discovered UNCRAWLED pages
     surviving the same gates the link frontier applies — structurally
     the SAME gates (``urls.deny_gate`` / ``urls.robots_gate_frame``),
@@ -298,12 +300,18 @@ def sitemap_seeds(documents: DataFrame,
     OLD loc, the fetch of it is gated at the discovered host, a
     permanent chain re-keys the seed to the terminal URL, and the
     terminal host's gates apply — so a moved orphan page seeds the
-    frontier ONCE, at the host that actually serves it."""
-    ent = sitemap_entries(synthesize_sitemaps(documents))
+    frontier ONCE, at the host that actually serves it.
+
+    ``rules`` / ``entries`` let a multi-channel plan (fetch_list)
+    share one ``urls.shared_robots_rules`` frame across its gates and
+    one parsed-entries frame with the recrawl channel (the module's
+    one corpus distinct runs once per cycle, not once per channel)."""
+    ent = (sitemap_entries(synthesize_sitemaps(documents))
+           if entries is None else entries)
     item = F.regexp_extract("canon", r"/articles/item(\d+)", 1)
     ent = ent.filter(F.pmod(item.cast("long"),
                             F.lit(FRONTIER_MOD)) == 0)
-    seeds = robots_gate_frame(deny_gate(ent), documents)
+    seeds = robots_gate_frame(deny_gate(ent), documents, rules=rules)
     if redirects is not False:
         from .redirects import fixture_resolved_redirects, rekey_on_final
         resolved = (fixture_resolved_redirects(documents)
@@ -311,7 +319,8 @@ def sitemap_seeds(documents: DataFrame,
         seeds = (rekey_on_final(seeds, resolved)
                  .groupBy("canon", "domain")
                  .agg(F.min("lastmod").alias("lastmod")))
-        seeds = robots_gate_frame(deny_gate(seeds), documents)
+        seeds = robots_gate_frame(deny_gate(seeds), documents,
+                                  rules=rules)
     return seeds
 
 
@@ -365,7 +374,8 @@ def fetched_day_expr(page) -> "F.Column":
     return F.pmod(page * FETCH_DAY_MULT, F.lit(365))
 
 
-def recrawl_gaps(documents: DataFrame) -> DataFrame:
+def recrawl_gaps(documents: DataFrame,
+                 entries: "DataFrame | None" = None) -> DataFrame:
     """(canon, domain, page, off, gap): every CRAWLED page listed in
     the parsed sitemaps with its lastmod day offset (``off``) and
     staleness gap (``gap`` = off − last-fetch day; strictly positive
@@ -373,8 +383,11 @@ def recrawl_gaps(documents: DataFrame) -> DataFrame:
     logic — ``recrawl_schedule`` rolls it up, the fetch list's
     recrawl channel filters ``gap > 0`` and ranks by it (r11 ADVICE:
     the two hand-kept copies were the same desync hazard the gates
-    had). Host-sized after the one corpus distinct."""
-    ent = sitemap_entries(synthesize_sitemaps(documents))
+    had). Host-sized after the one corpus distinct. ``entries`` lets
+    the fetch list share one parsed-entries frame with the sitemap
+    channel instead of re-running the distinct per channel."""
+    ent = (sitemap_entries(synthesize_sitemaps(documents))
+           if entries is None else entries)
     item = F.regexp_extract("canon", r"/articles/item(\d+)", 1) \
         .cast("long")
     ent = (ent.withColumn("page", item)

@@ -745,8 +745,23 @@ def deny_gate(frame: DataFrame,
         F.lit([str(b) for b in blocked]), F.col("domain")))
 
 
+def shared_robots_rules(documents: DataFrame) -> DataFrame:
+    """The parsed robots verdict frame (``domain``, ``_rules``,
+    ``_r5xx``) built ONCE and lineage-cut — the shared broadcast side
+    for a plan that gates several channels (fetch_list applies six
+    gates; r14 measurement: re-analyzing the multi-KB group-selection
+    fold per gate cost more driver time than executing the whole
+    query). Domain-class-sized (16 rows), so the lazy checkpoint
+    materializes metadata, never corpus data."""
+    return synthesize_robots(documents).select(
+        "domain", parse_robots("robots_txt").alias("_rules"),
+        (F.col("status") >= 500).alias("_r5xx")).localCheckpoint(
+        eager=False)
+
+
 def robots_gate_frame(frame: DataFrame,
-                      documents: DataFrame) -> DataFrame:
+                      documents: DataFrame,
+                      rules: DataFrame | None = None) -> DataFrame:
     """The robots longest-match gate over any frame carrying
     (``canon``, ``domain``): broadcast the domain-sized parsed-rules
     frame, fold the verdict per row, keep the allowed rows (input
@@ -754,10 +769,13 @@ def robots_gate_frame(frame: DataFrame,
     absence of robots.txt means allow-all (RFC 9309 §2.3.1.2), never
     silent disappearance — while a domain whose robots.txt fetch
     answered 5xx is FULL DISALLOW (§2.3.1.3). The shared second half
-    of the discovery-channel gate sequence."""
-    rules = synthesize_robots(documents).select(
-        "domain", parse_robots("robots_txt").alias("_rules"),
-        (F.col("status") >= 500).alias("_r5xx"))
+    of the discovery-channel gate sequence. ``rules`` — a
+    ``shared_robots_rules`` frame — lets a multi-gate plan parse the
+    rules once instead of per gate."""
+    if rules is None:
+        rules = synthesize_robots(documents).select(
+            "domain", parse_robots("robots_txt").alias("_rules"),
+            (F.col("status") >= 500).alias("_r5xx"))
     gated = frame.withColumn(
         "_path", F.regexp_extract("canon", ROBOTS_PATH_RE, 1))
     return (gated.join(F.broadcast(rules), "domain", "left")
