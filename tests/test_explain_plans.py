@@ -568,3 +568,35 @@ def test_fetch_list_runs_the_rank_join_exactly_once(spark):
     import re
     assert not re.findall(r"sum\(r[)#]", plan), plan
     assert plan.count("Scan ExistingRDD") >= 2, plan
+
+
+def test_lsh_dedup_agg_and_topk_window_share_one_exchange(spark):
+    """_rank_banded_candidates clusters candidates by probe_id ONCE:
+    the (probe_id, vec_id) max-cos dedup agg and the top-k row_number
+    window both reuse that single exchange (guide §2.4 — partitioning
+    on the window key satisfies the finer agg clustering), so the
+    candidate set is shuffled once, not twice."""
+    import re
+    from toymapreduce_go_spark.operators.similarity import ann_lsh_portable
+    plan = plan_of(ann_lsh_portable(load_table(spark, SF_DIR,
+                                               "embeddings")))
+    hashx = re.findall(r"hashpartitioning\(probe_id", plan)
+    assert len(hashx) == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_spread_for_compute_is_a_noop_at_scan_parallelism(spark):
+    """The adaptive parallelism floor fires only below the session
+    default — a frame that already has enough partitions passes
+    through IDENTICALLY (at production scan parallelism the extra
+    exchange must not exist)."""
+    from toymapreduce_go_spark.functions.partitioning import (
+        spread_for_compute)
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10000, 1, target + 4) \
+        .withColumnRenamed("id", "vec_id")
+    assert spread_for_compute(wide, "vec_id") is wide
+    narrow = spark.range(0, 100, 1, 1).withColumnRenamed("id", "vec_id")
+    spread = spread_for_compute(narrow, "vec_id")
+    assert spread.rdd.getNumPartitions() == target
+    assert sorted(r["vec_id"] for r in spread.collect()) == list(range(100))

@@ -87,7 +87,10 @@ def _text_rows(documents: DataFrame) -> DataFrame:
     """(doc_id, source, text) with null text dropped JVM-side before any
     Python stage: dirty crawls ship null payloads, and the synthesis
     kernels treat a null document as absent rather than crashing the
-    worker."""
+    worker. Deliberately NOT parallelism-floored (r14): the plan tests
+    pin the no-Exchange-before-the-Python-stage shape of the
+    fingerprint family, and the measured win of a pre-spread here was
+    inside host noise — the decode stages ride scan parallelism."""
     return (documents.select("doc_id", "source", "text")
             .filter(F.col("text").isNotNull()))
 

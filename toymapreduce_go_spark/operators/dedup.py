@@ -739,7 +739,12 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4,
     import numpy as np
     import pandas as pd
 
-    e = embeddings.select(
+    from ..functions.partitioning import spread_for_compute
+
+    # floor the scan parallelism: the grid replication below multiplies
+    # whatever partitioning the scan has, and one small row group would
+    # otherwise serialize the Arrow transfer of every replica
+    e = spread_for_compute(embeddings, "vec_id").select(
         "vec_id", "embedding",
         (F.col("vec_id") % n_blocks).cast("int").alias("blk"))
     bi = e.select(F.col("blk").alias("bi")).distinct()

@@ -94,8 +94,11 @@ def _label_vote_rollup(top: DataFrame) -> DataFrame:
     """Majority vote + per-true-label accuracy rollup over ANY
     (probe_id, true_label, label) neighbor frame — shared by the exact
     (``knn_label_vote``) and ANN (``ann_label_vote``) tiers. Ties go to
-    the smallest label; both aggs are metadata-sized."""
-    votes = (top.groupBy("probe_id", "true_label", "label")
+    the smallest label; both aggs are metadata-sized. Clustered by
+    probe_id once so the vote agg and the argmax window share a single
+    exchange (guide §2.4)."""
+    votes = (top.repartition(F.col("probe_id"))
+             .groupBy("probe_id", "true_label", "label")
              .agg(F.count(F.lit(1)).alias("c")))
     wv = Window.partitionBy("probe_id").orderBy(
         F.col("c").desc(), F.col("label").asc())
@@ -228,7 +231,12 @@ def ann_lsh_portable(embeddings: DataFrame, n_probes: int = 5,
     plan, but each band's sign sketch uses seeded literal planes so the
     DuckDB oracle reproduces buckets, candidates, and ranks exactly
     (including the per-band Hamming-1 multi-probe expansion)."""
+    from ..functions.partitioning import spread_for_compute
     all_planes = lsh_plane_weights(n_bands * n_planes)
+    # the per-row plane-dot folds are interpreted higher-order
+    # functions (bands × planes × dims lambda calls per vector) — floor
+    # the scan parallelism so one small row group can't serialize them
+    embeddings = spread_for_compute(embeddings, "vec_id")
     sketched = embeddings.withColumn(
         "buckets", F.array(*[
             _sign_sketch_literal(
@@ -289,10 +297,16 @@ def _rank_banded_candidates(sketched: DataFrame, n_probes: int, k: int,
     )
     # band-dedup: within a band the ring values are distinct and a vector
     # has one bucket, so dupes only come from OR-ing bands — max(cos)
-    # over identical values, narrow shuffle.
+    # over identical values, narrow shuffle. Clustering by probe_id
+    # FIRST lets the (probe_id, vec_id) dedup agg AND the top-k window
+    # share that one exchange (guide §2.4: an agg and a window keyed on
+    # overlapping keys don't need two shuffles — partitioning on the
+    # window key satisfies the finer agg clustering).
     pairs = (
-        cand.groupBy(F.col("p.probe_id").alias("probe_id"),
-                     F.col("c.vec_id").alias("vec_id"))
+        cand.select(F.col("p.probe_id").alias("probe_id"),
+                    F.col("c.vec_id").alias("vec_id"), "cos")
+        .repartition(F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
         .agg(F.max("cos").alias("cos"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(),

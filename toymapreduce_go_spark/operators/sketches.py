@@ -67,7 +67,13 @@ def heavy_hitters(documents: DataFrame,
         raise ValueError("threshold_milli must be a positive integer "
                          "(milli-units; float thresholds diverge "
                          "cross-engine)")
-    tok = (documents.select(F.explode(tokens("text")).alias("word")))
+    from ..functions.partitioning import spread_for_compute
+    # both corpus passes tokenize scan-side; floor the parallelism so a
+    # small single-row-group file doesn't serialize the tokenize (no-op
+    # at production scan parallelism — see spread_for_compute)
+    tok = (spread_for_compute(
+        documents.select("doc_id", "text"), "doc_id")
+        .select(F.explode(tokens("text")).alias("word")))
 
     # pass 1: the sketch — count-combinable and keyed on a FIXED d*w
     # space, so the shuffle is bounded per partition no matter the
@@ -87,23 +93,22 @@ def heavy_hitters(documents: DataFrame,
         cms[int(r["d"])][int(r["p"])] = int(r["count"])
     n_total = sum(cms[0])
     min_count = -(-n_total * threshold_milli // 1000) if n_total else 1
-    # ONE array literal per row, built by a single F.expr PARSE — not
-    # F.lit(<python list>), which round-trips py4j once per element
-    # (r14 measurement: F.lit on a 4096-long list costs ~2 s of pure
-    # driver time vs 2 ms for the parsed text; 4 rows made query
-    # CONSTRUCTION 8 s against 0.6 s of actual execution). The parsed
-    # plan is the identical ArrayType literal.
-    counters = [
-        F.expr("array(" + ",".join(f"{v}L" for v in row) + ")")
-        for row in cms]
-
     # pass 2: scan-side estimate (least over the d plan-literal rows)
     # gates which tokens reach the exact count — CMS overestimates, so
     # no true hitter is dropped; the exact HAVING removes impostors.
-    est = F.least(*[
-        F.element_at(counters[d], _cms_pos(d, F.col("word"))
-                     .cast("int") + 1)
-        for d in range(CMS_DEPTH)])
+    # The WHOLE estimate is ONE F.expr parse — not F.lit(<python list>)
+    # (one py4j trip per element: ~2 s for a 4096-long list) and not
+    # four separate array parses glued with py4j combinators (r14: the
+    # per-call overhead of element_at/least/cast round trips still cost
+    # ~0.4 s of driver time). The parsed plan is the identical
+    # ArrayType-literal tree.
+    def row_est(d: int, row: list[int]) -> str:
+        arr = "array(" + ",".join(f"{v}L" for v in row) + ")"
+        return (f"element_at({arr}, cast(pmod(xxhash64({d}, word), "
+                f"{CMS_WIDTH}) as int) + 1)")
+
+    est = F.expr("least(" + ",".join(
+        row_est(d, cms[d]) for d in range(CMS_DEPTH)) + ")")
     return (tok.filter(est >= F.lit(min_count))
             .groupBy("word")
             .agg(F.count(F.lit(1)).alias("n_occurrences"))
