@@ -35,12 +35,15 @@ def knn_bruteforce(embeddings: DataFrame, n_probes: int = 5,
     At 1000 executors this reads the corpus once, computes k·|probes|
     locally per partition, and shuffles only |probes|·k candidate rows.
     """
+    from ..functions.partitioning import spread_for_compute
     probes = (
         embeddings.orderBy("vec_id").limit(n_probes)
         .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb"))
     )
+    # |probes| interpreted cosine folds per corpus row — floor the scan
+    # parallelism so one small row group can't serialize them
     scored = (
-        embeddings.alias("c")
+        spread_for_compute(embeddings, "vec_id").alias("c")
         .join(broadcast(probes), F.col("vec_id") != F.col("probe_id"))
         .withColumn("cos", cosine_sim(F.col("probe_emb"), F.col("embedding")))
     )
@@ -72,14 +75,16 @@ def knn_label_vote(embeddings: DataFrame, n_probes: int = 20,
     outgrows a full scan per eval, run the same vote over an ANN tier's
     neighbor lists (``ann_ivf_pq`` shortlists + a label join) — the
     vote/rollup half is neighbor-frame-agnostic."""
+    from ..functions.partitioning import spread_for_compute
     probes = (
         embeddings.orderBy("vec_id").limit(n_probes)
         .select(F.col("vec_id").alias("probe_id"),
                 F.col("embedding").alias("probe_emb"),
                 F.col("label").alias("true_label")))
     scored = (
-        embeddings.join(broadcast(probes),
-                        F.col("vec_id") != F.col("probe_id"))
+        spread_for_compute(embeddings, "vec_id")
+        .join(broadcast(probes),
+              F.col("vec_id") != F.col("probe_id"))
         .withColumn("cos", cosine_sim(F.col("probe_emb"),
                                       F.col("embedding"))))
     w = Window.partitionBy("probe_id").orderBy(
@@ -539,7 +544,16 @@ def _assign_cells(embeddings: DataFrame,
     the in-session IVF tiers and the persisted index writer;
     ``keep_cols`` rides extra columns through (the rebuild path keeps
     each posting's original ingest_batch)."""
+    from ..functions.partitioning import spread_for_compute
+
     cent_norms = {cid: _py_norm(emb) for cid, emb in cents}
+
+    # the argmax fold is an interpreted higher-order expression
+    # (n_cells × dims lambda calls per vector) — floor the scan
+    # parallelism so one small row group can't serialize it (no-op at
+    # production scan parallelism; runs above any pushed filter, so
+    # PushedFilters are unaffected)
+    embeddings = spread_for_compute(embeddings, "vec_id")
 
     # One projected corpus-vector norm, reused by every centroid score —
     # inlining cosine_sim n_cells times would recompute it n_cells times
