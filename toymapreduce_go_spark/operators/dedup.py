@@ -747,13 +747,25 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4,
     e = spread_for_compute(embeddings, "vec_id").select(
         "vec_id", "embedding",
         (F.col("vec_id") % n_blocks).cast("int").alias("blk"))
-    bi = e.select(F.col("blk").alias("bi")).distinct()
-    bj = e.select(F.col("blk").alias("bj")).distinct()
-    grid = bi.crossJoin(bj).filter(F.col("bi") <= F.col("bj"))
-    rep_a = e.join(F.broadcast(grid), F.col("blk") == F.col("bi")) \
-             .select("bi", "bj", F.lit("a").alias("side"), "vec_id", "embedding")
-    rep_b = e.join(F.broadcast(grid), F.col("blk") == F.col("bj")) \
-             .select("bi", "bj", F.lit("b").alias("side"), "vec_id", "embedding")
+    # the (bi <= bj) grid is statically known from n_blocks, so each
+    # vector's grid replicas — row side 'a' for every bj ≥ blk, column
+    # side 'b' for every bi ≤ blk (the diagonal lands on both sides,
+    # as the tile kernel expects) — are generated by ONE data-dependent
+    # inline() over ONE scan. r14: this replaces two corpus-wide
+    # distinct() aggregations, a crossJoin, two broadcast grid joins
+    # and a two-scan union (plan: 6 parquet scans → 1, both
+    # BroadcastNestedLoopJoins gone); a block with no vectors produced
+    # no grid group either way, so results are identical.
+    rep = e.select(
+        "vec_id", "embedding",
+        F.expr(
+            f"inline(concat("
+            f"transform(sequence(blk, {n_blocks - 1}), "
+            f"j -> named_struct('bi', blk, 'bj', cast(j as int), "
+            f"'side', 'a')), "
+            f"transform(sequence(0, blk), "
+            f"i -> named_struct('bi', cast(i as int), 'bj', blk, "
+            f"'side', 'b'))))"))
 
     def tile(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         bi_v, bj_v = key
@@ -781,8 +793,7 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4,
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": cs})
 
     return (
-        rep_a.unionByName(rep_b)
-        .groupBy("bi", "bj")
+        rep.groupBy("bi", "bj")
         .applyInPandas(tile, schema="id_a long, id_b long, cos_sim double")
         .orderBy("id_a", "id_b")
     )
