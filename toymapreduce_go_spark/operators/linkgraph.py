@@ -121,7 +121,7 @@ def pagerank_state(documents: DataFrame, iters: int = PR_ITERS,
     nodes = documents.select(F.col("doc_id").alias("v"))
     ranks = nodes.select("v", F.lit(scale // n).cast("long").alias("r"))
     base = (15 * scale // 100) // n
-    for _ in range(iters):
+    for it in range(iters):
         inflow = (edges
                   .join(ranks.select(F.col("v").alias("u"), "r"), "u")
                   .groupBy("v")
@@ -129,11 +129,24 @@ def pagerank_state(documents: DataFrame, iters: int = PR_ITERS,
         ranks = (nodes.join(inflow, "v", "left")
                  .select("v", (F.lit(base) + F.expr(
                      "(85 * coalesce(inf, 0L)) div 100"))
-                     .cast("long").alias("r"))
-                 # iterative-loop lineage discipline: each round's plan
-                 # must not re-analyze the whole prior chain
-                 .localCheckpoint(eager=False))
-    return n, edges, ranks
+                     .cast("long").alias("r")))
+        # iterative-loop lineage discipline, amortized (r14): even a
+        # LAZY localCheckpoint pays a driver-blocking plan-compile
+        # (~0.5 s each here), so cut every 4th round instead of every
+        # round — a 4-deep join+agg nest analyzes once for the same
+        # cost as one round, so the default fixed 3-iteration build
+        # compiles NO intra-loop plan. Each intermediate is consumed
+        # exactly once (the next round), so no compute-once guarantee
+        # is lost; ``edges`` (consumed by every round AND the
+        # frontier) keeps its own cut above.
+        if (it + 1) % 4 == 0 and it != iters - 1:
+            ranks = ranks.localCheckpoint(eager=False)
+    # the FINAL ranks are the multi-consumer artifact (rank join,
+    # rollups) — one cut here keeps the loop's join nest out of every
+    # consumer's plan, exactly like the per-iteration form did, for
+    # one compile instead of ``iters`` (A/B at sf0.1: total unchanged
+    # vs no cut, construct −1.4 s vs the per-iteration form)
+    return n, edges, ranks.localCheckpoint(eager=False)
 
 
 # ---------------------------------------------------------------------------
