@@ -70,15 +70,6 @@ TEMP_HOP1_MOD = 1       # hop-1 edges are 302 on pages p % 5 == 1
 TEMP_HOP2_MOD = 2       # hop-2 edges are 302 on pages p % 5 == 2
 
 
-def _moved_url(suffix: str) -> "F.Column":
-    """http://www.site<m><suffix>.example.com/articles/item<p>?a=1&b=2
-    for the current (page, m) row."""
-    return F.concat(
-        F.lit("http://www.site"), F.col("m").cast("string"),
-        F.lit(suffix), F.lit(".example.com/articles/item"),
-        F.col("page").cast("string"), F.lit("?a=1&b=2"))
-
-
 def synthesize_redirects(documents: DataFrame) -> DataFrame:
     """(src, dst, perm): the redirect edge list a crawl log yields —
     moved hosts' pages redirect to ``site<m>m`` (all) and on to
@@ -96,35 +87,42 @@ def synthesize_redirects(documents: DataFrame) -> DataFrame:
     neither side depends on canonicalization being a fixed point here
     (r13 advisory 2)."""
     n_pages = (documents.count() + 3) // 4
-    pages = (documents.sparkSession.range(n_pages)
-             .select(F.col("id").alias("page"))
-             .withColumn("m", F.pmod(F.col("page"), F.lit(16)))
-             .filter(F.pmod(F.col("m"), F.lit(8)) == MOVED_HOST_MOD))
-    hop1 = pages.select(
-        F.concat(
-            F.lit("http://www.site"), F.col("m").cast("string"),
-            F.lit(".example.com/articles/item"),
-            F.col("page").cast("string"), F.lit("?a=1&b=2"))
-        .alias("src"),
-        _moved_url("m").alias("dst"),
-        (F.pmod(F.col("page"), F.lit(5)) != TEMP_HOP1_MOD)
-        .alias("perm"))
-    hop2 = (pages.filter(F.pmod(F.col("page"), F.lit(2)) == 0)
-            .select(_moved_url("m").alias("src"),
-                    _moved_url("mm").alias("dst"),
-                    (F.pmod(F.col("page"), F.lit(5)) != TEMP_HOP2_MOD)
-                    .alias("perm")))
-    hosts = pages.select("m").distinct()
-    la = F.concat(F.lit("http://www.site"), F.col("m").cast("string"),
-                  F.lit(".example.com/loop/a"))
-    lb = F.concat(F.lit("http://www.site"), F.col("m").cast("string"),
-                  F.lit(".example.com/loop/b"))
-    loops = (hosts.select(la.alias("src"), lb.alias("dst"),
-                          F.lit(True).alias("perm"))
-             .unionByName(hosts.select(lb.alias("src"),
-                                       la.alias("dst"),
-                                       F.lit(True).alias("perm"))))
-    return hop1.unionByName(hop2).unionByName(loops)
+    # ONE inline-projection over the structural range emits every edge
+    # class (r14 construction fold): each page row carries its hop-1
+    # edge, its hop-2 edge when even, and — on the host's REPRESENTATIVE
+    # page only — the planted 2-cycle. ``page == m`` marks exactly one
+    # page per present host (host m exists iff m < n_pages iff page m
+    # itself exists), so the per-host loop edges need no distinct()
+    # shuffle; the emitted edge multiset is identical to the former
+    # hop1 ∪ hop2 ∪ loops unions.
+    page_url = ("concat('http://www.site', cast(m as string), '{sfx}',"
+                "'.example.com/articles/item', cast(page as string),"
+                "'?a=1&b=2')")
+    loop_url = ("concat('http://www.site', cast(m as string),"
+                "'.example.com/loop/{ab}')")
+    edge = ("named_struct('src', {src}, 'dst', {dst}, 'perm', {perm},"
+            "'keep', {keep})")
+    edges = ",".join([
+        edge.format(src=page_url.format(sfx=""),
+                    dst=page_url.format(sfx="m"),
+                    perm=f"pmod(page, 5) != {TEMP_HOP1_MOD}",
+                    keep="true"),
+        edge.format(src=page_url.format(sfx="m"),
+                    dst=page_url.format(sfx="mm"),
+                    perm=f"pmod(page, 5) != {TEMP_HOP2_MOD}",
+                    keep="pmod(page, 2) = 0"),
+        edge.format(src=loop_url.format(ab="a"),
+                    dst=loop_url.format(ab="b"),
+                    perm="true", keep="page = m"),
+        edge.format(src=loop_url.format(ab="b"),
+                    dst=loop_url.format(ab="a"),
+                    perm="true", keep="page = m"),
+    ])
+    return (documents.sparkSession.range(n_pages)
+            .selectExpr("id as page", "pmod(id, 16) as m")
+            .filter(F.pmod(F.col("m"), F.lit(8)) == MOVED_HOST_MOD)
+            .selectExpr(f"inline(filter(array({edges}), e -> e.keep))")
+            .drop("keep"))
 
 
 def resolve_redirects(edges: DataFrame,
@@ -153,34 +151,27 @@ def resolve_redirects(edges: DataFrame,
              .agg(F.min(F.struct("dst", "perm")).alias("_e"))
              .select("src", F.col("_e.dst").alias("dst"),
                      F.col("_e.perm").alias("perm")))
-    cur = edges.select(
-        "src", F.col("dst").alias("final"),
-        F.lit(1).alias("hops"),
-        (F.col("dst") == F.col("src")).alias("looped"),
-        "perm",
-        F.when(F.col("perm"), F.col("dst")).otherwise(F.col("src"))
-        .alias("perm_final"))
+    cur = edges.selectExpr(
+        "src", "dst as final", "1 as hops", "(dst = src) as looped",
+        "perm", "if(perm, dst, src) as perm_final")
+    # each hop's projection is parsed as ONE selectExpr (r14
+    # construction fold — identical expressions to the former
+    # column-op form, ~20 py4j round trips fewer per hop)
+    nxt = edges.selectExpr("src as final", "dst as nxt",
+                           "perm as _nperm")
     for _ in range(1, max_hops):
-        nxt = edges.select(F.col("src").alias("final"),
-                           F.col("dst").alias("nxt"),
-                           F.col("perm").alias("_nperm"))
-        followed = F.col("nxt").isNotNull() & ~F.col("looped")
+        followed = "(nxt is not null and not looped)"
         cur = (cur.join(nxt, "final", "left")
-               .select(
+               .selectExpr(
                    "src",
-                   F.coalesce("nxt", "final").alias("final"),
-                   F.when(followed, F.col("hops") + 1)
-                   .otherwise(F.col("hops")).alias("hops"),
-                   (F.col("looped")
-                    | (F.col("nxt").eqNullSafe(F.col("src"))))
-                   .alias("looped"),
-                   F.when(followed, F.col("perm") & F.col("_nperm"))
-                   .otherwise(F.col("perm")).alias("perm"),
+                   "coalesce(nxt, final) as final",
+                   f"if({followed}, hops + 1, hops) as hops",
+                   "(looped or (nxt <=> src)) as looped",
+                   f"if({followed}, perm and _nperm, perm) as perm",
                    # the identity prefix extends only while it is
                    # STILL all-permanent at the hop being taken
-                   F.when(followed & F.col("perm") & F.col("_nperm"),
-                          F.col("nxt"))
-                   .otherwise(F.col("perm_final")).alias("perm_final")))
+                   f"if({followed} and perm and _nperm, nxt,"
+                   "    perm_final) as perm_final"))
         # no per-hop localCheckpoint (r14 measurement): max_hops is a
         # small CONSTANT, so plan depth is bounded by construction —
         # unlike the data-dependent iterative loops (PageRank, Lloyd's)
