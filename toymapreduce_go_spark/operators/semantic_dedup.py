@@ -162,20 +162,29 @@ def _cell_block_replicas(assigned: DataFrame, n_blocks: int) -> DataFrame:
     rows (2·|cell ∩ blk=bi| on the diagonal) — at most two blocks of
     one cell, never the whole cell. Factored out so the per-task input
     bound is directly testable (tests/test_semantic_dedup.py)."""
-    spark = assigned.sparkSession
     # pmod, not %: negative vec_ids (the pipeline's synthetic chunk ids
     # are negative) must land IN the 0..n_blocks-1 grid — a signed %
     # would route them to a blk no grid row matches and silently drop
     # them from the pair set (review r10)
-    e = assigned.withColumn(
-        "blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
-    grid = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(n_blocks)
-         if i <= j], "bi int, bj int")
-    rep_a = (e.join(F.broadcast(grid), F.col("blk") == F.col("bi"))
-             .select("cell", "bi", "bj", F.lit("a").alias("side"),
-                     "vec_id", "embedding"))
-    rep_b = (e.join(F.broadcast(grid), F.col("blk") == F.col("bj"))
-             .select("cell", "bi", "bj", F.lit("b").alias("side"),
-                     "vec_id", "embedding"))
-    return rep_a.unionByName(rep_b)
+    #
+    # each row's grid replicas — row side 'a' for every bj ≥ blk,
+    # column side 'b' for every bi ≤ blk (the diagonal on both sides,
+    # as the tile kernel expects) — come from ONE data-dependent
+    # inline() over ONE pass (r14, the ``embedding_near_dup`` fold):
+    # the former two-join union evaluated the upstream ASSIGNMENT
+    # projection (the n_cells × dims interpreted score fold, the
+    # operator's per-row cost) twice per vector.
+    return (assigned
+            .withColumn("blk",
+                        F.pmod(F.col("vec_id"), F.lit(n_blocks))
+                        .cast("int"))
+            .select("cell", "vec_id", "embedding",
+                    F.expr(
+                        f"inline(concat("
+                        f"transform(sequence(blk, {n_blocks - 1}), "
+                        f"j -> named_struct('bi', blk, "
+                        f"'bj', cast(j as int), 'side', 'a')), "
+                        f"transform(sequence(0, blk), "
+                        f"i -> named_struct('bi', cast(i as int), "
+                        f"'bj', blk, 'side', 'b'))))"))
+            .select("cell", "bi", "bj", "side", "vec_id", "embedding"))

@@ -242,21 +242,26 @@ def ann_lsh_portable(embeddings: DataFrame, n_probes: int = 5,
     # functions (bands × planes × dims lambda calls per vector) — floor
     # the scan parallelism so one small row group can't serialize them
     embeddings = spread_for_compute(embeddings, "vec_id")
-    sketched = embeddings.withColumn(
-        "buckets", F.array(*[
-            _sign_sketch_literal(
-                "embedding", all_planes[b * n_planes:(b + 1) * n_planes])
-            for b in range(n_bands)]))
-    return _rank_banded_candidates(sketched, n_probes, k,
+    buckets = F.array(*[
+        _sign_sketch_literal(
+            "embedding", all_planes[b * n_planes:(b + 1) * n_planes])
+        for b in range(n_bands)])
+    return _rank_banded_candidates(embeddings, buckets, n_probes, k,
                                    n_bands=n_bands, n_planes=n_planes)
 
 
-def _rank_banded_candidates(sketched: DataFrame, n_probes: int, k: int,
+def _rank_banded_candidates(embeddings: DataFrame, buckets: "F.Column",
+                            n_probes: int, k: int,
                             n_bands: int, n_planes: int) -> DataFrame:
     """Candidate generation + exact rank for multi-band sign-LSH.
 
-    ``sketched`` carries ``buckets`` — one bucket id per independent
-    band. Two recall knobs compose (round-7, RECALL.md's named fix):
+    ``buckets`` is the sketch expression — one bucket id per
+    independent band — applied HERE rather than by the caller (r14):
+    the probe branch applies it AFTER its ``limit``, so only the
+    ``n_probes`` retained rows pay the bands × planes × dims fold (the
+    former pre-sketched input computed the full corpus sketch twice —
+    once per join side). Two recall knobs compose (round-7, RECALL.md's
+    named fix):
 
     - **Hamming-1 multi-probe** within a band: a vector on the far side
       of ONE hyperplane lands one bit away, so each probe searches its
@@ -274,10 +279,10 @@ def _rank_banded_candidates(sketched: DataFrame, n_probes: int, k: int,
     embedding arrays never ride that shuffle.
     """
     probes = (
-        sketched.orderBy("vec_id").limit(n_probes)
+        embeddings.orderBy("vec_id").limit(n_probes)
         .select(F.col("vec_id").alias("probe_id"),
                 F.col("embedding").alias("probe_emb"),
-                F.col("buckets").alias("probe_buckets"))
+                buckets.alias("probe_buckets"))
     )
     probes = probes.select(
         "probe_id", "probe_emb",
@@ -288,9 +293,15 @@ def _rank_banded_candidates(sketched: DataFrame, n_probes: int, k: int,
             [F.col("pb")]
             + [F.col("pb").bitwiseXOR(F.lit(1 << p))
                for p in range(n_planes)]))).alias("probe_bucket"))
-    corpus = sketched.select(
+    # posexplode_OUTER: the bucket array is a fixed-width expression
+    # (one id per band, never empty), so outer emits identical rows —
+    # but a non-outer Generate lets Catalyst infer a `size(...) > 0`
+    # filter below it that re-evaluates the ENTIRE sketch fold a
+    # second time per corpus row (r14; measured 2× the per-row cost in
+    # the plan's Filter node)
+    corpus = embeddings.select(
         "vec_id", "embedding",
-        F.posexplode("buckets").alias("band", "bucket"))
+        F.posexplode_outer(buckets).alias("band", "bucket"))
     c, p = corpus.alias("c"), probes.alias("p")
     cand = (
         c.join(broadcast(p),
@@ -338,12 +349,11 @@ def ann_lsh(embeddings: DataFrame, n_probes: int = 5, k: int = DEFAULT_K,
     thousands, not billions, of rows per probe, and B trades linear
     extra scan work for exponential recall gain on near-dup neighbors.
     """
-    sketched = embeddings.withColumn(
-        "buckets", F.array(*[
-            _sign_sketch(F.col("embedding"), n_planes,
-                         plane_offset=b * n_planes)
-            for b in range(n_bands)]))
-    return _rank_banded_candidates(sketched, n_probes, k,
+    buckets = F.array(*[
+        _sign_sketch(F.col("embedding"), n_planes,
+                     plane_offset=b * n_planes)
+        for b in range(n_bands)])
+    return _rank_banded_candidates(embeddings, buckets, n_probes, k,
                                    n_bands=n_bands, n_planes=n_planes)
 
 
