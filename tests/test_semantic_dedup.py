@@ -97,6 +97,22 @@ def test_hot_cell_per_task_rows_are_capped(spark):
     assert max(r["count"] for r in sizes) < n  # never the whole cell
 
 
+def test_bruteforce_negative_vec_ids_are_not_dropped(spark):
+    """review r14: embedding_near_dup keys its block grid on
+    pmod(vec_id), like _cell_block_replicas — a signed % routed
+    negative synthetic chunk ids to a negative blk whose inline()
+    grid replicas covered only one join side, so their pairs were
+    silently dropped. The pair set must be invariant under an
+    order-preserving shift of every id into the negatives."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pos = sorted(tuple(r) for r in embedding_near_dup(emb).collect())
+    assert pos
+    shift = 10_000_000
+    neg = emb.selectExpr(f"vec_id - {shift}L as vec_id", "embedding")
+    got = sorted(tuple(r) for r in embedding_near_dup(neg).collect())
+    assert got == [(a - shift, b - shift, c) for a, b, c in pos]
+
+
 def test_negative_vec_ids_are_not_dropped(spark):
     """review r10: the block grid keys on pmod(vec_id), so the
     pipeline's NEGATIVE synthetic chunk ids land in the grid and their

@@ -744,9 +744,14 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4,
     # floor the scan parallelism: the grid replication below multiplies
     # whatever partitioning the scan has, and one small row group would
     # otherwise serialize the Arrow transfer of every replica
+    # pmod, not %: negative vec_ids (the pipeline's synthetic chunk ids)
+    # must land IN the 0..n_blocks-1 grid the inline() sequences below
+    # cover — a signed % gives a negative blk whose cross-block groups
+    # get only one side, silently dropping those pairs (matches
+    # semantic_dedup._cell_block_replicas).
     e = spread_for_compute(embeddings, "vec_id").select(
         "vec_id", "embedding",
-        (F.col("vec_id") % n_blocks).cast("int").alias("blk"))
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("blk"))
     # the (bi <= bj) grid is statically known from n_blocks, so each
     # vector's grid replicas — row side 'a' for every bj ≥ blk, column
     # side 'b' for every bi ≤ blk (the diagonal lands on both sides,
@@ -754,8 +759,9 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4,
     # inline() over ONE scan. r14: this replaces two corpus-wide
     # distinct() aggregations, a crossJoin, two broadcast grid joins
     # and a two-scan union (plan: 6 parquet scans → 1, both
-    # BroadcastNestedLoopJoins gone); a block with no vectors produced
-    # no grid group either way, so results are identical.
+    # BroadcastNestedLoopJoins gone); with blk in [0, n_blocks) a block
+    # with no vectors produced no grid group either way, so results are
+    # identical to the former grid-join form.
     rep = e.select(
         "vec_id", "embedding",
         F.expr(
