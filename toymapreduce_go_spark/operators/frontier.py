@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 from ..functions.checksum import CKSUM_MOD
 from .linkgraph import PR_FANOUT, PR_ITERS, pagerank_state
 from .urls import (canonicalize_url, deny_gate, robots_gate_frame,
-                   synth_url_expr, url_domain)
+                   synth_url_sql, url_domain)
 
 FRONTIER_MOD = 3          # crawled pages: page % 3 != 0
 FRONTIER_PER_DOMAIN = 2   # politeness cap per host per cycle
@@ -62,8 +62,8 @@ def frontier_candidates(documents: DataFrame, iters: int = PR_ITERS,
                         fanout: int = PR_FANOUT,
                         redirects: "DataFrame | bool" = True,
                         ranks: "DataFrame | None" = None,
-                        rules: "DataFrame | None" = None
-                        ) -> DataFrame:
+                        rules: "DataFrame | None" = None,
+                        state: "tuple | None" = None) -> DataFrame:
     """(canon, domain, priority): gated, prioritized, pre-cap frontier
     candidates. See the module docstring for the contract. The gates
     are the SHARED channel gates (``urls.deny_gate`` /
@@ -89,9 +89,13 @@ def frontier_candidates(documents: DataFrame, iters: int = PR_ITERS,
     query keeps the fixed-iteration default (the DuckDB twin unrolls
     it bit-for-bit). ``rules`` — a ``urls.shared_robots_rules``
     frame — lets a multi-channel plan (fetch_list) parse the robots
-    fold once instead of once per gate."""
-    _, edges, ranks = pagerank_state(documents, iters, fanout,
-                                     ranks=ranks)
+    fold once instead of once per gate. ``state`` — a pre-built
+    ``pagerank_state`` tuple — lets fetch_channels materialize the
+    rank chain CONCURRENTLY with the other shared artifacts (guide
+    §2.6) instead of serially inside this call."""
+    _, edges, ranks = (state if state is not None
+                       else pagerank_state(documents, iters, fanout,
+                                           ranks=ranks))
     e = (edges
          .filter(F.pmod(F.expr("u div 4"), F.lit(FRONTIER_MOD)) != 0)
          .filter(F.pmod(F.expr("v div 4"), F.lit(FRONTIER_MOD)) == 0))
@@ -99,8 +103,8 @@ def frontier_candidates(documents: DataFrame, iters: int = PR_ITERS,
     # (synth_url_expr), so no join is needed to attach it — and the
     # deny gate runs scan-side before the rank shuffle
     t = e.select(F.col("v").alias("doc_id"), "u")
-    t = t.select("u", canonicalize_url(synth_url_expr()).alias("canon"))
-    t = t.withColumn("domain", url_domain(F.col("canon")))
+    t = t.select("u", canonicalize_url(synth_url_sql()).alias("canon"))
+    t = t.withColumn("domain", url_domain("canon"))
     t = deny_gate(t)
     pri = (t.join(ranks.select(F.col("v").alias("u"), "r"), "u")
            .groupBy("canon", "domain")

@@ -146,45 +146,78 @@ def fetch_channels(documents: DataFrame,
     edge ⋈ rank join and its groupBy execute exactly once, whatever
     the optimizer decides about exchange reuse (r11 verdict: relying
     on ReuseExchange here let the rank join run twice)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .linkgraph import pagerank_state
     from .redirects import fixture_resolved_redirects, rekey_on_final
-    resolved: "DataFrame | bool" = redirects
-    if redirects is True:
-        resolved = fixture_resolved_redirects(documents)
     # shared per-plan artifacts (r14): ONE parsed robots frame feeds
     # all six gates (the multi-KB group-selection fold is analyzed
     # once, not per gate) and ONE parsed sitemap-entries frame feeds
     # channels 1 and 2 (the module's corpus distinct runs once per
     # cycle, not once per channel). Both are metadata-sized lazy
     # lineage cuts.
-    rules = shared_robots_rules(documents)
-    entries = sitemap_entries(
-        synthesize_sitemaps(documents)).localCheckpoint(eager=False)
-    a = (frontier_candidates(documents, redirects=resolved,
-                             ranks=ranks, rules=rules)
-         .select("canon", "domain", "priority")
-         .withColumn("ch", F.lit(0))
-         # eager=False: same lineage cut / same compute-once guarantee
-         # for the two consumers, but the channel materializes inside
-         # the consuming action instead of a separate driver-blocking
-         # job (r14 — see linkgraph.pagerank_state)
-         .localCheckpoint(eager=False))
-    b = (sitemap_seeds(documents, redirects=resolved, rules=rules,
-                       entries=entries)
-         .select("canon", "domain")
+    #
+    # r15, guide §2.6 (overlap independent jobs): under AQE a lazy
+    # lineage cut still materializes its exchange stages at construct
+    # time, so building the shared artifacts serially on the driver
+    # serializes four independent job chains (rank iterations,
+    # redirect resolution, robots parse, sitemap-entries distinct) —
+    # dead driver time per fetch cycle at ANY cluster size. A small
+    # thread pool overlaps them; the frontier channel, which consumes
+    # three of the artifacts, builds in a worker too while the main
+    # thread assembles the sitemap/recrawl gate chains. Plans, RDDs
+    # and results are identical — only the build order changes.
+    pool = ThreadPoolExecutor(max_workers=5)
+    try:
+        f_state = pool.submit(pagerank_state, documents, ranks=ranks)
+        f_rules = pool.submit(shared_robots_rules, documents)
+        f_entries = pool.submit(
+            lambda: sitemap_entries(synthesize_sitemaps(documents))
+            .localCheckpoint(eager=False))
+        f_resolved = (pool.submit(fixture_resolved_redirects, documents)
+                      if redirects is True else None)
+
+        def _link_channel() -> DataFrame:
+            res = (f_resolved.result() if f_resolved is not None
+                   else redirects)
+            return (frontier_candidates(documents, redirects=res,
+                                        rules=f_rules.result(),
+                                        state=f_state.result())
+                    .select("canon", "domain", "priority")
+                    .withColumn("ch", F.lit(0))
+                    # eager=False: same lineage cut / same compute-once
+                    # guarantee for the two consumers, but the channel
+                    # materializes inside the consuming action instead
+                    # of a separate driver-blocking job (r14 — see
+                    # linkgraph.pagerank_state)
+                    .localCheckpoint(eager=False))
+
+        f_a = pool.submit(_link_channel)
+        rules = f_rules.result()
+        entries = f_entries.result()
+        resolved: "DataFrame | bool" = (
+            f_resolved.result() if f_resolved is not None else redirects)
+        seeds = (sitemap_seeds(documents, redirects=resolved,
+                               rules=rules, entries=entries)
+                 .select("canon", "domain"))
+        c = (recrawl_gaps(documents, entries=entries)
+             .filter(F.col("gap") > 0)
+             .withColumnRenamed("gap", "priority"))
+        c = robots_gate_frame(deny_gate(c), documents, rules=rules)
+        if resolved is not False:
+            c = (rekey_on_final(c, resolved)
+                 .groupBy("canon", "domain")
+                 .agg(F.max("priority").alias("priority")))
+            c = robots_gate_frame(deny_gate(c), documents, rules=rules)
+        c = (c.select("canon", "domain", "priority")
+             .withColumn("ch", F.lit(2)))
+        a = f_a.result()
+    finally:
+        pool.shutdown(wait=True)
+    b = (seeds
          .join(a.select("canon"), "canon", "left_anti")
          .withColumn("priority", F.lit(0).cast("long"))
          .withColumn("ch", F.lit(1)))
-    c = (recrawl_gaps(documents, entries=entries)
-         .filter(F.col("gap") > 0)
-         .withColumnRenamed("gap", "priority"))
-    c = robots_gate_frame(deny_gate(c), documents, rules=rules)
-    if resolved is not False:
-        c = (rekey_on_final(c, resolved)
-             .groupBy("canon", "domain")
-             .agg(F.max("priority").alias("priority")))
-        c = robots_gate_frame(deny_gate(c), documents, rules=rules)
-    c = (c.select("canon", "domain", "priority")
-         .withColumn("ch", F.lit(2)))
     return a.unionByName(b).unionByName(c)
 
 
