@@ -13,7 +13,7 @@ from toymapreduce_go_spark.operators.frontier import frontier_schedule
 from toymapreduce_go_spark.operators.sitemaps import (
     sitemap_entries, sitemap_seeds, synthesize_sitemaps)
 from toymapreduce_go_spark.operators.urls import (
-    canonicalize_url, synth_url_expr)
+    canonicalize_url, synth_url_sql)
 from toymapreduce_go_spark.sources.registry import load_table
 from pyspark.sql import functions as F
 
@@ -27,7 +27,7 @@ def test_parse_roundtrip_recovers_every_pages_canonical_url(spark):
     parsed = sitemap_entries(synthesize_sitemaps(docs))
     got = {(r.domain, r.canon) for r in parsed.collect()}
     want = {(r.domain, r.canon) for r in docs.select(
-        canonicalize_url(synth_url_expr()).alias("canon")).select(
+        canonicalize_url(synth_url_sql()).alias("canon")).select(
         F.regexp_extract(
             "canon", r"^[a-z]+://([^/]*)", 1).alias("domain"),
         "canon").collect()}

@@ -18,7 +18,7 @@ from toymapreduce_go_spark.operators.urls import (
 
 def _canon(spark, url: str) -> str:
     df = spark.createDataFrame([(url,)], "url string")
-    return df.select(canonicalize_url(F.col("url")).alias("c")).first()["c"]
+    return df.select(canonicalize_url("url").alias("c")).first()["c"]
 
 
 def test_normalization_rules(spark):
@@ -60,7 +60,7 @@ def test_unparseable_passes_through(spark):
 def test_domain_extraction(spark):
     df = spark.createDataFrame(
         [("http://www.site.com:8080/x?a=1",)], "c string")
-    assert df.select(url_domain(F.col("c")).alias("d")).first()["d"] \
+    assert df.select(url_domain("c").alias("d")).first()["d"] \
         == "www.site.com"
 
 
@@ -113,7 +113,7 @@ def test_authority_userinfo_and_ipv6(spark):
         [("http://alice:pw@a.com:8080/x",), ("http://[::1]:8080/x",)],
         "c string")
     doms = [r["d"] for r in
-            df.select(url_domain(F.col("c")).alias("d")).collect()]
+            df.select(url_domain("c").alias("d")).collect()]
     assert doms == ["a.com", "[::1]"]
 
 
@@ -495,11 +495,9 @@ def test_robots_pipeline_composition(spark):
     """--robots composes the politeness gate into the corpus build:
     the funnel gains the stage, the kept set equals the stats rollup's
     allowed count, and full-block hosts contribute nothing."""
-    from toymapreduce_go_spark.operators.urls import (robots_filter_docs,
-                                                      robots_stats,
-                                                      url_domain,
-                                                      canonicalize_url,
-                                                      synth_url_expr)
+    from toymapreduce_go_spark.operators.urls import (
+        canonicalize_url_sql, robots_filter_docs, robots_stats,
+        synth_url_sql, url_domain)
     from toymapreduce_go_spark.pipeline import build_training_corpus
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -508,7 +506,7 @@ def test_robots_pipeline_composition(spark):
     assert kept.count() == want
     assert kept.columns == docs.columns
     doms = {r["d"] for r in kept.select(url_domain(
-        canonicalize_url(synth_url_expr())).alias("d")).distinct()
+        canonicalize_url_sql(synth_url_sql())).alias("d")).distinct()
         .collect()}
     assert not any(d.startswith("www.site3.") or d.startswith("www.site7.")
                    or d.startswith("www.site11.") or
@@ -530,13 +528,13 @@ def test_canonicalize_is_idempotent_on_fixture_and_edge_urls(spark):
     from pyspark.sql import functions as F
 
     from toymapreduce_go_spark.operators.urls import (canonicalize_url,
-                                                      synth_url_expr)
+                                                      synth_url_sql)
     from toymapreduce_go_spark.sources.registry import load_table
 
     docs = load_table(spark, SF_DIR, "documents")
-    once = canonicalize_url(synth_url_expr())
+    once = canonicalize_url(synth_url_sql())
     n_bad = (docs.select(once.alias("c1"))
-             .select("c1", canonicalize_url(F.col("c1")).alias("c2"))
+             .select("c1", canonicalize_url("c1").alias("c2"))
              .filter("c1 != c2").count())
     assert n_bad == 0
 
@@ -547,8 +545,8 @@ def test_canonicalize_is_idempotent_on_fixture_and_edge_urls(spark):
              "no-scheme/path?b=2&a=1#frag",
              "ftp://Example.COM:21/dir/file?q=1"]
     df = spark.createDataFrame([(u,) for u in edges], "u string")
-    rows = (df.select(canonicalize_url(F.col("u")).alias("c1"))
-            .select("c1", canonicalize_url(F.col("c1")).alias("c2"))
+    rows = (df.select(canonicalize_url("u").alias("c1"))
+            .select("c1", canonicalize_url("c1").alias("c2"))
             .collect())
     for r in rows:
         assert r.c1 == r.c2, r
@@ -584,11 +582,10 @@ def test_robots_5xx_is_full_disallow_and_4xx_allows(spark):
     # the materializing gate agrees: no 5xx-host doc survives
     kept = robots_filter_docs(docs)
     from pyspark.sql import functions as F
-    from toymapreduce_go_spark.operators.urls import (canonicalize_url,
-                                                      synth_url_expr,
-                                                      url_domain)
-    doms = {r["d"] for r in kept.select(url_domain(canonicalize_url(
-        synth_url_expr())).alias("d")).distinct().collect()}
+    from toymapreduce_go_spark.operators.urls import (
+        canonicalize_url_sql, synth_url_sql, url_domain)
+    doms = {r["d"] for r in kept.select(url_domain(canonicalize_url_sql(
+        synth_url_sql())).alias("d")).distinct().collect()}
     assert not {f"www.site{m}.example.com"
                 for m in ROBOTS_5XX_MODS} & doms
     # the delay frame declares nothing for a 5xx host

@@ -61,7 +61,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.checksum import CKSUM_MOD
-from .urls import (canonicalize_url, crawl_diff, synth_url_expr,
+from .urls import (canonicalize_url, crawl_diff, synth_url_sql,
                    url_domain)
 
 REDIRECT_MAX_HOPS = 4   # follow budget; anything longer flags as loop
@@ -208,7 +208,7 @@ def apply_redirects(frame: DataFrame,
                .filter(~F.col("looped")
                        & (F.col("perm_final") != F.col("src")))
                .select(F.col("src").alias("canon"),
-                       canonicalize_url(F.col("perm_final"))
+                       canonicalize_url("perm_final")
                        .alias("_final")))
     return (frame.join(mapping, "canon", "left")
             .withColumn("canon", F.coalesce("_final", "canon"))
@@ -233,7 +233,7 @@ def rekey_on_final(frame: DataFrame, resolved: DataFrame) -> DataFrame:
     gates (r13 verdict item 1: capability without composition left
     the frontier keyed on the pre-move URL)."""
     out = apply_redirects(frame, resolved)
-    return out.withColumn("domain", url_domain(F.col("canon")))
+    return out.withColumn("domain", url_domain("canon"))
 
 
 def redirect_stats(documents: DataFrame) -> DataFrame:
@@ -262,7 +262,7 @@ def redirect_stats(documents: DataFrame) -> DataFrame:
             F.lit(CKSUM_MOD))
         * F.when(rekeyed, h("perm_final") + 1).otherwise(F.lit(1)),
         F.lit(CKSUM_MOD))
-    return (r.withColumn("domain", url_domain(F.col("src")))
+    return (r.withColumn("domain", url_domain("src"))
             .groupBy("domain")
             .agg(F.count(F.lit(1)).alias("n_redirected"),
                  F.sum((~F.col("looped")).cast("long"))
@@ -335,7 +335,7 @@ def redirected_url_dedup(documents: DataFrame) -> DataFrame:
     like ``url_dedup_docs``."""
     u = documents.select(
         "doc_id",
-        canonicalize_url(synth_url_expr()).alias("canon"))
+        canonicalize_url(synth_url_sql()).alias("canon"))
     resolved = resolve_redirects(synthesize_redirects(documents))
     u = apply_redirects(u, resolved)
     return (u.groupBy("canon")

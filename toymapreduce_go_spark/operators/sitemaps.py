@@ -68,11 +68,10 @@ def sitemap_entries(sitemaps: DataFrame) -> DataFrame:
         "domain",
         F.explode(F.expr(
             f"regexp_extract_all(xml, '{_ENTRY_RE}', 0)")).alias("ent"))
-    loc = F.regexp_extract("ent", r"<loc>([^<]*)</loc>", 1)
     # XML unescape — &amp; LAST so escaped sequences never double-decode
-    loc = F.replace(F.replace(F.replace(loc, F.lit("&lt;"), F.lit("<")),
-                              F.lit("&gt;"), F.lit(">")),
-                    F.lit("&amp;"), F.lit("&"))
+    loc = ("replace(replace(replace("
+           "regexp_extract(ent, '<loc>([^<]*)</loc>', 1), "
+           "'&lt;', '<'), '&gt;', '>'), '&amp;', '&')")
     return e.select(
         "domain", canonicalize_url(loc).alias("canon"),
         F.regexp_extract("ent", r"<lastmod>([^<]*)</lastmod>", 1)

@@ -58,6 +58,36 @@ ROBOTS_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?]*(/.*)$"
 ROBOTS_RX_META = r"([\\\[\]().^$|?+{}])"
 
 
+def _sql_str(s: str) -> str:
+    """A Python string as a Spark SQL single-quoted literal (backslash
+    is an escape character in Spark SQL string literals, so regex
+    backslashes double)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def synth_url_sql() -> str:
+    """``synth_url_expr`` as SQL text — the single rendering both the
+    Column form and text-composing callers (frontier, redirects,
+    snapshot) parse, so a multi-use plan builds the synthesis in ONE
+    ``F.expr`` parse instead of ~30 py4j round trips per use (r15,
+    the r14 single-parse construction class)."""
+    page = "cast(doc_id as bigint)"
+    item = "cast(doc_id div 4 as bigint)"
+    base = f"concat('www.site', cast(pmod({item}, 16) as string), " \
+           f"'.example.com')"
+    path = f"concat('/articles/item', cast({item} as string))"
+    return (
+        f"CASE pmod({page}, 4) "
+        f"WHEN 0 THEN concat('http://', {base}, ':80', {path}, "
+        f"'?b=2&a=1') "
+        f"WHEN 1 THEN concat('HTTP://', upper({base}), {path}, "
+        f"'?a=1&b=2#section-2') "
+        f"WHEN 2 THEN concat('http://', {base}, {path}, "
+        f"'?utm_source=feed&a=1&b=2&utm_campaign=spring') "
+        f"ELSE concat('http://', {base}, {path}, '?a=1&fbclid=x', "
+        f"cast({page} as string), '&b=2') END")
+
+
 def synth_url_expr() -> "F.Column":
     """The messy-URL synthesis as a bare column expression over
     ``doc_id`` — reused by ``synthesize_urls`` and the snapshot
@@ -67,28 +97,7 @@ def synth_url_expr() -> "F.Column":
     arrives as four DIFFERENT raw strings that canonicalize
     identically; (div 4) % 16 spreads pages over 16 hosts for the
     domain rollup."""
-    page = F.col("doc_id").cast("long")
-    item = F.expr("doc_id div 4").cast("long")
-    v = F.pmod(page, F.lit(4))
-    base = F.concat(F.lit("www.site"),
-                    F.pmod(item, F.lit(16)).cast("string"),
-                    F.lit(".example.com"))
-    path = F.concat(F.lit("/articles/item"), item.cast("string"))
-    url = (
-        F.when(v == 0, F.concat(
-            F.lit("http://"), base, F.lit(":80"), path,
-            F.lit("?b=2&a=1")))
-        .when(v == 1, F.concat(
-            F.lit("HTTP://"), F.upper(base), path,
-            F.lit("?a=1&b=2#section-2")))
-        .when(v == 2, F.concat(
-            F.lit("http://"), base, path,
-            F.lit("?utm_source=feed&a=1&b=2&utm_campaign=spring")))
-        .otherwise(F.concat(
-            F.lit("http://"), base, path,
-            F.lit("?a=1&fbclid=x"), page.cast("string"),
-            F.lit("&b=2"))))
-    return url
+    return F.expr(synth_url_sql())
 
 
 def synthesize_urls(documents: DataFrame) -> DataFrame:
@@ -98,52 +107,69 @@ def synthesize_urls(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", synth_url_expr().alias("url"))
 
 
-def canonicalize_url(col) -> "F.Column":
-    """RFC 3986 syntax normalization + tracking-param strip + sorted
-    query, as one scan-side expression chain. Unparseable inputs (no
-    scheme) pass through fragment-stripped but otherwise untouched —
-    fail-open, never fail-silent-to-empty."""
-    nofrag = F.regexp_replace(col, "#.*$", "")
-    scheme = F.lower(F.regexp_extract(
-        nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    rest = F.regexp_replace(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+def canonicalize_url_sql(e: str) -> str:
+    """``canonicalize_url`` as SQL text over the input expression
+    ``e`` (itself SQL text). The inlined subexpressions mirror the
+    former Column chain node for node — Catalyst receives the
+    identical tree, whole-stage codegen de-duplicates the repeated
+    subtrees exactly as before — but the driver pays ONE parse
+    instead of ~40 py4j round trips per call site (r15)."""
+    nofrag = f"regexp_replace({e}, '#.*$', '')"
+    scheme = (f"lower(regexp_extract({nofrag}, "
+              f"'^([A-Za-z][A-Za-z0-9+.-]*)://', 1))")
+    rest = (f"regexp_replace({nofrag}, "
+            f"'^[A-Za-z][A-Za-z0-9+.-]*://', '')")
     # RFC 3986 authority = [userinfo@]host[:port]: userinfo (split at
     # the LAST '@', greedy) is case-SENSITIVE and re-emitted verbatim;
     # only the host lowercases. Bracketed IPv6 hosts ([::1]:8080) keep
     # their brackets and still split the port correctly.
-    authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
-    userinfo = F.regexp_extract(authority, r"^(.*)@", 1)
-    hostport = F.lower(F.regexp_extract(authority, r"([^@]*)$", 1))
-    host = F.regexp_extract(hostport, r"^(\[[^\]]*\]|[^:]*)", 1)
-    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
-    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
-    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
-    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
-    path = F.when(path == "", F.lit("/")).otherwise(path)
+    host_rx = _sql_str(r"^(\[[^\]]*\]|[^:]*)")
+    query_rx = _sql_str(r"\?(.*)$")
+    authority = f"regexp_extract({rest}, '^([^/?]*)', 1)"
+    userinfo = f"regexp_extract({authority}, '^(.*)@', 1)"
+    hostport = f"lower(regexp_extract({authority}, '([^@]*)$', 1))"
+    host = f"regexp_extract({hostport}, {host_rx}, 1)"
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    pathq = f"regexp_replace({rest}, '^[^/?]*', '')"
+    path0 = f"regexp_extract({pathq}, '^([^?]*)', 1)"
+    query = f"regexp_extract({pathq}, {query_rx}, 1)"
+    path = f"CASE WHEN {path0} = '' THEN '/' ELSE {path0} END"
     keep_port = (
-        F.when((port == "") | ((scheme == "http") & (port == "80"))
-               | ((scheme == "https") & (port == "443")), F.lit(""))
-        .otherwise(F.concat(F.lit(":"), port)))
-    ui = F.when(userinfo == "", F.lit("")).otherwise(
-        F.concat(userinfo, F.lit("@")))
-    params = F.array_sort(F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "") & ~p.rlike(TRACKING_RE)))
-    qcanon = F.when(F.size(params) > 0,
-                    F.concat(F.lit("?"), F.array_join(params, "&"))
-                    ).otherwise(F.lit(""))
-    return F.when(
-        scheme == "", nofrag
-    ).otherwise(F.concat(scheme, F.lit("://"), ui, host, keep_port,
-                         path, qcanon))
+        f"CASE WHEN {port} = '' OR ({scheme} = 'http' AND {port} = "
+        f"'80') OR ({scheme} = 'https' AND {port} = '443') THEN '' "
+        f"ELSE concat(':', {port}) END")
+    ui = (f"CASE WHEN {userinfo} = '' THEN '' "
+          f"ELSE concat({userinfo}, '@') END")
+    params = (f"array_sort(filter(split({query}, '&'), "
+              f"p -> p != '' AND NOT (p rlike {_sql_str(TRACKING_RE)})))")
+    qcanon = (f"CASE WHEN size({params}) > 0 "
+              f"THEN concat('?', array_join({params}, '&')) "
+              f"ELSE '' END")
+    return (f"CASE WHEN {scheme} = '' THEN {nofrag} "
+            f"ELSE concat({scheme}, '://', {ui}, {host}, {keep_port}, "
+            f"{path}, {qcanon}) END")
 
 
-def url_domain(col) -> "F.Column":
+def canonicalize_url(col: str) -> "F.Column":
+    """RFC 3986 syntax normalization + tracking-param strip + sorted
+    query, as one scan-side expression chain, parsed from SQL text in
+    one round trip (``col`` is SQL text — a column name or composed
+    expression). Unparseable inputs (no scheme) pass through
+    fragment-stripped but otherwise untouched — fail-open, never
+    fail-silent-to-empty."""
+    return F.expr(canonicalize_url_sql(col))
+
+
+def url_domain_sql(e: str) -> str:
+    """``url_domain`` as SQL text over the input expression ``e``."""
+    rx = r"^[a-z][a-z0-9+.-]*://(?:[^/?]*@)?(\[[^\]]*\]|[^/:?]*)"
+    return f"regexp_extract(lower({e}), {_sql_str(rx)}, 1)"
+
+
+def url_domain(col: str) -> "F.Column":
     """The lowercased host of a canonical URL (userinfo and port
-    excluded; bracketed IPv6 kept whole)."""
-    return F.regexp_extract(
-        F.lower(col),
-        r"^[a-z][a-z0-9+.-]*://(?:[^/?]*@)?(\[[^\]]*\]|[^/:?]*)", 1)
+    excluded; bracketed IPv6 kept whole). ``col`` is SQL text."""
+    return F.expr(url_domain_sql(col))
 
 
 def url_stats(documents: DataFrame) -> DataFrame:
@@ -155,9 +181,9 @@ def url_stats(documents: DataFrame) -> DataFrame:
     canonical URL so the value-hash pins each normalization rule
     (a missed tracking param or unsorted query changes it)."""
     u = synthesize_urls(documents).select(
-        "doc_id", "url", canonicalize_url(F.col("url")).alias("canon"))
+        "doc_id", "url", canonicalize_url("url").alias("canon"))
     u = u.select(
-        "doc_id", "url", "canon", url_domain(F.col("canon")).alias("domain"))
+        "doc_id", "url", "canon", url_domain("canon").alias("domain"))
     per_canon = (u.groupBy("domain", "canon")
                  .agg(F.count(F.lit(1)).alias("n"),
                       F.count_distinct("url").alias("nraw")))
@@ -179,7 +205,7 @@ def url_dedup_docs(urls: DataFrame) -> DataFrame:
     exact_dedup rule — no window, a viral URL is one combinable
     group). Returns (canon, doc_id, n_occurrences)."""
     u = urls.select(
-        "doc_id", canonicalize_url(F.col("url")).alias("canon"))
+        "doc_id", canonicalize_url("url").alias("canon"))
     return (u.groupBy("canon")
             .agg(F.min("doc_id").alias("doc_id"),
                  F.count(F.lit(1)).alias("n_occurrences"))
@@ -214,7 +240,7 @@ def synthesize_snapshot(documents: DataFrame,
     no joins (``synth_url_expr`` keeps url and text in the same row)."""
     d = documents.select(
         F.md5("text").alias("h"),
-        canonicalize_url(synth_url_expr()).alias("canon"),
+        canonicalize_url(synth_url_sql()).alias("canon"),
         F.expr("doc_id div 4").cast("long").alias("page"))
     if exclude_page_mod is not None:
         d = d.filter(F.pmod(F.col("page"), F.lit(SNAPSHOT_MOD))
@@ -227,7 +253,7 @@ def synthesize_snapshot(documents: DataFrame,
             F.pmod(F.col("page"), F.lit(SNAPSHOT_MOD)).isin(*change_mods),
             F.md5(F.concat(F.col("fp0"), F.lit(":recrawl")))).otherwise(fp)
     return pages.select("canon",
-                        url_domain(F.col("canon")).alias("domain"),
+                        url_domain("canon").alias("domain"),
                         fp.alias("fp"))
 
 
@@ -302,8 +328,8 @@ def blocklist_filter(documents: DataFrame,
     shuffle. A DataFrame blocklist (one column ``domain``) broadcasts
     into a LEFT ANTI join — still never shuffles the corpus."""
     d = documents.withColumn(
-        "canon", canonicalize_url(synth_url_expr())).withColumn(
-        "domain", url_domain(F.col("canon")))
+        "canon", canonicalize_url(synth_url_sql())).withColumn(
+        "domain", url_domain("canon"))
     if isinstance(blocked, DataFrame):
         deny = blocked.select(F.col("domain").alias("domain"))
         return d.join(F.broadcast(deny), "domain", "left_anti")
@@ -317,7 +343,7 @@ def domain_blocklist_stats(documents: DataFrame) -> DataFrame:
     kept set so the value-hash pins every routing decision. Scan-side
     gate + one count-combinable agg."""
     d = documents.withColumn(
-        "domain", url_domain(canonicalize_url(synth_url_expr())))
+        "domain", url_domain(canonicalize_url_sql(synth_url_sql())))
     blocked = F.array_contains(F.lit(fixture_blocklist()),
                                F.col("domain"))
     return (d.groupBy("source")
@@ -359,8 +385,8 @@ def domain_reputation(documents: DataFrame) -> DataFrame:
     beyond the two aggs, no window, no Python."""
     d = documents.select(
         "doc_id", "text",
-        canonicalize_url(synth_url_expr()).alias("canon"))
-    d = d.withColumn("domain", url_domain(F.col("canon")))
+        canonicalize_url(synth_url_sql()).alias("canon"))
+    d = d.withColumn("domain", url_domain("canon"))
     urlr = (d.groupBy("domain")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.count_distinct("canon").alias("n_pages")))
@@ -679,9 +705,9 @@ def robots_stats(documents: DataFrame) -> DataFrame:
     parsed-rules frame + one combinable agg — the corpus is never
     shuffled before the rollup."""
     u = documents.select(
-        "doc_id", canonicalize_url(synth_url_expr()).alias("canon"))
+        "doc_id", canonicalize_url(synth_url_sql()).alias("canon"))
     u = u.select(
-        "doc_id", url_domain(F.col("canon")).alias("domain"),
+        "doc_id", url_domain("canon").alias("domain"),
         F.regexp_extract("canon", ROBOTS_PATH_RE, 1).alias("path"))
     rules = synthesize_robots(documents).select(
         "domain", parse_robots("robots_txt").alias("rules"),
@@ -717,8 +743,8 @@ def robots_filter_docs(documents: DataFrame) -> DataFrame:
     ONE broadcast join against the domain-sized rules frame, a scan-
     side verdict fold — the corpus is never shuffled."""
     u = documents.withColumn(
-        "_canon", canonicalize_url(synth_url_expr())).withColumn(
-        "_domain", url_domain(F.col("_canon"))).withColumn(
+        "_canon", canonicalize_url(synth_url_sql())).withColumn(
+        "_domain", url_domain("_canon")).withColumn(
         "_path", F.regexp_extract("_canon", ROBOTS_PATH_RE, 1))
     rules = synthesize_robots(documents).select(
         F.col("domain").alias("_domain"),
