@@ -570,19 +570,58 @@ def test_fetch_list_runs_the_rank_join_exactly_once(spark):
     assert plan.count("Scan ExistingRDD") >= 2, plan
 
 
-def test_lsh_dedup_agg_and_topk_window_share_one_exchange(spark):
-    """_rank_banded_candidates clusters candidates by probe_id ONCE:
-    the (probe_id, vec_id) max-cos dedup agg and the top-k row_number
-    window both reuse that single exchange (guide §2.4 — partitioning
-    on the window key satisfies the finer agg clustering), so the
-    candidate set is shuffled once, not twice."""
+def test_lsh_dedup_agg_partially_aggregates_below_its_exchange(spark):
+    """_rank_banded_candidates dedups candidates on the FINE
+    (probe_id, vec_id) key with a map-side partial aggregate BELOW the
+    exchange (guide §2.2/§2.5): a hot LSH bucket's raw multiplicity
+    combines in the map tasks instead of landing whole on one of
+    ≤ n_probes reducers (the r14 probe-keyed shared exchange bounded
+    agg parallelism at n_probes). The window's own probe-keyed
+    exchange then moves only deduped slim rows."""
     import re
     from toymapreduce_go_spark.operators.similarity import ann_lsh_portable
     plan = plan_of(ann_lsh_portable(load_table(spark, SF_DIR,
                                                "embeddings")))
-    hashx = re.findall(r"hashpartitioning\(probe_id", plan)
-    assert len(hashx) == 1, plan
+    # a map-side partial max exists (raw multiplicity combines before
+    # any exchange), and any exchange feeding the dedup agg is keyed
+    # at pair grain or finer (vec_id alone — the spread floor — also
+    # co-locates the pair groups), never on probe_id alone
+    assert "partial_max" in plan, plan
     assert "Window" in plan, plan
+    # exactly one probe_id-only exchange: the window's, which consumes
+    # the DEDUPED output of the final agg — raw candidates never move
+    # on the ≤ n_probes key
+    hash_probe_only = re.findall(
+        r"hashpartitioning\(probe_id#\d+L?, \d+\)", plan)
+    assert len(hash_probe_only) == 1, plan
+
+
+def test_lsh_planted_hot_bucket_stays_exact(spark):
+    """Skew guard (guide §2.5): plant a hot bucket — every vector
+    identical, so ALL corpus rows of every band land in ONE bucket and
+    every probe's candidate set is the whole corpus. The fine-key
+    dedup must still return the exact brute-force top-k (cos 1.0,
+    ties by vec_id)."""
+    from toymapreduce_go_spark.operators.similarity import (
+        ann_lsh_portable, DEFAULT_K)
+    n = 400
+    emb = spark.range(n).selectExpr(
+        "id as vec_id",
+        "array(cast(1.0 as float), cast(2.0 as float), "
+        "cast(3.0 as float), cast(4.0 as float)) as embedding",
+        "cast(id % 3 as int) as label")
+    got = ann_lsh_portable(emb, n_probes=3).collect()
+    assert len(got) == 3 * DEFAULT_K
+    for r in got:
+        assert r["cos_sim"] == 1.0
+    # ties break by vec_id: probe 0's neighbors are 1..k, probe 1's
+    # are 0,2..k, etc.
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r["probe_id"], []).append(r["neighbor_id"])
+    for p, ns in by_probe.items():
+        want = [v for v in range(DEFAULT_K + 1) if v != p][:DEFAULT_K]
+        assert ns == want, (p, ns)
 
 
 def test_spread_for_compute_is_a_noop_at_scan_parallelism(spark):

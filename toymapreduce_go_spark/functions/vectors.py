@@ -37,3 +37,28 @@ def cosine_sim(a: Column, b: Column) -> Column:
     d = dot(a, b)
     na, nb = l2_norm(a), l2_norm(b)
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+
+
+# SQL-text twins (r15): the Column builders above cost ~60 py4j round
+# trips per call site; hot plan constructors (the similarity tiers)
+# compose these text renderings and pay ONE F.expr parse. Node-for-node
+# the same Catalyst trees, so values are bit-identical.
+
+def dot_sql(a: str, b: str) -> str:
+    """``dot`` as SQL text over input expressions (themselves SQL)."""
+    return (f"aggregate(zip_with(transform({a}, x -> double(x)), "
+            f"transform({b}, x -> double(x)), (x, y) -> x * y), "
+            f"0D, (acc, x) -> acc + x)")
+
+
+def l2_norm_sql(a: str) -> str:
+    """``l2_norm`` as SQL text."""
+    return (f"sqrt(aggregate(transform(transform({a}, "
+            f"x -> double(x)), x -> x * x), 0D, (acc, x) -> acc + x))")
+
+
+def cosine_sim_sql(a: str, b: str) -> str:
+    """``cosine_sim`` as SQL text; 0.0 when either norm is zero."""
+    na, nb = l2_norm_sql(a), l2_norm_sql(b)
+    return (f"CASE WHEN {na} > 0D AND {nb} > 0D "
+            f"THEN {dot_sql(a, b)} / ({na} * {nb}) ELSE 0D END")

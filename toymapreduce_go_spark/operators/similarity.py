@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine_sim, dot, l2_norm
+from ..functions.vectors import cosine_sim_sql, l2_norm_sql
 
 DEFAULT_K = 5
 
@@ -45,7 +45,7 @@ def knn_bruteforce(embeddings: DataFrame, n_probes: int = 5,
     scored = (
         spread_for_compute(embeddings, "vec_id").alias("c")
         .join(broadcast(probes), F.col("vec_id") != F.col("probe_id"))
-        .withColumn("cos", cosine_sim(F.col("probe_emb"), F.col("embedding")))
+        .withColumn("cos", F.expr(cosine_sim_sql("probe_emb", "embedding")))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -85,8 +85,8 @@ def knn_label_vote(embeddings: DataFrame, n_probes: int = 20,
         spread_for_compute(embeddings, "vec_id")
         .join(broadcast(probes),
               F.col("vec_id") != F.col("probe_id"))
-        .withColumn("cos", cosine_sim(F.col("probe_emb"),
-                                      F.col("embedding"))))
+        .withColumn("cos", F.expr(cosine_sim_sql("probe_emb",
+                                                 "embedding"))))
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc())
     top = (scored.withColumn("rank", F.row_number().over(w))
@@ -99,11 +99,13 @@ def _label_vote_rollup(top: DataFrame) -> DataFrame:
     """Majority vote + per-true-label accuracy rollup over ANY
     (probe_id, true_label, label) neighbor frame — shared by the exact
     (``knn_label_vote``) and ANN (``ann_label_vote``) tiers. Ties go to
-    the smallest label; both aggs are metadata-sized. Clustered by
-    probe_id once so the vote agg and the argmax window share a single
-    exchange (guide §2.4)."""
-    votes = (top.repartition(F.col("probe_id"))
-             .groupBy("probe_id", "true_label", "label")
+    the smallest label; both aggs are metadata-sized. The vote agg
+    shuffles on its own fine (probe, label) key with map-side partial
+    aggregation below the exchange (guide §2.2/§2.5, r15 — a probe-
+    keyed pre-repartition bounded agg parallelism at n_probes and
+    moved uncombined rows); the argmax window's probe-keyed exchange
+    carries only the combined vote rows."""
+    votes = (top.groupBy("probe_id", "true_label", "label")
              .agg(F.count(F.lit(1)).alias("c")))
     wv = Window.partitionBy("probe_id").orderBy(
         F.col("c").desc(), F.col("label").asc())
@@ -308,20 +310,24 @@ def _rank_banded_candidates(embeddings: DataFrame, buckets: "F.Column",
                (F.col("c.band") == F.col("p.band"))
                & (F.col("c.bucket") == F.col("p.probe_bucket"))
                & (F.col("c.vec_id") != F.col("p.probe_id")))
-        .withColumn("cos", cosine_sim(F.col("p.probe_emb"),
-                                      F.col("c.embedding")))
+        .withColumn("cos", F.expr(cosine_sim_sql("p.probe_emb",
+                                                 "c.embedding")))
     )
     # band-dedup: within a band the ring values are distinct and a vector
     # has one bucket, so dupes only come from OR-ing bands — max(cos)
-    # over identical values, narrow shuffle. Clustering by probe_id
-    # FIRST lets the (probe_id, vec_id) dedup agg AND the top-k window
-    # share that one exchange (guide §2.4: an agg and a window keyed on
-    # overlapping keys don't need two shuffles — partitioning on the
-    # window key satisfies the finer agg clustering).
+    # over identical values, narrow shuffle. Two-level shape (guide
+    # §2.2/§2.5, r15): the dedup agg shuffles on the FINE
+    # (probe_id, vec_id) key with a map-side partial aggregate BELOW
+    # the exchange, so a hot LSH bucket's raw multiplicity combines in
+    # the map tasks instead of landing whole on one of ≤ n_probes
+    # reducers (the r14 probe-keyed shared exchange bounded agg
+    # parallelism at n_probes and shipped every raw candidate row to
+    # it). The top-k window's own probe-keyed exchange then carries
+    # only the DEDUPED slim rows — the per-probe reducer every
+    # per-probe top-k has, at its minimum input.
     pairs = (
         cand.select(F.col("p.probe_id").alias("probe_id"),
                     F.col("c.vec_id").alias("vec_id"), "cos")
-        .repartition(F.col("probe_id"))
         .groupBy("probe_id", "vec_id")
         .agg(F.max("cos").alias("cos"))
     )
@@ -570,7 +576,7 @@ def _assign_cells(embeddings: DataFrame,
     # per row.
     emb_n = embeddings.select(
         "vec_id", "embedding", *keep_cols,
-        l2_norm(F.col("embedding")).alias("nrm"))
+        F.expr(l2_norm_sql("embedding")).alias("nrm"))
 
     # The whole argmax is assembled as ONE SQL string and parsed JVM-side
     # in a single F.expr call: building ~n_cells*dim literal Column nodes
@@ -645,7 +651,8 @@ def _rank_probe_candidates(assigned: DataFrame, probe_cells: DataFrame,
     cand = (
         assigned.join(broadcast(probe_cells), "cell")
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .withColumn("cos", cosine_sim(F.col("probe_emb"), F.col("embedding")))
+        .withColumn("cos", F.expr(cosine_sim_sql("probe_emb",
+                                                 "embedding")))
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc())
@@ -999,7 +1006,7 @@ def pq_encode(embeddings: DataFrame,
     return embeddings.select(
         "vec_id", "embedding",
         F.expr(_pq_codes_sql(books)).alias("codes"),
-        l2_norm(F.col("embedding")).alias("vnorm"))
+        F.expr(l2_norm_sql("embedding")).alias("vnorm"))
 
 
 def ann_ivf_pq(embeddings: DataFrame, n_cells: int = 8,
@@ -1074,7 +1081,7 @@ def _pq_assign(embeddings: DataFrame,
     cent_norms = {cid: _py_norm(emb) for cid, emb in cents}
     encoded = embeddings.select(
         "vec_id", "embedding",
-        l2_norm(F.col("embedding")).alias("vnorm"))
+        F.expr(l2_norm_sql("embedding")).alias("vnorm"))
     if len(cents) == 1:
         best_sql = f"{cents[0][0]}L"
     else:
@@ -1167,8 +1174,8 @@ def _adc_rank(assigned: DataFrame, probe_df: DataFrame, k: int,
     # exact re-rank touches only the shortlist's full vectors
     exact = (shortlist
              .join(fetch_vectors.select("vec_id", "embedding"), "vec_id")
-             .withColumn("cos", cosine_sim(F.col("probe_emb"),
-                                           F.col("embedding"))))
+             .withColumn("cos", F.expr(cosine_sim_sql("probe_emb",
+                                                      "embedding"))))
     w_x = Window.partitionBy("probe_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc())
     return (exact.withColumn("rank", F.row_number().over(w_x))
