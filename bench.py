@@ -47,7 +47,15 @@ TIER2_QUERIES = ["image_phash", "audio_fingerprint", "video_fingerprint",
                  # since r14 it also covers the composed redirect
                  # resolution (edge synthesis + hop walk + re-key +
                  # terminal-host gates on every channel)
-                 "fetch_list"]
+                 "fetch_list",
+                 # r15 (verdict item 7): the streaming tier had no bench
+                 # numbers, so optimization rounds couldn't touch it
+                 # safely — one fixed 3-batch availableNow replay of the
+                 # composed curation ingest (telemetry → gate →
+                 # incremental near-dedup), fresh state + fresh source
+                 # staging per invocation (no cross-run reuse), guarded
+                 # against its prior like every other tier2 entry
+                 "streaming_cycle"]
 
 
 def materialize(df) -> None:

@@ -219,12 +219,17 @@ def regional_revenue(customer: DataFrame, orders: DataFrame,
     """TPC-H Q5 shape: revenue per nation where the customer and the
     line's supplier share a nation, restricted to one region.
 
-    Scale plan: lineitem⋈orders is the only big shuffle (orderkey);
-    customer joins orders on custkey (second shuffle — bucketing both on
-    custkey removes it); supplier/nation/region are dims → broadcast, so
-    the region filter prunes nations on the *build* side before any fact
-    rows flow. The c_nationkey = s_nationkey condition rides along the
-    supplier broadcast join instead of a separate shuffle."""
+    Scale plan (r15, guide §2.3 — shuffle fewer bytes): orders joins
+    customer FIRST (both shuffle on custkey — orders-sized streams),
+    and the lineitem fact then joins that orders-sized result on
+    orderkey, so the LINEITEM-sized stream crosses exactly ONE
+    exchange. The former order (lineitem⋈orders, then ⋈customer on
+    custkey) re-shuffled the lineitem-sized join result a second time.
+    Inner joins commute, so the result is identical.
+    supplier/nation/region are dims → broadcast, so the region filter
+    prunes nations on the *build* side before any fact rows flow. The
+    c_nationkey = s_nationkey condition rides along the supplier
+    broadcast join instead of a separate shuffle."""
     rn = (
         F.broadcast(nation)
         .join(F.broadcast(region.filter(F.col("r_name") == region_name)),
@@ -232,12 +237,15 @@ def regional_revenue(customer: DataFrame, orders: DataFrame,
         .select("n_nationkey", "n_name")
     )
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    return (
-        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(orders.select("o_orderkey", "o_custkey"),
-              F.col("l_orderkey") == F.col("o_orderkey"))
+    oc = (
+        orders.select("o_orderkey", "o_custkey")
         .join(customer.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
               (F.col("l_suppkey") == F.col("s_suppkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))

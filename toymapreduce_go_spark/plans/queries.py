@@ -146,6 +146,53 @@ def _video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_stats_query(load_table(spark, sf_dir, "documents"))
 
 
+def _streaming_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tier2 streaming coverage (r15): one fixed 3-batch availableNow
+    replay of the documents table through the composed curation ingest
+    (telemetry → gate → incremental near-dedup), returning the per-batch
+    telemetry × survivor rollup for the noop sink. EVERYTHING is built
+    fresh inside the call — a pid-scoped temp state dir AND a fresh
+    3-split source staging of the parquet input — so every invocation
+    recomputes from the fixture with no cross-run state or caches
+    (dead-pid leftovers are GC'd best-effort, the _stream_src_dir
+    convention)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import (read_survivors, read_telemetry,
+                                    run_curation_ingest)
+
+    tmp = tempfile.gettempdir()
+    prefix = "tmrs_stream_cycle_"
+    for stale in os.listdir(tmp):
+        if not stale.startswith(prefix):
+            continue
+        try:
+            os.kill(int(stale[len(prefix):].split("_")[0]), 0)
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(os.path.join(tmp, stale), ignore_errors=True)
+        except PermissionError:
+            pass
+    state_dir = tempfile.mkdtemp(prefix=f"{prefix}{os.getpid()}_")
+    docs = load_table(spark, sf_dir, "documents")
+    src_dir = os.path.join(state_dir, "src")
+    docs.repartition(3).write.mode("overwrite").parquet(src_dir)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    run_curation_ingest(stream, state_dir, spark)
+    surv = (read_survivors(spark, state_dir)
+            .groupBy("batch_id")
+            .agg(F.count(F.lit(1)).alias("n_survivors"),
+                 F.sum(F.pmod(F.col("doc_id"), F.lit(CKSUM_MOD)))
+                 .alias("survivor_checksum")))
+    return (read_telemetry(spark, state_dir)
+            .join(surv, "batch_id", "left")
+            .select("batch_id", "n_docs", "n_pass", "pass_rate",
+                    "n_survivors", "survivor_checksum")
+            .orderBy("batch_id"))
+
+
 def _session_index_dir(sf_dir: str, tag: str) -> str:
     """A pid-scoped temp dir for a session-built persisted index: two
     concurrent runs (pytest parity + bench) must not overwrite each
@@ -292,6 +339,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_dedup": _q(dedup.bloom_dedup),
     "near_dedup_vs_prior": _q(dedup.near_dedup_vs_prior_split),
     "heavy_hitters": _heavy_hitters,
+    "streaming_cycle": _streaming_cycle,
     "pii_scrub": _q(textstats.pii_scrub),
     "sequence_packing": _q(packing.packing_stats),
     "chunk_stats": _q(chunking.chunk_stats),
@@ -418,7 +466,7 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
                "crawl_frontier", "sitemap_extract", "sitemap_index",
                "mojibake_repair",
                "recrawl_schedule", "recrawl_revalidation",
-               "etag_revalidation", "fetch_list")
+               "etag_revalidation", "fetch_list", "streaming_cycle")
 
 # Pytest-tier ops with NO DuckDB twin (sequential/greedy algorithms SQL
 # can't express); their correctness contract is invariant tests instead
@@ -437,7 +485,12 @@ PYTEST_ONLY = ("multimodal_decode", "udtf_wordcount", "ann_ivf_trained",
 # (argmax-merge / hard-EM prune) SQL can't express; their contract is
 # exact agreement with independent reference trainers, tests/test_bpe.py
 # and tests/test_unigram_tok.py.)
+# (streaming_cycle is the tier2 bench face of the composed curation
+# ingest — a foreachBatch replay with checkpointed state; its
+# correctness contract is the batch-equivalence + restart-idempotence
+# pins in tests/test_dedup_stream.py, not a SQL twin.)
 PYTEST_INVARIANT_ONLY = ("sequence_packing", "audio_stats", "video_stats",
+                         "streaming_cycle",
                          "ann_ivf_pq", "ann_index_probe_pq",
                          "ann_label_vote",
                          "quality_distill", "bpe_stats", "unigram_tok",

@@ -160,7 +160,12 @@ def near_dedup_batch_step(spark: SparkSession, batch_df: DataFrame,
             .filter(est_jaccard_expr("sig_a", "sig_b", n_hashes)
                     >= F.lit(threshold)))
     intra_dup_ids = intra_cand.select("doc_id").distinct()
-    survivor_bands = fresh.join(intra_dup_ids, "doc_id", "left_anti")
+    # persist the survivor bands for the batch (the sig.persist()
+    # convention): all three commits below consume them, and without
+    # the pin each write re-runs the whole probe + verify + intra-dedup
+    # chain (r15 — measured 3x the per-batch candidate work)
+    survivor_bands = fresh.join(intra_dup_ids, "doc_id",
+                                "left_anti").persist()
     survivor_ids = survivor_bands.select("doc_id").distinct()
 
     # Idempotent commits: deterministic content per (batch partition),
@@ -182,6 +187,7 @@ def near_dedup_batch_step(spark: SparkSession, batch_df: DataFrame,
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("batch_id").parquet(out_path))
+    survivor_bands.unpersist()
     sig.unpersist()
 
 
